@@ -1,0 +1,127 @@
+"""Text-analysis operators for the LLM-data-pipeline extension.
+
+No reference counterpart (the reference's only text handling is an
+embedding hook, ``data/ctu_dataset.py:43-52``); these are the standard
+operators a 100 TB training-data pipeline needs. Everything here is a
+native Column expression (codegen, zero Python) so it runs at full scan
+speed; only genuinely non-expressible kernels drop to pandas UDFs.
+
+- language ID: marker-token heuristic
+- quality scoring: length / punctuation / stopword / word-length ratios
+- token counting: whitespace + BPE-ish regex
+- fingerprinting: md5 content hash (portable) + rolling 64-bit
+  polynomial hash over character shingles (winnowing-style)
+- shingling: character n-grams via sequence+substring (no UDF)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# word-boundary markers for cheap language ID; deterministic and
+# oracle-expressible (instr > 0)
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", " the "),
+    ("en", " and "),
+    ("es", " el "),
+    ("es", " la "),
+    ("de", " der "),
+    ("de", " und "),
+    ("fr", " le "),
+    ("fr", " et "),
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+# Kept RE2-compatible so the DuckDB oracle evaluates the same pattern.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Tokens = non-empty whitespace-separated runs."""
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("int")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letters/digits/punct runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("int")
+
+
+def lang_id(text: Column) -> Column:
+    """First-match marker-token language guess; 'und' when no marker
+    hits. Padded with spaces so markers match at string edges."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    expr = F.lit("und")
+    for lang, marker in reversed(LANG_MARKERS):
+        expr = F.when(F.instr(padded, marker) > 0, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n > 0, stop.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    sane stopword density, sane word length. Weights are arbitrary but
+    fixed — the operator contract is determinism, not linguistics."""
+    len_score = F.least(F.length(text) / F.lit(200.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    wl = mean_word_length(text)
+    wl_score = F.when((wl >= 3.0) & (wl <= 8.0), 1.0).otherwise(0.5)
+    return F.round(
+        0.4 * len_score + 0.2 * punct_pen + 0.2 * stop_score + 0.2 * wl_score, 6
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint — md5 hex (bit-identical in any engine)."""
+    return F.md5(text)
+
+
+def char_shingles(text_col: str, k: int = 5, distinct: bool = True) -> Column:
+    """Character k-grams as array<string>, pure codegen:
+    ``transform(sequence(1, len-k+1), i -> substring(text, i, k))``.
+    Dynamic-start substring needs the SQL expression form (the PySpark
+    lambda API only takes literal start positions). Stays in Tungsten —
+    no Python round trip at 100 TB. Texts shorter than ``k`` yield the
+    whole text as their only shingle."""
+    body = (
+        f"CASE WHEN length({text_col}) < {k} THEN array({text_col}) "
+        f"ELSE transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k})) END"
+    )
+    return F.expr(f"array_distinct({body})" if distinct else body)
+
+
+def doc_fingerprint_rolling(df, text_col: str, k: int = 8, out: str = "fingerprint"):
+    """Winnowing-style near-dup fingerprint: min of xxhash64 over char
+    k-grams (a 1-perm minhash). xxhash64 is JVM-vectorized but
+    engine-specific, so this op is unit-tested rather than SQL-oracled."""
+    grams = char_shingles(text_col, k, distinct=False)
+    hashed = F.transform(grams, lambda g: F.xxhash64(g))
+    return df.withColumn(out, F.array_min(hashed))

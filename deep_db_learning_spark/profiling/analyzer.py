@@ -1,0 +1,241 @@
+"""Schema inference: the reference's ``SchemaAnalyzer`` decision tree,
+re-run over single-pass Spark profiles instead of per-column SQL.
+
+Decision logic ported semantically from
+``/root/reference/db_transformer/db/schema_autodetect.py``:
+
+- determined storage types (``:136-148``): float/decimal → num,
+  boolean → cat, date → date, timestamp → datetime, daytime-interval
+  → duration; long text stays text.
+- single-column PK → omit (pure identifier, ``:454-461``); composite-PK
+  members are NOT auto-omitted (FIXTURES.md lineitem case).
+- member of a non-composite FK → omit (``:463-467``).
+- all-NULL column → omit, unless it is the target → error (``:335-342``).
+- integer/string columns: cardinality tree with
+  ratio > 0.2 (``FRACTION_..._IGNORE_THRESHOLD``) or
+  cardinality > 1000 (``MAXIMUM_CARDINALITY_THRESHOLD``) ⇒ not
+  categorical; then ID-name regex ⇒ omit; integers fall back to num
+  (numeric-name regex and plural-noun heuristic force num *before* the
+  cat fallback), strings fall back to text (``:344-389``).
+- target override: ``target_type`` forces cat/num (``:441-449``).
+
+The thresholds and regexes are reproduced verbatim so that golden-file
+tests against FIXTURES.md expectations hold. The plural-noun heuristic
+uses the ``inflect`` package if importable, else a lightweight
+English-plural fallback (the container has no ``inflect``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..schema import ColumnSpec, DBSchema, ForeignKey, TableSpec
+from .profiler import ColumnStats, profile_table, profilable_columns
+
+# regexes verbatim from schema_autodetect.py:153-160
+ID_NAME_REGEX = re.compile(
+    r"_id$|^id_|_id_|Id$|Id[^a-z]|[Ii]dentifier|IDENTIFIER|ID[^a-zA-Z]|ID$"
+    r"|[guGU]uid[^a-z]|[guGU]uid$|[GU]UID[^a-zA-Z]|[GU]UID$"
+)
+COMMON_NUMERIC_COLUMN_NAME_REGEX = re.compile(
+    r"balance|amount|size|duration|frequency|count|cnt|votes|score|number|age|year|month|day",
+    re.IGNORECASE,
+)
+
+FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD = 0.2
+MAXIMUM_CARDINALITY_THRESHOLD = 1000
+
+try:  # pragma: no cover - container has no inflect; fallback covers tests
+    import inflect
+
+    _INFLECT = inflect.engine()
+
+    def _is_plural(word: str) -> bool:
+        return _INFLECT.singular_noun(word) is not False
+
+except ImportError:  # pragma: no cover
+
+    def _is_plural(word: str) -> bool:
+        w = word.lower()
+        if len(w) < 3 or w.endswith("ss") or w.endswith("us") or w.endswith("is"):
+            return False
+        return w.endswith("s")
+
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+_FLOAT_TYPES = ("float", "double", "decimal")
+_STRING_TYPES = ("string", "varchar", "char")
+
+
+def _storage_family(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t.startswith(_FLOAT_TYPES):
+        return "num"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "datetime"
+    if t.startswith("interval day") or t == "daytimeinterval":
+        return "duration"
+    if t.startswith(_INT_TYPES):
+        return "int"
+    if t.startswith(_STRING_TYPES):
+        return "string"
+    return "other"
+
+
+class SchemaAnalyzer:
+    """Profiles a database and infers a :class:`DBSchema`.
+
+    ``omit`` pairs and the ``target`` behave like the reference's
+    constructor filters (``schema_autodetect.py:182-259``): omitted
+    (table, column) pairs are forced to ``omit``; the target may force a
+    type and may never be omitted.
+    """
+
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        primary_keys: dict[str, list[str]] | None = None,
+        foreign_keys: dict[str, list[ForeignKey]] | None = None,
+        target: tuple[str, str] | None = None,
+        target_type: str | None = None,
+        omit: set[tuple[str, str]] | None = None,
+        profile_mode: str = "exact",
+        post_guess_schema_hook: Callable[[DBSchema], None] | None = None,
+    ) -> None:
+        self.tables = tables
+        self.primary_keys = primary_keys or {}
+        self.foreign_keys = foreign_keys or {}
+        self.target = target
+        self.target_type = target_type
+        self.omit = omit or set()
+        self.profile_mode = profile_mode
+        self.post_guess_schema_hook = post_guess_schema_hook
+        self._profiles: dict[str, dict[str, ColumnStats]] = {}
+
+    # -- profiling ---------------------------------------------------------
+    def profile(self, table: str) -> dict[str, ColumnStats]:
+        if table not in self._profiles:
+            self._profiles[table] = profile_table(
+                self.tables[table],
+                mode=self.profile_mode,
+                thresholds=(FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD,),
+                max_card=MAXIMUM_CARDINALITY_THRESHOLD,
+            )
+        return self._profiles[table]
+
+    # -- decision tree -----------------------------------------------------
+    def _non_composite_fk_columns(self, table: str) -> set[str]:
+        return {
+            fk.columns[0]
+            for fk in self.foreign_keys.get(table, [])
+            if len(fk.columns) == 1
+        }
+
+    def do_guess_column_type(
+        self, table: str, column: str, must_have_type: bool
+    ) -> str:
+        """The value-driven part of the tree
+        (``schema_autodetect.py:312-389``). Returns a semantic type name."""
+        df = self.tables[table]
+        spark_type = dict(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        )[column]
+        family = _storage_family(spark_type)
+
+        # determined types (schema_autodetect.py:136-148)
+        if family == "num":
+            return "num"
+        if family == "bool":
+            return "cat"
+        if family in ("date", "datetime", "duration"):
+            return family
+        if family == "other":
+            return "omit"
+
+        stats = self.profile(table).get(column)
+        if stats is None or stats.n_nonnull == 0:
+            if must_have_type:
+                raise ValueError(
+                    f"Column {column} in table {table} contains only NULL values, "
+                    "but it cannot be omitted as it is the target."
+                )
+            return "omit"
+
+        cardinality = stats.n_distinct
+        too_many_distinct = (
+            stats.distinct_to_nonnull > FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD
+            or cardinality > MAXIMUM_CARDINALITY_THRESHOLD
+        )
+
+        if family == "int":
+            if too_many_distinct:
+                if not must_have_type and ID_NAME_REGEX.search(column):
+                    return "omit"
+                return "num"
+            if COMMON_NUMERIC_COLUMN_NAME_REGEX.search(column):
+                return "num"
+            if _is_plural(column):
+                return "num"
+            return "cat"
+        # string family
+        if too_many_distinct:
+            if not must_have_type and ID_NAME_REGEX.search(column):
+                return "omit"
+            return "text"
+        return "cat"
+
+    def guess_column_type(self, table: str, column: str) -> ColumnSpec:
+        """Constraint-driven wrapper (``schema_autodetect.py:428-484``)."""
+        if (table, column) in self.omit:
+            return ColumnSpec("omit")
+
+        pk = set(self.primary_keys.get(table, []))
+        is_in_pk = column in pk
+        is_target = (table, column) == self.target
+
+        guessed: str | None = None
+        if is_target and self.target_type is not None:
+            if self.target_type not in ("cat", "num"):
+                raise ValueError(f"bad target_type {self.target_type!r}")
+            guessed = self.target_type
+        else:
+            if is_in_pk and len(pk) == 1:
+                # lone PK column = pure row identifier → omit (:454-461)
+                return ColumnSpec("omit", key=True)
+            if column in self._non_composite_fk_columns(table):
+                # non-composite FK member → omit (:463-467)
+                return ColumnSpec("omit", key=is_in_pk)
+
+        if guessed is None:
+            guessed = self.do_guess_column_type(table, column, must_have_type=is_target)
+
+        if is_target and guessed == "omit":
+            raise TypeError(f"Column '{column}' in table '{table}' cannot be omitted.")
+
+        if guessed == "cat":
+            card = self.profile(table)[column].n_distinct
+            return ColumnSpec("cat", key=is_in_pk, card=card)
+        return ColumnSpec(guessed, key=is_in_pk)
+
+    def guess_schema(self) -> DBSchema:
+        """Infer specs for every column of every table
+        (``schema_autodetect.py:486-508``)."""
+        schema = DBSchema()
+        for table in self.tables:
+            cols = {
+                c: self.guess_column_type(table, c)
+                for c in [f.name for f in self.tables[table].schema.fields]
+            }
+            schema.tables[table] = TableSpec(
+                columns=cols, foreign_keys=list(self.foreign_keys.get(table, []))
+            )
+        if self.post_guess_schema_hook is not None:
+            self.post_guess_schema_hook(schema)
+        return schema

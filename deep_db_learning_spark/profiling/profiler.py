@@ -1,0 +1,163 @@
+"""Statistical column profiler — the engine's answer to the reference's
+per-column profiling SQL.
+
+The reference issues one network round-trip per column per statistic
+(`SELECT count(col) ...` ``db/schema_autodetect.py:295-310``;
+``SELECT count(*) FROM (SELECT DISTINCT col ...)``
+``db/distinct_cnt_retrieval.py:32-52``). At 100 TB that access pattern
+is a non-starter: this profiler computes ALL column statistics for a
+table in a **single aggregation job** over one scan.
+
+Semantics preserved exactly:
+
+- distinct counts are **null-inclusive** (the reference's subquery
+  deliberately counts NULL as a category, SURVEY A1). Spark's
+  ``count_distinct`` drops nulls, so we add ``max(isnull(c))``.
+- non-null count = ``count(c)`` (Spark's count already skips nulls).
+
+Scale posture: exact multi-column ``count_distinct`` in one agg uses
+Catalyst's Expand (row-multiplication by #columns) — fine up to wide
+tables at moderate size, but at 100 TB use ``mode="approx"`` (single
+pass of HLL sketches, no Expand) or ``mode="auto"`` which refines with
+exact counts only the columns whose approximate ratio lands near a
+decision threshold of the schema analyzer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ColumnStats:
+    """Profile of one column (inputs to the analyzer decision tree)."""
+
+    n_rows: int
+    n_nonnull: int
+    n_distinct: int  # null-inclusive, like the reference's A1
+    has_null: bool
+    approximate: bool = False
+
+    @property
+    def distinct_to_nonnull(self) -> float:
+        """Ratio driving the categorical decision
+        (``schema_autodetect.py:344-380``). Distinct count here includes
+        NULL, like the reference (it divides its null-inclusive distinct
+        count by the non-null count)."""
+        if self.n_nonnull == 0:
+            return float("inf")
+        return self.n_distinct / self.n_nonnull
+
+
+def _exact_aggs(columns: list[str]) -> list[Column]:
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn__{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd__{c}"))
+        aggs.append(F.max(F.isnull(F.col(c)).cast("int")).alias(f"__hn__{c}"))
+    return aggs
+
+
+def _approx_aggs(columns: list[str], rsd: float) -> list[Column]:
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn__{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__nd__{c}"))
+        aggs.append(F.max(F.isnull(F.col(c)).cast("int")).alias(f"__hn__{c}"))
+    return aggs
+
+
+def _row_to_stats(row, columns: list[str], approximate: bool) -> dict[str, ColumnStats]:
+    n_rows = row["__n_rows"]
+    out: dict[str, ColumnStats] = {}
+    for c in columns:
+        has_null = bool(row[f"__hn__{c}"]) if row[f"__hn__{c}"] is not None else False
+        out[c] = ColumnStats(
+            n_rows=n_rows,
+            n_nonnull=row[f"__nn__{c}"],
+            # null-inclusive distinct: count_distinct drops NULL, add it back
+            n_distinct=row[f"__nd__{c}"] + (1 if has_null else 0),
+            has_null=has_null,
+            approximate=approximate,
+        )
+    return out
+
+
+# complex types cannot go through count_distinct; profile only atomics
+_ATOMIC_PREFIXES = (
+    "int", "bigint", "smallint", "tinyint", "float", "double", "decimal",
+    "string", "boolean", "date", "timestamp", "interval",
+)
+
+
+def profilable_columns(df: DataFrame) -> list[str]:
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith(_ATOMIC_PREFIXES)
+    ]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    mode: str = "exact",
+    rsd: float = 0.02,
+    thresholds: tuple[float, ...] = (0.2,),
+    max_card: int = 1000,
+) -> dict[str, ColumnStats]:
+    """Profile all (atomic) columns of ``df`` in one aggregation.
+
+    ``mode``: ``"exact"`` | ``"approx"`` | ``"auto"``. Auto runs the
+    cheap HLL pass first and re-profiles exactly only columns whose
+    approximate decision is ambiguous: ratio within ±3·rsd of a
+    threshold in ``thresholds``, or distinct count within ±3·rsd of
+    ``max_card`` — the reference's decision points
+    (``schema_autodetect.py:162-180``).
+    """
+    cols = columns if columns is not None else profilable_columns(df)
+    if not cols:
+        return {}
+    if mode == "exact":
+        row = df.agg(*_exact_aggs(cols)).collect()[0]
+        return _row_to_stats(row, cols, approximate=False)
+    row = df.agg(*_approx_aggs(cols, rsd)).collect()[0]
+    stats = _row_to_stats(row, cols, approximate=True)
+    if mode == "approx":
+        return stats
+    # mode == "auto": exact refinement near decision boundaries
+    tol = 3.0 * rsd
+    ambiguous = []
+    for c, s in stats.items():
+        if s.n_nonnull == 0:
+            continue
+        ratio = s.distinct_to_nonnull
+        near_ratio = any(abs(ratio - t) <= tol * max(ratio, t) for t in thresholds)
+        near_card = abs(s.n_distinct - max_card) <= tol * max_card
+        if near_ratio or near_card or s.n_distinct <= max_card:
+            # any column that might be categorical needs its EXACT
+            # cardinality anyway (dict-encode requires it, F12)
+            ambiguous.append(c)
+    if ambiguous:
+        row = df.agg(*_exact_aggs(ambiguous)).collect()[0]
+        stats.update(_row_to_stats(row, ambiguous, approximate=False))
+    return stats
+
+
+def distinct_count_including_null(df: DataFrame, column: str) -> int:
+    """A1 verbatim: ``SELECT count(*) FROM (SELECT DISTINCT col FROM t)``
+    (``db/distinct_cnt_retrieval.py:32-52``). Prefer :func:`profile_table`
+    for bulk profiling; this exists for parity and spot checks."""
+    return df.select(column).distinct().count()
+
+
+def profile_database(
+    tables: dict[str, DataFrame], mode: str = "exact", **kw
+) -> dict[str, dict[str, ColumnStats]]:
+    """One profiling job per table. Jobs are independent — on a cluster
+    they can be submitted from concurrent driver threads; at local scale
+    sequential submission is fine because each job saturates the cores."""
+    return {t: profile_table(df, mode=mode, **kw) for t, df in tables.items()}

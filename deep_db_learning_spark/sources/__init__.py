@@ -1,0 +1,3 @@
+from .catalog import TESTDATA_TABLES, Database, load_jdbc, load_testdata
+
+__all__ = ["TESTDATA_TABLES", "Database", "load_jdbc", "load_testdata"]

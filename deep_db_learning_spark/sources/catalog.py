@@ -1,0 +1,170 @@
+"""Catalog / inspector: a named database of Spark DataFrames.
+
+Re-expresses the reference's SQLAlchemy ``DBInspector``
+(``/root/reference/db_transformer/db/db_inspector.py:109-185``, ops
+S1-S5 in SURVEY.md §2.1) over Spark. Tables come from a Parquet
+directory (the driver's testdata layout: one ``<table>.parquet`` per
+table) or a JDBC source; PK/FK constraints live in the sidecar
+:class:`~deep_db_learning_spark.schema.DBSchema` metadata because Spark
+has no constraint catalog.
+
+Scale posture: catalog calls are driver-only and cheap; the data itself
+is never collected. Reads are plain ``spark.read.parquet`` so Catalyst
+gets column pruning + predicate pushdown on every downstream query.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import DBSchema, ForeignKey, tpch_primary_keys, tpch_star_schema_fks
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Database:
+    """A named set of DataFrames + PK/FK sidecar (reference ``Database``
+    + ``DBInspector``; caching is implicit — Spark plans are lazy and
+    the driver-side dicts below ARE the memoized catalog, mirroring
+    ``CachedDBInspector`` ``db/db_inspector.py:149-185``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        primary_keys: dict[str, list[str]] | None = None,
+        foreign_keys: dict[str, list[ForeignKey]] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.tables = dict(tables)
+        self.primary_keys = {t: list(pk) for t, pk in (primary_keys or {}).items()}
+        self.foreign_keys = {t: list(fks) for t, fks in (foreign_keys or {}).items()}
+
+    # -- S1/S2: table + column listing ------------------------------------
+    def get_tables(self) -> set[str]:
+        """S1 (``db_inspector.py:109-115``)."""
+        return set(self.tables)
+
+    def get_columns(self, table: str) -> dict[str, str]:
+        """S2: column name → Spark SQL type string (``db_inspector.py:117-125``)."""
+        return {f.name: f.dataType.simpleString() for f in self.tables[table].schema.fields}
+
+    # -- S3/S4: constraints (sidecar) --------------------------------------
+    def get_primary_key(self, table: str) -> set[str]:
+        """S3 (``db_inspector.py:135-136``)."""
+        return set(self.primary_keys.get(table, []))
+
+    def get_foreign_keys(self, table: str) -> list[ForeignKey]:
+        """S4 (``db_inspector.py:138-146``)."""
+        return list(self.foreign_keys.get(table, []))
+
+    def df(self, table: str) -> DataFrame:
+        return self.tables[table]
+
+    def create_temp_views(self, prefix: str = "") -> None:
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(prefix + name)
+
+    # -- S8/S9: bulk copy / materialized store -----------------------------
+    def save(self, path: str, schema: DBSchema | None = None, mode: str = "overwrite") -> None:
+        """Materialize every table as Parquet + optional schema sidecar.
+
+        Replaces the reference's row-by-row SQLite copy
+        (``helpers/database.py:12-55``, its own TODO at line 48 notes the
+        row-at-a-time insert) with bulk columnar writes; at cluster scale
+        each table writes in parallel from its own partitions.
+        """
+        os.makedirs(path, exist_ok=True)
+        for name, df in self.tables.items():
+            df.write.mode(mode).parquet(os.path.join(path, f"{name}.parquet"))
+        if schema is not None:
+            schema.save(os.path.join(path, "schema.json"))
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        tables: Iterable[str] | None = None,
+        primary_keys: dict[str, list[str]] | None = None,
+        foreign_keys: dict[str, list[ForeignKey]] | None = None,
+    ) -> "Database":
+        """S6: full-table scans from a Parquet directory
+        (reference ``_table_to_dataframe_raw``,
+        ``data/utils/heterodata_builder.py:122-128``)."""
+        # the driver's synthetic parquet carries TIMESTAMP(NANOS) columns
+        # (pandas ns-precision writer); Spark rejects them unless this
+        # legacy conf is on, after which they read as timestamp_ntz.
+        # Runtime-settable, so it works inside any caller's session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if tables is None:
+            tables = sorted(
+                f[: -len(".parquet")]
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        dfs = {t: spark.read.parquet(os.path.join(path, f"{t}.parquet")) for t in tables}
+        schema_path = os.path.join(path, "schema.json")
+        if (primary_keys is None or foreign_keys is None) and os.path.exists(schema_path):
+            side = DBSchema.load(schema_path)
+            primary_keys = primary_keys or {
+                t: side[t].primary_key() for t in side if t in dfs
+            }
+            foreign_keys = foreign_keys or {
+                t: side[t].foreign_keys for t in side if t in dfs
+            }
+        return cls(spark, dfs, primary_keys, foreign_keys)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> Database:
+    """Load the driver's TPC-H-ish star schema with its known PK/FK sidecar."""
+    present = [
+        t for t in TESTDATA_TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    ]
+    db = Database.load(spark, sf_dir, tables=present)
+    pks, fks = tpch_primary_keys(), tpch_star_schema_fks()
+    db.primary_keys = {t: pks[t] for t in present if t in pks}
+    db.foreign_keys = {t: fks[t] for t in present if t in fks}
+    return db
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    tables: Iterable[str],
+    properties: dict[str, str] | None = None,
+    custom_schemas: dict[str, str] | None = None,
+) -> Database:
+    """S7/S11: remote JDBC source with optional per-table explicit schema
+    (reference typed scan ``make_db``, ``data/ctu_dataset.py:269-297``,
+    and the MariaDB connection factory ``ctu_dataset.py:234-247``).
+
+    Untested in this container (no JDBC driver jar baked in); the code
+    path is the standard ``spark.read.jdbc`` and carries ``customSchema``
+    for the reference's explicit dtype mapping. PK/FK would come from
+    ``information_schema`` queries pushed through the same reader.
+    """
+    props = dict(properties or {})
+    dfs: dict[str, DataFrame] = {}
+    for t in tables:
+        reader = spark.read.format("jdbc").option("url", url).option("dbtable", t)
+        for k, v in props.items():
+            reader = reader.option(k, v)
+        if custom_schemas and t in custom_schemas:
+            reader = reader.option("customSchema", custom_schemas[t])
+        dfs[t] = reader.load()
+    return Database(spark, dfs)

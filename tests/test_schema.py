@@ -1,0 +1,46 @@
+from deep_db_learning_spark.schema import (
+    ColumnSpec,
+    DBSchema,
+    ForeignKey,
+    TableSpec,
+    tpch_primary_keys,
+    tpch_star_schema_fks,
+)
+
+
+def test_json_round_trip():
+    schema = DBSchema(
+        tables={
+            "customer": TableSpec(
+                columns={
+                    "c_custkey": ColumnSpec("omit", key=True),
+                    "c_mktsegment": ColumnSpec("cat", card=5),
+                    "c_acctbal": ColumnSpec("num"),
+                },
+                foreign_keys=[ForeignKey(["c_nationkey"], "nation", ["n_nationkey"])],
+            )
+        }
+    )
+    back = DBSchema.from_json(schema.to_json())
+    assert back["customer"].columns["c_mktsegment"].card == 5
+    assert back["customer"].columns["c_custkey"].key
+    assert back["customer"].foreign_keys[0].ref_table == "nation"
+    assert back["customer"].primary_key() == ["c_custkey"]
+    assert back["customer"].feature_columns() == ["c_mktsegment", "c_acctbal"]
+
+
+def test_cat_requires_card():
+    import pytest
+
+    with pytest.raises(ValueError):
+        ColumnSpec("cat")
+    with pytest.raises(ValueError):
+        ColumnSpec("bogus")
+
+
+def test_tpch_sidecar_consistency():
+    fks = tpch_star_schema_fks()
+    pks = tpch_primary_keys()
+    for table, fk_list in fks.items():
+        for fk in fk_list:
+            assert fk.ref_columns == pks[fk.ref_table][: len(fk.ref_columns)]
