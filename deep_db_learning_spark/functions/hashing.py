@@ -26,10 +26,12 @@ MERSENNE_31 = 2147483647  # 2^31 - 1
 
 
 def knuth_hash(key: Column, seed: int = 42) -> Column:
-    """``((key mod p) * K + seed) mod p`` — stays within BIGINT range
-    (p*K ≈ 5.7e18 < 2^63), identical in Spark and DuckDB."""
+    """``((key mod p + seed) * K) mod p`` — the seed mixes BEFORE the
+    multiply so different seeds yield different *orderings*, not just a
+    constant shift. Stays within BIGINT range ((p+seed)*K < 2^63 for
+    seed < ~1e9); identical in Spark and DuckDB."""
     return (
-        (F.pmod(key.cast("bigint"), F.lit(MERSENNE_31)) * F.lit(KNUTH) + F.lit(seed))
+        ((F.pmod(key.cast("bigint"), F.lit(MERSENNE_31)) + F.lit(seed)) * F.lit(KNUTH))
         % F.lit(MERSENNE_31)
     )
 
@@ -38,8 +40,8 @@ def knuth_hash_sql(expr: str, seed: int = 42) -> str:
     """The DuckDB/ANSI twin of :func:`knuth_hash` (for oracle SQL)."""
     e = f"CAST(({expr}) AS BIGINT)"
     return (
-        f"((({e} % {MERSENNE_31} + {MERSENNE_31}) % {MERSENNE_31})"
-        f" * CAST({KNUTH} AS BIGINT) + {seed}) % {MERSENNE_31}"
+        f"(((({e} % {MERSENNE_31} + {MERSENNE_31}) % {MERSENNE_31}) + {seed})"
+        f" * CAST({KNUTH} AS BIGINT)) % {MERSENNE_31}"
     )
 
 

@@ -23,17 +23,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("string")
-def unidecode_udf(s: pd.Series) -> pd.Series:
-    """ASCII transliteration à la ``unidecode`` (NFKD + drop combining)."""
-    def fold(v):
-        if v is None:
-            return None
-        return (
-            unicodedata.normalize("NFKD", v).encode("ascii", "ignore").decode("ascii")
-        )
+def _fold_ascii(v):
+    if v is None:
+        return None
+    return unicodedata.normalize("NFKD", v).encode("ascii", "ignore").decode("ascii")
 
-    return s.map(fold)
+
+_UNIDECODE_UDF = None
+
+
+def unidecode_udf(c: Column) -> Column:
+    """ASCII transliteration à la ``unidecode`` (NFKD + drop combining).
+    The pandas UDF is created lazily — registering it at import time
+    would require an active SparkSession."""
+    global _UNIDECODE_UDF
+    if _UNIDECODE_UDF is None:
+
+        @pandas_udf("string")
+        def _udf(s: pd.Series) -> pd.Series:
+            return s.map(_fold_ascii)
+
+        _UNIDECODE_UDF = _udf
+    return _UNIDECODE_UDF(c)
 
 
 def _ident(c: Column) -> Column:

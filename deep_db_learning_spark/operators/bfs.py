@@ -1,0 +1,120 @@
+"""Set-oriented BFS neighborhood expansion (SURVEY J3 / N28).
+
+The reference's ``BFSStrategy`` (``data/strategy/bfs.py:18-84``) runs
+one SQL round-trip per hop per table **per sample row** — the
+scalability anti-pattern called out in SURVEY §3 EP3. This operator
+keeps its exact traversal semantics but runs them for an arbitrary
+root *set* in one distributed job chain:
+
+- forward expansion along every FK of a visited table;
+- reverse expansion along every FK *referencing* a visited table,
+  **except back into the parent table** the frontier came from
+  (``bfs.py:66-70`` parent pruning);
+- forward targets of the same hop are excluded from reverse expansion
+  (``processed_foreigns``, ``bfs.py:60``);
+- depth bound: tables at depth ≤ max_depth-1 are materialized, i.e.
+  expansion stops once ``depth + 1 == max_depth`` (``bfs.py:49-50``);
+- the reference supports only single-column keys (its own TODO,
+  ``bfs.py:53``) — multi-column FKs are skipped identically.
+
+Per-hop frontiers are ``leftsemi`` joins (P5: the distributed analog
+of ``WHERE key IN (:keys)``), so only key columns shuffle, never full
+rows. Visited sets accumulate with union + dropDuplicates (O2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import ForeignKey
+
+
+def bfs_expand(
+    tables: dict[str, DataFrame],
+    foreign_keys: dict[str, list[ForeignKey]],
+    target_table: str,
+    roots: DataFrame,
+    max_depth: int,
+    primary_keys: dict[str, list[str]] | None = None,
+) -> dict[str, DataFrame]:
+    """Expand from ``roots`` (a DataFrame of target-table rows, or of
+    just its key columns) and return {table → distinct visited rows}.
+
+    ``primary_keys`` supplies the reverse-expansion key per table; the
+    reference assumes "other tables reference the first column"
+    (``bfs.py:63``) — we use the FK's declared ``ref_columns`` instead,
+    which is strictly more correct and identical on the star schema.
+    """
+    if max_depth <= 0:
+        return {}
+
+    # visited rows per table; frontier = (table, rows, parent) per hop
+    root_rows = tables[target_table].join(
+        roots.select(*[c for c in roots.columns if c in tables[target_table].columns]),
+        on=[c for c in roots.columns if c in tables[target_table].columns],
+        how="leftsemi",
+    )
+    visited: dict[str, DataFrame] = {target_table: root_rows}
+    frontier: list[tuple[str, DataFrame, str | None]] = [(target_table, root_rows, None)]
+
+    referencing: dict[str, list[tuple[str, ForeignKey]]] = {}
+    for t, fks in foreign_keys.items():
+        for fk in fks:
+            referencing.setdefault(fk.ref_table, []).append((t, fk))
+
+    for depth in range(1, max_depth):
+        next_frontier: list[tuple[str, DataFrame, str | None]] = []
+        for table_name, rows, parent in frontier:
+            processed_forward: set[str] = set()
+            # forward: along this table's FKs (single-column only — parity)
+            for fk in foreign_keys.get(table_name, []):
+                if len(fk.columns) != 1 or fk.ref_table not in tables:
+                    continue
+                keys = rows.select(F.col(fk.columns[0]).alias(fk.ref_columns[0])).distinct()
+                new_rows = tables[fk.ref_table].join(keys, fk.ref_columns[0], "leftsemi")
+                next_frontier.append((fk.ref_table, new_rows, table_name))
+                processed_forward.add(fk.ref_table)
+            # reverse: tables referencing this one, parent-pruned
+            for ref_table, fk in referencing.get(table_name, []):
+                if (
+                    ref_table in processed_forward
+                    or ref_table == parent
+                    or len(fk.columns) != 1
+                    or ref_table not in tables
+                ):
+                    continue
+                keys = rows.select(F.col(fk.ref_columns[0]).alias(fk.columns[0])).distinct()
+                new_rows = tables[ref_table].join(keys, fk.columns[0], "leftsemi")
+                next_frontier.append((ref_table, new_rows, table_name))
+        # merge this hop's discoveries into visited
+        for table_name, rows, _ in next_frontier:
+            if table_name in visited:
+                visited[table_name] = visited[table_name].unionByName(rows)
+            else:
+                visited[table_name] = rows
+        frontier = next_frontier
+
+    return {t: df.dropDuplicates() for t, df in visited.items()}
+
+
+def bfs_visited_counts(
+    tables: dict[str, DataFrame],
+    foreign_keys: dict[str, list[ForeignKey]],
+    target_table: str,
+    roots: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """Convenience summary: (table_name, n_visited) — the oracle-checkable
+    shape of a BFS result."""
+    visited = bfs_expand(tables, foreign_keys, target_table, roots, max_depth)
+    spark = roots.sparkSession
+    out = None
+    for t in sorted(visited):
+        row = visited[t].agg(F.count(F.lit(1)).alias("n_visited")).select(
+            F.lit(t).alias("table_name"), "n_visited"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out if out is not None else spark.createDataFrame(
+        [], "table_name string, n_visited bigint"
+    )

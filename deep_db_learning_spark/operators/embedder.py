@@ -1,0 +1,115 @@
+"""Embedding stage (SURVEY N1-N5): semantic-typed columns → feature vectors.
+
+The reference embeds per column by ML-semantic type
+(``nn/embedder/embedders.py:19-114``, ``nn/embedder/db_embedder.py``):
+``nn.Embedding(card, dim)`` for categoricals, ``Linear(1, dim)`` for
+numerics, NA imputation, then concat to a per-row tensor.
+
+Spark-first realization — **embedding lookup is a relational join**:
+
+- N1 cat: a ``(code → array<double>)`` table of ``card`` rows,
+  deterministically initialized (seeded hash → uniform), broadcast-
+  joined onto the fact table. Updating embeddings during training is a
+  join-apply-update on this small table; the fact table never moves.
+- N2 num: ``x·w + b`` per dimension — a pure array ``transform`` expr.
+- N3 identity: pass-through.
+- N5 imputation: mean (num) / most-frequent (cat) from the profiling
+  stats, applied with ``coalesce`` before embedding.
+- assembly: per-column vectors concatenated with ``concat(arrays)``
+  into one flat ``array<double>`` per row
+  (``heterodata_builder.py:284-291`` flattens to a float32 matrix).
+
+Everything is JVM expressions + one broadcast join per cat column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.hashing import KNUTH, MERSENNE_31
+from ..schema import ColumnSpec
+
+
+def deterministic_embedding_table(
+    spark: SparkSession, card: int, dim: int, seed: int = 42
+) -> DataFrame:
+    """N1 parameter init: (code, vec) for codes 0..card (0 = NULL).
+    Seeded-hash uniform in [-0.5, 0.5) — deterministic across runs and
+    engines; the training loop may later overwrite this table."""
+    codes = spark.range(0, card + 1).select(F.col("id").cast("int").alias("code"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(
+                (F.col("code").cast("bigint") * dim + i + F.lit(seed)) * F.lit(KNUTH),
+                F.lit(MERSENNE_31),
+            ).cast("double")
+            / F.lit(float(MERSENNE_31))
+            - 0.5
+        ),
+    )
+    return codes.withColumn("vec", vec)
+
+
+def embed_categorical(
+    df: DataFrame,
+    code_col: str,
+    card: int,
+    dim: int,
+    out: str | None = None,
+    seed: int = 42,
+    table: DataFrame | None = None,
+) -> DataFrame:
+    """N1 ``CatEmbedder``: broadcast-join the embedding table. The
+    reference's ``nn.Embedding`` lookup IS this join."""
+    out = out or f"{code_col}_emb"
+    emb = table if table is not None else deterministic_embedding_table(
+        df.sparkSession, card, dim, seed
+    )
+    emb = emb.select(F.col("code").alias(code_col), F.col("vec").alias(out))
+    return df.join(broadcast(emb), code_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.array_repeat(F.lit(0.0), dim))
+    )
+
+
+def embed_numeric(
+    x: Column, dim: int, seed: int = 42, impute: float | None = None
+) -> Column:
+    """N2 ``NumEmbedder`` ``Linear(1, dim)``: vec[i] = x*w_i + b_i with
+    deterministic seeded weights; optional mean-imputation first (N5)."""
+    v = x.cast("double")
+    if impute is not None:
+        v = F.coalesce(v, F.lit(float(impute)))
+
+    def wb(i: Column, salt: int) -> Column:
+        return (
+            F.pmod((i + F.lit(seed + salt)) * F.lit(KNUTH), F.lit(MERSENNE_31)).cast(
+                "double"
+            )
+            / F.lit(float(MERSENNE_31))
+            - 0.5
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: v * wb(i, 1) + wb(i, 7)
+    )
+
+
+def assemble_features(df: DataFrame, vector_cols: list[str], out: str = "features") -> DataFrame:
+    """N4 concat: per-column vectors → one flat array<double> per row."""
+    return df.withColumn(out, F.concat(*[F.col(c) for c in vector_cols]))
+
+
+def impute_values(
+    df: DataFrame, strategy: dict[str, tuple[str, object]]
+) -> DataFrame:
+    """N5 NA imputation: {col: ("mean"|"most_frequent"|"constant", value)}.
+    Values come from the profiling job (A10); this just applies them —
+    a single ``coalesce`` pass, no extra scan."""
+    exprs = []
+    for c, (kind, value) in strategy.items():
+        exprs.append(F.coalesce(F.col(c), F.lit(value)).alias(c))
+    keep = [F.col(c) for c in df.columns if c not in strategy]
+    return df.select(*keep, *exprs)

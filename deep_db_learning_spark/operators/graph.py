@@ -1,0 +1,206 @@
+"""Heterogeneous-graph construction from FK metadata (SURVEY §2.3).
+
+The reference builds a PyG ``HeteroData``: per-table node stores with
+**positional** row indices and per-FK ``edge_index`` tensors produced by
+pandas inner merges (``data/utils/heterodata_builder.py:130-158``,
+duplicate impl ``data/ctu_dataset.py:301-333``). Our graph is a pair of
+DataFrame families — ``nodes[table]`` carrying ``node_id`` and
+``edges[edge_type]`` carrying ``(src, dst)`` — exactly the GraphFrames
+layout, persisted as Parquet.
+
+Node-id strategy (the 100 TB decision):
+
+- ``mode="pk"`` (default): ``node_id`` = the table's single numeric PK.
+  Zero shuffle, zero scan — ids are stable under repartitioning and
+  appends, and every downstream join co-partitions on them.
+- ``mode="positional"``: contiguous [0, n) ids via ``row_number()``
+  ordered by PK, for strict parity with PyG tensors and for export to
+  training frameworks that need dense indices. A global row_number is
+  a single-partition sort at scale — use ``zipWithIndex``-style
+  per-partition offsets if this path ever needs 100 TB (documented,
+  not needed for feature computation).
+
+Edge semantics: inner join ⇒ rows with NULL FK or dangling reference
+silently drop — J2, matching the reference (``heterodata_builder.py:145-151``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..schema import DBSchema, ForeignKey
+
+# below this row count a join side is explicitly broadcast (dimension
+# tables, code tables); Spark's own threshold is byte-based — this is a
+# row-based hint for sides we know are small from profiling
+BROADCAST_ROW_LIMIT = 1_000_000
+
+
+def with_node_ids(
+    df: DataFrame, pk: list[str], mode: str = "pk", id_col: str = "node_id"
+) -> DataFrame:
+    """Attach a stable ``node_id``."""
+    if mode == "pk":
+        if len(pk) == 1:
+            return df.withColumn(id_col, F.col(pk[0]).cast("bigint"))
+        # composite PK: positional fallback keeps ids dense and unique
+        mode = "positional"
+    if mode == "positional":
+        if not pk:
+            raise ValueError("positional node ids require a primary key ordering")
+        w = Window.orderBy(*[F.col(c) for c in pk])
+        return df.withColumn(id_col, (F.row_number().over(w) - 1).cast("bigint"))
+    raise ValueError(f"unknown node id mode {mode!r}")
+
+
+def fk_edges(
+    src_nodes: DataFrame,
+    dst_nodes: DataFrame,
+    fk: ForeignKey,
+    src_id: str = "node_id",
+    dst_id: str = "node_id",
+    broadcast_dst: bool | None = None,
+) -> DataFrame:
+    """J1: one FK ⇒ one ``(src, dst)`` edge DataFrame.
+
+    Multi-column FKs join on all column pairs. The dst side projects
+    only ``ref_columns + node_id`` (column pruning reaches the scan);
+    when the dst table is a known-small dimension, broadcast it so the
+    fact table never shuffles.
+    """
+    s = src_nodes.select(F.col(src_id).alias("src"), *[F.col(c) for c in fk.columns])
+    d = dst_nodes.select(F.col(dst_id).alias("dst"), *[F.col(c) for c in fk.ref_columns])
+    if broadcast_dst:
+        d = broadcast(d)
+    cond = None
+    for c, rc in zip(fk.columns, fk.ref_columns):
+        # plain equality (not null-safe): NULL FKs must drop (J2)
+        clause = s[c] == d[rc]
+        cond = clause if cond is None else (cond & clause)
+    return s.join(d, cond, "inner").select("src", "dst")
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """J5: the ``rev_`` edge type (``T.ToUndirected()`` analog,
+    ``heterodata_builder.py:295-297``)."""
+    return edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+
+def self_loop_edges(nodes: DataFrame, id_col: str = "node_id") -> DataFrame:
+    """J6: ``T.AddSelfLoops()`` analog (``data/dataset.py:365``)."""
+    return nodes.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
+
+
+@dataclass
+class HeteroGraph:
+    """The engine's ``HeteroData``: node/edge DataFrames + typing.
+
+    ``edges`` keys are ``(src_table, fk_name, dst_table)`` flattened to
+    ``"src_table__fkname__dst_table"`` for Parquet-path safety.
+    """
+
+    nodes: dict[str, DataFrame] = field(default_factory=dict)
+    edges: dict[str, DataFrame] = field(default_factory=dict)
+    edge_meta: dict[str, tuple[str, str]] = field(default_factory=dict)  # type → (src_table, dst_table)
+
+    @staticmethod
+    def edge_type(src_table: str, fk: ForeignKey) -> str:
+        return f"{src_table}__{'_'.join(fk.columns)}__{fk.ref_table}"
+
+    def add_reverse_edges(self) -> "HeteroGraph":
+        """J5 for every edge type (skipping already-reversed ones)."""
+        for et in list(self.edges):
+            if et.startswith("rev_"):
+                continue
+            rev = "rev_" + et
+            if rev not in self.edges:
+                self.edges[rev] = reverse_edges(self.edges[et])
+                s, d = self.edge_meta[et]
+                self.edge_meta[rev] = (d, s)
+        return self
+
+    def add_self_loops(self) -> "HeteroGraph":
+        for t, nodes in self.nodes.items():
+            et = f"self_{t}"
+            if et not in self.edges:
+                self.edges[et] = self_loop_edges(nodes)
+                self.edge_meta[et] = (t, t)
+        return self
+
+    def drop_empty(self) -> "HeteroGraph":
+        """P9: empty-store elimination (``nn/models/blueprint.py:198-214``).
+        ``isEmpty`` is a cheap limit-1 job, not a full count."""
+        self.nodes = {t: df for t, df in self.nodes.items() if not df.isEmpty()}
+        self.edges = {
+            et: df
+            for et, df in self.edges.items()
+            if self.edge_meta[et][0] in self.nodes
+            and self.edge_meta[et][1] in self.nodes
+            and not df.isEmpty()
+        }
+        self.edge_meta = {et: m for et, m in self.edge_meta.items() if et in self.edges}
+        return self
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """S9: persisted node/edge Parquet layout — the materialization
+        checkpoint after which training iterations never re-run the
+        build joins."""
+        for t, df in self.nodes.items():
+            df.write.mode(mode).parquet(os.path.join(path, "nodes", t))
+        for et, df in self.edges.items():
+            df.write.mode(mode).parquet(os.path.join(path, "edges", et))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "HeteroGraph":
+        g = cls()
+        ndir, edir = os.path.join(path, "nodes"), os.path.join(path, "edges")
+        for t in sorted(os.listdir(ndir)):
+            g.nodes[t] = spark.read.parquet(os.path.join(ndir, t))
+        for et in sorted(os.listdir(edir)):
+            g.edges[et] = spark.read.parquet(os.path.join(edir, et))
+            parts = et.replace("rev_", "").replace("self_", "").split("__")
+            if et.startswith("self_"):
+                g.edge_meta[et] = (et[len("self_"):], et[len("self_"):])
+            elif len(parts) == 3:
+                src, _, dst = parts
+                g.edge_meta[et] = (dst, src) if et.startswith("rev_") else (src, dst)
+        return g
+
+
+def build_hetero_graph(
+    tables: dict[str, DataFrame],
+    primary_keys: dict[str, list[str]],
+    foreign_keys: dict[str, list[ForeignKey]],
+    id_mode: str = "pk",
+    table_sizes: dict[str, int] | None = None,
+    add_reverse: bool = True,
+) -> HeteroGraph:
+    """The ``build_hetero_data`` analog (``ctu_dataset.py:101-232``):
+    node ids for every table, one edge DataFrame per FK, optional
+    reverse edges. Dimension tables below :data:`BROADCAST_ROW_LIMIT`
+    (when sizes are known from profiling) broadcast in the edge joins.
+    """
+    g = HeteroGraph()
+    for t, df in tables.items():
+        g.nodes[t] = with_node_ids(df, primary_keys.get(t, []), id_mode)
+    for t, fks in foreign_keys.items():
+        if t not in g.nodes:
+            continue
+        for fk in fks:
+            if fk.ref_table not in g.nodes:
+                continue
+            bc = None
+            if table_sizes and table_sizes.get(fk.ref_table, 1 << 60) <= BROADCAST_ROW_LIMIT:
+                bc = True
+            et = HeteroGraph.edge_type(t, fk)
+            g.edges[et] = fk_edges(g.nodes[t], g.nodes[fk.ref_table], fk, broadcast_dst=bc)
+            g.edge_meta[et] = (t, fk.ref_table)
+    if add_reverse:
+        g.add_reverse_edges()
+    return g

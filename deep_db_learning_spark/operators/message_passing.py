@@ -1,0 +1,196 @@
+"""Message passing as relational dataflow (SURVEY §2.4 A6-A8, §2.7).
+
+The reference's GNN convolutions are, relationally, *join + group-by*:
+PyG's ``aggr`` over incoming edges per destination node
+(``nn/models/hetero_gnn.py:25-37``, ``nn/conv/mean_add.py:8-20``) is
+
+    edges ⋈ src_features  →  groupBy(dst)  →  sum/mean/min/max/collect
+
+and that is exactly how we execute it — one shuffle on dst per layer,
+whole-stage codegen for the message expressions, AQE for skewed hubs.
+
+Attention aggregation (``nn/aggr/attention.py:10-40``) comes in two
+physical forms:
+
+- :func:`softmax_attention_sql` — when the score is a Column
+  expression, the softmax is the classic two-pass exp trick over a
+  window by dst: max-shift, exp, normalize. Pure JVM, scales.
+- :func:`attention_aggregate_pandas` — the general kernel (learned
+  Q/K projections) as a grouped-map ``applyInPandas`` over dst groups,
+  Arrow-batched numpy (torch is not in this container; the kernel is
+  the same math, ``softmax(QKᵀ/√d)·V``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+AGG_FNS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    # "cat" in the reference's AggrType (main.py:42) = concatenation
+    "collect": F.collect_list,
+}
+
+
+def aggregate_neighbors(
+    edges: DataFrame,
+    src_features: DataFrame,
+    feature_cols: list[str],
+    aggs: list[str] = ("mean",),
+    src: str = "src",
+    dst: str = "dst",
+    src_id: str = "node_id",
+    prefix: str = "",
+) -> DataFrame:
+    """A6/N11: aggregate src-node features onto each dst node.
+
+    Output columns are ``{prefix}{agg}_{col}`` plus ``{prefix}degree``
+    (in-degree — the count message). The join broadcasts neither side
+    by default (both can be huge); Spark/AQE picks the strategy, and
+    callers co-partitioned on node_id reuse the shuffle.
+    """
+    feats = src_features.select(
+        F.col(src_id).alias(src), *[F.col(c) for c in feature_cols]
+    )
+    joined = edges.join(feats, src, "inner")
+    agg_exprs = [
+        AGG_FNS[a](F.col(c)).alias(f"{prefix}{a}_{c}")
+        for a in aggs
+        for c in feature_cols
+    ]
+    agg_exprs.append(F.count(F.lit(1)).alias(f"{prefix}degree"))
+    return joined.groupBy(dst).agg(*agg_exprs)
+
+
+def mean_add_conv(
+    edges: DataFrame,
+    node_features: DataFrame,
+    feature_cols: list[str],
+    src_id: str = "node_id",
+) -> DataFrame:
+    """N7 ``MeanAddConv`` (``nn/conv/mean_add.py:8-20``): per dst node,
+    ``x_dst + mean(x_src)`` per feature column."""
+    agg = aggregate_neighbors(edges, node_features, feature_cols, ["mean"])
+    dst_feats = node_features.select(
+        F.col(src_id).alias("dst"), *[F.col(c) for c in feature_cols]
+    )
+    out = dst_feats.join(agg, "dst", "left")
+    combined = [
+        (F.col(c) + F.coalesce(F.col(f"mean_{c}"), F.lit(0.0))).alias(f"conv_{c}")
+        for c in feature_cols
+    ]
+    return out.select("dst", *combined)
+
+
+def softmax_attention_sql(
+    edges_with_score: DataFrame,
+    value_cols: list[str],
+    score: str = "score",
+    dst: str = "dst",
+    round_to: int | None = None,
+) -> DataFrame:
+    """A7/N10 when the attention score is data-computable: softmax over
+    each dst group via the numerically-stable exp trick, then weighted
+    sum of values. Two windows + one groupBy — all JVM."""
+    w = Window.partitionBy(dst)
+    shifted = edges_with_score.withColumn(
+        "__w", F.exp(F.col(score) - F.max(score).over(w))
+    )
+    denom = F.sum("__w").over(w)
+    weighted = shifted.select(
+        dst,
+        *[(F.col(c) * F.col("__w") / denom).alias(f"__wv_{c}") for c in value_cols],
+    )
+    aggs = [F.sum(f"__wv_{c}").alias(f"attn_{c}") for c in value_cols]
+    out = weighted.groupBy(dst).agg(*aggs)
+    if round_to is not None:
+        out = out.select(
+            dst, *[F.round(F.col(f"attn_{c}"), round_to).alias(f"attn_{c}") for c in value_cols]
+        )
+    return out
+
+
+def attention_aggregate_pandas(
+    edges_with_feats: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    query_cols: list[str] | None = None,
+    dst: str = "dst",
+) -> DataFrame:
+    """A7/N8/N10 general form: per-dst-group scaled dot-product
+    attention as a grouped-map pandas UDF (Arrow batches, numpy kernel).
+
+    ``score_e = (q_dst · k_e) / sqrt(d)`` with q = mean of key vectors
+    when ``query_cols`` is None (scatter-mean of keys, the reference's
+    ``nn/aggr/attention.py:27``), else the dst-row query columns.
+
+    Skew note: a hub dst with millions of edges lands in one group —
+    salt hot keys upstream (split dst into dst×salt, aggregate twice)
+    if profiling shows hub skew; not needed at the test scales.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(key_cols)
+    out_schema = ", ".join([f"{dst} bigint"] + [f"attn_{c} double" for c in value_cols])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf[key_cols].to_numpy(dtype="float64")
+        v = pdf[value_cols].to_numpy(dtype="float64")
+        if query_cols is None:
+            q = k.mean(axis=0)
+        else:
+            q = pdf[query_cols].to_numpy(dtype="float64")[0]
+        scores = k @ q / math.sqrt(d)
+        scores -= scores.max()
+        w = np.exp(scores)
+        w /= w.sum()
+        out = (w[:, None] * v).sum(axis=0)
+        return pd.DataFrame(
+            [[pdf[dst].iloc[0], *out]], columns=[dst] + [f"attn_{c}" for c in value_cols]
+        )
+
+    return edges_with_feats.groupBy(dst).applyInPandas(kernel, out_schema)
+
+
+def hetero_layer(
+    edges: dict[str, DataFrame],
+    edge_meta: dict[str, tuple[str, str]],
+    node_features: dict[str, DataFrame],
+    feature_cols: dict[str, list[str]],
+    aggs: list[str] = ("mean",),
+) -> dict[str, DataFrame]:
+    """N13 ``HeteroConv``: run one aggregation per edge type, then
+    combine per destination node type by summing the per-edge-type
+    results (the reference's default ``aggr`` across edge types).
+
+    Returns {table → DataFrame(dst, combined features…)}. Each edge
+    type contributes columns namespaced by its type, outer-joined on
+    dst so nodes missing one relation keep the others' messages.
+    """
+    per_dst: dict[str, list[DataFrame]] = {}
+    for et, e in edges.items():
+        src_t, dst_t = edge_meta[et]
+        if src_t not in node_features:
+            continue
+        cols = feature_cols.get(src_t)
+        if not cols:
+            continue
+        agg = aggregate_neighbors(e, node_features[src_t], cols, list(aggs), prefix=f"{et}__")
+        per_dst.setdefault(dst_t, []).append(agg)
+    out: dict[str, DataFrame] = {}
+    for dst_t, parts in per_dst.items():
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.join(p, "dst", "outer")
+        out[dst_t] = acc
+    return out

@@ -1,0 +1,64 @@
+"""Sampling operators: node splits (N26) and neighbor-budget sampling (N27).
+
+The reference delegates to PyG's ``RandomNodeSplit`` (``main.py:221``)
+and ``HGTLoader`` with ≤50 neighbors per type per layer
+(``experiments/blueprint_mlflow.py:53,119-133``), both seeded. Their
+randomness is torch-RNG-based and irreproducible outside torch, so we
+pin determinism with the portable Knuth hash
+(:mod:`..functions.hashing`): reproducible across engines (DuckDB
+oracle) AND across repartitioning — ``rand(seed)`` changes row
+assignment whenever the partitioning changes, which at 100 TB it will.
+
+Neighbor sampling = one window per edge type:
+``row_number() over (partition by dst order by hash(src), src) <= k``
+— the only window function in the whole engine (SURVEY §4 note). The
+partition-by-dst window shuffles edges once on dst, which downstream
+aggregation needs anyway; AQE handles skewed dst fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import knuth_hash, split_label
+
+
+def random_node_split(
+    nodes: DataFrame,
+    id_col: str = "node_id",
+    fractions: tuple[float, float, float] = (0.7, 0.1, 0.2),
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """N26: deterministic train/val/test assignment per node."""
+    return nodes.withColumn(out, split_label(F.col(id_col), fractions, seed))
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    k: int,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """N27: keep ≤k pseudo-random src neighbors per dst.
+
+    Deterministic: ordering key is ``knuth_hash(src, seed)`` with src as
+    tie-break, so the same (edges, k, seed) always yields the same
+    sample — on any engine and any partitioning.
+    """
+    w = Window.partitionBy(dst).orderBy(knuth_hash(F.col(src), seed), F.col(src))
+    return (
+        edges.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_neighbors_all(
+    edges: dict[str, DataFrame], k: int, seed: int = 42
+) -> dict[str, DataFrame]:
+    """N27 across every edge type (the HGTLoader 50-per-type budget)."""
+    return {et: sample_neighbors(df, k, seed) for et, df in edges.items()}

@@ -1,0 +1,88 @@
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators.bfs import bfs_expand, bfs_visited_counts
+from deep_db_learning_spark.operators.graph import fk_edges, with_node_ids
+from deep_db_learning_spark.operators.sampling import random_node_split, sample_neighbors
+from deep_db_learning_spark.schema import ForeignKey
+
+
+def test_bfs_depth1_is_roots_only(spark, db):
+    roots = spark.createDataFrame([(1,), (2,)], "c_custkey bigint")
+    visited = bfs_expand(db.tables, db.foreign_keys, "customer", roots, 1)
+    assert set(visited) == {"customer"}
+    assert visited["customer"].count() == 2
+
+
+def test_bfs_depth2_matches_duckdb(spark, db, duck):
+    roots = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey bigint")
+    visited = bfs_expand(db.tables, db.foreign_keys, "customer", roots, 2)
+    # depth 2 from customer: forward → nation, reverse → orders, events
+    assert set(visited) == {"customer", "nation", "orders", "events"}
+    want_orders = duck.execute(
+        "SELECT count(*) FROM orders WHERE o_custkey IN (1,2,3)"
+    ).fetchone()[0]
+    assert visited["orders"].count() == want_orders
+    want_nation = duck.execute(
+        "SELECT count(DISTINCT n_nationkey) FROM nation WHERE n_nationkey IN "
+        "(SELECT c_nationkey FROM customer WHERE c_custkey IN (1,2,3))"
+    ).fetchone()[0]
+    assert visited["nation"].count() == want_nation
+
+
+def test_bfs_depth3_parent_pruning(spark, db, duck):
+    roots = spark.createDataFrame([(1,)], "c_custkey bigint")
+    visited = bfs_expand(db.tables, db.foreign_keys, "customer", roots, 3)
+    # depth 3 adds lineitem (via orders) and region (via nation),
+    # supplier (reverse via nation) — but NOT other customers: the
+    # nation→customer reverse hop is parent-pruned, and orders→customer
+    # forward hop... is allowed (forward hops are never pruned), so
+    # customer stays at exactly the root row + re-reached roots
+    assert "lineitem" in visited and "region" in visited and "supplier" in visited
+    want_li = duck.execute(
+        "SELECT count(*) FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_custkey = 1)"
+    ).fetchone()[0]
+    assert visited["lineitem"].count() == want_li
+    # customer visited set stays the root (forward orders→customer
+    # re-reaches only customer 1)
+    assert visited["customer"].count() == 1
+
+
+def test_bfs_counts_summary(spark, db):
+    roots = spark.createDataFrame([(1,), (2,)], "c_custkey bigint")
+    out = bfs_visited_counts(db.tables, db.foreign_keys, "customer", roots, 2)
+    rows = {r["table_name"]: r["n_visited"] for r in out.collect()}
+    assert rows["customer"] == 2
+
+
+def test_sample_neighbors_deterministic_and_bounded(db):
+    fk = ForeignKey(["o_custkey"], "customer", ["c_custkey"])
+    orders = with_node_ids(db.df("orders"), ["o_orderkey"], "pk")
+    customer = with_node_ids(db.df("customer"), ["c_custkey"], "pk")
+    edges = fk_edges(orders, customer, fk)  # src=order, dst=customer
+    k = 5
+    sampled = sample_neighbors(edges, k, seed=42)
+    fanout = sampled.groupBy("dst").count()
+    assert fanout.agg(F.max("count")).collect()[0][0] <= k
+    # dsts with <k neighbors keep them all
+    orig = edges.groupBy("dst").count().withColumnRenamed("count", "orig")
+    joined = fanout.join(orig, "dst")
+    assert joined.filter((F.col("orig") < k) & (F.col("count") != F.col("orig"))).count() == 0
+    # deterministic across runs
+    a = {(r["src"], r["dst"]) for r in sampled.collect()}
+    b = {(r["src"], r["dst"]) for r in sample_neighbors(edges, k, seed=42).collect()}
+    assert a == b
+    # different seed → different sample (overwhelmingly likely)
+    c = {(r["src"], r["dst"]) for r in sample_neighbors(edges, k, seed=7).collect()}
+    assert a != c
+
+
+def test_random_node_split(db):
+    customer = with_node_ids(db.df("customer"), ["c_custkey"], "pk")
+    out = random_node_split(customer, fractions=(0.5, 0.2, 0.3), seed=42)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 150
+    # deterministic
+    out2 = random_node_split(customer, fractions=(0.5, 0.2, 0.3), seed=42)
+    assert out.select("node_id", "split").collect() == out2.select("node_id", "split").collect()

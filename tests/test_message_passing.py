@@ -1,0 +1,111 @@
+import math
+
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators.graph import build_hetero_graph, fk_edges, with_node_ids
+from deep_db_learning_spark.operators.message_passing import (
+    aggregate_neighbors,
+    attention_aggregate_pandas,
+    hetero_layer,
+    mean_add_conv,
+    softmax_attention_sql,
+)
+from deep_db_learning_spark.schema import ForeignKey
+
+
+def _cust_order_edges(db):
+    fk = ForeignKey(["o_custkey"], "customer", ["c_custkey"])
+    orders = with_node_ids(db.df("orders"), ["o_orderkey"], "pk")
+    customer = with_node_ids(db.df("customer"), ["c_custkey"], "pk")
+    return orders, customer, fk_edges(orders, customer, fk)
+
+
+def test_aggregate_neighbors_matches_duckdb(db, duck):
+    orders, customer, edges = _cust_order_edges(db)
+    agg = aggregate_neighbors(edges, orders, ["o_totalprice"], ["mean", "sum", "min", "max"])
+    got = {
+        (r["dst"], round(r["mean_o_totalprice"], 4), round(r["sum_o_totalprice"], 2))
+        for r in agg.collect()
+    }
+    want = {
+        (r[0], round(r[1], 4), round(r[2], 2))
+        for r in duck.execute(
+            "SELECT c_custkey, avg(o_totalprice), sum(o_totalprice) "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_mean_add_conv(spark):
+    # tiny graph: node features x, conv = x_dst + mean(x_src)
+    nodes = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "node_id bigint, x double")
+    edges = spark.createDataFrame([(2, 1), (3, 1)], "src bigint, dst bigint")
+    out = {r["dst"]: r["conv_x"] for r in mean_add_conv(edges, nodes, ["x"]).collect()}
+    assert out[1] == 10.0 + 25.0
+    assert out[2] == 20.0  # no in-edges → coalesce(mean, 0)
+
+
+def test_softmax_attention_sql_vs_pandas_kernel(spark):
+    # edges into dst 1 with score + value; both impls must agree
+    rows = [(1, 1.0, 10.0), (1, 2.0, 20.0), (1, 3.0, 30.0), (2, 1.0, 5.0)]
+    df = spark.createDataFrame(rows, "dst bigint, score double, v double")
+    sql_out = {
+        r["dst"]: r["attn_v"]
+        for r in softmax_attention_sql(df, ["v"], score="score").collect()
+    }
+    # manual softmax for dst 1
+    import numpy as np
+
+    s = np.array([1.0, 2.0, 3.0])
+    w = np.exp(s - s.max())
+    w /= w.sum()
+    expect = float((w * np.array([10.0, 20.0, 30.0])).sum())
+    assert abs(sql_out[1] - expect) < 1e-9
+    assert abs(sql_out[2] - 5.0) < 1e-9
+
+    # pandas kernel with key = score (1-dim), value = v, query=None →
+    # q = mean(keys); scores = k*q/sqrt(1)
+    pd_out = {
+        r["dst"]: r["attn_v"]
+        for r in attention_aggregate_pandas(df, ["score"], ["v"]).collect()
+    }
+    q = s.mean()
+    w2 = np.exp(s * q - (s * q).max())
+    w2 /= w2.sum()
+    expect2 = float((w2 * np.array([10.0, 20.0, 30.0])).sum())
+    assert abs(pd_out[1] - expect2) < 1e-9
+
+
+def test_hetero_layer_combines_edge_types(db):
+    g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
+    feats = {
+        "orders": g.nodes["orders"].withColumn("price", F.col("o_totalprice")),
+        "events": g.nodes["events"].withColumn("val", F.col("value")),
+    }
+    out = hetero_layer(
+        {et: e for et, e in g.edges.items() if g.edge_meta[et][1] == "customer"},
+        g.edge_meta,
+        feats,
+        {"orders": ["price"], "events": ["val"]},
+        aggs=["mean"],
+    )
+    assert "customer" in out
+    cols = out["customer"].columns
+    assert any("orders" in c and "mean_price" in c for c in cols)
+    assert any("events" in c and "mean_val" in c for c in cols)
+    # outer join keeps customers that have orders but no events
+    assert out["customer"].count() > 0
+
+
+def test_degree_message(db, duck):
+    orders, customer, edges = _cust_order_edges(db)
+    agg = aggregate_neighbors(edges, orders, ["o_totalprice"], ["count"])
+    got = {(r["dst"], r["degree"]) for r in agg.collect()}
+    want = set(
+        duck.execute(
+            "SELECT c_custkey, count(*) FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey"
+        ).fetchall()
+    )
+    assert got == want
