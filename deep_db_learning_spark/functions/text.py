@@ -93,9 +93,12 @@ def quality_score(text: Column) -> Column:
     stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
     wl = mean_word_length(text)
     wl_score = F.when((wl >= 3.0) & (wl <= 8.0), 1.0).otherwise(0.5)
-    return F.round(
+    score = F.round(
         0.4 * len_score + 0.2 * punct_pen + 0.2 * stop_score + 0.2 * wl_score, 6
     )
+    # NULL text scores 0 — `least` would silently drop the null operand
+    # and hand a missing document a good score
+    return F.when(text.isNull(), F.lit(0.0)).otherwise(score)
 
 
 def fingerprint_md5(text: Column) -> Column:

@@ -1,3 +1,21 @@
-from . import bfs, embedder, graph, message_passing, sampling
+from . import (
+    bfs,
+    dedup,
+    embedder,
+    graph,
+    message_passing,
+    multimodal,
+    sampling,
+    similarity,
+)
 
-__all__ = ["bfs", "embedder", "graph", "message_passing", "sampling"]
+__all__ = [
+    "bfs",
+    "dedup",
+    "embedder",
+    "graph",
+    "message_passing",
+    "multimodal",
+    "sampling",
+    "similarity",
+]

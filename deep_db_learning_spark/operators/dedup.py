@@ -1,0 +1,280 @@
+"""Deduplication operators for training-data pipelines (extension —
+no reference counterpart; SURVEY §7.8 north star, BASELINE.json).
+
+All hot paths are JVM expressions (higher-order functions over arrays),
+no Python UDFs:
+
+- **exact**: content-hash groupBy — one shuffle on the hash.
+- **MinHash + LSH**: char-shingles → portable 32-bit shingle hashes →
+  k permutation-min signature → banded bucket join. The shingle hash is
+  md5-based (bit-identical across engines) so signatures are
+  oracle-checkable; band buckets only ever *candidate* pairs, exact
+  Jaccard verifies.
+- **SimHash**: 64-bit majority-vote fingerprint over token hashes;
+  near-dups = small Hamming distance, bucketed by 16-bit sub-bands
+  (pigeonhole: ≤3 bit flips ⇒ one of 4 bands identical).
+- **n-gram Jaccard**: exact set-similarity self-join via shared-shingle
+  inverted index (explode → equi-join → group) — the verification
+  kernel for the sketch paths.
+- **embedding cosine near-dup**: see :mod:`.similarity`.
+
+Scale notes: the inverted-index join explodes |doc|×|shingles| rows —
+at 100 TB, run it ONLY on LSH candidates (the default pipeline in
+:func:`minhash_lsh_dedup`). Bands/bucket joins shuffle on (band,
+hash) which is uniformly distributed by construction; no skew salt
+needed. Signatures are fixed-width arrays → Tungsten-packed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import KNUTH, MERSENNE_31
+from ..functions.text import char_shingles
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text, keeping
+    the min (or max) id; ``dup_cnt`` counts the group size."""
+    agg_fn = F.min if keep == "min" else F.max
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            agg_fn(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def exact_dedup_keep_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The filtered form: the input rows that survive exact dedup."""
+    keepers = exact_dedup(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "leftsemi")
+
+
+# ------------------------------------------------------------- minhash
+
+
+def shingle_hashes(text_col: str, k: int = 5) -> "F.Column":
+    """Distinct char k-grams → portable 32-bit hashes (md5 prefix).
+    conv(hex, 16, 10) keeps it in the JVM."""
+    grams = char_shingles(text_col, k, distinct=True)
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    out: str = "signature",
+) -> DataFrame:
+    """MinHash signature: sig[i] = min over shingles of
+    ``((h + i) * KNUTH) % p`` — universal-ish permutation family over
+    the portable shingle hashes. Pure array expressions; one scan."""
+    hashes = shingle_hashes(text_col, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("__sh"),
+                # reduce mod p BEFORE the multiply: (p + num_perm) * KNUTH
+                # stays < 2^63 (ANSI overflow-safe)
+                lambda h: ((h % F.lit(MERSENNE_31) + i) * F.lit(KNUTH))
+                % F.lit(MERSENNE_31),
+            )
+        ),
+    )
+    return (
+        df.withColumn("__sh", hashes)
+        .withColumn(out, sig)
+        .drop("__sh")
+    )
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    id_col: str,
+    signature: str = "signature",
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band land in
+    the same bucket → candidate pair (a < b). One explode (×bands) +
+    one shuffle on the band key + one self-join inside buckets."""
+    banded = signed.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    F.col(signature),
+                    b * (F.size(F.col(signature)) / bands).cast("int") + 1,
+                    (F.size(F.col(signature)) / bands).cast("int"),
+                ),
+            )
+        ).alias("band", "band_sig"),
+    ).select("doc", "band", F.hash("band_sig").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    Without ``candidates``: inverted-index self-join (explode shingles,
+    equi-join on shingle, count intersections, derive union via
+    |A|+|B|-|A∩B|). With ``candidates`` (id_a, id_b): verify only those
+    pairs — the 100 TB path after LSH.
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to
+    6 decimals for cross-engine comparability.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingle_hashes(text_col, shingle_k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+    if candidates is not None:
+        a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+        b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+        j = (
+            candidates.join(a, "id_a").join(b, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+                ),
+            )
+        )
+        return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+    ex = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = ex.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The full scale pipeline: signature → LSH candidates → exact
+    Jaccard verify → survivors. Returns rows of ``df`` whose id is NOT
+    a higher-id near-duplicate of a kept doc (min-id wins, transitive
+    chains collapse to their min via the candidate graph edges)."""
+    signed = minhash_signature(df, text_col, num_perm, shingle_k)
+    cand = lsh_candidate_pairs(signed, id_col, bands=bands)
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_k, threshold, candidates=cand
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, text_col: str, out: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens: per bit position,
+    majority vote (+1/-1) of the token xxhash64 bits, packed back into
+    one BIGINT. Pure nested higher-order expressions — one scan, no
+    shuffle, no Python. xxhash64 is JVM-native but engine-specific ⇒
+    unit-tested, rows-only driver check."""
+    expr = f"""
+    aggregate(
+      zip_with(
+        sequence(0, {bits - 1}),
+        transform(sequence(0, {bits - 1}), b ->
+          aggregate(
+            transform(array_distinct(split(trim({text_col}), '\\\\s+')), t -> xxhash64(t)),
+            0,
+            (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+          )
+        ),
+        (b, vote) -> CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END
+      ),
+      CAST(0 AS BIGINT),
+      (sig, bit) -> sig | bit
+    )
+    """
+    return df.withColumn(out, F.expr(expr))
+
+
+def simhash_candidate_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming`` on the
+    64-bit simhash. Pigeonhole banding: with 4 sub-bands of 16 bits,
+    any pair within distance 3 shares at least one identical band →
+    bucket-join on (band_idx, band_value), verify with bit_count(xor).
+    """
+    bands = hashed.select(
+        F.col(id_col).alias("doc"),
+        F.col(simhash_col).alias("sh"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, 3), i -> (({simhash_col} >> (i * 16)) & 65535))"
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

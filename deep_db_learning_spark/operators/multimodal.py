@@ -1,0 +1,142 @@
+"""Multimodal (image/audio/video) column plumbing (extension — no
+reference counterpart; BASELINE.json north star).
+
+Media are **opaque binary columns with typed metadata structs**; the
+Spark-side contract — schema, Arrow batch shape, partition sizing — is
+real and tested. The codec kernels themselves (image decode, audio
+resample, video frame-sample) need libraries this container doesn't
+ship, so each kernel is STUBBED behind ``use_fake=True`` (a clearly
+marked deterministic fake used by tests) or raises
+``NotImplementedError`` naming the library that plugs in.
+
+Batch-shape rules that matter at 100 TB:
+
+- media rows are large → ``mapInPandas`` with small
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set by caller) so an
+  Arrow batch of binaries fits executor memory;
+- decode is CPU-bound per row → repartition to ≫ cores before the map,
+  never after;
+- outputs are fixed-size float features → columnar, Tungsten-friendly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType()),  # image/audio/video
+        StructField("format", StringType()),  # png/jpeg/wav/mp4…
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("content", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def make_media_table(df: DataFrame, id_col: str, binary_col: str, media_type: str, fmt: str) -> DataFrame:
+    """Lift an (id, binary) pair into the canonical media schema."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(binary_col).alias("content"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(content: bytes | None, dim: int) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector: a
+    seeded arithmetic fold of the bytes. NOT a real decoder — exists so
+    the distributed plumbing is testable without codec libraries."""
+    if content is None:
+        return [0.0] * dim
+    acc = 2166136261
+    out = []
+    for i in range(dim):
+        for b in content[i::dim] or b"\x00":
+            acc = (acc ^ b) * 16777619 % (1 << 32)
+        out.append(acc / float(1 << 32) - 0.5)
+    return out
+
+
+def decode_features(
+    media: DataFrame,
+    dim: int = 16,
+    use_fake: bool = False,
+    kernel: Callable[[bytes, dict], list[float]] | None = None,
+    records_per_batch: int = 64,
+) -> DataFrame:
+    """media table → (media_id, feature array<float>).
+
+    ``kernel`` is the real decode+featurize function (e.g. Pillow +
+    a vision model via ``pandas_udf``); without one and without
+    ``use_fake`` this raises, by design:
+    the plumbing is complete, the codec is a plug-in.
+    """
+    if kernel is None and not use_fake:
+        raise NotImplementedError(
+            "media decoding requires a codec library (e.g. Pillow/torchaudio/pyav) "
+            "not present in this environment; pass kernel=... or use_fake=True"
+        )
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch))
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+    fn = kernel
+
+    def mapper(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                (fn(c, m) if fn else _fake_feature(c, dim))
+                for c, m in zip(pdf["content"], pdf["meta"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(mapper, out_schema)
+
+
+def resize_stub(*_args, **_kw):
+    """Image resize kernel placeholder (needs Pillow/opencv)."""
+    raise NotImplementedError("image resize requires Pillow or opencv-python")
+
+
+def frame_sample_stub(*_args, **_kw):
+    """Video frame-sampling kernel placeholder (needs pyav/ffmpeg)."""
+    raise NotImplementedError("video frame sampling requires pyav or ffmpeg bindings")
+
+
+def audio_features_stub(*_args, **_kw):
+    """Audio feature kernel placeholder (needs torchaudio/librosa)."""
+    raise NotImplementedError("audio features require torchaudio or librosa")

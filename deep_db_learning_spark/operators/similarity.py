@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (extension — BASELINE.json
+north star; no reference counterpart beyond the text-embedding hook
+``data/ctu_dataset.py:43-52``).
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the query
+  set against the corpus, JVM dot products (``aggregate``/``zip_with``),
+  per-query window top-k. The correctness baseline; linear scan, fully
+  parallel — at 100 TB it is one pass over the corpus per query batch.
+- :func:`random_hyperplane_lsh` / :func:`lsh_topk` — the scale path:
+  sign-random-projection buckets (SimHash-for-vectors). Probing only
+  same-bucket candidates bounds work per query; multi-probe (flip one
+  bit) trades recall for fan-out. Recall is measured against the brute
+  baseline in tests, as an approximate index should be.
+- :func:`embedding_neardup_pairs` — near-duplicate detection at a
+  cosine threshold, LSH-bucketed self-join.
+
+Everything stays in double precision so a DuckDB oracle
+(``list_cosine_similarity`` over DOUBLE[]) agrees to float tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..functions.hashing import KNUTH, MERSENNE_31
+from ..functions.vectors import cosine_similarity, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine. ``queries`` (query_id, vec) is broadcast —
+    the corpus never shuffles; ranking shuffles only (query, sim, id)
+    triples. Ties break on corpus id for determinism."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    sims = c.crossJoin(broadcast(q)).select(
+        query_id,
+        id_col,
+        cosine_similarity(F.col("__qvec"), F.col("__cvec")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(id_col))
+    out = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_sim is not None:
+        out = out.withColumn("sim", F.round("sim", round_sim))
+    return out.select(query_id, id_col, "rank", "sim")
+
+
+def random_hyperplane_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    out: str = "bucket",
+) -> DataFrame:
+    """Sign-random-projection bucket id in [0, 2^n_planes).
+
+    Hyperplane p's component j is a deterministic pseudo-random value
+    derived from (p, j, seed) — the same arithmetic generator as the
+    embedder init, so the "index" needs no stored model object: any
+    executor (or engine) can regenerate the planes from the seed.
+    """
+    plane_component = (
+        lambda p, j: (
+            F.pmod((p * F.lit(10_007) + j + F.lit(seed)) * F.lit(KNUTH), F.lit(MERSENNE_31)).cast("double")
+            / F.lit(float(MERSENNE_31))
+            - 0.5
+        )
+    )
+    # bucket = sum over planes of (dot(vec, plane_p) > 0) << p
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                    lambda j: plane_component(F.lit(p), j),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return df.withColumn(out, bucket.cast("int"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: compare only corpus vectors whose LSH bucket
+    matches the query's (multiprobe>1 also probes buckets one bit-flip
+    away). Join on bucket replaces the cross join — the 100 TB path."""
+    c = random_hyperplane_lsh(corpus, vec_col, n_planes, seed=seed).select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"), "bucket"
+    )
+    q = random_hyperplane_lsh(queries, vec_col, n_planes, seed=seed).select(
+        F.col(query_id), F.col(vec_col).alias("__qvec"), "bucket"
+    )
+    if multiprobe > 1:
+        # probe the home bucket plus every bucket one bit-flip away
+        probes = F.expr(
+            f"array_distinct(concat(array(bucket), "
+            f"transform(sequence(0, {n_planes - 1}), p -> bucket ^ shiftleft(1, p))))"
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    sims = q.join(c, "bucket").select(
+        query_id,
+        id_col,
+        cosine_similarity(F.col("__qvec"), F.col("__cvec")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+    ``exact=True`` does the full O(n²) self-join (oracle baseline);
+    default buckets with LSH first — highly-similar vectors almost
+    always share all hyperplane signs."""
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        h = random_hyperplane_lsh(df, vec_col, n_planes, seed=seed)
+        a = h.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
+        b = h.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,116 @@
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators import dedup
+
+
+def test_exact_dedup_matches_duckdb(db, duck):
+    out = dedup.exact_dedup(db.df("documents"), "text", "doc_id")
+    got = {(r["content_hash"], r["keeper_id"], r["dup_cnt"]) for r in out.collect()}
+    want = set(
+        duck.execute(
+            "SELECT md5(text), min(doc_id), count(*) FROM documents GROUP BY md5(text)"
+        ).fetchall()
+    )
+    assert got == want
+    # survivors: one per distinct text
+    kept = dedup.exact_dedup_keep_rows(db.df("documents"), "text", "doc_id")
+    assert kept.count() == len(want)
+
+
+def test_minhash_signature_shape_and_determinism(db):
+    signed = dedup.minhash_signature(db.df("documents"), "text", num_perm=32)
+    rows = signed.select("doc_id", "signature").limit(5).collect()
+    assert all(len(r["signature"]) == 32 for r in rows)
+    signed2 = dedup.minhash_signature(db.df("documents"), "text", num_perm=32)
+    a = {(r["doc_id"], tuple(r["signature"])) for r in signed.collect()}
+    b = {(r["doc_id"], tuple(r["signature"])) for r in signed2.collect()}
+    assert a == b
+
+
+def test_minhash_similarity_correlates_with_jaccard(spark):
+    # identical docs → identical signatures; disjoint docs → different
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "completely different words entirely unrelated text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    signed = dedup.minhash_signature(df, "text", num_perm=64)
+    sigs = {r["doc_id"]: r["signature"] for r in signed.collect()}
+    assert sigs[1] == sigs[2]
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+
+    assert est(1, 3) > 0.5  # one-word change, high overlap
+    assert est(1, 4) < 0.2
+
+
+def test_lsh_finds_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast!"),
+        (3, "a totally different document about spark query optimization today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    signed = dedup.minhash_signature(df, "text", num_perm=64)
+    cand = dedup.lsh_candidate_pairs(signed, "doc_id", bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs
+
+    kept = dedup.minhash_lsh_dedup(df, "text", "doc_id", threshold=0.7)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3}  # 2 deduped as near-dup of 1
+
+
+def test_ngram_jaccard_matches_duckdb(db, duck):
+    # restrict to a small slice for the O(n^2)-ish check
+    docs = db.df("documents").filter(F.col("doc_id") < 40)
+    out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5, threshold=0.4)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()}
+    want = set(
+        duck.execute(
+            """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) < 5 THEN [text]
+                       ELSE list_transform(range(1, length(text) - 3),
+                                           i -> substr(text, i, 5)) END) AS grams
+              FROM documents WHERE doc_id < 40
+            )
+            SELECT a.doc_id, b.doc_id,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.4
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_simhash_and_hamming_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (2, "the quick brown fox jumps over the lazy dog and runs far home"),
+        (3, "completely unrelated text about database systems and query planners"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hashed = dedup.simhash(df, "text")
+    vals = {r["doc_id"]: r["simhash"] for r in hashed.collect()}
+    assert len(set(vals.values())) == 3
+
+    def hamming(a, b):
+        return bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(1, 2) < hamming(1, 3)
+
+    # identical docs collide
+    df2 = spark.createDataFrame([(1, "same text"), (2, "same text")], "doc_id bigint, text string")
+    v2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df2, "text").collect()}
+    assert v2[1] == v2[2]
+    pairs = dedup.simhash_candidate_pairs(dedup.simhash(df2, "text"), "doc_id")
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()]
+    assert got == [(1, 2, 0)]

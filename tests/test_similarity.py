@@ -1,0 +1,80 @@
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators import similarity
+
+
+def _queries(db, n=3):
+    return (
+        db.df("embeddings")
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def test_brute_force_topk_matches_duckdb(db, duck):
+    out = similarity.brute_force_topk(db.df("embeddings"), _queries(db), k=5)
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()}
+    want = set(
+        duck.execute(
+            """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # each query's own vector ranks first with sim 1.0
+    firsts = {r["query_id"]: (r["vec_id"], r["sim"]) for r in out.collect() if r["rank"] == 1}
+    for qid, (vid, sim) in firsts.items():
+        assert vid == qid and abs(sim - 1.0) < 1e-6
+
+
+def test_lsh_topk_recall(db):
+    brute = similarity.brute_force_topk(db.df("embeddings"), _queries(db, 10), k=10)
+    approx = similarity.lsh_topk(
+        db.df("embeddings"), _queries(db, 10), k=10, n_planes=4, multiprobe=2
+    )
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    # approximate index must hit a reasonable fraction of true neighbors
+    assert recall >= 0.3, recall
+    # and every returned pair must be a genuine corpus member
+    assert all(x[1] >= 0 for x in a)
+
+
+def test_lsh_buckets_deterministic(db):
+    h1 = similarity.random_hyperplane_lsh(db.df("embeddings"), n_planes=6)
+    h2 = similarity.random_hyperplane_lsh(db.df("embeddings"), n_planes=6)
+    a = {(r["vec_id"], r["bucket"]) for r in h1.select("vec_id", "bucket").collect()}
+    b = {(r["vec_id"], r["bucket"]) for r in h2.select("vec_id", "bucket").collect()}
+    assert a == b
+    n_buckets = len({x[1] for x in a})
+    assert 2 <= n_buckets <= 64
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    # construct exact near-dups: v and v scaled (cosine 1.0)
+    base = [[0.1 * (i + j) for j in range(8)] for i in range(5)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((100, [x * 2.0 for x in base[0]]))  # same direction as 0
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = similarity.embedding_neardup_pairs(df, threshold=0.9999, exact=True)
+    got = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert (0, 100) in got
+    lsh = similarity.embedding_neardup_pairs(df, threshold=0.9999, n_planes=4)
+    got_lsh = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert (0, 100) in got_lsh  # same direction ⇒ same bucket always
+    assert got_lsh <= got  # LSH can only miss, never invent

@@ -1,0 +1,86 @@
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.functions import text as T
+from deep_db_learning_spark.operators import multimodal
+
+
+def test_token_counts_match_duckdb(db, duck):
+    out = db.df("documents").select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    got = {(r["doc_id"], r["ws_tokens"], r["bpe_tokens"]) for r in out.collect()}
+    want = set(
+        duck.execute(
+            """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+            FROM documents
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_lang_id_deterministic(db):
+    out = db.df("documents").select("doc_id", T.lang_id(F.col("text")).alias("lang"))
+    langs = {r["lang"] for r in out.collect()}
+    assert langs <= {"en", "es", "de", "fr", "und"}
+    # texts containing ' the ' must be en
+    rows = (
+        db.df("documents")
+        .filter(F.col("text").contains(" the "))
+        .select(T.lang_id(F.col("text")).alias("lang"))
+        .collect()
+    )
+    assert rows and all(r["lang"] == "en" for r in rows)
+
+
+def test_quality_score_bounds(db):
+    out = db.df("documents").select(T.quality_score(F.col("text")).alias("q"))
+    rows = [r["q"] for r in out.collect()]
+    assert all(0.0 <= q <= 1.0 for q in rows)
+    assert len(set(rows)) > 1  # not constant
+
+
+def test_fingerprints(db):
+    md5s = db.df("documents").select(T.fingerprint_md5(F.col("text")).alias("fp"))
+    assert md5s.distinct().count() <= 500
+    rolled = T.doc_fingerprint_rolling(db.df("documents"), "text")
+    assert rolled.filter(F.col("fingerprint").isNull()).count() == 0
+    # identical texts get identical rolling fingerprints
+    dup = rolled.groupBy("text").agg(F.count_distinct("fingerprint").alias("n"))
+    assert dup.filter(F.col("n") > 1).count() == 0
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdef",), ("ab",)], "t string")
+    out = df.select(F.col("t"), T.char_shingles("t", 3).alias("sh")).collect()
+    by_t = {r["t"]: r["sh"] for r in out}
+    assert by_t["abcdef"] == ["abc", "bcd", "cde", "def"]
+    assert by_t["ab"] == ["ab"]  # shorter than k → whole text
+
+
+def test_multimodal_plumbing(spark):
+    import pytest
+
+    rows = [(1, bytearray(b"\x01\x02\x03" * 50)), (2, bytearray(b"\xff\xee" * 80)), (3, None)]
+    df = spark.createDataFrame(rows, "id bigint, blob binary")
+    media = multimodal.make_media_table(df, "id", "blob", "image", "png")
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
+
+    # stub raises without a kernel
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media).collect()
+
+    feats = multimodal.decode_features(media, dim=8, use_fake=True)
+    got = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert set(got) == {"1", "2", "3"}
+    assert all(len(v) == 8 for v in got.values())
+    assert got["3"] == [0.0] * 8  # NULL content → zero vector
+    # deterministic
+    again = {r["media_id"]: r["feature"] for r in multimodal.decode_features(media, dim=8, use_fake=True).collect()}
+    assert got == again
