@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from deep_db_learning_spark.functions.exact_agg import (
+    DECIMAL_TYPE,
+    exact_avg,
+    exact_sum,
+)
+
 AGG_FNS = {
     "sum": F.sum,
     "mean": F.avg,
@@ -40,6 +46,12 @@ AGG_FNS = {
     "collect": F.collect_list,
 }
 
+# order-independent variants for non-associative float folds; min/max/
+# count are already order-independent and stay on the fast path
+_EXACT_FNS = {"sum": exact_sum, "mean": exact_avg, "avg": exact_avg}
+
+_FLOATING = {"float", "double"}
+
 
 def aggregate_neighbors(
     edges: DataFrame,
@@ -50,6 +62,7 @@ def aggregate_neighbors(
     dst: str = "dst",
     src_id: str = "node_id",
     prefix: str = "",
+    exact: bool = True,
 ) -> DataFrame:
     """A6/N11: aggregate src-node features onto each dst node.
 
@@ -57,16 +70,24 @@ def aggregate_neighbors(
     (in-degree — the count message). The join broadcasts neither side
     by default (both can be huge); Spark/AQE picks the strategy, and
     callers co-partitioned on node_id reuse the shuffle.
+
+    With ``exact`` (default), sum/mean over float/double columns use
+    the decimal fold from :mod:`..functions.exact_agg` so the result is
+    identical for every partitioning — reproducibility you want on a
+    1000-executor run, at a small JVM decimal-add cost.
     """
+    dtypes = dict(src_features.dtypes)
     feats = src_features.select(
         F.col(src_id).alias(src), *[F.col(c) for c in feature_cols]
     )
     joined = edges.join(feats, src, "inner")
-    agg_exprs = [
-        AGG_FNS[a](F.col(c)).alias(f"{prefix}{a}_{c}")
-        for a in aggs
-        for c in feature_cols
-    ]
+
+    def agg_expr(a: str, c: str):
+        if exact and a in _EXACT_FNS and dtypes.get(c) in _FLOATING:
+            return _EXACT_FNS[a](c).alias(f"{prefix}{a}_{c}")
+        return AGG_FNS[a](F.col(c)).alias(f"{prefix}{a}_{c}")
+
+    agg_exprs = [agg_expr(a, c) for a in aggs for c in feature_cols]
     agg_exprs.append(F.count(F.lit(1)).alias(f"{prefix}degree"))
     return joined.groupBy(dst).agg(*agg_exprs)
 
@@ -100,18 +121,26 @@ def softmax_attention_sql(
 ) -> DataFrame:
     """A7/N10 when the attention score is data-computable: softmax over
     each dst group via the numerically-stable exp trick, then weighted
-    sum of values. Two windows + one groupBy — all JVM."""
+    sum of values.
+
+    One window (max-shift) + one groupBy on the same key — the window's
+    hash partitioning on dst is reused by the groupBy, so it costs a
+    single shuffle, all JVM. Numerator and denominator are folded with
+    the exact decimal sum (``exact_agg``) so the softmax result is
+    partitioning-independent; per-edge ``exp`` terms are plain doubles.
+    """
     w = Window.partitionBy(dst)
     shifted = edges_with_score.withColumn(
         "__w", F.exp(F.col(score) - F.max(score).over(w))
     )
-    denom = F.sum("__w").over(w)
-    weighted = shifted.select(
-        dst,
-        *[(F.col(c) * F.col("__w") / denom).alias(f"__wv_{c}") for c in value_cols],
-    )
-    aggs = [F.sum(f"__wv_{c}").alias(f"attn_{c}") for c in value_cols]
-    out = weighted.groupBy(dst).agg(*aggs)
+    den = F.sum(F.col("__w").cast(DECIMAL_TYPE)).cast("double")
+    aggs = [
+        (
+            F.sum((F.col(c) * F.col("__w")).cast(DECIMAL_TYPE)).cast("double") / den
+        ).alias(f"attn_{c}")
+        for c in value_cols
+    ]
+    out = shifted.groupBy(dst).agg(*aggs)
     if round_to is not None:
         out = out.select(
             dst, *[F.round(F.col(f"attn_{c}"), round_to).alias(f"attn_{c}") for c in value_cols]

@@ -19,8 +19,21 @@ import os
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schema import DBSchema, ForeignKey, tpch_primary_keys, tpch_star_schema_fks
+
+
+def _nano_timestamp_columns(parquet_path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (which Spark reads as
+    BIGINT under ``nanosAsLong``); detected from the file footer."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(parquet_path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
 
 TESTDATA_TABLES = (
     "region",
@@ -108,16 +121,28 @@ class Database:
         ``data/utils/heterodata_builder.py:122-128``)."""
         # the driver's synthetic parquet carries TIMESTAMP(NANOS) columns
         # (pandas ns-precision writer); Spark rejects them unless this
-        # legacy conf is on, after which they read as timestamp_ntz.
-        # Runtime-settable, so it works inside any caller's session.
+        # legacy conf is on, which reads them as BIGINT nanos. We then
+        # restore timestamp_ntz (micros, truncated like DuckDB does) from
+        # the footer-declared ns columns. Runtime-settable confs only, so
+        # this works inside any caller's session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         if tables is None:
             tables = sorted(
                 f[: -len(".parquet")]
                 for f in os.listdir(path)
                 if f.endswith(".parquet")
             )
-        dfs = {t: spark.read.parquet(os.path.join(path, f"{t}.parquet")) for t in tables}
+        dfs: dict[str, DataFrame] = {}
+        for t in tables:
+            fpath = os.path.join(path, f"{t}.parquet")
+            df = spark.read.parquet(fpath)
+            for c in _nano_timestamp_columns(fpath):
+                df = df.withColumn(
+                    c,
+                    F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+                )
+            dfs[t] = df
         schema_path = os.path.join(path, "schema.json")
         if (primary_keys is None or foreign_keys is None) and os.path.exists(schema_path):
             side = DBSchema.load(schema_path)

@@ -1,0 +1,19 @@
+from .events import (
+    EVENTS_SCHEMA,
+    hourly_user_features,
+    read_events_stream,
+    run_stream_to_memory,
+    session_stats,
+    sessionize,
+    user_profile_features,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "hourly_user_features",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "session_stats",
+    "sessionize",
+    "user_profile_features",
+]

@@ -1,0 +1,163 @@
+"""Structured Streaming ingestion of the ``events`` table (extension —
+the reference has **zero** streaming functionality, SURVEY §2.9; this
+is the BASELINE.json north-star design: events stream → windowed
+per-entity features that join the node store).
+
+Batch and stream share the same logical transformations (the DataFrame
+API is identical), so every feature here is defined once and used in
+both modes — the batch mode doubles as the DuckDB-checkable oracle of
+the streaming computation.
+
+Scale posture: tumbling windows + watermark bound state; the window
+aggregation shuffles on (window, user_id) which is naturally balanced;
+``availableNow`` triggers let backfills run as bounded streams.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.functions.exact_agg import exact_avg, exact_sum
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+from pyspark.sql.window import Window
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# the driver parquet stores ts as TIMESTAMP(NANOS) → read as BIGINT
+# under nanosAsLong, then converted (micros truncation, like DuckDB)
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over a parquet directory of event files. The
+    driver testdata is a single file; a production feed would be a
+    growing directory — same code."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if os.path.isfile(path):
+        # FileStreamSource only accepts directories; expose a single-file
+        # fixture (the driver testdata) through a symlinked temp dir
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    # event-time watermarks require TIMESTAMP (not NTZ); session tz is
+    # pinned to UTC above so the instant equals the batch NTZ value
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_user_features(
+    events: DataFrame, watermark: str = "2 hours", window_len: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window per-user features with late-data watermark.
+
+    Works identically on a batch DataFrame (no watermark applied — the
+    watermark only bounds streaming state) and a streaming one.
+    """
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    # exact distinct is unsupported in streaming aggregation — HLL there
+    # (exact in practice at event_type cardinalities), exact in batch
+    n_types = (
+        F.approx_count_distinct("event_type")
+        if events.isStreaming
+        else F.count_distinct("event_type")
+    )
+    return e.groupBy(
+        F.window("ts", window_len).alias("win"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("sum_value"),
+        exact_avg("value").alias("avg_value"),
+        n_types.alias("n_event_types"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        "user_id",
+        "n_events",
+        "sum_value",
+        "avg_value",
+        "n_event_types",
+    )
+
+
+def user_profile_features(events: DataFrame) -> DataFrame:
+    """Whole-history per-user profile — the node-store feature join for
+    the customer graph (FK events.user_id → customer.c_custkey)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when a
+    user's inter-event gap exceeds ``gap_minutes``. Classic two-window
+    formulation — lag + running sum of boundary flags. Streaming
+    equivalent would use ``session_window``; batch form is the oracle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    boundary = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn("__b", boundary).withColumn(
+        "session_id", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("__b")
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session summary built on :func:`sessionize`."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, spark: SparkSession
+) -> DataFrame:
+    """Execute a bounded stream (availableNow) into an in-memory sink
+    and return the result table — the test/backfill harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

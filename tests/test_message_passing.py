@@ -24,17 +24,20 @@ def test_aggregate_neighbors_matches_duckdb(db, duck):
     orders, customer, edges = _cust_order_edges(db)
     agg = aggregate_neighbors(edges, orders, ["o_totalprice"], ["mean", "sum", "min", "max"])
     got = {
-        (r["dst"], round(r["mean_o_totalprice"], 4), round(r["sum_o_totalprice"], 2))
-        for r in agg.collect()
+        r["dst"]: (r["mean_o_totalprice"], r["sum_o_totalprice"]) for r in agg.collect()
     }
     want = {
-        (r[0], round(r[1], 4), round(r[2], 2))
+        r[0]: (r[1], r[2])
         for r in duck.execute(
             "SELECT c_custkey, avg(o_totalprice), sum(o_totalprice) "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey"
         ).fetchall()
     }
-    assert got == want
+    assert got.keys() == want.keys()
+    # exact decimal fold vs duckdb's double fold: equal to float tolerance
+    for k, (m, s) in got.items():
+        assert math.isclose(m, want[k][0], rel_tol=1e-9)
+        assert math.isclose(s, want[k][1], rel_tol=1e-9)
 
 
 def test_mean_add_conv(spark):
@@ -61,8 +64,9 @@ def test_softmax_attention_sql_vs_pandas_kernel(spark):
     w = np.exp(s - s.max())
     w /= w.sum()
     expect = float((w * np.array([10.0, 20.0, 30.0])).sum())
-    assert abs(sql_out[1] - expect) < 1e-9
-    assert abs(sql_out[2] - 5.0) < 1e-9
+    # decimal(30,9) fold quantizes exp terms at 1e-9 — tolerance reflects it
+    assert abs(sql_out[1] - expect) < 1e-6
+    assert abs(sql_out[2] - 5.0) < 1e-6
 
     # pandas kernel with key = score (1-dim), value = v, query=None →
     # q = mean(keys); scores = k*q/sqrt(1)

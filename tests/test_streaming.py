@@ -1,0 +1,115 @@
+import tempfile
+
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.streaming import (
+    hourly_user_features,
+    read_events_stream,
+    session_stats,
+    sessionize,
+    user_profile_features,
+)
+
+
+def test_hourly_features_batch_matches_duckdb(db, duck):
+    out = hourly_user_features(db.df("events"))
+    got = {
+        (r["window_start"], r["user_id"], r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    want = set(
+        duck.execute(
+            """
+            SELECT date_trunc('hour', ts), user_id, count(*), round(sum(value), 6)
+            FROM events GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_streaming_matches_batch(spark, db):
+    # the same transformation over readStream(availableNow) must equal batch
+    batch = hourly_user_features(db.df("events"))
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    assert stream.isStreaming
+    agg = hourly_user_features(stream, watermark="10 hours")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("hourly_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r["window_start"], r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.table("hourly_test").collect()
+    }
+    want = {
+        (r["window_start"], r["user_id"], r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessionize_matches_duckdb(db, duck):
+    out = session_stats(db.df("events"), gap_minutes=30)
+    got = {
+        (r["user_id"], r["session_id"], r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    want = set(
+        duck.execute(
+            """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS b
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*), round(sum(value), 6)
+            FROM sess GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 1.0),  # same session (10 min)
+        (1, "2024-01-01 11:30:00", 1.0),  # new session (80 min gap)
+        (2, "2024-01-01 10:00:00", 1.0),  # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, value double").select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "value"
+    )
+    out = sessionize(df, gap_minutes=30).collect()
+    sess = {(r["user_id"], str(r["ts"])): r["session_id"] for r in out}
+    assert sess[(1, "2024-01-01 10:00:00")] == 1
+    assert sess[(1, "2024-01-01 10:10:00")] == 1
+    assert sess[(1, "2024-01-01 11:30:00")] == 2
+    assert sess[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_user_profile_join_to_customer(db):
+    prof = user_profile_features(db.df("events"))
+    joined = db.df("customer").join(
+        prof, db.df("customer").c_custkey == prof.user_id, "left"
+    )
+    assert joined.count() == db.df("customer").count()
+    # dangling user_ids (events with no customer) exist per FIXTURES
+    dangling = prof.join(
+        db.df("customer"), prof.user_id == db.df("customer").c_custkey, "left_anti"
+    )
+    assert dangling.count() >= 0
