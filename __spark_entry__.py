@@ -374,9 +374,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """LLM ops: exact 5-gram Jaccard near-dup pairs (docs < 100)."""
+    """LLM ops: exact 5-gram Jaccard near-dup pairs, all documents
+    (inverted-index self-join; the testdata has ~25 planted near-dup
+    pairs at j >= 0.93)."""
     db = _db(spark, sf_dir)
-    docs = db.df("documents").filter(F.col("doc_id") < 100)
+    docs = db.df("documents")
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5, threshold=0.5)
 
 
@@ -432,10 +434,12 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """LLM ops: exact cosine near-dup pairs at 0.8 among vec_id < 100."""
+    """LLM ops: exact cosine pair join at 0.32 among vec_id < 200 (the
+    synthetic embeddings are random — max pairwise cosine ~0.44 — so
+    the threshold is set where pairs exist to exercise the operator)."""
     db = _db(spark, sf_dir)
-    sub = db.df("embeddings").filter(F.col("vec_id") < 100)
-    return similarity.embedding_neardup_pairs(sub, threshold=0.8, exact=True)
+    sub = db.df("embeddings").filter(F.col("vec_id") < 200)
+    return similarity.embedding_neardup_pairs(sub, threshold=0.32, exact=True)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -539,7 +543,7 @@ _SHINGLE_CTE = """
   SELECT doc_id,
          list_distinct(CASE WHEN length(text) < 5 THEN [text]
            ELSE list_transform(range(1, length(text) - 3), i -> substr(text, i, 5)) END) AS grams
-  FROM documents WHERE doc_id < 100
+  FROM documents
 """
 
 
@@ -796,9 +800,9 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 6) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 100 AND b.vec_id < 100
+            WHERE a.vec_id < 200 AND b.vec_id < 200
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 6) >= 0.8
+                                               b.embedding::DOUBLE[]), 6) >= 0.32
         """,
         "events_hourly": f"""
             SELECT date_trunc('hour', ts) AS window_start, user_id,

@@ -1,0 +1,133 @@
+"""Benchmark suite — BASELINE.md B1-B5 plus headline operator queries.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+    SPARK_GRAFT_SF_DIR   data dir  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N]  (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("deep-db-learning-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    from deep_db_learning_spark.operators.graph import build_hetero_graph
+    from deep_db_learning_spark.operators.sampling import sample_neighbors
+    from deep_db_learning_spark.plans import minimum_slice
+    from deep_db_learning_spark.profiling import SchemaAnalyzer
+
+    db = entry._db(spark, sf_dir)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM + file listing with a trivial action (not timed)
+    for t in db.get_tables():
+        db.df(t).limit(1).count()
+
+    # B1: full-DB schema inference (single profiling pass per table)
+    timed(
+        "b1_schema_inference",
+        lambda: SchemaAnalyzer(db.tables, db.primary_keys, db.foreign_keys).guess_schema(),
+    )
+
+    # B2: graph build — all FK edge joins + reverse edges, materialized
+    def b2() -> None:
+        g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys)
+        for e in g.edges.values():
+            e.count()
+
+    timed("b2_graph_build", b2)
+
+    # B3: one message-passing layer over the biggest edge type
+    timed("b3_message_layer", lambda: entry.q_message_mean(spark, sf_dir).count())
+
+    # B4: neighbor sampling (<=50 per dst, seed 42) over orders->customer
+    def b4() -> None:
+        g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
+        sample_neighbors(g.edges["orders__o_custkey__customer"], k=50, seed=42).count()
+
+    timed("b4_neighbor_sampling", b4)
+
+    # B5: end-to-end minimum slice (infer -> graph -> features -> fit)
+    timed(
+        "b5_minimum_slice",
+        lambda: minimum_slice(
+            db.tables,
+            db.primary_keys,
+            db.foreign_keys,
+            target=("customer", "c_mktsegment"),
+            depth=1,
+        ),
+    )
+
+    # headline operator queries (the driver's t2 set, timed at bench sf)
+    headline = [
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "bfs_depth2",
+        "message_2hop",
+        "attention_aggregate",
+        "dedup_exact",
+        "minhash_dedup",
+        "text_stats",
+        "quality_scores",
+        "embedding_topk",
+        "events_hourly",
+        "events_sessions",
+        "customer_features",
+    ]
+    qs = entry.queries()
+    for name in headline:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,8 +79,66 @@ def minhash_signature(
     out: str = "signature",
 ) -> DataFrame:
     """MinHash signature: sig[i] = min over shingles of
-    ``((h + i) * KNUTH) % p`` — universal-ish permutation family over
-    the portable shingle hashes. Pure array expressions; one scan."""
+    ``((h % p + i) * KNUTH) % p`` — universal-ish permutation family
+    over the portable md5-based shingle hashes.
+
+    Physical form: Arrow-batched pandas UDF with a numpy kernel. The
+    expression formulation (:func:`minhash_signature_expr`) is
+    value-identical but Spark interprets nested higher-order lambdas
+    per element (HOFs never enter codegen), which measures ~16× slower
+    — for a num_perm×shingles inner loop the vectorized kernel is the
+    right physical plan at any scale.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    p = MERSENNE_31
+    perms = np.arange(num_perm, dtype=np.int64)
+
+    def sig_fn(texts):
+        out_rows = []
+        for t in texts:
+            if t is None:
+                out_rows.append(None)
+                continue
+            grams = (
+                {t}
+                if len(t) < shingle_k
+                else {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
+            )
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            # (h % p + i) * KNUTH < 2^63 — no overflow in int64
+            sig = ((h[:, None] % p + perms[None, :]) * KNUTH % p).min(axis=0)
+            out_rows.append(sig)
+        return pd.Series(out_rows)
+
+    # real (non-stringized) annotations: `from __future__ import
+    # annotations` breaks pandas_udf type-hint inference otherwise
+    sig_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(sig_fn, "array<bigint>")
+
+    return df.withColumn(out, sig_udf(F.col(text_col)))
+
+
+def minhash_signature_expr(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    out: str = "signature",
+) -> DataFrame:
+    """Pure-JVM expression twin of :func:`minhash_signature` (identical
+    values; interpreted HOF evaluation — keep off the hot path)."""
     hashes = shingle_hashes(text_col, shingle_k)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
@@ -202,6 +260,11 @@ def minhash_lsh_dedup(
     Jaccard verify → survivors. Returns rows of ``df`` whose id is NOT
     a higher-id near-duplicate of a kept doc (min-id wins, transitive
     chains collapse to their min via the candidate graph edges)."""
+    # a single input file = a single partition = one core doing all the
+    # signature math; spread it (at scale the scan is already split)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     signed = minhash_signature(df, text_col, num_perm, shingle_k)
     cand = lsh_candidate_pairs(signed, id_col, bands=bands)
     verified = ngram_jaccard_pairs(

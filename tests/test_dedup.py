@@ -114,3 +114,17 @@ def test_simhash_and_hamming_pairs(spark):
     pairs = dedup.simhash_candidate_pairs(dedup.simhash(df2, "text"), "doc_id")
     got = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()]
     assert got == [(1, 2, 0)]
+
+
+def test_minhash_pandas_matches_expr(db):
+    # the vectorized kernel and the JVM expression twin are value-identical
+    docs = db.df("documents").filter(F.col("doc_id") < 30)
+    fast = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in dedup.minhash_signature(docs, "text", num_perm=16).collect()
+    }
+    slow = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in dedup.minhash_signature_expr(docs, "text", num_perm=16).collect()
+    }
+    assert fast == slow
