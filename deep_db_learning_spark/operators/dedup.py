@@ -75,7 +75,7 @@ def minhash_signature(
     df: DataFrame,
     text_col: str,
     num_perm: int = 64,
-    shingle_k: int = 5,
+    shingle_k: int = 9,
     out: str = "signature",
 ) -> DataFrame:
     """MinHash signature: sig[i] = min over shingles of
@@ -134,7 +134,7 @@ def minhash_signature_expr(
     df: DataFrame,
     text_col: str,
     num_perm: int = 64,
-    shingle_k: int = 5,
+    shingle_k: int = 9,
     out: str = "signature",
 ) -> DataFrame:
     """Pure-JVM expression twin of :func:`minhash_signature` (identical
@@ -167,7 +167,12 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band land in
     the same bucket → candidate pair (a < b). One explode (×bands) +
-    one shuffle on the band key + one self-join inside buckets."""
+    one shuffle on the band key + one self-join inside buckets.
+
+    The banded projection is persisted before the self-join — without
+    it, Spark recomputes the (expensive) signature lineage once per
+    join side; the banded table is tiny (bands rows of 3 ints per doc).
+    """
     banded = signed.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
@@ -180,7 +185,7 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band", "band_sig"),
-    ).select("doc", "band", F.hash("band_sig").alias("bucket"))
+    ).select("doc", "band", F.hash("band_sig").alias("bucket")).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -253,13 +258,19 @@ def minhash_lsh_dedup(
     id_col: str,
     num_perm: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = 9,
     threshold: float = 0.7,
 ) -> DataFrame:
     """The full scale pipeline: signature → LSH candidates → exact
     Jaccard verify → survivors. Returns rows of ``df`` whose id is NOT
     a higher-id near-duplicate of a kept doc (min-id wins, transitive
-    chains collapse to their min via the candidate graph edges)."""
+    chains collapse to their min via the candidate graph edges).
+
+    Default ``shingle_k=9``: with char 5-grams, unrelated docs drawn
+    from one vocabulary share ~0.17 Jaccard, so 4-row LSH bands pass
+    ~1% of ALL pairs as candidates (O(n²) verify — the scale killer);
+    9-grams drop baseline similarity to ~0.03 while true near-dups stay
+    ≥0.8, cutting candidates by ~100× for the same recall curve."""
     # a single input file = a single partition = one core doing all the
     # signature math; spread it (at scale the scan is already split)
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -270,7 +281,9 @@ def minhash_lsh_dedup(
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_k, threshold, candidates=cand
     )
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    # losers is consumed by the anti-join's broadcast side; persisting it
+    # stops the verify join chain from re-running during that build
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct().persist()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -130,6 +130,24 @@ class SchemaAnalyzer:
             )
         return self._profiles[table]
 
+    def prefetch_profiles(self, max_concurrency: int = 8) -> None:
+        """Run all per-table profiling jobs concurrently.
+
+        Each profile is one independent Spark aggregation; submitting
+        them from driver threads lets the scheduler interleave their
+        stages — the win both locally (small tables under-fill the
+        executor) and on a cluster (scans of different tables overlap).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = [t for t in self.tables if t not in self._profiles]
+        if len(pending) <= 1:
+            for t in pending:
+                self.profile(t)
+            return
+        with ThreadPoolExecutor(min(max_concurrency, len(pending))) as pool:
+            list(pool.map(self.profile, pending))
+
     # -- decision tree -----------------------------------------------------
     def _non_composite_fk_columns(self, table: str) -> set[str]:
         return {
@@ -227,6 +245,7 @@ class SchemaAnalyzer:
     def guess_schema(self) -> DBSchema:
         """Infer specs for every column of every table
         (``schema_autodetect.py:486-508``)."""
+        self.prefetch_profiles()
         schema = DBSchema()
         for table in self.tables:
             cols = {
