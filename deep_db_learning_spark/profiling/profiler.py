@@ -121,6 +121,13 @@ def profile_table(
     cols = columns if columns is not None else profilable_columns(df)
     if not cols:
         return {}
+    # project first (column pruning), then spread a single-file scan:
+    # the Expand behind multi-column count_distinct multiplies rows by
+    # #columns, and with one input partition that all lands on one core
+    df = df.select(cols)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     if mode == "exact":
         row = df.agg(*_exact_aggs(cols)).collect()[0]
         return _row_to_stats(row, cols, approximate=False)
