@@ -32,8 +32,10 @@ from deep_db_learning_spark.functions.datetime_funcs import (
 from deep_db_learning_spark.functions.encode import dict_encode, one_hot
 from deep_db_learning_spark.functions.normalize import normalize
 from deep_db_learning_spark.operators import dedup, similarity
+from deep_db_learning_spark.functions.convert import convert_table
+from deep_db_learning_spark.functions.encode import multilabel_binarize
 from deep_db_learning_spark.operators.bfs import bfs_visited_counts
-from deep_db_learning_spark.operators.graph import build_hetero_graph
+from deep_db_learning_spark.operators.graph import build_hetero_graph, graph_statistics
 from deep_db_learning_spark.operators.message_passing import (
     aggregate_neighbors,
     softmax_attention_sql,
@@ -367,6 +369,49 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+
+def q_graph_stats(spark, sf_dir):
+    """A9 dataset statistics (`scripts/dataset_info.py:19-60`): per-FK
+    tuple/edge counts + edges-per-source ratio."""
+    db = _db(spark, sf_dir)
+    return graph_statistics(db.tables, db.primary_keys, db.foreign_keys)
+
+
+def q_convert_orders(spark, sf_dir):
+    """SURVEY 2.8 converter registry: schema-driven conversion of orders
+    (omit keys, datetime 1->3 expansion, dict-encoded cats, num cast)."""
+    from deep_db_learning_spark.schema import ColumnSpec, TableSpec
+
+    db = _db(spark, sf_dir)
+    spec = TableSpec(
+        columns={
+            "o_orderkey": ColumnSpec("omit", key=True),
+            "o_custkey": ColumnSpec("omit"),
+            "o_orderstatus": ColumnSpec("cat", card=3),
+            "o_totalprice": ColumnSpec("num"),
+            "o_orderdate": ColumnSpec("datetime"),
+            "o_orderpriority": ColumnSpec("cat", card=5),
+        }
+    )
+    return convert_table(db.df("orders"), spec, keep=["o_orderkey"])
+
+
+def q_multilabel_event_types(spark, sf_dir):
+    """F15 multi-label binarize: per-user SET of event types -> 0/1
+    columns (MariaDB SET semantics, `ctu_dataset.py:156-166`)."""
+    db = _db(spark, sf_dir)
+    sets = db.df("events").groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types")
+    )
+    out = multilabel_binarize(
+        sets, "types", labels=["click", "error", "purchase", "signup", "view"]
+    )
+    return out.select(
+        "user_id", "types_click", "types_error", "types_purchase",
+        "types_signup", "types_view",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """LLM ops: exact dedup by content hash."""
     db = _db(spark, sf_dir)
@@ -516,6 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "graph_stats": q_graph_stats,
+        "convert_orders": q_convert_orders,
+        "multilabel_event_types": q_multilabel_event_types,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
@@ -577,6 +625,25 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT '{et}' AS edge_type, count(*) AS n_edges "
         f"FROM {s} JOIN {d} ON {s}.{fk} = {d}.{rk}"
         for et, (s, d, fk, rk, _, __) in sorted(edge_specs.items())
+    )
+    gs_specs = {
+        "customer__c_nationkey__nation": ("customer", "nation", "c_nationkey", "n_nationkey"),
+        "events__user_id__customer": ("events", "customer", "user_id", "c_custkey"),
+        "lineitem__l_orderkey__orders": ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+        "lineitem__l_partkey__part": ("lineitem", "part", "l_partkey", "p_partkey"),
+        "lineitem__l_suppkey__supplier": ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+        "nation__n_regionkey__region": ("nation", "region", "n_regionkey", "r_regionkey"),
+        "orders__o_custkey__customer": ("orders", "customer", "o_custkey", "c_custkey"),
+        "supplier__s_nationkey__nation": ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    }
+    graph_stats = " UNION ALL ".join(
+        f"SELECT '{et}' AS edge_type, '{st}' AS src_table, '{dt}' AS dst_table, "
+        f"(SELECT count(*) FROM {st}) AS n_src_rows, "
+        f"(SELECT count(*) FROM {dt}) AS n_dst_rows, "
+        f"(SELECT count(*) FROM {st} JOIN {dt} ON {st}.{fk} = {dt}.{rk}) AS n_edges, "
+        f"(SELECT count(*) FROM {st} JOIN {dt} ON {st}.{fk} = {dt}.{rk})::DOUBLE "
+        f"/ (SELECT count(*) FROM {st}) AS edges_per_src"
+        for et, (st, dt, fk, rk) in sorted(gs_specs.items())
     )
     return {
         "catalog_row_counts": row_counts,
@@ -720,6 +787,40 @@ def oracle_sql() -> dict[str, str]:
               JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
+        """,
+        "graph_stats": graph_stats,
+        "convert_orders": """
+            WITH st AS (
+              SELECT v AS value, row_number() OVER (ORDER BY v) AS code
+              FROM (SELECT DISTINCT o_orderstatus AS v FROM orders
+                    WHERE o_orderstatus IS NOT NULL)
+            ),
+            pr AS (
+              SELECT v AS value, row_number() OVER (ORDER BY v) AS code
+              FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+                    WHERE o_orderpriority IS NOT NULL)
+            )
+            SELECT o_orderkey,
+                   coalesce(o_totalprice, 0.0) AS o_totalprice,
+                   CAST(year(o_orderdate) AS INT) AS o_orderdate_year,
+                   CAST(dayofyear(o_orderdate) AS INT) AS o_orderdate_dayofyear,
+                   CAST(hour(o_orderdate)*3600 + minute(o_orderdate)*60
+                        + CAST(floor(second(o_orderdate)) AS INT) AS INT)
+                     AS o_orderdate_seconds_since_midnight,
+                   coalesce(st.code, 0) AS o_orderstatus_code,
+                   coalesce(pr.code, 0) AS o_orderpriority_code
+            FROM orders
+            LEFT JOIN st ON o_orderstatus = st.value
+            LEFT JOIN pr ON o_orderpriority = pr.value
+        """,
+        "multilabel_event_types": """
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS types_click,
+                   max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS types_error,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS types_purchase,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS types_signup,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS types_view
+            FROM events GROUP BY user_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

@@ -1,3 +1,3 @@
-from . import datetime_funcs, encode, hashing, normalize, text, vectors
+from . import convert, datetime_funcs, encode, exact_agg, hashing, normalize, text, vectors
 
-__all__ = ["datetime_funcs", "encode", "hashing", "normalize", "text", "vectors"]
+__all__ = ["convert", "datetime_funcs", "encode", "exact_agg", "hashing", "normalize", "text", "vectors"]

