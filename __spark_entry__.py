@@ -73,9 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def _customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _db(spark, sf_dir)
     g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
-    orders_agg = aggregate_neighbors(
-        g.edges["orders__o_custkey__customer"],
-        g.nodes["orders"],
+    orders_agg = g.aggregate_along_edge(
+        "orders__o_custkey__customer",
         ["o_totalprice"],
         ["mean", "sum", "count"],
         prefix="ord_",
@@ -85,9 +84,8 @@ def _customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ord_sum_o_totalprice").alias("ord_sum_totalprice"),
         F.col("ord_degree").alias("ord_cnt"),
     )
-    events_agg = aggregate_neighbors(
-        g.edges["events__user_id__customer"],
-        g.nodes["events"],
+    events_agg = g.aggregate_along_edge(
+        "events__user_id__customer",
         ["value"],
         ["sum"],
         prefix="ev_",
@@ -266,9 +264,8 @@ def q_message_mean(spark, sf_dir):
     """A6/N7/N11: one mean/sum/count aggregation layer orders→customer."""
     db = _db(spark, sf_dir)
     g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
-    agg = aggregate_neighbors(
-        g.edges["orders__o_custkey__customer"],
-        g.nodes["orders"],
+    agg = g.aggregate_along_edge(
+        "orders__o_custkey__customer",
         ["o_totalprice"],
         ["mean", "sum", "min", "max"],
     )
@@ -287,9 +284,8 @@ def q_message_2hop(spark, sf_dir):
     aggregated per customer."""
     db = _db(spark, sf_dir)
     g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
-    li_per_order = aggregate_neighbors(
-        g.edges["lineitem__l_orderkey__orders"],
-        g.nodes["lineitem"],
+    li_per_order = g.aggregate_along_edge(
+        "lineitem__l_orderkey__orders",
         ["l_quantity"],
         ["sum"],
     ).select(F.col("dst").alias("node_id"), F.col("sum_l_quantity").alias("qty"))

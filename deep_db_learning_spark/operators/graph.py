@@ -108,10 +108,74 @@ class HeteroGraph:
     nodes: dict[str, DataFrame] = field(default_factory=dict)
     edges: dict[str, DataFrame] = field(default_factory=dict)
     edge_meta: dict[str, tuple[str, str]] = field(default_factory=dict)  # type → (src_table, dst_table)
+    edge_fks: dict[str, ForeignKey] = field(default_factory=dict)  # forward edges only
+    pk_node_ids: set[str] = field(default_factory=set)  # tables where node_id == single pk
 
     @staticmethod
     def edge_type(src_table: str, fk: ForeignKey) -> str:
         return f"{src_table}__{'_'.join(fk.columns)}__{fk.ref_table}"
+
+    def aggregate_along_edge(
+        self,
+        et: str,
+        feature_cols: list[str],
+        aggs: list[str] = ("mean",),
+        prefix: str = "",
+        features: DataFrame | None = None,
+    ) -> DataFrame:
+        """1-hop message aggregation over an edge type, with plan fusion.
+
+        The generic form is ``edges ⋈ src_features → groupBy(dst)``
+        (:func:`~.message_passing.aggregate_neighbors`) — but when the
+        edge type is a *forward FK edge*, features are the src table's
+        own columns, and both endpoints use pk node ids, that plan scans
+        the src table twice (edge list + features) and re-joins them on
+        node_id — a self-join Catalyst cannot eliminate (Spark has no FK
+        constraints to reason with). The fused plan is
+
+            src.select(fk AS dst, features) → groupBy(dst) → agg
+              → leftsemi dst_keys
+
+        one scan, the same single shuffle, and the semi join preserves
+        J2 semantics (NULL FKs and dangling refs drop; dst keys are
+        unique pks so inner-join ≡ semi-join here). Aggregating BEFORE
+        the semi join keeps the joined row count at |groups|, not
+        |edges|. At 100 TB this halves fact-table scans per layer.
+
+        ``features``: a derived frame keyed by node_id — forces the
+        generic path unless it *is* the src node frame.
+        """
+        from .message_passing import aggregate_neighbors
+
+        src_t, dst_t = self.edge_meta[et]
+        src_nodes = self.nodes[src_t]
+        fk = self.edge_fks.get(et)
+        fusable = (
+            fk is not None
+            and len(fk.columns) == 1
+            and (features is None or features is src_nodes)
+            and src_t in self.pk_node_ids
+            and dst_t in self.pk_node_ids
+            and all(c in src_nodes.columns for c in feature_cols)
+        )
+        if not fusable:
+            feats = features if features is not None else src_nodes
+            return aggregate_neighbors(
+                self.edges[et], feats, feature_cols, list(aggs), prefix=prefix
+            )
+        from .message_passing import agg_expressions
+
+        dtypes = dict(src_nodes.dtypes)
+        grouped = (
+            src_nodes.select(
+                F.col(fk.columns[0]).cast("bigint").alias("dst"),
+                *[F.col(c) for c in feature_cols],
+            )
+            .groupBy("dst")
+            .agg(*agg_expressions(dtypes, feature_cols, list(aggs), prefix))
+        )
+        dst_keys = self.nodes[dst_t].select(F.col("node_id").alias("dst"))
+        return grouped.join(dst_keys, "dst", "leftsemi")
 
     def add_reverse_edges(self) -> "HeteroGraph":
         """J5 for every edge type (skipping already-reversed ones)."""
@@ -188,7 +252,10 @@ def build_hetero_graph(
     """
     g = HeteroGraph()
     for t, df in tables.items():
-        g.nodes[t] = with_node_ids(df, primary_keys.get(t, []), id_mode)
+        pk = primary_keys.get(t, [])
+        g.nodes[t] = with_node_ids(df, pk, id_mode)
+        if id_mode == "pk" and len(pk) == 1:
+            g.pk_node_ids.add(t)
     for t, fks in foreign_keys.items():
         if t not in g.nodes:
             continue
@@ -201,6 +268,7 @@ def build_hetero_graph(
             et = HeteroGraph.edge_type(t, fk)
             g.edges[et] = fk_edges(g.nodes[t], g.nodes[fk.ref_table], fk, broadcast_dst=bc)
             g.edge_meta[et] = (t, fk.ref_table)
+            g.edge_fks[et] = fk
     if add_reverse:
         g.add_reverse_edges()
     return g

@@ -53,6 +53,26 @@ _EXACT_FNS = {"sum": exact_sum, "mean": exact_avg, "avg": exact_avg}
 _FLOATING = {"float", "double"}
 
 
+def agg_expressions(
+    dtypes: dict[str, str],
+    feature_cols: list[str],
+    aggs: list[str],
+    prefix: str = "",
+    exact: bool = True,
+) -> list:
+    """The shared agg-expression list for message aggregation: one
+    ``{prefix}{agg}_{col}`` per (agg, col) + ``{prefix}degree``."""
+
+    def agg_expr(a: str, c: str):
+        if exact and a in _EXACT_FNS and dtypes.get(c) in _FLOATING:
+            return _EXACT_FNS[a](c).alias(f"{prefix}{a}_{c}")
+        return AGG_FNS[a](F.col(c)).alias(f"{prefix}{a}_{c}")
+
+    exprs = [agg_expr(a, c) for a in aggs for c in feature_cols]
+    exprs.append(F.count(F.lit(1)).alias(f"{prefix}degree"))
+    return exprs
+
+
 def aggregate_neighbors(
     edges: DataFrame,
     src_features: DataFrame,
@@ -81,15 +101,9 @@ def aggregate_neighbors(
         F.col(src_id).alias(src), *[F.col(c) for c in feature_cols]
     )
     joined = edges.join(feats, src, "inner")
-
-    def agg_expr(a: str, c: str):
-        if exact and a in _EXACT_FNS and dtypes.get(c) in _FLOATING:
-            return _EXACT_FNS[a](c).alias(f"{prefix}{a}_{c}")
-        return AGG_FNS[a](F.col(c)).alias(f"{prefix}{a}_{c}")
-
-    agg_exprs = [agg_expr(a, c) for a in aggs for c in feature_cols]
-    agg_exprs.append(F.count(F.lit(1)).alias(f"{prefix}degree"))
-    return joined.groupBy(dst).agg(*agg_exprs)
+    return joined.groupBy(dst).agg(
+        *agg_expressions(dtypes, feature_cols, list(aggs), prefix, exact)
+    )
 
 
 def mean_add_conv(

@@ -69,8 +69,8 @@ def build_node_features(
             cols = col_map.get(src_t, [])
             if not cols:
                 continue
-            agg = aggregate_neighbors(
-                edges, feature_map[src_t], cols, list(aggs), prefix=f"{et}__"
+            agg = graph.aggregate_along_edge(
+                et, cols, list(aggs), prefix=f"{et}__", features=feature_map[src_t]
             ).withColumnRenamed("dst", "node_id")
             out = out.join(agg, "node_id", "left")
         return out.na.fill(0.0)

@@ -113,3 +113,21 @@ def test_degree_message(db, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_fused_edge_aggregate_matches_generic(db):
+    from deep_db_learning_spark.operators.graph import build_hetero_graph
+
+    g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
+    et = "orders__o_custkey__customer"
+    fused = g.aggregate_along_edge(et, ["o_totalprice"], ["mean", "sum"])
+    generic = aggregate_neighbors(
+        g.edges[et], g.nodes["orders"], ["o_totalprice"], ["mean", "sum"]
+    )
+    a = {tuple(r) for r in fused.collect()}
+    b = {tuple(r) for r in generic.collect()}
+    assert a == b  # exact decimal folds -> bitwise-identical frames
+    # derived features (not the node frame) force the generic path
+    derived = g.nodes["orders"].select("node_id", "o_totalprice")
+    via_features = g.aggregate_along_edge(et, ["o_totalprice"], ["mean", "sum"], features=derived)
+    assert {tuple(r) for r in via_features.collect()} == b
