@@ -912,7 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": f"""
             WITH flagged AS (
               SELECT user_id, ts, value,
-                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS b
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ),

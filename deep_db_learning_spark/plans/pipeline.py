@@ -122,6 +122,12 @@ def minimum_slice(
     if not fit_model:
         return result
 
+    # the feature lineage (profile + joins + aggs) would otherwise be
+    # recomputed by the train assembly, the test assembly, and the
+    # metrics job — materialize it once (the checkpoint a real training
+    # loop would write to Parquet, S9)
+    data = data.persist()
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 

@@ -88,6 +88,39 @@ class Database:
     def df(self, table: str) -> DataFrame:
         return self.tables[table]
 
+    # -- P8: set include/exclude filters ------------------------------------
+    def filter_tables(
+        self,
+        include: Iterable[str] | None = None,
+        exclude: Iterable[str] | None = None,
+    ) -> "Database":
+        """P8 whitelist/blacklist (``helpers/collections/set_filter.py:13-29``
+        as used by ``db_inspector.py:112-123``): a narrowed Database view.
+        Driver-side set algebra — no data touched."""
+        inc = set(include) if include is not None else set(self.tables)
+        exc = set(exclude or ())
+        keep = {t for t in self.tables if t in inc and t not in exc}
+        return Database(
+            self.spark,
+            {t: df for t, df in self.tables.items() if t in keep},
+            {t: pk for t, pk in self.primary_keys.items() if t in keep},
+            {t: fks for t, fks in self.foreign_keys.items() if t in keep},
+        )
+
+    def filter_columns(
+        self, exclude: Iterable[tuple[str, str]]
+    ) -> "Database":
+        """P8 (table, column) blacklist (``schema_autodetect.py:238-245``):
+        drops the named columns from the returned view's frames."""
+        by_table: dict[str, set[str]] = {}
+        for t, c in exclude:
+            by_table.setdefault(t, set()).add(c)
+        tables = {
+            t: (df.drop(*by_table[t]) if t in by_table else df)
+            for t, df in self.tables.items()
+        }
+        return Database(self.spark, tables, self.primary_keys, self.foreign_keys)
+
     def create_temp_views(self, prefix: str = "") -> None:
         for name, df in self.tables.items():
             df.createOrReplaceTempView(prefix + name)

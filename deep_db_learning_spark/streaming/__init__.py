@@ -7,6 +7,7 @@ from .events import (
     sessionize,
     user_profile_features,
 )
+from .stateful import stream_sessionize
 
 __all__ = [
     "EVENTS_SCHEMA",
@@ -15,5 +16,6 @@ __all__ = [
     "run_stream_to_memory",
     "session_stats",
     "sessionize",
+    "stream_sessionize",
     "user_profile_features",
 ]

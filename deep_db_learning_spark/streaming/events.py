@@ -129,8 +129,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     equivalent would use ``session_window``; batch form is the oracle.
     """
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    boundary = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # micros, not unix_timestamp (which truncates to seconds): the gap
+    # decision must see sub-second precision, matching stream_sessionize
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    boundary = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     return events.withColumn("__b", boundary).withColumn(
         "session_id", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("__b")

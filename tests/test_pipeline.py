@@ -42,3 +42,12 @@ def test_regression_metrics(spark):
     assert abs(m["mse"] - ((0.5 ** 2 + 0 + 0.5 ** 2) / 3)) < 1e-9
     assert abs(m["mae"] - (1.0 / 3)) < 1e-9
     assert m["n"] == 3
+
+
+def test_database_set_filters(db):
+    sub = db.filter_tables(include=["customer", "orders", "nation"], exclude=["nation"])
+    assert sub.get_tables() == {"customer", "orders"}
+    assert sub.get_primary_key("customer") == {"c_custkey"}
+    nocol = db.filter_columns([("customer", "c_name")])
+    assert "c_name" not in nocol.df("customer").columns
+    assert "c_name" in db.df("customer").columns

@@ -113,3 +113,45 @@ def test_user_profile_join_to_customer(db):
         db.df("customer"), prof.user_id == db.df("customer").c_custkey, "left_anti"
     )
     assert dangling.count() >= 0
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, db):
+    # stateful streaming sessionization: closed sessions emitted by the
+    # stream == batch sessions minus each user's open (last) session
+    from deep_db_learning_spark.streaming import stream_sessionize
+
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    out = stream_sessionize(stream, gap_minutes=30)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_state_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions_state_test").collect()
+    }
+
+    batch = session_stats(db.df("events"), gap_minutes=30)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    closed = batch.withColumn(
+        "last_start", F.max("session_start").over(w)
+    ).filter(F.col("session_start") < F.col("last_start"))
+    want = {
+        (
+            r["user_id"],
+            r["session_start"].replace(tzinfo=None),
+            r["session_end"].replace(tzinfo=None),
+            r["n_events"],
+        )
+        for r in closed.collect()
+    }
+    got = {(u, s.replace(tzinfo=None), e.replace(tzinfo=None), n) for u, s, e, n in got}
+    assert got == want
