@@ -158,15 +158,22 @@ def q_cat_encode_mktsegment(spark, sf_dir):
 
 
 def q_datetime_decompose(spark, sf_dir):
-    """F3/F4/F6: datetime → year/dayofyear/seconds + epoch."""
+    """F3/F4/F6/F7: datetime → year/dayofyear/seconds/epoch + the legacy
+    convertor's month/day/ordinal segments."""
+    from deep_db_learning_spark.functions.datetime_funcs import legacy_date_segments
+
     db = _db(spark, sf_dir)
     feats = datetime_features(F.col("o_orderdate"))
+    legacy = legacy_date_segments(F.col("o_orderdate"))
     return db.df("orders").select(
         "o_orderkey",
         feats["_year"].alias("od_year"),
         feats["_dayofyear"].alias("od_dayofyear"),
         feats["_seconds_since_midnight"].alias("od_secs"),
         epoch_seconds(F.col("o_orderdate")).alias("od_epoch"),
+        legacy["_month"].alias("od_month"),
+        legacy["_day"].alias("od_day"),
+        legacy["_ordinal"].alias("od_ordinal"),
     )
 
 
@@ -658,7 +665,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dayofyear(o_orderdate) AS INT) AS od_dayofyear,
                    CAST(hour(o_orderdate)*3600 + minute(o_orderdate)*60
                         + CAST(floor(second(o_orderdate)) AS INT) AS INT) AS od_secs,
-                   CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+                   CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch,
+                   CAST(month(o_orderdate) AS INT) AS od_month,
+                   CAST(day(o_orderdate) AS INT) AS od_day,
+                   CAST(date_diff('day', DATE '0001-01-01', o_orderdate::DATE) + 1 AS INT) AS od_ordinal
             FROM orders
         """,
         "onehot_orderstatus": """
