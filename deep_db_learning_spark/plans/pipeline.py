@@ -96,12 +96,16 @@ def minimum_slice(
     depth: int = 1,
     seed: int = 42,
     fit_model: bool = True,
+    decoder: str = "logreg",
 ) -> SliceResult:
     """SURVEY §7: predict ``target`` from neighbor statistics.
 
-    Classification path (cat target): factorize → logistic regression.
-    Everything before `.fit` is one declarative plan; the feature table
-    is the persisted artifact a real training loop would checkpoint."""
+    Classification path (cat target): factorize → ``decoder`` model —
+    ``"logreg"`` (default) or ``"mlp"`` (N21's Linear/ReLU decoder
+    stack as MLlib ``MultilayerPerceptronClassifier``,
+    ``experiments/blueprint_instances/utils.py:84-106``). Everything
+    before `.fit` is one declarative plan; the feature table is the
+    persisted artifact a real training loop would checkpoint."""
     target_table, target_col = target
     analyzer = SchemaAnalyzer(
         tables, primary_keys, foreign_keys, target=target, target_type="cat"
@@ -128,13 +132,27 @@ def minimum_slice(
     # loop would write to Parquet, S9)
     data = data.persist()
 
-    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        MultilayerPerceptronClassifier,
+    )
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="fvec")
     train = assembler.transform(data.filter(F.col("split") == "train"))
     test = assembler.transform(data.filter(F.col("split") == "test"))
-    model = LogisticRegression(featuresCol="fvec", labelCol="label", maxIter=20).fit(train)
+    if decoder == "mlp":
+        n_classes = data.agg(F.max("label")).collect()[0][0] + 1
+        est = MultilayerPerceptronClassifier(
+            featuresCol="fvec",
+            labelCol="label",
+            layers=[len(feature_cols), 2 * len(feature_cols), int(n_classes)],
+            maxIter=40,
+            seed=seed,
+        )
+    else:
+        est = LogisticRegression(featuresCol="fvec", labelCol="label", maxIter=20)
+    model = est.fit(train)
     pred = model.transform(test)
     result.metrics = classification_metrics(pred)
     return result

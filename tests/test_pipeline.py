@@ -51,3 +51,15 @@ def test_database_set_filters(db):
     nocol = db.filter_columns([("customer", "c_name")])
     assert "c_name" not in nocol.df("customer").columns
     assert "c_name" in db.df("customer").columns
+
+
+def test_minimum_slice_mlp_decoder(db):
+    res = minimum_slice(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        target=("customer", "c_mktsegment"),
+        depth=1,
+        decoder="mlp",
+    )
+    assert 0.0 <= res.metrics["accuracy"] <= 1.0
