@@ -199,6 +199,43 @@ def q_normalize_cname(spark, sf_dir):
     )
 
 
+def q_normalized_distinct(spark, sf_dir):
+    """A2: null-inclusive distinct counts of c_name under normalizer
+    chains (the reference's fetch-and-normalize counter zoo,
+    `db/distinct_cnt_retrieval.py:55-155`, computed engine-side)."""
+    from deep_db_learning_spark.functions.normalize import distinct_count_normalized
+
+    db = _db(spark, sf_dir)
+    cust = db.df("customer")
+    rows = [
+        (n, distinct_count_normalized(cust, "c_name", n))
+        for n in ("identity", "ci", "strip_ci", "rstrip")
+    ]
+    return spark.createDataFrame(rows, "normalizer string, n_distinct bigint")
+
+
+def q_embed_customer(spark, sf_dir):
+    """N1/N2/N4: dict-encode + embedding-lookup join + numeric linear
+    embed + concat to one feature vector per customer (rows-only check;
+    kernel math is unit-tested in tests/test_embedder.py)."""
+    from deep_db_learning_spark.functions.vectors import norm
+    from deep_db_learning_spark.operators.embedder import (
+        assemble_features,
+        embed_categorical,
+        embed_numeric,
+    )
+
+    db = _db(spark, sf_dir)
+    enc = dict_encode(db.df("customer"), "c_mktsegment", out="seg_code")
+    emb = embed_categorical(enc, "seg_code", card=5, dim=4)
+    emb = emb.withColumn("bal_emb", embed_numeric(F.col("c_acctbal"), dim=4, impute=0.0))
+    out = assemble_features(emb, ["seg_code_emb", "bal_emb"])
+    return out.select(
+        "c_custkey",
+        F.round(norm(F.col("features")), 6).alias("feat_norm"),
+    )
+
+
 def q_edges_orders_customer(spark, sf_dir):
     """J1/J2: FK equi-join edge list (pk node ids)."""
     db = _db(spark, sf_dir)
@@ -551,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_decompose": q_datetime_decompose,
         "onehot_orderstatus": q_onehot_orderstatus,
         "normalize_cname": q_normalize_cname,
+        "normalized_distinct": q_normalized_distinct,
+        "embed_customer": q_embed_customer,
         "edges_orders_customer": q_edges_orders_customer,
         "edge_counts": q_edge_counts,
         "reverse_edges": q_reverse_edges,
@@ -684,6 +723,16 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(c_name)) AS name_strip_ci,
                    rtrim(c_name) AS name_rstrip
             FROM customer
+        """,
+        "normalized_distinct": """
+            SELECT 'identity' AS normalizer,
+                   count(DISTINCT c_name) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_distinct FROM customer
+            UNION ALL SELECT 'ci',
+                   count(DISTINCT lower(c_name)) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) FROM customer
+            UNION ALL SELECT 'strip_ci',
+                   count(DISTINCT lower(trim(c_name))) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) FROM customer
+            UNION ALL SELECT 'rstrip',
+                   count(DISTINCT rtrim(c_name)) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) FROM customer
         """,
         "edges_orders_customer": """
             SELECT o_orderkey AS src, c_custkey AS dst
