@@ -87,6 +87,13 @@ def bfs_expand(
                 keys = rows.select(F.col(fk.ref_columns[0]).alias(fk.columns[0])).distinct()
                 new_rows = tables[ref_table].join(keys, fk.columns[0], "leftsemi")
                 next_frontier.append((ref_table, new_rows, table_name))
+        # frames that will seed ANOTHER hop get persisted: without it,
+        # hop N+1's semi joins recompute every prior hop's join chain
+        # (iterative-algorithm lineage growth — the classic Spark trap)
+        if depth < max_depth - 1:
+            next_frontier = [
+                (t, rows.persist(), parent) for t, rows, parent in next_frontier
+            ]
         # merge this hop's discoveries into visited
         for table_name, rows, _ in next_frontier:
             if table_name in visited:
