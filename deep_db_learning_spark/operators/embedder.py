@@ -113,3 +113,62 @@ def impute_values(
         exprs.append(F.coalesce(F.col(c), F.lit(value)).alias(c))
     keep = [F.col(c) for c in df.columns if c not in strategy]
     return df.select(*keep, *exprs)
+
+
+def text_embedding(
+    df: DataFrame,
+    text_col: str,
+    dim: int = 32,
+    out: str = "text_emb",
+    model_fn=None,
+    records_per_batch: int = 256,
+) -> DataFrame:
+    """N6 ``GloveTextEmbedding`` (``data/ctu_dataset.py:43-52``):
+    text → dense vector via an Arrow-batched pandas UDF.
+
+    ``model_fn(list[str]) -> ndarray[n, dim]`` plugs in a real sentence
+    encoder (broadcast the model once per executor in a closure); the
+    sentence-transformer libs are not in this container, so the default
+    is a DETERMINISTIC surrogate — a seeded bag-of-token-hash projection
+    with the same shape, batching, and L2 normalization, keeping every
+    downstream consumer (similarity search, near-dup, ANN) testable.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch)
+    )
+
+    def fake_encode(texts):
+        out_m = np.zeros((len(texts), dim))
+        for r, t in enumerate(texts):
+            for tok in (t or "").lower().split():
+                h = hash_token(tok)
+                vec = np.array(
+                    [((h * (i + 1) * KNUTH) % MERSENNE_31) / MERSENNE_31 - 0.5 for i in range(dim)]
+                )
+                out_m[r] += vec
+            n = np.linalg.norm(out_m[r])
+            if n > 0:
+                out_m[r] /= n
+        return out_m
+
+    def hash_token(tok: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+
+    encode = model_fn or fake_encode
+
+    def fn(texts):
+        m = encode(list(texts))
+        return pd.Series([list(map(float, row)) for row in m])
+
+    import pandas as _pd
+
+    fn.__annotations__ = {"texts": _pd.Series, "return": _pd.Series}
+    udf = pandas_udf(fn, "array<double>")
+    return df.withColumn(out, udf(F.col(text_col)))

@@ -168,3 +168,31 @@ def profile_database(
     they can be submitted from concurrent driver threads; at local scale
     sequential submission is fine because each job saturates the cores."""
     return {t: profile_table(df, mode=mode, **kw) for t, df in tables.items()}
+
+
+def imputation_stats(
+    df: DataFrame, num_cols: list[str] = (), cat_cols: list[str] = ()
+) -> dict[str, tuple[str, object]]:
+    """A10 / N5 inputs: per-column imputation values — MEAN for numeric
+    columns, MOST_FREQUENT for categoricals (torch_frame ``StatType``
+    semantics, ``experiments/blueprint_instances/utils.py:26-33``).
+
+    One aggregation computes every mean AND every mode: modes use
+    ``mode()`` (Spark 3.4+), keeping this a single scan at any scale.
+    Returns a strategy dict consumable by
+    :func:`~..operators.embedder.impute_values`.
+    """
+    aggs: list[Column] = []
+    for c in num_cols:
+        aggs.append(F.avg(F.col(c)).alias(f"__mean__{c}"))
+    for c in cat_cols:
+        aggs.append(F.mode(F.col(c)).alias(f"__mode__{c}"))
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, tuple[str, object]] = {}
+    for c in num_cols:
+        out[c] = ("mean", row[f"__mean__{c}"])
+    for c in cat_cols:
+        out[c] = ("most_frequent", row[f"__mode__{c}"])
+    return out

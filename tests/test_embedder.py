@@ -52,3 +52,59 @@ def test_assemble_and_impute(spark):
     assert imp.collect()[0]["x"] == 7.5
     asm = assemble_features(imp, ["a", "b"])
     assert asm.collect()[0]["features"] == [1.0, 2.0, 3.0]
+
+
+def test_text_embedding_shape_and_determinism(db):
+    from deep_db_learning_spark.operators.embedder import text_embedding
+
+    docs = db.df("documents").limit(20)
+    out1 = {
+        r["doc_id"]: r["text_emb"]
+        for r in text_embedding(docs, "text", dim=8).collect()
+    }
+    out2 = {
+        r["doc_id"]: r["text_emb"]
+        for r in text_embedding(docs, "text", dim=8).collect()
+    }
+    assert out1 == out2
+    assert all(len(v) == 8 for v in out1.values())
+    # L2-normalized non-empty docs
+    import math
+
+    for v in out1.values():
+        n = math.sqrt(sum(x * x for x in v))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+def test_imputation_stats_and_apply(spark):
+    from deep_db_learning_spark.profiling.profiler import imputation_stats
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (3.0, "a"), (None, "b"), (None, None)],
+        "x double, c string",
+    )
+    strat = imputation_stats(df, num_cols=["x"], cat_cols=["c"])
+    assert strat["x"] == ("mean", 2.0)
+    assert strat["c"] == ("most_frequent", "a")
+    fixed = impute_values(df, strat)
+    rows = fixed.collect()
+    assert all(r["x"] is not None and r["c"] is not None for r in rows)
+
+
+def test_run_trials_concurrent(db):
+    from deep_db_learning_spark.plans import minimum_slice, run_trials
+
+    def trial(params):
+        return minimum_slice(
+            db.tables,
+            db.primary_keys,
+            db.foreign_keys,
+            target=("customer", "c_mktsegment"),
+            depth=params["depth"],
+            fit_model=False,
+        )
+
+    out = run_trials(trial, [{"depth": 1}, {"depth": 2}], max_concurrency=2)
+    assert len(out) == 2
+    assert all(not isinstance(r, Exception) for _, r in out)
+    assert len(out[1][1].features.columns) > len(out[0][1].features.columns)
