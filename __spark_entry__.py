@@ -542,6 +542,20 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """LLM ops: IVF (KMeans coarse quantizer, 3-probe) approximate
+    top-5 (rows-only check — recall vs brute force asserted in
+    tests/test_similarity.py)."""
+    db = _db(spark, sf_dir)
+    queries_df = (
+        db.df("embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    assigned, model = similarity.ivf_index(db.df("embeddings"), n_lists=8)
+    return similarity.ivf_topk(assigned, model, queries_df, k=5, n_probes=3)
+
+
 def q_events_hourly(spark, sf_dir):
     """Streaming extension (batch twin): tumbling-window user features."""
     db = _db(spark, sf_dir)
@@ -615,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_user_profile": q_events_user_profile,

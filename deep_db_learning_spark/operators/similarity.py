@@ -175,3 +175,79 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+):
+    """IVF coarse quantizer: MLlib KMeans centroids over (a sample of)
+    the corpus; returns (assigned corpus persisted with a ``list_id``
+    column, fitted model). Centroid fit is one MLlib job; assignment is
+    one pass. At 100 TB: fit on a sample, assign in the ingest job, and
+    persist ``list_id`` as a partition column so a probe prunes files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    prepared = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
+    )
+    fit_on = prepared if sample_fraction >= 1.0 else prepared.sample(sample_fraction, seed)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__fv", predictionCol="list_id").fit(fit_on)
+    assigned = model.transform(prepared).drop("__fv").persist()
+    return assigned, model
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    model,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """IVF probe: each query searches only its ``n_probes`` nearest
+    centroid lists — the candidate set shrinks ~n_lists/n_probes-fold
+    vs brute force. Centroids live on the driver (tiny); the probe is a
+    broadcast join of (query, list_id) pairs against the assigned
+    corpus, then exact cosine within candidates.
+    """
+    import numpy as np
+
+    centers = np.array(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )
+
+    def nearest_lists(v):
+        v = np.asarray(v, dtype=float)
+        d = ((centers - v) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:n_probes]]
+
+    spark = queries.sparkSession
+    qrows = queries.select(query_id, vec_col).collect()
+    probe_rows = [
+        (r[query_id], r[vec_col], int(l)) for r in qrows for l in nearest_lists(r[vec_col])
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id} bigint, __qvec array<double>, list_id int"
+    )
+    cands = corpus_assigned.join(broadcast(probes), "list_id").select(
+        query_id,
+        id_col,
+        cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(id_col))
+    out = cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if round_sim is not None:
+        out = out.withColumn("sim", F.round("sim", round_sim))
+    return out.select(query_id, id_col, "rank", "sim")

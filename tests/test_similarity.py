@@ -78,3 +78,26 @@ def test_embedding_neardup_exact_vs_lsh(spark):
     got_lsh = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
     assert (0, 100) in got_lsh  # same direction ⇒ same bucket always
     assert got_lsh <= got  # LSH can only miss, never invent
+
+
+def test_ivf_topk_recall_vs_brute_force(db):
+    from deep_db_learning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = db.df("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, model = ivf_index(emb, n_lists=8)
+    approx = ivf_topk(assigned, model, queries, k=5, n_probes=3)
+    exact = brute_force_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.4  # random vectors scatter; probes bound recall
+    # the probed candidate set is strictly smaller than the corpus
+    assert assigned.select("list_id").distinct().count() == 8

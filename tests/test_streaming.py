@@ -155,3 +155,70 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, db):
     }
     got = {(u, s.replace(tzinfo=None), e.replace(tzinfo=None), n) for u, s, e, n in got}
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    # three micro-batch files (maxFilesPerTrigger=1, forced mtime
+    # order). Batch 1's 06:00 event sets the watermark to 05:00 — which
+    # takes effect for the INPUT-DROP filter one batch later (Spark
+    # computes the watermark from completed batches): batch 2's late
+    # 00:20 event is still absorbed, batch 3's late 00:25 event is
+    # dropped. The finalized 00:00 window must count 2 events, not 3.
+    import os
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+
+    def write(name, ids, tss, off):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(tss),
+                "user_id": [1] * len(ids),
+                "event_type": ["view"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(d / name, coerce_timestamps="us")
+        now = _time.time()
+        os.utime(d / name, (now + off, now + off))
+
+    write("b1.parquet", [1, 2], ["2024-01-01 00:10:00", "2024-01-01 06:00:00"], -200)
+    write("b2.parquet", [3], ["2024-01-01 00:20:00"], -100)
+    write("b3.parquet", [4], ["2024-01-01 00:25:00"], 0)
+
+    from deep_db_learning_spark.streaming import hourly_user_features
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    agg = hourly_user_features(stream, watermark="1 hour")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    rows = spark.table("wm_test").collect()
+    hour0 = [r for r in rows if r["window_start"].hour == 0]
+    assert dropped == 1
+    assert [r["n_events"] for r in hour0] == [2]
