@@ -127,16 +127,108 @@ def decode_features(
     return media.mapInPandas(mapper, out_schema)
 
 
-def resize_stub(*_args, **_kw):
-    """Image resize kernel placeholder (needs Pillow/opencv)."""
-    raise NotImplementedError("image resize requires Pillow or opencv-python")
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    kernel: Callable[[bytes, int, int], bytes] | None = None,
+    use_fake: bool = False,
+    records_per_batch: int = 64,
+) -> DataFrame:
+    """Image resize over the media table: (media_id, content, meta) →
+    same schema with resized content and updated meta.width/height.
+
+    The Spark side — Arrow batch sizing, schema preservation, metadata
+    update — is real; the pixel kernel is a plug-in (``kernel``
+    receives (bytes, w, h), e.g. Pillow's ``Image.resize``). The fake
+    kernel truncates/pads bytes to w*h for plumbing tests.
+    """
+    if kernel is None and not use_fake:
+        raise NotImplementedError(
+            "image resize requires Pillow or opencv-python; pass kernel=... "
+            "or use_fake=True"
+        )
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch))
+
+    def fake_kernel(content: bytes, w: int, h: int) -> bytes:
+        content = content or b""
+        return (content * ((w * h) // max(1, len(content)) + 1))[: w * h]
+
+    fn = kernel or fake_kernel
+
+    def mapper(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = []
+            blobs = []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                m = dict(m)
+                m["width"], m["height"] = width, height
+                metas.append(m)
+                blobs.append(fn(c, width, height))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs, "meta": metas}
+            )
+
+    return media.mapInPandas(mapper, MEDIA_SCHEMA)
 
 
-def frame_sample_stub(*_args, **_kw):
-    """Video frame-sampling kernel placeholder (needs pyav/ffmpeg)."""
-    raise NotImplementedError("video frame sampling requires pyav or ffmpeg bindings")
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    kernel: Callable[[bytes, int], list[bytes]] | None = None,
+    use_fake: bool = False,
+    records_per_batch: int = 16,
+) -> DataFrame:
+    """Video frame sampling: one media row → ``n_frames`` rows of
+    (media_id, frame_idx, frame bytes) — the 1→N row expansion shape a
+    video pipeline needs (then each frame feeds :func:`decode_features`).
+
+    ``kernel(bytes, n) -> list[bytes]`` plugs in pyav/ffmpeg; the fake
+    splits the blob into n equal chunks (deterministic, shape-correct).
+    """
+    if kernel is None and not use_fake:
+        raise NotImplementedError(
+            "video frame sampling requires pyav or ffmpeg bindings; pass "
+            "kernel=... or use_fake=True"
+        )
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch))
+
+    def fake_kernel(content: bytes, n: int) -> list[bytes]:
+        content = content or b""
+        step = max(1, len(content) // n)
+        return [content[i * step : (i + 1) * step] for i in range(n)]
+
+    fn = kernel or fake_kernel
+
+    def mapper(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                for i, fr in enumerate(fn(c, n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(mapper, FRAME_SCHEMA)
 
 
 def audio_features_stub(*_args, **_kw):
-    """Audio feature kernel placeholder (needs torchaudio/librosa)."""
+    """Audio feature kernel placeholder (needs torchaudio/librosa);
+    the plumbing shape is :func:`decode_features` with a wav kernel."""
     raise NotImplementedError("audio features require torchaudio or librosa")

@@ -84,3 +84,50 @@ def test_multimodal_plumbing(spark):
     # deterministic
     again = {r["media_id"]: r["feature"] for r in multimodal.decode_features(media, dim=8, use_fake=True).collect()}
     assert got == again
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_features,
+        make_media_table,
+        resize_images,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789abcdef")), (2, bytearray(b"xyz"))],
+        "id bigint, blob binary",
+    )
+    media = make_media_table(df, "id", "blob", "video", "mp4")
+
+    # stubs raise without a kernel, by design
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 4, 4).collect()
+    with pytest.raises(NotImplementedError):
+        sample_frames(media).collect()
+
+    resized = resize_images(media, 4, 2, use_fake=True)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert rows["1"]["meta"]["width"] == 4 and rows["1"]["meta"]["height"] == 2
+    assert len(rows["1"]["content"]) == 8  # w*h bytes from the fake kernel
+    assert set(resized.columns) == {"media_id", "content", "meta"}
+
+    frames = sample_frames(media, n_frames=4, use_fake=True)
+    out = frames.collect()
+    assert len(out) == 8  # 2 media x 4 frames
+    assert {r["frame_idx"] for r in out} == {0, 1, 2, 3}
+    # frames feed the decode stage: 1->N then per-frame features
+    feat = decode_features(
+        frames.select(
+            F.concat(F.col("media_id"), F.lit("_"), F.col("frame_idx")).alias("media_id"),
+            F.col("frame").alias("content"),
+            F.lit(None).cast(
+                "struct<media_type:string,format:string,width:int,height:int,duration_ms:int>"
+            ).alias("meta"),
+        ),
+        dim=4,
+        use_fake=True,
+    )
+    assert feat.count() == 8
