@@ -216,8 +216,8 @@ def q_normalized_distinct(spark, sf_dir):
 
 def q_embed_customer(spark, sf_dir):
     """N1/N2/N4: dict-encode + embedding-lookup join + numeric linear
-    embed + concat to one feature vector per customer (rows-only check;
-    kernel math is unit-tested in tests/test_embedder.py)."""
+    embed + concat; the oracle reproduces the seeded-hash embedding
+    arithmetic verbatim (it is portable integer math)."""
     from deep_db_learning_spark.functions.vectors import norm
     from deep_db_learning_spark.operators.embedder import (
         assemble_features,
@@ -974,6 +974,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 200 AND b.vec_id < 200
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.32
+        """,
+        "embed_customer": """
+            WITH m AS (
+              SELECT v AS value, row_number() OVER (ORDER BY v) AS code
+              FROM (SELECT DISTINCT c_mktsegment AS v FROM customer
+                    WHERE c_mktsegment IS NOT NULL)
+            ),
+            enc AS (
+              SELECT c_custkey, c_acctbal, coalesce(m.code, 0) AS seg_code
+              FROM customer LEFT JOIN m ON c_mktsegment = m.value
+            )
+            SELECT c_custkey,
+                   round(sqrt(list_reduce(list_transform(
+                     list_concat(list_transform(range(0, 4), i -> ((seg_code::BIGINT * 4 + i + 42) * 2654435761) % 2147483647 / 2147483647::DOUBLE - 0.5), list_transform(range(0, 4), i -> coalesce(c_acctbal, 0.0) * (((i + 43) * 2654435761) % 2147483647 / 2147483647::DOUBLE - 0.5) + (((i + 49) * 2654435761) % 2147483647 / 2147483647::DOUBLE - 0.5))),
+                     x -> x * x), (a, b) -> a + b)), 6) AS feat_norm
+            FROM enc
         """,
         "events_hourly": f"""
             SELECT date_trunc('hour', ts) AS window_start, user_id,
