@@ -226,3 +226,31 @@ def load_jdbc(
             reader = reader.option("customSchema", custom_schemas[t])
         dfs[t] = reader.load()
     return Database(spark, dfs)
+
+
+def bucketed_checkpoint(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize ``df`` as a bucketed table and return the re-read.
+
+    The 100 TB join posture: node/edge frames that every training
+    iteration re-joins on the same key should be written ONCE bucketed
+    by that key — subsequent equi-joins between tables bucketed on the
+    join key execute with **zero shuffle** (SortMergeJoin reads
+    co-located buckets; `.explain` shows no Exchange). This is the
+    persisted-layout complement to the in-memory co-partitioning the
+    message-passing layers rely on.
+
+    Uses ``saveAsTable`` (bucket metadata needs a catalog table; plain
+    ``parquet(path)`` cannot carry it).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)

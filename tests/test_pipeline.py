@@ -63,3 +63,30 @@ def test_minimum_slice_mlp_decoder(db):
         decoder="mlp",
     )
     assert 0.0 <= res.metrics["accuracy"] <= 1.0
+
+
+def test_bucketed_checkpoint_joins_without_shuffle(spark, db, tmp_path):
+    from deep_db_learning_spark.sources.catalog import bucketed_checkpoint
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = bucketed_checkpoint(
+            db.df("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            "bt_orders",
+            ["o_custkey"],
+            n_buckets=4,
+        )
+        cust = bucketed_checkpoint(
+            db.df("customer").select("c_custkey", "c_mktsegment"),
+            "bt_customer",
+            ["c_custkey"],
+            n_buckets=4,
+        )
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located buckets: no shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
