@@ -237,3 +237,72 @@ def hetero_layer(
             acc = acc.join(p, "dst", "outer")
         out[dst_t] = acc
     return out
+
+
+def aggregate_neighbors_salted(
+    edges: DataFrame,
+    src_features: DataFrame,
+    feature_cols: list[str],
+    aggs: list[str] = ("mean",),
+    n_salts: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+    src_id: str = "node_id",
+    prefix: str = "",
+) -> DataFrame:
+    """A6 with explicit skew salting: a hub dst with millions of
+    in-edges puts its whole group in one task under plain groupBy. The
+    two-phase form — groupBy(dst, salt) partial → groupBy(dst) final —
+    spreads each hub over ``n_salts`` tasks.
+
+    Works because the supported messages are algebraic: sum/min/max/
+    count combine by sum/min/max/sum, and mean = final decimal sum ÷
+    final count. The decimal fold keeps the salted result
+    bitwise-identical to the unsalted one (decimal addition is
+    associative — that is the point of ``exact_agg``). AQE's skew-join
+    handling covers the JOIN side; this covers the AGGREGATION side.
+    """
+    dtypes = dict(src_features.dtypes)
+    feats = src_features.select(
+        F.col(src_id).alias(src), *[F.col(c) for c in feature_cols]
+    )
+    joined = edges.join(feats, src, "inner").withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(src), F.lit(17)), F.lit(n_salts))
+    )
+
+    partial_exprs, final_exprs = [], []
+    partial_names: set[str] = set()
+    for c in feature_cols:
+        is_float = dtypes.get(c) in _FLOATING
+        sum_part = (
+            F.sum(F.col(c).cast(DECIMAL_TYPE)) if is_float else F.sum(F.col(c))
+        )
+        for a in aggs:
+            if a in ("sum", "mean", "avg"):
+                pname = f"__psum_{c}"
+                if pname not in partial_names:
+                    partial_names.add(pname)
+                    partial_exprs.append(sum_part.alias(pname))
+            if a == "min":
+                partial_exprs.append(F.min(F.col(c)).alias(f"__pmin_{c}"))
+                final_exprs.append(F.min(f"__pmin_{c}").alias(f"{prefix}min_{c}"))
+            if a == "max":
+                partial_exprs.append(F.max(F.col(c)).alias(f"__pmax_{c}"))
+                final_exprs.append(F.max(f"__pmax_{c}").alias(f"{prefix}max_{c}"))
+    partial_exprs.append(F.count(F.lit(1)).alias("__pcnt"))
+
+    partial = joined.groupBy(dst, "__salt").agg(*partial_exprs)
+
+    for c in feature_cols:
+        is_float = dtypes.get(c) in _FLOATING
+        fsum = F.sum(f"__psum_{c}")
+        fsum_val = fsum.cast("double") if is_float else fsum
+        for a in aggs:
+            if a == "sum":
+                final_exprs.append(fsum_val.alias(f"{prefix}sum_{c}"))
+            elif a in ("mean", "avg"):
+                final_exprs.append(
+                    (fsum.cast("double") / F.sum("__pcnt")).alias(f"{prefix}{a}_{c}")
+                )
+    final_exprs.append(F.sum("__pcnt").alias(f"{prefix}degree"))
+    return partial.groupBy(dst).agg(*final_exprs)

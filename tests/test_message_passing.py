@@ -131,3 +131,20 @@ def test_fused_edge_aggregate_matches_generic(db):
     derived = g.nodes["orders"].select("node_id", "o_totalprice")
     via_features = g.aggregate_along_edge(et, ["o_totalprice"], ["mean", "sum"], features=derived)
     assert {tuple(r) for r in via_features.collect()} == b
+
+
+def test_salted_aggregate_bitwise_matches_plain(db):
+    from deep_db_learning_spark.operators.message_passing import (
+        aggregate_neighbors_salted,
+    )
+
+    orders, customer, edges = _cust_order_edges(db)
+    plain = aggregate_neighbors(
+        edges, orders, ["o_totalprice"], ["mean", "sum", "min", "max"]
+    )
+    salted = aggregate_neighbors_salted(
+        edges, orders, ["o_totalprice"], ["mean", "sum", "min", "max"], n_salts=8
+    )
+    a = {tuple(r) for r in plain.select(sorted(plain.columns)).collect()}
+    b = {tuple(r) for r in salted.select(sorted(salted.columns)).collect()}
+    assert a == b  # decimal fold => salting cannot change a single bit
