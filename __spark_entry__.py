@@ -496,6 +496,7 @@ def q_text_stats(spark, sf_dir):
         T.bpe_token_count(t).alias("bpe_tokens"),
         T.lang_id(t).alias("lang"),
         T.fingerprint_md5(t).alias("fp_md5"),
+        T.doc_fingerprint_min_md5("text", 8).alias("fp_minhash"),
     )
 
 
@@ -920,7 +921,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN position(' le ' IN ' ' || lower(text) || ' ') > 0 THEN 'fr'
                         WHEN position(' et ' IN ' ' || lower(text) || ' ') > 0 THEN 'fr'
                         ELSE 'und' END AS lang,
-                   md5(text) AS fp_md5
+                   md5(text) AS fp_md5,
+                   list_min(list_transform(
+                     CASE WHEN length(text) < 8 THEN [text]
+                       ELSE list_transform(range(1, length(text) - 6),
+                                           i -> substr(text, i, 8)) END,
+                     g -> substr(md5(g), 1, 16))) AS fp_minhash
             FROM documents
         """,
         "quality_scores": """

@@ -128,3 +128,34 @@ def doc_fingerprint_rolling(df, text_col: str, k: int = 8, out: str = "fingerpri
     grams = char_shingles(text_col, k, distinct=False)
     hashed = F.transform(grams, lambda g: F.xxhash64(g))
     return df.withColumn(out, F.array_min(hashed))
+
+
+def doc_fingerprint_min_md5(text_col: str, k: int = 8) -> Column:
+    """Portable twin of :func:`doc_fingerprint_rolling`: lexicographic
+    min of md5-prefix hex strings over char k-grams — a 1-permutation
+    minhash whose value is bit-identical across engines (md5 is md5),
+    so it IS SQL-oracle-checkable.
+
+    Physical form: Arrow-batched pandas UDF — the expression form
+    (``array_min(transform(md5..))``) evaluates the HOF lambda
+    interpreted per gram (~50µs each), ~40× slower than this kernel.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            grams = [t] if len(t) < k else (t[i : i + k] for i in range(len(t) - k + 1))
+            out.append(
+                min(hashlib.md5(g.encode("utf-8")).hexdigest()[:16] for g in grams)
+            )
+        return pd.Series(out)
+
+    fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(fn, "string")(F.col(text_col))
