@@ -129,8 +129,12 @@ def minimum_slice(
     # the feature lineage (profile + joins + aggs) would otherwise be
     # recomputed by the train assembly, the test assembly, and the
     # metrics job — materialize it once (the checkpoint a real training
-    # loop would write to Parquet, S9)
-    data = data.persist()
+    # loop would write to Parquet, S9). Coalesce first: the label-joined
+    # frame is target-table-sized (small), and each optimizer iteration
+    # is a treeAggregate over its partitions — 32 near-empty tasks × 20
+    # iterations is pure scheduler latency. On a cluster size this to
+    # rows/executor-target instead.
+    data = data.coalesce(8).persist()
 
     from pyspark.ml.classification import (
         LogisticRegression,
