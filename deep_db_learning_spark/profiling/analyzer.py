@@ -120,10 +120,45 @@ class SchemaAnalyzer:
         self._profiles: dict[str, dict[str, ColumnStats]] = {}
 
     # -- profiling ---------------------------------------------------------
+    def _stats_columns(self, table: str) -> list[str]:
+        """Columns whose decision actually consumes statistics.
+
+        Determined storage families (float/decimal, date, timestamp,
+        interval) resolve from the type alone (``schema_autodetect.py
+        :136-148``); lone-PK and non-composite-FK members return before
+        any profiling (``:454-467``); explicit omits never profile. What
+        remains — int/string columns on the cardinality tree, plus bool
+        (→ cat, needs ``card``) and the target — is typically a small
+        fraction of a wide fact table, and every dropped column removes
+        one row-multiplication from the Expand behind the exact
+        multi-column distinct."""
+        df = self.tables[table]
+        atomics = set(profilable_columns(df))
+        pk = set(self.primary_keys.get(table, []))
+        non_comp_fk = self._non_composite_fk_columns(table)
+        out: list[str] = []
+        for f in df.schema.fields:
+            c = f.name
+            if c not in atomics:
+                continue
+            is_target = (table, c) == self.target
+            if not is_target:
+                if (table, c) in self.omit:
+                    continue
+                if c in pk and len(pk) == 1:
+                    continue
+                if c in non_comp_fk:
+                    continue
+            family = _storage_family(f.dataType.simpleString())
+            if is_target or family in ("int", "string", "bool"):
+                out.append(c)
+        return out
+
     def profile(self, table: str) -> dict[str, ColumnStats]:
         if table not in self._profiles:
             self._profiles[table] = profile_table(
                 self.tables[table],
+                columns=self._stats_columns(table),
                 mode=self.profile_mode,
                 thresholds=(FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD,),
                 max_card=MAXIMUM_CARDINALITY_THRESHOLD,

@@ -101,6 +101,35 @@ def profilable_columns(df: DataFrame) -> list[str]:
     ]
 
 
+def _input_size_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the scan's input files, or None when unknown
+    (non-local scheme, no file source). Used to decide whether spreading
+    the scan is worth a shuffle — a driver-side stat call, no job."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    return total
+
+
+# below this input size the Expand agg is cheaper than the repartition
+# shuffle it would take to spread it (single-digit MB = well under one
+# task's comfortable workload)
+_REPARTITION_MIN_BYTES = 16 << 20
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -125,9 +154,11 @@ def profile_table(
     # the Expand behind multi-column count_distinct multiplies rows by
     # #columns, and with one input partition that all lands on one core
     df = df.select(cols)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    size = _input_size_bytes(df)
+    if size is None or size > _REPARTITION_MIN_BYTES:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     if mode == "exact":
         row = df.agg(*_exact_aggs(cols)).collect()[0]
         return _row_to_stats(row, cols, approximate=False)
