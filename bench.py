@@ -53,9 +53,18 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # warm the JVM + file listing with a trivial action (not timed)
+    # warm the JVM + file listing with a trivial action (not timed),
+    # and fork the Python/Arrow worker pool once so the first pandas-UDF
+    # query measures the operator, not 32 interpreter cold-starts
     for t in db.get_tables():
         db.df(t).limit(1).count()
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+    spark.range(64).repartition(int(cpus)).select(_warm(col("id"))).count()
 
     # B1: full-DB schema inference (single profiling pass per table)
     timed(

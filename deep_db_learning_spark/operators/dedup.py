@@ -1,8 +1,10 @@
 """Deduplication operators for training-data pipelines (extension —
 no reference counterpart; SURVEY §7.8 north star, BASELINE.json).
 
-All hot paths are JVM expressions (higher-order functions over arrays),
-no Python UDFs:
+Set-oriented throughout; per-row math-dense kernels (shingle hashing,
+minhash signatures) are Arrow-batched pandas UDFs — Spark evaluates
+nested higher-order lambdas interpreted per element, so the expression
+twins exist for oracle parity, not for the hot path:
 
 - **exact**: content-hash groupBy — one shuffle on the hash.
 - **MinHash + LSH**: char-shingles → portable 32-bit shingle hashes →
@@ -69,6 +71,38 @@ def shingle_hashes(text_col: str, k: int = 5) -> "F.Column":
     return F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
     )
+
+
+def shingle_hashes_pandas(
+    df: DataFrame, text_col: str, k: int = 5, out: str = "sh"
+) -> DataFrame:
+    """Arrow-batched twin of :func:`shingle_hashes` — value-identical
+    md5-prefix hashes of distinct char k-grams (element order differs;
+    all consumers use set semantics). Spark evaluates higher-order
+    lambdas interpreted per element, so the expression form pays ~µs per
+    gram in the JVM; the batched Python loop with ``hashlib`` is ~5-10×
+    faster and is the hot-path form."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sh_fn(texts):
+        res = []
+        for t in texts:
+            if t is None:
+                res.append(None)
+                continue
+            grams = (
+                {t} if len(t) < k else {t[i : i + k] for i in range(len(t) - k + 1)}
+            )
+            res.append(
+                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams]
+            )
+        return pd.Series(res)
+
+    sh_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(out, pandas_udf(sh_fn, "array<bigint>")(F.col(text_col)))
 
 
 def minhash_signature(
@@ -217,11 +251,24 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to
     6 decimals for cross-engine comparability.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingle_hashes(text_col, shingle_k).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-
     if candidates is not None:
+        # shingle ONLY docs that appear in a candidate pair (semi-join
+        # first): after LSH pruning that's a tiny fraction of the corpus
+        # — the decisive reduction at scale — and persist so both join
+        # sides share one computation
+        ids = (
+            candidates.select(F.col("id_a").alias("doc"))
+            .union(candidates.select(F.col("id_b").alias("doc")))
+            .distinct()
+        )
+        needed = df.select(F.col(id_col).alias("doc"), text_col).join(
+            ids, "doc", "leftsemi"
+        )
+        sh = (
+            shingle_hashes_pandas(needed, text_col, shingle_k)
+            .select("doc", "sh", F.size("sh").alias("n_sh"))
+            .persist()
+        )
         a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
         b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
         j = (
@@ -235,6 +282,10 @@ def ngram_jaccard_pairs(
             )
         )
         return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+    sh = shingle_hashes_pandas(
+        df.select(F.col(id_col).alias("doc"), text_col), text_col, shingle_k
+    ).select("doc", "sh", F.size("sh").alias("n_sh"))
 
     ex = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
     a = ex.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
