@@ -589,6 +589,53 @@ def q_events_props_json(spark, sf_dir):
     )
 
 
+def q_events_asof_purchase(spark, sf_dir):
+    """Temporal extension: backward as-of join — each event annotated
+    with the user's most recent purchase (value + its timestamp) at
+    event time. Union + single window pass, one shuffle on the key."""
+    from deep_db_learning_spark.operators.temporal import asof_join
+
+    db = _db(spark, sf_dir)
+    ev = db.df("events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", payload=["purchase_value"]
+    ).withColumnRenamed("ts_asof", "purchase_ts")
+
+
+def q_events_conversion_window(spark, sf_dir):
+    """Temporal extension: range join — purchases falling in the hour
+    after a click by the same user (conversion attribution), aggregated
+    per click. Binned equi-join + exact residual predicate."""
+    from deep_db_learning_spark.operators.temporal import range_join
+
+    db = _db(spark, sf_dir)
+    ev = db.df("events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+        )
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = range_join(
+        purchases, clicks, on="user_id", left_point="ts",
+        right_start="start_ts", right_end="end_ts", bin_width="1 hour",
+    )
+    return j.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        exact_sum("value").alias("conv_value"),
+    )
+
+
 def q_customer_features(spark, sf_dir):
     """Flagship feature table (entry() at driver-chosen sf)."""
     return _customer_features(spark, sf_dir)
@@ -635,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_user_profile": q_events_user_profile,
         "events_props_json": q_events_props_json,
+        "events_asof_purchase": q_events_asof_purchase,
+        "events_conversion_window": q_events_conversion_window,
         "customer_features": q_customer_features,
     }
 
@@ -1034,6 +1083,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
             FROM events
+        """,
+        "events_asof_purchase": """
+            WITH u AS (
+              SELECT user_id, ts AS uts, 1 AS side, event_id,
+                     NULL AS pv, NULL AS pts
+              FROM events
+              UNION ALL
+              SELECT user_id, ts, 0, NULL, value, ts
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, uts, side, event_id,
+                     last_value(pv IGNORE NULLS) OVER w AS purchase_value,
+                     last_value(pts IGNORE NULLS) OVER w AS purchase_ts
+              FROM u
+              WINDOW w AS (PARTITION BY user_id ORDER BY uts, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, uts AS ts, purchase_value, purchase_ts
+            FROM c WHERE side = 1
+        """,
+        "events_conversion_window": f"""
+            SELECT c.event_id AS click_id, count(*) AS conversions,
+                   {exact_sum_sql('p.value')} AS conv_value
+            FROM events c JOIN events p ON p.user_id = c.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+            GROUP BY 1
         """,
         "customer_features": f"""
             WITH ord AS (

@@ -61,9 +61,13 @@ def main() -> None:
     import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 
-    @pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
+    def _warm_fn(s):
         return s
+
+    # real (non-stringized) annotations: `from __future__ import
+    # annotations` above would break pandas_udf type-hint inference
+    _warm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _warm = pandas_udf(_warm_fn, "long")
     spark.range(64).repartition(int(cpus)).select(_warm(col("id"))).count()
 
     # B1: full-DB schema inference (single profiling pass per table)

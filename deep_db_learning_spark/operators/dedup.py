@@ -255,7 +255,10 @@ def ngram_jaccard_pairs(
         # shingle ONLY docs that appear in a candidate pair (semi-join
         # first): after LSH pruning that's a tiny fraction of the corpus
         # — the decisive reduction at scale — and persist so both join
-        # sides share one computation
+        # sides share one computation. The candidate frame itself is
+        # consumed three times (two id projections + the verify join);
+        # persist it or the LSH join chain runs three times.
+        candidates = candidates.persist()
         ids = (
             candidates.select(F.col("id_a").alias("doc"))
             .union(candidates.select(F.col("id_b").alias("doc")))

@@ -1,0 +1,208 @@
+"""Temporal joins — as-of and range joins over event streams.
+
+The reference has no theta/range/as-of joins (all its joins are FK
+equi-joins, SURVEY §2.3); these are the extension the `events` table
+exists for: state-at-time lookups (as-of) and interval containment
+(range) are the two temporal primitives a training-data pipeline needs
+that Spark has no single built-in operator for.
+
+Both are implemented as compositions of existing DataFrame ops with
+scale-safe physical shapes:
+
+- **as-of join**: union the two inputs, one window pass per key ordered
+  by time, ``last(payload, ignorenulls)`` carries the most recent right
+  row forward onto each left row. ONE shuffle on the key, zero join
+  explosion — contrast with the naive ``left.join(right, key).filter(
+  r.ts <= l.ts)`` + row_number, which materializes |L|×|R per key|
+  intermediate rows. Skewed keys cost one window partition each; salt
+  upstream if a single key exceeds an executor.
+- **range join**: equi-join on (key, time-bin) + exact residual
+  predicate. Each right interval explodes to the bins it covers
+  (``sequence``), each left point belongs to exactly one bin, so the
+  bin join finds every containing interval exactly once — no
+  cross-product, no duplicate pairs. Choose ``bin_width`` ≈ the typical
+  interval length: wider bins → fewer exploded rows but more residual
+  filtering; narrower → the reverse. This is the same binned-overlap
+  strategy Databricks' range-join optimization applies from a hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    payload: list[str] | None = None,
+    suffix: str = "_asof",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the payload of the
+    latest right row of the same key with ``right.ts <= left.ts``
+    (``<`` when ``inclusive=False``). Left-outer semantics — left rows
+    before any right row keep NULL payload.
+
+    The matched right timestamp is returned as ``{right_ts}{suffix}``
+    alongside the payload columns (suffixed on name collisions).
+
+    Ties: among right rows sharing (key, ts) the result is the one last
+    in the union order — supply pre-deduplicated right input (e.g.
+    ``dropDuplicates([key, ts])``) when (key, ts) is not unique and
+    determinism matters.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if payload is None:
+        payload = [c for c in right.columns if c not in keys and c != right_ts]
+    pay_out = {
+        p: (p + suffix if p in left.columns else p) for p in payload
+    }
+    ts_out = right_ts + suffix if right_ts in left.columns or right_ts == left_ts else right_ts
+
+    left_cols = [c for c in left.columns]
+    # union frame: keys, event time, side marker, left columns (NULL on
+    # right rows), payload columns (NULL on left rows)
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__p__ts"),
+    )
+    # inclusive: right rows sort BEFORE left rows at equal ts (they are
+    # visible to it); exclusive: after (they are not)
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if inclusive else 2).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+        F.col(right_ts).alias("__p__ts"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_side.unionByName(r_side).select(
+        "*",
+        *[
+            F.last(F.col(f"__p_{p}"), ignorenulls=True).over(w).alias(f"__c_{p}")
+            for p in payload
+        ],
+        F.last(F.col("__p__ts"), ignorenulls=True).over(w).alias("__c__ts"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"__c_{p}").alias(pay_out[p]) for p in payload],
+        F.col("__c__ts").alias(ts_out),
+    )
+
+
+def asof_join_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    payload: list[tuple[str, str]],
+    ts_alias: str,
+    inclusive: bool = True,
+) -> str:
+    """ANSI-SQL twin of :func:`asof_join` (same union + window shape,
+    runs on DuckDB) for oracle checks. ``payload`` is (column, alias)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    key_list = ", ".join(keys)
+    side = "0" if inclusive else "2"
+    l_pay_nulls = ",\n           ".join(
+        f"NULL AS __p_{c}" for c, _ in payload
+    )
+    r_pay = ",\n           ".join(f"{c} AS __p_{c}" for c, _ in payload)
+    l_cols = ", ".join(left_cols)
+    l_null_cols = ", ".join(f"NULL AS {c}" for c in left_cols)
+    carried = ",\n           ".join(
+        f"last_value(__p_{c} IGNORE NULLS) OVER w AS {alias}" for c, alias in payload
+    )
+    return f"""
+    WITH u AS (
+        SELECT {key_list}, {left_ts} AS __ts, 1 AS __side, {l_cols},
+           {l_pay_nulls}, NULL AS __p__ts
+        FROM ({left_sql})
+        UNION ALL
+        SELECT {key_list}, {right_ts} AS __ts, {side} AS __side, {l_null_cols},
+           {r_pay}, {right_ts} AS __p__ts
+        FROM ({right_sql})
+    ), c AS (
+        SELECT *,
+           {carried},
+           last_value(__p__ts IGNORE NULLS) OVER w AS {ts_alias}
+        FROM u
+        WINDOW w AS (PARTITION BY {key_list} ORDER BY __ts, __side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT {l_cols}, {", ".join(a for _, a in payload)}, {ts_alias}
+    FROM c WHERE __side = 1
+    """
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: pair each left row with every right
+    row of the same key whose half-open interval
+    ``[right_start, right_end)`` contains ``left_point``.
+
+    Physical shape: explode each right interval to its covering
+    time-bins, equi-join on (keys, bin), residual-filter the exact
+    predicate. The bin join is a plain hash join Catalyst can plan
+    (broadcast/AQE apply); nothing is quadratic. Each (left, right)
+    match arises from exactly one bin (the left point's), so no
+    dedup pass is needed. ``how="left"`` keeps match-less left rows.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    width = F.expr(f"INTERVAL {bin_width}")
+    width_us = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + width)
+
+    def _us(c: str) -> Column:
+        # unix_micros requires TIMESTAMP; NTZ casts through the session
+        # zone — monotonic and applied identically to both sides, so bin
+        # assignment stays consistent (the residual predicate is exact
+        # on the original values regardless)
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    l_bin = F.floor(_us(left_point) / width_us).cast("bigint")
+    r_bins = F.sequence(
+        F.floor(_us(right_start) / width_us).cast("bigint"),
+        # end is exclusive, but a point in the end's bin can still be
+        # < end, so cover through the end bin
+        F.floor(_us(right_end) / width_us).cast("bigint"),
+    )
+    l = left.withColumn("__bin", l_bin)
+    r = right.withColumn("__bin", F.explode(r_bins))
+    joined = l.join(r, [*keys, "__bin"], "inner").filter(
+        (F.col(right_start) <= F.col(left_point))
+        & (F.col(left_point) < F.col(right_end))
+    )
+    out = joined.drop("__bin")
+    if how == "inner":
+        return out
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_only = [c for c in right.columns if c not in set(left.columns)]
+    return left.join(
+        out.select(*left.columns, *right_only), list(left.columns), "left"
+    )

@@ -1,0 +1,125 @@
+"""As-of and range joins (operators/temporal.py) — correctness vs a
+naive theta-join formulation on the smoke data, plus tie semantics on
+crafted rows."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def events(db):
+    return db.df("events").select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def test_asof_matches_naive(events):
+    left = events.select("event_id", "user_id", "ts")
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    got = asof_join(
+        left, right, on="user_id", left_ts="ts", payload=["value"],
+        suffix="_p",
+    )
+    # naive: max right ts <= left ts per left row, then fetch its value
+    naive = (
+        left.alias("l")
+        .join(right.alias("r"), "user_id", "left")
+        .filter(F.col("r.ts") <= F.col("l.ts"))
+        .groupBy("event_id")
+        .agg(F.max(F.col("r.ts")).alias("ts_p"))
+    )
+    naive_full = (
+        left.join(naive, "event_id", "left")
+        .join(
+            right.select(
+                "user_id", F.col("ts").alias("ts_p"), F.col("value")
+            ),
+            ["user_id", "ts_p"],
+            "left",
+        )
+    )
+    g = {r["event_id"]: (r["value"], r["ts_p"]) for r in got.collect()}
+    n = {r["event_id"]: (r["value"], r["ts_p"]) for r in naive_full.collect()}
+    assert g == n
+    # left-outer: every left row present
+    assert len(g) == left.count()
+
+
+def test_asof_tie_semantics(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=dt.datetime(2024, 1, 1, 10, 0, 0), lid=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=dt.datetime(2024, 1, 1, 9, 0, 0), v=1.0),
+            Row(k=1, ts=dt.datetime(2024, 1, 1, 10, 0, 0), v=2.0),
+        ]
+    )
+    inc = asof_join(left, right, on="k", left_ts="ts", payload=["v"]).collect()[0]
+    assert inc["v"] == 2.0  # equal ts visible when inclusive
+    exc = asof_join(
+        left, right, on="k", left_ts="ts", payload=["v"], inclusive=False
+    ).collect()[0]
+    assert exc["v"] == 1.0  # equal ts hidden when exclusive
+    # left row before any right row keeps NULL payload
+    early = spark.createDataFrame(
+        [Row(k=1, ts=dt.datetime(2024, 1, 1, 8, 0, 0), lid=2)]
+    )
+    none = asof_join(early, right, on="k", left_ts="ts", payload=["v"]).collect()[0]
+    assert none["v"] is None and none["ts_asof"] is None
+
+
+def test_range_join_matches_naive(events):
+    # purchases within [click.ts, click.ts + 1h) of the same user
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    got = range_join(
+        purchases, clicks, on="user_id", left_point="ts",
+        right_start="start_ts", right_end="end_ts", bin_width="1 hour",
+    ).select("click_id", "purchase_id")
+    naive = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("start_ts") <= F.col("ts")) & (F.col("ts") < F.col("end_ts"))
+        )
+        .select("click_id", "purchase_id")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    assert got.count() > 0  # the fixture actually exercises matches
+
+
+def test_range_join_bin_width_invariance(events):
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    outs = [
+        sorted(
+            map(
+                tuple,
+                range_join(
+                    purchases, clicks, on="user_id", left_point="ts",
+                    right_start="start_ts", right_end="end_ts", bin_width=w,
+                ).select("click_id", "purchase_id").collect(),
+            )
+        )
+        for w in ("13 minutes", "1 hour", "6 hours")
+    ]
+    assert outs[0] == outs[1] == outs[2]
