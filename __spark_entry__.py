@@ -377,6 +377,49 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + aggregate — the predicate-pushdown
+    showcase (all three filters reach the parquet scan)."""
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """O-family extension (no top-k in reference): deterministic top-3
+    orders by totalprice per customer — one row_number window, single
+    shuffle on the group key, no global sort."""
+    from deep_db_learning_spark.operators.sampling import top_k_per_group
+
+    db = _db(spark, sf_dir)
+    return top_k_per_group(
+        db.df("orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_by="o_custkey",
+        order_by="o_totalprice",
+        k=3,
+        tiebreak="o_orderkey",
+        rank_col="rank",
+    )
+
+
+def q_events_sliding(spark, sf_dir):
+    """Streaming extension (batch twin): sliding-window user features —
+    1h windows every 15min; each event lands in 4 windows."""
+    from deep_db_learning_spark.streaming import sliding_user_features
+
+    db = _db(spark, sf_dir)
+    return sliding_user_features(db.df("events"))
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape: join + agg + deterministic top-10."""
     db = _db(spark, sf_dir)
@@ -665,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_sliding": q_events_sliding,
         "graph_stats": q_graph_stats,
         "convert_orders": q_convert_orders,
         "multilabel_event_types": q_multilabel_event_types,
@@ -907,6 +953,35 @@ def oracle_sql() -> dict[str, str]:
               JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
+        """,
+        "tpch_q6": f"""
+            SELECT {exact_sum_sql('l_extendedprice * l_discount')} AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders
+            ) WHERE rank <= 3
+        """,
+        "events_sliding": f"""
+            WITH w AS (
+              SELECT make_timestamp(k * 900 * 1000000) AS window_start,
+                     user_id, value
+              FROM events, unnest(generate_series(
+                    CAST(floor(epoch(ts)/900) AS BIGINT) - 3,
+                    CAST(floor(epoch(ts)/900) AS BIGINT), 1)) AS t(k)
+            )
+            SELECT window_start, user_id, count(*) AS n_events,
+                   {exact_sum_sql('value')} AS sum_value
+            FROM w GROUP BY 1, 2
         """,
         "graph_stats": graph_stats,
         "convert_orders": """

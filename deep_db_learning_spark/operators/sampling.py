@@ -57,6 +57,36 @@ def sample_neighbors(
     )
 
 
+def top_k_per_group(
+    df: DataFrame,
+    group_by: list[str] | str,
+    order_by: list[str] | str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic top-k rows per group (extension — the reference has
+    no ORDER BY/top-k at all, SURVEY §2.5).
+
+    Same physical shape as :func:`sample_neighbors`: one
+    ``row_number`` window per group — a single shuffle on the group
+    key; no global sort. ``tiebreak`` (always ascending) pins a total
+    order when ``order_by`` has duplicates — without it top-k on a
+    tied boundary is engine-dependent. ``rank_col`` optionally exposes
+    the 1-based rank in the output."""
+    groups = [group_by] if isinstance(group_by, str) else list(group_by)
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    keys = [F.col(c).desc() if descending else F.col(c).asc() for c in orders]
+    if tiebreak is not None:
+        keys.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*groups).orderBy(*keys)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col is None:
+        return out.drop("__rn")
+    return out.withColumnRenamed("__rn", rank_col)
+
+
 def sample_neighbors_all(
     edges: dict[str, DataFrame], k: int, seed: int = 42
 ) -> dict[str, DataFrame]:

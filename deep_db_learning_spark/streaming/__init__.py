@@ -4,6 +4,7 @@ from .events import (
     read_events_stream,
     run_stream_to_memory,
     session_stats,
+    sliding_user_features,
     sessionize,
     user_profile_features,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
     "session_stats",
+    "sliding_user_features",
     "sessionize",
     "stream_sessionize",
     "user_profile_features",

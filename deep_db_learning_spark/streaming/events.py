@@ -111,6 +111,34 @@ def hourly_user_features(
     )
 
 
+def sliding_user_features(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-user features: each event contributes to
+    ``window_len / slide`` overlapping windows (Spark expands them in
+    the window generator — no self-join). Batch and streaming share the
+    plan exactly like :func:`hourly_user_features`."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window_len, slide).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def user_profile_features(events: DataFrame) -> DataFrame:
     """Whole-history per-user profile — the node-store feature join for
     the customer graph (FK events.user_id → customer.c_custkey)."""

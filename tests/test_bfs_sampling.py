@@ -86,3 +86,16 @@ def test_random_node_split(db):
     # deterministic
     out2 = random_node_split(customer, fractions=(0.5, 0.2, 0.3), seed=42)
     assert out.select("node_id", "split").collect() == out2.select("node_id", "split").collect()
+
+
+def test_top_k_per_group_ties_deterministic(spark):
+    from deep_db_learning_spark.operators.sampling import top_k_per_group
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g=1, id=i, v=float(v)) for i, v in enumerate([5.0, 5.0, 5.0, 3.0])]
+    )
+    out = top_k_per_group(df, "g", "v", k=2, tiebreak="id", rank_col="rank")
+    rows = sorted((r["id"], r["rank"]) for r in out.collect())
+    # tied values resolve by ascending id - always ids 0 and 1
+    assert rows == [(0, 1), (1, 2)]

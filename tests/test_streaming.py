@@ -222,3 +222,59 @@ def test_watermark_drops_late_data(spark, tmp_path):
     hour0 = [r for r in rows if r["window_start"].hour == 0]
     assert dropped == 1
     assert [r["n_events"] for r in hour0] == [2]
+
+
+def test_sliding_streaming_matches_batch(spark, db):
+    from deep_db_learning_spark.streaming import sliding_user_features
+
+    batch = sliding_user_features(db.df("events"))
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    agg = sliding_user_features(stream, watermark="10 hours")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sliding_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r["window_start"], r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.table("sliding_test").collect()
+    }
+    want = {
+        (r["window_start"], r["user_id"], r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # every event lands in exactly len/slide = 4 windows
+    n_events = db.df("events").count()
+    assert sum(r["n_events"] for r in batch.collect()) == 4 * n_events
+
+
+def test_streaming_dedup_within_watermark(spark, db):
+    """Streaming twin of exact dedup: dropDuplicatesWithinWatermark on
+    the content hash — the unbounded-stream form of the dedup family
+    (state is bounded by the watermark, unlike dropDuplicates)."""
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    deduped = (
+        stream.withWatermark("ts", "10 hours")
+        .withColumn("h", F.md5(F.concat_ws("|", "user_id", "event_type")))
+        .dropDuplicatesWithinWatermark(["h"])
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.table("dedup_stream_test")
+    # one survivor per (user_id, event_type) pair — matches batch distinct
+    want = db.df("events").select("user_id", "event_type").distinct().count()
+    assert got.count() == want
