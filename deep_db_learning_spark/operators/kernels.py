@@ -162,3 +162,143 @@ def intersample_attention(
 
     schema = f"{id_col} bigint, {out} array<double>"
     return df.select(id_col, features).mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------- tabular
+# model-zoo kernels (N22 TabNet, N23 Trompt). The reference ships full
+# torch training modules (nn/models/tabular/tabnet.py:15-308,
+# nn/models/tabular/trompt.py:9-82); the engine's contract is the
+# inference dataflow as deterministic Arrow kernels — seeded-hash
+# parameters exactly like operators/embedder.py, training stays with
+# the trainer hand-off. Both are per-ROW kernels: no shuffle, they run
+# inside the scan stage at any scale.
+
+
+def _seeded_matrix(rng_key: int, rows: int, cols: int, scale: float):
+    """Deterministic dense parameter block: a counter-based generator
+    seeded by (rng_key, rows, cols) — same values on every executor
+    without shipping state. Seed derives from md5, NOT Python ``hash``
+    (which is salted per process and would give every worker different
+    parameters)."""
+    import hashlib
+
+    import numpy as np
+
+    digest = hashlib.md5(repr((rng_key, rows, cols)).encode()).hexdigest()
+    rng = np.random.default_rng(int(digest[:15], 16))
+    return rng.uniform(-scale, scale, size=(rows, cols))
+
+
+def sparsemax(z):
+    """Sparse softmax (Martins & Astudillo 2016): Euclidean projection
+    of each row onto the probability simplex — the mask nonlinearity of
+    TabNet's AttentiveTransformer. Rows sum to 1 with exact zeros."""
+    import numpy as np
+
+    z = np.asarray(z, dtype=np.float64)
+    srt = np.sort(z, axis=-1)[..., ::-1]
+    cum = np.cumsum(srt, axis=-1) - 1.0
+    ks = np.arange(1, z.shape[-1] + 1)
+    support = srt - cum / ks > 0
+    k = support.sum(axis=-1, keepdims=True)
+    tau = np.take_along_axis(cum, k - 1, axis=-1) / k
+    return np.maximum(z - tau, 0.0)
+
+
+def tabnet_encode(
+    col: Column,
+    out_channels: int,
+    num_layers: int = 3,
+    feat_channels: int = 8,
+    attn_channels: int = 8,
+    gamma: float = 1.2,
+    seed: int = 42,
+) -> Column:
+    """N22 TabNet encoder dataflow (``nn/models/tabular/tabnet.py:76-110``)
+    over a flat ``array<float>`` feature row: per step, an attentive
+    transformer produces a **sparsemax feature mask** scaled by the
+    running prior, the masked input passes a GLU feature transformer,
+    ReLU'd splits accumulate, and the prior decays by (γ − mask).
+    BatchNorm/GhostBN are training-time statistics and live with the
+    trainer."""
+
+    def glu_block(x, w, b):
+        import numpy as np
+
+        h = x @ w + b
+        half = h.shape[-1] // 2
+        return h[..., :half] * (1.0 / (1.0 + np.exp(-h[..., half:])))
+
+    def fn(v):
+        import numpy as np
+        import pandas as pd
+
+        xs = _stack(v)  # [batch, in_ch]
+        in_ch = xs.shape[1]
+        split = feat_channels + attn_channels
+        scale = 1.0 / math.sqrt(max(in_ch, 1))
+        w_feat = [
+            _seeded_matrix((seed, "feat", i), in_ch, 2 * split, scale)
+            for i in range(num_layers + 1)
+        ]
+        b_feat = [
+            _seeded_matrix((seed, "featb", i), 1, 2 * split, scale)[0]
+            for i in range(num_layers + 1)
+        ]
+        w_attn = [
+            _seeded_matrix((seed, "attn", i), attn_channels, in_ch, scale)
+            for i in range(num_layers)
+        ]
+        w_out = _seeded_matrix((seed, "out"), feat_channels, out_channels, scale)
+
+        prior = np.ones_like(xs)
+        attention_x = glu_block(xs, w_feat[0], b_feat[0])[..., feat_channels:]
+        acc = np.zeros((xs.shape[0], feat_channels))
+        for i in range(num_layers):
+            mask = sparsemax((attention_x @ w_attn[i]) * prior)
+            h = glu_block(mask * xs, w_feat[i + 1], b_feat[i + 1])
+            acc += np.maximum(h[..., :feat_channels], 0.0)
+            attention_x = h[..., feat_channels:]
+            prior = (gamma - mask) * prior
+        res = acc @ w_out
+        return pd.Series([r.tolist() for r in res])
+
+    return _pandas_udf(fn, "array<double>")(col)
+
+
+def trompt_encode(
+    col: Column,
+    num_prompts: int = 4,
+    num_layers: int = 2,
+    seed: int = 42,
+) -> Column:
+    """N23 Trompt encoder dataflow (``nn/models/tabular/trompt.py:9-55``)
+    over a row's ``array<array<float>>`` column embeddings: per layer, a
+    prompt bank attends over the row's columns (softmax importance) and
+    is rebuilt as the importance-weighted column mix plus residual;
+    the stacked per-layer prompts (flattened) are the encoding — the
+    decoder's per-layer mean is the reference's
+    ``TromptDecoder.forward`` (``trompt.py:66-82``)."""
+
+    def fn(v):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for x in v:
+            m = _stack(x)  # [n_cols, ch]
+            ch = m.shape[1]
+            prompt = _seeded_matrix((seed, "prompt"), num_prompts, ch, 0.01)
+            outs = []
+            for i in range(num_layers):
+                w = _seeded_matrix((seed, "conv", i), ch, ch, 1.0 / math.sqrt(ch))
+                scores = (prompt @ w) @ m.T / math.sqrt(ch)
+                scores -= scores.max(axis=1, keepdims=True)
+                imp = np.exp(scores)
+                imp /= imp.sum(axis=1, keepdims=True)
+                prompt = prompt + imp @ m
+                outs.append(prompt.copy())
+            out.append(np.concatenate(outs, axis=0).tolist())
+        return pd.Series(out)
+
+    return _pandas_udf(fn, "array<array<double>>")(col)

@@ -1,0 +1,56 @@
+"""N25 experiment-tracking sink and N29 search strategies."""
+
+import math
+
+from deep_db_learning_spark.plans.tracking import ExperimentTracker, load_runs
+from deep_db_learning_spark.plans.tuning import (
+    run_trials,
+    sample_space,
+    successive_halving,
+)
+
+
+def test_tracker_best_and_roundtrip(tmp_path):
+    p = str(tmp_path / "run.jsonl")
+    with ExperimentTracker(p, "t1", modes={"loss": "min", "acc": "max"}) as tr:
+        tr.log_params({"lr": 0.1, "layers": 2})
+        tr.log_metrics({"loss": 1.0, "acc": 0.5})
+        tr.log_metrics({"loss": 0.4, "acc": 0.7})
+        tr.log_metrics({"loss": 0.6, "acc": 0.6})
+        assert tr.best == {"loss": 0.4, "acc": 0.7}
+    events = load_runs(p)
+    kinds = [e["kind"] for e in events]
+    assert kinds == ["params", "metrics", "metrics", "metrics", "best"]
+    assert events[-1]["metrics"] == {"loss": 0.4, "acc": 0.7}
+    assert events[1]["step"] == 0 and events[3]["step"] == 2
+
+
+def test_sample_space_deterministic():
+    space = {"lr": [0.1, 0.01], "dim": [8, 16, 32]}
+    a = sample_space(space, 5, seed=1)
+    b = sample_space(space, 5, seed=1)
+    assert a == b
+    assert all(c["lr"] in space["lr"] and c["dim"] in space["dim"] for c in a)
+
+
+def test_run_trials_isolates_failures():
+    def fn(p):
+        if p["x"] == 2:
+            raise ValueError("boom")
+        return p["x"] * 10
+
+    out = run_trials(fn, [{"x": 1}, {"x": 2}, {"x": 3}])
+    assert out[0][1] == 10 and out[2][1] == 30
+    assert isinstance(out[1][1], ValueError)
+
+
+def test_successive_halving_converges():
+    # score = -(x - 3)^2, noiseless: halving must keep x=3
+    def fn(p, budget):
+        return -((p["x"] - 3) ** 2) * 1.0
+
+    out = successive_halving(
+        fn, {"x": [0, 1, 2, 3, 4, 5]}, n_trials=12, rungs=3, seed=0
+    )
+    assert out[0][0]["x"] == 3
+    assert not math.isnan(out[0][1])
