@@ -111,6 +111,11 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q6",
+        "top_orders_per_customer",
+        "events_asof_purchase",
+        "events_conversion_window",
+        "events_sliding",
         "bfs_depth2",
         "message_2hop",
         "attention_aggregate",
