@@ -411,6 +411,18 @@ def q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """A-family extension (reference has no grouping sets/rollup/cube,
+    SURVEY §2.4): hierarchical rollup of event volume and value over
+    (event_type, hour) — subtotals and grand total in one pass."""
+    db = _db(spark, sf_dir)
+    ev = db.df("events").withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    return ev.rollup("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
 def q_events_sliding(spark, sf_dir):
     """Streaming extension (batch twin): sliding-window user features —
     1h windows every 15min; each event lands in 4 windows."""
@@ -710,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "events_rollup": q_events_rollup,
         "events_sliding": q_events_sliding,
         "graph_stats": q_graph_stats,
         "convert_orders": q_convert_orders,
@@ -970,6 +983,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders
             ) WHERE rank <= 3
+        """,
+        "events_rollup": f"""
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   {exact_sum_sql('value')} AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
         """,
         "events_sliding": f"""
             WITH w AS (

@@ -211,6 +211,21 @@ class HeteroGraph:
         self.edge_meta = {et: m for et, m in self.edge_meta.items() if et in self.edges}
         return self
 
+    def edge_counts(self, max_concurrency: int = 8) -> dict[str, int]:
+        """Count every edge type, submitting the independent count jobs
+        from concurrent driver threads (same pattern as the profiler's
+        prefetch): each count is one small join job; sequential
+        submission leaves the executor under-filled between jobs both
+        locally and on a cluster."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        ets = list(self.edges)
+        if len(ets) <= 1:
+            return {et: self.edges[et].count() for et in ets}
+        with ThreadPoolExecutor(min(max_concurrency, len(ets))) as pool:
+            counts = list(pool.map(lambda et: self.edges[et].count(), ets))
+        return dict(zip(ets, counts))
+
     def save(self, path: str, mode: str = "overwrite") -> None:
         """S9: persisted node/edge Parquet layout — the materialization
         checkpoint after which training iterations never re-run the
