@@ -278,3 +278,65 @@ def test_streaming_dedup_within_watermark(spark, db):
     # one survivor per (user_id, event_type) pair — matches batch distinct
     want = db.df("events").select("user_id", "event_type").distinct().count()
     assert got.count() == want
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, db):
+    """Stream-stream inner join with a time-range condition — the
+    streaming twin of operators/temporal.range_join (watermarks bound
+    both sides' state). Pair set must equal the batch operator's."""
+    from deep_db_learning_spark.operators.temporal import range_join
+
+    ev = db.df("events")
+    clicks_b = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    purch_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    want = sorted(
+        map(
+            tuple,
+            range_join(
+                purch_b, clicks_b, on="user_id", left_point="ts",
+                right_start="start_ts", right_end="end_ts",
+            ).select("click_id", "purchase_id").collect(),
+        )
+    )
+
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id")
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_join_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(map(tuple, spark.table("ss_join_test").collect()))
+    assert got == want and len(got) > 0
