@@ -3,10 +3,12 @@ from . import (
     dedup,
     embedder,
     graph,
+    kernels,
     message_passing,
     multimodal,
     sampling,
     similarity,
+    temporal,
 )
 
 __all__ = [
@@ -14,8 +16,10 @@ __all__ = [
     "dedup",
     "embedder",
     "graph",
+    "kernels",
     "message_passing",
     "multimodal",
     "sampling",
     "similarity",
+    "temporal",
 ]

@@ -8,12 +8,15 @@ from .events import (
     sessionize,
     user_profile_features,
 )
+from .node_store import SnapshotStore, stream_profiles_into_store
 from .stateful import stream_sessionize
 
 __all__ = [
     "EVENTS_SCHEMA",
     "hourly_user_features",
     "read_events_stream",
+    "SnapshotStore",
+    "stream_profiles_into_store",
     "run_stream_to_memory",
     "session_stats",
     "sliding_user_features",

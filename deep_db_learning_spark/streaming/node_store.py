@@ -1,0 +1,138 @@
+"""Streaming upsert of per-entity features into the node store —
+closing the SURVEY §2.9 north-star loop: events stream → per-user
+profile features → the customer node store the graph reads.
+
+Storage is a tiny **versioned parquet snapshot store** (Delta-style
+snapshot isolation on plain parquet, no extra dependency): every
+commit writes a full new snapshot directory ``v{n}`` and then flips the
+``_LATEST`` pointer file — readers never observe a half-written
+snapshot, and the pointer flip is atomic (os.replace). On a real
+cluster the same layout works on any filesystem with atomic rename
+(HDFS, or an object store via a manifest commit); swapping this class
+for Delta/Iceberg keeps the operator unchanged.
+
+The merge itself is the classic incremental-view-maintenance shape:
+per micro-batch compute a *delta* of associative statistics (count,
+decimal-fold sum, max), then full-outer-merge with the previous
+snapshot. Only associative stats can be maintained this way —
+exact distinct counts need the full history or a sketch, which is why
+:func:`profile_delta` carries none (the batch
+``user_profile_features`` remains the exact oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact_agg import exact_sum
+
+
+class SnapshotStore:
+    """Versioned parquet snapshots with an atomically-flipped pointer."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        v = self.latest_version()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def commit(self, df: DataFrame) -> int:
+        v = (self.latest_version() or 0) + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)  # atomic pointer flip
+        return v
+
+
+def profile_delta(batch: DataFrame) -> DataFrame:
+    """Associative per-user statistics of one micro-batch."""
+    return batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def merge_profiles(old: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Full-outer merge of two associative stat frames. Decimal-fold
+    sums make the merged sum independent of batch boundaries."""
+    if old is None:
+        return delta
+    o = old.select(
+        F.col("user_id"),
+        F.col("n_events").alias("o_n"),
+        F.col("sum_value").alias("o_s"),
+        F.col("last_ts").alias("o_t"),
+    )
+    d = delta.select(
+        F.col("user_id"),
+        F.col("n_events").alias("d_n"),
+        F.col("sum_value").alias("d_s"),
+        F.col("last_ts").alias("d_t"),
+    )
+    m = o.join(d, "user_id", "full_outer")
+    zero = F.lit(0).cast("bigint")
+    return m.select(
+        "user_id",
+        (F.coalesce("o_n", zero) + F.coalesce("d_n", zero)).alias("n_events"),
+        (
+            F.coalesce(F.col("o_s").cast("decimal(30,9)"), F.lit(0).cast("decimal(30,9)"))
+            + F.coalesce(F.col("d_s").cast("decimal(30,9)"), F.lit(0).cast("decimal(30,9)"))
+        ).cast("double").alias("sum_value"),
+        F.greatest("o_t", "d_t").alias("last_ts"),
+    )
+
+
+def stream_profiles_into_store(
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    query_name: str = "node_store_upsert",
+):
+    """Maintain the per-user profile store from an events stream:
+    ``foreachBatch`` computes the batch delta and commits the merged
+    snapshot. Exactly-once per micro-batch comes from the streaming
+    checkpoint (a replayed batch re-merges idempotently only if the
+    commit succeeded after the checkpoint; at-least-once double-merge
+    is the documented caveat of snapshot stores without txn logs —
+    Delta's commit protocol removes it, same operator shape)."""
+    store = SnapshotStore(store_path)
+    spark = events_stream.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        delta = profile_delta(batch_df)
+        old = store.read(spark)
+        merged = merge_profiles(old, delta)
+        # materialize BEFORE overwriting: the merged plan reads the old
+        # snapshot; localCheckpoint cuts that lineage so the new write
+        # does not race the files it is replacing
+        merged = merged.localCheckpoint(eager=True)
+        store.commit(merged)
+
+    return (
+        events_stream.writeStream.foreachBatch(upsert)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

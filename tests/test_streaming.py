@@ -340,3 +340,42 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, db):
         q.awaitTermination()
     got = sorted(map(tuple, spark.table("ss_join_test").collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_profiles_into_store_multibatch(spark, db, tmp_path):
+    """Multi-batch streaming upsert must converge to the exact batch
+    profile: split events into 4 files, stream 1 file per trigger, and
+    compare the final snapshot with user_profile_features."""
+    from deep_db_learning_spark.streaming.node_store import (
+        SnapshotStore,
+        stream_profiles_into_store,
+    )
+
+    ev = db.df("events").select("event_id", "ts", "user_id", "event_type", "value")
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store_path = str(tmp_path / "store")
+    q = stream_profiles_into_store(
+        stream, store_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    store = SnapshotStore(store_path)
+    assert (store.latest_version() or 0) >= 2  # multiple commits happened
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
+        for r in store.read(spark).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
+        for r in user_profile_features(ev)
+        .select("user_id", "n_events", "sum_value", "last_ts")
+        .collect()
+    }
+    assert got == want
