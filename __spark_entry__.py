@@ -411,6 +411,19 @@ def q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def q_lineitem_numeric_profile(spark, sf_dir):
+    """A10 extension: one-scan numeric summary stats (n/mean/min/max/
+    std) for lineitem's measure columns — exact decimal folds make the
+    doubles engine- and partitioning-independent."""
+    from deep_db_learning_spark.profiling.profiler import numeric_stats
+
+    db = _db(spark, sf_dir)
+    return numeric_stats(
+        db.df("lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """A-family extension (reference has no grouping sets/rollup/cube,
     SURVEY §2.4): hierarchical rollup of event volume and value over
@@ -722,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "lineitem_numeric_profile": q_lineitem_numeric_profile,
         "events_rollup": q_events_rollup,
         "events_sliding": q_events_sliding,
         "graph_stats": q_graph_stats,
@@ -752,6 +766,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _KNUTH_SRC = knuth_hash_sql("src", 42)
+
+
+def _sumsq_sql(c: str) -> str:
+    """Decimal-fold sum of squares (DuckDB twin of the Spark side in
+    ``profiling.profiler.numeric_stats``): (19,6) operands force
+    DuckDB's int128 storage (int64-backed DECIMAL(18) overflows in the
+    multiply) while 19+19 = 38 keeps the product type legal; VARCHAR
+    hop for the correctly-rounded double (see ``exact_sum_sql``).
+    Inputs have ≤6 fractional digits, so both engines' folds are exact
+    regardless of their differing intermediate scales."""
+    return (
+        f"CAST(CAST(sum(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6)))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
 
 _SHINGLE_CTE = """
   SELECT doc_id,
@@ -984,6 +1012,19 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rank <= 3
         """,
+        "lineitem_numeric_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS column_name, count({c}) AS n,
+                   {exact_avg_sql(c)} AS mean,
+                   CAST(min({c}) AS DOUBLE) AS min,
+                   CAST(max({c}) AS DOUBLE) AS max,
+                   CASE WHEN count({c}) > 1 THEN sqrt(
+                     ({_sumsq_sql(c)} - {exact_sum_sql(c)} * {exact_sum_sql(c)} / count({c}))
+                     / (count({c}) - 1)) END AS std
+            FROM lineitem
+            """
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ),
         "events_rollup": f"""
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events,

@@ -201,6 +201,59 @@ def profile_database(
     return {t: profile_table(df, mode=mode, **kw) for t, df in tables.items()}
 
 
+def numeric_stats(df: DataFrame, num_cols: list[str]) -> DataFrame:
+    """A10 extension (torch_frame numeric ``StatType`` analog): per-
+    column n / mean / min / max / sample-std for every numeric column
+    in ONE scan — long-format output, all JVM-side (``stack`` unpivot,
+    no collect).
+
+    Sums and sums-of-squares fold through decimal so mean/std are
+    bitwise-reproducible under any partitioning and across engines
+    (std = sqrt((Σx² − (Σx)²/n)/(n−1)) evaluated in IEEE double from
+    identical decimal-exact inputs)."""
+    if not num_cols:
+        raise ValueError("num_cols must be non-empty")
+    aggs: list[Column] = []
+    for c in num_cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__n__{c}"),
+            F.sum(col.cast("decimal(30,9)")).cast("double").alias(f"__s__{c}"),
+            # (18,6) operands keep the product inside decimal(38,·) on
+            # every engine; inputs have ≲6 fractional digits so the
+            # fold stays exact
+            F.sum(col.cast("decimal(18,6)") * col.cast("decimal(18,6)"))
+            .cast("double")
+            .alias(f"__s2__{c}"),
+            F.min(col).cast("double").alias(f"__mn__{c}"),
+            F.max(col).cast("double").alias(f"__mx__{c}"),
+        ]
+    stack_args = ", ".join(
+        f"'{c}', __n__{c}, __s__{c}, __s2__{c}, __mn__{c}, __mx__{c}"
+        for c in num_cols
+    )
+    long = df.agg(*aggs).select(
+        F.expr(
+            f"stack({len(num_cols)}, {stack_args}) AS "
+            "(column_name, n, __s, __s2, min, max)"
+        )
+    )
+    return long.select(
+        "column_name",
+        "n",
+        (F.col("__s") / F.col("n")).alias("mean"),
+        "min",
+        "max",
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("__s2") - F.col("__s") * F.col("__s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        ).alias("std"),
+    )
+
+
 def imputation_stats(
     df: DataFrame, num_cols: list[str] = (), cat_cols: list[str] = ()
 ) -> dict[str, tuple[str, object]]:

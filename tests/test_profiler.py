@@ -135,3 +135,24 @@ def test_plural_and_id_heuristics(spark):
     assert s["votes"].type == "num"  # plural noun... and high ratio → num anyway
     assert s["level"].type == "cat"
     assert s["status"].type == "cat"
+
+
+def test_numeric_stats_matches_numpy(db):
+    import numpy as np
+
+    from deep_db_learning_spark.profiling.profiler import numeric_stats
+
+    out = {
+        r["column_name"]: r
+        for r in numeric_stats(
+            db.df("lineitem"), ["l_quantity", "l_extendedprice"]
+        ).collect()
+    }
+    pdf = db.df("lineitem").select("l_quantity", "l_extendedprice").toPandas()
+    for c in ("l_quantity", "l_extendedprice"):
+        v = pdf[c].to_numpy()
+        r = out[c]
+        assert r["n"] == len(v)
+        assert abs(r["mean"] - v.mean()) < 1e-9 * max(1, abs(v.mean()))
+        assert r["min"] == v.min() and r["max"] == v.max()
+        assert abs(r["std"] - v.std(ddof=1)) < 1e-9 * max(1, v.std(ddof=1))
