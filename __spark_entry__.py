@@ -411,6 +411,29 @@ def q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back
+    to orders/customer, deterministic top-100 (threshold scaled to the
+    synthetic data's line counts)."""
+    db = _db(spark, sf_dir)
+    big = (
+        db.df("lineitem")
+        .groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    j = (
+        db.df("orders")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(db.df("customer"), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_lineitem_numeric_profile(spark, sf_dir):
     """A10 extension: one-scan numeric summary stats (n/mean/min/max/
     std) for lineitem's measure columns — exact decimal folds make the
@@ -734,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
         "top_orders_per_customer": q_top_orders_per_customer,
         "lineitem_numeric_profile": q_lineitem_numeric_profile,
         "events_rollup": q_events_rollup,
@@ -1003,6 +1027,19 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q18": f"""
+            WITH big AS (
+              SELECT l_orderkey, {exact_sum_sql('l_quantity')} AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING {exact_sum_sql('l_quantity')} > 150
+            )
+            SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM orders
+              JOIN big ON o_orderkey = l_orderkey
+              JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY §5): converter invariants hold for
+arbitrary inputs, not just fixtures. Example counts are kept small —
+every example runs Spark jobs."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=8)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_dict_encode_is_bijection_with_null_zero(spark, vals):
+    from deep_db_learning_spark.functions.encode import dict_encode
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v string"
+    )
+    rows = dict_encode(df, "v", out="v_code").collect()
+    by_val = {}
+    for r in rows:
+        code = r["v_code"]
+        v = r["v"]
+        # NULL is always code 0 (reference's None-first ordering, F12/O4)
+        if v is None:
+            assert code == 0
+        else:
+            assert code >= 1
+        # same value -> same code, different values -> different codes
+        if v in by_val:
+            assert by_val[v] == code
+        by_val[v] = code
+    non_null = {v for v in vals if v is not None}
+    assert len({c for v, c in by_val.items() if v is not None}) == len(non_null)
+    # codes are dense 1..card
+    if non_null:
+        assert sorted(c for v, c in by_val.items() if v is not None) == list(
+            range(1, len(non_null) + 1)
+        )
+
+
+@given(
+    dates=st.lists(
+        st.dates(min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 28)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_date_decomposition_roundtrips(spark, dates):
+    """(year, dayofyear) losslessly reconstructs the date (F3)."""
+    df = spark.createDataFrame([Row(i=i, d=d) for i, d in enumerate(dates)])
+    dec = df.select(
+        "i", "d", F.year("d").alias("y"), F.dayofyear("d").alias("doy")
+    )
+    back = dec.withColumn(
+        "d2",
+        F.date_add(
+            F.make_date(F.col("y"), F.lit(1), F.lit(1)), F.col("doy") - F.lit(1)
+        ),
+    )
+    assert back.filter(F.col("d2") != F.col("d")).count() == 0
