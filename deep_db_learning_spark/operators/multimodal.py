@@ -229,6 +229,90 @@ def sample_frames(
 
 
 def audio_features_stub(*_args, **_kw):
-    """Audio feature kernel placeholder (needs torchaudio/librosa);
-    the plumbing shape is :func:`decode_features` with a wav kernel."""
-    raise NotImplementedError("audio features require torchaudio or librosa")
+    """Placeholder for compressed-audio features (mp3/ogg need
+    torchaudio/librosa/ffmpeg). PCM WAV needs no external library —
+    see :func:`audio_features`, which is REAL."""
+    raise NotImplementedError(
+        "compressed audio features require torchaudio or librosa; "
+        "for PCM WAV use audio_features()"
+    )
+
+
+def decode_wav_bytes(content: bytes):
+    """Decode a PCM WAV container to (sample_rate, mono float64 signal
+    in [-1, 1]) with the stdlib ``wave`` module — a real decoder, not a
+    stub: WAV/PCM needs no third-party codec."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"sample width {sw} (24-bit needs unpacking)")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return sr, x
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "duration_s double, rms double, zero_cross_rate double, spectral_centroid_hz double"
+)
+
+
+def audio_features(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL audio features over PCM-WAV binary columns — stdlib decode
+    (:func:`decode_wav_bytes`) + numpy signal math, Arrow-batched:
+    duration, RMS level, zero-crossing rate, and FFT spectral centroid.
+    Same physical shape as every media kernel: per-row CPU-bound work
+    inside the scan stage, fixed-width float outputs."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(contents: "pd.Series") -> "pd.DataFrame":
+        import numpy as np
+
+        rows = []
+        for content in contents:
+            if content is None:
+                rows.append((None, None, None, None))
+                continue
+            sr, x = decode_wav_bytes(bytes(content))
+            n = len(x)
+            if n == 0:
+                rows.append((0.0, 0.0, 0.0, None))
+                continue
+            rms = float(np.sqrt((x * x).mean()))
+            zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+            spec = np.abs(np.fft.rfft(x))
+            freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+            tot = spec.sum()
+            centroid = float((freqs * spec).sum() / tot) if tot > 0 else None
+            rows.append((n / sr, rms, zcr, centroid))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "duration_s",
+                "rms",
+                "zero_cross_rate",
+                "spectral_centroid_hz",
+            ],
+        )
+
+    # real (non-stringized) annotations for pandas_udf inference
+    fn.__annotations__ = {"contents": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(fn, f"struct<{AUDIO_FEATURES_SCHEMA}>")
+    return media.withColumn("audio", udf(F.col(content_col))).select(
+        "*", "audio.*"
+    ).drop("audio")

@@ -131,3 +131,41 @@ def test_multimodal_resize_and_frame_sample(spark):
         use_fake=True,
     )
     assert feat.count() == 8
+
+
+def test_audio_features_real_wav_decode(spark):
+    """PCM WAV decode is REAL (stdlib wave): sine waves produce the
+    expected duration, RMS, zero-crossing rate, and spectral centroid."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from deep_db_learning_spark.operators.multimodal import audio_features
+
+    def make_wav(freq_hz, sr=8000, secs=1.0, amp=0.5):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            n = int(sr * secs)
+            samples = [
+                int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / sr))
+                for i in range(n)
+            ]
+            w.writeframes(struct.pack(f"<{n}h", *samples))
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [("a", make_wav(440)), ("b", make_wav(880))],
+        "media_id string, content binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    for mid, freq in (("a", 440.0), ("b", 880.0)):
+        r = rows[mid]
+        assert abs(r["duration_s"] - 1.0) < 1e-9
+        assert abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01
+        # sine crosses zero 2f times per second
+        assert abs(r["zero_cross_rate"] - 2 * freq / 8000) < 0.01
+        assert abs(r["spectral_centroid_hz"] - freq) < 25
