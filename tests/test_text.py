@@ -169,3 +169,32 @@ def test_audio_features_real_wav_decode(spark):
         # sine crosses zero 2f times per second
         assert abs(r["zero_cross_rate"] - 2 * freq / 8000) < 0.01
         assert abs(r["spectral_centroid_hz"] - freq) < 25
+
+
+def test_bmp_resize_kernel_real(spark):
+    """BMP decode/resize/encode are REAL pure-numpy code paths, driven
+    through the standard resize_images plumbing."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        bmp_resize_kernel,
+        decode_bmp_bytes,
+        encode_bmp_bytes,
+        make_media_table,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    blob = encode_bmp_bytes(img)
+    assert (decode_bmp_bytes(blob) == img).all()  # lossless round-trip
+
+    df = spark.createDataFrame([("m1", bytearray(blob))], "id string, raw binary")
+    media = make_media_table(df, "id", "raw", "image", "bmp")
+    out = resize_images(media, 10, 12, kernel=bmp_resize_kernel).collect()[0]
+    resized = decode_bmp_bytes(bytes(out["content"]))
+    assert resized.shape == (12, 10, 3)
+    assert out["meta"]["width"] == 10 and out["meta"]["height"] == 12
+    # nearest-neighbour: corners are preserved exactly
+    assert (resized[0, 0] == img[0, 0]).all()
+    assert (resized[-1, -1] == img[-1, -1]).all()
