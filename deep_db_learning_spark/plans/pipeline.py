@@ -130,11 +130,15 @@ def minimum_slice(
     # recomputed by the train assembly, the test assembly, and the
     # metrics job — materialize it once (the checkpoint a real training
     # loop would write to Parquet, S9). Coalesce first: the label-joined
-    # frame is target-table-sized (small), and each optimizer iteration
-    # is a treeAggregate over its partitions — 32 near-empty tasks × 20
-    # iterations is pure scheduler latency. On a cluster size this to
-    # rows/executor-target instead.
-    data = data.coalesce(8).persist()
+    # frame is target-table-sized, and each optimizer iteration is a
+    # treeAggregate over its partitions — near-empty tasks × iterations
+    # is pure scheduler latency. Size partitions to hold ~50k rows each
+    # (bounded by the cluster's parallelism): 15k customers fit one
+    # task; 10M would fan out to ~200.
+    sc = features.sparkSession.sparkContext
+    n_target = tables[target_table].count()
+    parts = max(1, min(sc.defaultParallelism, n_target // 50_000 + 1))
+    data = data.coalesce(parts).persist()
 
     from pyspark.ml.classification import (
         LogisticRegression,
