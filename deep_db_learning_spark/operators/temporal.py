@@ -117,8 +117,14 @@ def asof_join_oracle_sql(
     inclusive: bool = True,
 ) -> str:
     """ANSI-SQL twin of :func:`asof_join` (same union + window shape,
-    runs on DuckDB) for oracle checks. ``payload`` is (column, alias)."""
+    runs on DuckDB) for oracle checks. ``payload`` is (column, alias);
+    ``left_cols`` must NOT repeat the key columns or ``left_ts`` — keys
+    and the left timestamp are emitted separately (duplicated names
+    would make the union's select list ambiguous)."""
     keys = [on] if isinstance(on, str) else list(on)
+    overlap = set(left_cols) & ({*keys, left_ts})
+    if overlap:
+        raise ValueError(f"left_cols must not repeat keys/left_ts: {overlap}")
     key_list = ", ".join(keys)
     side = "0" if inclusive else "2"
     l_pay_nulls = ",\n           ".join(
@@ -147,7 +153,8 @@ def asof_join_oracle_sql(
         WINDOW w AS (PARTITION BY {key_list} ORDER BY __ts, __side
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    SELECT {l_cols}, {", ".join(a for _, a in payload)}, {ts_alias}
+    SELECT {key_list}, __ts AS {left_ts}, {l_cols},
+           {", ".join(a for _, a in payload)}, {ts_alias}
     FROM c WHERE __side = 1
     """
 

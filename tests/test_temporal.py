@@ -123,3 +123,39 @@ def test_range_join_bin_width_invariance(events):
         for w in ("13 minutes", "1 hour", "6 hours")
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_asof_oracle_builder_matches_spark(db, duck):
+    from deep_db_learning_spark.operators.temporal import asof_join_oracle_sql
+
+    events = db.df("events")
+    left = events.select("event_id", "user_id", "ts")
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    got = sorted(
+        (r["event_id"], r["pv"])
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", payload=["pv"]
+        ).collect()
+    )
+    sql = asof_join_oracle_sql(
+        left_sql="SELECT event_id, user_id, ts FROM events",
+        right_sql="SELECT user_id, ts, value AS pv FROM events WHERE event_type = 'purchase'",
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=["event_id"],
+        payload=[("pv", "pv_out")],
+        ts_alias="pv_ts",
+    )
+    want = sorted((r[0], r[1]) for r in duck.execute(
+        f"SELECT event_id, pv_out FROM ({sql})"
+    ).fetchall())
+    assert got == want
+
+    with pytest.raises(ValueError):
+        asof_join_oracle_sql(
+            "s", "s", on="user_id", left_ts="ts", right_ts="ts",
+            left_cols=["user_id"], payload=[], ts_alias="x",
+        )
