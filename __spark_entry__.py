@@ -648,6 +648,22 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(assigned, model, queries_df, k=5, n_probes=3)
 
 
+def q_text_dedup_clusters(spark, sf_dir):
+    """LLM ops: transitive dedup clusters — exact 9-gram Jaccard pairs
+    (j ≥ 0.7) collapsed to connected components via iterative min-label
+    propagation; component id = min doc_id of the cluster."""
+    from deep_db_learning_spark.operators.components import connected_components
+
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=9, threshold=0.7)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=docs.select("doc_id"),
+    )
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_events_hourly(spark, sf_dir):
     """Streaming extension (batch twin): tumbling-window user features."""
     db = _db(spark, sf_dir)
@@ -767,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilabel_event_types": q_multilabel_event_types,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "text_dedup_clusters": q_text_dedup_clusters,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -1128,6 +1145,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+        """,
+        "text_dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN length(text) < 9 THEN [text]
+                ELSE list_transform(range(1, length(text) - 7), i -> substr(text, i, 9)) END) AS grams
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ), reach(n, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.n
+            )
+            SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
         """,
         "text_stats": """
             SELECT doc_id,
