@@ -1,5 +1,6 @@
 from . import (
     bfs,
+    components,
     dedup,
     embedder,
     graph,
@@ -13,6 +14,7 @@ from . import (
 
 __all__ = [
     "bfs",
+    "components",
     "dedup",
     "embedder",
     "graph",
