@@ -251,3 +251,43 @@ def ivf_topk(
     if round_sim is not None:
         out = out.withColumn("sim", F.round("sim", round_sim))
     return out.select(query_id, id_col, "rank", "sim")
+
+
+def semantic_search(
+    docs: DataFrame,
+    query_texts: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    dim: int = 32,
+    model_fn=None,
+) -> DataFrame:
+    """End-to-end text search: embed the corpus and the query strings
+    with the same encoder (N6 — the deterministic surrogate by default,
+    a real sentence encoder via ``model_fn``), then exact cosine top-k.
+    Returns (query_idx, query_text, doc_id, score, rank).
+
+    The query side is a handful of driver strings → embedded locally
+    through the same UDF (one-row frame) and broadcast; the corpus side
+    is one parallel pass. For standing query workloads swap
+    :func:`brute_force_topk` for :func:`lsh_topk` over the same
+    embedded frames."""
+    from .embedder import text_embedding
+
+    spark = docs.sparkSession
+    corpus = text_embedding(docs.select(id_col, text_col), text_col, dim=dim, model_fn=model_fn)
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(query_texts)], "query_idx int, query_text string"
+    )
+    queries = text_embedding(qdf, "query_text", dim=dim, model_fn=model_fn, out="q_emb")
+    scored = corpus.crossJoin(broadcast(queries)).select(
+        "query_idx",
+        "query_text",
+        F.col(id_col),
+        cosine_similarity(F.col("text_emb"), F.col("q_emb")).alias("score"),
+    )
+    w = Window.partitionBy("query_idx").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

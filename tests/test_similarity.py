@@ -101,3 +101,25 @@ def test_ivf_topk_recall_vs_brute_force(db):
     assert recall >= 0.4  # random vectors scatter; probes bound recall
     # the probed candidate set is strictly smaller than the corpus
     assert assigned.select("list_id").distinct().count() == 8
+
+
+def test_semantic_search_finds_exact_document(db):
+    from deep_db_learning_spark.operators.similarity import semantic_search
+
+    docs = db.df("documents")
+    sample = docs.limit(2).collect()
+    queries = [r["text"] for r in sample]
+    out = semantic_search(docs, queries, k=3)
+    rows = out.collect()
+    # rank 1 for each query is the document itself (identical encoder,
+    # cosine 1.0)
+    top = {r["query_idx"]: r for r in rows if r["rank"] == 1}
+    for i, r in enumerate(sample):
+        assert top[i]["doc_id"] == r["doc_id"]
+        assert abs(top[i]["score"] - 1.0) < 1e-9
+    # k results per query, scores non-increasing
+    for qi in (0, 1):
+        scores = [r["score"] for r in sorted(
+            (r for r in rows if r["query_idx"] == qi), key=lambda r: r["rank"]
+        )]
+        assert len(scores) == 3 and scores == sorted(scores, reverse=True)
