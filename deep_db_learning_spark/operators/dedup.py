@@ -7,11 +7,11 @@ nested higher-order lambdas interpreted per element, so the expression
 twins exist for oracle parity, not for the hot path:
 
 - **exact**: content-hash groupBy — one shuffle on the hash.
-- **MinHash + LSH**: char-shingles → portable 32-bit shingle hashes →
-  k permutation-min signature → banded bucket join. The shingle hash is
-  md5-based (bit-identical across engines) so signatures are
-  oracle-checkable; band buckets only ever *candidate* pairs, exact
-  Jaccard verifies.
+- **MinHash + LSH**: char-shingles → portable 40-bit rolling
+  polynomial shingle hashes (Horner over code points — bit-identical
+  across engines and between the numpy kernel and the SQL expression
+  twin) → k permutation-min signature → banded bucket join. Band
+  buckets only ever *candidate* pairs, exact Jaccard verifies.
 - **SimHash**: 64-bit majority-vote fingerprint over token hashes;
   near-dups = small Hamming distance, bucketed by 16-bit sub-bands
   (pigeonhole: ≤3 bit flips ⇒ one of 4 bands identical).
@@ -64,12 +64,28 @@ def exact_dedup_keep_rows(df: DataFrame, text_col: str, id_col: str) -> DataFram
 # ------------------------------------------------------------- minhash
 
 
+# rolling-hash parameters: Horner base and a prime just under 2^40 —
+# acc*B + codepoint stays < 2^48 (int64-safe in numpy AND Spark SQL),
+# and the 40-bit space makes within-doc gram collisions negligible
+# (~300²/2^41 ≈ 4e-8 per doc vs ~2e-5 for a 32-bit hash)
+SHINGLE_B = 257
+SHINGLE_P = 1_099_511_627_689  # prime < 2^40
+
+
 def shingle_hashes(text_col: str, k: int = 5) -> "F.Column":
-    """Distinct char k-grams → portable 32-bit hashes (md5 prefix).
-    conv(hex, 16, 10) keeps it in the JVM."""
+    """Distinct char k-grams → portable rolling polynomial hashes:
+    ``h(g) = Σ code(g[j])·B^(k-1-j) mod P`` via Horner — pure JVM
+    expression, value-identical to the numpy kernel
+    (:func:`shingle_hashes_pandas`), reproducible in any engine that
+    can fold over code points."""
     grams = char_shingles(text_col, k, distinct=True)
     return F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+        grams,
+        lambda g: F.aggregate(
+            F.split(g, ""),
+            F.lit(0).cast("bigint"),
+            lambda acc, ch: (acc * SHINGLE_B + F.ascii(ch)) % SHINGLE_P,
+        ),
     )
 
 
@@ -77,13 +93,11 @@ def shingle_hashes_pandas(
     df: DataFrame, text_col: str, k: int = 5, out: str = "sh"
 ) -> DataFrame:
     """Arrow-batched twin of :func:`shingle_hashes` — value-identical
-    md5-prefix hashes of distinct char k-grams (element order differs;
-    all consumers use set semantics). Spark evaluates higher-order
-    lambdas interpreted per element, so the expression form pays ~µs per
-    gram in the JVM; the batched Python loop with ``hashlib`` is ~5-10×
-    faster and is the hot-path form."""
-    import hashlib
-
+    rolling hashes of distinct char k-grams (element order differs; all
+    consumers use set semantics). Fully vectorized: code points come
+    from one ``utf-32`` reinterpret, the Horner fold is k numpy passes
+    over all windows at once — no per-gram Python, ~100× the
+    interpreted-HOF expression form."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -93,16 +107,28 @@ def shingle_hashes_pandas(
             if t is None:
                 res.append(None)
                 continue
-            grams = (
-                {t} if len(t) < k else {t[i : i + k] for i in range(len(t) - k + 1)}
-            )
-            res.append(
-                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams]
-            )
+            res.append(_rolling_shingle_hashes(t, k).tolist())
         return pd.Series(res)
 
     sh_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return df.withColumn(out, pandas_udf(sh_fn, "array<bigint>")(F.col(text_col)))
+
+
+def _rolling_shingle_hashes(t: str, k: int):
+    """Distinct k-gram rolling hashes of one string, vectorized Horner
+    over code points (value-identical to :func:`shingle_hashes`)."""
+    import numpy as np
+
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    if len(cp) == 0:
+        # expression side: array('') folds over no chars -> hash 0
+        return np.zeros(1, dtype=np.int64)
+    kk = min(k, len(cp))
+    m = len(cp) - kk + 1
+    h = np.zeros(m, dtype=np.int64)
+    for j in range(kk):
+        h = (h * SHINGLE_B + cp[j : j + m]) % SHINGLE_P
+    return np.unique(h)
 
 
 def minhash_signature(
@@ -114,7 +140,7 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature: sig[i] = min over shingles of
     ``((h % p + i) * KNUTH) % p`` — universal-ish permutation family
-    over the portable md5-based shingle hashes.
+    over the portable rolling shingle hashes.
 
     Physical form: Arrow-batched pandas UDF with a numpy kernel. The
     expression formulation (:func:`minhash_signature_expr`) is
@@ -123,8 +149,6 @@ def minhash_signature(
     — for a num_perm×shingles inner loop the vectorized kernel is the
     right physical plan at any scale.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -138,19 +162,7 @@ def minhash_signature(
             if t is None:
                 out_rows.append(None)
                 continue
-            grams = (
-                {t}
-                if len(t) < shingle_k
-                else {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
-            )
-            h = np.fromiter(
-                (
-                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
-                    for g in grams
-                ),
-                dtype=np.int64,
-                count=len(grams),
-            )
+            h = _rolling_shingle_hashes(t, shingle_k)
             # (h % p + i) * KNUTH < 2^63 — no overflow in int64
             sig = ((h[:, None] % p + perms[None, :]) * KNUTH % p).min(axis=0)
             out_rows.append(sig)
