@@ -97,6 +97,7 @@ def minimum_slice(
     seed: int = 42,
     fit_model: bool = True,
     decoder: str = "logreg",
+    tracker=None,
 ) -> SliceResult:
     """SURVEY §7: predict ``target`` from neighbor statistics.
 
@@ -163,4 +164,11 @@ def minimum_slice(
     model = est.fit(train)
     pred = model.transform(test)
     result.metrics = classification_metrics(pred)
+    if tracker is not None:
+        # N25: the reference's callback boundary — params + final metrics
+        tracker.log_params(
+            {"target": f"{target_table}.{target_col}", "depth": depth,
+             "decoder": decoder, "seed": seed, "n_features": len(feature_cols)}
+        )
+        tracker.log_metrics(result.metrics)
     return result

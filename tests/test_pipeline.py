@@ -90,3 +90,20 @@ def test_bucketed_checkpoint_joins_without_shuffle(spark, db, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_customer")
+
+
+def test_minimum_slice_logs_to_tracker(db, tmp_path):
+    from deep_db_learning_spark.plans import minimum_slice
+    from deep_db_learning_spark.plans.tracking import ExperimentTracker, load_runs
+
+    path = str(tmp_path / "slice.jsonl")
+    with ExperimentTracker(path, "slice", modes={"accuracy": "max"}) as tr:
+        minimum_slice(
+            db.tables, db.primary_keys, db.foreign_keys,
+            target=("customer", "c_mktsegment"), depth=1, tracker=tr,
+        )
+    events = load_runs(path)
+    kinds = [e["kind"] for e in events]
+    assert kinds == ["params", "metrics", "best"]
+    assert events[0]["params"]["target"] == "customer.c_mktsegment"
+    assert 0.0 <= events[-1]["metrics"]["accuracy"] <= 1.0
