@@ -664,6 +664,22 @@ def q_text_dedup_clusters(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_decontamination(spark, sf_dir):
+    """LLM ops: benchmark decontamination — training docs (doc_id ≥ 50)
+    sharing a 13-token n-gram with any eval doc (doc_id < 50), with the
+    count of distinct shared grams. Eval grams broadcast; train side
+    explodes once."""
+    from deep_db_learning_spark.functions.text import contamination_matches
+
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    return contamination_matches(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        n=13,
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Streaming extension (batch twin): tumbling-window user features."""
     db = _db(spark, sf_dir)
@@ -784,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "text_dedup_clusters": q_text_dedup_clusters,
+        "decontamination": q_decontamination,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -1166,6 +1183,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.n
             )
             SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+        """,
+        "decontamination": """
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) < 13
+                  THEN [list_aggregate(toks, 'string_agg', ' ')]
+                  ELSE list_transform(range(1, len(toks) - 11),
+                         i -> list_aggregate(toks[i:i+12], 'string_agg', ' '))
+                END) AS grams
+              FROM tok
+            ), e AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50
+            ), t AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50
+            )
+            SELECT doc_id, count(*) AS n_shared_grams
+            FROM t JOIN e USING (gram)
+            GROUP BY doc_id
         """,
         "text_stats": """
             SELECT doc_id,

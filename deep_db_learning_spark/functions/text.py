@@ -159,3 +159,51 @@ def doc_fingerprint_min_md5(text_col: str, k: int = 8) -> Column:
 
     fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(fn, "string")(F.col(text_col))
+
+
+def token_ngrams(text_col: str, n: int = 13, distinct: bool = True) -> Column:
+    """Whitespace-token n-grams as array<string> (space-joined), pure
+    codegen — the unit of benchmark-decontamination matching. Texts
+    with fewer than ``n`` tokens yield their whole token sequence as
+    one gram."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    body = (
+        f"CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+    )
+    return F.expr(f"array_distinct({body})" if distinct else body)
+
+
+def contamination_matches(
+    train,
+    eval_docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+):
+    """Benchmark decontamination (the GPT-3-style n-gram overlap
+    check): for every training doc, count distinct token n-grams it
+    shares with ANY eval doc. Returns (id, n_shared_grams) for docs
+    with at least one hit — the candidates to drop before training.
+
+    Physical shape: the eval side's distinct grams are small (the
+    benchmark) → broadcast; the train side explodes to (id, gram) and
+    inner-joins — no shuffle of the corpus beyond the explode, and the
+    aggregation is map-side-combinable. At 100 TB hash the grams
+    (``xxhash64``) to shrink the exchange; string grams keep the
+    DuckDB oracle exact here."""
+    from pyspark.sql.functions import broadcast
+
+    e = (
+        eval_docs.select(F.explode(token_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    t = train.select(
+        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        t.join(broadcast(e), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

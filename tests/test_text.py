@@ -198,3 +198,23 @@ def test_bmp_resize_kernel_real(spark):
     # nearest-neighbour: corners are preserved exactly
     assert (resized[0, 0] == img[0, 0]).all()
     assert (resized[-1, -1] == img[-1, -1]).all()
+
+
+def test_contamination_matches_known_overlap(spark):
+    from deep_db_learning_spark.functions.text import contamination_matches
+
+    eval_docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "xx alpha beta gamma delta epsilon yy"),  # contains the 5-gram
+            (11, "alpha beta gamma zeta"),                 # only a 3-token prefix
+            (12, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared_grams"] for r in contamination_matches(
+        train, eval_docs, n=5
+    ).collect()}
+    assert out == {10: 1}
