@@ -156,3 +156,24 @@ def test_numeric_stats_matches_numpy(db):
         assert abs(r["mean"] - v.mean()) < 1e-9 * max(1, abs(v.mean()))
         assert r["min"] == v.min() and r["max"] == v.max()
         assert abs(r["std"] - v.std(ddof=1)) < 1e-9 * max(1, v.std(ddof=1))
+
+
+def test_auto_mode_decisions_match_exact(db):
+    """mode='auto' must reach the same analyzer decisions as exact
+    profiling on every table - the 100 TB profiling path is only valid
+    if the HLL pass + boundary refinement never flips a type."""
+    from deep_db_learning_spark.profiling import SchemaAnalyzer
+
+    exact = SchemaAnalyzer(db.tables, db.primary_keys, db.foreign_keys).guess_schema()
+    auto = SchemaAnalyzer(
+        db.tables, db.primary_keys, db.foreign_keys, profile_mode="auto"
+    ).guess_schema()
+    for t in exact.tables:
+        ec = exact.tables[t].columns
+        ac = auto.tables[t].columns
+        assert set(ec) == set(ac)
+        for c in ec:
+            assert ec[c].type == ac[c].type, (t, c)
+            # exact cardinality refinement: cat columns agree on card
+            if ec[c].type == "cat":
+                assert ec[c].card == ac[c].card, (t, c)
