@@ -651,7 +651,13 @@ def q_ann_ivf(spark, sf_dir):
 def q_text_dedup_clusters(spark, sf_dir):
     """LLM ops: transitive dedup clusters — exact 9-gram Jaccard pairs
     (j ≥ 0.7) collapsed to connected components via iterative min-label
-    propagation; component id = min doc_id of the cluster."""
+    propagation; component id = min doc_id of the cluster.
+
+    The exact inverted-index pair join is the ORACLE form (DuckDB can
+    reproduce it); heavy-hitter shingles make it quadratic-ish on big
+    corpora. At scale feed `connected_components` the verified pairs of
+    `minhash_lsh_dedup`'s candidate path instead — identical clusters
+    whenever LSH recall holds (tested in tests/test_dedup.py)."""
     from deep_db_learning_spark.operators.components import connected_components
 
     db = _db(spark, sf_dir)

@@ -112,7 +112,11 @@ def main() -> None:
         "tpch_q3",
         "tpch_q5",
         "tpch_q6",
+        "tpch_q18",
         "top_orders_per_customer",
+        "lineitem_numeric_profile",
+        "events_rollup",
+        "decontamination",
         "events_asof_purchase",
         "events_conversion_window",
         "events_sliding",
