@@ -29,7 +29,7 @@ needed. Signatures are fixed-width arrays → Tungsten-packed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import KNUTH, MERSENNE_31
@@ -253,13 +253,16 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join.
 
-    Without ``candidates``: inverted-index self-join (explode shingles,
-    equi-join on shingle, count intersections, derive union via
-    |A|+|B|-|A∩B|). With ``candidates`` (id_a, id_b): verify only those
-    pairs — the 100 TB path after LSH.
+    Without ``candidates``: self-join over an inverted index. With
+    ``prefix_filter`` (default) the index holds only each doc's
+    frequency-ordered PPJoin prefix — exact (see inline proof) and
+    immune to heavy-hitter shingles; ``prefix_filter=False`` is the
+    naive full index (the DuckDB-oracle shape). With ``candidates``
+    (id_a, id_b): verify only those pairs — the 100 TB path after LSH.
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to
     6 decimals for cross-engine comparability.
     """
@@ -301,6 +304,63 @@ def ngram_jaccard_pairs(
     sh = shingle_hashes_pandas(
         df.select(F.col(id_col).alias("doc"), text_col), text_col, shingle_k
     ).select("doc", "sh", F.size("sh").alias("n_sh"))
+
+    sh = sh.persist()
+    if prefix_filter:
+        # PPJoin-style prefix filtering — EXACT, no recall loss: under
+        # any consistent global order of grams, two sets with
+        # J ≥ t must share a gram within the first
+        # floor((1-t)·|x|) + 1 grams of either set (if x's prefix
+        # misses y entirely, at most ⌈t·|x|⌉ − 1 of x's grams can be in
+        # y, contradicting |x∩y| ≥ ⌈t·|x|⌉). Ordering grams by
+        # ascending document frequency puts heavy-hitter grams OUTSIDE
+        # the prefixes, so the candidate join never builds the
+        # frequent-gram buckets that make the naive inverted index
+        # quadratic. The epsilon guards the floor against FP error on
+        # (1-t)·n landing just below an integer (errs longer = safe).
+        ex = sh.select("doc", "n_sh", F.explode("sh").alias("g"))
+        freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+        w = Window.partitionBy("doc").orderBy(F.asc("df_g"), F.asc("g"))
+        prefix = (
+            ex.join(freq, "g")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(
+                F.col("rn")
+                <= F.floor((1.0 - threshold) * F.col("n_sh") + 1e-9) + 1
+            )
+            .select(F.col("doc").alias("dp"), F.col("n_sh").alias("np"), "g")
+        )
+        cand = (
+            prefix.join(
+                ex.select(F.col("doc").alias("de"), F.col("n_sh").alias("ne"), "g"),
+                "g",
+            )
+            .filter(F.col("dp") != F.col("de"))
+            # AllPairs length filter: J ≥ t forces t·|y| ≤ |x| (and
+            # symmetrically), so wildly different set sizes can't pair
+            .filter(
+                (F.col("ne") * threshold <= F.col("np") + 1e-9)
+                & (F.col("np") * threshold <= F.col("ne") + 1e-9)
+            )
+            .select(
+                F.least("dp", "de").alias("id_a"),
+                F.greatest("dp", "de").alias("id_b"),
+            )
+            .distinct()
+        )
+        a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+        b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+        out = (
+            cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+                ),
+            )
+        )
+        return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
     ex = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
     a = ex.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
