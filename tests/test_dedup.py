@@ -128,3 +128,17 @@ def test_minhash_pandas_matches_expr(db):
         for r in dedup.minhash_signature_expr(docs, "text", num_perm=16).collect()
     }
     assert fast == slow
+
+
+def test_prefix_filtered_jaccard_equals_naive(db):
+    """PPJoin prefix filtering is lossless: identical pair sets and
+    jaccard values at two (k, t) parameterizations."""
+    docs = db.df("documents")
+    for k, t in ((9, 0.7), (5, 0.5)):
+        fast = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k, t, prefix_filter=True
+        ).collect()))
+        naive = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k, t, prefix_filter=False
+        ).collect()))
+        assert fast == naive and len(fast) > 0
