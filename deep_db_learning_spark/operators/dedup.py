@@ -20,9 +20,12 @@ twins exist for oracle parity, not for the hot path:
   kernel for the sketch paths.
 - **embedding cosine near-dup**: see :mod:`.similarity`.
 
-Scale notes: the inverted-index join explodes |doc|×|shingles| rows —
-at 100 TB, run it ONLY on LSH candidates (the default pipeline in
-:func:`minhash_lsh_dedup`). Bands/bucket joins shuffle on (band,
+Scale notes: the full inverted-index join explodes |doc|×|shingles|
+rows and is quadratic under heavy-hitter shingles — the default
+self-join path therefore uses PPJoin-style prefix filtering (lossless;
+see :func:`ngram_jaccard_pairs`), and at 100 TB the pipeline of choice
+runs exact verification ONLY on LSH candidates
+(:func:`minhash_lsh_dedup`). Bands/bucket joins shuffle on (band,
 hash) which is uniformly distributed by construction; no skew salt
 needed. Signatures are fixed-width arrays → Tungsten-packed.
 """
