@@ -175,6 +175,38 @@ def token_ngrams(text_col: str, n: int = 13, distinct: bool = True) -> Column:
     return F.expr(f"array_distinct({body})" if distinct else body)
 
 
+def token_ngrams_pandas(df, text_col: str, n: int = 13, out: str = "grams"):
+    """Arrow-batched twin of :func:`token_ngrams` — identical gram
+    strings (tokenization uses Java's default ``\\s`` class
+    ``[ \\t\\n\\x0B\\f\\r]`` explicitly, so Python's unicode-aware
+    ``\\s`` can't diverge), without the interpreted per-gram HOF cost."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def fn(texts):
+        res = []
+        for t in texts:
+            if t is None:
+                res.append(None)
+                continue
+            toks = ws.split(t.strip())
+            if len(toks) < n:
+                res.append([" ".join(toks)])
+            else:
+                seen = list(dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                ))
+                res.append(seen)
+        return pd.Series(res)
+
+    fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(out, pandas_udf(fn, "array<string>")(F.col(text_col)))
+
+
 def contamination_matches(
     train,
     eval_docs,
@@ -196,11 +228,12 @@ def contamination_matches(
     from pyspark.sql.functions import broadcast
 
     e = (
-        eval_docs.select(F.explode(token_ngrams(text_col, n)).alias("gram"))
+        token_ngrams_pandas(eval_docs.select(text_col), text_col, n)
+        .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    t = train.select(
-        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram")
+    t = token_ngrams_pandas(train.select(id_col, text_col), text_col, n).select(
+        F.col(id_col), F.explode("grams").alias("gram")
     )
     return (
         t.join(broadcast(e), "gram")
