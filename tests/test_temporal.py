@@ -159,3 +159,28 @@ def test_asof_oracle_builder_matches_spark(db, duck):
             "s", "s", on="user_id", left_ts="ts", right_ts="ts",
             left_cols=["user_id"], payload=[], ts_alias="x",
         )
+
+
+def test_asof_multi_key(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k1=1, k2="a", ts=dt.datetime(2024, 1, 1, 10), lid=1),
+            Row(k1=1, k2="b", ts=dt.datetime(2024, 1, 1, 10), lid=2),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k1=1, k2="a", ts=dt.datetime(2024, 1, 1, 9), v=1.0),
+            Row(k1=1, k2="b", ts=dt.datetime(2024, 1, 1, 8), v=2.0),
+            Row(k1=2, k2="a", ts=dt.datetime(2024, 1, 1, 9, 30), v=3.0),
+        ]
+    )
+    out = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on=["k1", "k2"], left_ts="ts", payload=["v"]
+        ).collect()
+    }
+    # (1,a) sees only the (1,a) right row; (1,b) only (1,b); the k1=2
+    # row is invisible to both
+    assert out == {1: 1.0, 2: 2.0}
