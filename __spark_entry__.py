@@ -333,8 +333,12 @@ def q_message_2hop(spark, sf_dir):
         ["l_quantity"],
         ["sum"],
     ).select(F.col("dst").alias("node_id"), F.col("sum_l_quantity").alias("qty"))
-    per_cust = aggregate_neighbors(
-        g.edges["orders__o_custkey__customer"], li_per_order, ["qty"], ["sum", "mean"]
+    # second hop fuses too: (o_orderkey, o_custkey) ⋈ per-order aggs →
+    # groupBy custkey → semi customer — the dst check never touches the
+    # fact-sized frame
+    per_cust = g.aggregate_along_edge(
+        "orders__o_custkey__customer", ["qty"], ["sum", "mean"],
+        features=li_per_order,
     )
     return per_cust.select(
         F.col("dst").alias("c_custkey"),

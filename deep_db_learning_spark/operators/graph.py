@@ -142,21 +142,35 @@ class HeteroGraph:
         the semi join keeps the joined row count at |groups|, not
         |edges|. At 100 TB this halves fact-table scans per layer.
 
-        ``features``: a derived frame keyed by node_id — forces the
-        generic path unless it *is* the src node frame.
+        ``features``: a derived frame keyed by ``node_id``. When the
+        edge is a forward FK edge it STILL fuses — the src table's
+        (node_id, fk) projection joins the feature frame directly and
+        the dst-existence check becomes a semi join on the aggregated
+        output (|groups| rows), never on the fact table. Equivalent to
+        the generic plan for any data: dangling/NULL fk groups are
+        dropped by the semi join instead of before aggregation.
         """
         from .message_passing import aggregate_neighbors
 
         src_t, dst_t = self.edge_meta[et]
         src_nodes = self.nodes[src_t]
         fk = self.edge_fks.get(et)
+        keyed_features = (
+            features is not None
+            and features is not src_nodes
+            and "node_id" in features.columns
+            and all(c in features.columns for c in feature_cols)
+        )
         fusable = (
             fk is not None
             and len(fk.columns) == 1
-            and (features is None or features is src_nodes)
+            and (features is None or features is src_nodes or keyed_features)
             and src_t in self.pk_node_ids
             and dst_t in self.pk_node_ids
-            and all(c in src_nodes.columns for c in feature_cols)
+            and (
+                keyed_features
+                or all(c in src_nodes.columns for c in feature_cols)
+            )
         )
         if not fusable:
             feats = features if features is not None else src_nodes
@@ -165,14 +179,19 @@ class HeteroGraph:
             )
         from .message_passing import agg_expressions
 
-        dtypes = dict(src_nodes.dtypes)
-        grouped = (
-            src_nodes.select(
+        if keyed_features:
+            dtypes = dict(features.dtypes)
+            fact = src_nodes.select(
+                "node_id", F.col(fk.columns[0]).cast("bigint").alias("dst")
+            ).join(features.select("node_id", *feature_cols), "node_id")
+        else:
+            dtypes = dict(src_nodes.dtypes)
+            fact = src_nodes.select(
                 F.col(fk.columns[0]).cast("bigint").alias("dst"),
                 *[F.col(c) for c in feature_cols],
             )
-            .groupBy("dst")
-            .agg(*agg_expressions(dtypes, feature_cols, list(aggs), prefix))
+        grouped = fact.groupBy("dst").agg(
+            *agg_expressions(dtypes, feature_cols, list(aggs), prefix)
         )
         dst_keys = self.nodes[dst_t].select(F.col("node_id").alias("dst"))
         return grouped.join(dst_keys, "dst", "leftsemi")
