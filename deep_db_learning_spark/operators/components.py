@@ -70,4 +70,9 @@ def connected_components(
             break
         prev_sum = cur_sum
     e.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    # the cached rounds execute fine, but the RETURNED plan would still
+    # print/optimize the whole unfolded loop lineage — a lazy local
+    # checkpoint caps it at the final state
+    return labels.localCheckpoint(eager=False).select(
+        "node", F.col("label").alias("component")
+    )
