@@ -54,3 +54,26 @@ def test_successive_halving_converges():
     )
     assert out[0][0]["x"] == 3
     assert not math.isnan(out[0][1])
+
+
+def test_successive_halving_minimize():
+    def fn(p, budget):
+        return (p["x"] - 2) ** 2 * 1.0
+
+    out = successive_halving(
+        fn, {"x": [0, 1, 2, 3, 4]}, n_trials=10, rungs=3, seed=3, maximize=False
+    )
+    assert out[0][0]["x"] == 2
+
+
+def test_sparsemax_extremes():
+    import numpy as np
+
+    from deep_db_learning_spark.operators.kernels import sparsemax
+
+    # one dominant logit -> one-hot
+    p = sparsemax(np.array([[100.0, 0.0, -100.0]]))
+    assert p[0].tolist() == [1.0, 0.0, 0.0]
+    # translation invariance (projection property)
+    z = np.array([[0.3, -1.2, 2.0, 0.0]])
+    assert np.allclose(sparsemax(z), sparsemax(z + 7.5))
