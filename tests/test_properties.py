@@ -74,3 +74,34 @@ def test_date_decomposition_roundtrips(spark, dates):
         ),
     )
     assert back.filter(F.col("d2") != F.col("d")).count() == 0
+
+
+@given(
+    t=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+        min_size=0,
+        max_size=60,
+    ),
+    k=st.integers(min_value=2, max_value=9),
+)
+@settings(max_examples=200, deadline=None)
+def test_rolling_shingle_hash_matches_naive(t, k):
+    """The vectorized Horner kernel equals a naive per-gram fold for
+    arbitrary unicode text — no Spark needed (the expression twin is
+    pinned separately in tests/test_dedup.py)."""
+    from deep_db_learning_spark.operators.dedup import (
+        SHINGLE_B,
+        SHINGLE_P,
+        _rolling_shingle_hashes,
+    )
+
+    def naive_hash(g):
+        acc = 0
+        for ch in g:
+            acc = (acc * SHINGLE_B + ord(ch)) % SHINGLE_P
+        return acc
+
+    grams = [t] if len(t) < k else [t[i : i + k] for i in range(len(t) - k + 1)]
+    want = sorted({naive_hash(g) for g in grams})
+    got = _rolling_shingle_hashes(t, k).tolist()
+    assert got == want
