@@ -105,3 +105,23 @@ def test_rolling_shingle_hash_matches_naive(t, k):
     want = sorted({naive_hash(g) for g in grams})
     got = _rolling_shingle_hashes(t, k).tolist()
     assert got == want
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    """BMP encode/decode is lossless for every (h, w) — including the
+    widths whose rows need 4-byte padding."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_bmp_bytes,
+        encode_bmp_bytes,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp_bytes(encode_bmp_bytes(img)) == img).all()
