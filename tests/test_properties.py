@@ -125,3 +125,38 @@ def test_bmp_roundtrip_any_shape(h, w, seed):
 
     img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert (decode_bmp_bytes(encode_bmp_bytes(img)) == img).all()
+
+
+@given(
+    sw=st.sampled_from([1, 2, 4]),
+    ch=st.integers(min_value=1, max_value=2),
+    n=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_decode_all_sample_widths(sw, ch, n, seed):
+    """PCM WAV decode handles 8/16/32-bit and multi-channel downmix;
+    values land in [-1, 1] and mono length equals the frame count."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import decode_wav_bytes
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 2 ** (8 * sw), size=n * ch, dtype=np.uint64)
+    dtype = {1: "u1", 2: "<i2", 4: "<i4"}[sw]
+    if sw > 1:
+        frames = (frames - 2 ** (8 * sw - 1)).astype(dtype)
+    else:
+        frames = frames.astype(dtype)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(ch)
+        wv.setsampwidth(sw)
+        wv.setframerate(8000)
+        wv.writeframes(frames.tobytes())
+    sr, x = decode_wav_bytes(buf.getvalue())
+    assert sr == 8000 and len(x) == n
+    assert np.abs(x).max() <= 1.0
