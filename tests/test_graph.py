@@ -103,3 +103,23 @@ def test_drop_empty(spark):
     g.drop_empty()
     assert set(g.nodes) == {"a"}
     assert set(g.edges) == {"self_a"}
+
+
+def test_multi_column_fk_edges(spark):
+    """fk_edges joins on ALL column pairs of a composite FK; partial
+    matches produce no edge."""
+    from deep_db_learning_spark.operators.graph import fk_edges
+    from deep_db_learning_spark.schema import ForeignKey
+
+    src = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, "a"), (4, 99, "z")],
+        "node_id long, rk1 long, rk2 string",
+    )
+    dst = spark.createDataFrame(
+        [(100, 10, "a"), (200, 20, "a"), (300, 10, "z")],
+        "node_id long, k1 long, k2 string",
+    )
+    fk = ForeignKey(["rk1", "rk2"], "dst", ["k1", "k2"])
+    edges = {(r["src"], r["dst"]) for r in fk_edges(src, dst, fk).collect()}
+    # (2,10,'b') matches k1 only; (4,99,'z') matches k2 only - both drop
+    assert edges == {(1, 100), (3, 200)}
