@@ -112,3 +112,31 @@ def test_convert_database_all_tables(db):
                 f.name,
                 f.dataType,
             )
+
+
+def test_duration_seconds_and_clamp(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.functions.datetime_funcs import (
+        clamp_to_pandas_bounds,
+        duration_seconds,
+    )
+
+    df = spark.sql(
+        "SELECT INTERVAL '1 02:03:04.5' DAY TO SECOND AS d, "
+        "TIMESTAMP '1500-01-01 00:00:00' AS early, "
+        "TIMESTAMP '2400-01-01 00:00:00' AS late, "
+        "TIMESTAMP '2020-06-15 12:00:00' AS mid"
+    )
+    row = df.select(
+        duration_seconds(F.col("d")).alias("secs"),
+        clamp_to_pandas_bounds(F.col("early")).alias("early_c"),
+        clamp_to_pandas_bounds(F.col("late")).alias("late_c"),
+        clamp_to_pandas_bounds(F.col("mid")).alias("mid_c"),
+    ).collect()[0]
+    assert row["secs"] == 1 * 86400 + 2 * 3600 + 3 * 60 + 4.5
+    assert row["early_c"] == dt.datetime(1677, 9, 22, 0, 12, 43)
+    assert row["late_c"] == dt.datetime(2262, 4, 11, 23, 47, 16)
+    assert row["mid_c"] == dt.datetime(2020, 6, 15, 12, 0, 0)
