@@ -61,8 +61,10 @@ def epoch_seconds(c: Column) -> Column:
 def duration_seconds(c: Column) -> Column:
     """F8: day-time interval → fractional seconds. The reference stores
     nanoseconds (``ctu_dataset.py:153-154``); seconds avoid overflow and
-    are numerically equivalent features (scale factor)."""
-    return c.cast("double")
+    are numerically equivalent features (scale factor). Spark forbids a
+    direct interval→double cast; the decimal hop keeps sub-second
+    precision."""
+    return c.cast("decimal(30,9)").cast("double")
 
 
 def legacy_date_segments(c: Column) -> dict[str, Column]:
