@@ -140,3 +140,25 @@ def test_duration_seconds_and_clamp(spark):
     assert row["early_c"] == dt.datetime(1677, 9, 22, 0, 12, 43)
     assert row["late_c"] == dt.datetime(2262, 4, 11, 23, 47, 16)
     assert row["mid_c"] == dt.datetime(2020, 6, 15, 12, 0, 0)
+
+
+def test_convert_time_and_duration_specs(spark):
+    """F5/F8 through the registry: a 'time' string column decomposes to
+    seconds-since-midnight; a 'duration' interval column to seconds."""
+    from deep_db_learning_spark.schema import ColumnSpec
+
+    df = spark.sql(
+        "SELECT '13:45:30' AS t, INTERVAL '0 01:00:00' DAY TO SECOND AS d, 1 AS id"
+    )
+    out = convert_table(
+        df,
+        {
+            "t": ColumnSpec("time"),
+            "d": ColumnSpec("duration"),
+            "id": ColumnSpec("omit"),
+        },
+    )
+    row = out.collect()[0]
+    assert row["t"] == 13 * 3600 + 45 * 60 + 30  # in-place seconds value
+    assert row["d_seconds"] == 3600.0
+    assert "id" not in out.columns
