@@ -145,18 +145,18 @@ def test_duration_seconds_and_clamp(spark):
 def test_convert_time_and_duration_specs(spark):
     """F5/F8 through the registry: a 'time' string column decomposes to
     seconds-since-midnight; a 'duration' interval column to seconds."""
-    from deep_db_learning_spark.schema import ColumnSpec
+    from deep_db_learning_spark.schema import ColumnSpec, TableSpec
 
     df = spark.sql(
         "SELECT '13:45:30' AS t, INTERVAL '0 01:00:00' DAY TO SECOND AS d, 1 AS id"
     )
     out = convert_table(
         df,
-        {
+        TableSpec(columns={
             "t": ColumnSpec("time"),
             "d": ColumnSpec("duration"),
             "id": ColumnSpec("omit"),
-        },
+        }),
     )
     row = out.collect()[0]
     assert row["t"] == 13 * 3600 + 45 * 60 + 30  # in-place seconds value
