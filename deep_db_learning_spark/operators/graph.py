@@ -13,12 +13,16 @@ Node-id strategy (the 100 TB decision):
 - ``mode="pk"`` (default): ``node_id`` = the table's single numeric PK.
   Zero shuffle, zero scan — ids are stable under repartitioning and
   appends, and every downstream join co-partitions on them.
+- composite integral PK: mixed-radix **packed bigint** of the key
+  columns (one tiny min/max agg to size the radices). Still a pure row
+  expression — no window, no sort, stable under recomputation — so
+  composite-PK fact tables (lineitem) keep the fused aggregation path.
 - ``mode="positional"``: contiguous [0, n) ids via ``row_number()``
   ordered by PK, for strict parity with PyG tensors and for export to
   training frameworks that need dense indices. A global row_number is
-  a single-partition sort at scale — use ``zipWithIndex``-style
-  per-partition offsets if this path ever needs 100 TB (documented,
-  not needed for feature computation).
+  a single-partition sort at scale — parity/export ONLY, never the
+  default; the packed path above exists precisely so no default build
+  ever funnels a fact table through one task.
 
 Edge semantics: inner join ⇒ rows with NULL FK or dangling reference
 silently drop — J2, matching the reference (``heterodata_builder.py:145-151``).
@@ -42,21 +46,100 @@ from ..schema import DBSchema, ForeignKey
 BROADCAST_ROW_LIMIT = 1_000_000
 
 
-def with_node_ids(
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _packed_node_id_expr(df: DataFrame, pk: list[str]):
+    """Mint a composite-PK ``node_id`` as a pure row expression: a
+    mixed-radix pack of ``(col - min(col))`` over the key columns.
+
+    One tiny agg job (min/max of the key columns — a columnar scan of
+    just those columns) buys a shuffle-free, sort-free id that is stable
+    under repartitioning and recomputation. This replaces the former
+    positional fallback, whose partition-less ``Window.orderBy`` funnels
+    the whole table through ONE task — on this very testdata that table
+    is lineitem, the fact table, so the old fallback was the repo's one
+    genuine scale-killer. Returns ``None`` when the key has non-integral
+    columns, NULLs in the min/max, or the packed range would overflow
+    int64 — callers then fall back to positional.
+    """
+    dtypes = dict(df.dtypes)
+    if not pk or any(dtypes.get(c) not in _INTEGRAL_DTYPES for c in pk):
+        return None
+    # one parallel job: per-key-column min/max plus the worst duplicate
+    # count of the declared key (driver-generated data does ship key
+    # dups — the id must stay unique per ROW, like the reference's
+    # positional pandas index). groupBy(pk) is a shuffle of the key
+    # columns only, with map-side partial aggregation — a normal
+    # parallel job, unlike the single-task global sort this replaces.
+    grouped = df.groupBy(*[F.col(c) for c in pk]).agg(F.count(F.lit(1)).alias("__cnt"))
+    aggs = [F.max("__cnt").alias("__maxdup")]
+    for c in pk:
+        aggs.append(F.min(F.col(c).cast("bigint")).alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c).cast("bigint")).alias(f"__max_{c}"))
+    row = grouped.agg(*aggs).first()
+    mins = [row[f"__min_{c}"] for c in pk]
+    maxs = [row[f"__max_{c}"] for c in pk]
+    maxdup = row["__maxdup"]
+    if any(v is None for v in mins + maxs):
+        return None  # empty table or NULLs in the key
+    ranges = [mx - mn + 1 for mn, mx in zip(mins, maxs)]
+    if maxdup > 1:
+        ranges.append(maxdup)
+    total = 1
+    for r in ranges:
+        total *= r
+        if total >= 1 << 62:
+            return None
+    expr = None
+    for c, mn, r in zip(pk, mins, ranges):
+        digit = F.col(c).cast("bigint") - F.lit(mn)
+        expr = digit if expr is None else expr * F.lit(r) + digit
+    if maxdup > 1:
+        # disambiguate duplicate-key rows with a rank from a window
+        # PARTITIONED by the key (tiny groups, fully parallel — no
+        # Exchange SinglePartition anywhere in the plan). Order by the
+        # remaining sortable columns so the rank is deterministic when
+        # the dup rows differ; fully identical rows are interchangeable.
+        orderable = [
+            c
+            for c, t in df.dtypes
+            if c not in pk and not t.startswith(("array", "map", "struct", "binary"))
+        ]
+        w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(
+            *[F.col(c) for c in pk + orderable]
+        )
+        expr = expr * F.lit(maxdup) + (F.row_number().over(w) - 1)
+    return expr
+
+
+def mint_node_ids(
     df: DataFrame, pk: list[str], mode: str = "pk", id_col: str = "node_id"
-) -> DataFrame:
-    """Attach a stable ``node_id``."""
+) -> tuple[DataFrame, str]:
+    """Attach a stable ``node_id``; returns ``(df, kind)`` where kind is
+    ``"pk"`` (id == the single pk), ``"packed"`` (pure expression of a
+    composite pk), or ``"positional"`` (dense row_number — parity/export
+    only; carries a global sort)."""
     if mode == "pk":
         if len(pk) == 1:
-            return df.withColumn(id_col, F.col(pk[0]).cast("bigint"))
-        # composite PK: positional fallback keeps ids dense and unique
+            return df.withColumn(id_col, F.col(pk[0]).cast("bigint")), "pk"
+        packed = _packed_node_id_expr(df, pk)
+        if packed is not None:
+            return df.withColumn(id_col, packed), "packed"
         mode = "positional"
     if mode == "positional":
         if not pk:
             raise ValueError("positional node ids require a primary key ordering")
         w = Window.orderBy(*[F.col(c) for c in pk])
-        return df.withColumn(id_col, (F.row_number().over(w) - 1).cast("bigint"))
+        return df.withColumn(id_col, (F.row_number().over(w) - 1).cast("bigint")), "positional"
     raise ValueError(f"unknown node id mode {mode!r}")
+
+
+def with_node_ids(
+    df: DataFrame, pk: list[str], mode: str = "pk", id_col: str = "node_id"
+) -> DataFrame:
+    """Attach a stable ``node_id`` (see :func:`mint_node_ids`)."""
+    return mint_node_ids(df, pk, mode, id_col)[0]
 
 
 def fk_edges(
@@ -110,6 +193,10 @@ class HeteroGraph:
     edge_meta: dict[str, tuple[str, str]] = field(default_factory=dict)  # type → (src_table, dst_table)
     edge_fks: dict[str, ForeignKey] = field(default_factory=dict)  # forward edges only
     pk_node_ids: set[str] = field(default_factory=set)  # tables where node_id == single pk
+    # tables whose node_id is a pure row expression (single pk OR packed
+    # composite pk) — no window, stable under recomputation; such tables
+    # are eligible as the SRC side of the fused aggregation plan
+    expr_node_ids: set[str] = field(default_factory=set)
 
     @staticmethod
     def edge_type(src_table: str, fk: ForeignKey) -> str:
@@ -161,11 +248,16 @@ class HeteroGraph:
             and "node_id" in features.columns
             and all(c in features.columns for c in feature_cols)
         )
+        # fusability: the dst side MUST use raw-pk node ids (the fk
+        # column value IS the dst node_id); the src side only needs a
+        # row-expression id (pk or packed composite) so that keyed
+        # feature frames join consistently — composite-PK fact tables
+        # (lineitem) fuse too
         fusable = (
             fk is not None
             and len(fk.columns) == 1
             and (features is None or features is src_nodes or keyed_features)
-            and src_t in self.pk_node_ids
+            and src_t in (self.pk_node_ids | self.expr_node_ids)
             and dst_t in self.pk_node_ids
             and (
                 keyed_features
@@ -248,24 +340,67 @@ class HeteroGraph:
     def save(self, path: str, mode: str = "overwrite") -> None:
         """S9: persisted node/edge Parquet layout — the materialization
         checkpoint after which training iterations never re-run the
-        build joins."""
+        build joins. A small ``meta.json`` sidecar carries edge_meta,
+        edge_fks, and the node-id provenance sets so a reloaded graph
+        keeps its fused-aggregation eligibility (without it, every
+        ``aggregate_along_edge`` after a load silently falls back to the
+        double-scan generic plan)."""
+        import json
+
         for t, df in self.nodes.items():
             df.write.mode(mode).parquet(os.path.join(path, "nodes", t))
         for et, df in self.edges.items():
             df.write.mode(mode).parquet(os.path.join(path, "edges", et))
+        meta = {
+            "edge_meta": {et: list(m) for et, m in self.edge_meta.items()},
+            "edge_fks": {
+                et: {
+                    "columns": fk.columns,
+                    "ref_table": fk.ref_table,
+                    "ref_columns": fk.ref_columns,
+                }
+                for et, fk in self.edge_fks.items()
+            },
+            "pk_node_ids": sorted(self.pk_node_ids),
+            "expr_node_ids": sorted(self.expr_node_ids),
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "HeteroGraph":
+        import json
+
         g = cls()
         ndir, edir = os.path.join(path, "nodes"), os.path.join(path, "edges")
         for t in sorted(os.listdir(ndir)):
             g.nodes[t] = spark.read.parquet(os.path.join(ndir, t))
         for et in sorted(os.listdir(edir)):
             g.edges[et] = spark.read.parquet(os.path.join(edir, et))
-            parts = et.replace("rev_", "").replace("self_", "").split("__")
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            g.edge_meta = {et: tuple(m) for et, m in meta["edge_meta"].items()}
+            g.edge_fks = {
+                et: ForeignKey(d["columns"], d["ref_table"], d["ref_columns"])
+                for et, d in meta["edge_fks"].items()
+            }
+            g.pk_node_ids = set(meta["pk_node_ids"])
+            g.expr_node_ids = set(meta["expr_node_ids"])
+            return g
+        # legacy layout without a sidecar: reconstruct edge_meta from the
+        # directory names, stripping only a LEADING rev_/self_ prefix
+        # (mid-string occurrences belong to FK column names)
+        for et in g.edges:
             if et.startswith("self_"):
-                g.edge_meta[et] = (et[len("self_"):], et[len("self_"):])
-            elif len(parts) == 3:
+                t = et[len("self_"):]
+                g.edge_meta[et] = (t, t)
+                continue
+            base = et[len("rev_"):] if et.startswith("rev_") else et
+            parts = base.split("__")
+            if len(parts) == 3:
                 src, _, dst = parts
                 g.edge_meta[et] = (dst, src) if et.startswith("rev_") else (src, dst)
         return g
@@ -287,9 +422,12 @@ def build_hetero_graph(
     g = HeteroGraph()
     for t, df in tables.items():
         pk = primary_keys.get(t, [])
-        g.nodes[t] = with_node_ids(df, pk, id_mode)
-        if id_mode == "pk" and len(pk) == 1:
+        g.nodes[t], kind = mint_node_ids(df, pk, id_mode)
+        if kind == "pk":
             g.pk_node_ids.add(t)
+            g.expr_node_ids.add(t)
+        elif kind == "packed":
+            g.expr_node_ids.add(t)
     for t, fks in foreign_keys.items():
         if t not in g.nodes:
             continue
@@ -318,15 +456,24 @@ def graph_statistics(
     edges-per-source ratio. The per-DB totals the reference prints
     (#relations, #tuples, #edges) are the obvious aggregates of this
     frame; emitting per-edge-type rows keeps everything data-derived
-    and oracle-checkable. One count per table + one per FK join —
-    independent jobs a cluster driver can submit concurrently."""
+    and oracle-checkable. One count per table + one per FK join — all
+    independent, so they are submitted from concurrent driver threads
+    (the same pool pattern as :meth:`HeteroGraph.edge_counts`): on a
+    cluster, sequential submission would leave executors idle between
+    ~18 small jobs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     g = build_hetero_graph(tables, primary_keys, foreign_keys, add_reverse=False)
     spark = next(iter(tables.values())).sparkSession
-    n_rows = {t: df.count() for t, df in tables.items()}
+    with ThreadPoolExecutor(min(8, max(1, len(tables)))) as pool:
+        n_rows = dict(
+            zip(tables, pool.map(lambda t: tables[t].count(), tables))
+        )
+    edge_counts = g.edge_counts()
     rows = []
     for et in sorted(g.edges):
         src_t, dst_t = g.edge_meta[et]
-        n_edges = g.edges[et].count()
+        n_edges = edge_counts[et]
         rows.append(
             (
                 et,

@@ -63,3 +63,34 @@ def test_profiler_prunes_scan_columns(db):
     assert "l_extendedprice" not in cols and "l_shipdate" not in cols
     assert "l_orderkey" not in cols  # non-composite FK member
     assert "l_returnflag" in cols and "l_linestatus" in cols
+
+
+def test_lineitem_node_ids_have_no_global_sort(db):
+    """The composite-PK fact table must never mint node ids through a
+    partition-less Window (an Exchange SinglePartition = one-task global
+    sort at scale): its ids are a packed-bigint row expression plus a
+    key-PARTITIONED dup rank, and the table is eligible for the fused
+    aggregation path."""
+    from deep_db_learning_spark.operators.graph import build_hetero_graph
+
+    g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
+    assert "lineitem" in g.expr_node_ids
+
+    assert "SinglePartition" not in explain(g.nodes["lineitem"])
+    assert "SinglePartition" not in explain(g.edges["lineitem__l_orderkey__orders"])
+
+    # the 2-hop first layer takes the fused single-scan plan: no node-id
+    # mint, no window, exactly one lineitem scan
+    agg = g.aggregate_along_edge("lineitem__l_orderkey__orders", ["l_quantity"], ["sum"])
+    plan = explain(agg)
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_packed_node_ids_unique_and_expression_only(db):
+    from deep_db_learning_spark.operators.graph import mint_node_ids
+
+    nodes, kind = mint_node_ids(db.df("lineitem"), ["l_orderkey", "l_linenumber"], "pk")
+    assert kind == "packed"
+    n = nodes.count()
+    assert nodes.select("node_id").distinct().count() == n
