@@ -1314,15 +1314,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": f"""
+            -- determinism contract, matching sessionize(): windows order
+            -- by (ts, event_id) so equal-ts rows have ONE lag order in
+            -- every engine, and the gap math goes through an explicitly
+            -- TRUNCATING ns->us conversion (CAST to microsecond
+            -- TIMESTAMP) in case the source parquet is TIMESTAMP(NANOS)
+            -- in some environment — Spark truncates nanos on read, so
+            -- the oracle must too, not round.
             WITH flagged AS (
-              SELECT user_id, ts, value,
-                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS b
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             sess AS (
               SELECT user_id, ts, value,
-                sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
               FROM flagged
             )

@@ -257,10 +257,13 @@ def aggregate_neighbors_salted(
 
     Works because the supported messages are algebraic: sum/min/max/
     count combine by sum/min/max/sum, and mean = final decimal sum ÷
-    final count. The decimal fold keeps the salted result
-    bitwise-identical to the unsalted one (decimal addition is
-    associative — that is the point of ``exact_agg``). AQE's skew-join
-    handling covers the JOIN side; this covers the AGGREGATION side.
+    final NON-NULL count — ``count(col)``, not ``count(*)``, to match
+    Spark's/SQL's avg semantics (and the unsalted path's ``exact_avg``)
+    when the feature column has NULLs. The decimal fold keeps the
+    salted result bitwise-identical to the unsalted one (decimal
+    addition is associative — that is the point of ``exact_agg``).
+    AQE's skew-join handling covers the JOIN side; this covers the
+    AGGREGATION side.
     """
     dtypes = dict(src_features.dtypes)
     feats = src_features.select(
@@ -283,6 +286,11 @@ def aggregate_neighbors_salted(
                 if pname not in partial_names:
                     partial_names.add(pname)
                     partial_exprs.append(sum_part.alias(pname))
+            if a in ("mean", "avg"):
+                nname = f"__pnn_{c}"
+                if nname not in partial_names:
+                    partial_names.add(nname)
+                    partial_exprs.append(F.count(F.col(c)).alias(nname))
             if a == "min":
                 partial_exprs.append(F.min(F.col(c)).alias(f"__pmin_{c}"))
                 final_exprs.append(F.min(f"__pmin_{c}").alias(f"{prefix}min_{c}"))
@@ -302,7 +310,7 @@ def aggregate_neighbors_salted(
                 final_exprs.append(fsum_val.alias(f"{prefix}sum_{c}"))
             elif a in ("mean", "avg"):
                 final_exprs.append(
-                    (fsum.cast("double") / F.sum("__pcnt")).alias(f"{prefix}{a}_{c}")
+                    (fsum.cast("double") / F.sum(f"__pnn_{c}")).alias(f"{prefix}{a}_{c}")
                 )
     final_exprs.append(F.sum("__pcnt").alias(f"{prefix}degree"))
     return partial.groupBy(dst).agg(*final_exprs)

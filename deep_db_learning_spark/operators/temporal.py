@@ -41,6 +41,7 @@ def asof_join(
     payload: list[str] | None = None,
     suffix: str = "_asof",
     inclusive: bool = True,
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of join: attach to each left row the payload of the
     latest right row of the same key with ``right.ts <= left.ts``
@@ -50,12 +51,18 @@ def asof_join(
     The matched right timestamp is returned as ``{right_ts}{suffix}``
     alongside the payload columns (suffixed on name collisions).
 
-    Ties: among right rows sharing (key, ts) the result is the one last
-    in the union order — supply pre-deduplicated right input (e.g.
-    ``dropDuplicates([key, ts])``) when (key, ts) is not unique and
-    determinism matters.
+    Ties: among right rows sharing (key, ts), ``tie_break`` (right-side
+    column names) extends the window ordering so the winner is
+    deterministic across runs, partitionings, and engines — the
+    LARGEST tie_break tuple wins (it sorts last, and the carry takes
+    the last non-null). Without it the winner is whichever right row
+    the union order happens to place last; supply pre-deduplicated
+    right input or a tie_break when (key, ts) is not unique. Left-row
+    ties never matter: their payload columns are NULL, so the
+    ``last(..., ignorenulls)`` carry is invariant to their order.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    tie_break = tie_break or []
     right_ts = right_ts or left_ts
     if payload is None:
         payload = [c for c in right.columns if c not in keys and c != right_ts]
@@ -74,6 +81,7 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
         *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__p__ts"),
+        *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}") for t in tie_break],
     )
     # inclusive: right rows sort BEFORE left rows at equal ts (they are
     # visible to it); exclusive: after (they are not)
@@ -84,10 +92,15 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
         *[F.col(p).alias(f"__p_{p}") for p in payload],
         F.col(right_ts).alias("__p__ts"),
+        *[F.col(t).alias(f"__tb_{t}") for t in tie_break],
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(
+            F.col("__ts"),
+            F.col("__side"),
+            *[F.col(f"__tb_{t}") for t in tie_break],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_side.unionByName(r_side).select(
@@ -182,7 +195,12 @@ def range_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     width = F.expr(f"INTERVAL {bin_width}")
-    width_us = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + width)
+    # width in microseconds as a DIFFERENCE of two unix_micros, so the
+    # session-timezone offset of the epoch literal cancels — a bare
+    # unix_micros(epoch + interval) is only the interval width when the
+    # session zone is UTC, and this function must not depend on that
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    width_us = F.unix_micros(epoch + width) - F.unix_micros(epoch)
 
     def _us(c: str) -> Column:
         # unix_micros requires TIMESTAMP; NTZ casts through the session
@@ -198,7 +216,16 @@ def range_join(
         # < end, so cover through the end bin
         F.floor(_us(right_end) / width_us).cast("bigint"),
     )
-    l = left.withColumn("__bin", l_bin)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    # how="left" needs to re-attach match-less left rows, and joining
+    # back on list(left.columns) is wrong twice over: a left row with a
+    # NULL in ANY column never matches itself (NULL != NULL, payload
+    # silently lost) and duplicate left rows cross-multiply. A surrogate
+    # row id fixes both — monotonically_increasing_id is stable here
+    # because both join branches derive from the SAME tagged frame.
+    tagged = left.withColumn("__rjid", F.monotonically_increasing_id()) if how == "left" else left
+    l = tagged.withColumn("__bin", l_bin)
     r = right.withColumn("__bin", F.explode(r_bins))
     joined = l.join(r, [*keys, "__bin"], "inner").filter(
         (F.col(right_start) <= F.col(left_point))
@@ -207,9 +234,7 @@ def range_join(
     out = joined.drop("__bin")
     if how == "inner":
         return out
-    if how != "left":
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     right_only = [c for c in right.columns if c not in set(left.columns)]
-    return left.join(
-        out.select(*left.columns, *right_only), list(left.columns), "left"
-    )
+    return tagged.join(
+        out.select("__rjid", *right_only), ["__rjid"], "left"
+    ).drop("__rjid")

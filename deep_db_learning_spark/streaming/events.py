@@ -42,8 +42,8 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-# the driver parquet stores ts as TIMESTAMP(NANOS) → read as BIGINT
-# under nanosAsLong, then converted (micros truncation, like DuckDB)
+# TIMESTAMP(NANOS) sources are read as BIGINT under nanosAsLong, then
+# converted (micros truncation, like DuckDB / the batch reader)
 _EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -56,12 +56,29 @@ _EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def _parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Timestamp unit ('ns'/'us'/'ms'/'s') of ``column`` from the footer
+    of one parquet file under ``path``. Streams need a declared schema up
+    front, and the right declaration depends on the physical unit — the
+    driver has shipped this table as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across rounds, so sniff, don't assume."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        names = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+        if not names:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        f = os.path.join(path, names[0])
+    return pq.read_schema(f).field(column).type.unit
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """``readStream`` over a parquet directory of event files. The
     driver testdata is a single file; a production feed would be a
     growing directory — same code."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    unit = _parquet_ts_unit(path)
     if os.path.isfile(path):
         # FileStreamSource only accepts directories; expose a single-file
         # fixture (the driver testdata) through a symlinked temp dir
@@ -70,10 +87,18 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-    # event-time watermarks require TIMESTAMP (not NTZ); session tz is
-    # pinned to UTC above so the instant equals the batch NTZ value
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        # nanos: no Spark timestamp type holds them — read the raw int64
+        # and truncate to micros (matching the batch reader and DuckDB)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        # event-time watermarks require TIMESTAMP (not NTZ); session tz
+        # is pinned to UTC above so the instant equals the batch NTZ value
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # micros (or coarser): the natural NTZ read, cast to TIMESTAMP for
+    # watermark support — identity on the instant under the UTC session
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_user_features(
@@ -150,13 +175,23 @@ def user_profile_features(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, tie_break: tuple[str, ...] = ("event_id",)
+) -> DataFrame:
     """Gap-based sessionization (batch): a new session starts when a
     user's inter-event gap exceeds ``gap_minutes``. Classic two-window
     formulation — lag + running sum of boundary flags. Streaming
     equivalent would use ``session_window``; batch form is the oracle.
+
+    ``tie_break`` columns extend the window ordering beyond ``ts`` so
+    rows sharing (user_id, ts) have ONE deterministic lag order across
+    runs, partitionings, and engines. Session membership is provably
+    tie-order-invariant (equal-ts rows get gap 0), but determinism of
+    the full plan is a correctness property here, not an optimization:
+    the oracle SQL orders by the same columns.
     """
-    w = Window.partitionBy("user_id").orderBy("ts")
+    tb = [c for c in tie_break if c in events.columns]
+    w = Window.partitionBy("user_id").orderBy("ts", *tb)
     # micros, not unix_timestamp (which truncates to seconds): the gap
     # decision must see sub-second precision, matching stream_sessionize
     gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
@@ -168,9 +203,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     ).drop("__b")
 
 
-def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def session_stats(
+    events: DataFrame, gap_minutes: int = 30, tie_break: tuple[str, ...] = ("event_id",)
+) -> DataFrame:
     """Per-session summary built on :func:`sessionize`."""
-    s = sessionize(events, gap_minutes)
+    s = sessionize(events, gap_minutes, tie_break)
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
