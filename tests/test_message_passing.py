@@ -148,3 +148,37 @@ def test_salted_aggregate_bitwise_matches_plain(db):
     a = {tuple(r) for r in plain.select(sorted(plain.columns)).collect()}
     b = {tuple(r) for r in salted.select(sorted(salted.columns)).collect()}
     assert a == b  # decimal fold => salting cannot change a single bit
+
+
+def test_salted_mean_matches_plain_under_nulls(spark):
+    # regression: the salted mean used to divide by count(*) — with
+    # NULLs in the feature column that deflates the mean vs avg()
+    # semantics (and vs the unsalted path, which divides by count(col))
+    from pyspark.sql import Row
+
+    from deep_db_learning_spark.operators.message_passing import (
+        aggregate_neighbors,
+        aggregate_neighbors_salted,
+    )
+
+    feats = spark.createDataFrame(
+        [
+            Row(node_id=1, x=10.0),
+            Row(node_id=2, x=None),
+            Row(node_id=3, x=20.0),
+            Row(node_id=4, x=None),
+        ]
+    )
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=100) for s in (1, 2, 3, 4)]
+        + [Row(src=s, dst=200) for s in (2, 4)]  # all-NULL group
+    )
+    plain = aggregate_neighbors(edges, feats, ["x"], ["mean", "sum"])
+    salted = aggregate_neighbors_salted(edges, feats, ["x"], ["mean", "sum"], n_salts=4)
+    a = {tuple(r) for r in plain.select(sorted(plain.columns)).collect()}
+    b = {tuple(r) for r in salted.select(sorted(salted.columns)).collect()}
+    assert a == b
+    by_dst = {r["dst"]: r for r in salted.collect()}
+    assert by_dst[100]["mean_x"] == 15.0  # 30 / 2 non-null, not 30 / 4
+    assert by_dst[100]["degree"] == 4     # degree still counts every edge
+    assert by_dst[200]["mean_x"] is None

@@ -184,3 +184,54 @@ def test_asof_multi_key(spark):
     # (1,a) sees only the (1,a) right row; (1,b) only (1,b); the k1=2
     # row is invisible to both
     assert out == {1: 1.0, 2: 2.0}
+
+
+def test_range_join_left_keeps_null_and_duplicate_left_rows(spark):
+    # regression: the left mode used to re-join matched rows back on
+    # EVERY left column, so a left row with a NULL anywhere could never
+    # match itself (NULL != NULL) and identical left rows
+    # cross-multiplied; the surrogate-id re-join fixes both
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=t0, payload=None),      # NULL payload, has a match
+            Row(k=1, ts=t0, payload=None),      # exact duplicate row
+            Row(k=2, ts=t0, payload="x"),       # no interval on this key
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(
+                k=1,
+                start=dt.datetime(2024, 1, 1, 0, 0),
+                end=dt.datetime(2024, 1, 1, 1, 0),
+                tag="a",
+            )
+        ]
+    )
+    out = range_join(
+        left, right, on="k", left_point="ts",
+        right_start="start", right_end="end", how="left",
+    )
+    rows = sorted(
+        ((r["k"], r["payload"], r["tag"]) for r in out.collect()),
+        key=lambda t: (t[0], t[1] or "", t[2] or ""),
+    )
+    # each duplicate matches exactly once (no cross-multiply), the NULL
+    # rows keep their match, the match-less key-2 row survives with NULLs
+    assert rows == [(1, None, "a"), (1, None, "a"), (2, "x", None)]
+
+
+def test_asof_tie_break_is_deterministic(spark):
+    # two right rows at the SAME (key, ts): the largest tie_break tuple
+    # must win, regardless of union or partition order
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    left = spark.createDataFrame([Row(k=1, ts=dt.datetime(2024, 1, 1, 13, 0))])
+    for order in ([("a", 1), ("b", 2)], [("b", 2), ("a", 1)]):
+        right = spark.createDataFrame(
+            [Row(k=1, ts=t, v=v, rid=rid) for v, rid in order]
+        )
+        got = asof_join(
+            left, right, on="k", left_ts="ts", payload=["v"], tie_break=["rid"]
+        ).collect()[0]
+        assert got["v"] == "b"  # rid=2 sorts last -> carried
