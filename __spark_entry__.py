@@ -572,8 +572,9 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """LLM ops: SimHash near-dup candidate pairs (rows-only check —
-    xxhash64-based; Hamming semantics unit-tested)."""
+    """LLM ops: SimHash near-dup candidate pairs. The fingerprint is a
+    portable mask-parity hash (Arrow numpy kernel on the hot path,
+    value-identical Spark-HOF and DuckDB forms) — oracle-checked."""
     db = _db(spark, sf_dir)
     hashed = dedup.simhash(db.df("documents"), "text")
     return dedup.simhash_candidate_pairs(hashed, "doc_id", max_hamming=10).select(
@@ -1214,6 +1215,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_shared_grams
             FROM t JOIN e USING (gram)
             GROUP BY doc_id
+        """,
+        "simhash": f"""
+            -- full SimHash fingerprint + pigeonhole banding in DuckDB:
+            -- the portable mask-parity hash (dedup._simhash_sql) is
+            -- bit-identical across numpy kernel / Spark HOFs / DuckDB,
+            -- which is what upgraded this row from rows-only to
+            -- oracle-checked
+            WITH h AS (
+              SELECT doc_id, {dedup._simhash_sql('text', dialect='duckdb')} AS sh
+              FROM documents
+            ), b AS (
+              SELECT doc_id, sh, i AS band, (sh >> (CAST(i AS INT) * 16)) & 65535 AS band_val
+              FROM h CROSS JOIN range(0, 4) r(i)
+            ), p AS (
+              SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                     bit_count(xor(a.sh, c.sh)) AS hamming
+              FROM b a JOIN b c
+                ON a.band = c.band AND a.band_val = c.band_val
+               AND a.doc_id < c.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10
         """,
         "text_stats": """
             SELECT doc_id,

@@ -125,6 +125,7 @@ def main() -> None:
         "attention_aggregate",
         "dedup_exact",
         "minhash_dedup",
+        "simhash",
         "text_stats",
         "quality_scores",
         "embedding_topk",

@@ -418,24 +418,170 @@ def minhash_lsh_dedup(
 
 # ------------------------------------------------------------- simhash
 
+# second Horner base: each token gets TWO independent 40-bit rolling
+# hashes (h1 base 257, h2 base 263); bit b of the fingerprint votes by
+# parity(bit_count((h1 & R1[b]) ^ (h2 & R2[b]))) — a GF(2) mask-parity
+# hash with md5-derived per-bit masks. Everything stays in exact int64
+# (no overflow, ANSI-safe) and uses only portable primitives (bit_count,
+# &, ^), so the numpy kernel, the Spark expression twin, AND a DuckDB
+# oracle compute bit-identical fingerprints — unlike the previous
+# xxhash64 token hash, which was JVM-only and rows-only-checkable.
+SHINGLE_B2 = 263
+
+
+def _simhash_masks(bits: int = 64, width: int = 40):
+    """Deterministic md5-derived mask pairs, one per fingerprint bit
+    (the same derivation pattern as the minhash permutation seeds)."""
+    import hashlib
+
+    m1, m2 = [], []
+    for b in range(bits):
+        d = hashlib.md5(f"simhash-mask:{b}".encode()).digest()
+        m1.append(int.from_bytes(d[:8], "little") & ((1 << width) - 1))
+        m2.append(int.from_bytes(d[8:], "little") & ((1 << width) - 1))
+    return m1, m2
+
+
+_POP8 = None  # lazy 8-bit popcount table (numpy < 2.0 has no bitwise_count)
+
+
+def _popcount64(x):
+    """Vectorized popcount of an int64 array via an 8-bit lookup."""
+    import numpy as np
+
+    global _POP8
+    if _POP8 is None:
+        _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(*x.shape, 8)
+    return _POP8[b].sum(axis=-1).astype(np.int64)
+
+
+def _simhash_tokens(t: str):
+    """Distinct whitespace tokens with Spark-split semantics:
+    ``split(trim(text), '\\s+')`` — trim strips SPACES only, the split
+    keeps leading/trailing empty tokens produced by other whitespace."""
+    import re
+
+    return list(dict.fromkeys(re.split(r"\s+", t.strip(" "), flags=re.ASCII)))
+
 
 def simhash(
     df: DataFrame, text_col: str, out: str = "simhash", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash over distinct whitespace tokens: per bit position,
-    majority vote (+1/-1) of the token xxhash64 bits, packed back into
-    one BIGINT. Pure nested higher-order expressions — one scan, no
-    shuffle, no Python. xxhash64 is JVM-native but engine-specific ⇒
-    unit-tested, rows-only driver check."""
-    expr = f"""
+    majority vote (+1/-1) of a portable per-(token, bit) hash, packed
+    into one BIGINT. Arrow-batched numpy kernel — the Horner folds
+    vectorize over a left-zero-padded token matrix (leading zeros are
+    Horner-neutral) and the 64 mask parities broadcast over all tokens
+    at once. The nested-HOF expression twin (:func:`simhash_expr`) is
+    value-identical but interpreted per element by Spark (~µs/element —
+    the same argument as :func:`minhash_signature`); keep it off the
+    hot path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m1l, m2l = _simhash_masks(bits)
+    m1 = np.array(m1l, dtype=np.int64)
+    m2 = np.array(m2l, dtype=np.int64)
+
+    def sig_fn(texts):
+        res = []
+        for t in texts:
+            if t is None:
+                res.append(None)
+                continue
+            toks = _simhash_tokens(t)
+            n = len(toks)
+            maxlen = max((len(x) for x in toks), default=0)
+            cp = np.zeros((n, maxlen), dtype=np.int64)
+            for i, tok in enumerate(toks):
+                if tok:
+                    c = np.frombuffer(tok.encode("utf-32-le"), dtype="<u4")
+                    cp[i, maxlen - len(c):] = c
+            h1 = np.zeros(n, dtype=np.int64)
+            h2 = np.zeros(n, dtype=np.int64)
+            for j in range(maxlen):
+                col = cp[:, j]
+                h1 = (h1 * SHINGLE_B + col) % SHINGLE_P
+                h2 = (h2 * SHINGLE_B2 + col) % SHINGLE_P
+            g = _popcount64((h1[:, None] & m1[None, :]) ^ (h2[:, None] & m2[None, :])) & 1
+            votes = (2 * g - 1).sum(axis=0)
+            packed = (
+                ((votes > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64))
+                .sum(dtype=np.uint64)
+                .astype(np.int64)
+            )
+            res.append(int(packed))
+        return pd.Series(res, dtype="object")
+
+    sig_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(out, pandas_udf(sig_fn, "bigint")(F.col(text_col)))
+
+
+def _simhash_sql(text_expr: str, bits: int = 64, dialect: str = "spark") -> str:
+    """The full SimHash as ONE SQL expression — shared by the Spark
+    expression twin and the DuckDB oracle (dialect differences: lambda
+    arrow syntax only). Value-identical to the numpy kernel."""
+    m1, m2 = _simhash_masks(bits)
+    m1s = ", ".join(str(v) for v in m1)
+    m2s = ", ".join(str(v) for v in m2)
+    tok_hash = (
+        "aggregate(split({t}, ''), CAST(0 AS BIGINT),"
+        " (acc, ch) -> (acc * {b} + ascii(ch)) % {p})"
+    )
+    if dialect == "duckdb":
+        # DuckDB spellings: list_* functions, string_split_regex,
+        # lambda syntax is the same arrow form; ord('') errors on
+        # empty string so guard it; trim defaults to spaces like Spark
+        tok_hash = (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            " list_transform(string_split({t}, ''),"
+            " ch -> CAST(CASE WHEN ch = '' THEN 0 ELSE ord(ch) END AS BIGINT))),"
+            " (acc, ch) -> (acc * {b} + ch) % {p})"
+        )
+        h1 = tok_hash.format(t="t", b=SHINGLE_B, p=SHINGLE_P)
+        h2 = tok_hash.format(t="t", b=SHINGLE_B2, p=SHINGLE_P)
+        # 1::BIGINT << 63 overflows in DuckDB — bit 63 is the int64 sign
+        # bit, emitted as the literal min-bigint instead. NULL text must
+        # yield a NULL fingerprint (the per-bit CASE would otherwise
+        # fold the NULL votes into sig 0 — the kernel returns NULL).
+        return f"""
+        CASE WHEN {text_expr} IS NULL THEN NULL ELSE
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, {bits}), b ->
+            CASE WHEN
+              list_reduce(list_prepend(0,
+                list_transform(
+                  list_distinct(string_split_regex(trim({text_expr}), '\\s+')),
+                  t -> CASE WHEN
+                    bit_count(xor(
+                      (({h1}) & ([{m1s}])[b + 1]),
+                      (({h2}) & ([{m2s}])[b + 1])
+                    )) % 2 = 1 THEN 1 ELSE -1 END)),
+                (acc, v) -> acc + v) > 0
+            THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                      ELSE CAST(1 AS BIGINT) << b END
+            ELSE CAST(0 AS BIGINT) END)),
+          (sig, bit) -> sig | bit)
+        END
+        """
+    h1 = tok_hash.format(t="t", b=SHINGLE_B, p=SHINGLE_P)
+    h2 = tok_hash.format(t="t", b=SHINGLE_B2, p=SHINGLE_P)
+    return f"""
+    CASE WHEN {text_expr} IS NULL THEN NULL ELSE
     aggregate(
       zip_with(
         sequence(0, {bits - 1}),
         transform(sequence(0, {bits - 1}), b ->
           aggregate(
-            transform(array_distinct(split(trim({text_col}), '\\\\s+')), t -> xxhash64(t)),
+            transform(array_distinct(split(trim({text_expr}), '\\\\s+')), t ->
+              CASE WHEN pmod(bit_count(
+                (({h1}) & element_at(array({m1s}), b + 1))
+                ^ (({h2}) & element_at(array({m2s}), b + 1))
+              ), 2) = 1 THEN 1 ELSE -1 END),
             0,
-            (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+            (acc, v) -> acc + v
           )
         ),
         (b, vote) -> CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END
@@ -443,8 +589,16 @@ def simhash(
       CAST(0 AS BIGINT),
       (sig, bit) -> sig | bit
     )
+    END
     """
-    return df.withColumn(out, F.expr(expr))
+
+
+def simhash_expr(
+    df: DataFrame, text_col: str, out: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """Pure-JVM expression twin of :func:`simhash` (identical values;
+    interpreted HOF evaluation — oracle/parity use only)."""
+    return df.withColumn(out, F.expr(_simhash_sql(text_col, bits)))
 
 
 def simhash_candidate_pairs(

@@ -142,3 +142,35 @@ def test_prefix_filtered_jaccard_equals_naive(db):
             docs, "text", "doc_id", k, t, prefix_filter=False
         ).collect()))
         assert fast == naive and len(fast) > 0
+
+
+def test_simhash_kernel_matches_expr_and_duckdb(db, duck):
+    # the Arrow numpy kernel, the Spark HOF expression twin, and the
+    # DuckDB dialect of the same SQL are bit-identical — including the
+    # whitespace/empty-token/NULL edge cases
+    docs = db.df("documents").filter(F.col("doc_id") < 40)
+    kern = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text").collect()}
+    expr = {r["doc_id"]: r["simhash"] for r in dedup.simhash_expr(docs, "text").collect()}
+    assert kern == expr
+    sql = dedup._simhash_sql("text", dialect="duckdb")
+    got = dict(
+        duck.execute(
+            f"SELECT doc_id, {sql} FROM documents WHERE doc_id < 40"
+        ).fetchall()
+    )
+    assert got == kern
+
+
+def test_simhash_edge_cases_match(spark):
+    rows = [
+        (1, ""),                      # empty -> all-zero fingerprint
+        (2, None),                    # NULL -> NULL
+        (3, "  leading spaces"),
+        (4, "tab\tand\nnewline mix "),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kern = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "text").collect()}
+    expr = {r["doc_id"]: r["simhash"] for r in dedup.simhash_expr(df, "text").collect()}
+    assert kern == expr
+    assert kern[1] == 0 and kern[2] is None
