@@ -304,6 +304,20 @@ def q_bfs_depth2(spark, sf_dir):
     return bfs_visited_counts(db.tables, db.foreign_keys, "customer", roots, 2)
 
 
+def q_bfs_per_root(spark, sf_dir):
+    """J3/N28 minibatch shape: per-root BFS subgraphs — visited counts
+    per (root, table) for customers 0-9 at depth 2, one job for all
+    roots (reference ``get(idx)`` re-runs BFS per sample row,
+    ``data/dataset.py:249-258``)."""
+    from deep_db_learning_spark.operators.bfs import bfs_visited_counts_per_root
+
+    db = _db(spark, sf_dir)
+    roots = db.df("customer").filter(F.col("c_custkey") < 10).select("c_custkey")
+    return bfs_visited_counts_per_root(
+        db.tables, db.foreign_keys, "customer", roots, 2, db.primary_keys
+    )
+
+
 def q_message_mean(spark, sf_dir):
     """A6/N7/N11: one mean/sum/count aggregation layer orders→customer."""
     db = _db(spark, sf_dir)
@@ -793,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "node_split": q_node_split,
         "bfs_depth2": q_bfs_depth2,
+        "bfs_per_root": q_bfs_per_root,
         "message_mean": q_message_mean,
         "message_2hop": q_message_2hop,
         "attention_aggregate": q_attention_aggregate,
@@ -993,6 +1008,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'orders', count(*) FROM orders WHERE o_custkey IN
               (SELECT c_custkey FROM customer WHERE c_custkey < 10)
+        """,
+        "bfs_per_root": """
+            -- depth-2 BFS from each customer root: the root row itself,
+            -- its nation (forward FK), and its orders/events (reverse
+            -- FKs); tables a root never reaches produce no row
+            WITH r AS (SELECT c_custkey AS root_id FROM customer WHERE c_custkey < 10)
+            SELECT root_id, 'customer' AS table_name, CAST(1 AS BIGINT) AS n_visited FROM r
+            UNION ALL
+            SELECT root_id, 'nation', count(DISTINCT n_nationkey)
+            FROM r JOIN customer ON c_custkey = root_id
+                   JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY root_id
+            UNION ALL
+            SELECT root_id, 'orders', count(DISTINCT o_orderkey)
+            FROM r JOIN orders ON o_custkey = root_id
+            GROUP BY root_id
+            UNION ALL
+            SELECT root_id, 'events', count(DISTINCT event_id)
+            FROM r JOIN events ON user_id = root_id
+            GROUP BY root_id
         """,
         "message_mean": f"""
             SELECT c_custkey,

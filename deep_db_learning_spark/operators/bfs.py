@@ -105,6 +105,127 @@ def bfs_expand(
     return {t: df.dropDuplicates() for t, df in visited.items()}
 
 
+def bfs_expand_per_root(
+    tables: dict[str, DataFrame],
+    foreign_keys: dict[str, list[ForeignKey]],
+    target_table: str,
+    roots: DataFrame,
+    max_depth: int,
+    primary_keys: dict[str, list[str]],
+) -> dict[str, DataFrame]:
+    """Per-root BFS: identical traversal semantics to :func:`bfs_expand`
+    but every visited row stays tagged with the root it was reached
+    from — the minibatch-training shape. Returns
+    ``{table → DataFrame(root_id, *pk_cols)}`` with one row per
+    (root, visited row).
+
+    The reference materializes one subgraph per target row in a Python
+    loop — ``get(idx)`` (``data/dataset.py:249-258``) re-runs
+    ``BFSStrategy`` per sample. Here ALL roots expand in one job chain:
+    frontiers carry a ``root_id`` column, hops are inner joins on the FK
+    key (propagating the tag), and membership dedup is per (root, row).
+    Row-count cost is inherently Σ|subgraph| — the same rows the
+    reference would copy per sample, minus the per-row round-trips.
+    Frontiers project only key columns (pk + FK endpoints), so wide
+    tables never shuffle full rows.
+    """
+    if max_depth <= 0:
+        return {}
+    tpk = primary_keys[target_table]
+    if len(tpk) != 1:
+        raise ValueError("per-root BFS needs a single-column target pk as root id")
+    root_col = tpk[0]
+
+    referencing: dict[str, list[tuple[str, ForeignKey]]] = {}
+    for t, fks in foreign_keys.items():
+        for fk in fks:
+            referencing.setdefault(fk.ref_table, []).append((t, fk))
+
+    def key_cols(t: str) -> list[str]:
+        cols = set(primary_keys.get(t, []))
+        for fk in foreign_keys.get(t, []):
+            if len(fk.columns) == 1 and fk.ref_table in tables:
+                cols.add(fk.columns[0])
+        for rt, fk in referencing.get(t, []):
+            if len(fk.columns) == 1 and rt in tables:
+                cols.add(fk.ref_columns[0])
+        return sorted(c for c in cols if c in tables[t].columns)
+
+    base = tables[target_table].select(*key_cols(target_table))
+    f0 = base.join(
+        roots.select(F.col(root_col)).distinct(), root_col, "leftsemi"
+    ).withColumn("root_id", F.col(root_col))
+    visited: dict[str, DataFrame] = {target_table: f0.select("root_id", *tpk)}
+    frontier: list[tuple[str, DataFrame, str | None]] = [(target_table, f0, None)]
+
+    for depth in range(1, max_depth):
+        next_frontier: list[tuple[str, DataFrame, str | None]] = []
+        for table_name, rows, parent in frontier:
+            processed_forward: set[str] = set()
+            for fk in foreign_keys.get(table_name, []):
+                if len(fk.columns) != 1 or fk.ref_table not in tables:
+                    continue
+                keys = rows.select(
+                    "root_id", F.col(fk.columns[0]).alias(fk.ref_columns[0])
+                ).distinct()
+                new_rows = tables[fk.ref_table].select(*key_cols(fk.ref_table)).join(
+                    keys, fk.ref_columns[0], "inner"
+                )
+                next_frontier.append((fk.ref_table, new_rows, table_name))
+                processed_forward.add(fk.ref_table)
+            for ref_table, fk in referencing.get(table_name, []):
+                if (
+                    ref_table in processed_forward
+                    or ref_table == parent
+                    or len(fk.columns) != 1
+                    or ref_table not in tables
+                ):
+                    continue
+                keys = rows.select(
+                    "root_id", F.col(fk.ref_columns[0]).alias(fk.columns[0])
+                ).distinct()
+                new_rows = tables[ref_table].select(*key_cols(ref_table)).join(
+                    keys, fk.columns[0], "inner"
+                )
+                next_frontier.append((ref_table, new_rows, table_name))
+        if depth < max_depth - 1:
+            next_frontier = [
+                (t, rows.persist(), parent) for t, rows, parent in next_frontier
+            ]
+        for table_name, rows, _ in next_frontier:
+            v = rows.select("root_id", *primary_keys.get(table_name, []))
+            visited[table_name] = (
+                visited[table_name].unionByName(v) if table_name in visited else v
+            )
+        frontier = next_frontier
+
+    return {t: df.dropDuplicates() for t, df in visited.items()}
+
+
+def bfs_visited_counts_per_root(
+    tables: dict[str, DataFrame],
+    foreign_keys: dict[str, list[ForeignKey]],
+    target_table: str,
+    roots: DataFrame,
+    max_depth: int,
+    primary_keys: dict[str, list[str]],
+) -> DataFrame:
+    """Oracle-checkable summary of :func:`bfs_expand_per_root`:
+    (root_id, table_name, n_visited) with one row per root × visited
+    table (tables a root never reaches are absent, matching the
+    reference's per-sample subgraph containing only reached stores)."""
+    visited = bfs_expand_per_root(
+        tables, foreign_keys, target_table, roots, max_depth, primary_keys
+    )
+    out = None
+    for t in sorted(visited):
+        row = visited[t].groupBy("root_id").agg(
+            F.count(F.lit(1)).alias("n_visited")
+        ).select("root_id", F.lit(t).alias("table_name"), "n_visited")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def bfs_visited_counts(
     tables: dict[str, DataFrame],
     foreign_keys: dict[str, list[ForeignKey]],

@@ -99,3 +99,46 @@ def test_top_k_per_group_ties_deterministic(spark):
     rows = sorted((r["id"], r["rank"]) for r in out.collect())
     # tied values resolve by ascending id - always ids 0 and 1
     assert rows == [(0, 1), (1, 2)]
+
+
+def test_bfs_per_root_matches_single_root_expansion(spark, db):
+    from deep_db_learning_spark.operators.bfs import bfs_expand_per_root
+
+    roots = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey bigint")
+    tagged = bfs_expand_per_root(
+        db.tables, db.foreign_keys, "customer", roots, 2, db.primary_keys
+    )
+    # per-root membership must equal running the merged BFS one root at
+    # a time (the reference's get(idx) per-sample subgraphs)
+    for root in (1, 2, 3):
+        one = spark.createDataFrame([(root,)], "c_custkey bigint")
+        merged = bfs_expand(db.tables, db.foreign_keys, "customer", one, 2)
+        for t, vdf in merged.items():
+            pk = db.primary_keys[t]
+            want = {tuple(r) for r in vdf.select(*pk).collect()}
+            got = {
+                tuple(r)
+                for r in tagged[t]
+                .filter(F.col("root_id") == root)
+                .select(*pk)
+                .collect()
+            }
+            assert got == want, (root, t)
+
+
+def test_bfs_per_root_depth3_tags_survive_multihop(spark, db):
+    from deep_db_learning_spark.operators.bfs import bfs_expand_per_root
+
+    roots = spark.createDataFrame([(5,)], "c_custkey bigint")
+    tagged = bfs_expand_per_root(
+        db.tables, db.foreign_keys, "customer", roots, 3, db.primary_keys
+    )
+    merged = bfs_expand(db.tables, db.foreign_keys, "customer", roots, 3)
+    assert set(tagged) == set(merged)
+    for t in merged:
+        pk = db.primary_keys[t]
+        want = {tuple(r) for r in merged[t].select(*pk).collect()}
+        got = {tuple(r) for r in tagged[t].select(*pk).collect()}
+        assert got == want, t
+        # single root: every row tagged with it
+        assert tagged[t].select("root_id").distinct().collect()[0][0] == 5
