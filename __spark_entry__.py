@@ -304,6 +304,23 @@ def q_bfs_depth2(spark, sf_dir):
     return bfs_visited_counts(db.tables, db.foreign_keys, "customer", roots, 2)
 
 
+def q_train_relational(spark, sf_dir):
+    """N20/N21/N24 trainable path: seeded full-batch GD over the cat
+    embedding table + linear decoder (plans/training.py). Returns the
+    per-epoch train loss — strictly decreasing and bit-deterministic
+    (decimal-fold gradients), the contract a training engine must hold.
+    Iterative algorithm → no SQL oracle (rows-only driver check); the
+    trajectory is pinned by goldens in tests/test_training.py."""
+    from deep_db_learning_spark.plans.training import train_relational_classifier
+
+    db = _db(spark, sf_dir)
+    res = train_relational_classifier(
+        db.tables, db.primary_keys, db.foreign_keys, epochs=8, seed=42
+    )
+    rows = [(i, float(l)) for i, l in enumerate(res.losses)]
+    return spark.createDataFrame(rows, "epoch int, train_loss double")
+
+
 def q_bfs_per_root(spark, sf_dir):
     """J3/N28 minibatch shape: per-root BFS subgraphs — visited counts
     per (root, table) for customers 0-9 at depth 2, one job for all
@@ -808,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_split": q_node_split,
         "bfs_depth2": q_bfs_depth2,
         "bfs_per_root": q_bfs_per_root,
+        "train_relational": q_train_relational,
         "message_mean": q_message_mean,
         "message_2hop": q_message_2hop,
         "attention_aggregate": q_attention_aggregate,

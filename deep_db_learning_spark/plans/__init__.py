@@ -1,14 +1,18 @@
 from .blueprint import BlueprintPlan
 from .metrics import classification_metrics, regression_metrics
 from .pipeline import SliceResult, build_node_features, minimum_slice
+from .training import TrainResult, assemble_training_frame, train_relational_classifier
 from .tuning import run_trials
 
 __all__ = [
     "BlueprintPlan",
     "run_trials",
     "SliceResult",
+    "TrainResult",
+    "assemble_training_frame",
     "build_node_features",
     "classification_metrics",
     "minimum_slice",
     "regression_metrics",
+    "train_relational_classifier",
 ]

@@ -1,0 +1,284 @@
+"""Trainable end-to-end relational classifier (SURVEY N1/N20/N21/N24 —
+the reference's raison d'être: ``nn/lightning/lightning_wrapper.py:36-96``
+runs torch-Lightning epochs over the blueprint model;
+``experiments/blueprint_mlflow.py:196-216`` wires trainer + MLflow).
+
+Spark-first training story
+--------------------------
+
+The learnable state is TINY (a categorical embedding table of
+``card × dim`` doubles and a linear decoder ``(dim + m) × k``); the DATA
+is huge. So the split is:
+
+- **parameters on the driver** (numpy; seeded, deterministic),
+- **every data-parallel pass on Spark**: the design matrix is assembled
+  once (graph build → neighbor aggregation → standardization — all
+  DataFrame ops) and persisted; each epoch is ONE Spark job over it — a
+  vectorized Arrow UDF computes per-row loss / residual / flattened
+  gradient outer-product, and a single ``groupBy(code)`` aggregates
+  everything with exact decimal folds.
+
+The decimal folds make each epoch's gradients **bit-deterministic**
+under any partitioning (decimal addition is associative — the
+``exact_agg`` argument), so the whole training trajectory — losses,
+parameters, predictions — is reproducible run-to-run and
+oracle-checkable against pinned goldens. Full-batch gradient descent on
+a convex objective (softmax cross-entropy, fixed lr, optional L2)
+guarantees the train loss decreases monotonically at a small enough lr.
+
+This is exactly the reference's join-apply-update shape expressed
+relationally: *join* the embedding table onto the fact rows (the code
+column indexes the driver-side table inside the kernel — an in-memory
+broadcast join), *apply* the forward/backward math batch-vectorized,
+*update* the small parameter tables on the driver.
+
+Scale seam (documented, not stubbed): at cluster scale with LARGE
+parameter state (deep message passing, text encoders), replace the
+driver update with a data-parallel trainer — materialize the assembled
+feature frame to Parquet (``HeteroGraph.save`` checkpoint), then hand
+off to ``pyspark.ml.torch.distributor.TorchDistributor`` running DDP
+over those shards; the assembly plan here is unchanged. The
+``fit_fn`` hook receives ``(frame, meta)`` for exactly that hand-off.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.encode import factorize_target
+from ..functions.exact_agg import DECIMAL_TYPE
+from ..operators.graph import build_hetero_graph
+from ..operators.sampling import random_node_split
+
+
+@dataclass
+class TrainResult:
+    losses: list[float]  # per-epoch TRAIN loss (mean cross-entropy)
+    accuracy: dict[str, float] = field(default_factory=dict)  # split → acc
+    params: dict = field(default_factory=dict)  # "emb", "W", "b" (numpy)
+
+
+def assemble_training_frame(
+    tables: dict[str, DataFrame],
+    primary_keys: dict[str, list[str]],
+    foreign_keys: dict[str, list],
+    target: tuple[str, str] = ("customer", "c_mktsegment"),
+    cat_col: str = "c_nationkey",
+    num_cols: tuple[str, ...] = ("c_acctbal",),
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """One declarative plan: graph build → neighbor aggregation onto the
+    target table → train-split standardization → factorized label +
+    split. Returns ``(frame, meta)`` where frame has
+    ``(node_id, code, nums array<double>, label, split)`` and meta
+    carries cardinalities and feature names.
+
+    Standardization stats come from exact decimal folds over the TRAIN
+    split only (no test leakage) — deterministic under partitioning, so
+    the whole downstream trajectory is too."""
+    target_table, target_col = target
+    g = build_hetero_graph(tables, primary_keys, foreign_keys, add_reverse=False)
+
+    nodes = g.nodes[target_table]
+    feats = nodes.select("node_id", F.col(cat_col).cast("int").alias("code"), *num_cols)
+    feat_names = list(num_cols)
+    for et, edges in g.edges.items():
+        src_t, dst_t = g.edge_meta[et]
+        if dst_t != target_table or et.startswith(("self_", "rev_")):
+            continue
+        numeric = [
+            c
+            for c, t in g.nodes[src_t].dtypes
+            if t in ("double", "float") and c != "node_id"
+        ]
+        if not numeric:
+            continue
+        agg = g.aggregate_along_edge(et, numeric[:1], ["mean", "sum"], prefix=f"{et}__")
+        agg_cols = [c for c in agg.columns if c != "dst"]
+        feats = feats.join(
+            agg.withColumnRenamed("dst", "node_id"), "node_id", "left"
+        ).na.fill(0.0, subset=agg_cols)
+        feat_names += agg_cols
+
+    labeled = factorize_target(
+        nodes.select("node_id", target_col), target_col
+    ).select("node_id", "label")
+    frame = feats.join(labeled, "node_id", "inner")
+    frame = random_node_split(frame, fractions=(0.7, 0.0, 0.3), seed=seed)
+
+    # train-split standardization via exact decimal sums
+    train = frame.filter(F.col("split") == "train")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in feat_names:
+        aggs.append(F.sum(F.col(c).cast(DECIMAL_TYPE)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(DECIMAL_TYPE)).alias(f"q_{c}")
+        )
+    st = train.agg(*aggs).first()
+    n = st["n"]
+    means, stds = {}, {}
+    for c in feat_names:
+        mu = float(st[f"s_{c}"]) / n
+        var = max(float(st[f"q_{c}"]) / n - mu * mu, 1e-12)
+        means[c], stds[c] = mu, var**0.5
+    nums = F.array(
+        *[(F.col(c) - F.lit(means[c])) / F.lit(stds[c]) for c in feat_names]
+    )
+    frame = frame.select("node_id", "code", nums.alias("nums"), "label", "split")
+
+    n_codes = feats.agg(F.max("code")).first()[0] + 1
+    n_classes = labeled.agg(F.max("label")).first()[0] + 1
+    meta = {
+        "n_codes": int(n_codes),
+        "n_classes": int(n_classes),
+        "n_num": len(feat_names),
+        "feat_names": feat_names,
+        "means": means,
+        "stds": stds,
+    }
+    return frame, meta
+
+
+def train_relational_classifier(
+    tables: dict[str, DataFrame],
+    primary_keys: dict[str, list[str]],
+    foreign_keys: dict[str, list],
+    target: tuple[str, str] = ("customer", "c_mktsegment"),
+    cat_col: str = "c_nationkey",
+    num_cols: tuple[str, ...] = ("c_acctbal",),
+    dim: int = 4,
+    epochs: int = 10,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    seed: int = 42,
+    fit_fn=None,
+) -> TrainResult:
+    """N20/N21/N24 trainable path: full-batch gradient descent on
+    softmax cross-entropy over [cat-embedding ++ standardized numeric
+    aggregates], with the embedding table AND the linear decoder both
+    learned. See the module docstring for the driver/Spark split and
+    the :class:`~pyspark.ml.torch.distributor.TorchDistributor` seam
+    (``fit_fn`` receives ``(frame, meta)`` and may take over training
+    entirely — e.g. DDP over the materialized Parquet shards).
+
+    Determinism contract: parameter init is seeded numpy; per-epoch
+    gradient sums are exact decimal folds (partitioning-independent);
+    updates are float64 on the driver — the loss trajectory is
+    bit-reproducible, strictly decreasing at this lr on the bench data.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    frame, meta = assemble_training_frame(
+        tables, primary_keys, foreign_keys, target, cat_col, num_cols, seed=seed
+    )
+    if fit_fn is not None:
+        return fit_fn(frame, meta)
+
+    k = meta["n_classes"]
+    m = meta["n_num"]
+    card = meta["n_codes"]
+    rng = np.random.default_rng(seed)
+    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    W = rng.uniform(-0.5, 0.5, size=(dim + m, k)) * 0.1
+    b = np.zeros(k)
+
+    train = frame.filter(F.col("split") == "train").select("code", "nums", "label")
+    sc = train.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism, 8))
+    train = train.repartition(parts).persist()
+    n_train = train.count()
+
+    losses: list[float] = []
+    glen = 1 + k + (dim + m) * k
+    for _ in range(epochs):
+        E, Wc, bc = emb.copy(), W.copy(), b.copy()
+
+        def grad_fn(code, nums, label):
+            # closure over THIS epoch's parameter copies (fresh function
+            # object per epoch — the udf ships the current values)
+            codes = code.to_numpy(dtype=np.int64)
+            X = np.concatenate([E[codes], np.vstack(nums.to_list())], axis=1)
+            y = label.to_numpy(dtype=np.int64)
+            logits = X @ Wc + bc
+            logits -= logits.max(axis=1, keepdims=True)
+            ex = np.exp(logits)
+            P = ex / ex.sum(axis=1, keepdims=True)
+            nrows = len(codes)
+            loss = -np.log(P[np.arange(nrows), y])
+            resid = P.copy()
+            resid[np.arange(nrows), y] -= 1.0
+            gw = (X[:, :, None] * resid[:, None, :]).reshape(nrows, -1)
+            out = np.concatenate([loss[:, None], resid, gw], axis=1)
+            return pd.Series(list(out))
+
+        grad_fn.__annotations__ = {
+            "code": pd.Series,
+            "nums": pd.Series,
+            "label": pd.Series,
+            "return": pd.Series,
+        }
+        udf = pandas_udf(grad_fn, "array<double>")
+        g = train.select("code", udf("code", "nums", "label").alias("g"))
+        sums = g.groupBy("code").agg(
+            *[
+                F.sum(F.element_at("g", i + 1).cast(DECIMAL_TYPE)).alias(f"v{i}")
+                for i in range(glen)
+            ]
+        )
+        rows = sums.collect()
+        # exact decimal accumulation across code groups on the driver
+        from decimal import Decimal
+
+        tot = [Decimal(0)] * glen
+        resid_by_code = np.zeros((card, k))
+        for r in rows:
+            c = r["code"]
+            for i in range(glen):
+                v = r[f"v{i}"]
+                if v is not None:
+                    tot[i] += v
+            for j in range(k):
+                v = r[f"v{1 + j}"]
+                if v is not None:
+                    resid_by_code[c, j] = float(v)
+        loss = float(tot[0]) / n_train + 0.5 * l2 * (
+            float((W * W).sum()) + float((emb * emb).sum())
+        )
+        losses.append(loss)
+        resid_tot = np.array([float(tot[1 + j]) for j in range(k)])
+        GW = np.array(
+            [float(tot[1 + k + i]) for i in range((dim + m) * k)]
+        ).reshape(dim + m, k)
+        # update: decoder, bias, and the embedding code table
+        # (join-apply-update: dE[c] = Σ_{rows with code c} resid · W_embᵀ)
+        W -= lr * (GW / n_train + l2 * W)
+        b -= lr * resid_tot / n_train
+        emb -= lr * (resid_by_code @ W[:dim].T / n_train + l2 * emb)
+
+    # final accuracy per split with the trained parameters
+    Ef, Wf, bf = emb.copy(), W.copy(), b.copy()
+
+    def pred_fn(code, nums):
+        codes = code.to_numpy(dtype=np.int64)
+        X = np.concatenate([Ef[codes], np.vstack(nums.to_list())], axis=1)
+        return pd.Series(np.argmax(X @ Wf + bf, axis=1).astype(np.int64))
+
+    pred_fn.__annotations__ = {"code": pd.Series, "nums": pd.Series, "return": pd.Series}
+    pudf = pandas_udf(pred_fn, "bigint")
+    acc_rows = (
+        frame.select("split", "label", pudf("code", "nums").alias("pred"))
+        .groupBy("split")
+        .agg(F.avg((F.col("pred") == F.col("label")).cast("double")).alias("acc"))
+        .collect()
+    )
+    train.unpersist()
+    return TrainResult(
+        losses=losses,
+        accuracy={r["split"]: r["acc"] for r in acc_rows},
+        params={"emb": emb, "W": W, "b": b},
+    )
