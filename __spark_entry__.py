@@ -656,24 +656,31 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LLM ops: LSH-bucketed approximate top-5 (rows-only check — an
-    approximate index has no exact oracle; recall vs brute force is
-    asserted in tests/test_similarity.py)."""
+    """LLM ops: LSH-bucketed approximate top-5. Each result row carries
+    its query's recall@5 vs the exact brute-force top-5 — the
+    deterministic self-audit column (seeded hyperplanes); pinned golden
+    in tests/test_similarity.py. Rows-only driver check (an approximate
+    index has no exact SQL oracle)."""
     db = _db(spark, sf_dir)
     queries = (
         db.df("embeddings")
         .filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return similarity.lsh_topk(
+    approx = similarity.lsh_topk(
         db.df("embeddings"), queries, k=5, n_planes=4, multiprobe=2
     )
+    exact = similarity.brute_force_topk(db.df("embeddings"), queries, k=5)
+    rec = similarity.topk_recall(approx, exact)
+    return approx.join(rec, "query_id")
 
 
 def q_ann_ivf(spark, sf_dir):
     """LLM ops: IVF (KMeans coarse quantizer, 3-probe) approximate
-    top-5 (rows-only check — recall vs brute force asserted in
-    tests/test_similarity.py)."""
+    top-5, each row carrying its query's recall@5 vs brute force
+    (golden-checked in tests/test_similarity.py; MLlib KMeans is
+    seed-stable but its float reductions are partitioning-sensitive, so
+    the golden has tolerance). Rows-only driver check."""
     db = _db(spark, sf_dir)
     queries_df = (
         db.df("embeddings")
@@ -681,7 +688,10 @@ def q_ann_ivf(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     assigned, model = similarity.ivf_index(db.df("embeddings"), n_lists=8)
-    return similarity.ivf_topk(assigned, model, queries_df, k=5, n_probes=3)
+    approx = similarity.ivf_topk(assigned, model, queries_df, k=5, n_probes=3)
+    exact = similarity.brute_force_topk(db.df("embeddings"), queries_df, k=5)
+    rec = similarity.topk_recall(approx, exact)
+    return approx.join(rec, "query_id")
 
 
 def q_text_dedup_clusters(spark, sf_dir):

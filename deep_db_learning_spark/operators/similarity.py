@@ -215,33 +215,42 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     round_sim: int | None = 6,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """IVF probe: each query searches only its ``n_probes`` nearest
     centroid lists — the candidate set shrinks ~n_lists/n_probes-fold
-    vs brute force. Centroids live on the driver (tiny); the probe is a
-    broadcast join of (query, list_id) pairs against the assigned
-    corpus, then exact cosine within candidates.
+    vs brute force. Centroids live in the UDF closure (tiny); probe
+    assignment runs DISTRIBUTED over the query frame (an Arrow-batched
+    argmin against the broadcast centroid matrix), so a query *table* of
+    any size works — the old driver-side ``collect`` of the query frame
+    was unbounded. The probe→corpus join is broadcast when the probe
+    side is provably small (``count ≤ broadcast_threshold``, one cheap
+    row count on the query side) and a plain shuffle join otherwise.
     """
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     centers = np.array(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
     )
 
-    def nearest_lists(v):
-        v = np.asarray(v, dtype=float)
-        d = ((centers - v) ** 2).sum(axis=1)
-        return [int(i) for i in np.argsort(d)[:n_probes]]
+    def probe_fn(vecs):
+        V = np.vstack(vecs.to_list()).astype(float)
+        d2 = ((V[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # stable sort: equidistant centroids always probe in list order
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
 
-    spark = queries.sparkSession
-    qrows = queries.select(query_id, vec_col).collect()
-    probe_rows = [
-        (r[query_id], r[vec_col], int(l)) for r in qrows for l in nearest_lists(r[vec_col])
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_id} bigint, __qvec array<double>, list_id int"
-    )
-    cands = corpus_assigned.join(broadcast(probes), "list_id").select(
+    probe_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    probe_udf = pandas_udf(probe_fn, "array<int>")
+
+    probes = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec")
+    ).withColumn("list_id", F.explode(probe_udf(F.col("__qvec"))))
+    if queries.count() * n_probes <= broadcast_threshold:
+        probes = broadcast(probes)
+    cands = corpus_assigned.join(probes, "list_id").select(
         query_id,
         id_col,
         cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("sim"),
@@ -251,6 +260,34 @@ def ivf_topk(
     if round_sim is not None:
         out = out.withColumn("sim", F.round("sim", round_sim))
     return out.select(query_id, id_col, "rank", "sim")
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one: |approx ∩ exact| / |exact|. The self-audit column every
+    approximate index should ship with its results — two small
+    aggregations over (query, id) pairs."""
+    hits = (
+        approx.select(query_id, id_col)
+        .join(exact.select(query_id, id_col), [query_id, id_col], "inner")
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    totals = exact.groupBy(query_id).agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        totals.join(hits, query_id, "left")
+        .select(
+            query_id,
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__tot"), 6
+            ).alias("recall"),
+        )
+    )
 
 
 def semantic_search(

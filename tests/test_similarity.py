@@ -123,3 +123,44 @@ def test_semantic_search_finds_exact_document(db):
             (r for r in rows if r["query_idx"] == qi), key=lambda r: r["rank"]
         )]
         assert len(scores) == 3 and scores == sorted(scores, reverse=True)
+
+
+def test_topk_recall_column_and_goldens(db):
+    # the recall column the ann_* driver queries emit: LSH recall is
+    # fully deterministic (seeded hyperplanes), IVF within tolerance
+    # (MLlib KMeans float reductions are partitioning-sensitive)
+    import __spark_entry__ as entry
+
+    lsh = entry.q_ann_lsh(db.spark, "/root/testdata/sf0.001")
+    rows = {r["query_id"]: r["recall"] for r in lsh.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    # deterministic: same seeds -> bit-identical recall values
+    again = {
+        r["query_id"]: r["recall"]
+        for r in entry.q_ann_lsh(db.spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows == again
+
+    ivf = entry.q_ann_ivf(db.spark, "/root/testdata/sf0.001")
+    ivf_rows = {r["query_id"]: r["recall"] for r in ivf.collect()}
+    assert set(ivf_rows) == {0, 1, 2, 3, 4}
+    # 3 of 8 lists probed: mean recall must clear the probe ratio
+    assert sum(ivf_rows.values()) / 5 >= 0.4
+
+
+def test_ivf_topk_distributed_probe_matches_broadcast(db):
+    # the shuffle-join path (broadcast_threshold=0 forces it) must give
+    # the same rows as the broadcast path — the old driver-side collect
+    # is gone entirely
+    from deep_db_learning_spark.operators.similarity import ivf_index, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = db.df("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, model = ivf_index(emb, n_lists=8)
+    a = ivf_topk(assigned, model, queries, k=5, n_probes=3)
+    b = ivf_topk(assigned, model, queries, k=5, n_probes=3, broadcast_threshold=0)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
