@@ -206,24 +206,37 @@ def load_jdbc(
     tables: Iterable[str],
     properties: dict[str, str] | None = None,
     custom_schemas: dict[str, str] | None = None,
+    partition_options: dict[str, dict[str, str]] | None = None,
+    reader_factory=None,
 ) -> Database:
     """S7/S11: remote JDBC source with optional per-table explicit schema
     (reference typed scan ``make_db``, ``data/ctu_dataset.py:269-297``,
     and the MariaDB connection factory ``ctu_dataset.py:234-247``).
 
-    Untested in this container (no JDBC driver jar baked in); the code
-    path is the standard ``spark.read.jdbc`` and carries ``customSchema``
-    for the reference's explicit dtype mapping. PK/FK would come from
-    ``information_schema`` queries pushed through the same reader.
+    ``customSchema`` carries the reference's explicit dtype mapping;
+    ``partition_options[t]`` may supply ``partitionColumn`` /
+    ``lowerBound`` / ``upperBound`` / ``numPartitions`` so big tables
+    extract in parallel range scans instead of one connection (the 100 TB
+    ingest shape). PK/FK metadata would come from ``information_schema``
+    queries pushed through the same reader.
+
+    No JDBC driver jar ships in this container, so the live path cannot
+    run end-to-end here (documented in README); ``reader_factory``
+    (→ a ``DataFrameReader``-shaped object) exists so the option plumbing
+    stays testable with a recording fake — and doubles as the injection
+    point for a pre-configured reader (auth, fetchsize) in production.
     """
     props = dict(properties or {})
     dfs: dict[str, DataFrame] = {}
+    factory = reader_factory or (lambda: spark.read)
     for t in tables:
-        reader = spark.read.format("jdbc").option("url", url).option("dbtable", t)
+        reader = factory().format("jdbc").option("url", url).option("dbtable", t)
         for k, v in props.items():
             reader = reader.option(k, v)
         if custom_schemas and t in custom_schemas:
             reader = reader.option("customSchema", custom_schemas[t])
+        for k, v in (partition_options or {}).get(t, {}).items():
+            reader = reader.option(k, v)
         dfs[t] = reader.load()
     return Database(spark, dfs)
 
