@@ -49,11 +49,14 @@ from deep_db_learning_spark.streaming import (
     user_profile_features,
 )
 
-_DBS: dict[tuple[int, str], object] = {}
+# keyed on a weakref-safe identity: id() alone can alias after a
+# session is GC'd and a new one lands on the same address — holding the
+# session object in the key pins it for the cache's lifetime instead
+_DBS: dict[tuple[SparkSession, str], object] = {}
 
 
 def _db(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _DBS:
         _DBS[key] = load_testdata(spark, sf_dir)
     return _DBS[key]
@@ -302,6 +305,120 @@ def q_bfs_depth2(spark, sf_dir):
     db = _db(spark, sf_dir)
     roots = db.df("customer").filter(F.col("c_custkey") < 10).select("c_custkey")
     return bfs_visited_counts(db.tables, db.foreign_keys, "customer", roots, 2)
+
+
+def q_duration_seconds(spark, sf_dir):
+    """F8: day-time interval → fractional seconds, on each lineitem's
+    ship delay (l_shipdate − o_orderdate)."""
+    from deep_db_learning_spark.functions.datetime_funcs import duration_seconds
+
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    o = db.df("orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    return li.join(o, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        duration_seconds(F.col("l_shipdate") - F.col("o_orderdate")).alias(
+            "ship_delay_secs"
+        ),
+    )
+
+
+def q_timestamp_clamp(spark, sf_dir):
+    """F9: pandas ns-epoch bound clamp; every 5th event is shifted +300
+    years first so the hi bound actually fires."""
+    from deep_db_learning_spark.functions.datetime_funcs import clamp_to_pandas_bounds
+
+    db = _db(spark, sf_dir)
+    shifted = F.when(
+        F.col("event_id") % 5 == 0, F.col("ts") + F.expr("INTERVAL 300 YEARS")
+    ).otherwise(F.col("ts"))
+    return db.df("events").select(
+        "event_id",
+        clamp_to_pandas_bounds(shifted.cast("timestamp")).alias("ts_clamped"),
+    )
+
+
+def q_factorize_mktsegment(spark, sf_dir):
+    """F14: target factorization — sorted distinct values → dense codes."""
+    from deep_db_learning_spark.functions.encode import factorize_target
+
+    db = _db(spark, sf_dir)
+    return factorize_target(
+        db.df("customer").select("c_custkey", "c_mktsegment"), "c_mktsegment"
+    ).select("c_custkey", "label")
+
+
+def q_constant_columns(spark, sf_dir):
+    """P3 skip_if_allsame: retained columns of part + one injected
+    constant column (which must be the only drop)."""
+    from deep_db_learning_spark.functions.convert import drop_constant_columns
+
+    db = _db(spark, sf_dir)
+    df = db.df("part").withColumn("const_marker", F.lit(1))
+    kept = drop_constant_columns(df).columns
+    return spark.createDataFrame([(c,) for c in sorted(kept)], "column_name string")
+
+
+def q_cardinality_reconcile(spark, sf_dir):
+    """A5: walk the normalizer registry until the distinct count matches
+    the declared cardinality; emit (normalizer, value, code)."""
+    from deep_db_learning_spark.functions.encode import reconcile_cardinality
+
+    db = _db(spark, sf_dir)
+    name, codes = reconcile_cardinality(db.df("customer"), "c_mktsegment", 5)
+    return codes.select(F.lit(name).alias("normalizer"), "value", "code")
+
+
+def q_impute_acctbal(spark, sf_dir):
+    """N5 mean imputation. The testdata ships no NULLs, so the query
+    deterministically nulls c_acctbal where c_custkey % 7 = 0 and then
+    imputes with the exact-decimal mean of the surviving values — the
+    same coalesce pass `impute_values` applies from profiler stats."""
+    from deep_db_learning_spark.functions.exact_agg import DECIMAL_TYPE
+    from deep_db_learning_spark.operators.embedder import impute_values
+
+    db = _db(spark, sf_dir)
+    cust = db.df("customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    m = cust.agg(
+        (F.sum(F.col("bal").cast(DECIMAL_TYPE)).cast("double") / F.count("bal")).alias("m")
+    ).first()["m"]
+    return impute_values(cust, {"bal": ("mean", m)}).select(
+        "c_custkey", F.col("bal").alias("bal_imputed")
+    )
+
+
+def q_mean_add_conv(spark, sf_dir):
+    """N7 MeanAddConv: x_dst + mean(x_src) per feature. The operator is
+    homogeneous (one node-feature frame spans both endpoints), so the
+    orders side is lifted into the customer id space with an offset —
+    conv = c_acctbal + mean(o_totalprice of the customer's orders)."""
+    from deep_db_learning_spark.operators.message_passing import mean_add_conv
+
+    OFF = 10_000_000
+    db = _db(spark, sf_dir)
+    feats = db.df("customer").select(
+        F.col("c_custkey").alias("node_id"), F.col("c_acctbal").alias("feat")
+    ).unionByName(
+        db.df("orders").select(
+            (F.col("o_orderkey") + OFF).alias("node_id"),
+            F.col("o_totalprice").alias("feat"),
+        )
+    )
+    edges = db.df("orders").select(
+        (F.col("o_orderkey") + OFF).alias("src"), F.col("o_custkey").alias("dst")
+    )
+    conv = mean_add_conv(edges, feats, ["feat"])
+    return conv.filter(F.col("dst") < OFF).select(
+        F.col("dst").alias("c_custkey"), F.col("conv_feat").alias("conv")
+    )
 
 
 def q_train_relational(spark, sf_dir):
@@ -836,6 +953,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depth2": q_bfs_depth2,
         "bfs_per_root": q_bfs_per_root,
         "train_relational": q_train_relational,
+        "duration_seconds": q_duration_seconds,
+        "timestamp_clamp": q_timestamp_clamp,
+        "factorize_mktsegment": q_factorize_mktsegment,
+        "constant_columns": q_constant_columns,
+        "cardinality_reconcile": q_cardinality_reconcile,
+        "impute_acctbal": q_impute_acctbal,
+        "mean_add_conv": q_mean_add_conv,
         "message_mean": q_message_mean,
         "message_2hop": q_message_2hop,
         "attention_aggregate": q_attention_aggregate,
@@ -1036,6 +1160,63 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'orders', count(*) FROM orders WHERE o_custkey IN
               (SELECT c_custkey FROM customer WHERE c_custkey < 10)
+        """,
+        "duration_seconds": """
+            SELECT l_orderkey, l_linenumber,
+                   epoch(l_shipdate - o_orderdate) AS ship_delay_secs
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "timestamp_clamp": """
+            SELECT event_id,
+                   least(greatest(
+                     CASE WHEN event_id % 5 = 0 THEN ts + INTERVAL 300 YEAR ELSE ts END,
+                     TIMESTAMP '1677-09-22 00:12:43'),
+                     TIMESTAMP '2262-04-11 23:47:16') AS ts_clamped
+            FROM events
+        """,
+        "factorize_mktsegment": """
+            SELECT c_custkey, code.label FROM customer
+            JOIN (
+              SELECT value, CAST(row_number() OVER (ORDER BY value) - 1 AS INT) AS label
+              FROM (SELECT DISTINCT c_mktsegment AS value FROM customer)
+            ) code ON c_mktsegment = code.value
+        """,
+        "constant_columns": """
+            WITH cand(column_name, n) AS (
+              SELECT 'p_partkey', (SELECT count(DISTINCT p_partkey) FROM part) UNION ALL
+              SELECT 'p_name', (SELECT count(DISTINCT p_name) FROM part) UNION ALL
+              SELECT 'p_brand', (SELECT count(DISTINCT p_brand) FROM part) UNION ALL
+              SELECT 'p_type', (SELECT count(DISTINCT p_type) FROM part) UNION ALL
+              SELECT 'p_size', (SELECT count(DISTINCT p_size) FROM part) UNION ALL
+              SELECT 'p_retailprice', (SELECT count(DISTINCT p_retailprice) FROM part) UNION ALL
+              SELECT 'const_marker', 1
+            )
+            SELECT column_name FROM cand WHERE n > 1
+        """,
+        "cardinality_reconcile": """
+            -- raw distinct count already equals the declared cardinality,
+            -- so the FIRST registry entry (identity) wins
+            SELECT 'identity' AS normalizer, value,
+                   CAST(row_number() OVER (ORDER BY value) AS INT) AS code
+            FROM (SELECT DISTINCT c_mktsegment AS value FROM customer)
+        """,
+        "impute_acctbal": f"""
+            WITH b AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+              FROM customer
+            ), m AS (
+              SELECT {exact_sum_sql('bal')} / count(bal) AS mv FROM b
+            )
+            SELECT c_custkey, coalesce(bal, mv) AS bal_imputed FROM b, m
+        """,
+        "mean_add_conv": f"""
+            SELECT c_custkey,
+                   c_acctbal + coalesce(agg.mv, 0.0) AS conv
+            FROM customer LEFT JOIN (
+              SELECT o_custkey, {exact_avg_sql('o_totalprice')} AS mv
+              FROM orders GROUP BY o_custkey
+            ) agg ON o_custkey = c_custkey
         """,
         "bfs_per_root": """
             -- depth-2 BFS from each customer root: the root row itself,

@@ -410,9 +410,18 @@ def minhash_lsh_dedup(
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_k, threshold, candidates=cand
     )
-    # losers is consumed by the anti-join's broadcast side; persisting it
-    # stops the verify join chain from re-running during that build
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct().persist()
+    # losers is consumed by the anti-join's broadcast side; materialize
+    # it once so the verify join chain doesn't re-run during that build.
+    # localCheckpoint (not persist): a bare persist() here could never
+    # be unpersisted — the result is lazy, so the right moment is after
+    # the CALLER's action — and would pin executor memory for the
+    # session; checkpoint blocks are instead reclaimed by the
+    # ContextCleaner as soon as the frame is garbage-collected.
+    losers = (
+        verified.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -1,4 +1,10 @@
 from .analyzer import SchemaAnalyzer
+from .defaults import (
+    DATASET_DEFAULTS,
+    DatasetDefault,
+    analyzer_for_dataset,
+    register_dataset,
+)
 from .profiler import (
     ColumnStats,
     distinct_count_including_null,
@@ -8,6 +14,10 @@ from .profiler import (
 )
 
 __all__ = [
+    "DATASET_DEFAULTS",
+    "DatasetDefault",
+    "analyzer_for_dataset",
+    "register_dataset",
     "ColumnStats",
     "SchemaAnalyzer",
     "distinct_count_including_null",

@@ -44,3 +44,35 @@ def test_tpch_sidecar_consistency():
     for table, fk_list in fks.items():
         for fk in fk_list:
             assert fk.ref_columns == pks[fk.ref_table][: len(fk.ref_columns)]
+
+
+def test_dataset_defaults_registry_fixes_schema(db):
+    from deep_db_learning_spark.profiling import (
+        DATASET_DEFAULTS,
+        DatasetDefault,
+        analyzer_for_dataset,
+        register_dataset,
+    )
+
+    # the worked example: tpch defaults wire target + fixer
+    d = DATASET_DEFAULTS["tpch"]
+    assert d.target == ("customer", "c_mktsegment")
+
+    # drop the lineitem part/supplier FKs so the fixer has work to do
+    fks = {t: list(v) for t, v in db.foreign_keys.items()}
+    fks["lineitem"] = [fk for fk in fks["lineitem"] if fk.columns == ["l_orderkey"]]
+    analyzer = analyzer_for_dataset("tpch", db.tables, db.primary_keys, fks)
+    schema = analyzer.guess_schema()
+    li_fks = {tuple(fk.columns): fk.ref_table for fk in schema["lineitem"].foreign_keys}
+    assert li_fks[("l_partkey",)] == "part"
+    assert li_fks[("l_suppkey",)] == "supplier"
+    assert schema["events"].columns["props"].type == "text"
+    # the target column was forced categorical by the default's task
+    assert schema["customer"].columns["c_mktsegment"].type == "cat"
+
+    # user registration API
+    register_dataset(
+        "mini", DatasetDefault("customer", "c_acctbal", "c_custkey", "regression")
+    )
+    assert DATASET_DEFAULTS["mini"].task == "regression"
+    del DATASET_DEFAULTS["mini"]
