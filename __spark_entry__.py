@@ -307,6 +307,88 @@ def q_bfs_depth2(spark, sf_dir):
     return bfs_visited_counts(db.tables, db.foreign_keys, "customer", roots, 2)
 
 
+def q_list_columns(spark, sf_dir):
+    """S2: catalog column listing — (table_name, column_name) for every
+    table, from the engine's Database catalog; the oracle reads DuckDB's
+    information_schema over the same views."""
+    db = _db(spark, sf_dir)
+    rows = [
+        (t, c) for t in sorted(db.get_tables()) for c in db.get_columns(t)
+    ]
+    return spark.createDataFrame(rows, "table_name string, column_name string")
+
+
+def q_constraints(spark, sf_dir):
+    """S3/S4: PK + FK constraint listing from the catalog sidecar —
+    (table_name, kind, cols, ref). The oracle pins the star schema as a
+    hand-written VALUES literal (an independent spelling of the same
+    constraints)."""
+    db = _db(spark, sf_dir)
+    rows = []
+    for t in sorted(db.get_tables()):
+        pk = sorted(db.get_primary_key(t))
+        if pk:
+            rows.append((t, "pk", ",".join(pk), None))
+        for fk in db.get_foreign_keys(t):
+            rows.append(
+                (t, "fk", ",".join(fk.columns), f"{fk.ref_table}({','.join(fk.ref_columns)})")
+            )
+    return spark.createDataFrame(
+        rows, "table_name string, kind string, cols string, ref string"
+    )
+
+
+def q_row_pick(spark, sf_dir):
+    """P6/O1: positional row pick — the reference's ``get(idx)`` row
+    addressing (dense positional ids over the pk order, then an id-set
+    filter). Uses the positional node-id mode explicitly (the one
+    global-sort path, export/parity only — documented in graph.py)."""
+    from deep_db_learning_spark.operators.graph import mint_node_ids
+
+    db = _db(spark, sf_dir)
+    nodes, kind = mint_node_ids(
+        db.df("customer"), ["c_custkey"], mode="positional"
+    )
+    assert kind == "positional"
+    picks = [0, 123, 456, 789, 1011]
+    return nodes.filter(F.col("node_id").isin(picks)).select(
+        F.col("node_id").alias("pos"), "c_custkey", "c_mktsegment"
+    )
+
+
+def q_db_copy_roundtrip(spark, sf_dir):
+    """S8/S9/S12: bulk columnar DB copy (replacing the reference's
+    row-by-row SQLite insert) — save two tables to a local Parquet
+    store, load the store back, return the re-read rows; the oracle is
+    the original table, so the check proves lossless round-trip."""
+    import tempfile
+
+    from deep_db_learning_spark.sources import Database
+
+    db = _db(spark, sf_dir)
+    sub = db.filter_tables(include=["region", "nation"])
+    path = tempfile.mkdtemp(prefix="store_roundtrip_")
+    sub.save(path)
+    back = Database.load(spark, path, tables=["region", "nation"])
+    return back.df("nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_time_epoch(spark, sf_dir):
+    """F5/F6: epoch seconds + seconds-since-midnight decomposition."""
+    from deep_db_learning_spark.functions.datetime_funcs import (
+        epoch_seconds,
+        seconds_since_midnight,
+    )
+
+    db = _db(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    return db.df("events").select(
+        "event_id",
+        epoch_seconds(ts).alias("epoch_s"),
+        seconds_since_midnight(ts).alias("ssm"),
+    )
+
+
 def q_duration_seconds(spark, sf_dir):
     """F8: day-time interval → fractional seconds, on each lineitem's
     ship delay (l_shipdate − o_orderdate)."""
@@ -953,6 +1035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depth2": q_bfs_depth2,
         "bfs_per_root": q_bfs_per_root,
         "train_relational": q_train_relational,
+        "list_columns": q_list_columns,
+        "constraints": q_constraints,
+        "row_pick": q_row_pick,
+        "db_copy_roundtrip": q_db_copy_roundtrip,
+        "time_epoch": q_time_epoch,
         "duration_seconds": q_duration_seconds,
         "timestamp_clamp": q_timestamp_clamp,
         "factorize_mktsegment": q_factorize_mktsegment,
@@ -1160,6 +1247,54 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'orders', count(*) FROM orders WHERE o_custkey IN
               (SELECT c_custkey FROM customer WHERE c_custkey < 10)
+        """,
+        "list_columns": """
+            SELECT table_name, column_name
+            FROM information_schema.columns
+            WHERE table_name IN ('region','nation','customer','supplier','part',
+                                 'orders','lineitem','events','documents','embeddings')
+        """,
+        "constraints": """
+            SELECT * FROM (VALUES
+              ('customer','fk','c_nationkey','nation(n_nationkey)'),
+              ('customer','pk','c_custkey',NULL),
+              ('documents','pk','doc_id',NULL),
+              ('embeddings','pk','vec_id',NULL),
+              ('events','fk','user_id','customer(c_custkey)'),
+              ('events','pk','event_id',NULL),
+              ('lineitem','fk','l_orderkey','orders(o_orderkey)'),
+              ('lineitem','fk','l_partkey','part(p_partkey)'),
+              ('lineitem','fk','l_suppkey','supplier(s_suppkey)'),
+              ('lineitem','pk','l_linenumber,l_orderkey',NULL),
+              ('nation','fk','n_regionkey','region(r_regionkey)'),
+              ('nation','pk','n_nationkey',NULL),
+              ('orders','fk','o_custkey','customer(c_custkey)'),
+              ('orders','pk','o_orderkey',NULL),
+              ('part','pk','p_partkey',NULL),
+              ('region','pk','r_regionkey',NULL),
+              ('supplier','fk','s_nationkey','nation(n_nationkey)'),
+              ('supplier','pk','s_suppkey',NULL)
+            ) AS t(table_name, kind, cols, ref)
+        """,
+        "row_pick": """
+            WITH pos AS (
+              SELECT c_custkey, c_mktsegment,
+                     row_number() OVER (ORDER BY c_custkey) - 1 AS pos
+              FROM customer
+            )
+            SELECT pos, c_custkey, c_mktsegment FROM pos
+            WHERE pos IN (0, 123, 456, 789, 1011)
+        """,
+        "db_copy_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "time_epoch": """
+            SELECT event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CAST(datepart('hour', ts) * 3600
+                      + datepart('minute', ts) * 60
+                      + datepart('second', ts) AS INT) AS ssm
+            FROM events
         """,
         "duration_seconds": """
             SELECT l_orderkey, l_linenumber,
