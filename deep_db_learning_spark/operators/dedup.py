@@ -615,12 +615,36 @@ def simhash_candidate_pairs(
     id_col: str,
     simhash_col: str = "simhash",
     max_hamming: int = 3,
+    n_blocks: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ ``max_hamming`` on the
     64-bit simhash. Pigeonhole banding: with 4 sub-bands of 16 bits,
     any pair within distance 3 shares at least one identical band →
     bucket-join on (band_idx, band_value), verify with bit_count(xor).
+
+    A pair sharing k bands would surface k times; instead of a
+    ``distinct`` (which shuffles the FULL pair blowup — quadratic in the
+    duplicate-cluster sizes the corpus exists to find), each pair is
+    emitted only from its FIRST matching band: keep a match on band i
+    iff every band j < i mismatches — a pure row predicate on the two
+    fingerprints riding the join, so multiplicity never hits a shuffle.
+
+    Skew: a duplicate cluster of g docs shares a band value, putting
+    g²/2 joined rows in ONE task — and AQE's skew split never fires
+    because the partition is tiny in BYTES (the blowup is CPU).
+    ``n_blocks > 1`` enables triangle blocking: each doc gets a
+    pseudo-random block in [0, n_blocks); a pair in blocks (i ≤ j) is
+    produced exactly once at join key (band, band_val, i, j), spreading
+    a hot bucket over ~n_blocks²/2 tasks at the cost of ~n_blocks/2-fold
+    replication of the banded frame. Measured on this corpus the
+    replication overhead exceeds the skew win up to g≈1500 (hot-task
+    join rows are cheap once the fingerprints are materialized), so
+    blocking is OFF by default — turn it on when a single cluster's g²
+    stops fitting one core's patience.
     """
+    from ..functions.hashing import knuth_hash
+
+    B = n_blocks
     bands = hashed.select(
         F.col(id_col).alias("doc"),
         F.col(simhash_col).alias("sh"),
@@ -629,20 +653,44 @@ def simhash_candidate_pairs(
                 f"transform(sequence(0, 3), i -> (({simhash_col} >> (i * 16)) & 65535))"
             )
         ).alias("band", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+    ).withColumn("blk", F.pmod(knuth_hash(F.col("doc"), 1), F.lit(B)).cast("int"))
+    # materialize once: the fingerprint kernel lineage would otherwise
+    # re-run on BOTH join branches × the block replication factor (the
+    # same reason lsh_candidate_pairs persists its banded frame);
+    # checkpoint blocks are GC-reclaimed with the frame
+    bands = bands.localCheckpoint(eager=True)
+    # left covers block pairs (blk, j ≥ blk); right covers (i ≤ blk, blk)
+    a = bands.withColumn(
+        "bj", F.explode(F.sequence(F.col("blk"), F.lit(B - 1)))
+    ).withColumnRenamed("blk", "bi").alias("a")
+    b = bands.withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).withColumnRenamed("blk", "bj").alias("b")
+
+    def band_val(c, j):
+        return F.shiftright(c, j * 16).bitwiseAND(F.lit(65535))
+
+    earlier_clash = None
+    for j in range(3):
+        clash = (F.col("a.band") > j) & (
+            band_val(F.col("a.sh"), j) == band_val(F.col("b.sh"), j)
+        )
+        earlier_clash = clash if earlier_clash is None else (earlier_clash | clash)
+    same_block_ordered = (F.col("a.bi") != F.col("a.bj")) | (F.col("a.doc") < F.col("b.doc"))
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bj") == F.col("b.bj"))
+            & (F.col("a.doc") != F.col("b.doc")),
         )
+        .filter(same_block_ordered & ~earlier_clash)
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
-        .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
