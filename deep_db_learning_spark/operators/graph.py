@@ -48,6 +48,13 @@ BROADCAST_ROW_LIMIT = 1_000_000
 
 _INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
 
+# (DataFrame, pk) → the packed-id stats (mins, ranges, maxdup) | None.
+# The stats job is one cheap columnar agg, but build_hetero_graph runs
+# per pipeline stage (bench: 5+ builds per session over the SAME loaded
+# tables), and paying the fact-table scan each time doubled the graph
+# build. Strong refs are fine: bounded by distinct tables per session.
+_PACKED_STATS: dict = {}
+
 
 def _packed_node_id_expr(df: DataFrame, pk: list[str]):
     """Mint a composite-PK ``node_id`` as a pure row expression: a
@@ -66,31 +73,43 @@ def _packed_node_id_expr(df: DataFrame, pk: list[str]):
     dtypes = dict(df.dtypes)
     if not pk or any(dtypes.get(c) not in _INTEGRAL_DTYPES for c in pk):
         return None
-    # one parallel job: per-key-column min/max plus the worst duplicate
-    # count of the declared key (driver-generated data does ship key
-    # dups — the id must stay unique per ROW, like the reference's
-    # positional pandas index). groupBy(pk) is a shuffle of the key
-    # columns only, with map-side partial aggregation — a normal
-    # parallel job, unlike the single-task global sort this replaces.
-    grouped = df.groupBy(*[F.col(c) for c in pk]).agg(F.count(F.lit(1)).alias("__cnt"))
-    aggs = [F.max("__cnt").alias("__maxdup")]
-    for c in pk:
-        aggs.append(F.min(F.col(c).cast("bigint")).alias(f"__min_{c}"))
-        aggs.append(F.max(F.col(c).cast("bigint")).alias(f"__max_{c}"))
-    row = grouped.agg(*aggs).first()
-    mins = [row[f"__min_{c}"] for c in pk]
-    maxs = [row[f"__max_{c}"] for c in pk]
-    maxdup = row["__maxdup"]
-    if any(v is None for v in mins + maxs):
-        return None  # empty table or NULLs in the key
-    ranges = [mx - mn + 1 for mn, mx in zip(mins, maxs)]
-    if maxdup > 1:
-        ranges.append(maxdup)
-    total = 1
-    for r in ranges:
-        total *= r
-        if total >= 1 << 62:
+    key = (df, tuple(pk))
+    if key in _PACKED_STATS:
+        stats = _PACKED_STATS[key]
+        if stats is None:
             return None
+        mins, ranges, maxdup = stats
+    else:
+        # one parallel job: per-key-column min/max plus the worst duplicate
+        # count of the declared key (driver-generated data does ship key
+        # dups — the id must stay unique per ROW, like the reference's
+        # positional pandas index). groupBy(pk) is a shuffle of the key
+        # columns only, with map-side partial aggregation — a normal
+        # parallel job, unlike the single-task global sort this replaces.
+        grouped = df.groupBy(*[F.col(c) for c in pk]).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        aggs = [F.max("__cnt").alias("__maxdup")]
+        for c in pk:
+            aggs.append(F.min(F.col(c).cast("bigint")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("bigint")).alias(f"__max_{c}"))
+        row = grouped.agg(*aggs).first()
+        mins = [row[f"__min_{c}"] for c in pk]
+        maxs = [row[f"__max_{c}"] for c in pk]
+        maxdup = row["__maxdup"]
+        if any(v is None for v in mins + maxs):
+            _PACKED_STATS[key] = None
+            return None  # empty table or NULLs in the key
+        ranges = [mx - mn + 1 for mn, mx in zip(mins, maxs)]
+        if maxdup > 1:
+            ranges.append(maxdup)
+        total = 1
+        for r in ranges:
+            total *= r
+            if total >= 1 << 62:
+                _PACKED_STATS[key] = None
+                return None
+        _PACKED_STATS[key] = (mins, ranges, maxdup)
     expr = None
     for c, mn, r in zip(pk, mins, ranges):
         digit = F.col(c).cast("bigint") - F.lit(mn)
