@@ -503,6 +503,51 @@ def q_mean_add_conv(spark, sf_dir):
     )
 
 
+def q_eval_metrics(spark, sf_dir):
+    """N24: classification + regression metrics as one-pass exact
+    aggregations, on deterministic rule-based predictors (modal segment
+    per nation; global-mean price) so the whole metric set is
+    oracle-checkable bit-for-bit."""
+    from deep_db_learning_spark.functions.exact_agg import DECIMAL_TYPE
+    from deep_db_learning_spark.plans.metrics import (
+        classification_metrics_df,
+        regression_metrics_df,
+    )
+    from pyspark.sql.window import Window
+
+    db = _db(spark, sf_dir)
+    cust = db.df("customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cnt"), F.col("c_mktsegment"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("prediction"))
+    )
+    cls = cust.select("c_nationkey", F.col("c_mktsegment").alias("label")).join(
+        F.broadcast(modal), "c_nationkey"
+    )
+    cm = classification_metrics_df(cls)
+
+    orders = db.df("orders")
+    mean_tp = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast(DECIMAL_TYPE)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    ).first()["m"]
+    rm = regression_metrics_df(
+        orders.select(
+            F.col("o_totalprice").alias("label"), F.lit(mean_tp).alias("prediction")
+        )
+    )
+    return cm.select("accuracy", F.col("n").alias("n_cls")).crossJoin(
+        rm.select("mse", "mae", "nrmse", F.col("n").alias("n_reg"))
+    )
+
+
 def q_train_relational(spark, sf_dir):
     """N20/N21/N24 trainable path: seeded full-batch GD over the cat
     embedding table + linear decoder (plans/training.py). Returns the
@@ -1035,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depth2": q_bfs_depth2,
         "bfs_per_root": q_bfs_per_root,
         "train_relational": q_train_relational,
+        "eval_metrics": q_eval_metrics,
         "list_columns": q_list_columns,
         "constraints": q_constraints,
         "row_pick": q_row_pick,
@@ -1247,6 +1293,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'orders', count(*) FROM orders WHERE o_custkey IN
               (SELECT c_custkey FROM customer WHERE c_custkey < 10)
+        """,
+        "eval_metrics": f"""
+            WITH counts AS (
+              SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+              FROM customer GROUP BY 1, 2
+            ), modal AS (
+              SELECT c_nationkey, c_mktsegment AS prediction FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn
+                FROM counts) WHERE rn = 1
+            ), cm AS (
+              SELECT count(CASE WHEN prediction = c_mktsegment THEN 1 END) / count(*) AS accuracy,
+                     count(*) AS n_cls
+              FROM customer JOIN modal USING (c_nationkey)
+            ), m AS (
+              SELECT {exact_sum_sql('o_totalprice')} / count(*) AS mv FROM orders
+            ), rm AS (
+              SELECT {exact_sum_sql('(mv - o_totalprice) * (mv - o_totalprice)')} / count(*) AS mse,
+                     {exact_sum_sql('abs(mv - o_totalprice)')} / count(*) AS mae,
+                     {exact_sum_sql('o_totalprice')} / count(*) AS mean_y,
+                     count(*) AS n_reg
+              FROM orders, m
+            )
+            SELECT accuracy, n_cls, mse, mae,
+                   CASE WHEN mean_y != 0 THEN sqrt(mse) / mean_y END AS nrmse,
+                   n_reg
+            FROM cm, rm
         """,
         "list_columns": """
             SELECT table_name, column_name

@@ -4,34 +4,79 @@ The reference computes CrossEntropy/MSE/MAE/NRMSE/accuracy in its
 Lightning wrapper (``nn/lightning/lightning_wrapper.py:36-96``). Each
 is a one-pass distributed aggregation here — no collect, no MLlib
 evaluator object needed (though MLlib evaluators work on the same
-DataFrames)."""
+DataFrames).
+
+Determinism: every float reduction goes through the exact decimal fold
+(``functions/exact_agg``), so a metric is bit-identical across runs,
+partitionings, and engines — metrics gate model promotion decisions,
+which makes run-to-run jitter a correctness bug, not a rounding nit.
+The ``*_df`` forms return one-row DataFrames (composable / driver-
+checkable); the dict forms collect them.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact_agg import DECIMAL_TYPE
+
+
+def _exact_mean(c) -> F.Column:
+    return F.sum(c.cast(DECIMAL_TYPE)).cast("double") / F.count(F.lit(1))
+
+
+def classification_metrics_df(
+    df: DataFrame, label: str = "label", pred: str = "prediction"
+) -> DataFrame:
+    """(accuracy, n) — exact: a ratio of two counts."""
+    return df.agg(
+        (
+            F.count(F.when(F.col(pred) == F.col(label), 1))
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
 
 def classification_metrics(
     df: DataFrame, label: str = "label", pred: str = "prediction"
 ) -> dict[str, float]:
-    row = df.agg(
-        F.avg((F.col(pred) == F.col(label)).cast("double")).alias("accuracy"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    row = classification_metrics_df(df, label, pred).collect()[0]
     return {"accuracy": row["accuracy"], "n": row["n"]}
+
+
+def regression_metrics_df(
+    df: DataFrame, label: str = "label", pred: str = "prediction"
+) -> DataFrame:
+    """(mse, mae, nrmse, n) via exact decimal folds (err² for the
+    magnitudes these pipelines see fits decimal(30,9)'s 21 integer
+    digits)."""
+    err = F.col(pred) - F.col(label)
+    agg = df.agg(
+        _exact_mean(err * err).alias("mse"),
+        _exact_mean(F.abs(err)).alias("mae"),
+        _exact_mean(F.col(label)).alias("mean_y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "mse",
+        "mae",
+        F.when(F.col("mean_y") != 0, F.sqrt(F.col("mse")) / F.col("mean_y")).alias(
+            "nrmse"
+        ),
+        "n",
+    )
 
 
 def regression_metrics(
     df: DataFrame, label: str = "label", pred: str = "prediction"
 ) -> dict[str, float]:
-    err = F.col(pred) - F.col(label)
-    row = df.agg(
-        F.avg(F.pow(err, 2)).alias("mse"),
-        F.avg(F.abs(err)).alias("mae"),
-        F.avg(F.col(label)).alias("mean_y"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    mse = row["mse"]
-    nrmse = (mse ** 0.5) / row["mean_y"] if row["mean_y"] else float("nan")
-    return {"mse": mse, "mae": row["mae"], "nrmse": nrmse, "n": row["n"]}
+    row = regression_metrics_df(df, label, pred).collect()[0]
+    nrmse = row["nrmse"]
+    return {
+        "mse": row["mse"],
+        "mae": row["mae"],
+        "nrmse": float("nan") if nrmse is None else nrmse,
+        "n": row["n"],
+    }
