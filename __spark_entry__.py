@@ -780,6 +780,187 @@ def q_tpch_q5(spark, sf_dir):
 
 
 
+def _ntz(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: volume shipping between two nations by year."""
+    db = _db(spark, sf_dir)
+    n1 = db.df("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = db.df("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        db.df("lineitem")
+        .join(db.df("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(db.df("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(db.df("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1995-01-01"))
+            & (F.col("l_shipdate") < _ntz("1997-01-01"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's market share of PROMO parts inside
+    AFRICA, by order year."""
+    db = _db(spark, sf_dir)
+    j = (
+        db.df("lineitem")
+        .join(
+            db.df("part").filter(F.col("p_type") == "PROMO"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(db.df("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(db.df("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            db.df("nation").select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            db.df("region").filter(F.col("r_name") == "AFRICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            db.df("supplier").select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            db.df("nation").select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                exact_sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+            ).alias("nation_volume"),
+            exact_sum(vol).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter (deterministic tie-break on custkey)."""
+    db = _db(spark, sf_dir)
+    j = (
+        db.df("customer")
+        .join(db.df("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= _ntz("1995-10-01"))
+            & (F.col("o_orderdate") < _ntz("1996-01-01"))
+        )
+        .join(db.df("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            db.df("nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    agg = j.groupBy("c_custkey", "n_name", "c_acctbal").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one ship month."""
+    db = _db(spark, sf_dir)
+    j = (
+        db.df("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1995-09-01"))
+            & (F.col("l_shipdate") < _ntz("1995-10-01"))
+        )
+        .join(
+            F.broadcast(db.df("part").select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        (
+            F.lit(100.0)
+            * exact_sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / exact_sum(vol)
+        ).alias("promo_revenue")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape: the top supplier(s) by quarterly revenue —
+    aggregate, take the max with a second tiny agg, equi-join back
+    (exact decimal folds make the max comparison engine-stable)."""
+    db = _db(spark, sf_dir)
+    rev = (
+        db.df("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1996-01-01"))
+            & (F.col("l_shipdate") < _ntz("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    return rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mr")).select(
+        "supplier_no", "total_revenue"
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue lost to small-quantity
+    orders of one brand. The correlated avg-quantity subquery becomes a
+    broadcast join of per-part exact means (the 0.2·avg comparison must
+    be bitwise engine-stable, hence the decimal fold)."""
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem")
+    brand_parts = F.broadcast(
+        db.df("part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    filtered = li.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = filtered.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        exact_avg(F.col("l_quantity")).alias("avg_qty")
+    )
+    j = filtered.join(
+        F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return j.agg(
+        (exact_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
 def q_graph_stats(spark, sf_dir):
     """A9 dataset statistics (`scripts/dataset_info.py:19-60`): per-FK
     tuple/edge counts + edges-per-source ratio."""
@@ -1101,6 +1282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "top_orders_per_customer": q_top_orders_per_customer,
         "lineitem_numeric_profile": q_lineitem_numeric_profile,
         "events_rollup": q_events_rollup,
@@ -1537,6 +1724,84 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "tpch_q7": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(datepart('year', l_shipdate) AS INT) AS l_year,
+                   {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": f"""
+            SELECT CAST(datepart('year', o_orderdate) AS INT) AS o_year,
+                   {exact_sum_sql("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                   / {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS mkt_share
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AFRICA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1
+        """,
+        "tpch_q10": f"""
+            SELECT c_custkey, n_name, c_acctbal,
+                   {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q14": f"""
+            SELECT 100.0
+                   * {exact_sum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                   / {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'
+        """,
+        "tpch_q15": f"""
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT supplier_no, total_revenue FROM rev
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "tpch_q17": f"""
+            WITH brand AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'
+            ), aq AS (
+              SELECT l_partkey AS ap_key,
+                     {exact_avg_sql('l_quantity')} AS avg_qty
+              FROM brand GROUP BY 1
+            )
+            SELECT {exact_sum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+            FROM brand JOIN aq ON l_partkey = ap_key
+            WHERE l_quantity < 0.2 * avg_qty
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
