@@ -535,7 +535,7 @@ def q_eval_metrics(spark, sf_dir):
     mean_tp = orders.agg(
         (
             F.sum(F.col("o_totalprice").cast(DECIMAL_TYPE)).cast("double")
-            / F.count(F.lit(1))
+            / F.count("o_totalprice")
         ).alias("m")
     ).first()["m"]
     rm = regression_metrics_df(
@@ -1491,16 +1491,20 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn
                 FROM counts) WHERE rn = 1
             ), cm AS (
-              SELECT count(CASE WHEN prediction = c_mktsegment THEN 1 END) / count(*) AS accuracy,
-                     count(*) AS n_cls
+              -- denominators are NON-NULL counts (avg semantics), like
+              -- the Spark side
+              SELECT count(CASE WHEN prediction = c_mktsegment THEN 1 END)
+                       / count(prediction = c_mktsegment) AS accuracy,
+                     count(prediction = c_mktsegment) AS n_cls
               FROM customer JOIN modal USING (c_nationkey)
             ), m AS (
-              SELECT {exact_sum_sql('o_totalprice')} / count(*) AS mv FROM orders
+              SELECT {exact_sum_sql('o_totalprice')} / count(o_totalprice) AS mv FROM orders
             ), rm AS (
-              SELECT {exact_sum_sql('(mv - o_totalprice) * (mv - o_totalprice)')} / count(*) AS mse,
-                     {exact_sum_sql('abs(mv - o_totalprice)')} / count(*) AS mae,
-                     {exact_sum_sql('o_totalprice')} / count(*) AS mean_y,
-                     count(*) AS n_reg
+              SELECT {exact_sum_sql('(mv - o_totalprice) * (mv - o_totalprice)')}
+                       / count(mv - o_totalprice) AS mse,
+                     {exact_sum_sql('abs(mv - o_totalprice)')} / count(mv - o_totalprice) AS mae,
+                     {exact_sum_sql('o_totalprice')} / count(o_totalprice) AS mean_y,
+                     count(mv - o_totalprice) AS n_reg
               FROM orders, m
             )
             SELECT accuracy, n_cls, mse, mae,

@@ -2,9 +2,9 @@
 
 The reference's ``BFSStrategy`` (``data/strategy/bfs.py:18-84``) runs
 one SQL round-trip per hop per table **per sample row** — the
-scalability anti-pattern called out in SURVEY §3 EP3. This operator
-keeps its exact traversal semantics but runs them for an arbitrary
-root *set* in one distributed job chain:
+scalability anti-pattern called out in SURVEY §3 EP3. These operators
+keep its exact traversal semantics but run them for an arbitrary root
+*set* in one distributed job chain:
 
 - forward expansion along every FK of a visited table;
 - reverse expansion along every FK *referencing* a visited table,
@@ -17,9 +17,16 @@ root *set* in one distributed job chain:
 - the reference supports only single-column keys (its own TODO,
   ``bfs.py:53``) — multi-column FKs are skipped identically.
 
-Per-hop frontiers are ``leftsemi`` joins (P5: the distributed analog
-of ``WHERE key IN (:keys)``), so only key columns shuffle, never full
-rows. Visited sets accumulate with union + dropDuplicates (O2).
+ONE traversal skeleton (:func:`_bfs_traverse`) serves both the merged
+and the per-root variants — the documented contract is that they have
+identical traversal semantics, so the hop order, parent pruning, and
+depth accounting exist exactly once; the variants differ only in their
+hop join (leftsemi vs root-tag-propagating inner) and visited
+projection. Frontier frames that seed another hop are materialized via
+``localCheckpoint`` (not a bare ``persist`` nothing could ever
+unpersist): lineage is truncated so hop N+1 never recomputes the whole
+prior join chain, and the blocks are reclaimed when the frames are
+garbage-collected.
 """
 
 from __future__ import annotations
@@ -28,6 +35,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schema import ForeignKey
+
+
+def _referencing_map(
+    foreign_keys: dict[str, list[ForeignKey]]
+) -> dict[str, list[tuple[str, ForeignKey]]]:
+    ref: dict[str, list[tuple[str, ForeignKey]]] = {}
+    for t, fks in foreign_keys.items():
+        for fk in fks:
+            ref.setdefault(fk.ref_table, []).append((t, fk))
+    return ref
+
+
+def _bfs_traverse(
+    tables: dict[str, DataFrame],
+    foreign_keys: dict[str, list[ForeignKey]],
+    target_table: str,
+    f0: DataFrame,
+    max_depth: int,
+    hop,
+    project,
+) -> dict[str, DataFrame]:
+    """The shared frontier loop. ``hop(direction, table, rows, fk,
+    next_table) -> DataFrame`` produces the next frontier frame;
+    ``project(table, frame) -> DataFrame`` maps a frontier frame to the
+    visited-set shape accumulated per table."""
+    referencing = _referencing_map(foreign_keys)
+    visited: dict[str, DataFrame] = {target_table: project(target_table, f0)}
+    frontier: list[tuple[str, DataFrame, str | None]] = [(target_table, f0, None)]
+
+    for depth in range(1, max_depth):
+        next_frontier: list[tuple[str, DataFrame, str | None]] = []
+        for table_name, rows, parent in frontier:
+            processed_forward: set[str] = set()
+            # forward: along this table's FKs (single-column only — parity)
+            for fk in foreign_keys.get(table_name, []):
+                if len(fk.columns) != 1 or fk.ref_table not in tables:
+                    continue
+                next_frontier.append(
+                    (fk.ref_table, hop("forward", table_name, rows, fk, fk.ref_table), table_name)
+                )
+                processed_forward.add(fk.ref_table)
+            # reverse: tables referencing this one, parent-pruned
+            for ref_table, fk in referencing.get(table_name, []):
+                if (
+                    ref_table in processed_forward
+                    or ref_table == parent
+                    or len(fk.columns) != 1
+                    or ref_table not in tables
+                ):
+                    continue
+                next_frontier.append(
+                    (ref_table, hop("reverse", table_name, rows, fk, ref_table), table_name)
+                )
+        # frames that will seed ANOTHER hop get materialized: without it,
+        # hop N+1's joins recompute every prior hop's join chain
+        # (iterative-algorithm lineage growth — the classic Spark trap)
+        if depth < max_depth - 1:
+            next_frontier = [
+                (t, rows.localCheckpoint(eager=True), parent)
+                for t, rows, parent in next_frontier
+            ]
+        for table_name, rows, _ in next_frontier:
+            v = project(table_name, rows)
+            visited[table_name] = (
+                visited[table_name].unionByName(v) if table_name in visited else v
+            )
+        frontier = next_frontier
+
+    return {t: df.dropDuplicates() for t, df in visited.items()}
 
 
 def bfs_expand(
@@ -41,68 +117,33 @@ def bfs_expand(
     """Expand from ``roots`` (a DataFrame of target-table rows, or of
     just its key columns) and return {table → distinct visited rows}.
 
-    ``primary_keys`` supplies the reverse-expansion key per table; the
-    reference assumes "other tables reference the first column"
-    (``bfs.py:63``) — we use the FK's declared ``ref_columns`` instead,
-    which is strictly more correct and identical on the star schema.
+    Per-hop frontiers are ``leftsemi`` joins (P5: the distributed
+    analog of ``WHERE key IN (:keys)``), so only key columns shuffle,
+    never full rows. ``primary_keys`` is accepted for signature parity;
+    reverse expansion uses each FK's declared ``ref_columns`` (strictly
+    more correct than the reference's "first column" assumption,
+    ``bfs.py:63``, and identical on the star schema).
     """
     if max_depth <= 0:
         return {}
 
-    # visited rows per table; frontier = (table, rows, parent) per hop
     root_rows = tables[target_table].join(
         roots.select(*[c for c in roots.columns if c in tables[target_table].columns]),
         on=[c for c in roots.columns if c in tables[target_table].columns],
         how="leftsemi",
     )
-    visited: dict[str, DataFrame] = {target_table: root_rows}
-    frontier: list[tuple[str, DataFrame, str | None]] = [(target_table, root_rows, None)]
 
-    referencing: dict[str, list[tuple[str, ForeignKey]]] = {}
-    for t, fks in foreign_keys.items():
-        for fk in fks:
-            referencing.setdefault(fk.ref_table, []).append((t, fk))
+    def hop(direction, table_name, rows, fk, next_table):
+        if direction == "forward":
+            keys = rows.select(F.col(fk.columns[0]).alias(fk.ref_columns[0])).distinct()
+            return tables[next_table].join(keys, fk.ref_columns[0], "leftsemi")
+        keys = rows.select(F.col(fk.ref_columns[0]).alias(fk.columns[0])).distinct()
+        return tables[next_table].join(keys, fk.columns[0], "leftsemi")
 
-    for depth in range(1, max_depth):
-        next_frontier: list[tuple[str, DataFrame, str | None]] = []
-        for table_name, rows, parent in frontier:
-            processed_forward: set[str] = set()
-            # forward: along this table's FKs (single-column only — parity)
-            for fk in foreign_keys.get(table_name, []):
-                if len(fk.columns) != 1 or fk.ref_table not in tables:
-                    continue
-                keys = rows.select(F.col(fk.columns[0]).alias(fk.ref_columns[0])).distinct()
-                new_rows = tables[fk.ref_table].join(keys, fk.ref_columns[0], "leftsemi")
-                next_frontier.append((fk.ref_table, new_rows, table_name))
-                processed_forward.add(fk.ref_table)
-            # reverse: tables referencing this one, parent-pruned
-            for ref_table, fk in referencing.get(table_name, []):
-                if (
-                    ref_table in processed_forward
-                    or ref_table == parent
-                    or len(fk.columns) != 1
-                    or ref_table not in tables
-                ):
-                    continue
-                keys = rows.select(F.col(fk.ref_columns[0]).alias(fk.columns[0])).distinct()
-                new_rows = tables[ref_table].join(keys, fk.columns[0], "leftsemi")
-                next_frontier.append((ref_table, new_rows, table_name))
-        # frames that will seed ANOTHER hop get persisted: without it,
-        # hop N+1's semi joins recompute every prior hop's join chain
-        # (iterative-algorithm lineage growth — the classic Spark trap)
-        if depth < max_depth - 1:
-            next_frontier = [
-                (t, rows.persist(), parent) for t, rows, parent in next_frontier
-            ]
-        # merge this hop's discoveries into visited
-        for table_name, rows, _ in next_frontier:
-            if table_name in visited:
-                visited[table_name] = visited[table_name].unionByName(rows)
-            else:
-                visited[table_name] = rows
-        frontier = next_frontier
-
-    return {t: df.dropDuplicates() for t, df in visited.items()}
+    return _bfs_traverse(
+        tables, foreign_keys, target_table, root_rows, max_depth, hop,
+        project=lambda t, df: df,
+    )
 
 
 def bfs_expand_per_root(
@@ -114,8 +155,9 @@ def bfs_expand_per_root(
     primary_keys: dict[str, list[str]],
 ) -> dict[str, DataFrame]:
     """Per-root BFS: identical traversal semantics to :func:`bfs_expand`
-    but every visited row stays tagged with the root it was reached
-    from — the minibatch-training shape. Returns
+    (literally the same :func:`_bfs_traverse` skeleton) but every
+    visited row stays tagged with the root it was reached from — the
+    minibatch-training shape. Returns
     ``{table → DataFrame(root_id, *pk_cols)}`` with one row per
     (root, visited row).
 
@@ -136,10 +178,7 @@ def bfs_expand_per_root(
         raise ValueError("per-root BFS needs a single-column target pk as root id")
     root_col = tpk[0]
 
-    referencing: dict[str, list[tuple[str, ForeignKey]]] = {}
-    for t, fks in foreign_keys.items():
-        for fk in fks:
-            referencing.setdefault(fk.ref_table, []).append((t, fk))
+    referencing = _referencing_map(foreign_keys)
 
     def key_cols(t: str) -> list[str]:
         cols = set(primary_keys.get(t, []))
@@ -155,51 +194,26 @@ def bfs_expand_per_root(
     f0 = base.join(
         roots.select(F.col(root_col)).distinct(), root_col, "leftsemi"
     ).withColumn("root_id", F.col(root_col))
-    visited: dict[str, DataFrame] = {target_table: f0.select("root_id", *tpk)}
-    frontier: list[tuple[str, DataFrame, str | None]] = [(target_table, f0, None)]
 
-    for depth in range(1, max_depth):
-        next_frontier: list[tuple[str, DataFrame, str | None]] = []
-        for table_name, rows, parent in frontier:
-            processed_forward: set[str] = set()
-            for fk in foreign_keys.get(table_name, []):
-                if len(fk.columns) != 1 or fk.ref_table not in tables:
-                    continue
-                keys = rows.select(
-                    "root_id", F.col(fk.columns[0]).alias(fk.ref_columns[0])
-                ).distinct()
-                new_rows = tables[fk.ref_table].select(*key_cols(fk.ref_table)).join(
-                    keys, fk.ref_columns[0], "inner"
-                )
-                next_frontier.append((fk.ref_table, new_rows, table_name))
-                processed_forward.add(fk.ref_table)
-            for ref_table, fk in referencing.get(table_name, []):
-                if (
-                    ref_table in processed_forward
-                    or ref_table == parent
-                    or len(fk.columns) != 1
-                    or ref_table not in tables
-                ):
-                    continue
-                keys = rows.select(
-                    "root_id", F.col(fk.ref_columns[0]).alias(fk.columns[0])
-                ).distinct()
-                new_rows = tables[ref_table].select(*key_cols(ref_table)).join(
-                    keys, fk.columns[0], "inner"
-                )
-                next_frontier.append((ref_table, new_rows, table_name))
-        if depth < max_depth - 1:
-            next_frontier = [
-                (t, rows.persist(), parent) for t, rows, parent in next_frontier
-            ]
-        for table_name, rows, _ in next_frontier:
-            v = rows.select("root_id", *primary_keys.get(table_name, []))
-            visited[table_name] = (
-                visited[table_name].unionByName(v) if table_name in visited else v
+    def hop(direction, table_name, rows, fk, next_table):
+        if direction == "forward":
+            keys = rows.select(
+                "root_id", F.col(fk.columns[0]).alias(fk.ref_columns[0])
+            ).distinct()
+            return tables[next_table].select(*key_cols(next_table)).join(
+                keys, fk.ref_columns[0], "inner"
             )
-        frontier = next_frontier
+        keys = rows.select(
+            "root_id", F.col(fk.ref_columns[0]).alias(fk.columns[0])
+        ).distinct()
+        return tables[next_table].select(*key_cols(next_table)).join(
+            keys, fk.columns[0], "inner"
+        )
 
-    return {t: df.dropDuplicates() for t, df in visited.items()}
+    return _bfs_traverse(
+        tables, foreign_keys, target_table, f0, max_depth, hop,
+        project=lambda t, df: df.select("root_id", *primary_keys.get(t, [])),
+    )
 
 
 def bfs_visited_counts_per_root(
@@ -223,7 +237,9 @@ def bfs_visited_counts_per_root(
             F.count(F.lit(1)).alias("n_visited")
         ).select("root_id", F.lit(t).alias("table_name"), "n_visited")
         out = row if out is None else out.unionByName(row)
-    return out
+    return out if out is not None else roots.sparkSession.createDataFrame(
+        [], "root_id bigint, table_name string, n_visited bigint"
+    )
 
 
 def bfs_visited_counts(

@@ -642,8 +642,6 @@ def simhash_candidate_pairs(
     blocking is OFF by default — turn it on when a single cluster's g²
     stops fitting one core's patience.
     """
-    from ..functions.hashing import knuth_hash
-
     B = n_blocks
     bands = hashed.select(
         F.col(id_col).alias("doc"),
@@ -653,7 +651,16 @@ def simhash_candidate_pairs(
                 f"transform(sequence(0, 3), i -> (({simhash_col} >> (i * 16)) & 65535))"
             )
         ).alias("band", "band_val"),
-    ).withColumn("blk", F.pmod(knuth_hash(F.col("doc"), 1), F.lit(B)).cast("int"))
+    )
+    # block id from xxhash64: works for ANY id type (string doc ids are
+    # the common LLM-dedup shape — an integral-only hash would NULL out
+    # and explode() would silently drop every row). Engine-native is
+    # fine here: block assignment only partitions the work; the emitted
+    # PAIR SET is identical for any assignment.
+    bands = bands.withColumn(
+        "blk",
+        F.lit(0) if B == 1 else F.pmod(F.xxhash64(F.col("doc")), F.lit(B)).cast("int"),
+    )
     # materialize once: the fingerprint kernel lineage would otherwise
     # re-run on BOTH join branches × the block replication factor (the
     # same reason lsh_candidate_pairs persists its banded frame);

@@ -53,7 +53,22 @@ _INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
 # per pipeline stage (bench: 5+ builds per session over the SAME loaded
 # tables), and paying the fact-table scan each time doubled the graph
 # build. Strong refs are fine: bounded by distinct tables per session.
+#
+# INVALIDATION CONTRACT: packed ids (like the reference's positional
+# pandas index) assume a STATIC table. A DataFrame over a growing
+# parquet directory re-lists files per action — keys appended outside
+# the cached [min, max] would pack out of range. Call
+# clear_packed_stats() after mutating a source a cached frame reads
+# (the streaming node-store path builds fresh frames per snapshot, so
+# it never hits this).
 _PACKED_STATS: dict = {}
+
+
+def clear_packed_stats() -> None:
+    """Drop memoized packed-node-id stats (see the invalidation
+    contract above) — required after appending to a source file/dir
+    that a previously-built graph's DataFrame reads."""
+    _PACKED_STATS.clear()
 
 
 def _packed_node_id_expr(df: DataFrame, pk: list[str]):
@@ -118,16 +133,21 @@ def _packed_node_id_expr(df: DataFrame, pk: list[str]):
         # disambiguate duplicate-key rows with a rank from a window
         # PARTITIONED by the key (tiny groups, fully parallel — no
         # Exchange SinglePartition anywhere in the plan). Order by the
-        # remaining sortable columns so the rank is deterministic when
-        # the dup rows differ; fully identical rows are interchangeable.
-        orderable = [
-            c
-            for c, t in df.dtypes
-            if c not in pk and not t.startswith(("array", "map", "struct", "binary"))
-        ]
-        w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(
-            *[F.col(c) for c in pk + orderable]
-        )
+        # remaining sortable columns PLUS an xxhash64 of the
+        # non-orderable ones: dup rows differing only in an array/map/
+        # struct/binary column would otherwise tie, making the rank —
+        # and therefore node ids across separately-evaluated frames —
+        # nondeterministic. Fully identical rows still tie and are
+        # interchangeable.
+        orderable, hashed = [], []
+        for c, t in df.dtypes:
+            if c in pk:
+                continue
+            (hashed if t.startswith(("array", "map", "struct", "binary")) else orderable).append(c)
+        order_cols = [F.col(c) for c in pk + orderable]
+        if hashed:
+            order_cols.append(F.xxhash64(*[F.col(c) for c in hashed]))
+        w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(*order_cols)
         expr = expr * F.lit(maxdup) + (F.row_number().over(w) - 1)
     return expr
 

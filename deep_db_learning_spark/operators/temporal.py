@@ -222,9 +222,19 @@ def range_join(
     # back on list(left.columns) is wrong twice over: a left row with a
     # NULL in ANY column never matches itself (NULL != NULL, payload
     # silently lost) and duplicate left rows cross-multiply. A surrogate
-    # row id fixes both — monotonically_increasing_id is stable here
-    # because both join branches derive from the SAME tagged frame.
-    tagged = left.withColumn("__rjid", F.monotonically_increasing_id()) if how == "left" else left
+    # row id fixes both. monotonically_increasing_id alone is NOT safe:
+    # the tagged frame appears in BOTH join branches and would be
+    # computed twice, and post-shuffle intra-partition row order is not
+    # reproducible — the same logical row could get two different ids.
+    # localCheckpoint materializes the ids once; both branches read the
+    # same blocks (GC-reclaimed with the frame).
+    tagged = (
+        left.withColumn("__rjid", F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        )
+        if how == "left"
+        else left
+    )
     l = tagged.withColumn("__bin", l_bin)
     r = right.withColumn("__bin", F.explode(r_bins))
     joined = l.join(r, [*keys, "__bin"], "inner").filter(

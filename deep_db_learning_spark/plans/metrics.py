@@ -23,19 +23,22 @@ from ..functions.exact_agg import DECIMAL_TYPE
 
 
 def _exact_mean(c) -> F.Column:
-    return F.sum(c.cast(DECIMAL_TYPE)).cast("double") / F.count(F.lit(1))
+    # divide by the NON-NULL count — avg() semantics: rows whose term is
+    # NULL (e.g. predictions attached by a left join) stay out of both
+    # numerator and denominator, instead of silently deflating the mean
+    return F.sum(c.cast(DECIMAL_TYPE)).cast("double") / F.count(c)
 
 
 def classification_metrics_df(
     df: DataFrame, label: str = "label", pred: str = "prediction"
 ) -> DataFrame:
-    """(accuracy, n) — exact: a ratio of two counts."""
+    """(accuracy, n) — exact: a ratio of two counts. NULL comparisons
+    (missing pred or label) are excluded from both counts, matching
+    ``avg((pred = label)::double)``."""
+    cmp = F.col(pred) == F.col(label)
     return df.agg(
-        (
-            F.count(F.when(F.col(pred) == F.col(label), 1))
-            / F.count(F.lit(1))
-        ).alias("accuracy"),
-        F.count(F.lit(1)).alias("n"),
+        (F.count(F.when(cmp, 1)) / F.count(cmp)).alias("accuracy"),
+        F.count(cmp).alias("n"),
     )
 
 
@@ -57,7 +60,7 @@ def regression_metrics_df(
         _exact_mean(err * err).alias("mse"),
         _exact_mean(F.abs(err)).alias("mae"),
         _exact_mean(F.col(label)).alias("mean_y"),
-        F.count(F.lit(1)).alias("n"),
+        F.count(err).alias("n"),
     )
     return agg.select(
         "mse",

@@ -108,16 +108,29 @@ def assemble_training_frame(
     ).select("node_id", "label")
     frame = feats.join(labeled, "node_id", "inner")
     frame = random_node_split(frame, fractions=(0.7, 0.0, 0.3), seed=seed)
+    # the assembly join chain (graph build + per-edge aggregations) is
+    # consumed by the stats pass, every epoch, and the final accuracy
+    # pass — materialize it ONCE; checkpoint blocks are GC-reclaimed
+    frame = frame.localCheckpoint(eager=True)
 
-    # train-split standardization via exact decimal sums
-    train = frame.filter(F.col("split") == "train")
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # ONE driver action: train-split standardization sums (exact
+    # decimal) + the code/label cardinalities
+    train_only = F.col("split") == "train"
+    aggs = [
+        F.count(F.when(train_only, 1)).alias("n"),
+        F.max("code").alias("max_code"),
+        F.max("label").alias("max_label"),
+    ]
     for c in feat_names:
-        aggs.append(F.sum(F.col(c).cast(DECIMAL_TYPE)).alias(f"s_{c}"))
         aggs.append(
-            F.sum((F.col(c) * F.col(c)).cast(DECIMAL_TYPE)).alias(f"q_{c}")
+            F.sum(F.when(train_only, F.col(c)).cast(DECIMAL_TYPE)).alias(f"s_{c}")
         )
-    st = train.agg(*aggs).first()
+        aggs.append(
+            F.sum(F.when(train_only, F.col(c) * F.col(c)).cast(DECIMAL_TYPE)).alias(
+                f"q_{c}"
+            )
+        )
+    st = frame.agg(*aggs).first()
     n = st["n"]
     means, stds = {}, {}
     for c in feat_names:
@@ -129,8 +142,8 @@ def assemble_training_frame(
     )
     frame = frame.select("node_id", "code", nums.alias("nums"), "label", "split")
 
-    n_codes = feats.agg(F.max("code")).first()[0] + 1
-    n_classes = labeled.agg(F.max("label")).first()[0] + 1
+    n_codes = st["max_code"] + 1
+    n_classes = st["max_label"] + 1
     meta = {
         "n_codes": int(n_codes),
         "n_classes": int(n_classes),
@@ -255,10 +268,14 @@ def train_relational_classifier(
             [float(tot[1 + k + i]) for i in range((dim + m) * k)]
         ).reshape(dim + m, k)
         # update: decoder, bias, and the embedding code table
-        # (join-apply-update: dE[c] = Σ_{rows with code c} resid · W_embᵀ)
+        # (join-apply-update: dE[c] = Σ_{rows with code c} resid · Wᵀ).
+        # All three gradients use the EPOCH-START weights (Wc — the same
+        # copy the forward pass saw): mixing the already-updated W into
+        # dE would make the step not-the-gradient of the stated
+        # objective and can break monotone descent.
+        emb -= lr * (resid_by_code @ Wc[:dim].T / n_train + l2 * emb)
         W -= lr * (GW / n_train + l2 * W)
         b -= lr * resid_tot / n_train
-        emb -= lr * (resid_by_code @ W[:dim].T / n_train + l2 * emb)
 
     # final accuracy per split with the trained parameters
     Ef, Wf, bf = emb.copy(), W.copy(), b.copy()

@@ -174,3 +174,19 @@ def test_simhash_edge_cases_match(spark):
     expr = {r["doc_id"]: r["simhash"] for r in dedup.simhash_expr(df, "text").collect()}
     assert kern == expr
     assert kern[1] == 0 and kern[2] is None
+
+
+def test_simhash_pairs_work_with_string_ids(spark):
+    # regression: block assignment must not assume numeric ids — a
+    # bigint-cast hash NULLed string ids and explode() silently dropped
+    # every candidate row
+    rows = [("doc-a", "same text here"), ("doc-b", "same text here"), ("doc-c", "other")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dedup.simhash_candidate_pairs(dedup.simhash(df, "text"), "doc_id")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    assert got == {("doc-a", "doc-b", 0)}
+    # and with blocking enabled the same pair set comes back
+    blocked = dedup.simhash_candidate_pairs(
+        dedup.simhash(df, "text"), "doc_id", n_blocks=4
+    )
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in blocked.collect()} == got
