@@ -1082,10 +1082,10 @@ def q_embedding_neardup(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     """LLM ops: LSH-bucketed approximate top-5. Each result row carries
-    its query's recall@5 vs the exact brute-force top-5 — the
-    deterministic self-audit column (seeded hyperplanes); pinned golden
-    in tests/test_similarity.py. Rows-only driver check (an approximate
-    index has no exact SQL oracle)."""
+    its query's recall@5 vs the exact brute-force top-5. FULLY
+    oracle-checked: the hyperplanes are seed-derived arithmetic, so
+    DuckDB reproduces bucket assignment, multiprobe, candidates, the
+    ranking, and the recall column bit-for-bit."""
     db = _db(spark, sf_dir)
     queries = (
         db.df("embeddings")
@@ -2022,6 +2022,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
                    round(sim, 6) AS sim
             FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh": """
+            -- full LSH reproduction: the hyperplanes are seed-derived
+            -- arithmetic (same generator as the embedder init), so the
+            -- bucket assignment, multiprobe set, candidate join, top-5,
+            -- AND the recall column are all engine-independent. Plane
+            -- dots use an explicit LEFT fold (list_reduce) to match
+            -- Spark's aggregate() summation order bit-for-bit.
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), pd AS (
+              SELECT vec_id, v,
+                list_transform(range(0, 4), p ->
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(0, len(v)), j ->
+                      v[j + 1] * ((((p * 10007 + j + 42) * 2654435761) % 2147483647)
+                                  / 2147483647::DOUBLE - 0.5))),
+                    (a, x) -> a + x)) AS dots
+              FROM emb
+            ), b AS (
+              SELECT vec_id, v,
+                CAST((CASE WHEN dots[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN dots[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN dots[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN dots[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bucket
+              FROM pd
+            ), probes AS (
+              SELECT vec_id AS query_id, v AS qv,
+                     unnest(list_distinct([bucket,
+                       xor(bucket, 1), xor(bucket, 2),
+                       xor(bucket, 4), xor(bucket, 8)])) AS bucket
+              FROM b WHERE vec_id < 5
+            ), cand AS (
+              SELECT p.query_id, c.vec_id,
+                     list_cosine_similarity(p.qv, c.v) AS sim
+              FROM probes p JOIN b c USING (bucket)
+            ), ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM cand
+            ), approx AS (
+              SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+                     round(sim, 6) AS sim
+              FROM ranked WHERE rank <= 5
+            ), exact AS (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
+              FROM emb q CROSS JOIN emb e
+              WHERE q.vec_id < 5
+            ), rec AS (
+              SELECT e.query_id,
+                     round(count(a.vec_id) / count(*), 6) AS recall
+              FROM (SELECT query_id, vec_id FROM exact WHERE rank <= 5) e
+              LEFT JOIN approx a USING (query_id, vec_id)
+              GROUP BY e.query_id
+            )
+            SELECT approx.query_id, vec_id, rank, sim, recall
+            FROM approx JOIN rec ON approx.query_id = rec.query_id
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
