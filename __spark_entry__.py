@@ -138,8 +138,12 @@ def q_profile_customer(spark, sf_dir):
 
 
 def q_schema_inference(spark, sf_dir):
-    """§2 family 2: semantic-type inference over the whole star schema
-    (driver rows-only check; golden-tested against FIXTURES in tests/)."""
+    """§2 family 2: semantic-type inference over the whole star schema —
+    oracle-checked: the DuckDB twin recomputes every value-driven
+    decision (distinct ratios, cardinality thresholds, per-cat card)
+    from the data, with name/constraint metadata precomputed via the
+    analyzer's own regexes (see _schema_inference_oracle). Also
+    golden-tested against FIXTURES in tests/."""
     db = _db(spark, sf_dir)
     analyzer = SchemaAnalyzer(db.tables, db.primary_keys, db.foreign_keys)
     schema = analyzer.guess_schema()
@@ -1324,6 +1328,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _KNUTH_SRC = knuth_hash_sql("src", 42)
 
 
+def _schema_inference_oracle() -> str:
+    """DuckDB twin of the FLAGSHIP semantic-type inference. The
+    VALUE-driven decisions (cardinalities, distinct/non-null ratios,
+    the too-many-distinct branches, per-cat card) are computed in SQL
+    from the data; the NAME-driven predicates (id/numeric-name regexes,
+    plural heuristic) and the PK/FK constraint gates are metadata over
+    the static column list, precomputed here with the analyzer's own
+    regex objects so the two sides can never drift."""
+    from deep_db_learning_spark.profiling.analyzer import (
+        COMMON_NUMERIC_COLUMN_NAME_REGEX,
+        FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD as THR,
+        ID_NAME_REGEX,
+        MAXIMUM_CARDINALITY_THRESHOLD as MAXC,
+        _is_plural,
+    )
+    from deep_db_learning_spark.schema import tpch_primary_keys, tpch_star_schema_fks
+
+    catalog = {
+        "region": [("r_regionkey", "int"), ("r_name", "string")],
+        "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+        "customer": [
+            ("c_custkey", "int"), ("c_name", "string"), ("c_nationkey", "int"),
+            ("c_acctbal", "num"), ("c_mktsegment", "string"),
+        ],
+        "supplier": [
+            ("s_suppkey", "int"), ("s_name", "string"), ("s_nationkey", "int"),
+            ("s_acctbal", "num"),
+        ],
+        "part": [
+            ("p_partkey", "int"), ("p_name", "string"), ("p_brand", "string"),
+            ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "num"),
+        ],
+        "orders": [
+            ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "string"),
+            ("o_totalprice", "num"), ("o_orderdate", "datetime"),
+            ("o_orderpriority", "string"),
+        ],
+        "lineitem": [
+            ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+            ("l_linenumber", "int"), ("l_quantity", "num"),
+            ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+            ("l_returnflag", "string"), ("l_linestatus", "string"),
+            ("l_shipdate", "datetime"),
+        ],
+        "events": [
+            ("event_id", "int"), ("ts", "datetime"), ("user_id", "int"),
+            ("event_type", "string"), ("value", "num"), ("props", "string"),
+        ],
+        "documents": [
+            ("doc_id", "int"), ("text", "string"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "int"),
+        ],
+        "embeddings": [
+            ("vec_id", "int"), ("embedding", "other"), ("label", "int"),
+        ],
+    }
+    pks, fks = tpch_primary_keys(), tpch_star_schema_fks()
+    meta_rows, stats_selects = [], []
+    for t, cols in catalog.items():
+        pk = pks.get(t, [])
+        fk_cols = {fk.columns[0] for fk in fks.get(t, []) if len(fk.columns) == 1}
+        for c, fam in cols:
+            lone_pk = c in pk and len(pk) == 1
+            flags = [
+                lone_pk,
+                c in pk,
+                c in fk_cols,
+                bool(ID_NAME_REGEX.search(c)),
+                bool(COMMON_NUMERIC_COLUMN_NAME_REGEX.search(c)),
+                _is_plural(c),
+            ]
+            sql_flags = ", ".join(str(v).upper() for v in flags)
+            meta_rows.append(f"('{t}', '{c}', '{fam}', {sql_flags})")
+            if fam in ("int", "string", "bool") and not lone_pk and not (c in fk_cols):
+                stats_selects.append(
+                    f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+                    f" count(DISTINCT {c}) + CAST(bool_or({c} IS NULL) AS INT) AS nd,"
+                    f" count({c}) AS nn FROM {t}"
+                )
+    meta_values = ",\n              ".join(meta_rows)
+    stats_union = "\n              UNION ALL ".join(stats_selects)
+    return f"""
+        WITH meta(table_name, column_name, family, lone_pk, is_pk, is_fk,
+                  id_hit, num_hit, plural) AS (
+            VALUES {meta_values}
+        ), stats AS (
+              {stats_union}
+        ), d AS (
+            SELECT m.*, s.nd, s.nn,
+              CASE
+                WHEN m.lone_pk THEN 'omit'
+                WHEN m.is_fk THEN 'omit'
+                WHEN m.family = 'num' THEN 'num'
+                WHEN m.family IN ('date', 'datetime', 'duration') THEN m.family
+                WHEN m.family = 'other' THEN 'omit'
+                WHEN m.family = 'bool' THEN 'cat'
+                WHEN s.nn = 0 THEN 'omit'
+                WHEN m.family = 'int' THEN
+                  CASE WHEN (s.nd / s.nn > {THR} OR s.nd > {MAXC})
+                       THEN (CASE WHEN m.id_hit THEN 'omit' ELSE 'num' END)
+                       WHEN m.num_hit THEN 'num'
+                       WHEN m.plural THEN 'num'
+                       ELSE 'cat' END
+                ELSE
+                  CASE WHEN (s.nd / s.nn > {THR} OR s.nd > {MAXC})
+                       THEN (CASE WHEN m.id_hit THEN 'omit' ELSE 'text' END)
+                       ELSE 'cat' END
+              END AS sem_type
+            FROM meta m LEFT JOIN stats s USING (table_name, column_name)
+        )
+        SELECT table_name, column_name, sem_type, is_pk AS is_key,
+               CASE WHEN sem_type = 'cat' THEN CAST(nd AS INT) END AS card
+        FROM d
+    """
+
+
 def _sumsq_sql(c: str) -> str:
     """Decimal-fold sum of squares (DuckDB twin of the Spark side in
     ``profiling.profiler.numeric_stats``): (19,6) operands force
@@ -1398,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "catalog_row_counts": row_counts,
         "profile_customer": profile,
+        "schema_inference": _schema_inference_oracle(),
         "cat_encode_mktsegment": """
             SELECT c.c_custkey, coalesce(m.code, 0) AS seg_code
             FROM customer c
