@@ -48,6 +48,20 @@ COMMON_NUMERIC_COLUMN_NAME_REGEX = re.compile(
 FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD = 0.2
 MAXIMUM_CARDINALITY_THRESHOLD = 1000
 
+# (DataFrame, stats-columns, mode) → ColumnStats dict, shared across
+# SchemaAnalyzer instances: a pipeline typically profiles the same
+# loaded tables several times (standalone inference, then inside
+# minimum_slice / training assembly), and each profile is a full scan.
+# Same static-input contract as operators.graph._PACKED_STATS — call
+# clear_profile_cache() after mutating a source a cached frame reads.
+_PROFILE_CACHE: dict = {}
+
+
+def clear_profile_cache() -> None:
+    """Drop memoized table profiles (see the static-input contract on
+    ``_PROFILE_CACHE``)."""
+    _PROFILE_CACHE.clear()
+
 try:  # pragma: no cover - container has no inflect; fallback covers tests
     import inflect
 
@@ -156,13 +170,17 @@ class SchemaAnalyzer:
 
     def profile(self, table: str) -> dict[str, ColumnStats]:
         if table not in self._profiles:
-            self._profiles[table] = profile_table(
-                self.tables[table],
-                columns=self._stats_columns(table),
-                mode=self.profile_mode,
-                thresholds=(FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD,),
-                max_card=MAXIMUM_CARDINALITY_THRESHOLD,
-            )
+            cols = self._stats_columns(table)
+            key = (self.tables[table], tuple(cols), self.profile_mode)
+            if key not in _PROFILE_CACHE:
+                _PROFILE_CACHE[key] = profile_table(
+                    self.tables[table],
+                    columns=cols,
+                    mode=self.profile_mode,
+                    thresholds=(FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD,),
+                    max_card=MAXIMUM_CARDINALITY_THRESHOLD,
+                )
+            self._profiles[table] = _PROFILE_CACHE[key]
         return self._profiles[table]
 
     def prefetch_profiles(self, max_concurrency: int = 8) -> None:
