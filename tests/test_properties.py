@@ -160,3 +160,85 @@ def test_wav_decode_all_sample_widths(sw, ch, n, seed):
     sr, x = decode_wav_bytes(buf.getvalue())
     assert sr == 8000 and len(x) == n
     assert np.abs(x).max() <= 1.0
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                min_size=0,
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_kernel_matches_expr_any_text(spark, texts):
+    # the Arrow numpy kernel and the Spark HOF twin agree on arbitrary
+    # unicode (astral chars included), any whitespace shape, empty
+    # strings, and NULLs
+    from deep_db_learning_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kern = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "text").collect()}
+    expr = {r["doc_id"]: r["simhash"] for r in dedup.simhash_expr(df, "text").collect()}
+    assert kern == expr
+
+
+@given(
+    keys=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 6)),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(0, 2**16),
+)
+@settings(**_SETTINGS)
+def test_packed_node_ids_unique_for_any_composite_key(spark, keys, seed):
+    # duplicate composite keys allowed (the driver data ships them):
+    # packed ids must stay unique per ROW and the plan must never
+    # contain a single-partition exchange
+    from deep_db_learning_spark.operators.graph import mint_node_ids
+
+    rows = [(a, b, float((a * 31 + b + seed) % 97)) for a, b in keys]
+    df = spark.createDataFrame(rows, "k1 long, k2 int, payload double")
+    nodes, kind = mint_node_ids(df, ["k1", "k2"], "pk")
+    assert kind == "packed"
+    ids = [r["node_id"] for r in nodes.collect()]
+    assert len(ids) == len(set(ids)) == len(keys)
+    plan = nodes._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000), st.integers(0, 4)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_sessionize_invariant_to_partitioning_with_ties(spark, events):
+    # rows may share (user_id, ts) — the tie-broken windows must give
+    # identical session stats under different partitionings
+    import datetime as dt
+
+    from deep_db_learning_spark.streaming.events import session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s * 37), float(v))
+        for i, (u, s, v) in enumerate(events)
+    ]
+    schema = "event_id long, user_id long, ts timestamp_ntz, value double"
+    a = spark.createDataFrame(rows, schema)
+    b = spark.createDataFrame(rows, schema).repartition(7, "event_id")
+    ka = {tuple(r) for r in session_stats(a, gap_minutes=1).collect()}
+    kb = {tuple(r) for r in session_stats(b, gap_minutes=1).collect()}
+    assert ka == kb
