@@ -12,6 +12,7 @@ wires operators to the driver's (spark, sf_dir) calling convention.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1184,6 +1185,40 @@ def q_events_user_profile(spark, sf_dir):
     )
 
 
+def q_node_store(spark, sf_dir):
+    """§2.9 north star, end-to-end: the events table re-streamed in 4
+    micro-batches through the incremental profile upsert
+    (delta → full-outer merge → versioned snapshot commit with an
+    atomic pointer flip); returns the FINAL snapshot. The oracle is the
+    plain whole-history SQL profile — the driver hash-check therefore
+    proves multi-batch incremental maintenance converges to the exact
+    batch answer (decimal-fold sums make it batch-boundary-independent).
+    """
+    import tempfile
+
+    from deep_db_learning_spark.streaming.node_store import (
+        SnapshotStore,
+        stream_profiles_into_store,
+    )
+
+    db = _db(spark, sf_dir)
+    ev = db.df("events").select("event_id", "ts", "user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="node_store_q_")
+    src = os.path.join(work, "events_split")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_profiles_into_store(
+        stream, os.path.join(work, "store"), checkpoint=os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    snap = SnapshotStore(os.path.join(work, "store")).read(spark)
+    return snap.select("user_id", "n_events", "sum_value", "last_ts")
+
+
 def q_events_props_json(spark, sf_dir):
     """F-family extension: JSON prop extraction from the events table."""
     db = _db(spark, sf_dir)
@@ -1315,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_user_profile": q_events_user_profile,
         "events_props_json": q_events_props_json,
+        "node_store": q_node_store,
         "events_asof_purchase": q_events_asof_purchase,
         "events_conversion_window": q_events_conversion_window,
         "customer_features": q_customer_features,
@@ -2269,6 +2305,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_type) AS n_event_types
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY user_id
+        """,
+        "node_store": f"""
+            SELECT user_id, count(*) AS n_events,
+                   {exact_sum_sql('value')} AS sum_value,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
         """,
         "events_props_json": """
             SELECT event_id,
