@@ -1216,7 +1216,15 @@ def q_node_store(spark, sf_dir):
     )
     q.awaitTermination()
     snap = SnapshotStore(os.path.join(work, "store")).read(spark)
-    return snap.select("user_id", "n_events", "sum_value", "last_ts")
+    out = snap.select("user_id", "n_events", "sum_value", "last_ts")
+    # the snapshot is small (one row per user): materialize it into
+    # Spark-managed blocks so the temp workspace (re-written events,
+    # snapshot versions, checkpoint) can be deleted before returning
+    out = out.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def q_events_props_json(spark, sf_dir):

@@ -94,7 +94,16 @@ def main() -> None:
 
     timed("b4_neighbor_sampling", b4)
 
-    # B5: end-to-end minimum slice (infer -> graph -> features -> fit)
+    # B5: end-to-end minimum slice (infer -> graph -> features -> fit).
+    # Clear the cross-call memo caches first so b5 measures the FULL
+    # pipeline including its profiling and node-id stats passes —
+    # comparable to the baseline and to earlier rounds — instead of
+    # silently reusing b1/b2's warm entries.
+    from deep_db_learning_spark.operators.graph import clear_packed_stats
+    from deep_db_learning_spark.profiling.analyzer import clear_profile_cache
+
+    clear_profile_cache()
+    clear_packed_stats()
     timed(
         "b5_minimum_slice",
         lambda: minimum_slice(

@@ -54,7 +54,10 @@ MAXIMUM_CARDINALITY_THRESHOLD = 1000
 # minimum_slice / training assembly), and each profile is a full scan.
 # Same static-input contract as operators.graph._PACKED_STATS — call
 # clear_profile_cache() after mutating a source a cached frame reads.
+# Bounded FIFO (keys hold strong DataFrame refs): ad-hoc frames (tests,
+# exploratory sessions) must not pin driver memory without limit.
 _PROFILE_CACHE: dict = {}
+_PROFILE_CACHE_MAX = 32
 
 
 def clear_profile_cache() -> None:
@@ -173,6 +176,8 @@ class SchemaAnalyzer:
             cols = self._stats_columns(table)
             key = (self.tables[table], tuple(cols), self.profile_mode)
             if key not in _PROFILE_CACHE:
+                while len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+                    _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
                 _PROFILE_CACHE[key] = profile_table(
                     self.tables[table],
                     columns=cols,
@@ -180,7 +185,8 @@ class SchemaAnalyzer:
                     thresholds=(FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD,),
                     max_card=MAXIMUM_CARDINALITY_THRESHOLD,
                 )
-            self._profiles[table] = _PROFILE_CACHE[key]
+            # shallow copy: analyzers must not alias one mutable dict
+            self._profiles[table] = dict(_PROFILE_CACHE[key])
         return self._profiles[table]
 
     def prefetch_profiles(self, max_concurrency: int = 8) -> None:

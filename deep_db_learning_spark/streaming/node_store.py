@@ -90,10 +90,15 @@ def merge_profiles(old: DataFrame | None, delta: DataFrame) -> DataFrame:
         F.col("sum_value").alias("d_s"),
         F.col("last_ts").alias("d_t"),
     )
-    m = o.join(d, "user_id", "full_outer")
+    # null-SAFE key equality: groupBy put all NULL-user events in one
+    # group, and a plain full_outer on user_id would never match
+    # NULL = NULL — the snapshot would accumulate one extra NULL-user
+    # row per batch instead of merging, diverging from the batch oracle
+    # (GROUP BY groups NULLs together)
+    m = o.join(d, o["user_id"].eqNullSafe(d["user_id"]), "full_outer")
     zero = F.lit(0).cast("bigint")
     return m.select(
-        "user_id",
+        F.coalesce(o["user_id"], d["user_id"]).alias("user_id"),
         (F.coalesce("o_n", zero) + F.coalesce("d_n", zero)).alias("n_events"),
         (
             F.coalesce(F.col("o_s").cast("decimal(30,9)"), F.lit(0).cast("decimal(30,9)"))

@@ -379,3 +379,26 @@ def test_stream_profiles_into_store_multibatch(spark, db, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_merge_profiles_null_user_key_merges(spark):
+    # regression: a plain full_outer on user_id never matches NULL=NULL,
+    # so NULL-user rows duplicated across batches instead of merging
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from deep_db_learning_spark.streaming.node_store import merge_profiles
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 1, 2)
+    schema = "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
+    old = spark.createDataFrame(
+        [(None, 2, 1.5, t1), (7, 1, 1.0, t1)], schema
+    )
+    delta = spark.createDataFrame([(None, 3, 2.5, t2)], schema)
+    got = {r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
+           for r in merge_profiles(old, delta).collect()}
+    assert got[None] == (5, 4.0, t2)
+    assert got[7] == (1, 1.0, t1)
+    assert len(got) == 2
