@@ -142,9 +142,12 @@ def main() -> None:
         "events_sessions",
         "customer_features",
     ]
-    qs = entry.queries()
+    # resolved via getattr, not queries(): some bench entries (rollup,
+    # top-k, global BFS, the unmerged text/temporal halves) are module
+    # functions outside the curated 50-query driver registry
     for name in headline:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+        fn = getattr(entry, "q_" + name)
+        timed(name, lambda f=fn: f(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(
