@@ -799,9 +799,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
-    """LLM ops: MinHash+LSH dedup survivors (rows-only check — band
-    bucketing uses engine-native hash; verified in tests/test_dedup.py
-    against exact Jaccard)."""
+    """LLM ops: MinHash+LSH dedup survivors. FULLY oracle-checked: the
+    shingle rolling hashes, permutation-min signature, md5 band buckets,
+    candidate join, exact-Jaccard verify, and the survivor anti-join are
+    all portable arithmetic a DuckDB oracle reproduces bit-for-bit
+    (recall vs exact Jaccard additionally pytest-verified in
+    tests/test_dedup.py)."""
     db = _db(spark, sf_dir)
     kept = dedup.minhash_lsh_dedup(db.df("documents"), "text", "doc_id", threshold=0.7)
     return kept.select("doc_id")

@@ -218,10 +218,21 @@ def lsh_candidate_pairs(
     the same bucket → candidate pair (a < b). One explode (×bands) +
     one shuffle on the band key + one self-join inside buckets.
 
+    The bucket is the first 32 bits of ``md5`` over the band's values
+    (comma-joined) — a PORTABLE compression of the band key (md5 is
+    bit-identical in every engine), so a DuckDB oracle reproduces
+    buckets, candidates, and survivors exactly; the former engine-native
+    ``F.hash`` (Murmur3) kept this pipeline rows-only-checkable. A hash
+    collision across different band values can only ADD a candidate
+    pair, which exact-Jaccard verification then rejects — recall is
+    unaffected, and both engines see the same collisions anyway.
+
     The banded projection is persisted before the self-join — without
     it, Spark recomputes the (expensive) signature lineage once per
     join side; the banded table is tiny (bands rows of 3 ints per doc).
     """
+    from ..functions.hashing import md5_prefix_hash
+
     banded = signed.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
@@ -234,7 +245,13 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band", "band_sig"),
-    ).select("doc", "band", F.hash("band_sig").alias("bucket")).persist()
+    ).select(
+        "doc",
+        "band",
+        md5_prefix_hash(
+            F.array_join(F.transform("band_sig", lambda x: x.cast("string")), ",")
+        ).alias("bucket"),
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
