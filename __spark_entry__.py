@@ -1339,538 +1339,61 @@ _SHINGLE_CTE = """
 """
 
 
-def oracle_sql() -> dict[str, str]:
-    tables = [
-        "customer", "documents", "embeddings", "events", "lineitem",
-        "nation", "orders", "part", "region", "supplier",
-    ]
-    row_counts = " UNION ALL ".join(
-        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in tables
+def _minhash_dedup_oracle(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 9, threshold: float = 0.7
+) -> str:
+    """DuckDB twin of the FULL minhash_lsh_dedup pipeline (defaults
+    mirror q_minhash_dedup's call): portable rolling shingle hashes →
+    permutation-min signature → md5 band buckets → candidate pairs →
+    exact-Jaccard verify on the same hash sets → survivor anti-join.
+    Every step is engine-independent arithmetic (Horner fold over code
+    points, Knuth multiplicative perms, md5 prefix buckets — see
+    operators/dedup.py and functions/hashing.py)."""
+    from deep_db_learning_spark.functions.hashing import KNUTH, MERSENNE_31
+    from deep_db_learning_spark.operators.dedup import SHINGLE_B, SHINGLE_P
+
+    rpb = num_perm // bands
+    gram_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(string_split(g, ''),"
+        " ch -> CAST(CASE WHEN ch = '' THEN 0 ELSE ord(ch) END AS BIGINT))),"
+        f" (acc, ch) -> (acc * {SHINGLE_B} + ch) % {SHINGLE_P})"
     )
-    cust_cols = ["c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"]
-    profile = " UNION ALL ".join(
-        f"SELECT '{c}' AS column_name, (SELECT count(*) FROM customer) AS n_rows, "
-        f"count({c}) AS n_nonnull, "
-        f"(SELECT count(*) FROM (SELECT DISTINCT {c} FROM customer)) AS n_distinct "
-        f"FROM customer"
-        for c in cust_cols
-    )
-    gs_specs = {
-        "customer__c_nationkey__nation": ("customer", "nation", "c_nationkey", "n_nationkey"),
-        "events__user_id__customer": ("events", "customer", "user_id", "c_custkey"),
-        "lineitem__l_orderkey__orders": ("lineitem", "orders", "l_orderkey", "o_orderkey"),
-        "lineitem__l_partkey__part": ("lineitem", "part", "l_partkey", "p_partkey"),
-        "lineitem__l_suppkey__supplier": ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
-        "nation__n_regionkey__region": ("nation", "region", "n_regionkey", "r_regionkey"),
-        "orders__o_custkey__customer": ("orders", "customer", "o_custkey", "c_custkey"),
-        "supplier__s_nationkey__nation": ("supplier", "nation", "s_nationkey", "n_nationkey"),
-    }
-    graph_stats = " UNION ALL ".join(
-        f"SELECT '{et}' AS edge_type, '{st}' AS src_table, '{dt}' AS dst_table, "
-        f"(SELECT count(*) FROM {st}) AS n_src_rows, "
-        f"(SELECT count(*) FROM {dt}) AS n_dst_rows, "
-        f"(SELECT count(*) FROM {st} JOIN {dt} ON {st}.{fk} = {dt}.{rk}) AS n_edges, "
-        f"(SELECT count(*) FROM {st} JOIN {dt} ON {st}.{fk} = {dt}.{rk})::DOUBLE "
-        f"/ (SELECT count(*) FROM {st}) AS edges_per_src"
-        for et, (st, dt, fk, rk) in sorted(gs_specs.items())
-    )
-    seg_onehot = ",\n                   ".join(
-        f"CASE WHEN c_mktsegment = '{v}' THEN 1 ELSE 0 END AS c_mktsegment_{v}"
-        for v in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-    )
-    return {
-        "catalog_columns": f"""
-            WITH rc AS ({row_counts})
-            SELECT c.table_name, c.column_name, rc.n_rows
-            FROM information_schema.columns c
-            JOIN rc ON c.table_name = rc.table_name
-        """,
-        "profile_customer": profile,
-        "schema_inference": _schema_inference_oracle(),
-        "encode_mktsegment": f"""
-            SELECT c.c_custkey, coalesce(m.code, 0) AS seg_code, f.label,
-                   {seg_onehot}
-            FROM customer c
-            LEFT JOIN (
-              SELECT v AS value, row_number() OVER (ORDER BY v) AS code
-              FROM (SELECT DISTINCT c_mktsegment AS v FROM customer WHERE c_mktsegment IS NOT NULL)
-            ) m ON c.c_mktsegment = m.value
-            JOIN (
-              SELECT value, CAST(row_number() OVER (ORDER BY value) - 1 AS INT) AS label
-              FROM (SELECT DISTINCT c_mktsegment AS value FROM customer)
-            ) f ON c.c_mktsegment = f.value
-        """,
-        "datetime_decompose": """
-            SELECT o_orderkey,
-                   CAST(year(o_orderdate) AS INT) AS od_year,
-                   CAST(dayofyear(o_orderdate) AS INT) AS od_dayofyear,
-                   CAST(hour(o_orderdate)*3600 + minute(o_orderdate)*60
-                        + CAST(floor(second(o_orderdate)) AS INT) AS INT) AS od_secs,
-                   CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch,
-                   CAST(month(o_orderdate) AS INT) AS od_month,
-                   CAST(day(o_orderdate) AS INT) AS od_day,
-                   CAST(date_diff('day', DATE '0001-01-01', o_orderdate::DATE) + 1 AS INT) AS od_ordinal
-            FROM orders
-        """,
-        "normalize_cname": """
-            WITH nd AS (
-              SELECT count(DISTINCT c_name) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nd_identity,
-                     count(DISTINCT lower(c_name)) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nd_ci,
-                     count(DISTINCT lower(trim(c_name))) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nd_strip_ci,
-                     count(DISTINCT rtrim(c_name)) + max(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nd_rstrip
-              FROM customer
-            )
-            SELECT c_custkey,
-                   lower(c_name) AS name_ci,
-                   lower(trim(c_name)) AS name_strip_ci,
-                   rtrim(c_name) AS name_rstrip,
-                   nd_identity, nd_ci, nd_strip_ci, nd_rstrip
-            FROM customer, nd
-        """,
-        "edges_orders_customer": """
-            SELECT o_orderkey AS src, c_custkey AS dst
-            FROM orders JOIN customer ON o_custkey = c_custkey
-        """,
-        "edge_augment": """
-            SELECT c_custkey AS src, n_nationkey AS dst, 'fwd' AS direction
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            UNION ALL
-            SELECT n_nationkey AS src, c_custkey AS dst, 'rev' AS direction
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            UNION ALL
-            SELECT n_nationkey AS src, n_nationkey AS dst, 'self' AS direction
-            FROM nation
-        """,
-        "neighbor_sample": f"""
-            SELECT src, dst FROM (
-              SELECT o_orderkey AS src, c_custkey AS dst,
-                     row_number() OVER (PARTITION BY c_custkey
-                       ORDER BY ({knuth_hash_sql('o_orderkey', 42)}), o_orderkey) AS rn
-              FROM orders JOIN customer ON o_custkey = c_custkey
-            ) WHERE rn <= 5
-        """,
-        "node_split": f"""
-            SELECT c_custkey, {split_label_sql('c_custkey')} AS split FROM customer
-        """,
-        "eval_metrics": f"""
-            WITH counts AS (
-              SELECT c_nationkey, c_mktsegment, count(*) AS cnt
-              FROM customer GROUP BY 1, 2
-            ), modal AS (
-              SELECT c_nationkey, c_mktsegment AS prediction FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn
-                FROM counts) WHERE rn = 1
-            ), cm AS (
-              -- denominators are NON-NULL counts (avg semantics), like
-              -- the Spark side
-              SELECT count(CASE WHEN prediction = c_mktsegment THEN 1 END)
-                       / count(prediction = c_mktsegment) AS accuracy,
-                     count(prediction = c_mktsegment) AS n_cls
-              FROM customer JOIN modal USING (c_nationkey)
-            ), m AS (
-              SELECT {exact_sum_sql('o_totalprice')} / count(o_totalprice) AS mv FROM orders
-            ), rm AS (
-              SELECT {exact_sum_sql('(mv - o_totalprice) * (mv - o_totalprice)')}
-                       / count(mv - o_totalprice) AS mse,
-                     {exact_sum_sql('abs(mv - o_totalprice)')} / count(mv - o_totalprice) AS mae,
-                     {exact_sum_sql('o_totalprice')} / count(o_totalprice) AS mean_y,
-                     count(mv - o_totalprice) AS n_reg
-              FROM orders, m
-            )
-            SELECT accuracy, n_cls, mse, mae,
-                   CASE WHEN mean_y != 0 THEN sqrt(mse) / mean_y END AS nrmse,
-                   n_reg
-            FROM cm, rm
-        """,
-        "constraints": """
-            SELECT * FROM (VALUES
-              ('customer','fk','c_nationkey','nation(n_nationkey)'),
-              ('customer','pk','c_custkey',NULL),
-              ('documents','pk','doc_id',NULL),
-              ('embeddings','pk','vec_id',NULL),
-              ('events','fk','user_id','customer(c_custkey)'),
-              ('events','pk','event_id',NULL),
-              ('lineitem','fk','l_orderkey','orders(o_orderkey)'),
-              ('lineitem','fk','l_partkey','part(p_partkey)'),
-              ('lineitem','fk','l_suppkey','supplier(s_suppkey)'),
-              ('lineitem','pk','l_linenumber,l_orderkey',NULL),
-              ('nation','fk','n_regionkey','region(r_regionkey)'),
-              ('nation','pk','n_nationkey',NULL),
-              ('orders','fk','o_custkey','customer(c_custkey)'),
-              ('orders','pk','o_orderkey',NULL),
-              ('part','pk','p_partkey',NULL),
-              ('region','pk','r_regionkey',NULL),
-              ('supplier','fk','s_nationkey','nation(n_nationkey)'),
-              ('supplier','pk','s_suppkey',NULL)
-            ) AS t(table_name, kind, cols, ref)
-        """,
-        "db_copy_row_pick": """
-            WITH pos AS (
-              SELECT n_nationkey, n_name, n_regionkey,
-                     row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
-              FROM nation
-            )
-            SELECT pos, n_nationkey, n_name, n_regionkey FROM pos
-            WHERE pos IN (0, 5, 10, 15, 20)
-        """,
-        "events_time_convert": """
-            SELECT event_id,
-                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-                   CAST(datepart('hour', ts) * 3600
-                      + datepart('minute', ts) * 60
-                      + datepart('second', ts) AS INT) AS ssm,
-                   epoch(ts - date_trunc('day', ts)) AS since_midnight_secs,
-                   least(greatest(
-                     CASE WHEN event_id % 5 = 0 THEN ts + INTERVAL 300 YEAR ELSE ts END,
-                     TIMESTAMP '1677-09-22 00:12:43'),
-                     TIMESTAMP '2262-04-11 23:47:16') AS ts_clamped
-            FROM events
-        """,
-        "constant_columns": """
-            WITH cand(column_name, n) AS (
-              SELECT 'p_partkey', (SELECT count(DISTINCT p_partkey) FROM part) UNION ALL
-              SELECT 'p_name', (SELECT count(DISTINCT p_name) FROM part) UNION ALL
-              SELECT 'p_brand', (SELECT count(DISTINCT p_brand) FROM part) UNION ALL
-              SELECT 'p_type', (SELECT count(DISTINCT p_type) FROM part) UNION ALL
-              SELECT 'p_size', (SELECT count(DISTINCT p_size) FROM part) UNION ALL
-              SELECT 'p_retailprice', (SELECT count(DISTINCT p_retailprice) FROM part) UNION ALL
-              SELECT 'const_marker', 1
-            )
-            SELECT column_name FROM cand WHERE n > 1
-        """,
-        "cardinality_reconcile": """
-            -- raw distinct count already equals the declared cardinality,
-            -- so the FIRST registry entry (identity) wins
-            SELECT 'identity' AS normalizer, value,
-                   CAST(row_number() OVER (ORDER BY value) AS INT) AS code
-            FROM (SELECT DISTINCT c_mktsegment AS value FROM customer)
-        """,
-        "impute_acctbal": f"""
-            WITH b AS (
-              SELECT c_custkey,
-                     CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
-              FROM customer
-            ), m AS (
-              SELECT {exact_sum_sql('bal')} / count(bal) AS mv FROM b
-            )
-            SELECT c_custkey, coalesce(bal, mv) AS bal_imputed FROM b, m
-        """,
-        "message_mean_conv": f"""
-            SELECT c_custkey,
-                   c_acctbal + coalesce(agg.mv, 0.0) AS conv,
-                   agg.mv AS mean_price,
-                   agg.s AS sum_price,
-                   agg.mn AS min_price,
-                   agg.mx AS max_price,
-                   agg.cnt AS n_orders
-            FROM customer LEFT JOIN (
-              SELECT o_custkey, {exact_avg_sql('o_totalprice')} AS mv,
-                     {exact_sum_sql('o_totalprice')} AS s,
-                     min(o_totalprice) AS mn,
-                     max(o_totalprice) AS mx,
-                     count(*) AS cnt
-              FROM orders GROUP BY o_custkey
-            ) agg ON o_custkey = c_custkey
-        """,
-        "bfs_per_root": """
-            -- depth-2 BFS from each customer root: the root row itself,
-            -- its nation (forward FK), and its orders/events (reverse
-            -- FKs); tables a root never reaches produce no row
-            WITH r AS (SELECT c_custkey AS root_id FROM customer WHERE c_custkey < 10)
-            SELECT root_id, 'customer' AS table_name, CAST(1 AS BIGINT) AS n_visited FROM r
-            UNION ALL
-            SELECT root_id, 'nation', count(DISTINCT n_nationkey)
-            FROM r JOIN customer ON c_custkey = root_id
-                   JOIN nation ON n_nationkey = c_nationkey
-            GROUP BY root_id
-            UNION ALL
-            SELECT root_id, 'orders', count(DISTINCT o_orderkey)
-            FROM r JOIN orders ON o_custkey = root_id
-            GROUP BY root_id
-            UNION ALL
-            SELECT root_id, 'events', count(DISTINCT event_id)
-            FROM r JOIN events ON user_id = root_id
-            GROUP BY root_id
-        """,
-        "message_2hop": f"""
-            WITH li AS (
-              SELECT o_orderkey AS node_id, {exact_sum_sql('l_quantity')} AS qty
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY o_orderkey
-            )
-            SELECT c_custkey,
-                   {exact_sum_sql('qty')} AS sum_qty,
-                   {exact_avg_sql('qty')} AS mean_qty,
-                   count(*) AS n_orders_with_items
-            FROM li JOIN orders ON li.node_id = o_orderkey
-                    JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_custkey
-        """,
-        "attention_aggregate": f"""
-            WITH e AS (
-              SELECT c_custkey, o_totalprice / 100000.0 AS score,
-                     o_totalprice AS price,
-                     max(o_totalprice / 100000.0) OVER (PARTITION BY c_custkey) AS mx
-              FROM orders JOIN customer ON o_custkey = c_custkey
-            )
-            SELECT c_custkey,
-                   round({exact_sum_sql('price * exp(score - mx)')}
-                         / {exact_sum_sql('exp(score - mx)')}, 3) AS attn_price
-            FROM e GROUP BY c_custkey
-        """,
-        "tpch_q1": f"""
-            SELECT l_returnflag, l_linestatus,
-                   {exact_sum_sql('l_quantity')} AS sum_qty,
-                   {exact_sum_sql('l_extendedprice')} AS sum_base_price,
-                   {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-                   {exact_avg_sql('l_quantity')} AS avg_qty,
-                   {exact_avg_sql('l_discount')} AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "tpch_q3": f"""
-            SELECT o_orderkey, o_orderdate,
-                   {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
-            FROM customer JOIN orders ON c_custkey = o_custkey
-                          JOIN lineitem ON o_orderkey = l_orderkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey, o_orderdate
-            ORDER BY revenue DESC, o_orderkey ASC
-            LIMIT 10
-        """,
-        "tpch_q5": f"""
-            SELECT n_name,
-                   {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
-            FROM customer
-              JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON o_orderkey = l_orderkey
-              JOIN supplier ON l_suppkey = s_suppkey
-              JOIN nation ON s_nationkey = n_nationkey
-              JOIN region ON n_regionkey = r_regionkey
-            WHERE c_nationkey = s_nationkey
-            GROUP BY n_name
-        """,
-        "tpch_q6": f"""
-            SELECT {exact_sum_sql('l_extendedprice * l_discount')} AS revenue,
-                   count(*) AS n_rows
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24
-        """,
-        "tpch_q18": f"""
-            WITH big AS (
-              SELECT l_orderkey, {exact_sum_sql('l_quantity')} AS sum_qty
-              FROM lineitem GROUP BY l_orderkey
-              HAVING {exact_sum_sql('l_quantity')} > 150
-            )
-            SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
-            FROM orders
-              JOIN big ON o_orderkey = l_orderkey
-              JOIN customer ON o_custkey = c_custkey
-            ORDER BY o_totalprice DESC, o_orderkey ASC
-            LIMIT 100
-        """,
-        "lineitem_numeric_profile": q_lineitem_numeric_profile,
-        "graph_stats": q_graph_stats,
-        # converters (F family)
-        "encode_mktsegment": q_encode_mktsegment,
-        "datetime_decompose": q_datetime_decompose,
-        "normalize_cname": q_normalize_cname,
-        "events_time_convert": q_events_time_convert,
-        "impute_acctbal": q_impute_acctbal,
-        "convert_orders": q_convert_orders,
-        "multilabel_event_types": q_multilabel_event_types,
-        # graph build / sampling (J, N26-N28)
-        "edges_orders_customer": q_edges_orders_customer,
-        "edge_augment": q_edge_augment,
-        "neighbor_sample": q_neighbor_sample,
-        "node_split": q_node_split,
-        "bfs_per_root": q_bfs_per_root,
-        # message passing / training (N families)
-        "embed_customer": q_embed_customer,
-        "message_mean_conv": q_message_mean_conv,
-        "message_2hop": q_message_2hop,
-        "attention_aggregate": q_attention_aggregate,
-        "train_relational": q_train_relational,
-        "eval_metrics": q_eval_metrics,
-        # generic relational shapes
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q18": q_tpch_q18,
-        "events_sliding": q_events_sliding,
-        # LLM data pipeline (dedup / similarity / text)
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "text_dedup_clusters": q_text_dedup_clusters,
-        "decontamination": q_decontamination,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash": q_simhash,
-        "text_metrics": q_text_metrics,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        # streaming / temporal extensions
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
-        "events_user_profile": q_events_user_profile,
-        "node_store": q_node_store,
-        "events_temporal_join": q_events_temporal_join,
-        "customer_features": q_customer_features,
-    }
-
-
-# --------------------------------------------------------------------------
-# oracles
-# --------------------------------------------------------------------------
-
-_KNUTH_SRC = knuth_hash_sql("src", 42)
-
-
-def _schema_inference_oracle() -> str:
-    """DuckDB twin of the FLAGSHIP semantic-type inference. The
-    VALUE-driven decisions (cardinalities, distinct/non-null ratios,
-    the too-many-distinct branches, per-cat card) are computed in SQL
-    from the data; the NAME-driven predicates (id/numeric-name regexes,
-    plural heuristic) and the PK/FK constraint gates are metadata over
-    the static column list, precomputed here with the analyzer's own
-    regex objects so the two sides can never drift."""
-    from deep_db_learning_spark.profiling.analyzer import (
-        COMMON_NUMERIC_COLUMN_NAME_REGEX,
-        FRACTION_DISTINCT_TO_NONNULL_IGNORE_THRESHOLD as THR,
-        ID_NAME_REGEX,
-        MAXIMUM_CARDINALITY_THRESHOLD as MAXC,
-        _is_plural,
-    )
-    from deep_db_learning_spark.schema import tpch_primary_keys, tpch_star_schema_fks
-
-    catalog = {
-        "region": [("r_regionkey", "int"), ("r_name", "string")],
-        "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
-        "customer": [
-            ("c_custkey", "int"), ("c_name", "string"), ("c_nationkey", "int"),
-            ("c_acctbal", "num"), ("c_mktsegment", "string"),
-        ],
-        "supplier": [
-            ("s_suppkey", "int"), ("s_name", "string"), ("s_nationkey", "int"),
-            ("s_acctbal", "num"),
-        ],
-        "part": [
-            ("p_partkey", "int"), ("p_name", "string"), ("p_brand", "string"),
-            ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "num"),
-        ],
-        "orders": [
-            ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "string"),
-            ("o_totalprice", "num"), ("o_orderdate", "datetime"),
-            ("o_orderpriority", "string"),
-        ],
-        "lineitem": [
-            ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
-            ("l_linenumber", "int"), ("l_quantity", "num"),
-            ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
-            ("l_returnflag", "string"), ("l_linestatus", "string"),
-            ("l_shipdate", "datetime"),
-        ],
-        "events": [
-            ("event_id", "int"), ("ts", "datetime"), ("user_id", "int"),
-            ("event_type", "string"), ("value", "num"), ("props", "string"),
-        ],
-        "documents": [
-            ("doc_id", "int"), ("text", "string"), ("lang", "string"),
-            ("source", "string"), ("n_chars", "int"),
-        ],
-        "embeddings": [
-            ("vec_id", "int"), ("embedding", "other"), ("label", "int"),
-        ],
-    }
-    pks, fks = tpch_primary_keys(), tpch_star_schema_fks()
-    meta_rows, stats_selects = [], []
-    for t, cols in catalog.items():
-        pk = pks.get(t, [])
-        fk_cols = {fk.columns[0] for fk in fks.get(t, []) if len(fk.columns) == 1}
-        for c, fam in cols:
-            lone_pk = c in pk and len(pk) == 1
-            flags = [
-                lone_pk,
-                c in pk,
-                c in fk_cols,
-                bool(ID_NAME_REGEX.search(c)),
-                bool(COMMON_NUMERIC_COLUMN_NAME_REGEX.search(c)),
-                _is_plural(c),
-            ]
-            sql_flags = ", ".join(str(v).upper() for v in flags)
-            meta_rows.append(f"('{t}', '{c}', '{fam}', {sql_flags})")
-            if fam in ("int", "string", "bool") and not lone_pk and not (c in fk_cols):
-                stats_selects.append(
-                    f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
-                    f" count(DISTINCT {c}) + CAST(bool_or({c} IS NULL) AS INT) AS nd,"
-                    f" count({c}) AS nn FROM {t}"
-                )
-    meta_values = ",\n              ".join(meta_rows)
-    stats_union = "\n              UNION ALL ".join(stats_selects)
     return f"""
-        WITH meta(table_name, column_name, family, lone_pk, is_pk, is_fk,
-                  id_hit, num_hit, plural) AS (
-            VALUES {meta_values}
-        ), stats AS (
-              {stats_union}
-        ), d AS (
-            SELECT m.*, s.nd, s.nn,
-              CASE
-                WHEN m.lone_pk THEN 'omit'
-                WHEN m.is_fk THEN 'omit'
-                WHEN m.family = 'num' THEN 'num'
-                WHEN m.family IN ('date', 'datetime', 'duration') THEN m.family
-                WHEN m.family = 'other' THEN 'omit'
-                WHEN m.family = 'bool' THEN 'cat'
-                WHEN s.nn = 0 THEN 'omit'
-                WHEN m.family = 'int' THEN
-                  CASE WHEN (s.nd / s.nn > {THR} OR s.nd > {MAXC})
-                       THEN (CASE WHEN m.id_hit THEN 'omit' ELSE 'num' END)
-                       WHEN m.num_hit THEN 'num'
-                       WHEN m.plural THEN 'num'
-                       ELSE 'cat' END
-                ELSE
-                  CASE WHEN (s.nd / s.nn > {THR} OR s.nd > {MAXC})
-                       THEN (CASE WHEN m.id_hit THEN 'omit' ELSE 'text' END)
-                       ELSE 'cat' END
-              END AS sem_type
-            FROM meta m LEFT JOIN stats s USING (table_name, column_name)
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            CASE WHEN length(text) < {shingle_k} THEN [text]
+                 ELSE list_transform(range(1, length(text) - {shingle_k - 2}),
+                                     i -> substr(text, i, {shingle_k})) END,
+            g -> {gram_hash})) AS h
+          FROM documents
+        ), sig AS (
+          SELECT doc_id, h, list_transform(range(0, {num_perm}), i ->
+            list_min(list_transform(h,
+              x -> ((x % {MERSENNE_31} + i) * {KNUTH}) % {MERSENNE_31}))) AS s
+          FROM sh
+        ), banded AS (
+          SELECT doc_id, b AS band,
+                 CAST(('0x' || substr(md5(array_to_string(
+                   s[b * {rpb} + 1 : b * {rpb} + {rpb}], ',')), 1, 8)) AS BIGINT) AS bucket
+          FROM sig CROSS JOIN range(0, {bands}) r(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM banded a JOIN banded c
+            ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+        ), verified AS (
+          SELECT DISTINCT cand.id_b
+          FROM cand JOIN sh x ON x.doc_id = cand.id_a
+                    JOIN sh y ON y.doc_id = cand.id_b
+          WHERE round(len(list_intersect(x.h, y.h))::DOUBLE /
+                (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6)
+                >= {threshold}
         )
-        SELECT table_name, column_name, sem_type, is_pk AS is_key,
-               CASE WHEN sem_type = 'cat' THEN CAST(nd AS INT) END AS card
-        FROM d
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM verified)
     """
 
 
-def _sumsq_sql(c: str) -> str:
-    """Decimal-fold sum of squares (DuckDB twin of the Spark side in
-    ``profiling.profiler.numeric_stats``): (19,6) operands force
-    DuckDB's int128 storage (int64-backed DECIMAL(18) overflows in the
-    multiply) while 19+19 = 38 keeps the product type legal; VARCHAR
-    hop for the correctly-rounded double (see ``exact_sum_sql``).
-    Inputs have ≤6 fractional digits, so both engines' folds are exact
-    regardless of their differing intermediate scales."""
-    return (
-        f"CAST(CAST(sum(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6)))"
-        " AS VARCHAR) AS DOUBLE)"
-    )
-
-_SHINGLE_CTE = """
-  SELECT doc_id,
-         list_distinct(CASE WHEN length(text) < 5 THEN [text]
-           ELSE list_transform(range(1, length(text) - 3), i -> substr(text, i, 5)) END) AS grams
-  FROM documents
-"""
-
-
 def oracle_sql() -> dict[str, str]:
     tables = [
         "customer", "documents", "embeddings", "events", "lineitem",
@@ -2206,14 +1729,6 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
-        """,
-        "top_orders_per_customer": """
-            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
-              SELECT o_custkey, o_orderkey, o_totalprice,
-                     row_number() OVER (PARTITION BY o_custkey
-                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
-              FROM orders
-            ) WHERE rank <= 3
         """,
         "lineitem_numeric_profile": " UNION ALL ".join(
             f"""
@@ -2309,6 +1824,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
         """,
+        "minhash_dedup": _minhash_dedup_oracle(),
         "decontamination": """
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
