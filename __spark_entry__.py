@@ -514,8 +514,12 @@ def q_train_relational(spark, sf_dir):
     embedding table + linear decoder (plans/training.py). Returns the
     per-epoch train loss — strictly decreasing and bit-deterministic
     (decimal-fold gradients), the contract a training engine must hold.
-    Iterative algorithm → no SQL oracle (rows-only driver check); the
-    trajectory is pinned by goldens in tests/test_training.py."""
+    ORACLE-CHECKED: gradient descent is iterative (not one SQL query),
+    but the determinism makes the trajectory recomputable — the oracle
+    is an independent numpy/decimal twin (plans/train_oracle.py) run on
+    the same parquet and pinned as a VALUES literal at check time. The
+    trajectory is additionally pinned by goldens in
+    tests/test_training.py."""
     from deep_db_learning_spark.plans.training import train_relational_classifier
 
     db = _db(spark, sf_dir)
@@ -1394,6 +1398,16 @@ def _minhash_dedup_oracle(
     """
 
 
+def _train_relational_oracle() -> str:
+    """The ``train_relational`` VALUES oracle — recomputed from the raw
+    parquet at oracle-build time by the independent numpy/decimal twin
+    (``plans/train_oracle.py``), so it survives driver data
+    regeneration and copies nothing from the Spark run."""
+    from deep_db_learning_spark.plans.train_oracle import train_loss_oracle_sql
+
+    return train_loss_oracle_sql(epochs=8, seed=42)
+
+
 def oracle_sql() -> dict[str, str]:
     tables = [
         "customer", "documents", "embeddings", "events", "lineitem",
@@ -1825,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
         """,
         "minhash_dedup": _minhash_dedup_oracle(),
+        "train_relational": _train_relational_oracle(),
         "decontamination": """
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

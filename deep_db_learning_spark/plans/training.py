@@ -54,6 +54,38 @@ from ..operators.graph import build_hetero_graph
 from ..operators.sampling import random_node_split
 
 
+_DEC9_EXP = None
+
+
+def _dec9_py(Decimal, x):
+    """Round a float to the fold scale exactly like the oracle twin:
+    ``Decimal(repr(x))`` (shortest round-trip string) quantized HALF_UP
+    to 9 fractional digits."""
+    global _DEC9_EXP
+    from decimal import ROUND_HALF_UP
+
+    if _DEC9_EXP is None:
+        _DEC9_EXP = Decimal("1.000000000")
+    return Decimal(repr(float(x))).quantize(_DEC9_EXP, rounding=ROUND_HALF_UP)
+
+
+def row_logits(X, W, b):
+    """``X @ W + b`` as a FIXED-ORDER accumulation: start from the bias
+    and add one rank-1 term per input dimension. A BLAS GEMM may change
+    blocking/FMA strategy with the batch row count, making per-row
+    results differ by ulps between Arrow batch sizes — which would break
+    the bit-reproducibility contract under repartitioning (and the
+    numpy oracle twin, which sees all rows in one batch). Elementwise
+    ops are batch-size-independent; the input dimension is small
+    (dim + m ≈ 11), so the Python-level loop costs nothing."""
+    import numpy as np
+
+    logits = np.broadcast_to(b, (X.shape[0], b.shape[0])).copy()
+    for j in range(X.shape[1]):
+        logits += X[:, j : j + 1] * W[j]
+    return logits
+
+
 @dataclass
 class TrainResult:
     losses: list[float]  # per-epoch TRAIN loss (mean cross-entropy)
@@ -217,7 +249,7 @@ def train_relational_classifier(
             codes = code.to_numpy(dtype=np.int64)
             X = np.concatenate([E[codes], np.vstack(nums.to_list())], axis=1)
             y = label.to_numpy(dtype=np.int64)
-            logits = X @ Wc + bc
+            logits = row_logits(X, Wc, bc)
             logits -= logits.max(axis=1, keepdims=True)
             ex = np.exp(logits)
             P = ex / ex.sum(axis=1, keepdims=True)
@@ -227,7 +259,15 @@ def train_relational_classifier(
             resid[np.arange(nrows), y] -= 1.0
             gw = (X[:, :, None] * resid[:, None, :]).reshape(nrows, -1)
             out = np.concatenate([loss[:, None], resid, gw], axis=1)
-            return pd.Series(list(out))
+            # round to the decimal fold's scale HERE, in Python — the
+            # JVM's double→decimal cast goes through Double.toString,
+            # which (pre-Ryu JDKs) occasionally emits a non-shortest
+            # string that quantizes differently from Python's repr at a
+            # scale-9 tie; emitting DECIMAL from the UDF keeps one
+            # rounding rule on both the engine and the oracle twin
+            from decimal import Decimal
+
+            return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in out])
 
         grad_fn.__annotations__ = {
             "code": pd.Series,
@@ -235,11 +275,11 @@ def train_relational_classifier(
             "label": pd.Series,
             "return": pd.Series,
         }
-        udf = pandas_udf(grad_fn, "array<double>")
+        udf = pandas_udf(grad_fn, f"array<{DECIMAL_TYPE}>")
         g = train.select("code", udf("code", "nums", "label").alias("g"))
         sums = g.groupBy("code").agg(
             *[
-                F.sum(F.element_at("g", i + 1).cast(DECIMAL_TYPE)).alias(f"v{i}")
+                F.sum(F.element_at("g", i + 1)).alias(f"v{i}")
                 for i in range(glen)
             ]
         )
@@ -283,7 +323,7 @@ def train_relational_classifier(
     def pred_fn(code, nums):
         codes = code.to_numpy(dtype=np.int64)
         X = np.concatenate([Ef[codes], np.vstack(nums.to_list())], axis=1)
-        return pd.Series(np.argmax(X @ Wf + bf, axis=1).astype(np.int64))
+        return pd.Series(np.argmax(row_logits(X, Wf, bf), axis=1).astype(np.int64))
 
     pred_fn.__annotations__ = {"code": pd.Series, "nums": pd.Series, "return": pd.Series}
     pudf = pandas_udf(pred_fn, "bigint")

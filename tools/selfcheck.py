@@ -46,6 +46,11 @@ def canon_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # recomputed oracles (train_relational's GD twin) read parquet
+    # directly; point them at the SF under check
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     from pyspark.sql import SparkSession
 
