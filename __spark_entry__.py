@@ -918,7 +918,9 @@ def q_ann_ivf(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     assigned, model = similarity.ivf_index(db.df("embeddings"), n_lists=8)
-    approx = similarity.ivf_topk(assigned, model, queries_df, k=5, n_probes=3)
+    approx = similarity.ivf_topk(
+        assigned, model, queries_df, k=5, n_probes=3, query_count=5
+    )
     exact = similarity.brute_force_topk(db.df("embeddings"), queries_df, k=5)
     rec = similarity.topk_recall(approx, exact)
     return approx.join(rec, "query_id")

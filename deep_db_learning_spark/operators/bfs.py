@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schema import ForeignKey
+from ..checkpoint import cut_lineage
 
 
 def _referencing_map(
@@ -93,7 +94,7 @@ def _bfs_traverse(
         # (iterative-algorithm lineage growth — the classic Spark trap)
         if depth < max_depth - 1:
             next_frontier = [
-                (t, rows.localCheckpoint(eager=True), parent)
+                (t, cut_lineage(rows, eager=True), parent)
                 for t, rows, parent in next_frontier
             ]
         for table_name, rows, _ in next_frontier:
@@ -237,8 +238,17 @@ def bfs_visited_counts_per_root(
             F.count(F.lit(1)).alias("n_visited")
         ).select("root_id", F.lit(t).alias("table_name"), "n_visited")
         out = row if out is None else out.unionByName(row)
-    return out if out is not None else roots.sparkSession.createDataFrame(
-        [], "root_id bigint, table_name string, n_visited bigint"
+    if out is not None:
+        return out
+    # empty fallback mirrors the normal path's schema: root_id keeps the
+    # root column's actual type (string/int/... roots), not a hardcoded one
+    root_col = primary_keys[target_table][0]
+    if root_col in roots.columns:
+        root_type = roots.schema[root_col].dataType.simpleString()
+    else:
+        root_type = roots.schema[roots.columns[0]].dataType.simpleString()
+    return roots.sparkSession.createDataFrame(
+        [], f"root_id {root_type}, table_name string, n_visited bigint"
     )
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 
 def connected_components(
@@ -60,7 +61,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
+            new = cut_lineage(new, eager=True)
         else:
             new = new.persist()
         cur_sum = new.agg(F.sum("label")).collect()[0][0]
@@ -73,6 +74,6 @@ def connected_components(
     # the cached rounds execute fine, but the RETURNED plan would still
     # print/optimize the whole unfolded loop lineage — a lazy local
     # checkpoint caps it at the final state
-    return labels.localCheckpoint(eager=False).select(
+    return cut_lineage(labels, eager=False).select(
         "node", F.col("label").alias("component")
     )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import KNUTH, MERSENNE_31
 from ..functions.text import char_shingles
+from ..checkpoint import cut_lineage
 
 # ---------------------------------------------------------------- exact
 
@@ -435,9 +436,9 @@ def minhash_lsh_dedup(
     # session; checkpoint blocks are instead reclaimed by the
     # ContextCleaner as soon as the frame is garbage-collected.
     losers = (
-        verified.select(F.col("id_b").alias(id_col))
-        .distinct()
-        .localCheckpoint(eager=True)
+        cut_lineage(
+            verified.select(F.col("id_b").alias(id_col)).distinct(), eager=True
+        )
     )
     return df.join(losers, id_col, "left_anti")
 
@@ -682,7 +683,7 @@ def simhash_candidate_pairs(
     # re-run on BOTH join branches × the block replication factor (the
     # same reason lsh_candidate_pairs persists its banded frame);
     # checkpoint blocks are GC-reclaimed with the frame
-    bands = bands.localCheckpoint(eager=True)
+    bands = cut_lineage(bands, eager=True)
     # left covers block pairs (blk, j ≥ blk); right covers (i ≤ blk, blk)
     a = bands.withColumn(
         "bj", F.explode(F.sequence(F.col("blk"), F.lit(B - 1)))

@@ -177,8 +177,10 @@ def attention_aggregate_pandas(
     ``nn/aggr/attention.py:27``), else the dst-row query columns.
 
     Skew note: a hub dst with millions of edges lands in one group —
-    salt hot keys upstream (split dst into dst×salt, aggregate twice)
-    if profiling shows hub skew; not needed at the test scales.
+    use :func:`attention_aggregate_salted` (same math, algebraic
+    decomposition, no single-task hot group) when profiling shows hub
+    skew; this kernel form exists for the genuinely non-algebraic
+    cases (a learned kernel that needs the whole group in memory).
     """
     import numpy as np
     import pandas as pd
@@ -203,6 +205,104 @@ def attention_aggregate_pandas(
         )
 
     return edges_with_feats.groupBy(dst).applyInPandas(kernel, out_schema)
+
+
+def attention_aggregate_salted(
+    edges_with_feats: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    query_cols: list[str] | None = None,
+    dst: str = "dst",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof twin of :func:`attention_aggregate_pandas` — the same
+    ``softmax(q·k/√d)·v`` per dst, decomposed algebraically so a hub
+    dst with millions of in-edges never lands in one task.
+
+    The dot-product score is a pure JVM expression, and every grouped
+    quantity is an associative fold, so the whole computation is:
+
+    1. (``query_cols is None`` only) q = scatter-mean of keys per dst —
+       salted two-phase decimal sums, joined back on dst.
+    2. per-dst ``max(score)`` — salted partial max → final max, joined
+       back on dst (the exp-trick shift).
+    3. numerator ``Σ exp·v`` and denominator ``Σ exp`` — salted partial
+       DECIMAL sums → final sums → one divide.
+
+    Each groupBy runs as ``groupBy(dst, salt)`` partials (hub spread
+    over ``n_salts`` tasks) then a tiny ``groupBy(dst)`` final over
+    ``n_salts`` rows per dst. The two joins back onto the edge frame
+    are where a hub key concentrates — that side is covered by AQE
+    skew-join splitting (on in the session defaults), which this
+    decomposition deliberately leaves to the engine: the *aggregation*
+    skew is the part AQE cannot fix, and it is gone here.
+
+    Decimal folds make the result independent of partitioning and
+    bitwise-stable run to run; it matches the pandas kernel to float
+    rounding (~1e-12 relative, pinned in tests/test_message_passing.py).
+    The folds use decimal(38,18) — exp weights are ≤ 1 after the max
+    shift, so scale 18 captures a double's full mantissa; the integral
+    headroom (1e20) bounds |value| · group size at ~1e20 before
+    overflow, far beyond feature magnitudes these pipelines see.
+    """
+    ATTN_DEC = "decimal(38,18)"
+    d = len(key_cols)
+    e = edges_with_feats
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols + value_cols], F.lit(17)),
+        F.lit(n_salts),
+    ).alias("__salt")
+    e = e.withColumn("__salt", salt)
+
+    if query_cols is None:
+        qpart = e.groupBy(dst, "__salt").agg(
+            *[
+                F.sum(F.col(c).cast(ATTN_DEC)).alias(f"__pq_{c}")
+                for c in key_cols
+            ],
+            F.count(F.lit(1)).alias("__pn"),
+        )
+        qrows = qpart.groupBy(dst).agg(
+            *[
+                (F.sum(f"__pq_{c}").cast("double") / F.sum("__pn")).alias(f"__q_{c}")
+                for c in key_cols
+            ]
+        )
+        e = e.join(qrows, dst, "inner")
+        q_exprs = [F.col(f"__q_{c}") for c in key_cols]
+    else:
+        q_exprs = [F.col(c) for c in query_cols]
+
+    score = None
+    for qc, kc in zip(q_exprs, key_cols):
+        term = qc * F.col(kc)
+        score = term if score is None else score + term
+    e = e.withColumn("__score", score / F.lit(math.sqrt(d)))
+
+    smax = (
+        e.groupBy(dst, "__salt")
+        .agg(F.max("__score").alias("__pm"))
+        .groupBy(dst)
+        .agg(F.max("__pm").alias("__smax"))
+    )
+    e = e.join(smax, dst, "inner").withColumn(
+        "__w", F.exp(F.col("__score") - F.col("__smax"))
+    )
+
+    partial = e.groupBy(dst, "__salt").agg(
+        F.sum(F.col("__w").cast(ATTN_DEC)).alias("__pden"),
+        *[
+            F.sum((F.col(c) * F.col("__w")).cast(ATTN_DEC)).alias(f"__pnum_{c}")
+            for c in value_cols
+        ],
+    )
+    den = F.sum("__pden").cast("double")
+    return partial.groupBy(dst).agg(
+        *[
+            (F.sum(f"__pnum_{c}").cast("double") / den).alias(f"attn_{c}")
+            for c in value_cols
+        ]
+    )
 
 
 def hetero_layer(

@@ -216,6 +216,7 @@ def ivf_topk(
     query_id: str = "query_id",
     round_sim: int | None = 6,
     broadcast_threshold: int = 100_000,
+    query_count: int | None = None,
 ) -> DataFrame:
     """IVF probe: each query searches only its ``n_probes`` nearest
     centroid lists — the candidate set shrinks ~n_lists/n_probes-fold
@@ -224,8 +225,9 @@ def ivf_topk(
     argmin against the broadcast centroid matrix), so a query *table* of
     any size works — the old driver-side ``collect`` of the query frame
     was unbounded. The probe→corpus join is broadcast when the probe
-    side is provably small (``count ≤ broadcast_threshold``, one cheap
-    row count on the query side) and a plain shuffle join otherwise.
+    side is provably small (``count ≤ broadcast_threshold``) and a
+    plain shuffle join otherwise; pass ``query_count`` when the caller
+    already knows it to skip the sizing job entirely.
     """
     import numpy as np
     import pandas as pd
@@ -248,7 +250,10 @@ def ivf_topk(
     probes = queries.select(
         F.col(query_id), F.col(vec_col).alias("__qvec")
     ).withColumn("list_id", F.explode(probe_udf(F.col("__qvec"))))
-    if queries.count() * n_probes <= broadcast_threshold:
+    # prefer a caller-supplied count over re-running the query frame's
+    # lineage just to pick a join strategy (an extra Spark job per call)
+    n_queries = query_count if query_count is not None else queries.count()
+    if n_queries * n_probes <= broadcast_threshold:
         probes = broadcast(probes)
     cands = corpus_assigned.join(probes, "list_id").select(
         query_id,

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 
 def asof_join(
@@ -229,8 +230,8 @@ def range_join(
     # localCheckpoint materializes the ids once; both branches read the
     # same blocks (GC-reclaimed with the frame).
     tagged = (
-        left.withColumn("__rjid", F.monotonically_increasing_id()).localCheckpoint(
-            eager=True
+        cut_lineage(
+            left.withColumn("__rjid", F.monotonically_increasing_id()), eager=True
         )
         if how == "left"
         else left

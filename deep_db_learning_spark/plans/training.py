@@ -52,6 +52,7 @@ from ..functions.encode import factorize_target
 from ..functions.exact_agg import DECIMAL_TYPE
 from ..operators.graph import build_hetero_graph
 from ..operators.sampling import random_node_split
+from ..checkpoint import cut_lineage
 
 
 _DEC9_EXP = None
@@ -143,7 +144,7 @@ def assemble_training_frame(
     # the assembly join chain (graph build + per-edge aggregations) is
     # consumed by the stats pass, every epoch, and the final accuracy
     # pass — materialize it ONCE; checkpoint blocks are GC-reclaimed
-    frame = frame.localCheckpoint(eager=True)
+    frame = cut_lineage(frame, eager=True)
 
     # ONE driver action: train-split standardization sums (exact
     # decimal) + the code/label cardinalities
@@ -164,6 +165,11 @@ def assemble_training_frame(
         )
     st = frame.agg(*aggs).first()
     n = st["n"]
+    if not n:
+        raise ValueError(
+            "assemble_training_frame: the train split is empty "
+            "(check split fractions / input size) — cannot standardize"
+        )
     means, stds = {}, {}
     for c in feat_names:
         mu = float(st[f"s_{c}"]) / n

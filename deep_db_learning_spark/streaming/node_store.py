@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact_agg import exact_sum
+from ..checkpoint import cut_lineage
 
 
 class SnapshotStore:
@@ -131,7 +132,7 @@ def stream_profiles_into_store(
         # materialize BEFORE overwriting: the merged plan reads the old
         # snapshot; localCheckpoint cuts that lineage so the new write
         # does not race the files it is replacing
-        merged = merged.localCheckpoint(eager=True)
+        merged = cut_lineage(merged, eager=True)
         store.commit(merged)
 
     return (
