@@ -128,6 +128,65 @@ def test_bmp_roundtrip_any_shape(h, w, seed):
 
 
 @given(
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_all_filters(h, w, channels, filter_type, seed):
+    """PNG encode/decode is lossless for gray / gray+alpha / RGB /
+    RGBA at every row-filter type — each filter_type exercises the
+    matching decoder unfilter branch (none/sub/up/average/paeth)."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_png_bytes,
+        encode_png_bytes,
+    )
+
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png_bytes(encode_png_bytes(img, filter_type=filter_type))
+    assert out.shape == shape
+    assert (out == img).all()
+
+
+def test_png_palette_decode():
+    """Color type 3: indices resolve through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import decode_png_bytes
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    body = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png_bytes(png)
+    assert out.shape == (2, 2, 3)
+    assert out.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 8, 9]]]
+
+
+@given(
     sw=st.sampled_from([1, 2, 4]),
     ch=st.integers(min_value=1, max_value=2),
     n=st.integers(min_value=1, max_value=64),

@@ -218,3 +218,48 @@ def test_contamination_matches_known_overlap(spark):
         train, eval_docs, n=5
     ).collect()}
     assert out == {10: 1}
+
+
+def test_png_real_decode_resize_and_features(spark):
+    """PNG is a REAL codec now (stdlib zlib + numpy): round-trip through
+    the distributed resize + featurize paths with no use_fake, and
+    check the outputs against the same kernels run locally."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_features,
+        decode_png_bytes,
+        encode_png_bytes,
+        make_media_table,
+        png_feature_kernel,
+        png_resize_kernel,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {
+        "1": rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8),
+        "2": rng.integers(0, 256, size=(5, 4), dtype=np.uint8),  # grayscale
+        "3": rng.integers(0, 256, size=(6, 6, 4), dtype=np.uint8),  # RGBA
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_png_bytes(v, filter_type=int(k) % 5))) for k, v in imgs.items()],
+        "id string, blob binary",
+    )
+    media = make_media_table(df, "id", "blob", "image", "png")
+
+    resized = resize_images(media, 4, 3, kernel=png_resize_kernel)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    for k, img in imgs.items():
+        assert rows[k]["meta"]["width"] == 4 and rows[k]["meta"]["height"] == 3
+        got = decode_png_bytes(bytes(rows[k]["content"]))
+        assert (got == resize_nearest(img, 4, 3)).all()
+
+    feats = decode_features(media, kernel=png_feature_kernel(8))
+    got = {r["media_id"]: r["feature"] for r in feats.collect()}
+    local = png_feature_kernel(8)
+    for k, img in imgs.items():
+        want = local(encode_png_bytes(img, filter_type=int(k) % 5), None)
+        assert np.allclose(got[k], want, atol=1e-6)
+        assert abs(sum(got[k]) - 1.0) < 1e-6  # histogram density sums to 1
