@@ -906,18 +906,24 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """LLM ops: IVF (KMeans coarse quantizer, 3-probe) approximate
-    top-5, each row carrying its query's recall@5 vs brute force
-    (golden-checked in tests/test_similarity.py; MLlib KMeans is
-    seed-stable but its float reductions are partitioning-sensitive, so
-    the golden has tolerance). Rows-only driver check."""
+    """LLM ops: IVF (3-probe) approximate top-5, each row carrying its
+    query's recall@5 vs brute force. FULLY oracle-checked since r3: the
+    index is ``ivf_index_deterministic`` (data-seeded Lloyd's with
+    per-row numpy assignment + exact decimal centroid folds), whose
+    integer assignments are recomputed bit-for-bit by the independent
+    numpy/decimal twin in ``operators/ivf_oracle.py``; sims/recall are
+    DuckDB ``list_cosine_similarity`` at round-6, the ``ann_lsh``
+    pattern. MLlib's ``ivf_index`` remains the scale path (its float
+    reductions are partitioning-sensitive, hence not hash-checkable)."""
     db = _db(spark, sf_dir)
     queries_df = (
         db.df("embeddings")
         .filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    assigned, model = similarity.ivf_index(db.df("embeddings"), n_lists=8)
+    assigned, model = similarity.ivf_index_deterministic(
+        db.df("embeddings"), n_lists=8, n_iters=5
+    )
     approx = similarity.ivf_topk(
         assigned, model, queries_df, k=5, n_probes=3, query_count=5
     )
@@ -1398,6 +1404,16 @@ def _minhash_dedup_oracle(
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM verified)
     """
+
+
+def _ann_ivf_oracle() -> str:
+    """The ``ann_ivf`` oracle — integer (vec_id → list_id) assignments
+    and probe lists recomputed at oracle-build time by the independent
+    numpy/decimal twin (``operators/ivf_oracle.py``); sims and recall
+    computed by DuckDB on top (the ``ann_lsh`` pattern)."""
+    from deep_db_learning_spark.operators.ivf_oracle import ivf_oracle_sql
+
+    return ivf_oracle_sql(n_lists=8, n_iters=5, n_queries=5, n_probes=3, k=5)
 
 
 def _train_relational_oracle() -> str:
@@ -1945,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sim, 6) AS sim
             FROM ranked WHERE rank <= 5
         """,
+        "ann_ivf": _ann_ivf_oracle(),
         "ann_lsh": """
             -- full LSH reproduction: the hyperplanes are seed-derived
             -- arithmetic (same generator as the embedder init), so the

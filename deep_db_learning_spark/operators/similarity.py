@@ -205,6 +205,99 @@ def ivf_index(
     return assigned, model
 
 
+class _CentroidModel:
+    """Minimal stand-in for an MLlib clustering model: just the
+    centroids, which is all :func:`ivf_topk` reads."""
+
+    def __init__(self, centers):
+        self._centers = centers
+
+    def clusterCenters(self):
+        return list(self._centers)
+
+
+def _assign_lists(centers, vec_col: str, n: int = 1):
+    """Distributed nearest-centroid assignment: the same Arrow numpy
+    kernel as :func:`ivf_topk`'s probe step (stable argsort — ties go
+    to the lowest list id). Returns an ``array<int>`` column of the
+    ``n`` nearest list ids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=float)
+
+    def fn(vecs):
+        V = np.vstack(vecs.to_list()).astype(float)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(fn, "array<int>")(F.col(vec_col))
+
+
+def ivf_index_deterministic(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer with a fully deterministic, engine-portable
+    fit — Lloyd's iterations where every step is either per-row float64
+    numpy (assignment: the :func:`ivf_topk` probe kernel) or an exact
+    decimal fold (centroid update: per-(list, dim) decimal(30,9) sums ÷
+    counts, associative ⇒ partitioning-independent), seeded by the
+    ``n_lists`` lowest-``id_col`` vectors. The whole trajectory is
+    bit-reproducible by the numpy/``decimal`` twin in
+    ``operators/ivf_oracle.py`` (same pattern as
+    ``plans/train_oracle.py``), which makes the ``ann_ivf`` driver row
+    hash-checkable — MLlib's :func:`ivf_index` stays as the scale path
+    when reproducibility across engines isn't required.
+
+    Scale posture: assignment is one Arrow pass per iteration; the
+    update explodes vectors to (list, dim, value) triples — a dim-fold
+    row blowup feeding a tiny groupBy (``n_lists × dim`` result). At
+    100 TB fit on a sample (the centroids only need a sketch of the
+    distribution), then run one final full assignment pass.
+    """
+    from ..functions.exact_agg import DECIMAL_TYPE
+
+    first = corpus.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    centers = [[float(v) for v in r[vec_col]] for r in first]
+    if len(centers) < n_lists:
+        raise ValueError(f"corpus has fewer than n_lists={n_lists} rows")
+
+    for _ in range(n_iters):
+        assigned = corpus.withColumn(
+            "list_id", _assign_lists(centers, vec_col, 1)[0]
+        )
+        stats = (
+            assigned.select(
+                "list_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("list_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast(DECIMAL_TYPE)).alias("s"),
+                F.count("val").alias("n"),
+            )
+            .collect()
+        )
+        new_centers = [list(c) for c in centers]  # empty list keeps its centroid
+        for r in stats:
+            new_centers[r["list_id"]][r["pos"]] = float(r["s"]) / r["n"]
+        centers = new_centers
+
+    assigned = corpus.withColumn(
+        "list_id", _assign_lists(centers, vec_col, 1)[0]
+    ).persist()
+    return assigned, _CentroidModel(centers)
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     model,

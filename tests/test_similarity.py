@@ -164,3 +164,23 @@ def test_ivf_topk_distributed_probe_matches_broadcast(db):
     a = ivf_topk(assigned, model, queries, k=5, n_probes=3)
     b = ivf_topk(assigned, model, queries, k=5, n_probes=3, broadcast_threshold=0)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_deterministic_matches_numpy_twin(db):
+    """The deterministic IVF fit's integer outcomes — final (vec_id →
+    list_id) assignments — are reproduced bit-for-bit by the
+    independent numpy/decimal twin (the basis of the ann_ivf oracle)."""
+    from deep_db_learning_spark.operators.ivf_oracle import ivf_fit_assign
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_index_deterministic,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    assigned, model = ivf_index_deterministic(
+        db.spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_lists=4, n_iters=3
+    )
+    got = {r["vec_id"]: r["list_id"] for r in assigned.select("vec_id", "list_id").collect()}
+    twin, _probes = ivf_fit_assign(sf_dir, n_lists=4, n_iters=3)
+    assert got == dict(twin)
+    # centroids are genuinely fitted (more than one non-empty list)
+    assert len(set(got.values())) > 1
