@@ -1,0 +1,153 @@
+"""Dataset mixing and shard packing (extension — no reference
+counterpart; the source-mixing / sequence-packing stage of a
+large-scale training-data pipeline).
+
+- :func:`stratified_sample` — per-stratum sampling rates ("mix 30% of
+  crawl, 100% of wiki, 5% of forums"), decided by the repo's portable
+  seeded hash of the row key, NOT ``rand()``: deterministic across
+  runs, partitionings, and engines (a DuckDB oracle reproduces the
+  exact kept set), and stable under re-execution — a retried task
+  keeps the same rows. This is Spark's ``sampleBy`` with
+  reproducibility guarantees strong enough to oracle-check.
+- :func:`pack_shards` — assign documents to fixed token-budget shards
+  in a stable order (the "pack sequences into context windows /
+  output files" step). The assignment needs a global running token
+  total — inherently sequential — which is computed as a two-phase
+  distributed prefix sum: chunk rows by the order key, windowed
+  cumsum WITHIN each chunk (parallel), per-chunk totals cumulated
+  into chunk offsets (one tiny aggregation), offset + within = global
+  cumsum. No global single-partition sort anywhere; the widest window
+  partition is one chunk. DuckDB reproduces it as one plain window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import MERSENNE_31, knuth_hash, knuth_hash_sql
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff ``hash(key) / p < fractions[stratum]`` — a
+    per-stratum Bernoulli sample that is a pure row-local predicate:
+    no shuffle, no RNG state, pushdown-friendly, identical on any
+    engine that reproduces the hash (see :func:`stratified_sample_sql`).
+
+    Strata missing from ``fractions`` get ``default_fraction`` (0 ⇒
+    dropped — the "mix only these sources" shape).
+    """
+    h = knuth_hash(F.col(key_col), seed)
+    frac: Column = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(
+            frac
+        )
+    return df.filter(h < (frac * F.lit(float(MERSENNE_31))))
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same hash arithmetic,
+    same CASE ladder) — a WHERE clause fragment over ``table``."""
+    case = "CASE"
+    for value, f in sorted(fractions.items()):
+        case += f" WHEN {strata_col} = '{value}' THEN {float(f)!r}"
+    case += f" ELSE {float(default_fraction)!r} END"
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {knuth_hash_sql(key_col, seed)} < ({case}) * {float(MERSENNE_31)!r}"
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    shard_col: str = "shard_id",
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Append ``shard_col``: the zero-based shard each row STARTS in
+    when rows are laid out in ``order_col`` order and shards hold
+    ``budget`` tokens (a row may straddle a boundary; it belongs to the
+    shard its first token lands in — the streaming-writer semantic).
+
+    ``shard = floor((global_cumsum - tokens) / budget)`` with the
+    global cumsum computed as a two-phase prefix sum over
+    ``chunk = floor(order / chunk_size)``:
+
+    1. windowed cumsum within each chunk (parallel across chunks; the
+       only sort is per-chunk);
+    2. per-chunk token totals → cumulative chunk offsets (an
+       aggregation whose result has one row per chunk — tiny — plus
+       one small window over it);
+    3. global cumsum = chunk offset + within-chunk cumsum.
+
+    ``chunk_size`` defaults to ``(max(order)+1) / (4 × shuffle
+    partitions)`` so chunks outnumber cores. ``order_col`` must be
+    unique (a PK / packed id) for a well-defined order. The division
+    happens in double precision (both here and in the DuckDB twin) —
+    exact while the running token total stays under 2⁵³ (~9e15 tokens,
+    comfortably past 100 TB of text); switch to integer ``div`` if a
+    corpus ever exceeds that.
+    """
+    spark = df.sparkSession
+    if chunk_size is None:
+        max_order = df.agg(F.max(order_col)).first()[0]
+        n_chunks = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        chunk_size = max(1, int(max_order) // n_chunks + 1)
+
+    tagged = df.withColumn(
+        "__chunk", F.floor(F.col(order_col) / F.lit(int(chunk_size)))
+    )
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = tagged.withColumn("__within", F.sum(token_col).over(w_in))
+
+    totals = tagged.groupBy("__chunk").agg(F.sum(token_col).alias("__tot"))
+    w_off = (
+        Window.orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.sum("__tot").over(w_off) - F.col("__tot")
+    ).select("__chunk", "__offset")
+
+    out = within.join(F.broadcast(offsets), "__chunk").withColumn(
+        shard_col,
+        F.floor(
+            (F.col("__offset") + F.col("__within") - F.col(token_col))
+            / F.lit(int(budget))
+        ).cast("int"),
+    )
+    return out.drop("__chunk", "__within", "__offset")
+
+
+def pack_shards_sql(
+    table: str, token_col: str, budget: int, order_col: str, shard_col: str = "shard_id"
+) -> str:
+    """DuckDB twin of :func:`pack_shards`: one plain global window (the
+    oracle can afford the single sort the distributed form avoids)."""
+    return (
+        f"SELECT *, CAST(floor((sum({token_col}) OVER (ORDER BY {order_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {token_col}) "
+        f"/ {int(budget)}) AS INT) AS {shard_col} FROM {table}"
+    )

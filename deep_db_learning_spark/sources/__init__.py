@@ -1,3 +1,15 @@
-from .catalog import TESTDATA_TABLES, Database, load_jdbc, load_testdata
+from .catalog import (
+    TESTDATA_TABLES,
+    Database,
+    load_files,
+    load_jdbc,
+    load_testdata,
+)
 
-__all__ = ["TESTDATA_TABLES", "Database", "load_jdbc", "load_testdata"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "Database",
+    "load_files",
+    "load_jdbc",
+    "load_testdata",
+]

@@ -126,17 +126,31 @@ class Database:
             df.createOrReplaceTempView(prefix + name)
 
     # -- S8/S9: bulk copy / materialized store -----------------------------
-    def save(self, path: str, schema: DBSchema | None = None, mode: str = "overwrite") -> None:
-        """Materialize every table as Parquet + optional schema sidecar.
+    def save(
+        self,
+        path: str,
+        schema: DBSchema | None = None,
+        mode: str = "overwrite",
+        fmt: str = "parquet",
+    ) -> None:
+        """Materialize every table as Parquet (or CSV/JSON/ORC) +
+        optional schema sidecar.
 
         Replaces the reference's row-by-row SQLite copy
         (``helpers/database.py:12-55``, its own TODO at line 48 notes the
         row-at-a-time insert) with bulk columnar writes; at cluster scale
         each table writes in parallel from its own partitions.
         """
+        if fmt not in _FILE_FORMATS:
+            raise ValueError(
+                f"unsupported format {fmt!r} (one of {sorted(_FILE_FORMATS)})"
+            )
         os.makedirs(path, exist_ok=True)
         for name, df in self.tables.items():
-            df.write.mode(mode).parquet(os.path.join(path, f"{name}.parquet"))
+            writer = df.write.mode(mode).format(fmt)
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            writer.save(os.path.join(path, f"{name}.{fmt}"))
         if schema is not None:
             schema.save(os.path.join(path, "schema.json"))
 
@@ -198,6 +212,59 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> Database:
     db.primary_keys = {t: pks[t] for t in present if t in pks}
     db.foreign_keys = {t: fks[t] for t in present if t in fks}
     return db
+
+
+_FILE_FORMATS = {"csv", "json", "parquet", "orc"}
+
+
+def load_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "csv",
+    tables: Iterable[str] | None = None,
+    schemas: dict[str, str] | None = None,
+    options: dict[str, str] | None = None,
+    primary_keys: dict[str, list[str]] | None = None,
+    foreign_keys: dict[str, list[ForeignKey]] | None = None,
+) -> Database:
+    """S6 for non-parquet lake layouts: one ``<table>.<fmt>`` file or
+    directory per table in ``path``, read as CSV / JSON / ORC / Parquet.
+
+    ``schemas[t]`` is a DDL string (``"a INT, b STRING"``) applied with
+    ``.schema(...)`` — strongly preferred at scale: without it CSV/JSON
+    needs an extra full inference pass over the data and lands on
+    permissive types. When omitted, CSV falls back to
+    ``inferSchema=true`` (with ``header=true``) so small exploratory
+    reads still work.
+
+    Scale posture: file listing is driver-only; the read itself is the
+    normal splittable scan (CSV/JSON split by line, ORC/Parquet by
+    stripe/row-group), so partition parallelism comes from
+    ``maxPartitionBytes`` exactly as for parquet. Column pruning and
+    predicate pushdown reach ORC/Parquet footers; CSV/JSON prune
+    columns at parse time only — another reason real pipelines convert
+    to parquet on ingest (``Database.save``).
+    """
+    if fmt not in _FILE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r} (one of {sorted(_FILE_FORMATS)})")
+    if tables is None:
+        suffix = f".{fmt}"
+        tables = sorted(
+            f[: -len(suffix)] for f in os.listdir(path) if f.endswith(suffix)
+        )
+    dfs: dict[str, DataFrame] = {}
+    for t in tables:
+        reader = spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        if schemas and t in schemas:
+            reader = reader.schema(schemas[t])
+        elif fmt == "csv":
+            reader = reader.option("inferSchema", "true")
+        dfs[t] = reader.load(os.path.join(path, f"{t}.{fmt}"))
+    return Database(spark, dfs, primary_keys, foreign_keys)
 
 
 def load_jdbc(

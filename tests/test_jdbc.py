@@ -72,3 +72,47 @@ def test_load_jdbc_default_factory_is_spark_read(spark):
 
     with pytest.raises(Exception):
         load_jdbc(spark, "jdbc:mysql://nope/db", ["t"]).df("t").count()
+
+
+def test_load_files_csv_json_roundtrip(db, tmp_path):
+    """CSV and JSON lake layouts round-trip through Database.save /
+    load_files: explicit DDL schemas restore exact types, values match
+    the parquet original."""
+    from deep_db_learning_spark.sources import Database, load_files
+
+    sub = Database(
+        db.spark,
+        {"nation": db.df("nation"), "region": db.df("region")},
+        {"nation": ["n_nationkey"], "region": ["r_regionkey"]},
+    )
+    want = {r["n_nationkey"]: r["n_name"] for r in sub.df("nation").collect()}
+
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        sub.save(path, fmt=fmt)
+        back = load_files(
+            db.spark,
+            path,
+            fmt=fmt,
+            schemas={
+                "nation": "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+                "region": "r_regionkey BIGINT, r_name STRING",
+            },
+            primary_keys={"nation": ["n_nationkey"], "region": ["r_regionkey"]},
+        )
+        assert back.get_tables() == {"nation", "region"}
+        assert dict(back.df("nation").dtypes)["n_nationkey"] == "bigint"
+        got = {r["n_nationkey"]: r["n_name"] for r in back.df("nation").collect()}
+        assert got == want
+        assert back.get_primary_key("nation") == {"n_nationkey"}
+
+    # csv without explicit schema falls back to inference
+    inferred = load_files(db.spark, str(tmp_path / "csv"), fmt="csv")
+    assert inferred.df("region").count() == sub.df("region").count()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_files(db.spark, str(tmp_path), fmt="avro")
+    with pytest.raises(ValueError):
+        sub.save(str(tmp_path / "bad"), fmt="xml")

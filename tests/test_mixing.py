@@ -1,0 +1,123 @@
+import math
+
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators.mixing import (
+    pack_shards,
+    pack_shards_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+
+def test_stratified_sample_matches_duckdb(db, duck):
+    fractions = {"src1": 0.3, "src2": 1.0, "src3": 0.05}
+    docs = db.df("documents")
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "source", fractions, "doc_id", seed=7).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            stratified_sample_sql("documents", "source", fractions, "doc_id", seed=7)
+        ).fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()
+
+    # fractions hold per stratum (hash is uniform-ish; wide tolerance)
+    src_counts = dict(
+        docs.filter(F.col("source").isin(*fractions)).groupBy("source").count().collect()
+    )
+    kept_counts = dict(
+        stratified_sample(docs, "source", fractions, "doc_id", seed=7)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    for s, f in fractions.items():
+        if s not in src_counts:
+            continue
+        rate = kept_counts.get(s, 0) / src_counts[s]
+        assert abs(rate - f) < 0.3, (s, rate, f)
+
+    # unknown strata drop by default, and default_fraction=1.0 keeps all
+    assert (
+        stratified_sample(docs, "source", {"nosuch": 1.0}, "doc_id").count() == 0
+        or "nosuch" in src_counts
+    )
+    assert (
+        stratified_sample(
+            docs, "source", {}, "doc_id", default_fraction=1.0
+        ).count()
+        == docs.count()
+    )
+
+
+def test_stratified_sample_deterministic_and_unshuffled(db):
+    docs = db.df("documents")
+    a = stratified_sample(docs, "source", {"src1": 0.5}, "doc_id", seed=3)
+    b = stratified_sample(docs.repartition(13), "source", {"src1": 0.5}, "doc_id", seed=3)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    # row-local predicate: no Exchange in the unrepartitioned plan
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_shards_matches_duckdb(db, duck):
+    docs = db.df("documents").select("doc_id", "n_chars")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(docs, "n_chars", budget=50_000, order_col="doc_id").collect()
+    }
+    want = {
+        r[0]: r[2]
+        for r in duck.execute(
+            pack_shards_sql(
+                "(SELECT doc_id, n_chars FROM documents) t",
+                "n_chars",
+                budget=50_000,
+                order_col="doc_id",
+            )
+        ).fetchall()
+    }
+    assert got == want
+    n_shards = len(set(got.values()))
+    assert n_shards > 1  # budget actually splits the corpus
+    # shard ids are dense 0..n-1 in doc order
+    assert set(got.values()) == set(range(n_shards))
+
+
+def test_pack_shards_chunking_invariance(db):
+    """The two-phase prefix sum gives the same shards for any chunk
+    size — including chunk_size=1 (every row its own chunk) and one
+    giant chunk (plain window)."""
+    docs = db.df("documents").select("doc_id", "n_chars")
+    base = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(
+            docs, "n_chars", budget=30_000, order_col="doc_id", chunk_size=97
+        ).collect()
+    }
+    for cs in (1, 10**9):
+        other = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_shards(
+                docs, "n_chars", budget=30_000, order_col="doc_id", chunk_size=cs
+            ).collect()
+        }
+        assert other == base
+    # shard token totals ~ budget: every shard except possibly the last
+    # is filled to at least budget minus the largest document
+    from collections import defaultdict
+
+    toks = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    per_shard = defaultdict(int)
+    for d, s in base.items():
+        per_shard[s] += toks[d]
+    max_doc = max(toks.values())
+    full = [t for s, t in sorted(per_shard.items())[:-1]]
+    assert all(t >= 30_000 - max_doc for t in full)
