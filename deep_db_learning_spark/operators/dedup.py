@@ -328,17 +328,33 @@ def ngram_jaccard_pairs(
 
     sh = sh.persist()
     if prefix_filter:
-        # PPJoin-style prefix filtering — EXACT, no recall loss: under
-        # any consistent global order of grams, two sets with
-        # J ≥ t must share a gram within the first
-        # floor((1-t)·|x|) + 1 grams of either set (if x's prefix
-        # misses y entirely, at most ⌈t·|x|⌉ − 1 of x's grams can be in
-        # y, contradicting |x∩y| ≥ ⌈t·|x|⌉). Ordering grams by
-        # ascending document frequency puts heavy-hitter grams OUTSIDE
-        # the prefixes, so the candidate join never builds the
-        # frequent-gram buckets that make the naive inverted index
-        # quadratic. The epsilon guards the floor against FP error on
-        # (1-t)·n landing just below an integer (errs longer = safe).
+        # PPJoin prefix filtering — EXACT, no recall loss, three
+        # stacked lossless filters (all under one global gram order,
+        # ascending document frequency then gram value, so heavy-hitter
+        # grams sit OUTSIDE every prefix and the candidate join never
+        # builds the frequent-gram buckets that make the naive inverted
+        # index quadratic):
+        #
+        # 1. PREFIX-PREFIX join (PPJoin Lemma 1): if |x∩y| ≥ α then
+        #    the (|x|−α+1)-prefixes of BOTH sets share a gram. J ≥ t
+        #    with the length filter (t·|x| ≤ |y| ≤ |x|/t) gives
+        #    |x∩y| ≥ ⌈t·|x|⌉ and ≥ ⌈t·|y|⌉, so prefixes of length
+        #    floor((1−t)·n)+1 on BOTH sides suffice — joining prefix
+        #    against prefix instead of against the full index.
+        # 2. AllPairs length filter: J ≥ t forces t·|y| ≤ |x| and
+        #    t·|x| ≤ |y|.
+        # 3. Positional filter: let g* be the smallest common gram in
+        #    the global order (g* is in both prefixes — anything
+        #    smaller in x than a common prefix gram has a smaller
+        #    position). Every common gram sits at g*'s position or
+        #    later in both docs, so |x∩y| ≤ 1 + min(|x|−pos_x(g*),
+        #    |y|−pos_y(g*)); a match row whose upper bound is below
+        #    minoverlap = ⌈t/(1+t)·(|x|+|y|)⌉ (the J≥t intersection
+        #    lower bound) can be dropped — g*'s own row always
+        #    survives for a true pair, so the pair is kept.
+        #
+        # The epsilons guard floors/ceils against FP error landing just
+        # off an integer (erring toward keeping = safe).
         ex = sh.select("doc", "n_sh", F.explode("sh").alias("g"))
         freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
         w = Window.partitionBy("doc").orderBy(F.asc("df_g"), F.asc("g"))
@@ -349,24 +365,31 @@ def ngram_jaccard_pairs(
                 F.col("rn")
                 <= F.floor((1.0 - threshold) * F.col("n_sh") + 1e-9) + 1
             )
-            .select(F.col("doc").alias("dp"), F.col("n_sh").alias("np"), "g")
+            .select("doc", "n_sh", "g", "rn")
+        )
+        pa = prefix.select(
+            F.col("doc").alias("dp"), F.col("n_sh").alias("np"), "g",
+            F.col("rn").alias("pp"),
+        )
+        pb = prefix.select(
+            F.col("doc").alias("de"), F.col("n_sh").alias("ne"), "g",
+            F.col("rn").alias("pe"),
+        )
+        minoverlap = F.ceil(
+            (threshold / (1.0 + threshold)) * (F.col("np") + F.col("ne")) - 1e-9
         )
         cand = (
-            prefix.join(
-                ex.select(F.col("doc").alias("de"), F.col("n_sh").alias("ne"), "g"),
-                "g",
-            )
-            .filter(F.col("dp") != F.col("de"))
-            # AllPairs length filter: J ≥ t forces t·|y| ≤ |x| (and
-            # symmetrically), so wildly different set sizes can't pair
+            pa.join(pb, "g")
+            .filter(F.col("dp") < F.col("de"))
             .filter(
                 (F.col("ne") * threshold <= F.col("np") + 1e-9)
                 & (F.col("np") * threshold <= F.col("ne") + 1e-9)
             )
-            .select(
-                F.least("dp", "de").alias("id_a"),
-                F.greatest("dp", "de").alias("id_b"),
+            .filter(
+                F.lit(1) + F.least(F.col("np") - F.col("pp"), F.col("ne") - F.col("pe"))
+                >= minoverlap
             )
+            .select(F.col("dp").alias("id_a"), F.col("de").alias("id_b"))
             .distinct()
         )
         a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
