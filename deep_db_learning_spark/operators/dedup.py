@@ -371,7 +371,17 @@ def ngram_jaccard_pairs(
             F.col("doc").alias("dp"), F.col("n_sh").alias("np"), "g",
             F.col("rn").alias("pp"),
         )
-        pb = prefix.select(
+        # probe side: at high thresholds prefixes are short, so joining
+        # prefix-vs-prefix collapses the match count (measured sf0.1:
+        # t=0.8 end-to-end 25.7s → 10.7s). At low thresholds prefixes
+        # approach the whole set and prefix² multiplicity per pair
+        # exceeds prefix×1 — probe the full index instead (t=0.5:
+        # prefix-prefix was ~20% slower). Both shapes are exact; 0.6 is
+        # the measured crossover on the test corpora.
+        probe = prefix if threshold >= 0.6 else ex.withColumn(
+            "rn", F.lit(None).cast("int")
+        )
+        pb = probe.select(
             F.col("doc").alias("de"), F.col("n_sh").alias("ne"), "g",
             F.col("rn").alias("pe"),
         )
@@ -385,8 +395,15 @@ def ngram_jaccard_pairs(
                 (F.col("ne") * threshold <= F.col("np") + 1e-9)
                 & (F.col("np") * threshold <= F.col("ne") + 1e-9)
             )
+            # full-index probe rows carry pe=NULL → coalesce to 0 keeps
+            # the bound valid (ne − 0 ≥ any true positional bound) and
+            # still prunes through the prefix side's position
             .filter(
-                F.lit(1) + F.least(F.col("np") - F.col("pp"), F.col("ne") - F.col("pe"))
+                F.lit(1)
+                + F.least(
+                    F.col("np") - F.col("pp"),
+                    F.col("ne") - F.coalesce(F.col("pe"), F.lit(0)),
+                )
                 >= minoverlap
             )
             .select(F.col("dp").alias("id_a"), F.col("de").alias("id_b"))
