@@ -308,6 +308,62 @@ def load_jdbc(
     return Database(spark, dfs)
 
 
+def discover_constraints_jdbc(
+    spark: SparkSession,
+    url: str,
+    schema_name: str,
+    properties: dict[str, str] | None = None,
+    reader_factory=None,
+) -> tuple[dict[str, list[str]], dict[str, list[ForeignKey]]]:
+    """S3/S4 for live JDBC sources: primary and foreign keys from
+    ``information_schema.key_column_usage`` (the reference reads the
+    same catalog through SQLAlchemy's inspector —
+    ``db/db_inspector.py:135-146``). Returns ``(primary_keys,
+    foreign_keys)`` in the shapes :class:`Database` takes.
+
+    One pushed-down catalog query (``dbtable`` subquery — the remote
+    engine filters to the schema; constraint metadata is tiny and
+    collected driver-side). Composite keys are ordered by
+    ``ordinal_position``; the ``'PRIMARY'`` constraint name is the
+    MySQL/MariaDB convention the reference targets. ``reader_factory``
+    is the same injection seam as :func:`load_jdbc` (tested with a
+    recording fake; no driver jar ships in this container).
+    """
+    kcu = (
+        "(SELECT table_name, column_name, constraint_name, ordinal_position, "
+        "referenced_table_name, referenced_column_name "
+        "FROM information_schema.key_column_usage "
+        f"WHERE table_schema = '{schema_name}') AS kcu"
+    )
+    factory = reader_factory or (lambda: spark.read)
+    reader = factory().format("jdbc").option("url", url).option("dbtable", kcu)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    rows = sorted(
+        reader.load().collect(),
+        key=lambda r: (r["table_name"], r["constraint_name"], r["ordinal_position"]),
+    )
+    primary_keys: dict[str, list[str]] = {}
+    fk_cols: dict[tuple[str, str], dict] = {}
+    for r in rows:
+        t = r["table_name"]
+        if r["constraint_name"] == "PRIMARY":
+            primary_keys.setdefault(t, []).append(r["column_name"])
+        elif r["referenced_table_name"] is not None:
+            k = (t, r["constraint_name"])
+            e = fk_cols.setdefault(
+                k, {"columns": [], "ref_table": r["referenced_table_name"], "ref_columns": []}
+            )
+            e["columns"].append(r["column_name"])
+            e["ref_columns"].append(r["referenced_column_name"])
+    foreign_keys: dict[str, list[ForeignKey]] = {}
+    for (t, _name), e in sorted(fk_cols.items()):
+        foreign_keys.setdefault(t, []).append(
+            ForeignKey(e["columns"], e["ref_table"], e["ref_columns"])
+        )
+    return primary_keys, foreign_keys
+
+
 def bucketed_checkpoint(
     df: DataFrame,
     name: str,

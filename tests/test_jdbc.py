@@ -116,3 +116,56 @@ def test_load_files_csv_json_roundtrip(db, tmp_path):
         load_files(db.spark, str(tmp_path), fmt="avro")
     with pytest.raises(ValueError):
         sub.save(str(tmp_path / "bad"), fmt="xml")
+
+
+def test_discover_constraints_jdbc(spark):
+    """PK/FK discovery builds the pushed-down information_schema query
+    and reconstructs ordered (composite) keys — reference
+    db_inspector.get_pk_constraint/get_foreign_keys parity
+    (db/db_inspector.py:135-146)."""
+    from deep_db_learning_spark.sources.catalog import discover_constraints_jdbc
+
+    calls = []
+    kcu_schema = (
+        "table_name string, column_name string, constraint_name string, "
+        "ordinal_position int, referenced_table_name string, "
+        "referenced_column_name string"
+    )
+    kcu_rows = [
+        ("orders", "o_orderkey", "PRIMARY", 1, None, None),
+        # composite PK listed out of order — ordinal_position must win
+        ("lineitem", "l_linenumber", "PRIMARY", 2, None, None),
+        ("lineitem", "l_orderkey", "PRIMARY", 1, None, None),
+        ("orders", "o_custkey", "fk_orders_cust", 1, "customer", "c_custkey"),
+        # composite FK
+        ("lineitem", "l_orderkey", "fk_li_orders", 1, "orders", "o_orderkey"),
+        ("lineitem", "l_linenumber", "fk_li_orders", 2, "orders", "o_linenumber"),
+    ]
+
+    class ConstraintFakeReader(FakeReader):
+        def load(self):
+            self.calls.append((self.fmt, dict(self.opts)))
+            return self.spark.createDataFrame(kcu_rows, kcu_schema)
+
+    pks, fks = discover_constraints_jdbc(
+        spark,
+        "jdbc:mysql://example/db",
+        "mydb",
+        properties={"user": "guest"},
+        reader_factory=lambda: ConstraintFakeReader(spark, calls),
+    )
+    fmt, opts = calls[0]
+    assert fmt == "jdbc" and opts["user"] == "guest"
+    assert "information_schema.key_column_usage" in opts["dbtable"]
+    assert "table_schema = 'mydb'" in opts["dbtable"]
+
+    assert pks == {
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey", "l_linenumber"],
+    }
+    assert {t: [(f.columns, f.ref_table, f.ref_columns) for f in v] for t, v in fks.items()} == {
+        "orders": [(["o_custkey"], "customer", ["c_custkey"])],
+        "lineitem": [
+            (["l_orderkey", "l_linenumber"], "orders", ["o_orderkey", "o_linenumber"])
+        ],
+    }

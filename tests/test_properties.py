@@ -301,3 +301,60 @@ def test_sessionize_invariant_to_partitioning_with_ties(spark, events):
     ka = {tuple(r) for r in session_stats(a, gap_minutes=1).collect()}
     kb = {tuple(r) for r in session_stats(b, gap_minutes=1).collect()}
     assert ka == kb
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    budget=st.integers(min_value=10, max_value=1000),
+    chunk=st.integers(min_value=1, max_value=40),
+)
+@settings(**_SETTINGS)
+def test_pack_shards_matches_sequential_packing(spark, toks, budget, chunk):
+    """pack_shards equals the naive sequential packer for arbitrary
+    token sequences, budgets, and chunk sizes (a row belongs to the
+    shard its first token lands in)."""
+    from deep_db_learning_spark.operators.mixing import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "rid bigint, toks int"
+    )
+    got = {
+        r["rid"]: r["shard_id"]
+        for r in pack_shards(df, "toks", budget, "rid", chunk_size=chunk).collect()
+    }
+    cum = 0
+    want = {}
+    for i, t in enumerate(toks):
+        want[i] = cum // budget
+        cum += t
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_matches_python_hash(spark, n, frac, seed):
+    """The kept set is exactly the rows whose portable hash clears the
+    stratum's threshold — replicated in plain Python arithmetic."""
+    from deep_db_learning_spark.functions.hashing import KNUTH, MERSENNE_31
+    from deep_db_learning_spark.operators.mixing import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s" if i % 2 else "t") for i in range(n)], "k bigint, stratum string"
+    )
+    got = sorted(
+        r["k"]
+        for r in stratified_sample(
+            df, "stratum", {"s": frac}, "k", seed=seed
+        ).collect()
+    )
+    want = sorted(
+        i
+        for i in range(n)
+        if i % 2
+        and ((i % MERSENNE_31 + seed) * KNUTH) % MERSENNE_31 < frac * MERSENNE_31
+    )
+    assert got == want
