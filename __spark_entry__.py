@@ -119,7 +119,15 @@ def q_catalog_columns(spark, sf_dir):
     the table's row count. One row per column; the oracle reads DuckDB's
     information_schema joined to per-table counts."""
     db = _db(spark, sf_dir)
-    counts = {t: db.df(t).count() for t in db.get_tables()}
+    # all table counts in ONE unioned plan — a per-table loop would run
+    # 10 serial driver-blocking jobs with idle executors between them
+    counted = None
+    for t in sorted(db.get_tables()):
+        row = db.df(t).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(t).alias("t"), "n"
+        )
+        counted = row if counted is None else counted.unionByName(row)
+    counts = {r["t"]: r["n"] for r in counted.collect()}
     rows = [
         (t, c, counts[t])
         for t in sorted(db.get_tables())

@@ -20,6 +20,14 @@ S3), it uses ``DataFrame.checkpoint`` — replicated, storage-backed,
 survives executor loss. Otherwise it falls back to ``localCheckpoint``.
 Cluster jobs therefore opt into fault tolerance with one line of
 session setup and no operator changes.
+
+Storage hygiene: reliable checkpoint files are NOT removed when their
+frames are garbage-collected unless
+``spark.cleaner.referenceTracking.cleanCheckpoints`` is on —
+:func:`~deep_db_learning_spark.session.make_session` sets it, so the
+iterative callers (BFS frontiers, label propagation, streaming
+snapshot merges) do not leak the checkpoint dir over a long job. Set
+it yourself if you build the session elsewhere.
 """
 
 from __future__ import annotations

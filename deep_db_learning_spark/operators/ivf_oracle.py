@@ -32,18 +32,23 @@ Engine-parity notes (why the integers match bit-for-bit):
 from __future__ import annotations
 
 import os
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import Decimal
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-_Q9 = Decimal("1.000000000")
+# one shared rounding rule + SF-dir override for BOTH oracle twins —
+# a drifting duplicate here once pointed the two twins at different
+# env var names (review r3)
+from ..plans.train_oracle import DEFAULT_SF_DIR as _TRAIN_DEFAULT
+from ..plans.train_oracle import _dec9  # noqa: F401 (re-exported twin rule)
 
 
-def _dec9(x: float) -> Decimal:
-    return Decimal(repr(float(x))).quantize(_Q9, rounding=ROUND_HALF_UP)
+def _sf_dir() -> str:
+    """Same override the selfcheck/train twin honors (set per-run by
+    tools/selfcheck.py) — read at call time, never pinned at import."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", _TRAIN_DEFAULT)
 
 
 def ivf_fit_assign(
-    sf_dir: str = DEFAULT_SF_DIR,
+    sf_dir: str | None = None,
     n_lists: int = 8,
     n_iters: int = 5,
     n_queries: int = 5,
@@ -56,6 +61,8 @@ def ivf_fit_assign(
     import duckdb
     import numpy as np
 
+    if sf_dir is None:
+        sf_dir = _sf_dir()
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
@@ -93,7 +100,7 @@ def ivf_fit_assign(
 
 
 def ivf_oracle_sql(
-    sf_dir: str = DEFAULT_SF_DIR,
+    sf_dir: str | None = None,
     n_lists: int = 8,
     n_iters: int = 5,
     n_queries: int = 5,

@@ -248,11 +248,15 @@ def attention_aggregate_salted(
     ATTN_DEC = "decimal(38,18)"
     d = len(key_cols)
     e = edges_with_feats
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in key_cols + value_cols], F.lit(17)),
-        F.lit(n_salts),
-    ).alias("__salt")
-    e = e.withColumn("__salt", salt)
+    # row-local salt: monotonically_increasing_id cycles through the
+    # buckets within every partition, so a hub spreads over n_salts
+    # tasks even when its edges carry IDENTICAL features (a
+    # feature-hash salt collapses to one bucket there — review r3).
+    # The id depends on partitioning, but every downstream fold is an
+    # associative decimal sum or a max, so the RESULT does not.
+    e = e.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
 
     if query_cols is None:
         qpart = e.groupBy(dst, "__salt").agg(

@@ -26,7 +26,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import MERSENNE_31, knuth_hash, knuth_hash_sql
+from ..functions.hashing import (
+    MERSENNE_31,
+    knuth_hash,
+    knuth_hash_sql,
+    md5_prefix_hash,
+    md5_prefix_hash_sql,
+)
+
+_NUMERIC_KEY_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+_MD5_RANGE = float(1 << 32)
+
+
+def _is_numeric_key(df: DataFrame, key_col: str) -> bool:
+    return dict(df.dtypes)[key_col] in _NUMERIC_KEY_TYPES
 
 
 def stratified_sample(
@@ -37,21 +52,32 @@ def stratified_sample(
     seed: int = 42,
     default_fraction: float = 0.0,
 ) -> DataFrame:
-    """Keep each row iff ``hash(key) / p < fractions[stratum]`` — a
+    """Keep each row iff ``hash(key) / range < fractions[stratum]`` — a
     per-stratum Bernoulli sample that is a pure row-local predicate:
     no shuffle, no RNG state, pushdown-friendly, identical on any
     engine that reproduces the hash (see :func:`stratified_sample_sql`).
 
-    Strata missing from ``fractions`` get ``default_fraction`` (0 ⇒
-    dropped — the "mix only these sources" shape).
+    Integer keys hash with the portable Knuth multiplicative hash;
+    string/other keys with the md5-prefix hash of ``key|seed`` (a
+    bigint cast of a string key would be NULL and silently drop every
+    row — review r3). Strata missing from ``fractions`` get
+    ``default_fraction`` (0 ⇒ dropped — the "mix only these sources"
+    shape).
     """
-    h = knuth_hash(F.col(key_col), seed)
+    if _is_numeric_key(df, key_col):
+        h = knuth_hash(F.col(key_col), seed)
+        rng = float(MERSENNE_31)
+    else:
+        h = md5_prefix_hash(
+            F.concat(F.col(key_col).cast("string"), F.lit(f"|{seed}"))
+        )
+        rng = _MD5_RANGE
     frac: Column = F.lit(float(default_fraction))
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(
             frac
         )
-    return df.filter(h < (frac * F.lit(float(MERSENNE_31))))
+    return df.filter(h < (frac * F.lit(rng)))
 
 
 def stratified_sample_sql(
@@ -61,17 +87,22 @@ def stratified_sample_sql(
     key_col: str,
     seed: int = 42,
     default_fraction: float = 0.0,
+    numeric_key: bool = True,
 ) -> str:
     """DuckDB twin of :func:`stratified_sample` (same hash arithmetic,
-    same CASE ladder) — a WHERE clause fragment over ``table``."""
+    same CASE ladder) — pass ``numeric_key=False`` for string keys to
+    mirror the md5 path."""
+    if numeric_key:
+        h = knuth_hash_sql(key_col, seed)
+        rng = float(MERSENNE_31)
+    else:
+        h = md5_prefix_hash_sql(f"CAST({key_col} AS VARCHAR) || '|{seed}'")
+        rng = _MD5_RANGE
     case = "CASE"
     for value, f in sorted(fractions.items()):
         case += f" WHEN {strata_col} = '{value}' THEN {float(f)!r}"
     case += f" ELSE {float(default_fraction)!r} END"
-    return (
-        f"SELECT * FROM {table} "
-        f"WHERE {knuth_hash_sql(key_col, seed)} < ({case}) * {float(MERSENNE_31)!r}"
-    )
+    return f"SELECT * FROM {table} WHERE {h} < ({case}) * {rng!r}"
 
 
 def pack_shards(
@@ -109,8 +140,11 @@ def pack_shards(
     spark = df.sparkSession
     if chunk_size is None:
         max_order = df.agg(F.max(order_col)).first()[0]
-        n_chunks = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
-        chunk_size = max(1, int(max_order) // n_chunks + 1)
+        if max_order is None:  # empty frame — any chunking works
+            chunk_size = 1
+        else:
+            n_chunks = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+            chunk_size = max(1, int(max_order) // n_chunks + 1)
 
     tagged = df.withColumn(
         "__chunk", F.floor(F.col(order_col) / F.lit(int(chunk_size)))

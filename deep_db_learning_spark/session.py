@@ -57,6 +57,12 @@ def make_session(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # reclaim reliable checkpoint() files once their frames are
+        # GC'd — without this, cut_lineage's cluster posture (a
+        # configured checkpoint dir) leaks storage across the iterative
+        # operators (BFS frontiers, label propagation, streaming
+        # snapshots)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if driver_memory:
         b = b.config("spark.driver.memory", driver_memory)

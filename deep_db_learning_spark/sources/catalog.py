@@ -329,11 +329,12 @@ def discover_constraints_jdbc(
     is the same injection seam as :func:`load_jdbc` (tested with a
     recording fake; no driver jar ships in this container).
     """
+    safe_schema = schema_name.replace("'", "''")  # never interpolate raw
     kcu = (
         "(SELECT table_name, column_name, constraint_name, ordinal_position, "
         "referenced_table_name, referenced_column_name "
         "FROM information_schema.key_column_usage "
-        f"WHERE table_schema = '{schema_name}') AS kcu"
+        f"WHERE table_schema = '{safe_schema}') AS kcu"
     )
     factory = reader_factory or (lambda: spark.read)
     reader = factory().format("jdbc").option("url", url).option("dbtable", kcu)

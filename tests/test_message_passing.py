@@ -118,21 +118,16 @@ def test_attention_salted_matches_kernel_on_hub(spark):
             k, got[k], want[k],
         )
 
-    # the hot key really is spread: the partial aggregation's salt
-    # expression (same formula as the operator) lands the hub's edges
-    # in >1 bucket, i.e. >1 task computes hub partials
+    # the hot key really is spread: the row-local salt (same formula as
+    # the operator) lands the hub's edges in every bucket, i.e. n_salts
+    # tasks compute hub partials — even for identical feature values
     n_buckets = (
         df.filter(F.col("dst") == 1)
-        .select(
-            F.pmod(
-                F.xxhash64(F.col("k1"), F.col("k2"), F.col("v"), F.lit(17)),
-                F.lit(16),
-            ).alias("salt")
-        )
+        .select(F.pmod(F.monotonically_increasing_id(), F.lit(16)).alias("salt"))
         .distinct()
         .count()
     )
-    assert n_buckets > 1
+    assert n_buckets == 16
 
 
 def test_attention_salted_explicit_query_cols(spark):

@@ -121,3 +121,36 @@ def test_pack_shards_chunking_invariance(db):
     max_doc = max(toks.values())
     full = [t for s, t in sorted(per_shard.items())[:-1]]
     assert all(t >= 30_000 - max_doc for t in full)
+
+
+def test_stratified_sample_string_keys(db, duck):
+    """String keys take the md5 path (a bigint cast would NULL out and
+    silently drop everything); Spark and DuckDB agree on the kept set."""
+    from deep_db_learning_spark.operators.mixing import (
+        stratified_sample,
+        stratified_sample_sql,
+    )
+
+    docs = db.df("documents").withColumn(
+        "key_str", F.concat(F.lit("doc-"), F.col("doc_id"))
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "source", {"src1": 0.5, "src2": 0.2}, "key_str", seed=5
+        ).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            stratified_sample_sql(
+                "(SELECT *, 'doc-' || doc_id AS key_str FROM documents) t",
+                "source",
+                {"src1": 0.5, "src2": 0.2},
+                "key_str",
+                seed=5,
+                numeric_key=False,
+            )
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got)
