@@ -126,12 +126,17 @@ def text_embedding(
     """N6 ``GloveTextEmbedding`` (``data/ctu_dataset.py:43-52``):
     text → dense vector via an Arrow-batched pandas UDF.
 
-    ``model_fn(list[str]) -> ndarray[n, dim]`` plugs in a real sentence
-    encoder (broadcast the model once per executor in a closure); the
-    sentence-transformer libs are not in this container, so the default
-    is a DETERMINISTIC surrogate — a seeded bag-of-token-hash projection
-    with the same shape, batching, and L2 normalization, keeping every
-    downstream consumer (similarity search, near-dup, ANN) testable.
+    ``model_fn(list[str]) -> ndarray[n, dim]`` plugs in a neural
+    sentence encoder (broadcast the model once per executor in a
+    closure; the sentence-transformer libs are not in this container).
+    The default is a REAL lightweight encoder — random indexing / the
+    feature-hashing trick: each token maps deterministically (md5) to a
+    pseudo-random ``dim``-vector, the bag sum is L2-normalized. No
+    trained weights, but genuinely a bag-of-words embedding: token
+    overlap ⇒ cosine similarity, so every downstream consumer
+    (similarity search, near-dup, ANN) runs on meaningful geometry.
+    The token loop is vectorized numpy (one outer-product-style batch
+    per document).
     """
     import numpy as np
     import pandas as pd
@@ -142,26 +147,34 @@ def text_embedding(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch)
     )
 
-    def fake_encode(texts):
-        out_m = np.zeros((len(texts), dim))
-        for r, t in enumerate(texts):
-            for tok in (t or "").lower().split():
-                h = hash_token(tok)
-                vec = np.array(
-                    [((h * (i + 1) * KNUTH) % MERSENNE_31) / MERSENNE_31 - 0.5 for i in range(dim)]
-                )
-                out_m[r] += vec
-            n = np.linalg.norm(out_m[r])
-            if n > 0:
-                out_m[r] /= n
-        return out_m
-
     def hash_token(tok: str) -> int:
         import hashlib
 
         return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
 
-    encode = model_fn or fake_encode
+    # pre-reduce both factors mod p: each is < 2^31, the product fits
+    # int64 exactly, and by congruence ((h mod p)·((i+1)K mod p)) mod p
+    # == (h·(i+1)·K) mod p — bit-identical to the scalar formula
+    scale = (np.arange(1, dim + 1, dtype=np.int64) * KNUTH) % MERSENNE_31
+
+    def hashing_encode(texts):
+        out_m = np.zeros((len(texts), dim))
+        for r, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            H = np.array(
+                [hash_token(tok) % MERSENNE_31 for tok in toks], dtype=np.int64
+            )
+            # token t, component i: ((h_t·(i+1)·KNUTH) mod p)/p − 0.5
+            vecs = (H[:, None] * scale[None, :]) % MERSENNE_31
+            out_m[r] = (vecs.astype(np.float64) / MERSENNE_31 - 0.5).sum(axis=0)
+            n = np.linalg.norm(out_m[r])
+            if n > 0:
+                out_m[r] /= n
+        return out_m
+
+    encode = model_fn or hashing_encode
 
     def fn(texts):
         m = encode(list(texts))
