@@ -833,6 +833,33 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_t07(spark, sf_dir):
+    """Bench-only (not in the 50-query registry): the realistic dedup
+    parameterization (k=9, t=0.7) of the exact Jaccard join — the same
+    pair stage ``text_dedup_clusters`` runs; exercises the
+    prefix-prefix + positional PPJoin path (the r3 2-4× upgrade)."""
+    db = _db(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        db.df("documents"), "text", "doc_id", shingle_k=9, threshold=0.7
+    )
+
+
+def q_data_mixing(spark, sf_dir):
+    """Bench-only: the source-mixing + shard-packing pipeline — keep
+    per-source fractions of the corpus (portable-hash Bernoulli, no
+    shuffle), then assign token-budget shards via the two-phase
+    distributed prefix sum."""
+    from deep_db_learning_spark.operators.mixing import (
+        pack_shards,
+        stratified_sample,
+    )
+
+    db = _db(spark, sf_dir)
+    fractions = {f"src{i}": round(0.05 * (i + 1), 2) for i in range(20)}
+    mixed = stratified_sample(db.df("documents"), "source", fractions, "doc_id")
+    return pack_shards(mixed, "n_chars", budget=100_000, order_col="doc_id")
+
+
 def q_text_stats(spark, sf_dir):
     """LLM ops: token counts, language ID, md5 fingerprint."""
     db = _db(spark, sf_dir)

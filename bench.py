@@ -135,6 +135,8 @@ def main() -> None:
         "dedup_exact",
         "minhash_dedup",
         "simhash",
+        "ngram_jaccard_t07",
+        "data_mixing",
         "text_stats",
         "quality_scores",
         "embedding_topk",
