@@ -518,24 +518,42 @@ def q_eval_metrics(spark, sf_dir):
 
 
 def q_train_relational(spark, sf_dir):
-    """N20/N21/N24 trainable path: seeded full-batch GD over the cat
-    embedding table + linear decoder (plans/training.py). Returns the
-    per-epoch train loss — strictly decreasing and bit-deterministic
-    (decimal-fold gradients), the contract a training engine must hold.
-    ORACLE-CHECKED: gradient descent is iterative (not one SQL query),
-    but the determinism makes the trajectory recomputable — the oracle
-    is an independent numpy/decimal twin (plans/train_oracle.py) run on
-    the same parquet and pinned as a VALUES literal at check time. The
-    trajectory is additionally pinned by goldens in
+    """N20/N21/N24 trainable path, BOTH loop shapes: seeded full-batch
+    GD, and the reference's actual loop — minibatch SGD over budgeted
+    per-root subgraphs (HGTLoader parity: neighbor fan-out cap +
+    batched seed nodes, ``experiments/blueprint_mlflow.py:119-133``) —
+    over the cat embedding table + linear decoder (plans/training.py).
+    Returns the per-epoch/per-step train losses, mode-tagged — each
+    trajectory bit-deterministic (decimal-fold gradients, portable-hash
+    batches), the contract a training engine must hold. ORACLE-CHECKED:
+    gradient descent is iterative (not one SQL query), but the
+    determinism makes both trajectories recomputable — the oracle is an
+    independent numpy/decimal twin (plans/train_oracle.py) run on the
+    same parquet and pinned as a VALUES literal at check time. The
+    trajectories are additionally pinned by goldens in
     tests/test_training.py."""
-    from deep_db_learning_spark.plans.training import train_relational_classifier
+    from deep_db_learning_spark.plans.training import (
+        train_relational_classifier,
+        train_relational_minibatch,
+    )
 
     db = _db(spark, sf_dir)
-    res = train_relational_classifier(
+    full = train_relational_classifier(
         db.tables, db.primary_keys, db.foreign_keys, epochs=8, seed=42
     )
-    rows = [(i, float(l)) for i, l in enumerate(res.losses)]
-    return spark.createDataFrame(rows, "epoch int, train_loss double")
+    mb = train_relational_minibatch(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        epochs=4,
+        n_batches=2,
+        seed=42,
+        neighbor_budget=5,
+    )
+    rows = [("full", i, float(l)) for i, l in enumerate(full.losses)] + [
+        ("minibatch", i, float(l)) for i, l in enumerate(mb.losses)
+    ]
+    return spark.createDataFrame(rows, "mode string, epoch int, train_loss double")
 
 
 def q_bfs_per_root(spark, sf_dir):

@@ -248,6 +248,8 @@ class HeteroGraph:
         aggs: list[str] = ("mean",),
         prefix: str = "",
         features: DataFrame | None = None,
+        neighbor_budget: int | None = None,
+        budget_seed: int = 42,
     ) -> DataFrame:
         """1-hop message aggregation over an edge type, with plan fusion.
 
@@ -275,8 +277,22 @@ class HeteroGraph:
         output (|groups| rows), never on the fact table. Equivalent to
         the generic plan for any data: dangling/NULL fk groups are
         dropped by the semi join instead of before aggregation.
+
+        ``neighbor_budget``: keep ≤k pseudo-random src rows per dst
+        before aggregating — the reference's ``HGTLoader``
+        ``num_samples`` fan-out cap (``experiments/blueprint_mlflow.py:
+        119-133``, ≤50 neighbors/node type/layer). The sample is the
+        deterministic :func:`~.sampling.sample_neighbors` order
+        (``knuth_hash(src_node_id, budget_seed)``, src id tie-break) so
+        it is identical on any engine and any partitioning. The window
+        partitions on the same ``dst`` key the aggregation groups on,
+        so AQE reuses the exchange — budgeting adds a per-partition
+        sort, not a second shuffle. Sampling runs per dst group
+        independently, so doing it before the dst-existence semi join
+        (fused path) equals sampling the inner-joined edge list.
         """
         from .message_passing import aggregate_neighbors
+        from .sampling import sample_neighbors
 
         src_t, dst_t = self.edge_meta[et]
         src_nodes = self.nodes[src_t]
@@ -305,8 +321,11 @@ class HeteroGraph:
         )
         if not fusable:
             feats = features if features is not None else src_nodes
+            edges = self.edges[et]
+            if neighbor_budget is not None:
+                edges = sample_neighbors(edges, neighbor_budget, budget_seed)
             return aggregate_neighbors(
-                self.edges[et], feats, feature_cols, list(aggs), prefix=prefix
+                edges, feats, feature_cols, list(aggs), prefix=prefix
             )
         from .message_passing import agg_expressions
 
@@ -315,12 +334,23 @@ class HeteroGraph:
             fact = src_nodes.select(
                 "node_id", F.col(fk.columns[0]).cast("bigint").alias("dst")
             ).join(features.select("node_id", *feature_cols), "node_id")
+            if neighbor_budget is not None:
+                fact = sample_neighbors(
+                    fact, neighbor_budget, budget_seed, src="node_id"
+                )
+            fact = fact.drop("node_id")
         else:
             dtypes = dict(src_nodes.dtypes)
             fact = src_nodes.select(
+                F.col("node_id").alias("__src"),
                 F.col(fk.columns[0]).cast("bigint").alias("dst"),
                 *[F.col(c) for c in feature_cols],
             )
+            if neighbor_budget is not None:
+                fact = sample_neighbors(
+                    fact, neighbor_budget, budget_seed, src="__src"
+                )
+            fact = fact.drop("__src")
         grouped = fact.groupBy("dst").agg(
             *agg_expressions(dtypes, feature_cols, list(aggs), prefix)
         )

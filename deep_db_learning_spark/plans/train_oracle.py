@@ -44,15 +44,21 @@ def _dec9(x: float) -> Decimal:
     return Decimal(repr(float(x))).quantize(_Q9, rounding=ROUND_HALF_UP)
 
 
-def _knuth_bucket(key: int, seed: int = 42, p: int = 2147483647, k: int = 2654435761) -> int:
+def _knuth(key: int, seed: int = 42, p: int = 2147483647, k: int = 2654435761) -> int:
+    """Twin of ``functions.hashing.knuth_hash``."""
+    return ((key % p + p) % p + seed) * k % p
+
+
+def _knuth_bucket(key: int, seed: int = 42) -> int:
     """Twin of ``functions.hashing.bucket`` (mod 10_000)."""
-    return ((key % p + p) % p + seed) * k % p % 10_000
+    return _knuth(key, seed) % 10_000
 
 
-def _train_losses(sf_dir: str, epochs: int = 8, seed: int = 42) -> list[float]:
-    """Replays ``plans.training.train_relational_classifier`` (default
-    target/feature config, as called by ``q_train_relational``) from the
-    parquet tables. Returns the per-epoch train losses."""
+def _assemble(sf_dir: str, seed: int = 42, neighbor_budget: int | None = None):
+    """The relational half of the twin — replays
+    ``plans.training.assemble_training_frame`` (default target/feature
+    config) from the parquet tables. Returns
+    ``(node_ids, codes_a, y_a, X_num_standardized, train_mask)``."""
     import duckdb
     import numpy as np
 
@@ -64,24 +70,34 @@ def _train_losses(sf_dir: str, epochs: int = 8, seed: int = 42) -> list[float]:
     # per-customer edge aggregates, exact decimal folds like
     # HeteroGraph.aggregate_along_edge's fused plan (mean = decimal sum
     # cast to double / count; degree = group size); customers without
-    # edges get the frame's na.fill(0.0)
-    def edge_aggs(table: str, fk: str, col: str) -> dict[int, tuple[float, float, int]]:
+    # edges get the frame's na.fill(0.0). With ``neighbor_budget``, the
+    # per-dst sample twin: order group rows by
+    # (knuth_hash(src_pk, seed), src_pk), keep the first k — exactly
+    # ``operators.sampling.sample_neighbors`` inside the fused plan.
+    def edge_aggs(
+        table: str, src_pk: str, fk: str, col: str
+    ) -> dict[int, tuple[float, float, int]]:
         rows = con.execute(
-            f"SELECT {fk}, {col} FROM read_parquet('{sf_dir}/{table}.parquet') "
+            f"SELECT {src_pk}, {fk}, {col} "
+            f"FROM read_parquet('{sf_dir}/{table}.parquet') "
             f"WHERE {fk} IS NOT NULL"
         ).fetchall()
-        sums: dict[int, Decimal] = {}
-        cnts: dict[int, int] = {}
-        for kkey, v in rows:
-            sums[kkey] = sums.get(kkey, Decimal(0)) + _dec9(v)
-            cnts[kkey] = cnts.get(kkey, 0) + 1
-        return {
-            kkey: (float(sums[kkey]) / cnts[kkey], float(sums[kkey]), cnts[kkey])
-            for kkey in sums
-        }
+        groups: dict[int, list[tuple[int, float]]] = {}
+        for spk, kkey, v in rows:
+            groups.setdefault(kkey, []).append((spk, v))
+        out: dict[int, tuple[float, float, int]] = {}
+        for kkey, g in groups.items():
+            if neighbor_budget is not None:
+                g = sorted(g, key=lambda sv: (_knuth(sv[0], seed), sv[0]))
+                g = g[:neighbor_budget]
+            s = Decimal(0)
+            for _, v in g:
+                s += _dec9(v)
+            out[kkey] = (float(s) / len(g), float(s), len(g))
+        return out
 
-    ords = edge_aggs("orders", "o_custkey", "o_totalprice")
-    evs = edge_aggs("events", "user_id", "value")
+    ords = edge_aggs("orders", "o_orderkey", "o_custkey", "o_totalprice")
+    evs = edge_aggs("events", "event_id", "user_id", "value")
 
     labels_sorted = sorted({r[3] for r in cust if r[3] is not None})
     label_code = {v: i for i, v in enumerate(labels_sorted)}
@@ -125,10 +141,41 @@ def _train_losses(sf_dir: str, epochs: int = 8, seed: int = 42) -> list[float]:
     codes_a = np.array(codes, dtype=np.int64)
     y_a = np.array(labels, dtype=np.int64)
     train_mask = np.array(split_train)
+    return node_ids, codes_a, y_a, X_num, train_mask
+
+
+def _grad_fold(g, tr_codes, glen, k, card):
+    """Per-code decimal folds, then exact driver accumulation — mirrors
+    ``groupBy(code).agg(sum(decimal))`` + the Decimal loop in
+    ``training._gradient_pass``. Returns ``(tot, resid_by_code)``."""
+    import numpy as np
+
+    tot = [Decimal(0)] * glen
+    resid_by_code = np.zeros((card, k))
+    for c in np.unique(tr_codes):
+        sel = g[tr_codes == c]
+        for i in range(glen):
+            v = Decimal(0)
+            for x in sel[:, i]:
+                v += _dec9(x)
+            tot[i] += v
+            if 1 <= i <= k:
+                resid_by_code[int(c), i - 1] = float(v)
+    return tot, resid_by_code
+
+
+def _train_losses(sf_dir: str, epochs: int = 8, seed: int = 42) -> list[float]:
+    """Replays ``plans.training.train_relational_classifier`` (default
+    target/feature config, as called by ``q_train_relational``) from the
+    parquet tables. Returns the per-epoch train losses."""
+    import numpy as np
+
+    _, codes_a, y_a, X_num, train_mask = _assemble(sf_dir, seed)
     tr_codes = codes_a[train_mask]
     tr_nums = X_num[train_mask]
     tr_y = y_a[train_mask]
     n_train = int(train_mask.sum())
+    m = X_num.shape[1]
 
     card = int(codes_a.max()) + 1
     k = int(y_a.max()) + 1
@@ -141,34 +188,10 @@ def _train_losses(sf_dir: str, epochs: int = 8, seed: int = 42) -> list[float]:
     glen = 1 + k + (dim + m) * k
     losses: list[float] = []
     for _ in range(epochs):
-        from .training import row_logits
-
         E, Wc, bc = emb.copy(), W.copy(), b.copy()
-        X = np.concatenate([E[tr_codes], tr_nums], axis=1)
-        logits = row_logits(X, Wc, bc)
-        logits -= logits.max(axis=1, keepdims=True)
-        ex = np.exp(logits)
-        P = ex / ex.sum(axis=1, keepdims=True)
-        rows_idx = np.arange(n_train)
-        loss_rows = -np.log(P[rows_idx, tr_y])
-        resid = P.copy()
-        resid[rows_idx, tr_y] -= 1.0
-        gw = (X[:, :, None] * resid[:, None, :]).reshape(n_train, -1)
-        g = np.concatenate([loss_rows[:, None], resid, gw], axis=1)
-
-        # per-code decimal folds, then exact driver accumulation —
-        # mirrors groupBy(code).agg(sum(decimal)) + the Decimal loop
-        tot = [Decimal(0)] * glen
-        resid_by_code = np.zeros((card, k))
-        for c in np.unique(tr_codes):
-            sel = g[tr_codes == c]
-            for i in range(glen):
-                v = Decimal(0)
-                for x in sel[:, i]:
-                    v += _dec9(x)
-                tot[i] += v
-                if 1 <= i <= k:
-                    resid_by_code[int(c), i - 1] = float(v)
+        tot, resid_by_code = _step_gradients(
+            tr_codes, tr_nums, tr_y, E, Wc, bc, glen, k, card
+        )
         loss = float(tot[0]) / n_train + 0.5 * l2 * (
             float((W * W).sum()) + float((emb * emb).sum())
         )
@@ -183,23 +206,107 @@ def _train_losses(sf_dir: str, epochs: int = 8, seed: int = 42) -> list[float]:
     return losses
 
 
+def _step_gradients(tr_codes, tr_nums, tr_y, E, Wc, bc, glen, k, card):
+    """Forward/backward over one row set + decimal folds — the numpy
+    twin of ``training._gradient_pass`` on those rows."""
+    import numpy as np
+
+    from .training import row_logits
+
+    X = np.concatenate([E[tr_codes], tr_nums], axis=1)
+    logits = row_logits(X, Wc, bc)
+    logits -= logits.max(axis=1, keepdims=True)
+    ex = np.exp(logits)
+    P = ex / ex.sum(axis=1, keepdims=True)
+    nrows = len(tr_codes)
+    rows_idx = np.arange(nrows)
+    loss_rows = -np.log(P[rows_idx, tr_y])
+    resid = P.copy()
+    resid[rows_idx, tr_y] -= 1.0
+    gw = (X[:, :, None] * resid[:, None, :]).reshape(nrows, -1)
+    g = np.concatenate([loss_rows[:, None], resid, gw], axis=1)
+    return _grad_fold(g, tr_codes, glen, k, card)
+
+
+def _minibatch_losses(
+    sf_dir: str,
+    epochs: int = 4,
+    n_batches: int = 2,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+) -> list[float]:
+    """Replays ``plans.training.train_relational_minibatch`` (default
+    config, as called by ``q_train_relational``): budgeted per-root
+    subgraph assembly, portable-hash batch assignment, per-step decimal
+    gradient folds. Returns the per-STEP batch losses."""
+    import numpy as np
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    m = X_num.shape[1]
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    dim, lr, l2 = 4, 0.5, 1e-4
+    rng = np.random.default_rng(seed)
+    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    W = rng.uniform(-0.5, 0.5, size=(dim + m, k)) * 0.1
+    b = np.zeros(k)
+
+    ids_a = np.array(node_ids, dtype=np.int64)
+    batch_of = np.array(
+        [_knuth(int(i), seed + 7) % n_batches for i in ids_a], dtype=np.int64
+    )
+    glen = 1 + k + (dim + m) * k
+    losses: list[float] = []
+    for _ in range(epochs):
+        for bi in range(n_batches):
+            sel = train_mask & (batch_of == bi)
+            n_b = int(sel.sum())
+            E, Wc, bc = emb.copy(), W.copy(), b.copy()
+            tot, resid_by_code = _step_gradients(
+                codes_a[sel], X_num[sel], y_a[sel], E, Wc, bc, glen, k, card
+            )
+            loss = float(tot[0]) / n_b + 0.5 * l2 * (
+                float((W * W).sum()) + float((emb * emb).sum())
+            )
+            losses.append(loss)
+            resid_tot = np.array([float(tot[1 + j]) for j in range(k)])
+            GW = np.array(
+                [float(tot[1 + k + i]) for i in range((dim + m) * k)]
+            ).reshape(dim + m, k)
+            emb -= lr * (resid_by_code @ Wc[:dim].T / n_b + l2 * emb)
+            W -= lr * (GW / n_b + l2 * W)
+            b -= lr * resid_tot / n_b
+    return losses
+
+
 def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
-    """The ``train_relational`` oracle: recompute the loss trajectory
-    with the independent twin above and pin it as a VALUES literal
-    (``repr`` doubles round-trip exactly through DuckDB's strtod). The
-    data directory defaults to the driver's correctness SF; selfcheck
-    overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at another SF."""
+    """The ``train_relational`` oracle: recompute BOTH loss trajectories
+    (full-batch GD and the minibatch-SGD loop over budgeted per-root
+    subgraphs) with the independent twins above and pin them as a
+    VALUES literal (``repr`` doubles round-trip exactly through DuckDB's
+    strtod). The data directory defaults to the driver's correctness SF;
+    selfcheck overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at
+    another SF."""
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
-    losses = _train_losses(sf_dir, epochs=epochs, seed=seed)
+    rows = [
+        ("full", i, loss)
+        for i, loss in enumerate(_train_losses(sf_dir, epochs=epochs, seed=seed))
+    ] + [
+        ("minibatch", i, loss)
+        for i, loss in enumerate(_minibatch_losses(sf_dir, seed=seed))
+    ]
     # the double literal goes through VARCHAR: DuckDB parses a bare
     # 17-digit numeric literal as DECIMAL and its decimal→double cast is
     # not correctly rounded (same reason as exact_sum_sql's hop);
     # string→double is strtod, which round-trips repr exactly
     values = ",\n              ".join(
-        f"(CAST({i} AS INT), CAST('{loss!r}' AS DOUBLE))" for i, loss in enumerate(losses)
+        f"('{mode}', CAST({i} AS INT), CAST('{loss!r}' AS DOUBLE))"
+        for mode, i, loss in rows
     )
     return f"""
         SELECT * FROM (VALUES
               {values}
-        ) AS t(epoch, train_loss)
+        ) AS t(mode, epoch, train_loss)
     """

@@ -87,6 +87,80 @@ def row_logits(X, W, b):
     return logits
 
 
+def _gradient_pass(df, E, Wc, bc, dim, m, k, card):
+    """ONE Spark job: per-row loss/residual/gradient via a vectorized
+    Arrow UDF over ``df(code, nums array<double>, label)``, folded with
+    exact decimal sums per code group and accumulated on the driver.
+    Returns ``(loss_sum, resid_tot, GW, resid_by_code)`` — the raw
+    (unnormalized, unregularized) sums, bit-deterministic under any
+    partitioning. Shared by the full-batch and minibatch trainers."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    glen = 1 + k + (dim + m) * k
+
+    def grad_fn(code, nums, label):
+        # closure over THIS step's parameter copies (fresh function
+        # object per step — the udf ships the current values)
+        codes = code.to_numpy(dtype=np.int64)
+        X = np.concatenate([E[codes], np.vstack(nums.to_list())], axis=1)
+        y = label.to_numpy(dtype=np.int64)
+        logits = row_logits(X, Wc, bc)
+        logits -= logits.max(axis=1, keepdims=True)
+        ex = np.exp(logits)
+        P = ex / ex.sum(axis=1, keepdims=True)
+        nrows = len(codes)
+        loss = -np.log(P[np.arange(nrows), y])
+        resid = P.copy()
+        resid[np.arange(nrows), y] -= 1.0
+        gw = (X[:, :, None] * resid[:, None, :]).reshape(nrows, -1)
+        out = np.concatenate([loss[:, None], resid, gw], axis=1)
+        # round to the decimal fold's scale HERE, in Python — the
+        # JVM's double→decimal cast goes through Double.toString,
+        # which (pre-Ryu JDKs) occasionally emits a non-shortest
+        # string that quantizes differently from Python's repr at a
+        # scale-9 tie; emitting DECIMAL from the UDF keeps one
+        # rounding rule on both the engine and the oracle twin
+        from decimal import Decimal
+
+        return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in out])
+
+    grad_fn.__annotations__ = {
+        "code": pd.Series,
+        "nums": pd.Series,
+        "label": pd.Series,
+        "return": pd.Series,
+    }
+    udf = pandas_udf(grad_fn, f"array<{DECIMAL_TYPE}>")
+    g = df.select("code", udf("code", "nums", "label").alias("g"))
+    sums = g.groupBy("code").agg(
+        *[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)]
+    )
+    rows = sums.collect()
+    # exact decimal accumulation across code groups on the driver
+    from decimal import Decimal
+
+    tot = [Decimal(0)] * glen
+    resid_by_code = np.zeros((card, k))
+    for r in rows:
+        c = r["code"]
+        for i in range(glen):
+            v = r[f"v{i}"]
+            if v is not None:
+                tot[i] += v
+        for j in range(k):
+            v = r[f"v{1 + j}"]
+            if v is not None:
+                resid_by_code[c, j] = float(v)
+    loss_sum = float(tot[0])
+    resid_tot = np.array([float(tot[1 + j]) for j in range(k)])
+    GW = np.array(
+        [float(tot[1 + k + i]) for i in range((dim + m) * k)]
+    ).reshape(dim + m, k)
+    return loss_sum, resid_tot, GW, resid_by_code
+
+
 @dataclass
 class TrainResult:
     losses: list[float]  # per-epoch TRAIN loss (mean cross-entropy)
@@ -102,6 +176,7 @@ def assemble_training_frame(
     cat_col: str = "c_nationkey",
     num_cols: tuple[str, ...] = ("c_acctbal",),
     seed: int = 42,
+    neighbor_budget: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """One declarative plan: graph build → neighbor aggregation onto the
     target table → train-split standardization → factorized label +
@@ -111,7 +186,16 @@ def assemble_training_frame(
 
     Standardization stats come from exact decimal folds over the TRAIN
     split only (no test leakage) — deterministic under partitioning, so
-    the whole downstream trajectory is too."""
+    the whole downstream trajectory is too.
+
+    ``neighbor_budget``: cap each root's receptive field at ≤k sampled
+    src rows per edge type — the reference ``HGTLoader`` fan-out budget
+    (``experiments/blueprint_mlflow.py:119-133``). The per-root
+    subgraphs the reference materializes one sample at a time
+    (``data/dataset.py:249-258`` re-runs BFS per row;
+    :func:`~..operators.bfs.bfs_expand_per_root` is this engine's
+    row-level twin) are computed here for EVERY root in one fused
+    scan-sample-aggregate plan — the Spark-first form of the loader."""
     target_table, target_col = target
     g = build_hetero_graph(tables, primary_keys, foreign_keys, add_reverse=False)
 
@@ -129,7 +213,14 @@ def assemble_training_frame(
         ]
         if not numeric:
             continue
-        agg = g.aggregate_along_edge(et, numeric[:1], ["mean", "sum"], prefix=f"{et}__")
+        agg = g.aggregate_along_edge(
+            et,
+            numeric[:1],
+            ["mean", "sum"],
+            prefix=f"{et}__",
+            neighbor_budget=neighbor_budget,
+            budget_seed=seed,
+        )
         agg_cols = [c for c in agg.columns if c != "dst"]
         feats = feats.join(
             agg.withColumnRenamed("dst", "node_id"), "node_id", "left"
@@ -221,8 +312,6 @@ def train_relational_classifier(
     bit-reproducible, strictly decreasing at this lr on the bench data.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     frame, meta = assemble_training_frame(
         tables, primary_keys, foreign_keys, target, cat_col, num_cols, seed=seed
@@ -245,74 +334,15 @@ def train_relational_classifier(
     n_train = train.count()
 
     losses: list[float] = []
-    glen = 1 + k + (dim + m) * k
     for _ in range(epochs):
         E, Wc, bc = emb.copy(), W.copy(), b.copy()
-
-        def grad_fn(code, nums, label):
-            # closure over THIS epoch's parameter copies (fresh function
-            # object per epoch — the udf ships the current values)
-            codes = code.to_numpy(dtype=np.int64)
-            X = np.concatenate([E[codes], np.vstack(nums.to_list())], axis=1)
-            y = label.to_numpy(dtype=np.int64)
-            logits = row_logits(X, Wc, bc)
-            logits -= logits.max(axis=1, keepdims=True)
-            ex = np.exp(logits)
-            P = ex / ex.sum(axis=1, keepdims=True)
-            nrows = len(codes)
-            loss = -np.log(P[np.arange(nrows), y])
-            resid = P.copy()
-            resid[np.arange(nrows), y] -= 1.0
-            gw = (X[:, :, None] * resid[:, None, :]).reshape(nrows, -1)
-            out = np.concatenate([loss[:, None], resid, gw], axis=1)
-            # round to the decimal fold's scale HERE, in Python — the
-            # JVM's double→decimal cast goes through Double.toString,
-            # which (pre-Ryu JDKs) occasionally emits a non-shortest
-            # string that quantizes differently from Python's repr at a
-            # scale-9 tie; emitting DECIMAL from the UDF keeps one
-            # rounding rule on both the engine and the oracle twin
-            from decimal import Decimal
-
-            return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in out])
-
-        grad_fn.__annotations__ = {
-            "code": pd.Series,
-            "nums": pd.Series,
-            "label": pd.Series,
-            "return": pd.Series,
-        }
-        udf = pandas_udf(grad_fn, f"array<{DECIMAL_TYPE}>")
-        g = train.select("code", udf("code", "nums", "label").alias("g"))
-        sums = g.groupBy("code").agg(
-            *[
-                F.sum(F.element_at("g", i + 1)).alias(f"v{i}")
-                for i in range(glen)
-            ]
+        loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
+            train, E, Wc, bc, dim, m, k, card
         )
-        rows = sums.collect()
-        # exact decimal accumulation across code groups on the driver
-        from decimal import Decimal
-
-        tot = [Decimal(0)] * glen
-        resid_by_code = np.zeros((card, k))
-        for r in rows:
-            c = r["code"]
-            for i in range(glen):
-                v = r[f"v{i}"]
-                if v is not None:
-                    tot[i] += v
-            for j in range(k):
-                v = r[f"v{1 + j}"]
-                if v is not None:
-                    resid_by_code[c, j] = float(v)
-        loss = float(tot[0]) / n_train + 0.5 * l2 * (
+        loss = loss_sum / n_train + 0.5 * l2 * (
             float((W * W).sum()) + float((emb * emb).sum())
         )
         losses.append(loss)
-        resid_tot = np.array([float(tot[1 + j]) for j in range(k)])
-        GW = np.array(
-            [float(tot[1 + k + i]) for i in range((dim + m) * k)]
-        ).reshape(dim + m, k)
         # update: decoder, bias, and the embedding code table
         # (join-apply-update: dE[c] = Σ_{rows with code c} resid · Wᵀ).
         # All three gradients use the EPOCH-START weights (Wc — the same
@@ -323,7 +353,21 @@ def train_relational_classifier(
         W -= lr * (GW / n_train + l2 * W)
         b -= lr * resid_tot / n_train
 
-    # final accuracy per split with the trained parameters
+    accuracy = _split_accuracy(frame, emb, W, b)
+    train.unpersist()
+    return TrainResult(
+        losses=losses,
+        accuracy=accuracy,
+        params={"emb": emb, "W": W, "b": b},
+    )
+
+
+def _split_accuracy(frame, emb, W, b) -> dict[str, float]:
+    """Per-split accuracy with the trained parameters — one Spark job."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     Ef, Wf, bf = emb.copy(), W.copy(), b.copy()
 
     def pred_fn(code, nums):
@@ -339,9 +383,123 @@ def train_relational_classifier(
         .agg(F.avg((F.col("pred") == F.col("label")).cast("double")).alias("acc"))
         .collect()
     )
+    return {r["split"]: r["acc"] for r in acc_rows}
+
+
+def train_relational_minibatch(
+    tables: dict[str, DataFrame],
+    primary_keys: dict[str, list[str]],
+    foreign_keys: dict[str, list],
+    target: tuple[str, str] = ("customer", "c_mktsegment"),
+    cat_col: str = "c_nationkey",
+    num_cols: tuple[str, ...] = ("c_acctbal",),
+    dim: int = 4,
+    epochs: int = 4,
+    n_batches: int = 2,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = None,
+) -> TrainResult:
+    """The reference's actual training loop shape: minibatch SGD over
+    per-root sampled subgraphs (``HGTLoader(num_samples=[50]*L)`` +
+    batched seed nodes, ``experiments/blueprint_mlflow.py:119-133``),
+    re-expressed Spark-first.
+
+    - **Per-root subgraphs**: ``neighbor_budget`` caps each root's
+      receptive field with the deterministic per-dst sample inside the
+      fused assembly plan — every root's bounded subgraph aggregate is
+      computed in ONE scan-sample-aggregate job, where the reference
+      re-runs BFS per sample row (``data/dataset.py:249-258``;
+      :func:`~..operators.bfs.bfs_expand_per_root` is the row-level
+      twin of the subgraphs this samples features from).
+    - **Minibatches**: train roots are assigned to ``n_batches`` by the
+      portable Knuth hash of their node id — deterministic on any
+      engine and partitioning (a ``rand()`` batcher would reshuffle
+      rows between runs). Each step is one Spark job over that batch's
+      slice of the persisted frame; gradients are the same exact
+      decimal folds as the full-batch path, so the whole SGD trajectory
+      (losses at every STEP, final parameters) is bit-reproducible and
+      oracle-checkable (``plans/train_oracle.py``).
+
+    Per-step loss = batch mean cross-entropy + the L2 term at the
+    step-start parameters (SGD semantics: not monotone per step, but
+    descending in trend). Scale note: at cluster scale write the
+    assembled frame bucketed by ``batch`` so each step's filter prunes
+    to its own files instead of scanning all batches.
+    """
+    import numpy as np
+
+    from ..functions.hashing import knuth_hash
+
+    frame, meta = assemble_training_frame(
+        tables,
+        primary_keys,
+        foreign_keys,
+        target,
+        cat_col,
+        num_cols,
+        seed=seed,
+        neighbor_budget=neighbor_budget,
+    )
+    k = meta["n_classes"]
+    m = meta["n_num"]
+    card = meta["n_codes"]
+    rng = np.random.default_rng(seed)
+    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    W = rng.uniform(-0.5, 0.5, size=(dim + m, k)) * 0.1
+    b = np.zeros(k)
+
+    train = (
+        frame.filter(F.col("split") == "train")
+        .select(
+            (knuth_hash(F.col("node_id"), seed + 7) % n_batches).alias("batch"),
+            "code",
+            "nums",
+            "label",
+        )
+    )
+    sc = train.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism, 8))
+    train = train.repartition(parts).persist()
+    batch_sizes = {
+        r["batch"]: r["count"] for r in train.groupBy("batch").count().collect()
+    }
+    if len(batch_sizes) < n_batches or min(batch_sizes.values()) == 0:
+        raise ValueError(
+            f"train_relational_minibatch: a batch is empty "
+            f"(sizes={batch_sizes}) — lower n_batches or grow the input"
+        )
+
+    losses: list[float] = []
+    for _ in range(epochs):
+        for bi in range(n_batches):
+            n_b = batch_sizes[bi]
+            E, Wc, bc = emb.copy(), W.copy(), b.copy()
+            loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
+                train.filter(F.col("batch") == bi).select("code", "nums", "label"),
+                E,
+                Wc,
+                bc,
+                dim,
+                m,
+                k,
+                card,
+            )
+            loss = loss_sum / n_b + 0.5 * l2 * (
+                float((W * W).sum()) + float((emb * emb).sum())
+            )
+            losses.append(loss)
+            # same step rule as the full-batch path, normalized by the
+            # BATCH size (the gradient is an estimate of the full one)
+            emb -= lr * (resid_by_code @ Wc[:dim].T / n_b + l2 * emb)
+            W -= lr * (GW / n_b + l2 * W)
+            b -= lr * resid_tot / n_b
+
+    accuracy = _split_accuracy(frame, emb, W, b)
     train.unpersist()
     return TrainResult(
         losses=losses,
-        accuracy={r["split"]: r["acc"] for r in acc_rows},
+        accuracy=accuracy,
         params={"emb": emb, "W": W, "b": b},
     )

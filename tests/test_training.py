@@ -88,3 +88,80 @@ def test_assemble_training_frame_shape(db):
         .first()
     )
     assert abs(stats["m"]) < 0.05 and abs(stats["s"] - 1.0) < 0.05
+
+
+def test_minibatch_deterministic_and_descending(db):
+    from deep_db_learning_spark.plans.training import train_relational_minibatch
+
+    kw = dict(epochs=4, n_batches=2, seed=42, neighbor_budget=5)
+    res = train_relational_minibatch(
+        db.tables, db.primary_keys, db.foreign_keys, **kw
+    )
+    assert len(res.losses) == 8  # epochs x n_batches steps
+    res2 = train_relational_minibatch(
+        db.tables, db.primary_keys, db.foreign_keys, **kw
+    )
+    # portable-hash batches + decimal-fold gradients -> bit-reproducible
+    assert res.losses == res2.losses
+    # SGD is not monotone per step, but the trend must descend: the
+    # last epoch's mean batch loss beats the first epoch's
+    assert sum(res.losses[-2:]) / 2 < sum(res.losses[:2]) / 2
+    assert "train" in res.accuracy and "test" in res.accuracy
+
+
+def test_minibatch_matches_numpy_decimal_twin(db):
+    """The Spark minibatch trajectory is recomputed bit-for-bit by the
+    independent oracle twin (budgeted assembly + per-step folds)."""
+    from deep_db_learning_spark.plans.train_oracle import _minibatch_losses
+    from deep_db_learning_spark.plans.training import train_relational_minibatch
+
+    res = train_relational_minibatch(
+        db.tables, db.primary_keys, db.foreign_keys,
+        epochs=2, n_batches=2, seed=42, neighbor_budget=5,
+    )
+    twin = _minibatch_losses(
+        "/root/testdata/sf0.001", epochs=2, n_batches=2, seed=42, neighbor_budget=5
+    )
+    assert res.losses == twin
+
+
+def test_neighbor_budget_caps_receptive_field(db):
+    """aggregate_along_edge(neighbor_budget=k): degree <= k, the sample
+    equals sample_neighbors on the edge list, and every sampled src row
+    lies inside the root's bfs_expand_per_root subgraph (the row-level
+    twin of the budgeted receptive field)."""
+    from deep_db_learning_spark.operators.bfs import bfs_expand_per_root
+    from deep_db_learning_spark.operators.graph import build_hetero_graph
+    from deep_db_learning_spark.operators.sampling import sample_neighbors
+
+    g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
+    et = "orders__o_custkey__customer"
+    k = 3
+    agg = g.aggregate_along_edge(et, ["o_totalprice"], ["sum"], neighbor_budget=k)
+    assert agg.filter(F.col("degree") > k).count() == 0
+    # fused budgeted plan == sampling the edge list then aggregating
+    sampled = sample_neighbors(g.edges[et], k, 42)
+    manual = (
+        sampled.join(
+            g.nodes["orders"].select(F.col("node_id").alias("src"), "o_totalprice"),
+            "src",
+        )
+        .groupBy("dst")
+        .count()
+    )
+    got = {r["dst"]: r["count"] for r in manual.collect()}
+    want = {r["dst"]: r["degree"] for r in agg.collect()}
+    assert got == want
+    # sampled src rows are a subset of the per-root BFS depth-1 subgraph
+    roots = db.df("customer").filter(F.col("c_custkey") < 5).select("c_custkey")
+    sub = bfs_expand_per_root(
+        db.tables, db.foreign_keys, "customer", roots, 2, db.primary_keys
+    )
+    visited = {
+        (r["root_id"], r["o_orderkey"]) for r in sub["orders"].collect()
+    }
+    pairs = {
+        (r["dst"], r["src"])
+        for r in sampled.filter(F.col("dst") < 5).collect()
+    }
+    assert pairs and pairs.issubset(visited)
