@@ -904,7 +904,9 @@ def q_quality_scores(spark, sf_dir):
 def q_text_metrics(spark, sf_dir):
     """LLM ops merged: per-document text analysis in one scan — token
     counts (whitespace + BPE-ish regex), n-gram language ID, md5 + min
-    shingle-md5 fingerprints, and the composite quality score."""
+    shingle-md5 fingerprints, the composite quality score, and the
+    Gopher-style repetition signals (duplicate-token + top-token
+    fractions; boilerplate flags)."""
     db = _db(spark, sf_dir)
     t = F.col("text")
     return db.df("documents").select(
@@ -915,6 +917,8 @@ def q_text_metrics(spark, sf_dir):
         T.fingerprint_md5(t).alias("fp_md5"),
         T.doc_fingerprint_min_md5("text", 8).alias("fp_minhash"),
         T.quality_score(t).alias("quality"),
+        T.duplicate_token_fraction(t).alias("dup_token_frac"),
+        T.top_token_fraction(t).alias("top_token_frac"),
     )
 
 
@@ -1963,7 +1967,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             s AS (
-              SELECT doc_id, n, n_punct,
+              SELECT doc_id, n, n_punct, toks,
                      len(toks) AS n_toks,
                      len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
                      list_sum(list_transform(rtoks, t -> length(t))) AS sum_len
@@ -1993,8 +1997,20 @@ def oracle_sql() -> dict[str, str]:
                      + 0.2 * (1.0 - least(CASE WHEN s.n > 0 THEN 5.0 * s.n_punct / s.n ELSE 0.0 END, 1.0))
                      + 0.2 * least(4.0 * CASE WHEN s.n_toks > 0 THEN s.n_stop::DOUBLE / s.n_toks ELSE 0.0 END, 1.0)
                      + 0.2 * CASE WHEN s.n_toks > 0 AND (s.sum_len::DOUBLE / s.n_toks) BETWEEN 3.0 AND 8.0
-                             THEN 1.0 ELSE 0.5 END, 6) AS quality
-            FROM documents d JOIN s ON d.doc_id = s.doc_id
+                             THEN 1.0 ELSE 0.5 END, 6) AS quality,
+                   CASE WHEN trim(d.text) = '' THEN 0.0
+                        ELSE (s.n_toks - len(list_distinct(s.toks)))::DOUBLE / s.n_toks
+                   END AS dup_token_frac,
+                   CASE WHEN trim(d.text) = '' THEN 0.0
+                        ELSE tt.topcnt::DOUBLE / s.n_toks
+                   END AS top_token_frac
+            FROM documents d
+            JOIN s ON d.doc_id = s.doc_id
+            JOIN (SELECT doc_id, max(cnt) AS topcnt
+                  FROM (SELECT doc_id, t, count(*) AS cnt
+                        FROM (SELECT doc_id, unnest(toks) AS t FROM m)
+                        GROUP BY doc_id, t)
+                  GROUP BY doc_id) tt ON d.doc_id = tt.doc_id
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -8,6 +8,9 @@ speed; only genuinely non-expressible kernels drop to pandas UDFs.
 
 - language ID: marker-token heuristic
 - quality scoring: length / punctuation / stopword / word-length ratios
+- repetition signals: duplicate-token / top-token / duplicate-line
+  fractions (Gopher-style boilerplate flags)
+- PII redaction: email / IPv4 / phone regexp_replace chain
 - token counting: whitespace + BPE-ish regex
 - fingerprinting: md5 content hash (portable) + rolling 64-bit
   polynomial hash over character shingles (winnowing-style)
@@ -99,6 +102,97 @@ def quality_score(text: Column) -> Column:
     # NULL text scores 0 — `least` would silently drop the null operand
     # and hand a missing document a good score
     return F.when(text.isNull(), F.lit(0.0)).otherwise(score)
+
+
+def duplicate_token_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of whitespace tokens
+    that are repeats of an earlier token (``1 − distinct/total``,
+    case-folded). High values flag boilerplate/spam documents. Pure
+    array expressions — codegen, no shuffle, no UDF."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return F.when(text.isNull() | (F.trim(text) == ""), F.lit(0.0)).otherwise(
+        (n - d).cast("double") / n
+    )
+
+
+def top_token_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens taken by the
+    single most frequent token. Sort the row's tokens, then one
+    ``aggregate`` fold tracks the longest equal run — O(n log n) per
+    row (HOFs are interpreted, so the naive count-each-distinct nested
+    HOF is O(n²) and measurably slow), row-bounded, no shuffle. The
+    DuckDB oracle uses the unnest→groupBy form — same values."""
+    toks = F.array_sort(F.split(F.lower(F.trim(text)), r"\s+"))
+    n = F.size(toks)
+    top = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(" ").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(text.isNull() | (F.trim(text) == ""), F.lit(0.0)).otherwise(
+        top.cast("double") / n
+    )
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of newline-separated
+    lines that are repeats of an earlier line."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return F.when(text.isNull(), F.lit(0.0)).otherwise(
+        (n - d).cast("double") / n
+    )
+
+
+# PII patterns, deliberately kept inside the Java-regex ∩ RE2 common
+# subset (char classes + greedy quantifiers, no backrefs/lookaround) so
+# Spark and a DuckDB oracle substitute identically. Order matters:
+# emails before phones (an email's digits must not half-match as a
+# phone), IPs before phones (dotted quads would otherwise match the
+# phone pattern's separator class).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9()./ -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Rule-based PII redaction (emails, IPv4s, phone-shaped digit
+    runs → typed placeholders) — the standard pre-training scrub pass.
+    A chain of ``regexp_replace`` column expressions: whole-stage
+    codegen, full scan speed, no UDF. Cross-engine parity with DuckDB
+    is pinned in tests (``redact_pii_sql`` is the oracle twin)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`redact_pii` (same patterns, same
+    order, global replacement)."""
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted strings are escape-free: the pattern's
+        # backslashes pass through to RE2 verbatim — no doubling
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
 
 
 def fingerprint_md5(text: Column) -> Column:

@@ -263,3 +263,60 @@ def test_png_real_decode_resize_and_features(spark):
         want = local(encode_png_bytes(img, filter_type=int(k) % 5), None)
         assert np.allclose(got[k], want, atol=1e-6)
         assert abs(sum(got[k]) - 1.0) < 1e-6  # histogram density sums to 1
+
+
+def test_repetition_signals(spark, duck):
+    rows = [
+        (0, "a a a a"),              # one token repeated: dup 3/4, top 1.0
+        (1, "a b c d"),              # all distinct: dup 0, top 1/4
+        (2, "x y x y x"),           # dup 3/5, top 3/5
+        (3, ""),                     # empty -> 0.0 / 0.0
+        (4, None),                   # null -> 0.0 / 0.0
+        (5, "l1\nl2\nl1\nl1"),      # dup lines 2/4
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: (r["d"], r["p"], r["l"])
+        for r in df.select(
+            "id",
+            T.duplicate_token_fraction(F.col("t")).alias("d"),
+            T.top_token_fraction(F.col("t")).alias("p"),
+            T.duplicate_line_fraction(F.col("t")).alias("l"),
+        ).collect()
+    }
+    assert got[0] == (0.75, 1.0, 0.0)
+    assert got[1] == (0.0, 0.25, 0.0)
+    assert got[2] == (0.6, 0.6, 0.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 0.0)
+    assert got[5][2] == 0.5
+    # multi-line text: tokens still counted across lines
+    assert got[5][0] == 0.5  # l1 x3 + l2 -> dup 2/4
+
+
+def test_redact_pii_matches_duckdb(spark, duck):
+    rows = [
+        (0, "mail me at jane.doe+spam@example.co.uk or call +1 (415) 555-0199 now"),
+        (1, "server 10.0.255.7 responded; fallback 192.168.1.1:8080"),
+        (2, "no pii here, just the year 2024 and pi 3.14"),
+        (3, "a@b.io,c_d%e@f-g.org trailing"),
+        (4, "phone 0176-555 01 99 end"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: r["red"]
+        for r in df.select("id", T.redact_pii(F.col("t")).alias("red")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE pii_t(id INT, t VARCHAR)")
+    duck.executemany("INSERT INTO pii_t VALUES (?, ?)", rows)
+    want = dict(
+        duck.execute(
+            f"SELECT id, {T.redact_pii_sql('t')} FROM pii_t"
+        ).fetchall()
+    )
+    assert got == want
+    assert "<EMAIL>" in got[0] and "<PHONE>" in got[0]
+    assert got[1].count("<IP>") == 2
+    assert got[2] == rows[2][1]  # untouched: years/decimals are not PII
+    assert got[3].count("<EMAIL>") == 2
+    assert "<PHONE>" in got[4]
