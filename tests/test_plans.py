@@ -94,3 +94,33 @@ def test_packed_node_ids_unique_and_expression_only(db):
     assert kind == "packed"
     n = nodes.count()
     assert nodes.select("node_id").distinct().count() == n
+
+
+def test_neighbor_budget_adds_no_shuffle(db):
+    """aggregate_along_edge(neighbor_budget=k): the per-dst sample
+    window partitions on the SAME key the aggregation groups on, so the
+    budgeted plan has exactly the shuffles of the unbudgeted one (one
+    dst hash exchange, shared; broadcast for the dst-existence semi
+    join) — the fan-out cap is free at the shuffle level."""
+    from deep_db_learning_spark.operators.graph import build_hetero_graph
+
+    g = build_hetero_graph(db.tables, db.primary_keys, db.foreign_keys, add_reverse=False)
+    et = "orders__o_custkey__customer"
+    plain = explain(g.aggregate_along_edge(et, ["o_totalprice"], ["mean", "sum"]))
+    budgeted = explain(
+        g.aggregate_along_edge(
+            et, ["o_totalprice"], ["mean", "sum"], neighbor_budget=5
+        )
+    )
+    assert budgeted.count("Exchange") == plain.count("Exchange")
+    assert "SinglePartition" not in budgeted
+
+
+def test_text_metrics_single_scan_no_shuffle(spark, entry):
+    """The merged per-document text-analysis query (token counts, lang
+    ID, fingerprints, quality, repetition signals) stays one shuffle-
+    free scan — every signal is a row-local expression."""
+    df = entry.q_text_metrics(spark, "/root/testdata/sf0.001")
+    plan = explain(df, "simple")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
