@@ -533,6 +533,7 @@ def q_train_relational(spark, sf_dir):
     trajectories are additionally pinned by goldens in
     tests/test_training.py."""
     from deep_db_learning_spark.plans.training import (
+        MINIBATCH_BENCH_CONFIG,
         train_relational_classifier,
         train_relational_minibatch,
     )
@@ -545,10 +546,8 @@ def q_train_relational(spark, sf_dir):
         db.tables,
         db.primary_keys,
         db.foreign_keys,
-        epochs=4,
-        n_batches=2,
         seed=42,
-        neighbor_budget=5,
+        **MINIBATCH_BENCH_CONFIG,
     )
     rows = [("full", i, float(l)) for i, l in enumerate(full.losses)] + [
         ("minibatch", i, float(l)) for i, l in enumerate(mb.losses)
@@ -1998,15 +1997,17 @@ def oracle_sql() -> dict[str, str]:
                      + 0.2 * least(4.0 * CASE WHEN s.n_toks > 0 THEN s.n_stop::DOUBLE / s.n_toks ELSE 0.0 END, 1.0)
                      + 0.2 * CASE WHEN s.n_toks > 0 AND (s.sum_len::DOUBLE / s.n_toks) BETWEEN 3.0 AND 8.0
                              THEN 1.0 ELSE 0.5 END, 6) AS quality,
-                   CASE WHEN trim(d.text) = '' THEN 0.0
+                   CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0.0
                         ELSE (s.n_toks - len(list_distinct(s.toks)))::DOUBLE / s.n_toks
                    END AS dup_token_frac,
-                   CASE WHEN trim(d.text) = '' THEN 0.0
+                   CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0.0
                         ELSE tt.topcnt::DOUBLE / s.n_toks
                    END AS top_token_frac
             FROM documents d
             JOIN s ON d.doc_id = s.doc_id
-            JOIN (SELECT doc_id, max(cnt) AS topcnt
+            -- LEFT: unnest(NULL toks) emits no rows, and a NULL-text
+            -- doc must still surface (the CASE maps it to 0.0)
+            LEFT JOIN (SELECT doc_id, max(cnt) AS topcnt
                   FROM (SELECT doc_id, t, count(*) AS cnt
                         FROM (SELECT doc_id, unnest(toks) AS t FROM m)
                         GROUP BY doc_id, t)

@@ -150,8 +150,11 @@ def top_token_fraction(text: Column) -> Column:
 
 def duplicate_line_fraction(text: Column) -> Column:
     """Gopher-style repetition signal: fraction of newline-separated
-    lines that are repeats of an earlier line."""
-    lines = F.split(text, "\n")
+    lines that are repeats of an earlier line. Trailing newlines are
+    stripped first — a file-final ``\\n`` (the common case in real
+    corpora) must not mint a phantom empty line that skews the
+    fraction."""
+    lines = F.split(F.regexp_replace(text, "\\n+$", ""), "\n")
     n = F.size(lines)
     d = F.size(F.array_distinct(lines))
     return F.when(text.isNull(), F.lit(0.0)).otherwise(
@@ -163,12 +166,29 @@ def duplicate_line_fraction(text: Column) -> Column:
 # subset (char classes + greedy quantifiers, no backrefs/lookaround) so
 # Spark and a DuckDB oracle substitute identically. Order matters:
 # emails before phones (an email's digits must not half-match as a
-# phone), IPs before phones (dotted quads would otherwise match the
-# phone pattern's separator class).
+# phone), IPs before phones (dotted quads would otherwise be eaten by
+# the phone pattern's digit runs).
+#
+# Three phone shapes, calibrated so date/time/decimal prose survives:
+# (a) area code in parens, (b) +country with space/dash groups, (c)
+# dash-chained or bare runs of ≥9 digits. '.' ':' '/' are never
+# separators and ≤8-digit dash shapes never match, so ISO dates
+# (2024-01-02: 8 digits), datetimes (the space between date and time
+# is not a chainable separator in (c)), timestamps (12:30:45), and
+# ordinary decimals (3.14159265: 8-digit fraction) all stay intact.
+# Documented exception: any bare run of ≥9 digits IS redacted — at
+# that length a digit run is an account/serial/phone identifier more
+# often than prose, so erring toward redaction is the safe default
+# for a pre-training scrub.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
-    (r"\+?[0-9][0-9()./ -]{7,}[0-9]", "<PHONE>"),
+    (
+        r"\+?[0-9]{0,3}[ -]?\([0-9]{1,4}\)[ -]?[0-9]{2,4}[ -]?[0-9]{2,4}[ -]?[0-9]{0,4}",
+        "<PHONE>",
+    ),
+    (r"\+[0-9]{1,3}([ -][0-9]{2,4}){2,}", "<PHONE>"),
+    (r"[0-9](-?[0-9]){8,}", "<PHONE>"),
 ]
 
 

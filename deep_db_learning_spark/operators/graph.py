@@ -333,12 +333,19 @@ class HeteroGraph:
             dtypes = dict(features.dtypes)
             fact = src_nodes.select(
                 "node_id", F.col(fk.columns[0]).cast("bigint").alias("dst")
-            ).join(features.select("node_id", *feature_cols), "node_id")
+            )
+            # sample BEFORE the feature join — the budget is structural
+            # (≤k graph neighbors per dst, like the generic path which
+            # samples the raw edge list); a feature-less sampled
+            # neighbor then drops in the inner join rather than being
+            # silently replaced by a feature-bearing one
             if neighbor_budget is not None:
                 fact = sample_neighbors(
                     fact, neighbor_budget, budget_seed, src="node_id"
                 )
-            fact = fact.drop("node_id")
+            fact = fact.join(
+                features.select("node_id", *feature_cols), "node_id"
+            ).drop("node_id")
         else:
             dtypes = dict(src_nodes.dtypes)
             fact = src_nodes.select(

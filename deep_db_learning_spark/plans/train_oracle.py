@@ -192,17 +192,11 @@ def _train_losses(sf_dir: str, epochs: int = 8, seed: int = 42) -> list[float]:
         tot, resid_by_code = _step_gradients(
             tr_codes, tr_nums, tr_y, E, Wc, bc, glen, k, card
         )
-        loss = float(tot[0]) / n_train + 0.5 * l2 * (
-            float((W * W).sum()) + float((emb * emb).sum())
+        losses.append(
+            _sgd_update(
+                tot, resid_by_code, n_train, emb, W, b, Wc, dim, m, k, lr, l2
+            )
         )
-        losses.append(loss)
-        resid_tot = np.array([float(tot[1 + j]) for j in range(k)])
-        GW = np.array(
-            [float(tot[1 + k + i]) for i in range((dim + m) * k)]
-        ).reshape(dim + m, k)
-        emb -= lr * (resid_by_code @ Wc[:dim].T / n_train + l2 * emb)
-        W -= lr * (GW / n_train + l2 * W)
-        b -= lr * resid_tot / n_train
     return losses
 
 
@@ -226,6 +220,26 @@ def _step_gradients(tr_codes, tr_nums, tr_y, E, Wc, bc, glen, k, card):
     gw = (X[:, :, None] * resid[:, None, :]).reshape(nrows, -1)
     g = np.concatenate([loss_rows[:, None], resid, gw], axis=1)
     return _grad_fold(g, tr_codes, glen, k, card)
+
+
+def _sgd_update(tot, resid_by_code, n, emb, W, b, Wc, dim, m, k, lr, l2):
+    """One parameter step from folded gradients (shared by the
+    full-batch and minibatch replays — the update rule must stay
+    bit-identical between the two trajectories). Mutates emb/W/b in
+    place and returns the recorded loss."""
+    import numpy as np
+
+    loss = float(tot[0]) / n + 0.5 * l2 * (
+        float((W * W).sum()) + float((emb * emb).sum())
+    )
+    resid_tot = np.array([float(tot[1 + j]) for j in range(k)])
+    GW = np.array(
+        [float(tot[1 + k + i]) for i in range((dim + m) * k)]
+    ).reshape(dim + m, k)
+    emb -= lr * (resid_by_code @ Wc[:dim].T / n + l2 * emb)
+    W -= lr * (GW / n + l2 * W)
+    b -= lr * resid_tot / n
+    return loss
 
 
 def _minibatch_losses(
@@ -267,17 +281,11 @@ def _minibatch_losses(
             tot, resid_by_code = _step_gradients(
                 codes_a[sel], X_num[sel], y_a[sel], E, Wc, bc, glen, k, card
             )
-            loss = float(tot[0]) / n_b + 0.5 * l2 * (
-                float((W * W).sum()) + float((emb * emb).sum())
+            losses.append(
+                _sgd_update(
+                    tot, resid_by_code, n_b, emb, W, b, Wc, dim, m, k, lr, l2
+                )
             )
-            losses.append(loss)
-            resid_tot = np.array([float(tot[1 + j]) for j in range(k)])
-            GW = np.array(
-                [float(tot[1 + k + i]) for i in range((dim + m) * k)]
-            ).reshape(dim + m, k)
-            emb -= lr * (resid_by_code @ Wc[:dim].T / n_b + l2 * emb)
-            W -= lr * (GW / n_b + l2 * W)
-            b -= lr * resid_tot / n_b
     return losses
 
 
@@ -289,13 +297,20 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     strtod). The data directory defaults to the driver's correctness SF;
     selfcheck overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at
     another SF."""
+    from .training import MINIBATCH_BENCH_CONFIG
+
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
     rows = [
         ("full", i, loss)
         for i, loss in enumerate(_train_losses(sf_dir, epochs=epochs, seed=seed))
     ] + [
         ("minibatch", i, loss)
-        for i, loss in enumerate(_minibatch_losses(sf_dir, seed=seed))
+        for i, loss in enumerate(
+            # the SHARED config (plans/training.py) — the same dict
+            # q_train_relational unpacks, so the pinned trajectory and
+            # the engine run can never use different hyperparameters
+            _minibatch_losses(sf_dir, seed=seed, **MINIBATCH_BENCH_CONFIG)
+        )
     ]
     # the double literal goes through VARCHAR: DuckDB parses a bare
     # 17-digit numeric literal as DECIMAL and its decimal→double cast is

@@ -161,6 +161,12 @@ def _gradient_pass(df, E, Wc, bc, dim, m, k, card):
     return loss_sum, resid_tot, GW, resid_by_code
 
 
+# The minibatch hyperparameters the driver query AND its oracle twin
+# share — one definition so the pinned VALUES trajectory can never
+# drift from what q_train_relational actually runs.
+MINIBATCH_BENCH_CONFIG = {"epochs": 4, "n_batches": 2, "neighbor_budget": 5}
+
+
 @dataclass
 class TrainResult:
     losses: list[float]  # per-epoch TRAIN loss (mean cross-entropy)
@@ -465,7 +471,9 @@ def train_relational_minibatch(
     batch_sizes = {
         r["batch"]: r["count"] for r in train.groupBy("batch").count().collect()
     }
-    if len(batch_sizes) < n_batches or min(batch_sizes.values()) == 0:
+    # an empty batch shows up as a MISSING key (groupBy never emits a
+    # 0-count row), so presence of every batch id is the whole check
+    if set(batch_sizes) != set(range(n_batches)):
         raise ValueError(
             f"train_relational_minibatch: a batch is empty "
             f"(sizes={batch_sizes}) — lower n_batches or grow the input"

@@ -265,7 +265,7 @@ def test_png_real_decode_resize_and_features(spark):
         assert abs(sum(got[k]) - 1.0) < 1e-6  # histogram density sums to 1
 
 
-def test_repetition_signals(spark, duck):
+def test_repetition_signals(spark):
     rows = [
         (0, "a a a a"),              # one token repeated: dup 3/4, top 1.0
         (1, "a b c d"),              # all distinct: dup 0, top 1/4
@@ -273,6 +273,7 @@ def test_repetition_signals(spark, duck):
         (3, ""),                     # empty -> 0.0 / 0.0
         (4, None),                   # null -> 0.0 / 0.0
         (5, "l1\nl2\nl1\nl1"),      # dup lines 2/4
+        (6, "l1\nl1\n"),            # trailing \n is not a phantom line
     ]
     df = spark.createDataFrame(rows, "id int, t string")
     got = {
@@ -292,6 +293,7 @@ def test_repetition_signals(spark, duck):
     assert got[5][2] == 0.5
     # multi-line text: tokens still counted across lines
     assert got[5][0] == 0.5  # l1 x3 + l2 -> dup 2/4
+    assert got[6][2] == 0.5  # ['l1','l1'], not ['l1','l1','']
 
 
 def test_redact_pii_matches_duckdb(spark, duck):
@@ -300,7 +302,10 @@ def test_redact_pii_matches_duckdb(spark, duck):
         (1, "server 10.0.255.7 responded; fallback 192.168.1.1:8080"),
         (2, "no pii here, just the year 2024 and pi 3.14"),
         (3, "a@b.io,c_d%e@f-g.org trailing"),
-        (4, "phone 0176-555 01 99 end"),
+        (4, "phone 0176-555-0199 end"),
+        (5, "reach us at +49 171 555 0199 weekdays"),
+        (6, "logged 2024-01-02 12:30:45, pi to 8 places 3.14159265"),
+        (7, "serial 123456789012 leaked"),
     ]
     df = spark.createDataFrame(rows, "id int, t string")
     got = {
@@ -319,4 +324,9 @@ def test_redact_pii_matches_duckdb(spark, duck):
     assert got[1].count("<IP>") == 2
     assert got[2] == rows[2][1]  # untouched: years/decimals are not PII
     assert got[3].count("<EMAIL>") == 2
-    assert "<PHONE>" in got[4]
+    assert got[4] == "phone <PHONE> end"
+    assert got[5] == "reach us at <PHONE> weekdays"
+    # dates / timestamps / short decimals are NOT phone-shaped
+    assert got[6] == rows[6][1]
+    # ...but a bare >=9-digit run is treated as an identifier
+    assert got[7] == "serial <PHONE> leaked"
