@@ -77,3 +77,42 @@ def test_sparsemax_extremes():
     # translation invariance (projection property)
     z = np.array([[0.3, -1.2, 2.0, 0.0]])
     assert np.allclose(sparsemax(z), sparsemax(z + 7.5))
+
+
+def test_trial_sweep_over_minibatch_trainer(db, tmp_path):
+    """The reference's experiment loop end-to-end (Ray trials over
+    blueprint training + MLflow logging, blueprint_mlflow.py:335-377):
+    concurrent driver-thread trials run the REAL minibatch trainer at
+    different learning rates, each logging to its own tracker run;
+    results are deterministic, so the sweep's best pick is too."""
+    from deep_db_learning_spark.plans.tracking import ExperimentTracker, load_runs
+    from deep_db_learning_spark.plans.training import train_relational_minibatch
+    from deep_db_learning_spark.plans.tuning import run_trials
+
+    def trial(params):
+        res = train_relational_minibatch(
+            db.tables, db.primary_keys, db.foreign_keys,
+            epochs=1, n_batches=2, seed=42, neighbor_budget=5,
+            lr=params["lr"],
+        )
+        with ExperimentTracker(
+            str(tmp_path / f"run_lr{params['lr']}.jsonl")
+        ) as tr:
+            tr.log_params(params)
+            for i, loss in enumerate(res.losses):
+                tr.log_metrics({"train_loss": loss}, step=i)
+            tr.log_metrics({"test_acc": res.accuracy["test"]})
+        return res.losses[-1]
+
+    grid = [{"lr": 0.1}, {"lr": 0.5}]
+    results = run_trials(trial, grid, max_concurrency=2)
+    assert len(results) == 2
+    finals = {params["lr"]: r for params, r in results}
+    assert all(isinstance(v, float) for v in finals.values())
+    # determinism: re-running one trial reproduces its loss exactly
+    assert trial({"lr": 0.5}) == finals[0.5]
+    # every trial left a readable tracker run with its params + metrics
+    for lr in (0.1, 0.5):
+        events = load_runs(str(tmp_path / f"run_lr{lr}.jsonl"))
+        kinds = {e["kind"] for e in events}
+        assert {"params", "metrics"} <= kinds
