@@ -1,0 +1,137 @@
+"""End-to-end experiment CLI — the engine's counterpart of the
+reference's ``main.py`` entry point (``main.py:287-333``: pick a
+dataset, train a relational model, log metrics).
+
+A reference user runs ``python main.py tpch --epochs E --lr R``; here:
+
+    python examples/run_experiment.py \
+        --data /root/testdata/sf0.001 \
+        --target customer.c_mktsegment \
+        --mode minibatch --epochs 4 --lr 0.5 \
+        --track /tmp/run.jsonl
+
+Pipeline (each stage is the library API a user would call directly):
+catalog load → semantic-type inference → graph statistics → training
+(full-batch GD, minibatch SGD over budgeted per-root subgraphs, or the
+MLlib `minimum_slice` decoder pipeline) → metrics to the JSONL
+experiment tracker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", default="/root/testdata/sf0.001", help="parquet DB dir")
+    p.add_argument(
+        "--target",
+        default="customer.c_mktsegment",
+        help="table.column classification target",
+    )
+    p.add_argument("--mode", choices=("full", "minibatch", "slice"), default="full")
+    p.add_argument("--epochs", "-e", type=int, default=8)
+    p.add_argument("--lr", "-r", type=float, default=0.5)
+    p.add_argument("--n-batches", type=int, default=2)
+    p.add_argument("--neighbor-budget", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--track", default=None, help="JSONL tracker output path")
+    return p
+
+
+def run(spark, args) -> dict:
+    """Drive the full pipeline; returns a result summary dict."""
+    from deep_db_learning_spark.operators.graph import graph_statistics
+    from deep_db_learning_spark.plans.tracking import ExperimentTracker
+    from deep_db_learning_spark.profiling import SchemaAnalyzer
+    from deep_db_learning_spark.sources import load_testdata
+
+    table, column = args.target.split(".", 1)
+    db = load_testdata(spark, args.data)
+
+    schema = SchemaAnalyzer(db.tables, db.primary_keys, db.foreign_keys).guess_schema()
+    spec = schema.tables[table].columns[column]
+    print(f"inferred target type: {table}.{column} -> {spec.type}", flush=True)
+
+    gs = graph_statistics(db.tables, db.primary_keys, db.foreign_keys).collect()
+    print(
+        f"graph: {len(gs)} edge types, {sum(r['n_edges'] for r in gs)} edges",
+        flush=True,
+    )
+
+    if args.mode == "slice":
+        from deep_db_learning_spark.plans import minimum_slice
+
+        res = minimum_slice(
+            db.tables,
+            db.primary_keys,
+            db.foreign_keys,
+            target=(table, column),
+            depth=1,
+            seed=args.seed,
+        )
+        summary = {"mode": "slice", **res.metrics}
+        losses = []
+    else:
+        from deep_db_learning_spark.plans.training import (
+            train_relational_classifier,
+            train_relational_minibatch,
+        )
+
+        if args.mode == "full":
+            res = train_relational_classifier(
+                db.tables,
+                db.primary_keys,
+                db.foreign_keys,
+                target=(table, column),
+                epochs=args.epochs,
+                lr=args.lr,
+                seed=args.seed,
+            )
+        else:
+            res = train_relational_minibatch(
+                db.tables,
+                db.primary_keys,
+                db.foreign_keys,
+                target=(table, column),
+                epochs=args.epochs,
+                n_batches=args.n_batches,
+                lr=args.lr,
+                seed=args.seed,
+                neighbor_budget=args.neighbor_budget,
+            )
+        losses = res.losses
+        summary = {
+            "mode": args.mode,
+            "final_train_loss": res.losses[-1],
+            **{f"{k}_accuracy": v for k, v in res.accuracy.items()},
+        }
+
+    if args.track:
+        with ExperimentTracker(args.track) as tr:
+            tr.log_params(vars(args))
+            for i, loss in enumerate(losses):
+                tr.log_metrics({"train_loss": loss}, step=i)
+            tr.log_metrics({k: v for k, v in summary.items() if isinstance(v, float)})
+    print(f"result: {summary}", flush=True)
+    return summary
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    from deep_db_learning_spark.session import make_session
+
+    spark = make_session("run-experiment")
+    try:
+        return run(spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

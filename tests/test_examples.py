@@ -1,0 +1,40 @@
+"""The user-facing experiment CLI (examples/run_experiment.py — the
+reference main.py counterpart) drives the whole pipeline."""
+
+import sys
+
+sys.path.insert(0, "/root/repo/examples")
+
+
+def test_run_experiment_minibatch(spark, tmp_path):
+    import run_experiment as rx
+
+    track = str(tmp_path / "run.jsonl")
+    args = rx.build_parser().parse_args(
+        [
+            "--data", "/root/testdata/sf0.001",
+            "--mode", "minibatch",
+            "--epochs", "1",
+            "--neighbor-budget", "5",
+            "--track", track,
+        ]
+    )
+    summary = rx.run(spark, args)
+    assert summary["mode"] == "minibatch"
+    assert 0.0 <= summary["test_accuracy"] <= 1.0
+    from deep_db_learning_spark.plans.tracking import load_runs
+
+    events = load_runs(track)
+    assert any(e["kind"] == "params" for e in events)
+    assert any(e["kind"] == "metrics" for e in events)
+
+
+def test_run_experiment_slice(spark):
+    import run_experiment as rx
+
+    args = rx.build_parser().parse_args(
+        ["--data", "/root/testdata/sf0.001", "--mode", "slice"]
+    )
+    summary = rx.run(spark, args)
+    assert summary["mode"] == "slice"
+    assert 0.0 <= summary["accuracy"] <= 1.0
