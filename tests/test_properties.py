@@ -358,3 +358,66 @@ def test_stratified_sample_matches_python_hash(spark, n, frac, seed):
         and ((i % MERSENNE_31 + seed) * KNUTH) % MERSENNE_31 < frac * MERSENNE_31
     )
     assert got == want
+
+
+@given(
+    t=st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+        ),
+        max_size=120,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_redact_pii_idempotent_and_digitfree(t):
+    """Redaction is a fixpoint after one pass (placeholders contain no
+    redactable material) and leaves no 9+-digit runs behind. Checked in
+    RE2 semantics via the DuckDB twin — the engine-parity test in
+    test_text.py ties Spark to the same patterns."""
+    import duckdb
+    import re
+
+    from deep_db_learning_spark.functions.text import redact_pii_sql
+
+    con = duckdb.connect()
+    once = con.execute(
+        f"SELECT {redact_pii_sql('?::VARCHAR')}", [t]
+    ).fetchone()[0]
+    twice = con.execute(
+        f"SELECT {redact_pii_sql('?::VARCHAR')}", [once]
+    ).fetchone()[0]
+    assert once == twice
+    assert not re.search(r"[0-9]{9,}", once)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(max_size=60)), min_size=1, max_size=12
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_fractions_bounded(spark, texts):
+    """dup/top token fractions land in [0,1] with top >= 1/n_tokens for
+    any input, NULL/empty mapping to 0."""
+    from deep_db_learning_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(texts)], "i long, t string"
+    )
+    rows = df.select(
+        "t",
+        T.duplicate_token_fraction(F.col("t")).alias("d"),
+        T.top_token_fraction(F.col("t")).alias("p"),
+        T.duplicate_line_fraction(F.col("t")).alias("l"),
+    ).collect()
+    for r in rows:
+        for v in (r["d"], r["p"], r["l"]):
+            assert 0.0 <= v <= 1.0
+        if r["t"] is None or r["t"].strip() == "":
+            assert r["d"] == 0.0 and r["p"] == 0.0
+        else:
+            # the most frequent token covers at least its own share
+            assert r["p"] > 0.0
+            # a fully-duplicated doc: top fraction must also be high
+            if r["d"] == 1.0:
+                assert False, "dup fraction 1.0 impossible (first token is never a dup)"
