@@ -518,10 +518,14 @@ def q_eval_metrics(spark, sf_dir):
 
 
 def q_train_relational(spark, sf_dir):
-    """N20/N21/N24 trainable path, BOTH loop shapes: seeded full-batch
-    GD, and the reference's actual loop — minibatch SGD over budgeted
-    per-root subgraphs (HGTLoader parity: neighbor fan-out cap +
-    batched seed nodes, ``experiments/blueprint_mlflow.py:119-133``) —
+    """N20/N21/N24 trainable path, ALL THREE task/loop shapes: seeded
+    full-batch GD classification, the reference's actual loop —
+    minibatch SGD over budgeted per-root subgraphs (HGTLoader parity:
+    neighbor fan-out cap + batched seed nodes,
+    ``experiments/blueprint_mlflow.py:119-133``) — and the REGRESSION
+    task branch (``TaskType.REGRESSION``/``MSELoss``,
+    ``nn/lightning/lightning_wrapper.py:40,50-55``: k=1 linear head,
+    half-squared error, train-standardized c_acctbal label) —
     over the cat embedding table + linear decoder (plans/training.py).
     Returns the per-epoch/per-step train losses, mode-tagged — each
     trajectory bit-deterministic (decimal-fold gradients, portable-hash
@@ -534,8 +538,10 @@ def q_train_relational(spark, sf_dir):
     tests/test_training.py."""
     from deep_db_learning_spark.plans.training import (
         MINIBATCH_BENCH_CONFIG,
+        REGRESSION_BENCH_CONFIG,
         train_relational_classifier,
         train_relational_minibatch,
+        train_relational_regressor,
     )
 
     db = _db(spark, sf_dir)
@@ -549,9 +555,18 @@ def q_train_relational(spark, sf_dir):
         seed=42,
         **MINIBATCH_BENCH_CONFIG,
     )
-    rows = [("full", i, float(l)) for i, l in enumerate(full.losses)] + [
-        ("minibatch", i, float(l)) for i, l in enumerate(mb.losses)
-    ]
+    reg = train_relational_regressor(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        seed=42,
+        **REGRESSION_BENCH_CONFIG,
+    )
+    rows = (
+        [("full", i, float(l)) for i, l in enumerate(full.losses)]
+        + [("minibatch", i, float(l)) for i, l in enumerate(mb.losses)]
+        + [("regression", i, float(l)) for i, l in enumerate(reg.losses)]
+    )
     return spark.createDataFrame(rows, "mode string, epoch int, train_loss double")
 
 

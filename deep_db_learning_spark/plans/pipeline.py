@@ -24,7 +24,7 @@ from ..operators.message_passing import aggregate_neighbors
 from ..operators.sampling import random_node_split
 from ..profiling.analyzer import SchemaAnalyzer
 from ..schema import DBSchema
-from .metrics import classification_metrics
+from .metrics import classification_metrics, regression_metrics
 
 
 @dataclass
@@ -98,18 +98,27 @@ def minimum_slice(
     fit_model: bool = True,
     decoder: str = "logreg",
     tracker=None,
+    task: str = "classification",
 ) -> SliceResult:
     """SURVEY §7: predict ``target`` from neighbor statistics.
 
     Classification path (cat target): factorize → ``decoder`` model —
     ``"logreg"`` (default) or ``"mlp"`` (N21's Linear/ReLU decoder
     stack as MLlib ``MultilayerPerceptronClassifier``,
-    ``experiments/blueprint_instances/utils.py:84-106``). Everything
+    ``experiments/blueprint_instances/utils.py:84-106``). Regression
+    path (``task="regression"``, num target — the reference's
+    ``TaskType.REGRESSION``/``MSELoss`` branch,
+    ``nn/lightning/lightning_wrapper.py:40,50-55``): double label →
+    MLlib ``LinearRegression`` → mse/mae/nrmse. Everything
     before `.fit` is one declarative plan; the feature table is the
     persisted artifact a real training loop would checkpoint."""
     target_table, target_col = target
     analyzer = SchemaAnalyzer(
-        tables, primary_keys, foreign_keys, target=target, target_type="cat"
+        tables,
+        primary_keys,
+        foreign_keys,
+        target=target,
+        target_type="num" if task == "regression" else "cat",
     )
     schema = analyzer.guess_schema()
     graph = build_hetero_graph(tables, primary_keys, foreign_keys)
@@ -117,9 +126,16 @@ def minimum_slice(
     features = build_node_features(graph, schema, target_table, depth=depth)
     feature_cols = [c for c in features.columns if c != "node_id"]
 
-    labeled = factorize_target(
-        graph.nodes[target_table].select("node_id", target_col), target_col
-    ).select("node_id", "label")
+    if task == "regression":
+        labeled = (
+            graph.nodes[target_table]
+            .select("node_id", F.col(target_col).cast("double").alias("label"))
+            .filter(F.col("label").isNotNull())
+        )
+    else:
+        labeled = factorize_target(
+            graph.nodes[target_table].select("node_id", target_col), target_col
+        ).select("node_id", "label")
     data = features.join(labeled, "node_id", "inner")
     data = random_node_split(data, fractions=(0.7, 0.0, 0.3), seed=seed)
 
@@ -150,6 +166,19 @@ def minimum_slice(
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="fvec")
     train = assembler.transform(data.filter(F.col("split") == "train"))
     test = assembler.transform(data.filter(F.col("split") == "test"))
+    if task == "regression":
+        from pyspark.ml.regression import LinearRegression
+
+        est = LinearRegression(featuresCol="fvec", labelCol="label", maxIter=20)
+        model = est.fit(train)
+        result.metrics = regression_metrics(model.transform(test))
+        if tracker is not None:
+            tracker.log_params(
+                {"target": f"{target_table}.{target_col}", "depth": depth,
+                 "task": task, "seed": seed, "n_features": len(feature_cols)}
+            )
+            tracker.log_metrics(result.metrics)
+        return result
     if decoder == "mlp":
         n_classes = data.agg(F.max("label")).collect()[0][0] + 1
         est = MultilayerPerceptronClassifier(

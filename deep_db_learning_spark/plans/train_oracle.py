@@ -54,11 +54,18 @@ def _knuth_bucket(key: int, seed: int = 42) -> int:
     return _knuth(key, seed) % 10_000
 
 
-def _assemble(sf_dir: str, seed: int = 42, neighbor_budget: int | None = None):
+def _assemble(
+    sf_dir: str,
+    seed: int = 42,
+    neighbor_budget: int | None = None,
+    task: str = "classification",
+):
     """The relational half of the twin — replays
     ``plans.training.assemble_training_frame`` (default target/feature
-    config) from the parquet tables. Returns
-    ``(node_ids, codes_a, y_a, X_num_standardized, train_mask)``."""
+    config; ``task="regression"`` is the c_acctbal-label variant) from
+    the parquet tables. Returns
+    ``(node_ids, codes_a, y_a, X_num_standardized, train_mask)``;
+    ``y_a`` is train-standardized double for regression."""
     import duckdb
     import numpy as np
 
@@ -102,44 +109,57 @@ def _assemble(sf_dir: str, seed: int = 42, neighbor_budget: int | None = None):
     labels_sorted = sorted({r[3] for r in cust if r[3] is not None})
     label_code = {v: i for i, v in enumerate(labels_sorted)}
 
-    # raw feature matrix in assemble_training_frame's feat_names order:
-    # [c_acctbal, orders mean/sum/degree, events mean/sum/degree]
+    # raw feature matrix in assemble_training_frame's feat_names order.
+    # classification: [c_acctbal, orders mean/sum/degree, events
+    # mean/sum/degree], label = factorized c_mktsegment (seg-NULL rows
+    # drop). regression: c_acctbal becomes the LABEL (leakage guard
+    # drops it from the features; bal-NULL rows drop instead).
     node_ids, codes, labels, raw = [], [], [], []
     for ck, nk, bal, seg in cust:
-        if seg is None:
-            continue
+        if task == "regression":
+            if bal is None:
+                continue
+            label_val = float(bal)
+        else:
+            if seg is None:
+                continue
+            label_val = label_code[seg]
         o = ords.get(ck, (0.0, 0.0, 0))
         e = evs.get(ck, (0.0, 0.0, 0))
         node_ids.append(ck)
         codes.append(nk)
-        labels.append(label_code[seg])
-        raw.append([bal, o[0], o[1], float(o[2]), e[0], e[1], float(e[2])])
+        labels.append(label_val)
+        feats = [o[0], o[1], float(o[2]), e[0], e[1], float(e[2])]
+        raw.append(feats if task == "regression" else [bal] + feats)
 
     split_train = [(_knuth_bucket(i, seed) < 7000) for i in node_ids]
     n = sum(split_train)
     if n == 0:
         raise ValueError("empty train split")
 
-    m = len(raw[0])
-    means, stds = [], []
-    for j in range(m):
+    def train_stats(vals) -> tuple[float, float]:
         s = Decimal(0)
         q = Decimal(0)
-        for i, r in enumerate(raw):
+        for i, v in enumerate(vals):
             if split_train[i]:
-                s += _dec9(r[j])
-                q += _dec9(r[j] * r[j])
+                s += _dec9(v)
+                q += _dec9(v * v)
         mu = float(s) / n
         var = max(float(q) / n - mu * mu, 1e-12)
-        means.append(mu)
-        stds.append(var**0.5)
+        return mu, var**0.5
 
+    m = len(raw[0])
     X_num = np.array(raw, dtype=np.float64)
     for j in range(m):
-        X_num[:, j] = (X_num[:, j] - means[j]) / stds[j]
+        mu, sd = train_stats([r[j] for r in raw])
+        X_num[:, j] = (X_num[:, j] - mu) / sd
 
     codes_a = np.array(codes, dtype=np.int64)
-    y_a = np.array(labels, dtype=np.int64)
+    if task == "regression":
+        y_mu, y_sd = train_stats(labels)
+        y_a = (np.array(labels, dtype=np.float64) - y_mu) / y_sd
+    else:
+        y_a = np.array(labels, dtype=np.int64)
     train_mask = np.array(split_train)
     return node_ids, codes_a, y_a, X_num, train_mask
 
@@ -289,6 +309,52 @@ def _minibatch_losses(
     return losses
 
 
+def _regression_losses(
+    sf_dir: str, epochs: int = 6, lr: float = 0.2, seed: int = 42
+) -> list[float]:
+    """Replays ``plans.training.train_relational_regressor`` (default
+    c_acctbal target, as called by ``q_train_relational``): k=1 linear
+    head, half-squared error, standardized label. Returns the per-epoch
+    train losses."""
+    import numpy as np
+
+    _, codes_a, y_a, X_num, train_mask = _assemble(sf_dir, seed, task="regression")
+    tr_codes = codes_a[train_mask]
+    tr_nums = X_num[train_mask]
+    tr_y = y_a[train_mask]
+    n_train = int(train_mask.sum())
+    m = X_num.shape[1]
+
+    card = int(codes_a.max()) + 1
+    k = 1
+    dim, l2 = 4, 1e-4
+    rng = np.random.default_rng(seed)
+    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    W = rng.uniform(-0.5, 0.5, size=(dim + m, k)) * 0.1
+    b = np.zeros(k)
+
+    from .training import row_logits
+
+    glen = 1 + k + (dim + m) * k
+    losses: list[float] = []
+    for _ in range(epochs):
+        E, Wc, bc = emb.copy(), W.copy(), b.copy()
+        X = np.concatenate([E[tr_codes], tr_nums], axis=1)
+        pred = row_logits(X, Wc, bc)[:, 0]
+        r = pred - tr_y
+        loss_rows = 0.5 * r * r
+        resid = r[:, None]
+        gw = (X[:, :, None] * resid[:, None, :]).reshape(n_train, -1)
+        g = np.concatenate([loss_rows[:, None], resid, gw], axis=1)
+        tot, resid_by_code = _grad_fold(g, tr_codes, glen, k, card)
+        losses.append(
+            _sgd_update(
+                tot, resid_by_code, n_train, emb, W, b, Wc, dim, m, k, lr, l2
+            )
+        )
+    return losses
+
+
 def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     """The ``train_relational`` oracle: recompute BOTH loss trajectories
     (full-batch GD and the minibatch-SGD loop over budgeted per-root
@@ -297,7 +363,7 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     strtod). The data directory defaults to the driver's correctness SF;
     selfcheck overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at
     another SF."""
-    from .training import MINIBATCH_BENCH_CONFIG
+    from .training import MINIBATCH_BENCH_CONFIG, REGRESSION_BENCH_CONFIG
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
     rows = [
@@ -306,10 +372,15 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     ] + [
         ("minibatch", i, loss)
         for i, loss in enumerate(
-            # the SHARED config (plans/training.py) — the same dict
-            # q_train_relational unpacks, so the pinned trajectory and
-            # the engine run can never use different hyperparameters
+            # the SHARED configs (plans/training.py) — the same dicts
+            # q_train_relational unpacks, so the pinned trajectories and
+            # the engine runs can never use different hyperparameters
             _minibatch_losses(sf_dir, seed=seed, **MINIBATCH_BENCH_CONFIG)
+        )
+    ] + [
+        ("regression", i, loss)
+        for i, loss in enumerate(
+            _regression_losses(sf_dir, seed=seed, **REGRESSION_BENCH_CONFIG)
         )
     ]
     # the double literal goes through VARCHAR: DuckDB parses a bare

@@ -87,13 +87,20 @@ def row_logits(X, W, b):
     return logits
 
 
-def _gradient_pass(df, E, Wc, bc, dim, m, k, card):
+def _gradient_pass(df, E, Wc, bc, dim, m, k, card, task="classification"):
     """ONE Spark job: per-row loss/residual/gradient via a vectorized
     Arrow UDF over ``df(code, nums array<double>, label)``, folded with
     exact decimal sums per code group and accumulated on the driver.
     Returns ``(loss_sum, resid_tot, GW, resid_by_code)`` — the raw
     (unnormalized, unregularized) sums, bit-deterministic under any
-    partitioning. Shared by the full-batch and minibatch trainers."""
+    partitioning. Shared by the full-batch and minibatch trainers.
+
+    ``task``: ``"classification"`` (softmax cross-entropy over k
+    classes, int labels) or ``"regression"`` (k=1 linear output,
+    half-squared error, double labels — the reference's ``MSELoss``
+    branch, ``nn/lightning/lightning_wrapper.py:40,50-55``). Both emit
+    the same ``[loss, resid(k), grad_W(dim+m × k)]`` row layout, so the
+    fold, accumulation, and update algebra are shared."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -105,15 +112,22 @@ def _gradient_pass(df, E, Wc, bc, dim, m, k, card):
         # object per step — the udf ships the current values)
         codes = code.to_numpy(dtype=np.int64)
         X = np.concatenate([E[codes], np.vstack(nums.to_list())], axis=1)
-        y = label.to_numpy(dtype=np.int64)
-        logits = row_logits(X, Wc, bc)
-        logits -= logits.max(axis=1, keepdims=True)
-        ex = np.exp(logits)
-        P = ex / ex.sum(axis=1, keepdims=True)
         nrows = len(codes)
-        loss = -np.log(P[np.arange(nrows), y])
-        resid = P.copy()
-        resid[np.arange(nrows), y] -= 1.0
+        if task == "regression":
+            y = label.to_numpy(dtype=np.float64)
+            pred = row_logits(X, Wc, bc)[:, 0]
+            r = pred - y
+            loss = 0.5 * r * r
+            resid = r[:, None]
+        else:
+            y = label.to_numpy(dtype=np.int64)
+            logits = row_logits(X, Wc, bc)
+            logits -= logits.max(axis=1, keepdims=True)
+            ex = np.exp(logits)
+            P = ex / ex.sum(axis=1, keepdims=True)
+            loss = -np.log(P[np.arange(nrows), y])
+            resid = P.copy()
+            resid[np.arange(nrows), y] -= 1.0
         gw = (X[:, :, None] * resid[:, None, :]).reshape(nrows, -1)
         out = np.concatenate([loss[:, None], resid, gw], axis=1)
         # round to the decimal fold's scale HERE, in Python — the
@@ -161,10 +175,11 @@ def _gradient_pass(df, E, Wc, bc, dim, m, k, card):
     return loss_sum, resid_tot, GW, resid_by_code
 
 
-# The minibatch hyperparameters the driver query AND its oracle twin
-# share — one definition so the pinned VALUES trajectory can never
-# drift from what q_train_relational actually runs.
+# The minibatch/regression hyperparameters the driver query AND its
+# oracle twin share — one definition so the pinned VALUES trajectory
+# can never drift from what q_train_relational actually runs.
 MINIBATCH_BENCH_CONFIG = {"epochs": 4, "n_batches": 2, "neighbor_budget": 5}
+REGRESSION_BENCH_CONFIG = {"epochs": 6, "lr": 0.2}
 
 
 @dataclass
@@ -183,12 +198,19 @@ def assemble_training_frame(
     num_cols: tuple[str, ...] = ("c_acctbal",),
     seed: int = 42,
     neighbor_budget: int | None = None,
+    task: str = "classification",
 ) -> tuple[DataFrame, dict]:
     """One declarative plan: graph build → neighbor aggregation onto the
     target table → train-split standardization → factorized label +
     split. Returns ``(frame, meta)`` where frame has
     ``(node_id, code, nums array<double>, label, split)`` and meta
     carries cardinalities and feature names.
+
+    ``task="regression"``: the label is the target column cast to
+    double and standardized with TRAIN-split mean/std (recorded in
+    ``meta["y_mean"]/["y_std"]`` for de-normalizing predictions), NULL
+    labels dropped; the target column is excluded from the features
+    (leakage guard).
 
     Standardization stats come from exact decimal folds over the TRAIN
     split only (no test leakage) — deterministic under partitioning, so
@@ -203,6 +225,8 @@ def assemble_training_frame(
     row-level twin) are computed here for EVERY root in one fused
     scan-sample-aggregate plan — the Spark-first form of the loader."""
     target_table, target_col = target
+    if task == "regression":
+        num_cols = tuple(c for c in num_cols if c != target_col)
     g = build_hetero_graph(tables, primary_keys, foreign_keys, add_reverse=False)
 
     nodes = g.nodes[target_table]
@@ -233,9 +257,15 @@ def assemble_training_frame(
         ).na.fill(0.0, subset=agg_cols)
         feat_names += agg_cols
 
-    labeled = factorize_target(
-        nodes.select("node_id", target_col), target_col
-    ).select("node_id", "label")
+    if task == "regression":
+        labeled = (
+            nodes.select("node_id", F.col(target_col).cast("double").alias("label"))
+            .filter(F.col("label").isNotNull())
+        )
+    else:
+        labeled = factorize_target(
+            nodes.select("node_id", target_col), target_col
+        ).select("node_id", "label")
     frame = feats.join(labeled, "node_id", "inner")
     frame = random_node_split(frame, fractions=(0.7, 0.0, 0.3), seed=seed)
     # the assembly join chain (graph build + per-edge aggregations) is
@@ -251,6 +281,15 @@ def assemble_training_frame(
         F.max("code").alias("max_code"),
         F.max("label").alias("max_label"),
     ]
+    if task == "regression":
+        aggs.append(
+            F.sum(F.when(train_only, F.col("label")).cast(DECIMAL_TYPE)).alias("s_y")
+        )
+        aggs.append(
+            F.sum(
+                F.when(train_only, F.col("label") * F.col("label")).cast(DECIMAL_TYPE)
+            ).alias("q_y")
+        )
     for c in feat_names:
         aggs.append(
             F.sum(F.when(train_only, F.col(c)).cast(DECIMAL_TYPE)).alias(f"s_{c}")
@@ -275,10 +314,18 @@ def assemble_training_frame(
     nums = F.array(
         *[(F.col(c) - F.lit(means[c])) / F.lit(stds[c]) for c in feat_names]
     )
-    frame = frame.select("node_id", "code", nums.alias("nums"), "label", "split")
+    label_col = F.col("label")
+    y_mean = y_std = None
+    if task == "regression":
+        y_mean = float(st["s_y"]) / n
+        y_std = max(float(st["q_y"]) / n - y_mean * y_mean, 1e-12) ** 0.5
+        label_col = (F.col("label") - F.lit(y_mean)) / F.lit(y_std)
+    frame = frame.select(
+        "node_id", "code", nums.alias("nums"), label_col.alias("label"), "split"
+    )
 
     n_codes = st["max_code"] + 1
-    n_classes = st["max_label"] + 1
+    n_classes = 1 if task == "regression" else int(st["max_label"]) + 1
     meta = {
         "n_codes": int(n_codes),
         "n_classes": int(n_classes),
@@ -286,6 +333,8 @@ def assemble_training_frame(
         "feat_names": feat_names,
         "means": means,
         "stds": stds,
+        "y_mean": y_mean,
+        "y_std": y_std,
     }
     return frame, meta
 
@@ -510,4 +559,108 @@ def train_relational_minibatch(
         losses=losses,
         accuracy=accuracy,
         params={"emb": emb, "W": W, "b": b},
+    )
+
+
+def _split_mse(frame, emb, W, b) -> dict[str, float]:
+    """Per-split MSE (standardized-label space) with the trained
+    parameters — one Spark job."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Ef, Wf, bf = emb.copy(), W.copy(), b.copy()
+
+    def pred_fn(code, nums):
+        codes = code.to_numpy(dtype=np.int64)
+        X = np.concatenate([Ef[codes], np.vstack(nums.to_list())], axis=1)
+        return pd.Series(row_logits(X, Wf, bf)[:, 0])
+
+    pred_fn.__annotations__ = {"code": pd.Series, "nums": pd.Series, "return": pd.Series}
+    pudf = pandas_udf(pred_fn, "double")
+    rows = (
+        frame.select("split", "label", pudf("code", "nums").alias("pred"))
+        .groupBy("split")
+        .agg(
+            F.avg(
+                (F.col("pred") - F.col("label")) * (F.col("pred") - F.col("label"))
+            ).alias("mse")
+        )
+        .collect()
+    )
+    return {r["split"]: r["mse"] for r in rows}
+
+
+def train_relational_regressor(
+    tables: dict[str, DataFrame],
+    primary_keys: dict[str, list[str]],
+    foreign_keys: dict[str, list],
+    target: tuple[str, str] = ("customer", "c_acctbal"),
+    cat_col: str = "c_nationkey",
+    num_cols: tuple[str, ...] = (),
+    dim: int = 4,
+    epochs: int = 8,
+    lr: float = 0.2,
+    l2: float = 1e-4,
+    seed: int = 42,
+) -> TrainResult:
+    """The reference's REGRESSION task branch
+    (``TaskType.REGRESSION`` → ``MSELoss``,
+    ``nn/lightning/lightning_wrapper.py:40,50-55``): full-batch
+    gradient descent on half-squared error over [cat-embedding ++
+    standardized numeric aggregates] with a k=1 linear head, predicting
+    a numeric column of the target table from its relational
+    neighborhood. The label is train-standardized (``meta["y_mean"]/
+    ["y_std"]`` de-normalize). Same determinism contract as the
+    classifier: seeded init, exact decimal gradient folds, float64
+    driver updates — the per-epoch loss trajectory is bit-reproducible
+    and oracle-checked (``plans/train_oracle.py:_regression_losses``).
+    ``TrainResult.accuracy`` carries per-split MSE (standardized
+    space)."""
+    import numpy as np
+
+    frame, meta = assemble_training_frame(
+        tables,
+        primary_keys,
+        foreign_keys,
+        target,
+        cat_col,
+        num_cols,
+        seed=seed,
+        task="regression",
+    )
+    k = 1
+    m = meta["n_num"]
+    card = meta["n_codes"]
+    rng = np.random.default_rng(seed)
+    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    W = rng.uniform(-0.5, 0.5, size=(dim + m, k)) * 0.1
+    b = np.zeros(k)
+
+    train = frame.filter(F.col("split") == "train").select("code", "nums", "label")
+    sc = train.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism, 8))
+    train = train.repartition(parts).persist()
+    n_train = train.count()
+
+    losses: list[float] = []
+    for _ in range(epochs):
+        E, Wc, bc = emb.copy(), W.copy(), b.copy()
+        loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
+            train, E, Wc, bc, dim, m, k, card, task="regression"
+        )
+        loss = loss_sum / n_train + 0.5 * l2 * (
+            float((W * W).sum()) + float((emb * emb).sum())
+        )
+        losses.append(loss)
+        emb -= lr * (resid_by_code @ Wc[:dim].T / n_train + l2 * emb)
+        W -= lr * (GW / n_train + l2 * W)
+        b -= lr * resid_tot / n_train
+
+    mse = _split_mse(frame, emb, W, b)
+    train.unpersist()
+    return TrainResult(
+        losses=losses,
+        accuracy=mse,
+        params={"emb": emb, "W": W, "b": b, "y_mean": meta["y_mean"], "y_std": meta["y_std"]},
     )

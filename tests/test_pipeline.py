@@ -107,3 +107,21 @@ def test_minimum_slice_logs_to_tracker(db, tmp_path):
     assert kinds == ["params", "metrics", "best"]
     assert events[0]["params"]["target"] == "customer.c_mktsegment"
     assert 0.0 <= events[-1]["metrics"]["accuracy"] <= 1.0
+
+
+def test_minimum_slice_regression(db):
+    from deep_db_learning_spark.plans import minimum_slice
+
+    res = minimum_slice(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        target=("customer", "c_acctbal"),
+        depth=1,
+        task="regression",
+    )
+    m = res.metrics
+    assert set(m) >= {"mse", "mae", "nrmse"}
+    assert m["mse"] >= 0 and m["mae"] >= 0
+    # the schema analyzer honored the forced num target type
+    assert res.schema["customer"].columns["c_acctbal"].type == "num"

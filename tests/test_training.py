@@ -165,3 +165,32 @@ def test_neighbor_budget_caps_receptive_field(db):
         for r in sampled.filter(F.col("dst") < 5).collect()
     }
     assert pairs and pairs.issubset(visited)
+
+
+def test_regression_trainer_deterministic_and_descending(db):
+    from deep_db_learning_spark.plans.training import train_relational_regressor
+
+    res = train_relational_regressor(
+        db.tables, db.primary_keys, db.foreign_keys, epochs=4, seed=42
+    )
+    assert len(res.losses) == 4
+    assert all(b < a for a, b in zip(res.losses, res.losses[1:]))
+    res2 = train_relational_regressor(
+        db.tables, db.primary_keys, db.foreign_keys, epochs=4, seed=42
+    )
+    assert res.losses == res2.losses
+    # standardized-label space: the mean predictor scores mse 1.0 on
+    # train; a trained model must at least approach it
+    assert res.accuracy["train"] < 1.05
+    assert res.params["y_std"] > 0
+
+
+def test_regression_trainer_matches_numpy_decimal_twin(db):
+    from deep_db_learning_spark.plans.train_oracle import _regression_losses
+    from deep_db_learning_spark.plans.training import train_relational_regressor
+
+    res = train_relational_regressor(
+        db.tables, db.primary_keys, db.foreign_keys, epochs=3, lr=0.2, seed=42
+    )
+    twin = _regression_losses("/root/testdata/sf0.001", epochs=3, lr=0.2, seed=42)
+    assert res.losses == twin
