@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="table.column classification target",
     )
     p.add_argument("--mode", choices=("full", "minibatch", "slice"), default="full")
+    p.add_argument(
+        "--task", choices=("classification", "regression"), default="classification"
+    )
     p.add_argument("--epochs", "-e", type=int, default=8)
     p.add_argument("--lr", "-r", type=float, default=0.5)
     p.add_argument("--n-batches", type=int, default=2)
@@ -74,6 +77,7 @@ def run(spark, args) -> dict:
             target=(table, column),
             depth=1,
             seed=args.seed,
+            task=args.task,
         )
         summary = {"mode": "slice", **res.metrics}
         losses = []
@@ -81,9 +85,22 @@ def run(spark, args) -> dict:
         from deep_db_learning_spark.plans.training import (
             train_relational_classifier,
             train_relational_minibatch,
+            train_relational_regressor,
         )
 
-        if args.mode == "full":
+        if args.task == "regression":
+            if args.mode != "full":
+                raise SystemExit("--task regression supports --mode full or slice")
+            res = train_relational_regressor(
+                db.tables,
+                db.primary_keys,
+                db.foreign_keys,
+                target=(table, column),
+                epochs=args.epochs,
+                lr=args.lr,
+                seed=args.seed,
+            )
+        elif args.mode == "full":
             res = train_relational_classifier(
                 db.tables,
                 db.primary_keys,
@@ -106,10 +123,11 @@ def run(spark, args) -> dict:
                 neighbor_budget=args.neighbor_budget,
             )
         losses = res.losses
+        metric = "mse" if args.task == "regression" else "accuracy"
         summary = {
             "mode": args.mode,
             "final_train_loss": res.losses[-1],
-            **{f"{k}_accuracy": v for k, v in res.accuracy.items()},
+            **{f"{k}_{metric}": v for k, v in res.accuracy.items()},
         }
 
     if args.track:
