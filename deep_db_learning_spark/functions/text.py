@@ -15,6 +15,8 @@ speed; only genuinely non-expressible kernels drop to pandas UDFs.
 - fingerprinting: md5 content hash (portable) + rolling 64-bit
   polynomial hash over character shingles (winnowing-style)
 - shingling: character n-grams via sequence+substring (no UDF)
+- chunking: overlapping character windows, 1→N posexplode (RAG /
+  pre-embedding pass)
 """
 
 from __future__ import annotations
@@ -353,4 +355,41 @@ def contamination_matches(
         t.join(broadcast(e), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    overlap: int = 64,
+):
+    """1→N chunk expansion — split each document into overlapping
+    character windows (the standard pre-embedding/RAG chunking pass).
+    Returns ``(id_col, chunk_id, chunk_start, chunk)`` with
+    ``chunk_id`` 0-based per document and ``chunk_start`` the 0-based
+    character offset; windows start every ``size − overlap`` chars, so
+    consecutive chunks share ``overlap`` chars and their union is the
+    whole document. NULL/empty texts yield no chunks.
+
+    Pure codegen (``sequence`` + ``posexplode`` + dynamic-start
+    ``substring`` via the SQL expression form): a row-local 1→N
+    flatMap, no shuffle — at 100 TB this runs at scan speed and the
+    output inherits the input partitioning."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    starts = F.expr(
+        f"CASE WHEN {text_col} IS NULL OR length({text_col}) = 0 THEN array() "
+        f"ELSE sequence(0, length({text_col}) - 1, {step}) END"
+    )
+    return (
+        df.select(id_col, text_col, F.posexplode(starts).alias("chunk_id", "chunk_start"))
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.expr(f"substring({text_col}, chunk_start + 1, {size})").alias("chunk"),
+        )
     )

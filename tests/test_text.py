@@ -330,3 +330,41 @@ def test_redact_pii_matches_duckdb(spark, duck):
     assert got[6] == rows[6][1]
     # ...but a bare >=9-digit run is treated as an identifier
     assert got[7] == "serial <PHONE> leaked"
+
+
+def test_chunk_documents_reconstruct_and_match_duckdb(db, duck):
+    size, overlap = 100, 20
+    step = size - overlap
+    out = T.chunk_documents(db.df("documents"), size=size, overlap=overlap)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in db.df("documents").collect()}
+    assert set(by_doc) == {d for d, t in texts.items() if t}
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        t = texts[doc]
+        # chunk starts stride by step; every chunk is the real substring
+        for r in chunks:
+            assert r["chunk_start"] == r["chunk_id"] * step
+            assert r["chunk"] == t[r["chunk_start"]:r["chunk_start"] + size]
+        # dropping each chunk's overlap prefix reconstructs the doc
+        rebuilt = chunks[0]["chunk"] + "".join(
+            c["chunk"][overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == t
+    # cross-engine twin: generate_series + substr in DuckDB
+    want = set(
+        duck.execute(
+            f"""
+            SELECT doc_id, s.i // {step} AS chunk_id, s.i AS chunk_start,
+                   substr(text, s.i + 1, {size}) AS chunk
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, length(text), {step})) AS i) s
+            WHERE text IS NOT NULL AND length(text) > 0
+            """
+        ).fetchall()
+    )
+    got = {(r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk"]) for r in rows}
+    assert got == want
