@@ -87,6 +87,42 @@ def top_k_per_group(
     return out.withColumnRenamed("__rn", rank_col)
 
 
+def sample_neighbors_two_phase(
+    edges: DataFrame,
+    k: int,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+    n_salts: int = 16,
+) -> DataFrame:
+    """N27 with a hub-node guard: bit-identical output to
+    :func:`sample_neighbors`, but the per-dst window is split into two
+    phases so a celebrity node's edge set never lands in ONE task.
+
+    Exactness: the sample keeps the k smallest rows under the total
+    order ``(knuth_hash(src, seed), src)``. The global k smallest are
+    always among the union of per-salt k smallest (each is ≥ its
+    salt-group's k-th element), so phase 1 — window over
+    ``(dst, salt)`` with the SAME order, salt derived from src by a
+    second hash — loses nothing, and phase 2 re-ranks ≤ ``k·n_salts``
+    survivors per dst. A dst with 10⁷ in-edges costs one task of
+    ~10⁷/n_salts rows instead of 10⁷ (the same two-phase shape as
+    ``aggregate_neighbors_salted`` for algebraic aggs). Costs one
+    extra exchange — use the plain form when degrees are bounded."""
+    w1 = Window.partitionBy(
+        dst, F.pmod(knuth_hash(F.col(src), seed + 13), F.lit(n_salts))
+    ).orderBy(knuth_hash(F.col(src), seed), F.col(src))
+    w2 = Window.partitionBy(dst).orderBy(knuth_hash(F.col(src), seed), F.col(src))
+    return (
+        edges.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def sample_neighbors_all(
     edges: dict[str, DataFrame], k: int, seed: int = 42
 ) -> dict[str, DataFrame]:

@@ -142,3 +142,27 @@ def test_bfs_per_root_depth3_tags_survive_multihop(spark, db):
         assert got == want, t
         # single root: every row tagged with it
         assert tagged[t].select("root_id").distinct().collect()[0][0] == 5
+
+
+def test_two_phase_sampling_matches_plain_on_hub(spark):
+    """sample_neighbors_two_phase == sample_neighbors bit-for-bit, on a
+    graph with one hub dst holding 20k edges plus normal nodes — and
+    its phase-1 window partitions on (dst, salt), so the hub's rows
+    split across tasks instead of one."""
+    from deep_db_learning_spark.operators.sampling import (
+        sample_neighbors,
+        sample_neighbors_two_phase,
+    )
+
+    rows = [(s, 0) for s in range(20_000)] + [
+        (s, d) for d in range(1, 50) for s in range(d * 7, d * 7 + 5)
+    ]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint").repartition(8)
+    plain = sample_neighbors(edges, 10, seed=7)
+    two = sample_neighbors_two_phase(edges, 10, seed=7, n_salts=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, two.collect()))
+    # the hub still returns exactly k
+    assert two.filter(F.col("dst") == 0).count() == 10
+    # phase-1 exchange carries the salt expression, not bare dst
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan
