@@ -766,3 +766,67 @@ def simhash_candidate_pairs(
         )
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_dup_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document paragraph (boilerplate) removal — the standard
+    pipeline pass that strips headers/footers/licenses repeated across
+    documents (every occurrence of any paragraph appearing in
+    ≥ ``min_dup_docs`` DISTINCT documents is dropped; within-document
+    repeats alone don't qualify). Returns ``(id_col, text_col)`` with
+    the cleaned text, one row per input document (documents reduced to
+    nothing come back as the empty string — the caller decides whether
+    to drop them, e.g. with a quality filter).
+
+    Plan: posexplode paragraphs → distinct-doc count per exact
+    paragraph (md5 group key keeps the shuffle narrow — 16 bytes, not
+    the paragraph text) → anti-join the boilerplate set → re-assemble
+    with an order-pinned ``array_sort(collect_list(struct(pos, para)))``
+    (``collect_list`` order is partition-dependent; the sort makes the
+    result deterministic). Everything JVM-side; two shuffles (paragraph
+    count + doc re-assembly) keyed on hash/doc id respectively. The
+    boilerplate set is typically tiny — Spark broadcasts the anti-join
+    side under AQE."""
+    paras = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    boiler = (
+        paras.groupBy(F.md5(F.col("__para")).alias("__h"))
+        .agg(F.count_distinct("__doc").alias("__docs"))
+        .filter(F.col("__docs") >= min_dup_docs)
+        .select("__h")
+    )
+    kept = paras.join(
+        boiler.hint("broadcast"),
+        F.md5(F.col("__para")) == F.col("__h"),
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy("__doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__para")))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+        .select(F.col("__doc").alias(id_col), text_col)
+    )
+    # documents whose every paragraph was boilerplate drop out of the
+    # groupBy — restore them as empty strings so row counts are stable
+    all_docs = df.select(F.col(id_col)).distinct()
+    return (
+        all_docs.join(rebuilt, id_col, "left")
+        .na.fill({text_col: ""})
+    )

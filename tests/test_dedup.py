@@ -190,3 +190,55 @@ def test_simhash_pairs_work_with_string_ids(spark):
         dedup.simhash(df, "text"), "doc_id", n_blocks=4
     )
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in blocked.collect()} == got
+
+
+def test_dedup_paragraphs_boilerplate_removal(spark, duck):
+    """Cross-doc paragraph dedup: paragraphs shared by >=2 docs vanish
+    everywhere, per-doc order is preserved, fully-boilerplate docs come
+    back empty; matches a DuckDB twin."""
+    from deep_db_learning_spark.operators.dedup import dedup_paragraphs
+
+    license_line = "(c) 2024 Example Corp - all rights reserved"
+    rows = [
+        (0, f"{license_line}\nunique zero\nmore zero"),
+        (1, f"{license_line}\nunique one"),
+        (2, "unique two\nrepeated inside\nrepeated inside"),
+        (3, license_line),
+        (4, "all mine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df, "text", "doc_id").collect()}
+    assert out[0] == "unique zero\nmore zero"
+    assert out[1] == "unique one"
+    # within-doc repetition is NOT boilerplate (distinct-doc count = 1)
+    assert out[2] == rows[2][1]
+    assert out[3] == ""
+    assert out[4] == "all mine"
+    # DuckDB twin over the same rows
+    duck.execute("CREATE OR REPLACE TABLE pd_t(doc_id INT, text VARCHAR)")
+    duck.executemany("INSERT INTO pd_t VALUES (?, ?)", rows)
+    want = dict(
+        duck.execute(
+            """
+            WITH paras AS (
+              SELECT doc_id, i AS pos, p.para
+              FROM pd_t,
+                   LATERAL (SELECT unnest(string_split(text, chr(10))) AS para,
+                                   generate_subscripts(string_split(text, chr(10)), 1) AS i) p
+            ),
+            boiler AS (
+              SELECT para FROM paras GROUP BY para
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+              SELECT * FROM paras WHERE para NOT IN (SELECT para FROM boiler)
+            )
+            SELECT d.doc_id,
+                   coalesce(
+                     (SELECT string_agg(k.para, chr(10) ORDER BY k.pos)
+                      FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+            FROM pd_t d
+            """
+        ).fetchall()
+    )
+    assert out == want
