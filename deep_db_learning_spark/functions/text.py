@@ -380,9 +380,14 @@ def chunk_documents(
     if overlap >= size:
         raise ValueError(f"overlap ({overlap}) must be < size ({size})")
     step = size - overlap
+    # last start caps at length - overlap - 1: a start beyond that
+    # yields a chunk lying entirely inside the previous one's overlap
+    # (a strict substring — duplicate content downstream); the cap
+    # still covers the tail because consecutive starts are ≤ step
+    # apart, so last_start + size ≥ length
     starts = F.expr(
         f"CASE WHEN {text_col} IS NULL OR length({text_col}) = 0 THEN array() "
-        f"ELSE sequence(0, length({text_col}) - 1, {step}) END"
+        f"ELSE sequence(0, greatest(length({text_col}) - {overlap + 1}, 0), {step}) END"
     )
     return (
         df.select(id_col, text_col, F.posexplode(starts).alias("chunk_id", "chunk_start"))

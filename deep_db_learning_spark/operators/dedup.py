@@ -784,6 +784,10 @@ def dedup_paragraphs(
     nothing come back as the empty string — the caller decides whether
     to drop them, e.g. with a quality filter).
 
+    Blank/whitespace-only paragraphs are never counted as boilerplate
+    (two docs sharing a blank line must not strip blank lines
+    corpus-wide) and so always survive.
+
     Plan: posexplode paragraphs → distinct-doc count per exact
     paragraph (md5 group key keeps the shuffle narrow — 16 bytes, not
     the paragraph text) → anti-join the boilerplate set → re-assemble
@@ -791,20 +795,27 @@ def dedup_paragraphs(
     (``collect_list`` order is partition-dependent; the sort makes the
     result deterministic). Everything JVM-side; two shuffles (paragraph
     count + doc re-assembly) keyed on hash/doc id respectively. The
-    boilerplate set is typically tiny — Spark broadcasts the anti-join
-    side under AQE."""
+    anti-join strategy is left to AQE: the boilerplate set is usually
+    tiny (auto-broadcast), but on templated corpora it can be a large
+    fraction of all distinct paragraphs — a forced broadcast would OOM
+    exactly on the workload this op targets."""
+    # \Q...\E: Java-regex literal quoting — F.split takes a REGEX, and
+    # separators like "|" must not be interpreted
     paras = df.select(
         F.col(id_col).alias("__doc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("__pos", "__para"),
     )
     boiler = (
-        paras.groupBy(F.md5(F.col("__para")).alias("__h"))
+        paras.filter(F.trim(F.col("__para")) != "")
+        .groupBy(F.md5(F.col("__para")).alias("__h"))
         .agg(F.count_distinct("__doc").alias("__docs"))
         .filter(F.col("__docs") >= min_dup_docs)
         .select("__h")
     )
     kept = paras.join(
-        boiler.hint("broadcast"),
+        boiler,
         F.md5(F.col("__para")) == F.col("__h"),
         "left_anti",
     )

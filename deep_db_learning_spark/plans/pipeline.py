@@ -41,6 +41,7 @@ def build_node_features(
     table: str,
     depth: int = 1,
     aggs: tuple[str, ...] = ("mean", "sum", "min", "max"),
+    exclude: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
     """One (or more) message-passing layers of neighbor statistics onto
     ``table``'s nodes: for each edge type pointing at ``table``, the
@@ -48,14 +49,20 @@ def build_node_features(
 
     depth=2 first aggregates grand-neighbor numerics onto neighbors,
     then aggregates those aggregates — the relational form of a 2-layer
-    GNN receptive field."""
+    GNN receptive field.
+
+    ``exclude``: (table, column) pairs never used as features. A
+    numeric TARGET must be listed — at depth ≥ 2 with reverse edges its
+    value would otherwise round-trip (target → neighbor → target) back
+    into the feature set and leak the label."""
     feats: dict[str, DataFrame] = {}
     num_cols: dict[str, list[str]] = {}
+    banned = set(exclude)
     for t, nodes in graph.nodes.items():
         cols = [
             c
             for c, spec in schema[t].columns.items()
-            if spec.type == "num" and c in nodes.columns
+            if spec.type == "num" and c in nodes.columns and (t, c) not in banned
         ]
         num_cols[t] = cols
         feats[t] = nodes
@@ -123,7 +130,15 @@ def minimum_slice(
     schema = analyzer.guess_schema()
     graph = build_hetero_graph(tables, primary_keys, foreign_keys)
 
-    features = build_node_features(graph, schema, target_table, depth=depth)
+    features = build_node_features(
+        graph,
+        schema,
+        target_table,
+        depth=depth,
+        # leakage guard: the target column must never be a feature —
+        # at depth>=2 reverse edges would carry it back around
+        exclude=((target_table, target_col),),
+    )
     feature_cols = [c for c in features.columns if c != "node_id"]
 
     if task == "regression":

@@ -417,8 +417,10 @@ def train_relational_classifier(
     )
 
 
-def _split_accuracy(frame, emb, W, b) -> dict[str, float]:
-    """Per-split accuracy with the trained parameters — one Spark job."""
+def _split_eval(frame, emb, W, b, kind: str) -> dict[str, float]:
+    """Per-split metric with the trained parameters — one Spark job.
+    ``kind``: ``"accuracy"`` (argmax prediction) or ``"mse"``
+    (linear-head prediction, standardized-label space)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -428,17 +430,29 @@ def _split_accuracy(frame, emb, W, b) -> dict[str, float]:
     def pred_fn(code, nums):
         codes = code.to_numpy(dtype=np.int64)
         X = np.concatenate([Ef[codes], np.vstack(nums.to_list())], axis=1)
-        return pd.Series(np.argmax(row_logits(X, Wf, bf), axis=1).astype(np.int64))
+        out = row_logits(X, Wf, bf)
+        if kind == "mse":
+            return pd.Series(out[:, 0])
+        return pd.Series(np.argmax(out, axis=1).astype(np.int64))
 
     pred_fn.__annotations__ = {"code": pd.Series, "nums": pd.Series, "return": pd.Series}
-    pudf = pandas_udf(pred_fn, "bigint")
-    acc_rows = (
+    pudf = pandas_udf(pred_fn, "double" if kind == "mse" else "bigint")
+    err = F.col("pred") - F.col("label")
+    metric = (
+        F.avg(err * err) if kind == "mse"
+        else F.avg((F.col("pred") == F.col("label")).cast("double"))
+    )
+    rows = (
         frame.select("split", "label", pudf("code", "nums").alias("pred"))
         .groupBy("split")
-        .agg(F.avg((F.col("pred") == F.col("label")).cast("double")).alias("acc"))
+        .agg(metric.alias("m"))
         .collect()
     )
-    return {r["split"]: r["acc"] for r in acc_rows}
+    return {r["split"]: r["m"] for r in rows}
+
+
+def _split_accuracy(frame, emb, W, b) -> dict[str, float]:
+    return _split_eval(frame, emb, W, b, "accuracy")
 
 
 def train_relational_minibatch(
@@ -563,32 +577,8 @@ def train_relational_minibatch(
 
 
 def _split_mse(frame, emb, W, b) -> dict[str, float]:
-    """Per-split MSE (standardized-label space) with the trained
-    parameters — one Spark job."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    Ef, Wf, bf = emb.copy(), W.copy(), b.copy()
-
-    def pred_fn(code, nums):
-        codes = code.to_numpy(dtype=np.int64)
-        X = np.concatenate([Ef[codes], np.vstack(nums.to_list())], axis=1)
-        return pd.Series(row_logits(X, Wf, bf)[:, 0])
-
-    pred_fn.__annotations__ = {"code": pd.Series, "nums": pd.Series, "return": pd.Series}
-    pudf = pandas_udf(pred_fn, "double")
-    rows = (
-        frame.select("split", "label", pudf("code", "nums").alias("pred"))
-        .groupBy("split")
-        .agg(
-            F.avg(
-                (F.col("pred") - F.col("label")) * (F.col("pred") - F.col("label"))
-            ).alias("mse")
-        )
-        .collect()
-    )
-    return {r["split"]: r["mse"] for r in rows}
+    """Per-split MSE (standardized-label space) — see :func:`_split_eval`."""
+    return _split_eval(frame, emb, W, b, "mse")
 
 
 def train_relational_regressor(

@@ -39,7 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--task", choices=("classification", "regression"), default="classification"
     )
     p.add_argument("--epochs", "-e", type=int, default=8)
-    p.add_argument("--lr", "-r", type=float, default=0.5)
+    # None -> each trainer's own default (0.5 softmax-CE, 0.2 squared
+    # error — the regression objective tolerates a smaller step)
+    p.add_argument("--lr", "-r", type=float, default=None)
     p.add_argument("--n-batches", type=int, default=2)
     p.add_argument("--neighbor-budget", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -88,6 +90,7 @@ def run(spark, args) -> dict:
             train_relational_regressor,
         )
 
+        lr_kw = {} if args.lr is None else {"lr": args.lr}
         if args.task == "regression":
             if args.mode != "full":
                 raise SystemExit("--task regression supports --mode full or slice")
@@ -97,8 +100,8 @@ def run(spark, args) -> dict:
                 db.foreign_keys,
                 target=(table, column),
                 epochs=args.epochs,
-                lr=args.lr,
                 seed=args.seed,
+                **lr_kw,
             )
         elif args.mode == "full":
             res = train_relational_classifier(
@@ -107,8 +110,8 @@ def run(spark, args) -> dict:
                 db.foreign_keys,
                 target=(table, column),
                 epochs=args.epochs,
-                lr=args.lr,
                 seed=args.seed,
+                **lr_kw,
             )
         else:
             res = train_relational_minibatch(
@@ -118,9 +121,9 @@ def run(spark, args) -> dict:
                 target=(table, column),
                 epochs=args.epochs,
                 n_batches=args.n_batches,
-                lr=args.lr,
                 seed=args.seed,
                 neighbor_budget=args.neighbor_budget,
+                **lr_kw,
             )
         losses = res.losses
         metric = "mse" if args.task == "regression" else "accuracy"

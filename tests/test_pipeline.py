@@ -125,3 +125,27 @@ def test_minimum_slice_regression(db):
     assert m["mse"] >= 0 and m["mae"] >= 0
     # the schema analyzer honored the forced num target type
     assert res.schema["customer"].columns["c_acctbal"].type == "num"
+
+
+def test_minimum_slice_regression_depth2_no_label_leak(db):
+    """At depth 2 with reverse edges the target column would round-trip
+    into the features (target -> neighbor -> target) without the
+    exclude guard; a leak shows up as implausibly-perfect test MSE."""
+    from deep_db_learning_spark.plans import minimum_slice
+
+    res = minimum_slice(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        target=("customer", "c_acctbal"),
+        depth=2,
+        task="regression",
+    )
+    # c_acctbal is ~uniform noise w.r.t. the relational neighborhood:
+    # genuine features cannot explain it; the label itself could
+    label_var = (
+        db.df("customer")
+        .agg(F.var_pop("c_acctbal").alias("v"))
+        .first()["v"]
+    )
+    assert res.metrics["mse"] > 0.5 * label_var

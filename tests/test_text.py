@@ -361,7 +361,7 @@ def test_chunk_documents_reconstruct_and_match_duckdb(db, duck):
             SELECT doc_id, s.i // {step} AS chunk_id, s.i AS chunk_start,
                    substr(text, s.i + 1, {size}) AS chunk
             FROM documents,
-                 LATERAL (SELECT unnest(range(0, length(text), {step})) AS i) s
+                 LATERAL (SELECT unnest(range(0, greatest(length(text) - {overlap}, 1), {step})) AS i) s
             WHERE text IS NOT NULL AND length(text) > 0
             """
         ).fetchall()
