@@ -1,0 +1,55 @@
+"""Composed corpus-cleaning pipeline (operators/corpus.py)."""
+
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators.corpus import clean_corpus
+
+
+def _corpus(spark):
+    license_line = "shared license header across docs"
+    body_a = "the quick brown fox jumps over the lazy dog and runs far away into the hills " * 3
+    body_b = "the slow green turtle walks under the bright sun and rests in the warm sand " * 3
+    body_c = "contact me at someone@example.com about the meeting and the plans for it " * 3
+    rows = [
+        (0, f"{license_line}\n{body_a}"),
+        (1, f"{license_line}\n{body_b}"),
+        (2, "spam " * 39 + "spam"),    # repetitive: dup fraction 39/40
+        (3, "?!?!#@"),                 # low quality
+        (4, body_c),                   # original
+        (5, body_c),                   # exact duplicate of doc 4
+        (6, license_line),             # pure boilerplate
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_clean_corpus_cascade(spark):
+    df = _corpus(spark)
+    out, stats = clean_corpus(df, with_stats=True)
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert stats.input_docs == 7
+    # exact duplicate collapses to the min id FIRST (so the shared body
+    # does not get miscounted as cross-doc boilerplate)
+    assert stats.after_exact_dedup == 6
+    assert 4 in texts and 5 not in texts
+    # boilerplate header removed everywhere; the pure-boilerplate doc dies
+    assert 6 not in texts
+    assert all("shared license header" not in t for t in texts.values())
+    # repetitive + junk docs filtered
+    assert 2 not in texts and 3 not in texts
+    # header-stripped docs keep their unique bodies
+    assert texts[0].startswith("the quick brown fox")
+    assert texts[1].startswith("the slow green turtle")
+    # PII is gone but the document survived
+    assert "someone@example.com" not in texts[4] and "<EMAIL>" in texts[4]
+    assert sorted(texts) == [0, 1, 4]
+    assert stats.after_quality_filter == 3
+
+
+def test_clean_corpus_chunked_output(spark):
+    df = _corpus(spark)
+    chunks = clean_corpus(df, chunk_size=80, chunk_overlap=16)
+    rows = chunks.collect()
+    assert set(chunks.columns) == {"doc_id", "chunk_id", "chunk_start", "chunk"}
+    assert all(len(r["chunk"]) <= 80 for r in rows)
+    # surviving docs longer than one chunk produce multiple chunks
+    assert max(r["chunk_id"] for r in rows) >= 1
