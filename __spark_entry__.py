@@ -876,6 +876,17 @@ def q_ngram_jaccard_t07(spark, sf_dir):
     )
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Bench-only: the composed corpus-cleaning cascade (PII redact →
+    exact doc dedup → paragraph dedup → quality/repetition filter →
+    512/64 chunking) over the documents table — the end-to-end LLM
+    data-prep shape, one declarative plan."""
+    from deep_db_learning_spark.operators.corpus import clean_corpus
+
+    db = _db(spark, sf_dir)
+    return clean_corpus(db.df("documents"), chunk_size=512, chunk_overlap=64)
+
+
 def q_data_mixing(spark, sf_dir):
     """Bench-only: the source-mixing + shard-packing pipeline — keep
     per-source fractions of the corpus (portable-hash Bernoulli, no

@@ -137,6 +137,7 @@ def main() -> None:
         "simhash",
         "ngram_jaccard_t07",
         "data_mixing",
+        "clean_corpus",
         "text_stats",
         "quality_scores",
         "embedding_topk",

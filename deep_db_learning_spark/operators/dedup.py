@@ -806,19 +806,15 @@ def dedup_paragraphs(
         F.posexplode(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
         ).alias("__pos", "__para"),
-    )
+    ).withColumn("__h", F.md5(F.col("__para")))
     boiler = (
         paras.filter(F.trim(F.col("__para")) != "")
-        .groupBy(F.md5(F.col("__para")).alias("__h"))
+        .groupBy("__h")
         .agg(F.count_distinct("__doc").alias("__docs"))
         .filter(F.col("__docs") >= min_dup_docs)
         .select("__h")
     )
-    kept = paras.join(
-        boiler,
-        F.md5(F.col("__para")) == F.col("__h"),
-        "left_anti",
-    )
+    kept = paras.join(boiler, "__h", "left_anti")
     rebuilt = (
         kept.groupBy("__doc")
         .agg(
