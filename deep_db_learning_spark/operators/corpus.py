@@ -57,42 +57,70 @@ def clean_corpus(
     when ``with_stats``.
 
     Filters: exact dedup keeps the min-id representative of each
-    distinct (redacted) text; documents emptied by boilerplate removal,
-    scoring below ``min_quality``
-    (:func:`~..functions.text.quality_score`), or more repetitive than
-    ``max_dup_token_frac``
+    distinct (redacted) text; blank/whitespace-only documents
+    (including those emptied by boilerplate removal), documents scoring
+    below ``min_quality``
+    (:func:`~..functions.text.quality_score`), and documents more
+    repetitive than ``max_dup_token_frac``
     (:func:`~..functions.text.duplicate_token_fraction`) are dropped.
+
+    Only ``(id_col, text_col)`` flow through — metadata columns are
+    dropped at the first select; re-join them on ``id_col`` afterwards
+    (the stages reorder/regroup rows, so carrying wide payloads through
+    every shuffle would be pure cost).
+
+    ``with_stats`` runs one extra ``count()`` job per stage over a
+    persisted snapshot of that stage (audit mode — the plain call runs
+    no extra jobs and persists nothing).
     """
+    if boilerplate_min_docs is not None and boilerplate_min_docs < 2:
+        raise ValueError(
+            f"boilerplate_min_docs must be >= 2 (got {boilerplate_min_docs}): "
+            "at 1 every paragraph is 'shared' and the whole corpus empties"
+        )
+    persisted = []
+
+    def stage_count(frame):
+        # persist before counting so later stages (and the final
+        # action) reuse this prefix instead of recomputing the whole
+        # lineage once per stats job
+        persisted.append(frame.persist())
+        return frame.count()
+
     n_in = df.count() if with_stats else 0
 
     out = df.select(id_col, text_col)
     if redact:
         out = out.withColumn(text_col, T.redact_pii(F.col(text_col)))
     out = exact_dedup_keep_rows(out, text_col, id_col)
-    n_dedup = out.count() if with_stats else 0
+    n_dedup = stage_count(out) if with_stats else 0
 
     if boilerplate_min_docs is not None:
         out = dedup_paragraphs(
             out, text_col, id_col, min_dup_docs=boilerplate_min_docs
-        ).filter(F.col(text_col) != "")
-    n_para = out.count() if with_stats else 0
+        )
+        n_para = stage_count(out) if with_stats else 0
+    else:
+        n_para = n_dedup
 
-    # score in a PROJECTION, then filter on the columns: inside a
-    # Filter the HOF-heavy score expressions are interpreted without
-    # subexpression elimination (measured 2.5× slower than the
-    # project-then-filter shape on the same data)
-    out = (
-        out.withColumn("__q", T.quality_score(F.col(text_col)))
-        .withColumn("__dup", T.duplicate_token_fraction(F.col(text_col)))
-        .filter((F.col("__q") >= min_quality) & (F.col("__dup") <= max_dup_token_frac))
-        .drop("__q", "__dup")
+    # blank docs (born blank, or emptied by boilerplate removal) never
+    # reach the output — quality_score('') ties the default threshold,
+    # so an explicit guard is needed, not just the score filter
+    out = out.filter(
+        (F.trim(F.col(text_col)) != "")
+        & (T.quality_score(F.col(text_col)) >= min_quality)
+        & (T.duplicate_token_fraction(F.col(text_col)) <= max_dup_token_frac)
     )
-    n_qual = out.count() if with_stats else 0
+    n_qual = stage_count(out) if with_stats else 0
 
     if chunk_size is not None:
         out = T.chunk_documents(
             out, text_col, id_col, size=chunk_size, overlap=chunk_overlap
         )
     if with_stats:
+        out = out.persist()
+        out.count()
+        for p in persisted:
+            p.unpersist()
         return out, CleanStats(n_in, n_dedup, n_para, n_qual)
     return out

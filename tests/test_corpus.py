@@ -53,3 +53,25 @@ def test_clean_corpus_chunked_output(spark):
     assert all(len(r["chunk"]) <= 80 for r in rows)
     # surviving docs longer than one chunk produce multiple chunks
     assert max(r["chunk_id"] for r in rows) >= 1
+
+
+def test_clean_corpus_degenerate_docs_dropped(spark):
+    import pytest
+
+    from deep_db_learning_spark.operators.corpus import clean_corpus
+
+    rows = [
+        (0, "   "),          # whitespace-only
+        (1, ""),             # empty
+        (2, None),           # null
+        (3, "a perfectly normal document about the weather and the sea " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # with AND without the boilerplate stage, degenerate docs never
+    # reach the output (quality_score('') ties the 0.3 default — the
+    # explicit blank guard is what drops them)
+    for kw in ({}, {"boilerplate_min_docs": None}):
+        out = clean_corpus(df, **kw)
+        assert [r["doc_id"] for r in out.collect()] == [3]
+    with pytest.raises(ValueError, match="boilerplate_min_docs"):
+        clean_corpus(df, boilerplate_min_docs=1)
