@@ -876,6 +876,29 @@ def q_ngram_jaccard_t07(spark, sf_dir):
     )
 
 
+def q_lsh_verify_pairs_t07(spark, sf_dir):
+    """Bench-only: the PRODUCTION dedup composition at the same
+    parameterization as ``q_ngram_jaccard_t07`` (k=9, t=0.7) — MinHash
+    signatures → banded LSH candidate pairs → exact-Jaccard
+    verification of ONLY the candidates
+    (``ngram_jaccard_pairs(candidates=...)``). Same output contract
+    (id_a, id_b, jaccard ≥ t) as the bare exact join, but the exact
+    verification runs on the LSH-pruned pair set instead of the full
+    inverted-index self-join — the documented 100 TB path (BASELINE.md
+    scaling-probe section). The bare exact join stays available as the
+    oracle/recall-check shape."""
+    db = _db(spark, sf_dir)
+    df = db.df("documents")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    signed = dedup.minhash_signature(df, "text", num_perm=64, shingle_k=9)
+    cand = dedup.lsh_candidate_pairs(signed, "doc_id", bands=16)
+    return dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_k=9, threshold=0.7, candidates=cand
+    )
+
+
 def q_clean_corpus(spark, sf_dir):
     """Bench-only: the composed corpus-cleaning cascade (PII redact →
     exact doc dedup → paragraph dedup → quality/repetition filter →
@@ -2168,8 +2191,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
               SELECT user_id, ts, value,
-                sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+                -- CAST: DuckDB's integer window sum is HUGEINT, which a
+                -- pandas fetch (fetchdf, the driver's hash path) coerces
+                -- to float64 ("7.0" vs Spark's "7") — same pattern as
+                -- events_user_profile.sum_k. BIGINT survives as int64.
+                CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM flagged
             )
             SELECT user_id, session_id, count(*) AS n_events,

@@ -135,7 +135,12 @@ def main() -> None:
         "dedup_exact",
         "minhash_dedup",
         "simhash",
-        "ngram_jaccard_t07",
+        # the bare exact join (ngram_jaccard_t07, ~16-22 s, the most
+        # contention-sensitive entry) is replaced by the production
+        # LSH→exact-verify composition at the same (k=9, t=0.7); the
+        # exact shape remains covered by the registry's ngram_jaccard
+        # and by tools/scaleprobe.py
+        "lsh_verify_pairs_t07",
         "data_mixing",
         "clean_corpus",
         "text_stats",

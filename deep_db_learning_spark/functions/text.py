@@ -178,15 +178,20 @@ def duplicate_line_fraction(text: Column) -> Column:
 # (2024-01-02: 8 digits), datetimes (the space between date and time
 # is not a chainable separator in (c)), timestamps (12:30:45), and
 # ordinary decimals (3.14159265: 8-digit fraction) all stay intact.
-# Documented exception: any bare run of ≥9 digits IS redacted — at
-# that length a digit run is an account/serial/phone identifier more
-# often than prose, so erring toward redaction is the safe default
-# for a pre-training scrub.
+# Documented exceptions (erring toward redaction is the safe default
+# for a pre-training scrub):
+# - any bare run of ≥9 digits IS redacted — at that length a digit run
+#   is an account/serial/phone identifier more often than prose;
+# - dotted 4-part version strings ("1.2.3.4") are shape-identical to
+#   IPv4 and redact as <IP>;
+# - (a) requires ≥2 digits inside the parens, so citation-like prose
+#   ("figure (1) 2024-2025") survives, at the cost of the European
+#   trunk-prefix shape "+44 (0) 20 ..." no longer matching via (a).
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
     (
-        r"\+?[0-9]{0,3}[ -]?\([0-9]{1,4}\)[ -]?[0-9]{2,4}[ -]?[0-9]{2,4}[ -]?[0-9]{0,4}",
+        r"\+?[0-9]{0,3}[ -]?\([0-9]{2,4}\)[ -]?[0-9]{2,4}[ -]?[0-9]{2,4}[ -]?[0-9]{0,4}",
         "<PHONE>",
     ),
     (r"\+[0-9]{1,3}([ -][0-9]{2,4}){2,}", "<PHONE>"),
@@ -379,6 +384,10 @@ def chunk_documents(
     output inherits the input partitioning."""
     if overlap >= size:
         raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    if overlap < 0:
+        # a negative overlap makes step > size: uncovered gaps between
+        # chunks, violating the union-is-the-whole-document contract
+        raise ValueError(f"overlap ({overlap}) must be >= 0")
     step = size - overlap
     # last start caps at length - overlap - 1: a start beyond that
     # yields a chunk lying entirely inside the previous one's overlap

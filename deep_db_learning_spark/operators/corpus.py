@@ -32,7 +32,13 @@ from .dedup import dedup_paragraphs, exact_dedup_keep_rows
 @dataclass
 class CleanStats:
     """Row counts after each stage (one count job per stage — call
-    ``clean_corpus(..., with_stats=True)`` only when auditing)."""
+    ``clean_corpus(..., with_stats=True)`` only when auditing).
+
+    ``after_paragraph_dedup`` counts documents with NON-BLANK text
+    after boilerplate removal — the stage is row-count-preserving
+    (fully-boilerplate docs come back as empty strings), so a raw row
+    count would always equal ``after_exact_dedup`` and never show the
+    stage's effect."""
 
     input_docs: int
     after_exact_dedup: int
@@ -80,47 +86,63 @@ def clean_corpus(
         )
     persisted = []
 
-    def stage_count(frame):
+    def stage_persist(frame):
         # persist before counting so later stages (and the final
         # action) reuse this prefix instead of recomputing the whole
         # lineage once per stats job
         persisted.append(frame.persist())
-        return frame.count()
+        return frame
 
-    n_in = df.count() if with_stats else 0
+    try:
+        n_in = df.count() if with_stats else 0
 
-    out = df.select(id_col, text_col)
-    if redact:
-        out = out.withColumn(text_col, T.redact_pii(F.col(text_col)))
-    out = exact_dedup_keep_rows(out, text_col, id_col)
-    n_dedup = stage_count(out) if with_stats else 0
+        out = df.select(id_col, text_col)
+        if redact:
+            out = out.withColumn(text_col, T.redact_pii(F.col(text_col)))
+        out = exact_dedup_keep_rows(out, text_col, id_col)
+        n_dedup = stage_persist(out).count() if with_stats else 0
 
-    if boilerplate_min_docs is not None:
-        out = dedup_paragraphs(
-            out, text_col, id_col, min_dup_docs=boilerplate_min_docs
+        if boilerplate_min_docs is not None:
+            out = dedup_paragraphs(
+                out, text_col, id_col, min_dup_docs=boilerplate_min_docs
+            )
+            # count docs that still HAVE text — the stage preserves row
+            # count, so only the emptied-doc count shows its effect
+            n_para = (
+                stage_persist(out).filter(F.trim(F.col(text_col)) != "").count()
+                if with_stats
+                else 0
+            )
+        else:
+            n_para = n_dedup
+
+        # blank docs (born blank, or emptied by boilerplate removal)
+        # never reach the output — quality_score('') ties the default
+        # threshold, so an explicit guard is needed, not just the score
+        # filter
+        out = out.filter(
+            (F.trim(F.col(text_col)) != "")
+            & (T.quality_score(F.col(text_col)) >= min_quality)
+            & (T.duplicate_token_fraction(F.col(text_col)) <= max_dup_token_frac)
         )
-        n_para = stage_count(out) if with_stats else 0
-    else:
-        n_para = n_dedup
+        n_qual = stage_persist(out).count() if with_stats else 0
 
-    # blank docs (born blank, or emptied by boilerplate removal) never
-    # reach the output — quality_score('') ties the default threshold,
-    # so an explicit guard is needed, not just the score filter
-    out = out.filter(
-        (F.trim(F.col(text_col)) != "")
-        & (T.quality_score(F.col(text_col)) >= min_quality)
-        & (T.duplicate_token_fraction(F.col(text_col)) <= max_dup_token_frac)
-    )
-    n_qual = stage_count(out) if with_stats else 0
-
-    if chunk_size is not None:
-        out = T.chunk_documents(
-            out, text_col, id_col, size=chunk_size, overlap=chunk_overlap
-        )
-    if with_stats:
-        out = out.persist()
-        out.count()
+        if chunk_size is not None:
+            out = T.chunk_documents(
+                out, text_col, id_col, size=chunk_size, overlap=chunk_overlap
+            )
+        if with_stats:
+            out = out.persist()
+            try:
+                out.count()
+            except Exception:
+                out.unpersist()
+                raise
+            return out, CleanStats(n_in, n_dedup, n_para, n_qual)
+        return out
+    finally:
+        # a mid-cascade failure must not leak pinned stage frames; on
+        # success this runs after the final materializing count, so the
+        # returned (separately persisted) frame is unaffected
         for p in persisted:
             p.unpersist()
-        return out, CleanStats(n_in, n_dedup, n_para, n_qual)
-    return out

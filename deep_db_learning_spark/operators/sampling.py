@@ -96,8 +96,16 @@ def sample_neighbors_two_phase(
     n_salts: int = 16,
 ) -> DataFrame:
     """N27 with a hub-node guard: bit-identical output to
-    :func:`sample_neighbors`, but the per-dst window is split into two
-    phases so a celebrity node's edge set never lands in ONE task.
+    :func:`sample_neighbors` for payload-free ``(src, dst)`` edges,
+    but the per-dst window is split into two phases so a celebrity
+    node's edge set never lands in ONE task.
+
+    Tie caveat: the order ``(knuth_hash(src, seed), src)`` is total
+    over DISTINCT src values, but duplicate ``(src, dst)`` rows (or
+    edges carrying payload columns) tie under it — ``row_number``
+    breaks such ties arbitrarily, so phase 1 may retain a different
+    tie row than the single-window form. Identical modulo equal-key
+    ties; add payload columns to the order-by if their values matter.
 
     Exactness: the sample keeps the k smallest rows under the total
     order ``(knuth_hash(src, seed), src)``. The global k smallest are

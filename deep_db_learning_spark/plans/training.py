@@ -97,8 +97,12 @@ def _gradient_pass(df, E, Wc, bc, dim, m, k, card, task="classification"):
 
     ``task``: ``"classification"`` (softmax cross-entropy over k
     classes, int labels) or ``"regression"`` (k=1 linear output,
-    half-squared error, double labels — the reference's ``MSELoss``
-    branch, ``nn/lightning/lightning_wrapper.py:40,50-55``). Both emit
+    half-squared error ``0.5·r²``, double labels — the task of the
+    reference's ``MSELoss`` branch,
+    ``nn/lightning/lightning_wrapper.py:40,50-55``; note torch MSELoss
+    is mean ``r²``, so loss values and gradient scale here are exactly
+    HALF the reference's — absorbed into the learning rate, but the
+    trajectories are not numerically comparable at equal lr). Both emit
     the same ``[loss, resid(k), grad_W(dim+m × k)]`` row layout, so the
     fold, accumulation, and update algebra are shared."""
     import numpy as np

@@ -43,6 +43,10 @@ def test_clean_corpus_cascade(spark):
     assert "someone@example.com" not in texts[4] and "<EMAIL>" in texts[4]
     assert sorted(texts) == [0, 1, 4]
     assert stats.after_quality_filter == 3
+    # paragraph-stage stat counts docs that still HAVE text (the stage
+    # preserves row count): of the 6 post-dedup docs, only the pure
+    # -boilerplate doc 6 is emptied
+    assert stats.after_paragraph_dedup == 5
 
 
 def test_clean_corpus_chunked_output(spark):
@@ -75,3 +79,20 @@ def test_clean_corpus_degenerate_docs_dropped(spark):
         assert [r["doc_id"] for r in out.collect()] == [3]
     with pytest.raises(ValueError, match="boilerplate_min_docs"):
         clean_corpus(df, boilerplate_min_docs=1)
+    with pytest.raises(ValueError, match="overlap"):
+        clean_corpus(df, chunk_size=100, chunk_overlap=-1)
+
+
+def test_clean_corpus_stats_failure_unpersists(spark):
+    """A mid-cascade failure in audit mode must not leak pinned
+    frames: the chunking ValueError fires AFTER three stage persists,
+    and the try/finally must release them all."""
+    import pytest
+
+    df = _corpus(spark)
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(ValueError, match="overlap"):
+        clean_corpus(df, with_stats=True, chunk_size=10, chunk_overlap=20)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    leaked = set(after) - set(before)
+    assert not leaked, f"persisted frames leaked after failure: {leaked}"

@@ -124,3 +124,50 @@ def test_text_metrics_single_scan_no_shuffle(spark, entry):
     plan = explain(df, "simple")
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+# --------------------------------------------------- shuffle-count pins
+#
+# Regression gate for the hot bench queries (VERDICT r3 #5): each row
+# pins the static plan's Exchange count (`<=` — an improvement passes,
+# a new shuffle fails) and, where the design depends on it, the
+# broadcast-join count (`>=` — un-broadcasting a dimension or the
+# decontamination eval grams fails). Counts measured at sf0.001; the
+# static 'Exchange ' count is partition-size-independent (AQE may
+# coalesce at runtime, never add exchanges).
+PLAN_PINS = {
+    # query: (max_exchanges, min_broadcast_joins)
+    "tpch_q1": (1, 0),
+    "tpch_q3": (3, 4),
+    "tpch_q5": (6, 10),
+    "tpch_q6": (1, 0),
+    "tpch_q18": (3, 4),
+    "decontamination": (3, 2),  # eval grams MUST broadcast
+    "dedup_exact": (1, 0),
+    "minhash_dedup": (3, 0),
+    "simhash": (1, 2),
+    "events_hourly": (2, 0),
+    "events_sessions": (1, 0),
+    "customer_features": (6, 8),
+    "embedding_topk": (2, 0),
+    "message_2hop": (5, 6),
+    "attention_aggregate": (3, 4),
+    "data_mixing": (4, 2),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_PINS))
+def test_bench_query_shuffle_pins(spark, entry, name):
+    max_ex, min_bhj = PLAN_PINS[name]
+    fn = entry.queries().get(name) or getattr(entry, "q_" + name)
+    plan = explain(fn(spark, "/root/testdata/sf0.001"))
+    n_ex = plan.count("Exchange ")
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_ex <= max_ex, (
+        f"{name}: {n_ex} exchanges in plan, pinned max {max_ex} — a new "
+        "shuffle crept in; fix it or consciously re-pin"
+    )
+    assert n_bhj >= min_bhj, (
+        f"{name}: {n_bhj} broadcast joins, pinned min {min_bhj} — a "
+        "dimension/broadcast side stopped broadcasting"
+    )

@@ -332,6 +332,24 @@ def test_redact_pii_matches_duckdb(spark, duck):
     assert got[7] == "serial <PHONE> leaked"
 
 
+def test_redact_pii_citation_prose_survives(spark):
+    """Pattern (a) requires >=2 digits inside the parens: single-digit
+    citation parens followed by year ranges are prose, not phones."""
+    rows = [
+        (0, "see figure (1) 2024-2025 for details"),
+        (1, "item (7) 10-20 of the appendix"),
+        (2, "call (415) 555-0199 today"),  # real area code still redacts
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: r["red"]
+        for r in df.select("id", T.redact_pii(F.col("t")).alias("red")).collect()
+    }
+    assert got[0] == rows[0][1]
+    assert got[1] == rows[1][1]
+    assert got[2] == "call <PHONE> today"
+
+
 def test_chunk_documents_reconstruct_and_match_duckdb(db, duck):
     size, overlap = 100, 20
     step = size - overlap

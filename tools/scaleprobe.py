@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "decontamination",
     "simhash",
     "ngram_jaccard",
+    "lsh_verify_pairs_t07",
     "minhash_dedup",
     "text_dedup_clusters",
     "embedding_topk",
@@ -160,6 +161,11 @@ def main() -> None:
 
     names = args or DEFAULT_QUERIES
     qs = entry.queries()
+    # bench-only entries (outside the 50-slot registry) resolve via
+    # their q_<name> module functions, same as bench.py
+    for name in names:
+        if name not in qs and hasattr(entry, "q_" + name):
+            qs[name] = getattr(entry, "q_" + name)
     results = {}
     for name in names:
         if name not in qs:

@@ -5,6 +5,15 @@ Runs every ``queries()`` entry on Spark at sf0.01 and the matching
 row-count, column names, and a canonical value hash (columns sorted by
 name, rows sorted, floats rounded to 6 significant-ish decimals).
 
+Both results are ALSO materialized through pandas (Spark
+``toPandas()``, DuckDB ``fetchdf()``) to reproduce the driver's hash
+path: DuckDB coerces HUGEINT (integer window/group sums) to float64
+there, so an uncast ``sum()`` hashes as "7.0" against Spark's "7" at
+the driver even when ``fetchall()`` values are bit-identical (the r3
+``events_sessions`` false-green). An int-vs-float pandas dtype-kind
+mismatch between the two frames is a FAIL here; symmetric NULL
+promotion (both sides float64) is not.
+
 Usage: python tools/selfcheck.py [sf_dir] [only_query ...]
 """
 
@@ -18,6 +27,37 @@ import time
 import duckdb
 
 sys.path.insert(0, "/root/repo")
+
+
+def dtype_coercion_problems(spark_pdf, oracle_pdf):
+    """Integer<->float dtype-KIND mismatches between the two pandas
+    frames the driver's hasher actually compares (Spark ``toPandas()``
+    vs DuckDB ``fetchdf()``): an asymmetric promotion means "7" vs
+    "7.0" and a red hash even when raw values are identical.
+
+    NULL-promotion (nullable int -> float64 + NaN) is symmetric — both
+    engines promote the same column for the same data — so it never
+    trips this (r3 evidence: ``events_temporal_join.conversions``,
+    nullable BIGINT, driver-green). DuckDB HUGEINT (any uncast integer
+    sum) promotes to float64 on the oracle side ONLY — that is the
+    class that made ``events_sessions`` driver-red while ``fetchall()``
+    values matched bit-for-bit. Decimal is also benign: Spark lands it
+    as object(Decimal), DuckDB as float64, and every decimal query is
+    driver-green, so only {int,float} kind pairs are flagged.
+    """
+    problems = []
+    for col in oracle_pdf.columns:
+        if col not in spark_pdf.columns:
+            continue
+        sk = spark_pdf[col].dtype.kind  # i/u int, f float, O object, M datetime
+        ok_ = oracle_pdf[col].dtype.kind
+        if (sk in "iu" and ok_ == "f") or (sk == "f" and ok_ in "iu"):
+            problems.append(
+                f"dtype coercion on '{col}': spark pandas {spark_pdf[col].dtype}"
+                f" vs oracle pandas {oracle_pdf[col].dtype}"
+                " (uncast HUGEINT sum? wrap the oracle in CAST(... AS BIGINT))"
+            )
+    return problems
 
 
 def canon_value(v):
@@ -86,6 +126,9 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # second materialization through pandas — one half of the
+            # driver's hash path (costs a re-execution; audit tool)
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -99,11 +142,13 @@ def main():
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # second fetch through pandas — the driver's hash path
+            odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = dtype_coercion_problems(spdf, odf)
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
