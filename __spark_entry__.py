@@ -539,9 +539,11 @@ def q_train_relational(spark, sf_dir):
     from deep_db_learning_spark.plans.training import (
         MINIBATCH_BENCH_CONFIG,
         REGRESSION_BENCH_CONFIG,
+        TWO_LAYER_BENCH_CONFIG,
         train_relational_classifier,
         train_relational_minibatch,
         train_relational_regressor,
+        train_relational_two_layer,
     )
 
     db = _db(spark, sf_dir)
@@ -562,10 +564,22 @@ def q_train_relational(spark, sf_dir):
         seed=42,
         **REGRESSION_BENCH_CONFIG,
     )
+    # depth-2 end-to-end backprop: tanh layer over each root's orders
+    # (with a lineitem decimal-fold feature — a genuine 2-hop receptive
+    # field), mean-aggregated into the head; BOTH weight matrices
+    # trained through the aggregation (plans/training.py §two-layer)
+    two = train_relational_two_layer(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        seed=42,
+        **TWO_LAYER_BENCH_CONFIG,
+    )
     rows = (
         [("full", i, float(l)) for i, l in enumerate(full.losses)]
         + [("minibatch", i, float(l)) for i, l in enumerate(mb.losses)]
         + [("regression", i, float(l)) for i, l in enumerate(reg.losses)]
+        + [("two_layer", i, float(l)) for i, l in enumerate(two.losses)]
     )
     return spark.createDataFrame(rows, "mode string, epoch int, train_loss double")
 

@@ -93,3 +93,11 @@ def split_label_sql(
         f"CASE WHEN ({h}) % 10000 < {train_hi} THEN 'train' "
         f"WHEN ({h}) % 10000 < {val_hi} THEN 'val' ELSE 'test' END"
     )
+
+
+def knuth_hash_py(key: int, seed: int = 42) -> int:
+    """Scalar Python twin of :func:`knuth_hash` — for driver-side batch
+    assignment over a collected root set (the minibatch trainers). One
+    definition per side: engine code calls THIS, the oracle twin keeps
+    its own independent ``_knuth`` (plans/train_oracle.py)."""
+    return ((key % MERSENNE_31 + MERSENNE_31) % MERSENNE_31 + seed) * KNUTH % MERSENNE_31

@@ -363,7 +363,11 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     strtod). The data directory defaults to the driver's correctness SF;
     selfcheck overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at
     another SF."""
-    from .training import MINIBATCH_BENCH_CONFIG, REGRESSION_BENCH_CONFIG
+    from .training import (
+        MINIBATCH_BENCH_CONFIG,
+        REGRESSION_BENCH_CONFIG,
+        TWO_LAYER_BENCH_CONFIG,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
     rows = [
@@ -382,6 +386,11 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
         for i, loss in enumerate(
             _regression_losses(sf_dir, seed=seed, **REGRESSION_BENCH_CONFIG)
         )
+    ] + [
+        ("two_layer", i, loss)
+        for i, loss in enumerate(
+            _two_layer_losses(sf_dir, seed=seed, **TWO_LAYER_BENCH_CONFIG)
+        )
     ]
     # the double literal goes through VARCHAR: DuckDB parses a bare
     # 17-digit numeric literal as DECIMAL and its decimal→double cast is
@@ -396,3 +405,157 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
               {values}
         ) AS t(mode, epoch, train_loss)
     """
+
+
+def _two_layer_losses(
+    sf_dir: str,
+    epochs: int = 3,
+    n_batches: int = 2,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    d1: int = 4,
+) -> list[float]:
+    """Replays ``plans.training.train_relational_two_layer`` (bench
+    config, as called by ``q_train_relational``) — the 2-layer
+    minibatch trajectory: DuckDB for the relational assembly (root
+    features AND the orders-side layer-1 frame with its lineitem
+    decimal-fold mean, knuth budget sample, global standardization),
+    numpy for the layer math, ``decimal.Decimal`` for the hbar and dW1
+    folds. The head step is the SAME shared function the engine runs
+    (``training.two_layer_head_step`` — precedent: ``row_logits``);
+    independence lives in the data path, which is where engines can
+    disagree."""
+    import duckdb
+    import numpy as np
+
+    from .training import ORDER_FEATURES, two_layer_head_step
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    tr_sel = np.where(train_mask)[0]
+    ids = np.array(node_ids, dtype=np.int64)[tr_sel]
+    codes = codes_a[tr_sel]
+    nums = X_num[tr_sel]
+    y = y_a[tr_sel]
+
+    # ---- orders-side layer-1 frame twin
+    con = duckdb.connect()
+    li_rows = con.execute(
+        f"SELECT l_orderkey, l_quantity "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    li_groups: dict[int, list[float]] = {}
+    for ok_, v in li_rows:
+        li_groups.setdefault(ok_, []).append(v)
+    li_mean = {}
+    for ok_, vs in li_groups.items():
+        s = Decimal(0)
+        for v in vs:
+            s += _dec9(v)
+        li_mean[ok_] = float(s) / len(vs)
+
+    ord_rows = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_totalprice "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') "
+        f"WHERE o_custkey IS NOT NULL"
+    ).fetchall()
+    groups: dict[int, list[tuple[int, float, float]]] = {}
+    for ok_, ck, tp in ord_rows:
+        groups.setdefault(ck, []).append((ok_, tp, li_mean.get(ok_, 0.0)))
+    kept: dict[int, list[list[float]]] = {}
+    all_feats: list[list[float]] = []
+    for ck, g in groups.items():
+        if neighbor_budget is not None:
+            g = sorted(g, key=lambda r: (_knuth(r[0], seed), r[0]))
+            g = g[:neighbor_budget]
+        feats = [[tp, lm] for _, tp, lm in g]
+        kept[ck] = feats
+        all_feats.extend(feats)
+
+    m1 = len(ORDER_FEATURES)
+    n = len(all_feats)
+    stats = []
+    for j in range(m1):
+        s = Decimal(0)
+        q = Decimal(0)
+        for row in all_feats:
+            s += _dec9(row[j])
+            q += _dec9(row[j] * row[j])
+        mu = float(s) / n
+        sd = max(float(q) / n - mu * mu, 1e-12) ** 0.5
+        stats.append((mu, sd))
+    x_of = {
+        ck: np.array(
+            [[(row[j] - stats[j][0]) / stats[j][1] for j in range(m1)] for row in feats],
+            dtype=np.float64,
+        )
+        for ck, feats in kept.items()
+    }
+
+    # ---- training loop twin
+    from .training import row_logits
+
+    batch_of = np.array(
+        [_knuth(int(i), seed + 7) % n_batches for i in ids], dtype=np.int64
+    )
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    dim, lr, l2 = 4, 0.5, 1e-4
+    m = nums.shape[1]
+    rng = np.random.default_rng(seed)
+    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    W1 = rng.uniform(-0.5, 0.5, size=(m1, d1)) * 0.1
+    b1 = np.zeros(d1)
+    W2 = rng.uniform(-0.5, 0.5, size=(dim + m + d1, k)) * 0.1
+    b2 = np.zeros(k)
+
+    losses: list[float] = []
+    for _ in range(epochs):
+        for bi in range(n_batches):
+            sel = batch_of == bi
+            bids = ids[sel]
+            n_b = int(sel.sum())
+            # job-A twin: per-root decimal fold of quantized tanh rows
+            hbar = np.zeros((n_b, d1))
+            degs = np.zeros(n_b, dtype=np.int64)
+            for j, i in enumerate(bids):
+                X = x_of.get(int(i))
+                if X is None or not len(X):
+                    continue
+                H = np.tanh(row_logits(X, W1, b1))
+                sums = [Decimal(0)] * d1
+                for hrow in H:
+                    for jj in range(d1):
+                        sums[jj] += _dec9(hrow[jj])
+                hbar[j] = [float(sums[jj]) / len(X) for jj in range(d1)]
+                degs[j] = len(X)
+            loss, GW2, gb2, demb, gH = two_layer_head_step(
+                codes[sel], nums[sel], hbar, y[sel], emb, W1, W2, b2, l2
+            )
+            losses.append(loss)
+            # job-B twin: global decimal fold of [x (x) delta ++ delta]
+            glen = m1 * d1 + d1
+            tot = [Decimal(0)] * glen
+            for j, i in enumerate(bids):
+                if degs[j] == 0:
+                    continue
+                X = x_of[int(i)]
+                gvec = gH[j] / degs[j]
+                H = np.tanh(row_logits(X, W1, b1))
+                D = gvec * (1.0 - H * H)
+                out = np.concatenate(
+                    [(X[:, :, None] * D[:, None, :]).reshape(len(X), -1), D],
+                    axis=1,
+                )
+                for row in out:
+                    for ii in range(glen):
+                        tot[ii] += _dec9(row[ii])
+            dW1 = np.array([float(tot[ii]) for ii in range(m1 * d1)]).reshape(m1, d1)
+            db1g = np.array([float(tot[m1 * d1 + ii]) for ii in range(d1)])
+            emb -= lr * (demb / n_b + l2 * emb)
+            W2 -= lr * (GW2 / n_b + l2 * W2)
+            b2 -= lr * (gb2 / n_b)
+            W1 -= lr * (dW1 / n_b + l2 * W1)
+            b1 -= lr * (db1g / n_b)
+    return losses

@@ -194,3 +194,55 @@ def test_regression_trainer_matches_numpy_decimal_twin(db):
     )
     twin = _regression_losses("/root/testdata/sf0.001", epochs=3, lr=0.2, seed=42)
     assert res.losses == twin
+
+
+def test_two_layer_matches_numpy_decimal_twin(db):
+    """The depth-2 trajectory (tanh orders layer -> decimal-fold mean
+    aggregation -> head; BOTH weight matrices trained) is recomputed
+    bit-for-bit by the independent twin — assembly in DuckDB, hbar and
+    dW1 folds in python Decimal."""
+    from deep_db_learning_spark.plans.train_oracle import _two_layer_losses
+    from deep_db_learning_spark.plans.training import (
+        train_relational_two_layer,
+    )
+
+    res = train_relational_two_layer(
+        db.tables, db.primary_keys, db.foreign_keys,
+        epochs=2, n_batches=2, seed=42, neighbor_budget=5,
+    )
+    twin = _two_layer_losses(
+        "/root/testdata/sf0.001", epochs=2, n_batches=2, seed=42,
+        neighbor_budget=5,
+    )
+    assert res.losses == twin
+    assert len(res.losses) == 4
+    # both W1 and W2 moved off their init — the second layer actually
+    # receives gradient through the aggregation
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    card, dim = res.params["emb"].shape
+    rng.uniform(-0.5, 0.5, size=(card, dim))
+    W1_init = rng.uniform(-0.5, 0.5, size=res.params["W1"].shape) * 0.1
+    W2_init = rng.uniform(-0.5, 0.5, size=res.params["W2"].shape) * 0.1
+    assert not np.array_equal(res.params["W1"], W1_init)
+    assert not np.array_equal(res.params["W2"], W2_init)
+    assert "train" in res.accuracy and "test" in res.accuracy
+
+
+def test_two_layer_descending_trend(db):
+    """Per-batch SGD loss subsequences descend in trend at the bench
+    hyperparameters (same contract the 1-layer minibatch holds)."""
+    from deep_db_learning_spark.plans.training import (
+        TWO_LAYER_BENCH_CONFIG,
+        train_relational_two_layer,
+    )
+
+    res = train_relational_two_layer(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        **TWO_LAYER_BENCH_CONFIG,
+    )
+    nb = TWO_LAYER_BENCH_CONFIG["n_batches"]
+    for bi in range(nb):
+        seq = res.losses[bi::nb]
+        assert seq[-1] < seq[0]
