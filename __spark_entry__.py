@@ -2214,7 +2214,13 @@ def oracle_sql() -> dict[str, str]:
               FROM flagged
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   min(ts) AS session_start, max(ts) AS session_end,
+                   -- CAST: project through microsecond TIMESTAMP so a
+                   -- TIMESTAMP(NANOS)-parquet environment truncates
+                   -- exactly like Spark's read does (this container's
+                   -- parquet is already µs — the cast is a no-op here,
+                   -- the gap math above does the same)
+                   min(CAST(ts AS TIMESTAMP)) AS session_start,
+                   max(CAST(ts AS TIMESTAMP)) AS session_end,
                    {exact_sum_sql('value')} AS sum_value
             FROM sess GROUP BY 1, 2
         """,
@@ -2229,7 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "node_store": f"""
             SELECT user_id, count(*) AS n_events,
                    {exact_sum_sql('value')} AS sum_value,
-                   max(ts) AS last_ts
+                   max(CAST(ts AS TIMESTAMP)) AS last_ts
             FROM events GROUP BY user_id
         """,
         "events_temporal_join": f"""

@@ -4,11 +4,13 @@ reference counterpart; BASELINE.json north star).
 Media are **opaque binary columns with typed metadata structs**; the
 Spark-side contract — schema, Arrow batch shape, partition sizing — is
 real and tested. Codec kernels: BMP (24-bit uncompressed), PNG (8-bit
-gray/RGB/RGBA/palette, stdlib zlib + numpy), and WAV PCM are REAL
-decoders implemented here; formats that genuinely need external
-libraries (JPEG, video containers) stay STUBBED behind
-``use_fake=True`` (a clearly marked deterministic fake used by tests)
-or raise ``NotImplementedError`` naming the library that plugs in.
+gray/RGB/RGBA/palette, stdlib zlib + numpy), baseline JPEG (SOF0
+huffman + IDCT, 4:4:4 and 4:2:0, DRI/RSTn — pure numpy, see the JPEG
+section below), and WAV PCM are REAL codecs implemented here; formats
+that genuinely need external libraries (video containers, progressive
+JPEG, non-PCM audio) stay STUBBED behind ``use_fake=True`` (a clearly
+marked deterministic fake used by tests) or raise
+``NotImplementedError`` naming the library/feature that plugs in.
 
 Batch-shape rules that matter at 100 TB:
 
@@ -102,8 +104,9 @@ def decode_features(
     """
     if kernel is None and not use_fake:
         raise NotImplementedError(
-            "no codec given: pass kernel=png_feature_kernel(dim) for PNG media, "
-            "a Pillow/torchaudio/pyav-backed kernel for other formats, "
+            "no codec given: pass kernel=png_feature_kernel(dim) for PNG, "
+            "jpeg_feature_kernel(dim) for baseline JPEG, a Pillow/"
+            "torchaudio/pyav-backed kernel for other formats, "
             "or use_fake=True for plumbing tests"
         )
     spark = media.sparkSession
@@ -398,8 +401,9 @@ def resize_images(
     if kernel is None and not use_fake:
         raise NotImplementedError(
             "no resize kernel given: pass kernel=bmp_resize_kernel / "
-            "png_resize_kernel (real, numpy-only) for BMP/PNG media, a "
-            "Pillow/opencv-backed kernel for other formats, or use_fake=True"
+            "png_resize_kernel / jpeg_resize_kernel (real, numpy-only) "
+            "for BMP/PNG/baseline-JPEG media, a Pillow/opencv-backed "
+            "kernel for other formats, or use_fake=True"
         )
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch))
@@ -569,3 +573,544 @@ def audio_features(media: DataFrame, content_col: str = "content") -> DataFrame:
     return media.withColumn("audio", udf(F.col(content_col))).select(
         "*", "audio.*"
     ).drop("audio")
+
+
+# ----------------------------------------------------------- JPEG codec
+#
+# Baseline-sequential JFIF (SOF0), pure numpy + stdlib — the third real
+# image codec (siblings: PNG, BMP above). Scope: 8-bit precision,
+# huffman entropy coding, 1 or 3 components, chroma subsampling factors
+# 1-2, DRI/RSTn restart intervals; progressive (SOF2) and arithmetic
+# coding raise NotImplementedError naming the feature. The encoder
+# writes grayscale or 4:4:4 colour with the Annex-K example tables;
+# the decoder reads quant/huffman tables FROM THE FILE, so the pair is
+# self-consistent by construction and the round-trip error is exactly
+# the quantization loss.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.1 example quantization tables (quality ~50)
+_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 example huffman tables: (bits[1..16], values)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    import numpy as np
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = (0.5 ** 0.5) if u == 0 else 1.0
+        for x in range(8):
+            C[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+def _huff_codes(bits, values):
+    """Canonical huffman: {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, values):
+    """{(length, code): symbol} for the reader."""
+    out = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise EOFError("entropy stream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, dmap) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            s = dmap.get((length, code))
+            if s is not None:
+                return s
+        raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _mag_category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder: uint8 (H,W) grayscale or (H,W,3) RGB →
+    JPEG bytes (Annex-K tables). Colour is 4:4:4 by default;
+    ``subsample=True`` writes 4:2:0 (2×2 box-averaged chroma, the
+    common real-world form). ``restart_interval`` > 0 emits DRI/RSTn
+    every that many MCUs. Round-trip loss = quantization (+ chroma
+    averaging when subsampled)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_jpeg_bytes wants uint8")
+    gray = a.ndim == 2
+    if gray and subsample:
+        raise ValueError("subsample applies to colour images only")
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def box2(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.empty((hh, ww))
+                pp[: p.shape[0], : p.shape[1]] = p
+                if hh > p.shape[0]:
+                    pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+                if ww > p.shape[1]:
+                    pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+                return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+
+            planes = [y, box2(cb), box2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+
+    C = _dct_matrix()
+    qts = [np.array(_QT_LUMA).reshape(8, 8).astype(np.float64)]
+    if not gray:
+        qts.append(np.array(_QT_CHROMA).reshape(8, 8).astype(np.float64))
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA)]
+    if not gray:
+        dc_tabs.append(_huff_codes(*_HT_DC_CHROMA))
+        ac_tabs.append(_huff_codes(*_HT_AC_CHROMA))
+
+    padded = []
+    for ci, p in enumerate(planes):
+        sh, sv = samp[ci]
+        ph, pw = my * sv * 8, mx * sh * 8
+        pp = np.empty((ph, pw))
+        ch, cw = p.shape
+        pp[:ch, :cw] = p
+        if ph > ch:
+            pp[ch:, :cw] = p[ch - 1 : ch, :]
+        if pw > cw:
+            pp[:, cw:] = pp[:, cw - 1 : cw]
+        padded.append(pp)
+
+    def encode_block(bw, block, ti, pred, ci):
+        Fq = np.round(C @ (block - 128.0) @ C.T / qts[ti]).astype(np.int64)
+        zz = [int(Fq.flat[z]) for z in _ZIGZAG]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        t = _mag_category(diff)
+        code, ln = dc_tabs[ti][t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c0, l0 = ac_tabs[ti][0xF0]  # ZRL
+                bw.write(c0, l0)
+                run -= 16
+            t = _mag_category(v)
+            code, ln = ac_tabs[ti][(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last_nz < 63:
+            c0, l0 = ac_tabs[ti][0x00]  # EOB
+            bw.write(c0, l0)
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    mcu = 0
+    rst_n = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                pred = [0] * len(planes)
+            for ci, p in enumerate(padded):
+                ti = 0 if (gray or ci == 0) else 1
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for hI in range(sh):
+                        y0 = (myi * sv + v) * 8
+                        x0 = (mxi * sh + hI) * 8
+                        encode_block(bw, p[y0 : y0 + 8, x0 : x0 + 8], ti, pred, ci)
+            mcu += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qts):
+        zz = bytes(int(qt.flat[z]) for z in _ZIGZAG)
+        out += seg(0xDB, bytes([ti]) + zz)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        qi = 0 if ci == 0 else 1
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qi])
+    out += seg(0xC0, sof)
+    hts = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if not gray:
+        hts += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc, (bits, values) in hts:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(values))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        ht = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, ht])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_bytes(content: bytes):
+    """Baseline JFIF decoder → uint8 array (H,W) or (H,W,3). Reads
+    quant + huffman tables from the file; supports 1-4 components,
+    sampling factors 1-2, and DRI/RSTn. Progressive (SOF2) and
+    arithmetic coding raise ``NotImplementedError``."""
+    import numpy as np
+
+    d = content
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    scan = None
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is supported"
+            )
+        ln = int.from_bytes(d[pos : pos + 2], "big")
+        payload = d[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64)
+                for i in range(64):
+                    tbl[_ZIGZAG[i]] = payload[p + i]
+                qt[tq] = tbl.reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                values = list(payload[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _huff_decode_map(bits, values)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0
+            prec = payload[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            H = int.from_bytes(payload[1:3], "big")
+            W = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (H, W, comps)
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            sel = {}
+            for si in range(ns):
+                cs, tt = payload[1 + 2 * si : 3 + 2 * si]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            scan_start = pos + ln
+            # entropy data runs to the next non-RST marker
+            p = scan_start
+            while p < len(d) - 1:
+                if d[p] == 0xFF and d[p + 1] not in (0x00, *range(0xD0, 0xD8)):
+                    break
+                p += 1
+            scan = (sel, d[scan_start:p])
+            pos = p
+            continue
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    H, W, comps = frame
+    sel, data = scan
+
+    # split on RSTn, de-stuff each segment
+    segs = []
+    cur = bytearray()
+    p = 0
+    while p < len(data):
+        if data[p] == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else 0
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+        cur.append(data[p])
+        p += 1
+    segs.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx, my = -(-W // (8 * hmax)), -(-H // (8 * vmax))
+    planes = [
+        np.zeros((my * c["v"] * 8, mx * c["h"] * 8)) for c in comps
+    ]
+    C = _dct_matrix()
+    pred = [0] * len(comps)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    mcu = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart and mcu and mcu % restart == 0:
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_map = huff[(0, sel[c["id"]][0])]
+                ac_map = huff[(1, sel[c["id"]][1])]
+                q = qt[c["tq"]]
+                for v in range(c["v"]):
+                    for hI in range(c["h"]):
+                        t = br.symbol(dc_map)
+                        diff = _extend(br.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz = np.zeros(64)
+                        zz[0] = pred[ci]
+                        i = 1
+                        while i < 64:
+                            rs = br.symbol(ac_map)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            t = rs & 0xF
+                            if i > 63:
+                                raise ValueError("AC index overflow")
+                            zz[i] = _extend(br.bits(t), t)
+                            i += 1
+                        Fq = np.zeros(64)
+                        for i in range(64):
+                            Fq[_ZIGZAG[i]] = zz[i]
+                        block = C.T @ (Fq.reshape(8, 8) * q) @ C + 128.0
+                        y0 = (myi * c["v"] + v) * 8
+                        x0 = (mxi * c["h"] + hI) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+
+    outp = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        outp.append(p[:H, :W])
+    if len(outp) == 1:
+        return np.clip(np.round(outp[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = outp[0], outp[1] - 128.0, outp[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_resize_kernel(content: bytes, w: int, h: int) -> bytes:
+    """REAL resize kernel for JPEG media: decode → nearest-neighbour →
+    re-encode (4:4:4). Pass as ``resize_images(..., kernel=jpeg_resize_kernel)``."""
+    return encode_jpeg_bytes(resize_nearest(decode_jpeg_bytes(content), w, h))
+
+
+def jpeg_feature_kernel(dim: int = 16):
+    """REAL featurize kernel for JPEG media usable with
+    :func:`decode_features` (``kernel=jpeg_feature_kernel(dim)``) —
+    same grayscale intensity histogram as :func:`png_feature_kernel`,
+    over the real baseline decode."""
+
+    def kernel(content: bytes, _meta) -> list[float]:
+        import numpy as np
+
+        if content is None:
+            return [0.0] * dim
+        a = decode_jpeg_bytes(bytes(content)).astype(np.float64)
+        if a.ndim == 3:
+            a = a.mean(axis=2)
+        hist, _ = np.histogram(a, bins=dim, range=(0.0, 256.0))
+        return (hist / max(1, a.size)).astype(float).tolist()
+
+    return kernel

@@ -423,3 +423,70 @@ def test_repetition_fractions_bounded(spark, texts):
             # a fully-duplicated doc: top fraction must also be high
             if r["d"] == 1.0:
                 assert False, "dup fraction 1.0 impossible (first token is never a dup)"
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    gray=st.booleans(),
+    subsample=st.booleans(),
+    restart=st.sampled_from([0, 1, 3]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_smooth_bounded_error(h, w, gray, subsample, restart, seed):
+    """Baseline JPEG encode/decode: on a smooth gradient the round-trip
+    error is bounded by quantization (small), at every shape (including
+    non-multiples of 8/16), grayscale + 4:4:4 + 4:2:0, with and without
+    DRI/RSTn restarts."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_bytes,
+    )
+
+    rng = np.random.default_rng(seed)
+    # FIXED small per-pixel slopes (not normalized-to-range): a tiny
+    # image must not become a 200-units-per-pixel ramp, which 4:2:0
+    # chroma averaging legitimately neutralizes
+    a0, b0 = rng.uniform(0.5, 2.5), rng.uniform(0.5, 2.5)
+    base = np.add.outer(np.arange(h) * a0, np.arange(w) * b0)
+    base = np.clip(base + 20, 0, 235).astype(np.uint8)
+    if gray:
+        img = base
+        if subsample:
+            return  # encoder rejects gray+subsample; covered below
+    else:
+        img = np.stack([base, 255 - base, base // 2 + 64], axis=-1).astype(np.uint8)
+    jb = encode_jpeg_bytes(img, subsample=(subsample and not gray), restart_interval=restart)
+    out = decode_jpeg_bytes(jb)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # quantization (+ 2x2 chroma averaging) on a smooth ramp stays small
+    assert err.mean() <= 6.0
+    assert err.max() <= 40
+
+
+def test_jpeg_rejects_unsupported_and_validates():
+    import numpy as np
+    import pytest
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_bytes,
+    )
+
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg_bytes(np.zeros((4, 4)))
+    with pytest.raises(ValueError, match="colour"):
+        encode_jpeg_bytes(np.zeros((4, 4), np.uint8), subsample=True)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_bytes(b"nope")
+    # progressive SOF2 refuses by name
+    img = np.zeros((8, 8), np.uint8)
+    jb = bytearray(encode_jpeg_bytes(img))
+    i = jb.find(b"\xff\xc0")
+    jb[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_bytes(bytes(jb))
