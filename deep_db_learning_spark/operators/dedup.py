@@ -228,9 +228,10 @@ def lsh_candidate_pairs(
     pair, which exact-Jaccard verification then rejects — recall is
     unaffected, and both engines see the same collisions anyway.
 
-    The banded projection is persisted before the self-join — without
-    it, Spark recomputes the (expensive) signature lineage once per
-    join side; the banded table is tiny (bands rows of 3 ints per doc).
+    The banded projection is materialized (lineage-cut) before the
+    self-join — without it, Spark recomputes the (expensive) signature
+    lineage once per join side; the banded table is tiny (bands rows
+    of 3 ints per doc).
     """
     from ..functions.hashing import md5_prefix_hash
 
@@ -252,7 +253,13 @@ def lsh_candidate_pairs(
         md5_prefix_hash(
             F.array_join(F.transform("band_sig", lambda x: x.cast("string")), ",")
         ).alias("bucket"),
-    ).persist()
+    )
+    # cut_lineage, not a bare persist(): the banded table is consumed
+    # by both self-join sides and the result is lazy, so there is no
+    # moment to unpersist — checkpoint blocks are instead reclaimed by
+    # the ContextCleaner when the frame is garbage-collected (the same
+    # argument as minhash_lsh_dedup's losers set)
+    banded = cut_lineage(banded, eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -290,11 +297,15 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         # shingle ONLY docs that appear in a candidate pair (semi-join
         # first): after LSH pruning that's a tiny fraction of the corpus
-        # — the decisive reduction at scale — and persist so both join
-        # sides share one computation. The candidate frame itself is
-        # consumed three times (two id projections + the verify join);
-        # persist it or the LSH join chain runs three times.
-        candidates = candidates.persist()
+        # — the decisive reduction at scale — and materialize so both
+        # join sides share one computation. The candidate frame itself
+        # is consumed three times (two id projections + the verify
+        # join); without the lineage cut the LSH join chain runs three
+        # times — and since the result is lazy there is never a moment
+        # to unpersist, so a bare persist() would pin executor memory
+        # for the session (ContextCleaner reclaims checkpoint blocks
+        # instead).
+        candidates = cut_lineage(candidates, eager=True)
         ids = (
             candidates.select(F.col("id_a").alias("doc"))
             .union(candidates.select(F.col("id_b").alias("doc")))
@@ -306,8 +317,8 @@ def ngram_jaccard_pairs(
         sh = (
             shingle_hashes_pandas(needed, text_col, shingle_k)
             .select("doc", "sh", F.size("sh").alias("n_sh"))
-            .persist()
         )
+        sh = cut_lineage(sh, eager=True)
         a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
         b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
         j = (
@@ -326,7 +337,8 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("doc"), text_col), text_col, shingle_k
     ).select("doc", "sh", F.size("sh").alias("n_sh"))
 
-    sh = sh.persist()
+    # cut_lineage for the same no-unpersist-moment reason as above
+    sh = cut_lineage(sh, eager=True)
     if prefix_filter:
         # PPJoin prefix filtering — EXACT, no recall loss, three
         # stacked lossless filters (all under one global gram order,
