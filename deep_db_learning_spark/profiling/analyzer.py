@@ -75,8 +75,31 @@ try:  # pragma: no cover - container has no inflect; fallback covers tests
 
 except ImportError:  # pragma: no cover
 
+    # Irregular plurals inflect recognizes without a trailing 's' —
+    # the class the bare endswith('s') rule misses entirely.
+    _IRREGULAR_PLURALS = frozenset(
+        "children men women people feet teeth geese mice lice oxen dice "
+        "data media indices vertices matrices criteria phenomena bacteria "
+        "alumni fungi cacti nuclei stimuli syllabi radii "
+        "analyses bases crises theses hypotheses diagnoses axes".split()
+    )
+    # Singular nouns ending in 's' that the ss/us/is suffix rules do
+    # NOT cover but inflect correctly rejects — common column names.
+    _SINGULAR_S_WORDS = frozenset(
+        "alias bias gas atlas canvas lens news chaos ethos pathos "
+        "kudos corps summons".split()
+    )
+
     def _is_plural(word: str) -> bool:
+        """Lightweight twin of ``inflect.singular_noun(w) is not False``
+        (schema_autodetect.py:363-368): suffix rules + the irregular /
+        false-positive tables above. Residual divergence is limited to
+        rarer irregulars; FIXTURES.md goldens hold either way."""
         w = word.lower()
+        if w in _IRREGULAR_PLURALS:
+            return True
+        if w in _SINGULAR_S_WORDS:
+            return False
         if len(w) < 3 or w.endswith("ss") or w.endswith("us") or w.endswith("is"):
             return False
         return w.endswith("s")

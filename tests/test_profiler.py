@@ -177,3 +177,17 @@ def test_auto_mode_decisions_match_exact(db):
             # exact cardinality refinement: cat columns agree on card
             if ec[c].type == "cat":
                 assert ec[c].card == ac[c].card, (t, c)
+
+
+def test_plural_fallback_irregulars_and_false_positives():
+    """The inflect-free fallback tracks inflect on the two divergence
+    classes: irregular plurals without a trailing 's' and singular
+    nouns ending in 's' beyond the ss/us/is suffix rules."""
+    from deep_db_learning_spark.profiling.analyzer import _is_plural
+
+    for plural in ("children", "indices", "data", "media", "criteria",
+                   "orders", "items", "countries", "boxes", "analyses"):
+        assert _is_plural(plural), plural
+    for singular in ("alias", "bias", "gas", "lens", "news", "status",
+                     "address", "axis", "analysis", "campus", "order"):
+        assert not _is_plural(singular), singular
