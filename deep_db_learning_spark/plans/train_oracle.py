@@ -428,7 +428,7 @@ def _two_layer_losses(
     import duckdb
     import numpy as np
 
-    from .training import ORDER_FEATURES, two_layer_head_step
+    from .training import ORDER_EMB_DIM, ORDER_FEATURES, two_layer_head_step
 
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
         sf_dir, seed, neighbor_budget=neighbor_budget
@@ -456,27 +456,37 @@ def _two_layer_losses(
         li_mean[ok_] = float(s) / len(vs)
 
     ord_rows = con.execute(
-        f"SELECT o_orderkey, o_custkey, o_totalprice "
+        f"SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
         f"FROM read_parquet('{sf_dir}/orders.parquet') "
         f"WHERE o_custkey IS NOT NULL"
     ).fetchall()
-    groups: dict[int, list[tuple[int, float, float]]] = {}
-    for ok_, ck, tp in ord_rows:
-        groups.setdefault(ck, []).append((ok_, tp, li_mean.get(ok_, 0.0)))
+    groups: dict[int, list[tuple[int, float, float, object]]] = {}
+    for ok_, ck, tp, st_ in ord_rows:
+        groups.setdefault(ck, []).append((ok_, tp, li_mean.get(ok_, 0.0), st_))
     kept: dict[int, list[list[float]]] = {}
+    kept_codes_raw: dict[int, list[object]] = {}
     all_feats: list[list[float]] = []
     for ck, g in groups.items():
         if neighbor_budget is not None:
             g = sorted(g, key=lambda r: (_knuth(r[0], seed), r[0]))
             g = g[:neighbor_budget]
-        feats = [[tp, lm] for _, tp, lm in g]
+        feats = [[tp, lm] for _, tp, lm, _s in g]
         kept[ck] = feats
+        kept_codes_raw[ck] = [_s for _, _tp, _lm, _s in g]
         all_feats.extend(feats)
 
-    m1 = len(ORDER_FEATURES)
+    # F12 dict-encode twin over the KEPT rows: sorted distinct non-null
+    # -> 1..n, NULL -> 0 (matching _assemble_order_frame)
+    status_vals = sorted(
+        {v for vs in kept_codes_raw.values() for v in vs if v is not None}
+    )
+    status_code = {v: i + 1 for i, v in enumerate(status_vals)}
+    card1 = len(status_vals) + 1
+
+    m_x = len(ORDER_FEATURES)
     n = len(all_feats)
     stats = []
-    for j in range(m1):
+    for j in range(m_x):
         s = Decimal(0)
         q = Decimal(0)
         for row in all_feats:
@@ -487,10 +497,16 @@ def _two_layer_losses(
         stats.append((mu, sd))
     x_of = {
         ck: np.array(
-            [[(row[j] - stats[j][0]) / stats[j][1] for j in range(m1)] for row in feats],
+            [[(row[j] - stats[j][0]) / stats[j][1] for j in range(m_x)] for row in feats],
             dtype=np.float64,
         )
         for ck, feats in kept.items()
+    }
+    codes_of = {
+        ck: np.array(
+            [status_code.get(v, 0) for v in vs], dtype=np.int64
+        )
+        for ck, vs in kept_codes_raw.items()
     }
 
     # ---- training loop twin
@@ -502,9 +518,12 @@ def _two_layer_losses(
     card = int(codes_a.max()) + 1
     k = int(y_a.max()) + 1
     dim, lr, l2 = 4, 0.5, 1e-4
+    d_e = ORDER_EMB_DIM
+    m1 = d_e + m_x
     m = nums.shape[1]
     rng = np.random.default_rng(seed)
     emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    emb1 = rng.uniform(-0.5, 0.5, size=(card1, d_e))
     W1 = rng.uniform(-0.5, 0.5, size=(m1, d1)) * 0.1
     b1 = np.zeros(d1)
     W2 = rng.uniform(-0.5, 0.5, size=(dim + m + d1, k)) * 0.1
@@ -520,9 +539,10 @@ def _two_layer_losses(
             hbar = np.zeros((n_b, d1))
             degs = np.zeros(n_b, dtype=np.int64)
             for j, i in enumerate(bids):
-                X = x_of.get(int(i))
-                if X is None or not len(X):
+                Xn = x_of.get(int(i))
+                if Xn is None or not len(Xn):
                     continue
+                X = np.concatenate([emb1[codes_of[int(i)]], Xn], axis=1)
                 H = np.tanh(row_logits(X, W1, b1))
                 sums = [Decimal(0)] * d1
                 for hrow in H:
@@ -531,16 +551,19 @@ def _two_layer_losses(
                 hbar[j] = [float(sums[jj]) / len(X) for jj in range(d1)]
                 degs[j] = len(X)
             loss, GW2, gb2, demb, gH = two_layer_head_step(
-                codes[sel], nums[sel], hbar, y[sel], emb, W1, W2, b2, l2
+                codes[sel], nums[sel], hbar, y[sel], emb, W1, W2, b2, l2,
+                extra_l2=float((emb1 * emb1).sum()),
             )
             losses.append(loss)
-            # job-B twin: global decimal fold of [x (x) delta ++ delta]
+            # job-B twin: per-code decimal folds of
+            # [x_full (x) delta ++ delta] (mirrors groupBy(code))
             glen = m1 * d1 + d1
-            tot = [Decimal(0)] * glen
+            code_tot: dict[int, list] = {}
             for j, i in enumerate(bids):
                 if degs[j] == 0:
                     continue
-                X = x_of[int(i)]
+                cvec = codes_of[int(i)]
+                X = np.concatenate([emb1[cvec], x_of[int(i)]], axis=1)
                 gvec = gH[j] / degs[j]
                 H = np.tanh(row_logits(X, W1, b1))
                 D = gvec * (1.0 - H * H)
@@ -548,12 +571,23 @@ def _two_layer_losses(
                     [(X[:, :, None] * D[:, None, :]).reshape(len(X), -1), D],
                     axis=1,
                 )
-                for row in out:
+                for ri, row in enumerate(out):
+                    ct = code_tot.setdefault(
+                        int(cvec[ri]), [Decimal(0)] * glen
+                    )
                     for ii in range(glen):
-                        tot[ii] += _dec9(row[ii])
+                        ct[ii] += _dec9(row[ii])
+            tot = [Decimal(0)] * glen
+            demb1 = np.zeros((card1, d_e))
+            for c, ct in code_tot.items():
+                for ii in range(glen):
+                    tot[ii] += ct[ii]
+                dsum = np.array([float(ct[m1 * d1 + jj]) for jj in range(d1)])
+                demb1[c] = dsum @ W1[:d_e].T
             dW1 = np.array([float(tot[ii]) for ii in range(m1 * d1)]).reshape(m1, d1)
             db1g = np.array([float(tot[m1 * d1 + ii]) for ii in range(d1)])
             emb -= lr * (demb / n_b + l2 * emb)
+            emb1 -= lr * (demb1 / n_b + l2 * emb1)
             W2 -= lr * (GW2 / n_b + l2 * W2)
             b2 -= lr * (gb2 / n_b)
             W1 -= lr * (dW1 / n_b + l2 * W1)

@@ -668,16 +668,20 @@ def train_relational_regressor(
 # features; this section closes that gap with a genuinely 2-layer
 # model whose BOTH weight matrices are trained in-engine:
 #
-#   layer 1 (orders):   h_o   = tanh(x_o @ W1 + b1)
+#   layer 1 (orders):   h_o   = tanh([emb1[code_o] ++ x_o] @ W1 + b1)
 #   aggregate (edge):   hbar_c = mean_{o in N(c)} h_o     (decimal fold)
 #   layer 2 (head):     logits_c = [emb[code_c] ++ nums_c ++ hbar_c] @ W2 + b2
 #
 # x_o = standardized [o_totalprice, mean(l_quantity) over the order's
-# lineitem] — so the root's receptive field is genuinely TWO hops
-# (customer <- orders <- lineitem), and W1's gradient flows through the
-# neighbor aggregation: dL/dh_o = (dL/dhbar_c)/deg_c, backpropped
-# through tanh into dW1 with the same decimal-fold Arrow-UDF pattern
-# as the 1-layer trainers.
+# lineitem] and code_o = dict-encoded o_orderstatus — so the root's
+# receptive field is genuinely TWO hops (customer <- orders <-
+# lineitem) and BOTH tables' categorical embedders learn (the head's
+# nationkey table and the layer-1 status table emb1, the reference's
+# per-table embedder stack). W1's and emb1's gradients flow through
+# the neighbor aggregation: dL/dh_o = (dL/dhbar_c)/deg_c, backpropped
+# through tanh into dW1 (global decimal fold) and demb1 (per-code
+# decimal fold) with the same Arrow-UDF pattern as the 1-layer
+# trainers.
 #
 # Driver/Spark split per step (minibatch SGD, bounded seed-node
 # batches — the HGTLoader doctrine):
@@ -702,16 +706,18 @@ TWO_LAYER_BENCH_CONFIG = {
     "neighbor_budget": 5,
     "d1": 4,
 }
+ORDER_EMB_DIM = 2  # layer-1 o_orderstatus embedding width (d_e)
 
 
-def two_layer_head_step(codes, nums, hbar, y, emb, W1, W2, b2, l2):
+def two_layer_head_step(codes, nums, hbar, y, emb, W1, W2, b2, l2, extra_l2=0.0):
     """Head forward/backward over ONE collected batch (pure numpy;
     shared with the oracle twin like :func:`row_logits`, so both sides
     run the identical IEEE expression sequence). Returns
     ``(loss, GW2, gb2, demb, gH)`` — raw gradient SUMS (unnormalized);
     ``loss`` is the batch-mean cross-entropy plus the L2 term at the
-    step-start parameters; ``gH`` is dL/dhbar per root (row order =
-    input order)."""
+    step-start parameters (``extra_l2`` carries squared norms of
+    parameters the head does not see, e.g. the layer-1 embedding
+    table); ``gH`` is dL/dhbar per root (row order = input order)."""
     import numpy as np
 
     dim = emb.shape[1]
@@ -724,7 +730,10 @@ def two_layer_head_step(codes, nums, hbar, y, emb, W1, W2, b2, l2):
     nrows = len(codes)
     rows_idx = np.arange(nrows)
     loss = float(-np.log(P[rows_idx, y]).sum()) / nrows + 0.5 * l2 * (
-        float((emb * emb).sum()) + float((W1 * W1).sum()) + float((W2 * W2).sum())
+        float((emb * emb).sum())
+        + float((W1 * W1).sum())
+        + float((W2 * W2).sum())
+        + float(extra_l2)
     )
     resid = P.copy()
     resid[rows_idx, y] -= 1.0
@@ -737,10 +746,14 @@ def two_layer_head_step(codes, nums, hbar, y, emb, W1, W2, b2, l2):
 
 
 def _assemble_order_frame(tables, seed: int, neighbor_budget: int | None):
-    """Layer-1 input frame, built once: ``(custkey, x array<double>)``
-    with x = standardized ``ORDER_FEATURES``. The lineitem mean is an
-    exact decimal fold per order; the per-customer ``neighbor_budget``
-    sample is the deterministic knuth-ordered window
+    """Layer-1 input frame, built once:
+    ``((custkey, code, x array<double>), card1)`` with x = standardized
+    ``ORDER_FEATURES`` and code = dict-encoded ``o_orderstatus``
+    (sorted distinct non-null → 1..n, NULL→0 — the F12 convention,
+    built over the SAMPLED rows so engine and twin see one code
+    table). The lineitem mean is an exact decimal fold per order; the
+    per-customer ``neighbor_budget`` sample is the deterministic
+    knuth-ordered window
     (:func:`~..operators.sampling.sample_neighbors`, applied BEFORE
     standardization so the stats describe exactly the rows trained on);
     standardization stats are global decimal folds."""
@@ -748,7 +761,7 @@ def _assemble_order_frame(tables, seed: int, neighbor_budget: int | None):
 
     orders = (
         tables["orders"]
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .filter(F.col("o_custkey").isNotNull())
     )
     li = tables["lineitem"].groupBy(
@@ -777,37 +790,46 @@ def _assemble_order_frame(tables, seed: int, neighbor_budget: int | None):
         mu = float(st[f"s_{c}"]) / n
         sd = max(float(st[f"q_{c}"]) / n - mu * mu, 1e-12) ** 0.5
         comps.append((F.col(c) - F.lit(mu)) / F.lit(sd))
-    return of.select(
-        F.col("o_custkey").alias("custkey"), F.array(*comps).alias("x")
+    from ..functions.encode import dict_encode
+
+    of = dict_encode(of, "o_orderstatus", out="code")
+    card1 = of.agg(F.max("code")).first()[0] + 1
+    return (
+        of.select(
+            F.col("o_custkey").alias("custkey"), "code", F.array(*comps).alias("x")
+        ),
+        int(card1),
     )
 
 
-def _order_forward_fold(of_b, W1, b1, d1: int):
+def _order_forward_fold(of_b, E1, W1, b1, d1: int):
     """Job A: layer-1 forward + per-root decimal fold — ONE Spark job.
-    Returns ``{custkey: (hbar ndarray(d1), deg)}``. The UDF emits each
-    tanh component quantized to the decimal scale (same one-rounding
-    -rule argument as ``_gradient_pass``), so the per-root mean
-    ``float(decimal_sum)/deg`` is partitioning-independent."""
+    Returns ``{custkey: (hbar ndarray(d1), deg)}``. The UDF embeds the
+    status code (E1 lookup, the in-kernel broadcast join) and emits
+    each tanh component quantized to the decimal scale (same one
+    -rounding-rule argument as ``_gradient_pass``), so the per-root
+    mean ``float(decimal_sum)/deg`` is partitioning-independent."""
     from decimal import Decimal
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    W1c, b1c = W1.copy(), b1.copy()
+    E1c, W1c, b1c = E1.copy(), W1.copy(), b1.copy()
 
-    def h_fn(x):
-        X = np.vstack(x.to_list())
+    def h_fn(code, x):
+        codes = code.to_numpy(dtype=np.int64)
+        X = np.concatenate([E1c[codes], np.vstack(x.to_list())], axis=1)
         # row_logits, not X @ W1c: the fixed-order accumulation is
         # Arrow-batch-size-independent (see row_logits's docstring) —
         # a GEMM here could differ by ulps between partitionings
         H = np.tanh(row_logits(X, W1c, b1c))
         return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in H])
 
-    h_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    h_fn.__annotations__ = {"code": pd.Series, "x": pd.Series, "return": pd.Series}
     udf = pandas_udf(h_fn, f"array<{DECIMAL_TYPE}>")
     sums = (
-        of_b.select("custkey", udf("x").alias("h"))
+        of_b.select("custkey", udf("code", "x").alias("h"))
         .groupBy("custkey")
         .agg(
             F.count(F.lit(1)).alias("deg"),
@@ -824,13 +846,16 @@ def _order_forward_fold(of_b, W1, b1, d1: int):
     return out
 
 
-def _order_backward_fold(of_b, W1, b1, gd, m1: int, d1: int):
+def _order_backward_fold(of_b, E1, W1, b1, gd, d_e: int, m1: int, d1: int, card1: int):
     """Job B: backprop through the aggregation and tanh — ONE Spark job.
     ``gd[custkey] = (dL/dhbar_c)/deg_c`` (driver dict, ships in the UDF
     closure). Per order row: ``delta = gd[c] * (1 - h^2)``; the decimal
-    fold of ``[x (x) delta ++ delta]`` gives ``(dW1, db1)`` sums —
-    bit-deterministic under any partitioning, the same pattern as
-    ``_gradient_pass``'s GW fold."""
+    fold of ``[x_full (x) delta ++ delta]`` — grouped by the status
+    CODE so the same job yields the per-code delta sums — gives
+    ``(dW1, db1, demb1)``: ``demb1[c] = (sum_{code=c} delta) @
+    W1[:d_e].T`` (the embedding rows of W1). Bit-deterministic under
+    any partitioning, the same pattern as ``_gradient_pass``'s
+    groupBy(code) fold."""
     from decimal import Decimal
 
     import numpy as np
@@ -838,11 +863,12 @@ def _order_backward_fold(of_b, W1, b1, gd, m1: int, d1: int):
     from pyspark.sql.functions import pandas_udf
 
     glen = m1 * d1 + d1
-    W1c, b1c = W1.copy(), b1.copy()
+    E1c, W1c, b1c = E1.copy(), W1.copy(), b1.copy()
     gmap = {int(c): v.copy() for c, v in gd.items()}
 
-    def g_fn(custkey, x):
-        X = np.vstack(x.to_list())
+    def g_fn(custkey, code, x):
+        codes = code.to_numpy(dtype=np.int64)
+        X = np.concatenate([E1c[codes], np.vstack(x.to_list())], axis=1)
         G = np.vstack([gmap[int(c)] for c in custkey])
         H = np.tanh(row_logits(X, W1c, b1c))
         D = G * (1.0 - H * H)
@@ -853,20 +879,31 @@ def _order_backward_fold(of_b, W1, b1, gd, m1: int, d1: int):
 
     g_fn.__annotations__ = {
         "custkey": pd.Series,
+        "code": pd.Series,
         "x": pd.Series,
         "return": pd.Series,
     }
     udf = pandas_udf(g_fn, f"array<{DECIMAL_TYPE}>")
-    row = of_b.select(udf("custkey", "x").alias("g")).agg(
-        *[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)]
-    ).first()
-    vals = [
-        float(row[f"v{i}"]) if row[f"v{i}"] is not None else 0.0
-        for i in range(glen)
-    ]
-    dW1 = np.array(vals[: m1 * d1]).reshape(m1, d1)
-    db1 = np.array(vals[m1 * d1 :])
-    return dW1, db1
+    rows = (
+        of_b.select("code", udf("custkey", "code", "x").alias("g"))
+        .groupBy("code")
+        .agg(*[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)])
+        .collect()
+    )
+    tot = [Decimal(0)] * glen
+    demb1 = np.zeros((card1, d_e))
+    for r in rows:
+        for i in range(glen):
+            v = r[f"v{i}"]
+            if v is not None:
+                tot[i] += v
+        dsum = np.array(
+            [float(r[f"v{m1 * d1 + j}"] or 0) for j in range(d1)]
+        )
+        demb1[r["code"]] = dsum @ W1c[:d_e].T
+    dW1 = np.array([float(tot[i]) for i in range(m1 * d1)]).reshape(m1, d1)
+    db1 = np.array([float(tot[m1 * d1 + i]) for i in range(d1)])
+    return dW1, db1, demb1
 
 
 def train_relational_two_layer(
@@ -918,7 +955,7 @@ def train_relational_two_layer(
         seed=seed,
         neighbor_budget=neighbor_budget,
     )
-    of = _assemble_order_frame(tables, seed, neighbor_budget)
+    of, card1 = _assemble_order_frame(tables, seed, neighbor_budget)
     of = cut_lineage(of, eager=True)
 
     rows = (
@@ -943,9 +980,11 @@ def train_relational_two_layer(
     k = meta["n_classes"]
     m = meta["n_num"]
     card = meta["n_codes"]
-    m1 = len(ORDER_FEATURES)
+    d_e = ORDER_EMB_DIM
+    m1 = d_e + len(ORDER_FEATURES)
     rng = np.random.default_rng(seed)
     emb = rng.uniform(-0.5, 0.5, size=(card, dim))
+    emb1 = rng.uniform(-0.5, 0.5, size=(card1, d_e))
     W1 = rng.uniform(-0.5, 0.5, size=(m1, d1)) * 0.1
     b1 = np.zeros(d1)
     W2 = rng.uniform(-0.5, 0.5, size=(dim + m + d1, k)) * 0.1
@@ -958,14 +997,15 @@ def train_relational_two_layer(
             bids = ids[sel]
             n_b = int(sel.sum())
             of_b = of.filter(F.col("custkey").isin([int(i) for i in bids]))
-            hb = _order_forward_fold(of_b, W1, b1, d1)
+            hb = _order_forward_fold(of_b, emb1, W1, b1, d1)
             hbar = np.zeros((n_b, d1))
             degs = np.zeros(n_b, dtype=np.int64)
             for j, i in enumerate(bids):
                 if int(i) in hb:
                     hbar[j], degs[j] = hb[int(i)]
             loss, GW2, gb2, demb, gH = two_layer_head_step(
-                codes[sel], nums[sel], hbar, y[sel], emb, W1, W2, b2, l2
+                codes[sel], nums[sel], hbar, y[sel], emb, W1, W2, b2, l2,
+                extra_l2=float((emb1 * emb1).sum()),
             )
             losses.append(loss)
             gd = {
@@ -974,10 +1014,17 @@ def train_relational_two_layer(
                 if degs[j] > 0
             }
             if gd:
-                dW1, db1g = _order_backward_fold(of_b, W1, b1, gd, m1, d1)
+                dW1, db1g, demb1 = _order_backward_fold(
+                    of_b, emb1, W1, b1, gd, d_e, m1, d1, card1
+                )
             else:
-                dW1, db1g = np.zeros_like(W1), np.zeros_like(b1)
+                dW1, db1g, demb1 = (
+                    np.zeros_like(W1),
+                    np.zeros_like(b1),
+                    np.zeros_like(emb1),
+                )
             emb -= lr * (demb / n_b + l2 * emb)
+            emb1 -= lr * (demb1 / n_b + l2 * emb1)
             W2 -= lr * (GW2 / n_b + l2 * W2)
             b2 -= lr * (gb2 / n_b)
             W1 -= lr * (dW1 / n_b + l2 * W1)
@@ -988,7 +1035,7 @@ def train_relational_two_layer(
     # root table is the SMALL side by design (150 rows at sf0.01,
     # 10^3-10^4 at bench SFs); at cluster scale this becomes the
     # _split_eval UDF with hbar joined instead of dict-shipped
-    hb_all = _order_forward_fold(of, W1, b1, d1)
+    hb_all = _order_forward_fold(of, emb1, W1, b1, d1)
     all_rows = frame.select("node_id", "code", "nums", "label", "split").collect()
     acc: dict[str, list] = {}
     for r in all_rows:
@@ -1001,5 +1048,5 @@ def train_relational_two_layer(
     return TrainResult(
         losses=losses,
         accuracy=accuracy,
-        params={"emb": emb, "W1": W1, "b1": b1, "W2": W2, "b2": b2},
+        params={"emb": emb, "emb1": emb1, "W1": W1, "b1": b1, "W2": W2, "b2": b2},
     )

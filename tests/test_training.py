@@ -220,13 +220,18 @@ def test_two_layer_matches_numpy_decimal_twin(db):
     # receives gradient through the aggregation
     import numpy as np
 
+    # draw order: emb, emb1, W1, W2 (plans/training.py)
     rng = np.random.default_rng(42)
-    card, dim = res.params["emb"].shape
-    rng.uniform(-0.5, 0.5, size=(card, dim))
+    rng.uniform(-0.5, 0.5, size=res.params["emb"].shape)
+    emb1_init = rng.uniform(-0.5, 0.5, size=res.params["emb1"].shape)
     W1_init = rng.uniform(-0.5, 0.5, size=res.params["W1"].shape) * 0.1
     W2_init = rng.uniform(-0.5, 0.5, size=res.params["W2"].shape) * 0.1
+    # every deep parameter moved off its init — gradient genuinely
+    # reaches the layer-1 weights AND the layer-1 embedding table
+    # through the aggregation
     assert not np.array_equal(res.params["W1"], W1_init)
     assert not np.array_equal(res.params["W2"], W2_init)
+    assert not np.array_equal(res.params["emb1"], emb1_init)
     assert "train" in res.accuracy and "test" in res.accuracy
 
 
