@@ -12,9 +12,9 @@ A reference user runs ``python main.py tpch --epochs E --lr R``; here:
 
 Pipeline (each stage is the library API a user would call directly):
 catalog load → semantic-type inference → graph statistics → training
-(full-batch GD, minibatch SGD over budgeted per-root subgraphs, or the
-MLlib `minimum_slice` decoder pipeline) → metrics to the JSONL
-experiment tracker.
+(full-batch GD, minibatch SGD over budgeted per-root subgraphs, the
+two-layer end-to-end mode, or the MLlib `minimum_slice` decoder
+pipeline) → metrics to the JSONL experiment tracker.
 """
 
 from __future__ import annotations
@@ -34,7 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
         default="customer.c_mktsegment",
         help="table.column classification target",
     )
-    p.add_argument("--mode", choices=("full", "minibatch", "slice"), default="full")
+    p.add_argument(
+        "--mode",
+        choices=("full", "minibatch", "two_layer", "slice"),
+        default="full",
+    )
     p.add_argument(
         "--task", choices=("classification", "regression"), default="classification"
     )
@@ -88,6 +92,7 @@ def run(spark, args) -> dict:
             train_relational_classifier,
             train_relational_minibatch,
             train_relational_regressor,
+            train_relational_two_layer,
         )
 
         lr_kw = {} if args.lr is None else {"lr": args.lr}
@@ -101,6 +106,18 @@ def run(spark, args) -> dict:
                 target=(table, column),
                 epochs=args.epochs,
                 seed=args.seed,
+                **lr_kw,
+            )
+        elif args.mode == "two_layer":
+            res = train_relational_two_layer(
+                db.tables,
+                db.primary_keys,
+                db.foreign_keys,
+                target=(table, column),
+                epochs=args.epochs,
+                n_batches=args.n_batches,
+                seed=args.seed,
+                neighbor_budget=args.neighbor_budget,
                 **lr_kw,
             )
         elif args.mode == "full":
