@@ -1,7 +1,14 @@
 from .blueprint import BlueprintPlan
 from .metrics import classification_metrics, regression_metrics
 from .pipeline import SliceResult, build_node_features, minimum_slice
-from .training import TrainResult, assemble_training_frame, train_relational_classifier
+from .training import (
+    TrainResult,
+    assemble_training_frame,
+    train_relational_classifier,
+    train_relational_minibatch,
+    train_relational_regressor,
+    train_relational_two_layer,
+)
 from .tuning import run_trials
 
 __all__ = [
@@ -15,4 +22,7 @@ __all__ = [
     "minimum_slice",
     "regression_metrics",
     "train_relational_classifier",
+    "train_relational_minibatch",
+    "train_relational_regressor",
+    "train_relational_two_layer",
 ]
