@@ -153,6 +153,12 @@ PLAN_PINS = {
     "message_2hop": (5, 6),
     "attention_aggregate": (3, 4),
     "data_mixing": (4, 2),
+    # post-materialization (cut_lineage) shape: the LSH candidate and
+    # shingle frames checkpoint to tiny scans, so the verify joins
+    # BROADCAST — a regression to SortMergeJoin or a recomputed LSH
+    # chain (dozens of exchanges) fails here
+    "lsh_verify_pairs_t07": (2, 4),
+    "clean_corpus": (12, 10),
 }
 
 
