@@ -2261,8 +2261,13 @@ def oracle_sql() -> dict[str, str]:
                AND p.ts >= ck.ts AND p.ts < ck.ts + INTERVAL 1 HOUR
               GROUP BY 1
             )
-            SELECT c.event_id AS click_id, c.user_id, c.uts AS ts,
-                   c.purchase_value, c.purchase_ts,
+            -- CASTs: project through microsecond TIMESTAMP so a
+            -- TIMESTAMP(NANOS)-parquet environment truncates exactly
+            -- like Spark's read (no-op on this container's µs data)
+            SELECT c.event_id AS click_id, c.user_id,
+                   CAST(c.uts AS TIMESTAMP) AS ts,
+                   c.purchase_value,
+                   CAST(c.purchase_ts AS TIMESTAMP) AS purchase_ts,
                    conv.conversions, conv.conv_value
             FROM c LEFT JOIN conv ON c.event_id = conv.click_id
             WHERE c.side = 1
