@@ -72,8 +72,13 @@ def connected_components(
         prev_sum = cur_sum
     e.unpersist()
     # the cached rounds execute fine, but the RETURNED plan would still
-    # print/optimize the whole unfolded loop lineage — a lazy local
-    # checkpoint caps it at the final state
-    return cut_lineage(labels, eager=False).select(
+    # print/optimize the whole unfolded loop lineage — an EAGER
+    # checkpoint caps it at the final state AND lets the final round's
+    # cache entry be released here (blocks already exist, so the
+    # checkpoint is a cheap copy; a lazy cut would keep the parent
+    # pinned with no unpersist moment)
+    out = cut_lineage(labels, eager=True).select(
         "node", F.col("label").alias("component")
     )
+    labels.unpersist()
+    return out

@@ -21,6 +21,8 @@ Everything stays in double precision so a DuckDB oracle
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..checkpoint import cut_lineage
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
@@ -201,7 +203,11 @@ def ivf_index(
     )
     fit_on = prepared if sample_fraction >= 1.0 else prepared.sample(sample_fraction, seed)
     model = KMeans(k=n_lists, seed=seed, featuresCol="__fv", predictionCol="list_id").fit(fit_on)
-    assigned = model.transform(prepared).drop("__fv").persist()
+    # cut_lineage, not persist: the returned index artifact has no
+    # unpersist moment (callers hold it for many ivf_topk calls); a
+    # CacheManager entry would pin memory for the session, checkpoint
+    # blocks are GC-reclaimed when the index is dropped
+    assigned = cut_lineage(model.transform(prepared).drop("__fv"), eager=True)
     return assigned, model
 
 
@@ -292,9 +298,10 @@ def ivf_index_deterministic(
             new_centers[r["list_id"]][r["pos"]] = float(r["s"]) / r["n"]
         centers = new_centers
 
-    assigned = corpus.withColumn(
-        "list_id", _assign_lists(centers, vec_col, 1)[0]
-    ).persist()
+    assigned = cut_lineage(
+        corpus.withColumn("list_id", _assign_lists(centers, vec_col, 1)[0]),
+        eager=True,
+    )
     return assigned, _CentroidModel(centers)
 
 

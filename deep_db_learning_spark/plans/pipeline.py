@@ -22,6 +22,7 @@ from ..functions.encode import dict_encode, factorize_target
 from ..operators.graph import HeteroGraph, build_hetero_graph
 from ..operators.message_passing import aggregate_neighbors
 from ..operators.sampling import random_node_split
+from ..checkpoint import cut_lineage
 from ..profiling.analyzer import SchemaAnalyzer
 from ..schema import DBSchema
 from .metrics import classification_metrics, regression_metrics
@@ -170,7 +171,10 @@ def minimum_slice(
     sc = features.sparkSession.sparkContext
     n_target = tables[target_table].count()
     parts = max(1, min(sc.defaultParallelism, n_target // 50_000 + 1))
-    data = data.coalesce(parts).persist()
+    # cut_lineage, not persist: the frame is returned in SliceResult
+    # (the checkpoint artifact) — no unpersist moment, and checkpoint
+    # blocks are GC-reclaimed when the result is dropped
+    data = cut_lineage(data.coalesce(parts), eager=True)
 
     from pyspark.ml.classification import (
         LogisticRegression,

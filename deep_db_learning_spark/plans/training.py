@@ -390,30 +390,33 @@ def train_relational_classifier(
     sc = train.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism, 8))
     train = train.repartition(parts).persist()
-    n_train = train.count()
+    try:
+        n_train = train.count()
 
-    losses: list[float] = []
-    for _ in range(epochs):
-        E, Wc, bc = emb.copy(), W.copy(), b.copy()
-        loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
-            train, E, Wc, bc, dim, m, k, card
-        )
-        loss = loss_sum / n_train + 0.5 * l2 * (
-            float((W * W).sum()) + float((emb * emb).sum())
-        )
-        losses.append(loss)
-        # update: decoder, bias, and the embedding code table
-        # (join-apply-update: dE[c] = Σ_{rows with code c} resid · Wᵀ).
-        # All three gradients use the EPOCH-START weights (Wc — the same
-        # copy the forward pass saw): mixing the already-updated W into
-        # dE would make the step not-the-gradient of the stated
-        # objective and can break monotone descent.
-        emb -= lr * (resid_by_code @ Wc[:dim].T / n_train + l2 * emb)
-        W -= lr * (GW / n_train + l2 * W)
-        b -= lr * resid_tot / n_train
+        losses: list[float] = []
+        for _ in range(epochs):
+            E, Wc, bc = emb.copy(), W.copy(), b.copy()
+            loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
+                train, E, Wc, bc, dim, m, k, card
+            )
+            loss = loss_sum / n_train + 0.5 * l2 * (
+                float((W * W).sum()) + float((emb * emb).sum())
+            )
+            losses.append(loss)
+            # update: decoder, bias, and the embedding code table
+            # (join-apply-update: dE[c] = Σ_{rows with code c} resid · Wᵀ).
+            # All three gradients use the EPOCH-START weights (Wc — the
+            # same copy the forward pass saw): mixing the already-updated
+            # W into dE would make the step not-the-gradient of the
+            # stated objective and can break monotone descent.
+            emb -= lr * (resid_by_code @ Wc[:dim].T / n_train + l2 * emb)
+            W -= lr * (GW / n_train + l2 * W)
+            b -= lr * resid_tot / n_train
 
-    accuracy = _split_accuracy(frame, emb, W, b)
-    train.unpersist()
+        accuracy = _split_accuracy(frame, emb, W, b)
+    finally:
+        # a failed epoch must not leak the pinned frame
+        train.unpersist()
     return TrainResult(
         losses=losses,
         accuracy=accuracy,
@@ -535,44 +538,48 @@ def train_relational_minibatch(
     sc = train.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism, 8))
     train = train.repartition(parts).persist()
-    batch_sizes = {
-        r["batch"]: r["count"] for r in train.groupBy("batch").count().collect()
-    }
-    # an empty batch shows up as a MISSING key (groupBy never emits a
-    # 0-count row), so presence of every batch id is the whole check
-    if set(batch_sizes) != set(range(n_batches)):
-        raise ValueError(
-            f"train_relational_minibatch: a batch is empty "
-            f"(sizes={batch_sizes}) — lower n_batches or grow the input"
-        )
-
-    losses: list[float] = []
-    for _ in range(epochs):
-        for bi in range(n_batches):
-            n_b = batch_sizes[bi]
-            E, Wc, bc = emb.copy(), W.copy(), b.copy()
-            loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
-                train.filter(F.col("batch") == bi).select("code", "nums", "label"),
-                E,
-                Wc,
-                bc,
-                dim,
-                m,
-                k,
-                card,
+    try:
+        batch_sizes = {
+            r["batch"]: r["count"] for r in train.groupBy("batch").count().collect()
+        }
+        # an empty batch shows up as a MISSING key (groupBy never emits
+        # a 0-count row), so presence of every batch id is the check
+        if set(batch_sizes) != set(range(n_batches)):
+            raise ValueError(
+                f"train_relational_minibatch: a batch is empty "
+                f"(sizes={batch_sizes}) — lower n_batches or grow the input"
             )
-            loss = loss_sum / n_b + 0.5 * l2 * (
-                float((W * W).sum()) + float((emb * emb).sum())
-            )
-            losses.append(loss)
-            # same step rule as the full-batch path, normalized by the
-            # BATCH size (the gradient is an estimate of the full one)
-            emb -= lr * (resid_by_code @ Wc[:dim].T / n_b + l2 * emb)
-            W -= lr * (GW / n_b + l2 * W)
-            b -= lr * resid_tot / n_b
 
-    accuracy = _split_accuracy(frame, emb, W, b)
-    train.unpersist()
+        losses: list[float] = []
+        for _ in range(epochs):
+            for bi in range(n_batches):
+                n_b = batch_sizes[bi]
+                E, Wc, bc = emb.copy(), W.copy(), b.copy()
+                loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
+                    train.filter(F.col("batch") == bi).select(
+                        "code", "nums", "label"
+                    ),
+                    E,
+                    Wc,
+                    bc,
+                    dim,
+                    m,
+                    k,
+                    card,
+                )
+                loss = loss_sum / n_b + 0.5 * l2 * (
+                    float((W * W).sum()) + float((emb * emb).sum())
+                )
+                losses.append(loss)
+                # same step rule as the full-batch path, normalized by
+                # the BATCH size (the gradient estimates the full one)
+                emb -= lr * (resid_by_code @ Wc[:dim].T / n_b + l2 * emb)
+                W -= lr * (GW / n_b + l2 * W)
+                b -= lr * resid_tot / n_b
+
+        accuracy = _split_accuracy(frame, emb, W, b)
+    finally:
+        train.unpersist()
     return TrainResult(
         losses=losses,
         accuracy=accuracy,
@@ -635,24 +642,26 @@ def train_relational_regressor(
     sc = train.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism, 8))
     train = train.repartition(parts).persist()
-    n_train = train.count()
+    try:
+        n_train = train.count()
 
-    losses: list[float] = []
-    for _ in range(epochs):
-        E, Wc, bc = emb.copy(), W.copy(), b.copy()
-        loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
-            train, E, Wc, bc, dim, m, k, card, task="regression"
-        )
-        loss = loss_sum / n_train + 0.5 * l2 * (
-            float((W * W).sum()) + float((emb * emb).sum())
-        )
-        losses.append(loss)
-        emb -= lr * (resid_by_code @ Wc[:dim].T / n_train + l2 * emb)
-        W -= lr * (GW / n_train + l2 * W)
-        b -= lr * resid_tot / n_train
+        losses: list[float] = []
+        for _ in range(epochs):
+            E, Wc, bc = emb.copy(), W.copy(), b.copy()
+            loss_sum, resid_tot, GW, resid_by_code = _gradient_pass(
+                train, E, Wc, bc, dim, m, k, card, task="regression"
+            )
+            loss = loss_sum / n_train + 0.5 * l2 * (
+                float((W * W).sum()) + float((emb * emb).sum())
+            )
+            losses.append(loss)
+            emb -= lr * (resid_by_code @ Wc[:dim].T / n_train + l2 * emb)
+            W -= lr * (GW / n_train + l2 * W)
+            b -= lr * resid_tot / n_train
 
-    mse = _split_mse(frame, emb, W, b)
-    train.unpersist()
+        mse = _split_mse(frame, emb, W, b)
+    finally:
+        train.unpersist()
     return TrainResult(
         losses=losses,
         accuracy=mse,
