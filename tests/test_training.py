@@ -251,3 +251,46 @@ def test_two_layer_descending_trend(db):
     for bi in range(nb):
         seq = res.losses[bi::nb]
         assert seq[-1] < seq[0]
+
+
+def test_two_layer_folds_partitioning_invariant(db):
+    """The decimal folds behind hbar and dW1 are bit-identical under
+    different partitionings of the orders frame — the core determinism
+    claim (Arrow batch boundaries change with partitioning; the
+    fixed-order kernel + decimal quantization make the results exact
+    anyway)."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.training import (
+        ORDER_EMB_DIM,
+        ORDER_FEATURES,
+        _assemble_order_frame,
+        _order_backward_fold,
+        _order_forward_fold,
+    )
+
+    of, card1 = _assemble_order_frame(db.tables, seed=42, neighbor_budget=5)
+    d_e, d1 = ORDER_EMB_DIM, 4
+    m1 = d_e + len(ORDER_FEATURES)
+    rng = np.random.default_rng(7)
+    E1 = rng.uniform(-0.5, 0.5, size=(card1, d_e))
+    W1 = rng.uniform(-0.5, 0.5, size=(m1, d1)) * 0.1
+    b1 = np.zeros(d1)
+
+    variants = [of.repartition(1), of.repartition(7), of.repartition(32)]
+    fwd = [_order_forward_fold(v, E1, W1, b1, d1) for v in variants]
+    for other in fwd[1:]:
+        assert set(other) == set(fwd[0])
+        for ck in fwd[0]:
+            assert other[ck][1] == fwd[0][ck][1]
+            assert np.array_equal(other[ck][0], fwd[0][ck][0]), ck
+
+    gd = {ck: rng.uniform(-0.1, 0.1, size=d1) for ck in fwd[0]}
+    bwd = [
+        _order_backward_fold(v, E1, W1, b1, gd, d_e, m1, d1, card1)
+        for v in variants
+    ]
+    for dW1o, db1o, demb1o in bwd[1:]:
+        assert np.array_equal(dW1o, bwd[0][0])
+        assert np.array_equal(db1o, bwd[0][1])
+        assert np.array_equal(demb1o, bwd[0][2])
