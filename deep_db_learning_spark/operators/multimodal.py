@@ -6,11 +6,13 @@ Spark-side contract — schema, Arrow batch shape, partition sizing — is
 real and tested. Codec kernels: BMP (24-bit uncompressed), PNG (8-bit
 gray/RGB/RGBA/palette, stdlib zlib + numpy), baseline JPEG (SOF0
 huffman + IDCT, 4:4:4 and 4:2:0, DRI/RSTn — pure numpy, see the JPEG
-section below), and WAV PCM are REAL codecs implemented here; formats
-that genuinely need external libraries (video containers, progressive
-JPEG, non-PCM audio) stay STUBBED behind ``use_fake=True`` (a clearly
-marked deterministic fake used by tests) or raise
-``NotImplementedError`` naming the library/feature that plugs in.
+section below), GIF (variable-width LZW, animated — which makes
+``sample_frames`` real end-to-end via :func:`gif_frame_kernel`), and
+WAV PCM are REAL codecs implemented here; formats that genuinely need
+external libraries (video containers, progressive JPEG, non-PCM
+audio) stay STUBBED behind ``use_fake=True`` (a clearly marked
+deterministic fake used by tests) or raise ``NotImplementedError``
+naming the library/feature that plugs in.
 
 Batch-shape rules that matter at 100 TB:
 
@@ -457,8 +459,9 @@ def sample_frames(
     """
     if kernel is None and not use_fake:
         raise NotImplementedError(
-            "video frame sampling requires pyav or ffmpeg bindings; pass "
-            "kernel=... or use_fake=True"
+            "no frame-sampling kernel: pass kernel=gif_frame_kernel for "
+            "animated GIFs (real, numpy-only), a pyav/ffmpeg-backed "
+            "kernel for video containers, or use_fake=True"
         )
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch))
@@ -1114,3 +1117,235 @@ def jpeg_feature_kernel(dim: int = 16):
         return (hist / max(1, a.size)).astype(float).tolist()
 
     return kernel
+
+
+# ------------------------------------------------------------ GIF codec
+#
+# GIF87a/89a in pure python/numpy — the format that makes
+# :func:`sample_frames` REAL end-to-end: an animated GIF decodes to N
+# frames, the kernel picks n evenly spaced and re-encodes each as PNG,
+# so the sampled frames feed :func:`decode_features`'s PNG kernel with
+# no fakes anywhere in the chain. Scope: global/local color tables,
+# full-frame and partial frames (composited over the previous frame),
+# graphics-control extensions, real variable-width LZW both ways
+# (encoder width bump at next_code == 2^w + 1 mirrors the decoder's
+# bump at 2^w — the decoder's table lags the encoder by one entry);
+# interlaced images raise NotImplementedError by name.
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # missing EOI — tolerate truncation
+            acc |= data[pos] << nbits  # LSB-first packing
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder (one table entry behind) bumps at 2^width;
+            # mirror it one later
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_bytes(frames, delay_cs: int = 10) -> bytes:
+    """GIF89a encoder: ``frames`` is one uint8 array or a list of them,
+    each (H,W,3) RGB or (H,W) grayscale, all the same shape, with ≤256
+    distinct colors ACROSS the animation (one global color table — the
+    classic GIF constraint; quantize upstream if needed). Real
+    variable-width LZW. ``delay_cs`` is the per-frame delay in 1/100 s."""
+    import numpy as np
+
+    if not isinstance(frames, (list, tuple)):
+        frames = [frames]
+    rgb = []
+    for f in frames:
+        a = np.asarray(f)
+        if a.dtype != np.uint8:
+            raise ValueError("encode_gif_bytes wants uint8")
+        rgb.append(np.stack([a] * 3, axis=-1) if a.ndim == 2 else a[..., :3])
+    h, w = rgb[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in rgb):
+        raise ValueError("all frames must share one shape")
+    flat = np.concatenate([f.reshape(-1, 3) for f in rgb])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors (max 256); quantize first")
+    ct_bits = max(1, (len(palette) - 1).bit_length())
+    ct_size = 1 << ct_bits
+    min_code = max(2, ct_bits)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag + size
+    for i in range(ct_size):
+        out += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+    per_frame = h * w
+    for fi in range(len(rgb)):
+        if len(rgb) > 1:
+            # graphics control: delay, no disposal, no transparency
+            out += bytes([0x21, 0xF9, 4, 0]) + delay_cs.to_bytes(2, "little") + bytes([0, 0])
+        out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0])
+        out.append(min_code)
+        lzw = _lzw_encode(inverse[fi * per_frame : (fi + 1) * per_frame], min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif_bytes(content: bytes):
+    """GIF87a/89a decoder → list of (H,W,3) uint8 frames. Partial
+    frames composite over the previous frame (disposal method 1/none);
+    interlaced images raise NotImplementedError."""
+    import numpy as np
+
+    d = content
+    if d[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(d[6:8], "little")
+    h = int.from_bytes(d[8:10], "little")
+    flags = d[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(d[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    canvas = np.zeros((h, w, 3), np.uint8)
+    while pos < len(d):
+        b0 = d[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while d[pos]:
+                pos += 1 + d[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        x0 = int.from_bytes(d[pos + 1 : pos + 3], "little")
+        y0 = int.from_bytes(d[pos + 3 : pos + 5], "little")
+        fw = int.from_bytes(d[pos + 5 : pos + 7], "little")
+        fh = int.from_bytes(d[pos + 7 : pos + 9], "little")
+        iflags = d[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(d[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("no color table")
+        min_code = d[pos]
+        pos += 1
+        lzw = bytearray()
+        while d[pos]:
+            ln = d[pos]
+            lzw += d[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(lzw), min_code)
+        if len(idx) < fw * fh:
+            raise ValueError("truncated GIF frame")
+        block = ct[np.array(idx[: fw * fh], np.int64)].reshape(fh, fw, 3)
+        canvas[y0 : y0 + fh, x0 : x0 + fw] = block
+        frames.append(canvas.copy())
+    return frames
+
+
+def gif_frame_kernel(content: bytes, n_frames: int) -> list:
+    """REAL frame-sampling kernel for :func:`sample_frames` over
+    animated GIFs: decode all frames, pick ``n_frames`` evenly spaced,
+    return each as PNG bytes — so downstream `decode_features` /
+    `resize_images` use the PNG kernels directly."""
+    import numpy as np
+
+    frames = decode_gif_bytes(bytes(content))
+    if not frames:
+        return []
+    picks = np.linspace(0, len(frames) - 1, num=min(n_frames, len(frames)))
+    return [encode_png_bytes(frames[int(round(p))]) for p in picks]

@@ -433,3 +433,95 @@ def test_multimodal_jpeg_real_decode_features(spark):
     out = decode_jpeg_bytes(bytes(resized["2"]["content"]))
     assert out.shape == (4, 4, 3)
     assert np.abs(out.astype(int) - 240).max() <= 8  # flat stays flat
+
+
+def test_multimodal_gif_real_frame_sampling(spark):
+    """sample_frames is REAL for animated GIFs: decode → pick evenly
+    spaced frames → re-encode as PNG, then the PNG feature kernel
+    consumes the sampled frames — no fakes anywhere in the chain."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_features,
+        decode_png_bytes,
+        encode_gif_bytes,
+        gif_frame_kernel,
+        make_media_table,
+        png_feature_kernel,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    anim = [np.full((6, 9, 3), i * 50, np.uint8) for i in range(5)]
+    blob = encode_gif_bytes(anim)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id bigint, blob binary")
+    media = make_media_table(df, "id", "blob", "video", "gif")
+
+    frames = sample_frames(media, n_frames=3, kernel=gif_frame_kernel)
+    rows = sorted(frames.collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    # evenly spaced picks of the 5-frame animation: frames 0, 2, 4
+    got = [decode_png_bytes(bytes(r["frame"])) for r in rows]
+    for arr, want in zip(got, (anim[0], anim[2], anim[4])):
+        assert np.array_equal(arr, want)
+
+    # the sampled PNG frames flow into the real feature kernel
+    feat = decode_features(
+        frames.select(
+            F.concat(F.col("media_id"), F.lit("_"), F.col("frame_idx")).alias("media_id"),
+            F.col("frame").alias("content"),
+            F.lit(None).cast(
+                "struct<media_type:string,format:string,width:int,height:int,duration_ms:int>"
+            ).alias("meta"),
+        ),
+        dim=8,
+        kernel=png_feature_kernel(8),
+    ).collect()
+    assert len(feat) == 3
+    by_id = {r["media_id"]: r["feature"] for r in feat}
+    assert by_id["1_0"][0] > 0.9  # all-zeros frame → lowest intensity bin
+
+
+def test_gif_lzw_and_partial_frames():
+    """LZW round-trips through dictionary growth and the KwKwK case;
+    partial frames composite onto the previous canvas."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_bytes,
+        encode_gif_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+    for ncolors in (2, 5, 17, 256):
+        mcs = max(2, (ncolors - 1).bit_length())
+        seq = rng.integers(0, ncolors, 3000).tolist() + [1 % ncolors] * 500
+        assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == [int(x) for x in seq]
+
+    # full-frame animation round-trips exactly
+    base = np.zeros((4, 4, 3), np.uint8)
+    out = decode_gif_bytes(encode_gif_bytes([base, base]))
+    assert len(out) == 2 and all(np.array_equal(f, base) for f in out)
+
+    # partial second frame: splice an image block with offset (1,1)
+    # into a single-frame container — the decoder must composite the
+    # 2x2 patch over the previous canvas
+    from deep_db_learning_spark.operators.multimodal import _lzw_encode
+
+    palette_img = np.zeros((4, 4, 3), np.uint8)
+    palette_img[0, 1] = [255, 255, 255]  # palette = {black, white}
+    gif = bytearray(encode_gif_bytes(palette_img))
+    assert gif[-1] == 0x3B
+    patch_indices = [1, 1, 1, 1]  # 2x2 all-white
+    lzw = _lzw_encode(patch_indices, 2)
+    block = bytes([0x2C]) + (1).to_bytes(2, "little") * 2
+    block += (2).to_bytes(2, "little") * 2 + bytes([0, 2])
+    block += bytes([len(lzw)]) + lzw + b"\x00"
+    spliced = bytes(gif[:-1]) + block + b"\x3b"
+    frames = decode_gif_bytes(spliced)
+    assert len(frames) == 2
+    want = palette_img.copy()
+    want[1:3, 1:3] = 255
+    assert np.array_equal(frames[1], want)
