@@ -1349,3 +1349,12 @@ def gif_frame_kernel(content: bytes, n_frames: int) -> list:
         return []
     picks = np.linspace(0, len(frames) - 1, num=min(n_frames, len(frames)))
     return [encode_png_bytes(frames[int(round(p))]) for p in picks]
+
+
+def gif_resize_kernel(content: bytes, w: int, h: int) -> bytes:
+    """REAL resize kernel for GIF media (``resize_images(...,
+    kernel=gif_resize_kernel)``): decode all frames, nearest-neighbour
+    resize each, re-encode as one animated GIF (single-frame GIFs stay
+    single-frame)."""
+    frames = [resize_nearest(f, w, h) for f in decode_gif_bytes(bytes(content))]
+    return encode_gif_bytes(frames if len(frames) > 1 else frames[0])

@@ -525,3 +525,20 @@ def test_gif_lzw_and_partial_frames():
     want = palette_img.copy()
     want[1:3, 1:3] = 255
     assert np.array_equal(frames[1], want)
+
+
+def test_gif_resize_kernel_real():
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_gif_bytes,
+        encode_gif_bytes,
+        gif_resize_kernel,
+    )
+
+    anim = [np.full((6, 9, 3), i * 60, np.uint8) for i in range(3)]
+    out = decode_gif_bytes(gif_resize_kernel(encode_gif_bytes(anim), 4, 3))
+    assert len(out) == 3 and out[0].shape == (3, 4, 3)
+    assert np.array_equal(out[2], np.full((3, 4, 3), 120, np.uint8))
+    single = decode_gif_bytes(gif_resize_kernel(encode_gif_bytes(anim[1]), 5, 5))
+    assert len(single) == 1 and single[0].shape == (5, 5, 3)
