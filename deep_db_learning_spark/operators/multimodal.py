@@ -403,9 +403,10 @@ def resize_images(
     if kernel is None and not use_fake:
         raise NotImplementedError(
             "no resize kernel given: pass kernel=bmp_resize_kernel / "
-            "png_resize_kernel / jpeg_resize_kernel (real, numpy-only) "
-            "for BMP/PNG/baseline-JPEG media, a Pillow/opencv-backed "
-            "kernel for other formats, or use_fake=True"
+            "png_resize_kernel / jpeg_resize_kernel / gif_resize_kernel "
+            "(real, numpy-only) for BMP/PNG/baseline-JPEG/GIF media, a "
+            "Pillow/opencv-backed kernel for other formats, or "
+            "use_fake=True"
         )
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch))
@@ -1358,3 +1359,43 @@ def gif_resize_kernel(content: bytes, w: int, h: int) -> bytes:
     single-frame)."""
     frames = [resize_nearest(f, w, h) for f in decode_gif_bytes(bytes(content))]
     return encode_gif_bytes(frames if len(frames) > 1 else frames[0])
+
+
+def quantize_colors(arr, n_colors: int = 256):
+    """Median-cut color quantization (pure numpy, deterministic):
+    uint8 (H,W,3) → uint8 (H,W,3) with ≤ ``n_colors`` distinct colors —
+    the preprocessing that makes :func:`encode_gif_bytes` applicable to
+    arbitrary RGB images. Boxes split on their widest channel at the
+    median; each box maps to its mean color (rounded)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim != 3:
+        raise ValueError("quantize_colors wants uint8 (H,W,3)")
+    flat = a.reshape(-1, 3)
+    uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(uniq) <= n_colors:
+        return a.copy()
+    boxes = [np.arange(len(uniq))]
+    while len(boxes) < n_colors:
+        # split the box with the largest channel range (weighted splits
+        # would need pixel counts; range-based is the classic variant)
+        widths = [
+            (uniq[b].max(axis=0) - uniq[b].min(axis=0)).max() if len(b) > 1 else -1
+            for b in boxes
+        ]
+        bi = int(np.argmax(widths))
+        if widths[bi] <= 0:
+            break  # every box is a single color
+        box = boxes[bi]
+        ch = int(
+            np.argmax(uniq[box].max(axis=0).astype(int) - uniq[box].min(axis=0))
+        )
+        order = box[np.argsort(uniq[box, ch], kind="stable")]
+        mid = len(order) // 2
+        boxes[bi] = order[:mid]
+        boxes.append(order[mid:])
+    lut = np.zeros((len(uniq), 3), np.uint8)
+    for b in boxes:
+        lut[b] = np.round(uniq[b].astype(np.float64).mean(axis=0)).astype(np.uint8)
+    return lut[inverse].reshape(a.shape)

@@ -542,3 +542,28 @@ def test_gif_resize_kernel_real():
     assert np.array_equal(out[2], np.full((3, 4, 3), 120, np.uint8))
     single = decode_gif_bytes(gif_resize_kernel(encode_gif_bytes(anim[1]), 5, 5))
     assert len(single) == 1 and single[0].shape == (5, 5, 3)
+
+
+def test_quantize_colors_median_cut():
+    """Median-cut quantization bounds the palette and composes with the
+    GIF encoder on arbitrary RGB input."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_gif_bytes,
+        encode_gif_bytes,
+        quantize_colors,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    q = quantize_colors(img, 64)
+    assert len(np.unique(q.reshape(-1, 3), axis=0)) <= 64
+    # quantization error is bounded and the result round-trips via GIF
+    assert np.abs(q.astype(int) - img.astype(int)).mean() < 30
+    assert np.array_equal(decode_gif_bytes(encode_gif_bytes(q))[0], q)
+    # small palettes pass through untouched; deterministic
+    small = np.zeros((4, 4, 3), np.uint8)
+    small[0, 0] = 255
+    assert np.array_equal(quantize_colors(small, 256), small)
+    assert np.array_equal(quantize_colors(img, 64), q)
