@@ -21,18 +21,27 @@ survives executor loss. Otherwise it falls back to ``localCheckpoint``.
 Cluster jobs therefore opt into fault tolerance with one line of
 session setup and no operator changes.
 
-Storage hygiene: reliable checkpoint files are NOT removed when their
-frames are garbage-collected unless
-``spark.cleaner.referenceTracking.cleanCheckpoints`` is on —
-:func:`~deep_db_learning_spark.session.make_session` sets it, so the
+Storage hygiene: "checkpoint blocks are reclaimed on GC" holds
+unconditionally only for ``localCheckpoint`` (ContextCleaner drops the
+RDD blocks). Reliable ``checkpoint()`` FILES are removed at frame GC
+only when ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on —
+a static driver-startup conf (default false), so it cannot be flipped
+here after the session exists.
+:func:`~deep_db_learning_spark.session.make_session` sets it; a
+session built elsewhere with a checkpoint dir but without the conf
+accumulates checkpoint files for the session lifetime across the
 iterative callers (BFS frontiers, label propagation, streaming
-snapshot merges) do not leak the checkpoint dir over a long job. Set
-it yourself if you build the session elsewhere.
+snapshot merges) — :func:`cut_lineage` warns once when it detects that
+posture.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+_WARNED_UNCLEANED = False
 
 
 def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -48,5 +57,22 @@ def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     except Exception:  # pragma: no cover - very old API surface
         ckpt_dir = None
     if ckpt_dir:
+        global _WARNED_UNCLEANED
+        if not _WARNED_UNCLEANED and (
+            sc.getConf().get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+            )
+            != "true"
+        ):
+            _WARNED_UNCLEANED = True
+            warnings.warn(
+                "cut_lineage: a checkpoint dir is set but "
+                "spark.cleaner.referenceTracking.cleanCheckpoints is off — "
+                "reliable checkpoint files will accumulate until the "
+                "session ends. Set the conf at session build "
+                "(make_session does) to reclaim them at frame GC.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -185,11 +185,14 @@ def duplicate_line_fraction(text: Column) -> Column:
 # - dotted 4-part version strings ("1.2.3.4") are shape-identical to
 #   IPv4 and redact as <IP>;
 # - (a) requires ≥2 digits inside the parens, so citation-like prose
-#   ("figure (1) 2024-2025") survives, at the cost of the European
-#   trunk-prefix shape "+44 (0) 20 ..." no longer matching via (a).
+#   ("figure (1) 2024-2025") survives; the European trunk-prefix shape
+#   "+44 (0) 20 ..." is instead caught by the dedicated rule (a'),
+#   which demands a leading +country before the literal "(0)" — a
+#   shape no citation or date produces (ADVICE r4).
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+[0-9]{1,3}[ -]?\(0\)([ -]?[0-9]{2,4}){2,}", "<PHONE>"),
     (
         r"\+?[0-9]{0,3}[ -]?\([0-9]{2,4}\)[ -]?[0-9]{2,4}[ -]?[0-9]{2,4}[ -]?[0-9]{0,4}",
         "<PHONE>",

@@ -256,9 +256,9 @@ def lsh_candidate_pairs(
     )
     # cut_lineage, not a bare persist(): the banded table is consumed
     # by both self-join sides and the result is lazy, so there is no
-    # moment to unpersist — checkpoint blocks are instead reclaimed by
-    # the ContextCleaner when the frame is garbage-collected (the same
-    # argument as minhash_lsh_dedup's losers set)
+    # moment to unpersist — localCheckpoint blocks are instead reclaimed
+    # by the ContextCleaner at frame GC (cluster posture: reliable
+    # checkpoint files need cleanCheckpoints on — see checkpoint.py)
     banded = cut_lineage(banded, eager=True)
     a = banded.alias("a")
     b = banded.alias("b")

@@ -923,9 +923,10 @@ def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -
 
 def decode_jpeg_bytes(content: bytes):
     """Baseline JFIF decoder → uint8 array (H,W) or (H,W,3). Reads
-    quant + huffman tables from the file; supports 1-4 components,
-    sampling factors 1-2, and DRI/RSTn. Progressive (SOF2) and
-    arithmetic coding raise ``NotImplementedError``."""
+    quant + huffman tables from the file; supports 1 (grayscale) or 3
+    (YCbCr) components, sampling factors 1-2, and DRI/RSTn.
+    Progressive (SOF2), arithmetic coding, and 2/4-component frames
+    (Adobe CMYK/YCCK) raise ``NotImplementedError``."""
     import numpy as np
 
     d = content
@@ -978,6 +979,14 @@ def decode_jpeg_bytes(content: bytes):
             H = int.from_bytes(payload[1:3], "big")
             W = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would silently lose the K
+                # plane through the 3-plane YCbCr path; 2-component
+                # files have no defined color transform here (ADVICE r4)
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (only grayscale and YCbCr "
+                    "are supported)"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
@@ -1128,10 +1137,15 @@ def jpeg_feature_kernel(dim: int = 16):
 # so the sampled frames feed :func:`decode_features`'s PNG kernel with
 # no fakes anywhere in the chain. Scope: global/local color tables,
 # full-frame and partial frames (composited over the previous frame),
-# graphics-control extensions, real variable-width LZW both ways
-# (encoder width bump at next_code == 2^w + 1 mirrors the decoder's
-# bump at 2^w — the decoder's table lags the encoder by one entry);
-# interlaced images raise NotImplementedError by name.
+# graphics-control extensions — transparency masking and disposal
+# methods 2 (restore-to-background) and 3 (restore-to-previous) are
+# honored in the composite (ADVICE r4) — and real variable-width LZW
+# both ways (encoder width bump at next_code == 2^w + 1 mirrors the
+# decoder's bump at 2^w — the decoder's table lags the encoder by one
+# entry); interlaced images raise NotImplementedError by name. The
+# ENCODER always emits opaque full frames (no transparency, disposal
+# "none") — the decode-side GCE handling is exercised against
+# spec-composed byte streams in tests.
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
@@ -1275,9 +1289,16 @@ def encode_gif_bytes(frames, delay_cs: int = 10) -> bytes:
 
 
 def decode_gif_bytes(content: bytes):
-    """GIF87a/89a decoder → list of (H,W,3) uint8 frames. Partial
-    frames composite over the previous frame (disposal method 1/none);
-    interlaced images raise NotImplementedError."""
+    """GIF87a/89a decoder → list of (H,W,3) uint8 frames. Honors the
+    graphics-control extension (ADVICE r4): transparent pixels are
+    masked out of the composite (the previous canvas shows through),
+    and disposal methods are applied between frames — 0/1 leave the
+    canvas, 2 restores the frame's region to the background color,
+    3 restores it to the pre-frame canvas. Output is RGB (no alpha):
+    a transparent BACKGROUND renders as the background color (black
+    when the background index is itself transparent — the
+    letterbox convention). Interlaced images raise
+    NotImplementedError."""
     import numpy as np
 
     d = content
@@ -1286,6 +1307,7 @@ def decode_gif_bytes(content: bytes):
     w = int.from_bytes(d[6:8], "little")
     h = int.from_bytes(d[8:10], "little")
     flags = d[10]
+    bg_index = d[11]
     pos = 13
     gct = None
     if flags & 0x80:
@@ -1294,12 +1316,23 @@ def decode_gif_bytes(content: bytes):
         pos += 3 * n
     frames = []
     canvas = np.zeros((h, w, 3), np.uint8)
+    gce = None  # (disposal, transparent_index) for the NEXT image
     while pos < len(d):
         b0 = d[pos]
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: skip sub-blocks
+        if b0 == 0x21:  # extension
+            label = d[pos + 1]
             pos += 2
+            if label == 0xF9 and d[pos] >= 4:
+                # graphics control: packed(disposal bits 2-4,
+                # transparency bit 0), delay, transparent index
+                packed = d[pos + 1]
+                tindex = d[pos + 4]
+                gce = (
+                    (packed >> 2) & 0x7,
+                    tindex if packed & 1 else None,
+                )
             while d[pos]:
                 pos += 1 + d[pos]
             pos += 1
@@ -1332,9 +1365,28 @@ def decode_gif_bytes(content: bytes):
         idx = _lzw_decode(bytes(lzw), min_code)
         if len(idx) < fw * fh:
             raise ValueError("truncated GIF frame")
-        block = ct[np.array(idx[: fw * fh], np.int64)].reshape(fh, fw, 3)
-        canvas[y0 : y0 + fh, x0 : x0 + fw] = block
+        disposal, tindex = gce if gce else (0, None)
+        gce = None  # a GCE governs exactly one image
+        idx_a = np.array(idx[: fw * fh], np.int64).reshape(fh, fw)
+        region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+        prev_region = region.copy() if disposal == 3 else None
+        block = ct[idx_a]
+        if tindex is None:
+            region[:] = block
+        else:
+            opaque = idx_a != tindex
+            region[opaque] = block[opaque]
         frames.append(canvas.copy())
+        # dispose AFTER recording the frame — it shapes the next one
+        if disposal == 2:
+            bg = (
+                gct[bg_index]
+                if gct is not None and bg_index < len(gct) and bg_index != tindex
+                else np.zeros(3, np.uint8)
+            )
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = bg
+        elif disposal == 3:
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = prev_region
     return frames
 
 

@@ -205,8 +205,10 @@ def ivf_index(
     model = KMeans(k=n_lists, seed=seed, featuresCol="__fv", predictionCol="list_id").fit(fit_on)
     # cut_lineage, not persist: the returned index artifact has no
     # unpersist moment (callers hold it for many ivf_topk calls); a
-    # CacheManager entry would pin memory for the session, checkpoint
-    # blocks are GC-reclaimed when the index is dropped
+    # CacheManager entry would pin memory for the session, while
+    # localCheckpoint blocks are GC-reclaimed when the index is dropped
+    # (cluster posture: reliable checkpoint files need cleanCheckpoints
+    # on — see checkpoint.py)
     assigned = cut_lineage(model.transform(prepared).drop("__fv"), eager=True)
     return assigned, model
 

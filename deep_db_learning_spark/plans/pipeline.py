@@ -172,8 +172,10 @@ def minimum_slice(
     n_target = tables[target_table].count()
     parts = max(1, min(sc.defaultParallelism, n_target // 50_000 + 1))
     # cut_lineage, not persist: the frame is returned in SliceResult
-    # (the checkpoint artifact) — no unpersist moment, and checkpoint
-    # blocks are GC-reclaimed when the result is dropped
+    # (the checkpoint artifact) — no unpersist moment; localCheckpoint
+    # blocks are GC-reclaimed when the result is dropped (cluster
+    # posture: reliable checkpoint files need cleanCheckpoints on —
+    # see checkpoint.py)
     data = cut_lineage(data.coalesce(parts), eager=True)
 
     from pyspark.ml.classification import (

@@ -149,3 +149,43 @@ def test_minimum_slice_regression_depth2_no_label_leak(db):
         .first()["v"]
     )
     assert res.metrics["mse"] > 0.5 * label_var
+
+
+def test_cut_lineage_warns_on_uncleaned_checkpoint_dir(spark, tmp_path):
+    """Cluster posture without cleanCheckpoints: reliable checkpoint
+    files outlive frame GC (ADVICE r4) — cut_lineage must say so once
+    instead of silently leaking the checkpoint dir."""
+    import warnings
+
+    from deep_db_learning_spark import checkpoint as cp
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # test session has no dir
+    assert (
+        sc.getConf().get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
+        != "true"
+    )
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    old_flag = cp._WARNED_UNCLEANED
+    try:
+        cp._WARNED_UNCLEANED = False
+        df = spark.range(10)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = cp.cut_lineage(df, eager=True)
+            assert out.count() == 10
+            msgs = [x for x in w if "cleanCheckpoints" in str(x.message)]
+            assert len(msgs) == 1
+            # one-time: a second call stays quiet
+            cp.cut_lineage(spark.range(5), eager=True).count()
+            msgs = [x for x in w if "cleanCheckpoints" in str(x.message)]
+            assert len(msgs) == 1
+    finally:
+        cp._WARNED_UNCLEANED = old_flag
+        # restore the local posture for the rest of the session-scoped
+        # fixture (a lingering dir would flip every later cut_lineage
+        # to reliable checkpoints)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None

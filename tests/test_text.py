@@ -306,6 +306,8 @@ def test_redact_pii_matches_duckdb(spark, duck):
         (5, "reach us at +49 171 555 0199 weekdays"),
         (6, "logged 2024-01-02 12:30:45, pi to 8 places 3.14159265"),
         (7, "serial 123456789012 leaked"),
+        # European trunk-prefix form (ADVICE r4): +country (0) groups
+        (8, "ring +44 (0) 20 7946 0958 or +44-(0)-20-7946-0958 today"),
     ]
     df = spark.createDataFrame(rows, "id int, t string")
     got = {
@@ -330,6 +332,7 @@ def test_redact_pii_matches_duckdb(spark, duck):
     assert got[6] == rows[6][1]
     # ...but a bare >=9-digit run is treated as an identifier
     assert got[7] == "serial <PHONE> leaked"
+    assert got[8] == "ring <PHONE> or <PHONE> today"
 
 
 def test_redact_pii_citation_prose_survives(spark):
@@ -567,3 +570,91 @@ def test_quantize_colors_median_cut():
     small[0, 0] = 255
     assert np.array_equal(quantize_colors(small, 256), small)
     assert np.array_equal(quantize_colors(img, 64), q)
+
+
+def test_gif_transparency_and_disposal():
+    """GCE handling (ADVICE r4) against a spec-composed byte stream:
+    transparent pixels let the previous canvas show through; disposal 3
+    restores the pre-frame region; disposal 2 restores the region to
+    the background color."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        _lzw_encode,
+        decode_gif_bytes,
+    )
+
+    RED, GREEN, BLUE, WHITE = (
+        (255, 0, 0),
+        (0, 255, 0),
+        (0, 0, 255),
+        (255, 255, 255),
+    )
+    gct = bytes(RED) + bytes(GREEN) + bytes(BLUE) + bytes(WHITE)
+    out = bytearray(b"GIF89a")
+    out += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    out += bytes([0x81, 3, 0])  # GCT of 4, background index 3 (white)
+    out += gct
+
+    def gce(disposal, tindex=None):
+        packed = (disposal << 2) | (1 if tindex is not None else 0)
+        return bytes([0x21, 0xF9, 4, packed, 0, 0, tindex or 0, 0])
+
+    def image(x0, y0, fw, fh, indices):
+        lzw = _lzw_encode(indices, 2)
+        b = bytes([0x2C]) + x0.to_bytes(2, "little") + y0.to_bytes(2, "little")
+        b += fw.to_bytes(2, "little") + fh.to_bytes(2, "little") + bytes([0, 2])
+        return b + bytes([len(lzw)]) + lzw + b"\x00"
+
+    out += image(0, 0, 4, 4, [0] * 16)  # frame 1: all red, no GCE
+    # frame 2: disposal 3 + transparency on index 1; 2x2 patch at (1,1)
+    out += gce(3, tindex=1) + image(1, 1, 2, 2, [1, 2, 2, 1])
+    # frame 3: disposal 2 (restore-to-background); 1x1 green at (0,0)
+    out += gce(2) + image(0, 0, 1, 1, [1])
+    # frame 4: plain 1x1 blue at (3,3)
+    out += gce(0) + image(3, 3, 1, 1, [2])
+    out += b"\x3b"
+
+    frames = decode_gif_bytes(bytes(out))
+    assert len(frames) == 4
+    all_red = np.zeros((4, 4, 3), np.uint8)
+    all_red[:] = RED
+    assert np.array_equal(frames[0], all_red)
+    # transparent index-1 pixels show the red beneath; index-2 paint blue
+    want2 = all_red.copy()
+    want2[1, 2] = BLUE
+    want2[2, 1] = BLUE
+    assert np.array_equal(frames[1], want2)
+    # disposal 3 restored the patch region before frame 3 drew
+    want3 = all_red.copy()
+    want3[0, 0] = GREEN
+    assert np.array_equal(frames[2], want3)
+    # disposal 2 restored (0,0) to the BACKGROUND color (white)
+    want4 = all_red.copy()
+    want4[0, 0] = WHITE
+    want4[3, 3] = BLUE
+    assert np.array_equal(frames[3], want4)
+
+
+def test_jpeg_component_count_gate():
+    """2/4-component SOF0 frames (Adobe CMYK/YCCK) must refuse by name
+    instead of silently dropping planes through the YCbCr path
+    (ADVICE r4)."""
+    import numpy as np
+    import pytest
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_bytes,
+    )
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    data = bytearray(encode_jpeg_bytes(img))
+    # find the SOF0 marker and bump its component count to 4
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    ncomp_at = i + 2 + 2 + 1 + 4  # len(2) + precision(1) + H,W(4)
+    assert data[ncomp_at] == 3
+    data[ncomp_at] = 4
+    with pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg_bytes(bytes(data))
