@@ -68,10 +68,26 @@ def lang_id(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are stopwords."""
+    """Fraction of whitespace tokens that are stopwords.
+
+    Implemented without a higher-order ``filter`` (r5): HOF lambdas are
+    interpreted per element and their named-lambda analysis dominates
+    the plan-build time of composite expressions like
+    :func:`quality_score`. Whitespace is normalized to single spaces,
+    then stopword TOKENS are counted with zero-width boundary
+    lookarounds (adjacent stopwords still both match because
+    lookarounds don't consume the shared space). Values are
+    bit-identical to the ``filter(isin)`` form — the DuckDB oracle
+    keeps its list_filter formulation."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(toks)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "),
+        F.lit(" "),
+    )
+    pat = "(?<= )(" + "|".join(STOPWORDS) + ")(?= )"
+    stop = F.size(F.regexp_extract_all(padded, F.lit(pat), 0))
     return F.when(n > 0, stop.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -83,9 +99,14 @@ def punct_ratio(text: Column) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
+    """Mean token length. The summed token lengths equal the count of
+    non-whitespace characters (every non-\\s char belongs to exactly
+    one token), so the per-token ``aggregate`` HOF reduces to one
+    ``regexp_replace`` + ``length`` — same values, no interpreted
+    lambda (r5)."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    total = F.length(F.regexp_replace(text, r"\s", ""))
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
