@@ -536,6 +536,11 @@ def q_train_relational(spark, sf_dir):
     same parquet and pinned as a VALUES literal at check time. The
     trajectories are additionally pinned by goldens in
     tests/test_training.py."""
+    from deep_db_learning_spark.plans.stack import (
+        THREE_LAYER_BENCH_CONFIG,
+        THREE_LAYER_SPECS,
+        train_relational_stack,
+    )
     from deep_db_learning_spark.plans.training import (
         MINIBATCH_BENCH_CONFIG,
         REGRESSION_BENCH_CONFIG,
@@ -575,11 +580,25 @@ def q_train_relational(spark, sf_dir):
         seed=42,
         **TWO_LAYER_BENCH_CONFIG,
     )
+    # depth-3 end-to-end backprop (r5): customer <- orders <- lineitem
+    # declared as EdgeLayerSpec rows — three embedding tables and both
+    # hidden weight matrices trained through TWO stacked decimal-fold
+    # aggregations (the reference's layers=2 configuration,
+    # experiments/blueprint_mlflow.py:53; plans/stack.py)
+    three = train_relational_stack(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        layers=THREE_LAYER_SPECS,
+        seed=42,
+        **THREE_LAYER_BENCH_CONFIG,
+    )
     rows = (
         [("full", i, float(l)) for i, l in enumerate(full.losses)]
         + [("minibatch", i, float(l)) for i, l in enumerate(mb.losses)]
         + [("regression", i, float(l)) for i, l in enumerate(reg.losses)]
         + [("two_layer", i, float(l)) for i, l in enumerate(two.losses)]
+        + [("three_layer", i, float(l)) for i, l in enumerate(three.losses)]
     )
     return spark.createDataFrame(rows, "mode string, epoch int, train_loss double")
 

@@ -1,6 +1,7 @@
 from .blueprint import BlueprintPlan
 from .metrics import classification_metrics, regression_metrics
 from .pipeline import SliceResult, build_node_features, minimum_slice
+from .stack import EdgeLayerSpec, train_relational_stack
 from .training import (
     TrainResult,
     assemble_training_frame,
@@ -13,6 +14,7 @@ from .tuning import run_trials
 
 __all__ = [
     "BlueprintPlan",
+    "EdgeLayerSpec",
     "run_trials",
     "SliceResult",
     "TrainResult",
@@ -24,5 +26,6 @@ __all__ = [
     "train_relational_classifier",
     "train_relational_minibatch",
     "train_relational_regressor",
+    "train_relational_stack",
     "train_relational_two_layer",
 ]

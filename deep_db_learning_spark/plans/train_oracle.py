@@ -363,6 +363,7 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     strtod). The data directory defaults to the driver's correctness SF;
     selfcheck overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at
     another SF."""
+    from .stack import THREE_LAYER_BENCH_CONFIG
     from .training import (
         MINIBATCH_BENCH_CONFIG,
         REGRESSION_BENCH_CONFIG,
@@ -391,6 +392,11 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
         for i, loss in enumerate(
             _two_layer_losses(sf_dir, seed=seed, **TWO_LAYER_BENCH_CONFIG)
         )
+    ] + [
+        ("three_layer", i, loss)
+        for i, loss in enumerate(
+            _three_layer_losses(sf_dir, seed=seed, **THREE_LAYER_BENCH_CONFIG)
+        )
     ]
     # the double literal goes through VARCHAR: DuckDB parses a bare
     # 17-digit numeric literal as DECIMAL and its decimal→double cast is
@@ -407,29 +413,124 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     """
 
 
-def _two_layer_losses(
-    sf_dir: str,
-    epochs: int = 3,
-    n_batches: int = 2,
-    seed: int = 42,
-    neighbor_budget: int | None = 5,
-    d1: int = 4,
-) -> list[float]:
-    """Replays ``plans.training.train_relational_two_layer`` (bench
-    config, as called by ``q_train_relational``) — the 2-layer
-    minibatch trajectory: DuckDB for the relational assembly (root
-    features AND the orders-side layer-1 frame with its lineitem
-    decimal-fold mean, knuth budget sample, global standardization),
-    numpy for the layer math, ``decimal.Decimal`` for the hbar and dW1
-    folds. The head step is the SAME shared function the engine runs
-    (``training.two_layer_head_step`` — precedent: ``row_logits``);
-    independence lives in the data path, which is where engines can
-    disagree."""
+def _child_frame_twin(sf_dir: str, spec, seed: int):
+    """Twin of ``plans.stack._assemble_child_frame`` for one
+    :class:`~.stack.EdgeLayerSpec` (the spec is shared CONFIG, like the
+    ``*_BENCH_CONFIG`` dicts; the data path below is independent):
+    DuckDB reads the raw parquet, python replays the child_agg decimal
+    -fold mean, the knuth budget sample, the global standardization
+    folds, and the F12 dict-encode (sorted distinct non-null → 1..n
+    over the KEPT rows). Returns ``(by_parent, card)`` with
+    ``by_parent[parent_key] = (child_keys list, codes ndarray,
+    X ndarray)``."""
     import duckdb
     import numpy as np
 
-    from .training import ORDER_EMB_DIM, ORDER_FEATURES, two_layer_head_step
+    con = duckdb.connect()
+    means = None
+    if spec.child_agg is not None:
+        ct, cfk, cc = spec.child_agg
+        sums: dict[int, Decimal] = {}
+        cnts: dict[int, int] = {}
+        for kkey, v in con.execute(
+            f"SELECT {cfk}, {cc} FROM read_parquet('{sf_dir}/{ct}.parquet') "
+            f"WHERE {cfk} IS NOT NULL"
+        ).fetchall():
+            if v is None:
+                continue
+            sums[kkey] = sums.get(kkey, Decimal(0)) + _dec9(v)
+            cnts[kkey] = cnts.get(kkey, 0) + 1
+        means = {k_: float(s) / cnts[k_] for k_, s in sums.items()}
 
+    key_sel = f"{spec.key}, " if spec.key is not None else ""
+    num_sel = ("".join(f", {c}" for c in spec.num_cols))
+    rows = con.execute(
+        f"SELECT {key_sel}{spec.fk}, {spec.cat_col}{num_sel} "
+        f"FROM read_parquet('{sf_dir}/{spec.table}.parquet') "
+        f"WHERE {spec.fk} IS NOT NULL"
+    ).fetchall()
+    groups: dict[int, list[tuple]] = {}
+    for r in rows:
+        if spec.key is not None:
+            ckey, fkv, cat, *nvals = r
+        else:
+            fkv, cat, *nvals = r
+            ckey = None
+        feats = [float(v) for v in nvals]
+        if means is not None:
+            feats.append(means.get(ckey, 0.0))
+        groups.setdefault(fkv, []).append((ckey, cat, feats))
+
+    kept: dict[int, list[tuple]] = {}
+    all_feats: list[list[float]] = []
+    for fkv, g in groups.items():
+        if spec.neighbor_budget is not None:
+            g = sorted(g, key=lambda r: (_knuth(r[0], seed), r[0]))
+            g = g[: spec.neighbor_budget]
+        kept[fkv] = g
+        all_feats.extend(row[2] for row in g)
+
+    cat_vals = sorted(
+        {row[1] for g in kept.values() for row in g if row[1] is not None}
+    )
+    cat_code = {v: i + 1 for i, v in enumerate(cat_vals)}
+    card = len(cat_vals) + 1
+
+    nfeat = len(spec.num_cols) + (1 if spec.child_agg else 0)
+    n = len(all_feats)
+    stats = []
+    for j in range(nfeat):
+        s = Decimal(0)
+        q = Decimal(0)
+        for row in all_feats:
+            s += _dec9(row[j])
+            q += _dec9(row[j] * row[j])
+        mu = float(s) / n
+        sd = max(float(q) / n - mu * mu, 1e-12) ** 0.5
+        stats.append((mu, sd))
+
+    by_parent = {}
+    for fkv, g in kept.items():
+        keys = [row[0] for row in g]
+        codes = np.array([cat_code.get(row[1], 0) for row in g], dtype=np.int64)
+        X = np.array(
+            [
+                [(row[2][j] - stats[j][0]) / stats[j][1] for j in range(nfeat)]
+                for row in g
+            ],
+            dtype=np.float64,
+        )
+        by_parent[fkv] = (keys, codes, X)
+    return by_parent, card
+
+
+def _stack_losses(
+    sf_dir: str,
+    layers,
+    epochs: int = 2,
+    n_batches: int = 2,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    dim: int = 4,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    with_accuracy: bool = False,
+):
+    """Replays ``plans.stack.train_relational_stack`` for a declared
+    layer stack: DuckDB for the relational assembly (the root frame
+    via :func:`_assemble` plus one :func:`_child_frame_twin` per
+    layer), numpy for the layer math, ``decimal.Decimal`` for the hbar
+    and weight folds — every step's loss bit-equal to the engine's.
+    The head step and ``row_logits`` are the SAME shared kernels the
+    engine runs (the ``row_logits`` precedent); independence lives in
+    the data path, which is where engines can disagree. Returns the
+    per-step losses (plus the per-split accuracies of the trained
+    model when ``with_accuracy``)."""
+    import numpy as np
+
+    from .training import row_logits, two_layer_head_step
+
+    L = len(layers)
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
         sf_dir, seed, neighbor_budget=neighbor_budget
     )
@@ -439,95 +540,70 @@ def _two_layer_losses(
     nums = X_num[tr_sel]
     y = y_a[tr_sel]
 
-    # ---- orders-side layer-1 frame twin
-    con = duckdb.connect()
-    li_rows = con.execute(
-        f"SELECT l_orderkey, l_quantity "
-        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
-    ).fetchall()
-    li_groups: dict[int, list[float]] = {}
-    for ok_, v in li_rows:
-        li_groups.setdefault(ok_, []).append(v)
-    li_mean = {}
-    for ok_, vs in li_groups.items():
-        s = Decimal(0)
-        for v in vs:
-            s += _dec9(v)
-        li_mean[ok_] = float(s) / len(vs)
-
-    ord_rows = con.execute(
-        f"SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
-        f"FROM read_parquet('{sf_dir}/orders.parquet') "
-        f"WHERE o_custkey IS NOT NULL"
-    ).fetchall()
-    groups: dict[int, list[tuple[int, float, float, object]]] = {}
-    for ok_, ck, tp, st_ in ord_rows:
-        groups.setdefault(ck, []).append((ok_, tp, li_mean.get(ok_, 0.0), st_))
-    kept: dict[int, list[list[float]]] = {}
-    kept_codes_raw: dict[int, list[object]] = {}
-    all_feats: list[list[float]] = []
-    for ck, g in groups.items():
-        if neighbor_budget is not None:
-            g = sorted(g, key=lambda r: (_knuth(r[0], seed), r[0]))
-            g = g[:neighbor_budget]
-        feats = [[tp, lm] for _, tp, lm, _s in g]
-        kept[ck] = feats
-        kept_codes_raw[ck] = [_s for _, _tp, _lm, _s in g]
-        all_feats.extend(feats)
-
-    # F12 dict-encode twin over the KEPT rows: sorted distinct non-null
-    # -> 1..n, NULL -> 0 (matching _assemble_order_frame)
-    status_vals = sorted(
-        {v for vs in kept_codes_raw.values() for v in vs if v is not None}
-    )
-    status_code = {v: i + 1 for i, v in enumerate(status_vals)}
-    card1 = len(status_vals) + 1
-
-    m_x = len(ORDER_FEATURES)
-    n = len(all_feats)
-    stats = []
-    for j in range(m_x):
-        s = Decimal(0)
-        q = Decimal(0)
-        for row in all_feats:
-            s += _dec9(row[j])
-            q += _dec9(row[j] * row[j])
-        mu = float(s) / n
-        sd = max(float(q) / n - mu * mu, 1e-12) ** 0.5
-        stats.append((mu, sd))
-    x_of = {
-        ck: np.array(
-            [[(row[j] - stats[j][0]) / stats[j][1] for j in range(m_x)] for row in feats],
-            dtype=np.float64,
-        )
-        for ck, feats in kept.items()
-    }
-    codes_of = {
-        ck: np.array(
-            [status_code.get(v, 0) for v in vs], dtype=np.int64
-        )
-        for ck, vs in kept_codes_raw.items()
-    }
-
-    # ---- training loop twin
-    from .training import row_logits
+    child = []
+    cards = []
+    for spec in layers:
+        by_parent, card_i = _child_frame_twin(sf_dir, spec, seed)
+        child.append(by_parent)
+        cards.append(card_i)
 
     batch_of = np.array(
         [_knuth(int(i), seed + 7) % n_batches for i in ids], dtype=np.int64
     )
-    card = int(codes_a.max()) + 1
+    card0 = int(codes_a.max()) + 1
     k = int(y_a.max()) + 1
-    dim, lr, l2 = 4, 0.5, 1e-4
-    d_e = ORDER_EMB_DIM
-    m1 = d_e + m_x
     m = nums.shape[1]
+    # pinned init-draw order — identical to the engine's: root
+    # embedding, every layer's embedding, every layer's W, the head
     rng = np.random.default_rng(seed)
-    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
-    emb1 = rng.uniform(-0.5, 0.5, size=(card1, d_e))
-    W1 = rng.uniform(-0.5, 0.5, size=(m1, d1)) * 0.1
-    b1 = np.zeros(d1)
-    W2 = rng.uniform(-0.5, 0.5, size=(dim + m + d1, k)) * 0.1
-    b2 = np.zeros(k)
+    emb = rng.uniform(-0.5, 0.5, size=(card0, dim))
+    l_emb = [
+        rng.uniform(-0.5, 0.5, size=(cards[i], layers[i].emb_dim))
+        for i in range(L)
+    ]
+    dims = []
+    for i, spec in enumerate(layers):
+        d_child = layers[i + 1].hidden_dim if i + 1 < L else 0
+        nfeat = len(spec.num_cols) + (1 if spec.child_agg else 0)
+        dims.append((spec.emb_dim, nfeat, spec.hidden_dim, spec.emb_dim + nfeat + d_child))
+    l_W = [
+        rng.uniform(-0.5, 0.5, size=(dims[i][3], dims[i][2])) * 0.1
+        for i in range(L)
+    ]
+    l_b = [np.zeros(dims[i][2]) for i in range(L)]
+    d1 = dims[0][2]
+    W_head = rng.uniform(-0.5, 0.5, size=(dim + m + d1, k)) * 0.1
+    b_head = np.zeros(k)
+
+    def row_forward(i, keys, cvec, X):
+        """h rows of level i (UNquantized — the quantization happens
+        at the fold, exactly where the engine's UDF applies it)."""
+        parts = [l_emb[i][cvec], X]
+        if i + 1 < L:
+            d_child = dims[i + 1][2]
+            chb = np.zeros((len(keys), d_child))
+            for r_, key_ in enumerate(keys):
+                hv = fold_level(i + 1, key_)
+                if hv is not None:
+                    chb[r_] = hv[0]
+            parts.append(chb)
+        Xf = np.concatenate(parts, axis=1)
+        return Xf, np.tanh(row_logits(Xf, l_W[i], l_b[i]))
+
+    def fold_level(i, parent_key):
+        """(hbar, deg) of level i under ``parent_key`` — the per-parent
+        decimal fold of dec9-quantized h components."""
+        entry = child[i].get(parent_key)
+        if entry is None or not len(entry[0]):
+            return None
+        keys, cvec, X = entry
+        _, H = row_forward(i, keys, cvec, X)
+        d = dims[i][2]
+        sums = [Decimal(0)] * d
+        for hrow in H:
+            for jj in range(d):
+                sums[jj] += _dec9(hrow[jj])
+        return np.array([float(sums[jj]) / len(keys) for jj in range(d)]), len(keys)
 
     losses: list[float] = []
     for _ in range(epochs):
@@ -535,61 +611,133 @@ def _two_layer_losses(
             sel = batch_of == bi
             bids = ids[sel]
             n_b = int(sel.sum())
-            # job-A twin: per-root decimal fold of quantized tanh rows
             hbar = np.zeros((n_b, d1))
             degs = np.zeros(n_b, dtype=np.int64)
-            for j, i in enumerate(bids):
-                Xn = x_of.get(int(i))
-                if Xn is None or not len(Xn):
-                    continue
-                X = np.concatenate([emb1[codes_of[int(i)]], Xn], axis=1)
-                H = np.tanh(row_logits(X, W1, b1))
-                sums = [Decimal(0)] * d1
-                for hrow in H:
-                    for jj in range(d1):
-                        sums[jj] += _dec9(hrow[jj])
-                hbar[j] = [float(sums[jj]) / len(X) for jj in range(d1)]
-                degs[j] = len(X)
-            loss, GW2, gb2, demb, gH = two_layer_head_step(
-                codes[sel], nums[sel], hbar, y[sel], emb, W1, W2, b2, l2,
-                extra_l2=float((emb1 * emb1).sum()),
+            for j, i_ in enumerate(bids):
+                hv = fold_level(0, int(i_))
+                if hv is not None:
+                    hbar[j], degs[j] = hv
+            extra_l2 = float(sum(float((E * E).sum()) for E in l_emb)) + float(
+                sum(float((W * W).sum()) for W in l_W[1:])
+            )
+            loss, GW2, gb2, demb0, gH = two_layer_head_step(
+                codes[sel], nums[sel], hbar, y[sel], emb, l_W[0], W_head,
+                b_head, l2, extra_l2=extra_l2,
             )
             losses.append(loss)
-            # job-B twin: per-code decimal folds of
-            # [x_full (x) delta ++ delta] (mirrors groupBy(code))
-            glen = m1 * d1 + d1
-            code_tot: dict[int, list] = {}
-            for j, i in enumerate(bids):
-                if degs[j] == 0:
-                    continue
-                cvec = codes_of[int(i)]
-                X = np.concatenate([emb1[cvec], x_of[int(i)]], axis=1)
-                gvec = gH[j] / degs[j]
-                H = np.tanh(row_logits(X, W1, b1))
-                D = gvec * (1.0 - H * H)
-                out = np.concatenate(
-                    [(X[:, :, None] * D[:, None, :]).reshape(len(X), -1), D],
-                    axis=1,
-                )
-                for ri, row in enumerate(out):
-                    ct = code_tot.setdefault(
-                        int(cvec[ri]), [Decimal(0)] * glen
+
+            # gradient frames down the stack: {parent_key: (gout, gdeg)}
+            g_map = {
+                int(i_): (gH[j].copy(), int(degs[j]))
+                for j, i_ in enumerate(bids)
+                if degs[j] > 0
+            }
+            grads = []
+            for i in range(L):
+                d_e, nx, d, m_i = dims[i]
+                glen = m_i * d + d
+                code_tot: dict[int, list] = {}
+                next_g: dict[int, tuple] = {}
+                for pk, (gout, gdeg) in g_map.items():
+                    entry = child[i].get(pk)
+                    if entry is None or not len(entry[0]):
+                        continue
+                    keys, cvec, X = entry
+                    Xf, H = row_forward(i, keys, cvec, X)
+                    gvec = gout / float(gdeg)
+                    D = gvec * (1.0 - H * H)
+                    out = np.concatenate(
+                        [(Xf[:, :, None] * D[:, None, :]).reshape(len(Xf), -1), D],
+                        axis=1,
                     )
+                    for ri, row in enumerate(out):
+                        ct = code_tot.setdefault(int(cvec[ri]), [Decimal(0)] * glen)
+                        for ii in range(glen):
+                            ct[ii] += _dec9(row[ii])
+                    if i + 1 < L:
+                        WhT = l_W[i][d_e + nx :].T
+                        gnext = row_logits(D, WhT, np.zeros(dims[i + 1][2]))
+                        for ri, key_ in enumerate(keys):
+                            hv = fold_level(i + 1, key_)
+                            if hv is not None:
+                                next_g[int(key_)] = (gnext[ri].copy(), hv[1])
+                tot = [Decimal(0)] * glen
+                demb_i = np.zeros((cards[i], d_e))
+                for c, ct in code_tot.items():
                     for ii in range(glen):
-                        ct[ii] += _dec9(row[ii])
-            tot = [Decimal(0)] * glen
-            demb1 = np.zeros((card1, d_e))
-            for c, ct in code_tot.items():
-                for ii in range(glen):
-                    tot[ii] += ct[ii]
-                dsum = np.array([float(ct[m1 * d1 + jj]) for jj in range(d1)])
-                demb1[c] = dsum @ W1[:d_e].T
-            dW1 = np.array([float(tot[ii]) for ii in range(m1 * d1)]).reshape(m1, d1)
-            db1g = np.array([float(tot[m1 * d1 + ii]) for ii in range(d1)])
-            emb -= lr * (demb / n_b + l2 * emb)
-            emb1 -= lr * (demb1 / n_b + l2 * emb1)
-            W2 -= lr * (GW2 / n_b + l2 * W2)
-            b2 -= lr * (gb2 / n_b)
-            W1 -= lr * (dW1 / n_b + l2 * W1)
-            b1 -= lr * (db1g / n_b)
-    return losses
+                        tot[ii] += ct[ii]
+                    dsum = np.array([float(ct[m_i * d + jj]) for jj in range(d)])
+                    demb_i[c] = dsum @ l_W[i][:d_e].T
+                dW = np.array([float(tot[ii]) for ii in range(m_i * d)]).reshape(m_i, d)
+                db_ = np.array([float(tot[m_i * d + ii]) for ii in range(d)])
+                grads.append((dW, db_, demb_i))
+                g_map = next_g
+
+            emb -= lr * (demb0 / n_b + l2 * emb)
+            W_head -= lr * (GW2 / n_b + l2 * W_head)
+            b_head -= lr * (gb2 / n_b)
+            for i in range(L):
+                dW, db_, demb_i = grads[i]
+                l_emb[i] -= lr * (demb_i / n_b + l2 * l_emb[i])
+                l_W[i] -= lr * (dW / n_b + l2 * l_W[i])
+                l_b[i] -= lr * (db_ / n_b)
+
+    if not with_accuracy:
+        return losses
+    acc: dict[str, list] = {}
+    for idx, nid in enumerate(node_ids):
+        hv = fold_level(0, int(nid))
+        hvec = hv[0] if hv is not None else np.zeros(d1)
+        X = np.concatenate([emb[int(codes_a[idx])], X_num[idx], hvec])
+        pred = int(np.argmax(row_logits(X[None, :], W_head, b_head)[0]))
+        split = "train" if train_mask[idx] else "test"
+        acc.setdefault(split, []).append(float(pred == y_a[idx]))
+    return losses, {s: sum(v) / len(v) for s, v in acc.items()}
+
+
+def _two_layer_losses(
+    sf_dir: str,
+    epochs: int = 3,
+    n_batches: int = 2,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    d1: int = 4,
+) -> list[float]:
+    """Replays ``plans.training.train_relational_two_layer`` (bench
+    config, as called by ``q_train_relational``) — the customer←orders
+    spec through the generic stack twin."""
+    from dataclasses import replace
+
+    from .stack import ORDERS_LAYER_SPEC
+
+    spec = replace(ORDERS_LAYER_SPEC, hidden_dim=d1, neighbor_budget=neighbor_budget)
+    return _stack_losses(
+        sf_dir,
+        (spec,),
+        epochs=epochs,
+        n_batches=n_batches,
+        seed=seed,
+        neighbor_budget=neighbor_budget,
+    )
+
+
+def _three_layer_losses(
+    sf_dir: str,
+    epochs: int = 2,
+    n_batches: int = 2,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+) -> list[float]:
+    """Replays the depth-3 bench stack (customer ← orders ← lineitem,
+    ``plans.stack.THREE_LAYER_SPECS``) — the aggregation-of-aggregation
+    gradient recomputed independently."""
+    from .stack import THREE_LAYER_SPECS
+
+    return _stack_losses(
+        sf_dir,
+        THREE_LAYER_SPECS,
+        epochs=epochs,
+        n_batches=n_batches,
+        seed=seed,
+        neighbor_budget=neighbor_budget,
+    )

@@ -674,40 +674,18 @@ def train_relational_regressor(
 # The reference backprops through L STACKED conv layers + embedders
 # (nn/models/blueprint.py:24-214, trained end-to-end by lightning).
 # The trainers above optimize a 1-layer head over blueprint-assembled
-# features; this section closes that gap with a genuinely 2-layer
-# model whose BOTH weight matrices are trained in-engine:
+# features; the stack trainer (plans/stack.py) closes that gap with a
+# genuinely deep model whose EVERY weight matrix and embedding table
+# is trained in-engine, over ANY FK edges declared as EdgeLayerSpec
+# rows. For the default customer←orders spec at depth 2:
 #
 #   layer 1 (orders):   h_o   = tanh([emb1[code_o] ++ x_o] @ W1 + b1)
 #   aggregate (edge):   hbar_c = mean_{o in N(c)} h_o     (decimal fold)
 #   layer 2 (head):     logits_c = [emb[code_c] ++ nums_c ++ hbar_c] @ W2 + b2
 #
-# x_o = standardized [o_totalprice, mean(l_quantity) over the order's
-# lineitem] and code_o = dict-encoded o_orderstatus — so the root's
-# receptive field is genuinely TWO hops (customer <- orders <-
-# lineitem) and BOTH tables' categorical embedders learn (the head's
-# nationkey table and the layer-1 status table emb1, the reference's
-# per-table embedder stack). W1's and emb1's gradients flow through
-# the neighbor aggregation: dL/dh_o = (dL/dhbar_c)/deg_c, backpropped
-# through tanh into dW1 (global decimal fold) and demb1 (per-code
-# decimal fold) with the same Arrow-UDF pattern as the 1-layer
-# trainers.
-#
-# Driver/Spark split per step (minibatch SGD, bounded seed-node
-# batches — the HGTLoader doctrine):
-#   job A  (Spark): layer-1 forward over the BATCH roots' orders +
-#                   per-root decimal fold of h -> hbar  (the big side)
-#   driver (numpy): head forward/backward over the collected batch
-#                   roots (code, nums, label collected ONCE — the seed
-#                   -node batch the reference also materializes in
-#                   trainer memory)
-#   job B  (Spark): backprop over the same orders — delta = g_c/deg_c
-#                   * (1 - h^2), decimal fold of [x (x) delta ++ delta]
-#                   -> dW1, db1
-# The per-root gradient dict g_c ships in the UDF closure (bounded by
-# batch size); at cluster scale with huge batches it becomes a
-# broadcast join instead — the plan shape is otherwise unchanged.
-
-ORDER_FEATURES = ("o_totalprice", "li_qty_mean")  # layer-1 inputs, m1 = 2
+# train_relational_two_layer below is the API-stable wrapper running
+# that spec through the stack; two_layer_head_step stays here because
+# the engine AND the oracle twin share it (the row_logits precedent).
 
 TWO_LAYER_BENCH_CONFIG = {
     "epochs": 3,
@@ -715,7 +693,6 @@ TWO_LAYER_BENCH_CONFIG = {
     "neighbor_budget": 5,
     "d1": 4,
 }
-ORDER_EMB_DIM = 2  # layer-1 o_orderstatus embedding width (d_e)
 
 
 def two_layer_head_step(codes, nums, hbar, y, emb, W1, W2, b2, l2, extra_l2=0.0):
@@ -754,167 +731,6 @@ def two_layer_head_step(codes, nums, hbar, y, emb, W1, W2, b2, l2, extra_l2=0.0)
     return loss, GW2, gb2, demb, gH
 
 
-def _assemble_order_frame(tables, seed: int, neighbor_budget: int | None):
-    """Layer-1 input frame, built once:
-    ``((custkey, code, x array<double>), card1)`` with x = standardized
-    ``ORDER_FEATURES`` and code = dict-encoded ``o_orderstatus``
-    (sorted distinct non-null → 1..n, NULL→0 — the F12 convention,
-    built over the SAMPLED rows so engine and twin see one code
-    table). The lineitem mean is an exact decimal fold per order; the
-    per-customer ``neighbor_budget`` sample is the deterministic
-    knuth-ordered window
-    (:func:`~..operators.sampling.sample_neighbors`, applied BEFORE
-    standardization so the stats describe exactly the rows trained on);
-    standardization stats are global decimal folds."""
-    from ..operators.sampling import sample_neighbors
-
-    orders = (
-        tables["orders"]
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-        .filter(F.col("o_custkey").isNotNull())
-    )
-    li = tables["lineitem"].groupBy(
-        F.col("l_orderkey").alias("o_orderkey")
-    ).agg(
-        (
-            F.sum(F.col("l_quantity").cast(DECIMAL_TYPE)).cast("double")
-            / F.count("l_quantity")
-        ).alias("li_qty_mean")
-    )
-    of = orders.join(li, "o_orderkey", "left").na.fill(0.0, ["li_qty_mean"])
-    if neighbor_budget is not None:
-        of = sample_neighbors(
-            of, neighbor_budget, seed=seed, src="o_orderkey", dst="o_custkey"
-        )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in ORDER_FEATURES:
-        aggs.append(F.sum(F.col(c).cast(DECIMAL_TYPE)).alias(f"s_{c}"))
-        aggs.append(F.sum((F.col(c) * F.col(c)).cast(DECIMAL_TYPE)).alias(f"q_{c}"))
-    st = of.agg(*aggs).first()
-    n = st["n"]
-    if not n:
-        raise ValueError("_assemble_order_frame: no orders rows")
-    comps = []
-    for c in ORDER_FEATURES:
-        mu = float(st[f"s_{c}"]) / n
-        sd = max(float(st[f"q_{c}"]) / n - mu * mu, 1e-12) ** 0.5
-        comps.append((F.col(c) - F.lit(mu)) / F.lit(sd))
-    from ..functions.encode import dict_encode
-
-    of = dict_encode(of, "o_orderstatus", out="code")
-    card1 = of.agg(F.max("code")).first()[0] + 1
-    return (
-        of.select(
-            F.col("o_custkey").alias("custkey"), "code", F.array(*comps).alias("x")
-        ),
-        int(card1),
-    )
-
-
-def _order_forward_fold(of_b, E1, W1, b1, d1: int):
-    """Job A: layer-1 forward + per-root decimal fold — ONE Spark job.
-    Returns ``{custkey: (hbar ndarray(d1), deg)}``. The UDF embeds the
-    status code (E1 lookup, the in-kernel broadcast join) and emits
-    each tanh component quantized to the decimal scale (same one
-    -rounding-rule argument as ``_gradient_pass``), so the per-root
-    mean ``float(decimal_sum)/deg`` is partitioning-independent."""
-    from decimal import Decimal
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    E1c, W1c, b1c = E1.copy(), W1.copy(), b1.copy()
-
-    def h_fn(code, x):
-        codes = code.to_numpy(dtype=np.int64)
-        X = np.concatenate([E1c[codes], np.vstack(x.to_list())], axis=1)
-        # row_logits, not X @ W1c: the fixed-order accumulation is
-        # Arrow-batch-size-independent (see row_logits's docstring) —
-        # a GEMM here could differ by ulps between partitionings
-        H = np.tanh(row_logits(X, W1c, b1c))
-        return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in H])
-
-    h_fn.__annotations__ = {"code": pd.Series, "x": pd.Series, "return": pd.Series}
-    udf = pandas_udf(h_fn, f"array<{DECIMAL_TYPE}>")
-    sums = (
-        of_b.select("custkey", udf("code", "x").alias("h"))
-        .groupBy("custkey")
-        .agg(
-            F.count(F.lit(1)).alias("deg"),
-            *[F.sum(F.element_at("h", j + 1)).alias(f"s{j}") for j in range(d1)],
-        )
-    )
-    out = {}
-    for r in sums.collect():
-        deg = r["deg"]
-        out[int(r["custkey"])] = (
-            np.array([float(r[f"s{j}"]) / deg for j in range(d1)]),
-            deg,
-        )
-    return out
-
-
-def _order_backward_fold(of_b, E1, W1, b1, gd, d_e: int, m1: int, d1: int, card1: int):
-    """Job B: backprop through the aggregation and tanh — ONE Spark job.
-    ``gd[custkey] = (dL/dhbar_c)/deg_c`` (driver dict, ships in the UDF
-    closure). Per order row: ``delta = gd[c] * (1 - h^2)``; the decimal
-    fold of ``[x_full (x) delta ++ delta]`` — grouped by the status
-    CODE so the same job yields the per-code delta sums — gives
-    ``(dW1, db1, demb1)``: ``demb1[c] = (sum_{code=c} delta) @
-    W1[:d_e].T`` (the embedding rows of W1). Bit-deterministic under
-    any partitioning, the same pattern as ``_gradient_pass``'s
-    groupBy(code) fold."""
-    from decimal import Decimal
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    glen = m1 * d1 + d1
-    E1c, W1c, b1c = E1.copy(), W1.copy(), b1.copy()
-    gmap = {int(c): v.copy() for c, v in gd.items()}
-
-    def g_fn(custkey, code, x):
-        codes = code.to_numpy(dtype=np.int64)
-        X = np.concatenate([E1c[codes], np.vstack(x.to_list())], axis=1)
-        G = np.vstack([gmap[int(c)] for c in custkey])
-        H = np.tanh(row_logits(X, W1c, b1c))
-        D = G * (1.0 - H * H)
-        out = np.concatenate(
-            [(X[:, :, None] * D[:, None, :]).reshape(len(X), -1), D], axis=1
-        )
-        return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in out])
-
-    g_fn.__annotations__ = {
-        "custkey": pd.Series,
-        "code": pd.Series,
-        "x": pd.Series,
-        "return": pd.Series,
-    }
-    udf = pandas_udf(g_fn, f"array<{DECIMAL_TYPE}>")
-    rows = (
-        of_b.select("code", udf("custkey", "code", "x").alias("g"))
-        .groupBy("code")
-        .agg(*[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)])
-        .collect()
-    )
-    tot = [Decimal(0)] * glen
-    demb1 = np.zeros((card1, d_e))
-    for r in rows:
-        for i in range(glen):
-            v = r[f"v{i}"]
-            if v is not None:
-                tot[i] += v
-        dsum = np.array(
-            [float(r[f"v{m1 * d1 + j}"] or 0) for j in range(d1)]
-        )
-        demb1[r["code"]] = dsum @ W1c[:d_e].T
-    dW1 = np.array([float(tot[i]) for i in range(m1 * d1)]).reshape(m1, d1)
-    db1 = np.array([float(tot[m1 * d1 + i]) for i in range(d1)])
-    return dW1, db1, demb1
-
-
 def train_relational_two_layer(
     tables: dict[str, DataFrame],
     primary_keys: dict[str, list[str]],
@@ -931,10 +747,14 @@ def train_relational_two_layer(
     seed: int = 42,
     neighbor_budget: int | None = 5,
 ) -> TrainResult:
-    """Minibatch SGD through TWO stacked layers (see the section
-    comment above for the model and the per-step driver/Spark split) —
-    the in-engine analog of the reference's end-to-end blueprint
-    backprop (``nn/models/blueprint.py:24-214``) at depth 2.
+    """Minibatch SGD through TWO stacked layers — the in-engine analog
+    of the reference's end-to-end blueprint backprop
+    (``nn/models/blueprint.py:24-214``) at depth 2. API-stable wrapper:
+    runs :func:`~.stack.train_relational_stack` with the
+    customer←orders :data:`~.stack.ORDERS_LAYER_SPEC` (o_orderstatus
+    embedder + [o_totalprice, lineitem-quantity decimal-fold mean]
+    features — a genuine 2-hop receptive field) and maps the stack's
+    parameter dict back to the original ``emb1/W1/b1/W2/b2`` names.
 
     Determinism contract (the same one the 1-layer trainers hold):
     seeded init; layer-1 forward emits decimal-quantized components so
@@ -942,120 +762,42 @@ def train_relational_two_layer(
     over the batch rows in node-id order; the W1 gradient is a global
     decimal fold. Every step's loss — and every parameter — is
     bit-reproducible and recomputed by the independent twin
-    (``plans/train_oracle.py:_two_layer_losses``).
+    (``plans/train_oracle.py:_two_layer_losses``). Scale posture
+    (broadcast semi-join batching, joined-hbar eval) is the stack's —
+    see ``plans/stack.py``."""
+    from dataclasses import replace
 
-    Scale posture: the collected set is the TRAIN ROOTS ONLY (code,
-    nums, label — the seed-node batch the reference also materializes
-    per step in trainer memory); all edge-side work (layer-1 forward,
-    aggregation, backprop) runs as Spark jobs over the orders frame,
-    which never leaves the cluster. ``isin`` batch pruning swaps for a
-    broadcast semi-join past ~10^3 roots per batch."""
-    import numpy as np
+    from .stack import ORDERS_LAYER_SPEC, train_relational_stack
 
-    from ..functions.hashing import knuth_hash_py
-
-    frame, meta = assemble_training_frame(
+    spec = replace(
+        ORDERS_LAYER_SPEC, hidden_dim=d1, neighbor_budget=neighbor_budget
+    )
+    res = train_relational_stack(
         tables,
         primary_keys,
         foreign_keys,
-        target,
-        cat_col,
-        num_cols,
+        layers=(spec,),
+        target=target,
+        cat_col=cat_col,
+        num_cols=num_cols,
+        dim=dim,
+        epochs=epochs,
+        n_batches=n_batches,
+        lr=lr,
+        l2=l2,
         seed=seed,
         neighbor_budget=neighbor_budget,
     )
-    of, card1 = _assemble_order_frame(tables, seed, neighbor_budget)
-    of = cut_lineage(of, eager=True)
-
-    rows = (
-        frame.filter(F.col("split") == "train")
-        .select("node_id", "code", "nums", "label")
-        .collect()
-    )
-    rows.sort(key=lambda r: r["node_id"])
-    ids = np.array([r["node_id"] for r in rows], dtype=np.int64)
-    codes = np.array([r["code"] for r in rows], dtype=np.int64)
-    nums = np.array([list(r["nums"]) for r in rows], dtype=np.float64)
-    y = np.array([r["label"] for r in rows], dtype=np.int64)
-    batch_of = np.array(
-        [knuth_hash_py(int(i), seed + 7) % n_batches for i in ids], dtype=np.int64
-    )
-    if set(np.unique(batch_of)) != set(range(n_batches)):
-        raise ValueError(
-            "train_relational_two_layer: a batch is empty — lower "
-            "n_batches or grow the input"
-        )
-
-    k = meta["n_classes"]
-    m = meta["n_num"]
-    card = meta["n_codes"]
-    d_e = ORDER_EMB_DIM
-    m1 = d_e + len(ORDER_FEATURES)
-    rng = np.random.default_rng(seed)
-    emb = rng.uniform(-0.5, 0.5, size=(card, dim))
-    emb1 = rng.uniform(-0.5, 0.5, size=(card1, d_e))
-    W1 = rng.uniform(-0.5, 0.5, size=(m1, d1)) * 0.1
-    b1 = np.zeros(d1)
-    W2 = rng.uniform(-0.5, 0.5, size=(dim + m + d1, k)) * 0.1
-    b2 = np.zeros(k)
-
-    losses: list[float] = []
-    for _ in range(epochs):
-        for bi in range(n_batches):
-            sel = batch_of == bi
-            bids = ids[sel]
-            n_b = int(sel.sum())
-            of_b = of.filter(F.col("custkey").isin([int(i) for i in bids]))
-            hb = _order_forward_fold(of_b, emb1, W1, b1, d1)
-            hbar = np.zeros((n_b, d1))
-            degs = np.zeros(n_b, dtype=np.int64)
-            for j, i in enumerate(bids):
-                if int(i) in hb:
-                    hbar[j], degs[j] = hb[int(i)]
-            loss, GW2, gb2, demb, gH = two_layer_head_step(
-                codes[sel], nums[sel], hbar, y[sel], emb, W1, W2, b2, l2,
-                extra_l2=float((emb1 * emb1).sum()),
-            )
-            losses.append(loss)
-            gd = {
-                int(i): gH[j] / degs[j]
-                for j, i in enumerate(bids)
-                if degs[j] > 0
-            }
-            if gd:
-                dW1, db1g, demb1 = _order_backward_fold(
-                    of_b, emb1, W1, b1, gd, d_e, m1, d1, card1
-                )
-            else:
-                dW1, db1g, demb1 = (
-                    np.zeros_like(W1),
-                    np.zeros_like(b1),
-                    np.zeros_like(emb1),
-                )
-            emb -= lr * (demb / n_b + l2 * emb)
-            emb1 -= lr * (demb1 / n_b + l2 * emb1)
-            W2 -= lr * (GW2 / n_b + l2 * W2)
-            b2 -= lr * (gb2 / n_b)
-            W1 -= lr * (dW1 / n_b + l2 * W1)
-            b1 -= lr * (db1g / n_b)
-
-    # final eval: one layer-1 job over ALL orders with the trained W1,
-    # then a driver argmax over the full (collected) root frame — the
-    # root table is the SMALL side by design (150 rows at sf0.01,
-    # 10^3-10^4 at bench SFs); at cluster scale this becomes the
-    # _split_eval UDF with hbar joined instead of dict-shipped
-    hb_all = _order_forward_fold(of, emb1, W1, b1, d1)
-    all_rows = frame.select("node_id", "code", "nums", "label", "split").collect()
-    acc: dict[str, list] = {}
-    for r in all_rows:
-        hv = hb_all.get(int(r["node_id"]))
-        hvec = hv[0] if hv else np.zeros(d1)
-        X = np.concatenate([emb[int(r["code"])], np.array(list(r["nums"])), hvec])
-        pred = int(np.argmax(X @ W2 + b2))
-        acc.setdefault(r["split"], []).append(float(pred == r["label"]))
-    accuracy = {s: sum(v) / len(v) for s, v in acc.items()}
+    layer = res.params["layers"][0]
     return TrainResult(
-        losses=losses,
-        accuracy=accuracy,
-        params={"emb": emb, "emb1": emb1, "W1": W1, "b1": b1, "W2": W2, "b2": b2},
+        losses=res.losses,
+        accuracy=res.accuracy,
+        params={
+            "emb": res.params["emb"],
+            "emb1": layer["emb"],
+            "W1": layer["W"],
+            "b1": layer["b"],
+            "W2": res.params["W_head"],
+            "b2": res.params["b_head"],
+        },
     )

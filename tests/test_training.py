@@ -253,44 +253,165 @@ def test_two_layer_descending_trend(db):
         assert seq[-1] < seq[0]
 
 
-def test_two_layer_folds_partitioning_invariant(db):
-    """The decimal folds behind hbar and dW1 are bit-identical under
-    different partitionings of the orders frame — the core determinism
+def test_two_layer_folds_partitioning_invariant(db, spark):
+    """The decimal folds behind hbar and dW are bit-identical under
+    different partitionings of the layer frame — the core determinism
     claim (Arrow batch boundaries change with partitioning; the
     fixed-order kernel + decimal quantization make the results exact
     anyway)."""
     import numpy as np
+    from dataclasses import replace
 
-    from deep_db_learning_spark.plans.training import (
-        ORDER_EMB_DIM,
-        ORDER_FEATURES,
-        _assemble_order_frame,
-        _order_backward_fold,
-        _order_forward_fold,
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.plans.stack import (
+        ORDERS_LAYER_SPEC,
+        _assemble_child_frame,
+        _join_gradient,
+        _layer_backward_fold,
+        _layer_forward_frame,
     )
 
-    of, card1 = _assemble_order_frame(db.tables, seed=42, neighbor_budget=5)
-    d_e, d1 = ORDER_EMB_DIM, 4
-    m1 = d_e + len(ORDER_FEATURES)
+    spec = replace(ORDERS_LAYER_SPEC, neighbor_budget=5)
+    of, card1 = _assemble_child_frame(db.tables, spec, seed=42)
+    d_e, d1 = spec.emb_dim, spec.hidden_dim
+    m1 = d_e + spec.n_feats
     rng = np.random.default_rng(7)
     E1 = rng.uniform(-0.5, 0.5, size=(card1, d_e))
     W1 = rng.uniform(-0.5, 0.5, size=(m1, d1)) * 0.1
     b1 = np.zeros(d1)
 
     variants = [of.repartition(1), of.repartition(7), of.repartition(32)]
-    fwd = [_order_forward_fold(v, E1, W1, b1, d1) for v in variants]
+
+    def fold(v):
+        return {
+            int(r["parent_key"]): (np.array(r["hbar"]), r["deg"])
+            for r in _layer_forward_frame(v, E1, W1, b1, d1).collect()
+        }
+
+    fwd = [fold(v) for v in variants]
     for other in fwd[1:]:
         assert set(other) == set(fwd[0])
         for ck in fwd[0]:
             assert other[ck][1] == fwd[0][ck][1]
             assert np.array_equal(other[ck][0], fwd[0][ck][0]), ck
 
-    gd = {ck: rng.uniform(-0.1, 0.1, size=d1) for ck in fwd[0]}
+    g_rows = [
+        (ck, [float(x) for x in rng.uniform(-0.1, 0.1, size=d1)], int(deg))
+        for ck, (_, deg) in sorted(fwd[0].items())
+    ]
+    g_frame = F.broadcast(
+        spark.createDataFrame(g_rows, "key bigint, gout array<double>, gdeg bigint")
+    )
     bwd = [
-        _order_backward_fold(v, E1, W1, b1, gd, d_e, m1, d1, card1)
+        _layer_backward_fold(
+            _join_gradient(v, g_frame), E1, W1, b1, d_e, m1, d1, card1, False
+        )
         for v in variants
     ]
     for dW1o, db1o, demb1o in bwd[1:]:
         assert np.array_equal(dW1o, bwd[0][0])
         assert np.array_equal(db1o, bwd[0][1])
         assert np.array_equal(demb1o, bwd[0][2])
+
+
+def test_stack_second_edge_matches_twin(db):
+    """Ask r4 #1 — the trained layer is DRIVEN BY THE SPEC, not a
+    hard-coded shape: the same stack trainer runs a customer←events
+    layer (different child table, fk, categorical, and numeric
+    feature; no nested child_agg) and the generic twin reproduces the
+    trajectory bit-for-bit."""
+    from deep_db_learning_spark.plans.stack import (
+        EdgeLayerSpec,
+        train_relational_stack,
+    )
+    from deep_db_learning_spark.plans.train_oracle import _stack_losses
+
+    spec = EdgeLayerSpec(
+        table="events",
+        fk="user_id",
+        cat_col="event_type",
+        num_cols=("value",),
+        key="event_id",
+        emb_dim=2,
+        hidden_dim=3,
+        neighbor_budget=7,
+    )
+    res = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        layers=(spec,), epochs=2, n_batches=2, seed=11, neighbor_budget=5,
+    )
+    twin = _stack_losses(
+        "/root/testdata/sf0.001", (spec,),
+        epochs=2, n_batches=2, seed=11, neighbor_budget=5,
+    )
+    assert res.losses == twin
+    assert len(res.losses) == 4
+    assert res.losses[-1] < res.losses[0]
+
+
+def test_stack_three_layer_matches_twin(db):
+    """Ask r4 #5 — depth-3 (customer ← orders ← lineitem): the
+    aggregation-of-aggregation gradient. Both hidden weight matrices
+    and all three embedding tables move off their inits, and the twin
+    recomputes every step's loss bit-for-bit (including the composite
+    -PK lineitem key packing and its budget sample)."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.stack import (
+        THREE_LAYER_SPECS,
+        train_relational_stack,
+    )
+    from deep_db_learning_spark.plans.train_oracle import _three_layer_losses
+
+    res = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        layers=THREE_LAYER_SPECS, epochs=2, n_batches=2, seed=42,
+        neighbor_budget=5,
+    )
+    twin = _three_layer_losses(
+        "/root/testdata/sf0.001", epochs=2, n_batches=2, seed=42,
+        neighbor_budget=5,
+    )
+    assert res.losses == twin
+    assert len(res.losses) == 4
+    # replay the init draws to prove every deep parameter trained
+    card0 = res.params["emb"].shape[0]
+    rng = np.random.default_rng(42)
+    rng.uniform(-0.5, 0.5, size=res.params["emb"].shape)
+    for lay in res.params["layers"]:
+        init = rng.uniform(-0.5, 0.5, size=lay["emb"].shape)
+        assert not np.array_equal(lay["emb"], init)
+    for lay in res.params["layers"]:
+        init = rng.uniform(-0.5, 0.5, size=lay["W"].shape) * 0.1
+        assert not np.array_equal(lay["W"], init)
+        assert np.any(lay["b"] != 0.0)
+
+
+def test_stack_scale_swaps_bit_identical(db):
+    """Ask r4 #2 — the scale paths ARE the defaults and are bit-equal
+    to the driver-side reference paths: broadcast semi-join batching
+    vs the isin literal, and the joined-hbar Arrow-UDF eval vs the
+    collected-root loop. Same losses, same accuracies, same
+    parameters."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.stack import train_relational_stack
+
+    kw = dict(epochs=2, n_batches=2, seed=42, neighbor_budget=5)
+    scale = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        _batch_mode="semi", _eval_mode="join", **kw,
+    )
+    ref = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        _batch_mode="isin", _eval_mode="collect", **kw,
+    )
+    assert scale.losses == ref.losses
+    assert scale.accuracy == ref.accuracy
+    assert np.array_equal(scale.params["emb"], ref.params["emb"])
+    assert np.array_equal(scale.params["W_head"], ref.params["W_head"])
+    for a, b in zip(scale.params["layers"], ref.params["layers"]):
+        assert np.array_equal(a["W"], b["W"])
+        assert np.array_equal(a["emb"], b["emb"])
+        assert np.array_equal(a["b"], b["b"])
