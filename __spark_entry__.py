@@ -1274,6 +1274,24 @@ def q_customer_features(spark, sf_dir):
     return _customer_features(spark, sf_dir)
 
 
+def q_train_step(spark, sf_dir):
+    """Scaleprobe-only: ONE minibatch step of the two-layer stack
+    trainer (epochs=1, n_batches=1 — assembly + forward folds + head +
+    backward folds + the joined-hbar eval). The probe's point
+    (VERDICT r4 #2): at 10× facts the step must scale through the
+    Spark folds alone — the only driver-side materialization is the
+    root seed-node set, which does NOT grow with the fact tables."""
+    from deep_db_learning_spark.plans.training import train_relational_two_layer
+
+    db = _db(spark, sf_dir)
+    res = train_relational_two_layer(
+        db.tables, db.primary_keys, db.foreign_keys,
+        epochs=1, n_batches=1, seed=42, neighbor_budget=5,
+    )
+    rows = [(i, float(l)) for i, l in enumerate(res.losses)]
+    return spark.createDataFrame(rows, "step int, train_loss double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness gate checks 50
     queries per round, so the registry is curated to that budget with

@@ -66,6 +66,12 @@ DEFAULT_QUERIES = [
     "events_hourly",
     "customer_features",
     "attention_aggregate",
+    # r5: the two-layer trainer step (driver state = root seed nodes
+    # only — must not grow with facts) and the streaming node-store's
+    # versioned-snapshot merge (re-streamed micro-batches at 10×
+    # events — must not be rewrite-bound)
+    "train_step",
+    "node_store",
 ]
 
 
