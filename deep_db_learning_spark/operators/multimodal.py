@@ -1142,7 +1142,8 @@ def jpeg_feature_kernel(dim: int = 16):
 # honored in the composite (ADVICE r4) — and real variable-width LZW
 # both ways (encoder width bump at next_code == 2^w + 1 mirrors the
 # decoder's bump at 2^w — the decoder's table lags the encoder by one
-# entry); interlaced images raise NotImplementedError by name. The
+# entry); interlaced images are de-interlaced (r5, four-pass row
+# scatter). The
 # ENCODER always emits opaque full frames (no transparency, disposal
 # "none") — the decode-side GCE handling is exercised against
 # spec-composed byte streams in tests.
@@ -1297,8 +1298,8 @@ def decode_gif_bytes(content: bytes):
     3 restores it to the pre-frame canvas. Output is RGB (no alpha):
     a transparent BACKGROUND renders as the background color (black
     when the background index is itself transparent — the
-    letterbox convention). Interlaced images raise
-    NotImplementedError."""
+    letterbox convention). Interlaced images are de-interlaced (the
+    four-pass row scatter, GIF89a appendix E)."""
     import numpy as np
 
     d = content
@@ -1345,8 +1346,7 @@ def decode_gif_bytes(content: bytes):
         fh = int.from_bytes(d[pos + 7 : pos + 9], "little")
         iflags = d[pos + 9]
         pos += 10
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF")
+        interlaced = bool(iflags & 0x40)
         ct = gct
         if iflags & 0x80:
             n = 2 << (iflags & 7)
@@ -1368,6 +1368,21 @@ def decode_gif_bytes(content: bytes):
         disposal, tindex = gce if gce else (0, None)
         gce = None  # a GCE governs exactly one image
         idx_a = np.array(idx[: fw * fh], np.int64).reshape(fh, fw)
+        if interlaced:
+            # GIF89a appendix E: rows arrive in four passes (every 8th
+            # from 0, every 8th from 4, every 4th from 2, every 2nd
+            # from 1) — scatter the stream rows back to their positions
+            order = np.concatenate(
+                [
+                    np.arange(0, fh, 8),
+                    np.arange(4, fh, 8),
+                    np.arange(2, fh, 4),
+                    np.arange(1, fh, 2),
+                ]
+            )
+            deinterlaced = np.empty_like(idx_a)
+            deinterlaced[order] = idx_a
+            idx_a = deinterlaced
         region = canvas[y0 : y0 + fh, x0 : x0 + fw]
         prev_region = region.copy() if disposal == 3 else None
         block = ct[idx_a]

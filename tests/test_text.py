@@ -658,3 +658,52 @@ def test_jpeg_component_count_gate():
     data[ncomp_at] = 4
     with pytest.raises(NotImplementedError, match="4-component"):
         decode_jpeg_bytes(bytes(data))
+
+
+def test_gif_interlaced_decode():
+    """Interlaced frames (r5): the LZW stream carries rows in the
+    four-pass order; the decoder must scatter them back. Verified by
+    re-encoding a known image's rows in pass order with the interlace
+    flag set and expecting the original back."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        _lzw_encode,
+        decode_gif_bytes,
+        encode_gif_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    # 11 rows exercises uneven pass lengths; 3 colors
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = rng.integers(0, 3, size=(11, 6))
+    img = palette[idx]
+
+    # build a single-frame GIF via the encoder, then replace the image
+    # block with an interlaced one
+    gif = bytearray(encode_gif_bytes(img))
+    # encoder wrote palette in np.unique order == sorted rows; recover
+    # the index mapping for our palette
+    flat = img.reshape(-1, 3)
+    enc_palette, enc_inverse = np.unique(flat, axis=0, return_inverse=True)
+    order = np.concatenate(
+        [np.arange(0, 11, 8), np.arange(4, 11, 8), np.arange(2, 11, 4), np.arange(1, 11, 2)]
+    )
+    enc_idx = enc_inverse.reshape(11, 6)
+    stream_rows = enc_idx[order]  # rows in interlace pass order
+    lzw = _lzw_encode(stream_rows.reshape(-1), max(2, 1))
+    block = bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    block += (6).to_bytes(2, "little") + (11).to_bytes(2, "little")
+    block += bytes([0x40, 2])  # interlace flag; min code size 2
+    body = b""
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    block += body + b"\x00"
+    # header runs up to the end of the GCT; find the original image
+    # descriptor (0x2C) and splice
+    start = gif.index(0x2C, 13)
+    spliced = bytes(gif[:start]) + block + b"\x3b"
+    frames = decode_gif_bytes(spliced)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], img)
