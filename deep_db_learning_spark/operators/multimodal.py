@@ -581,15 +581,21 @@ def audio_features(media: DataFrame, content_col: str = "content") -> DataFrame:
 
 # ----------------------------------------------------------- JPEG codec
 #
-# Baseline-sequential JFIF (SOF0), pure numpy + stdlib — the third real
-# image codec (siblings: PNG, BMP above). Scope: 8-bit precision,
-# huffman entropy coding, 1 or 3 components, chroma subsampling factors
-# 1-2, DRI/RSTn restart intervals; progressive (SOF2) and arithmetic
-# coding raise NotImplementedError naming the feature. The encoder
-# writes grayscale or 4:4:4 colour with the Annex-K example tables;
-# the decoder reads quant/huffman tables FROM THE FILE, so the pair is
+# JFIF in pure numpy + stdlib — the third real image codec (siblings:
+# PNG, BMP above). Scope: 8-bit precision, huffman entropy coding,
+# 1 or 3 components, chroma subsampling factors 1-2, DRI/RSTn restart
+# intervals, AND progressive (SOF2, r5): spectral selection +
+# successive approximation on both the encode and decode side —
+# interleaved/non-interleaved DC scans, per-component AC band scans,
+# EOBRUN, ZRL-in-refinement, buffered correction bits (the T.81
+# G.1/G.2 control flow). Arithmetic coding and extended-sequential
+# frames raise NotImplementedError naming the feature. The encoders
+# write grayscale or colour with the Annex-K example tables (plus a
+# self-contained all-symbols AC table for progressive scans); the
+# decoder reads quant/huffman tables FROM THE FILE, so each pair is
 # self-consistent by construction and the round-trip error is exactly
-# the quantization loss.
+# the quantization loss — a progressive encode decodes pixel-identical
+# to the baseline encode of the same image.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -660,6 +666,18 @@ _HT_AC_CHROMA = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+
+# Progressive AC scans need the EOBn symbols (0x10..0xE0), which the
+# sequential Annex-K tables don't carry. This flat canonical table
+# covers ALL 256 run/size symbols (255 at 8 bits + one at 9, keeping
+# the all-ones code unassigned per T.81's padding rule); the encoder
+# writes it in DHT and the decoder reads tables from the file, so the
+# pair stays self-consistent. Compression is not the point here.
+_HT_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
 )
 
 
@@ -921,12 +939,259 @@ def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -
     return bytes(out)
 
 
+def encode_jpeg_progressive(arr) -> bytes:
+    """Progressive JFIF encoder (SOF2, r5): uint8 (H,W) grayscale or
+    (H,W,3) RGB (4:4:4) → JPEG bytes using the classic libjpeg-style
+    scan script — DC first at Al=1, AC bands at reduced precision,
+    then successive-approximation refinement scans down to Al=0
+    (exercising EOBRUN, ZRL-in-refinement, and buffered correction
+    bits on both codec sides). Round-trip loss = quantization, exactly
+    like the baseline encoder."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive wants uint8")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ncomp = len(planes)
+    mx, my = -(-w // 8), -(-h // 8)
+    C = _dct_matrix()
+    qts = [np.array(_QT_LUMA).reshape(8, 8).astype(np.float64)]
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA)]
+    ac_prog = _huff_codes(*_HT_AC_PROG)
+    ac_tabs = [ac_prog]
+    if not gray:
+        qts.append(np.array(_QT_CHROMA).reshape(8, 8).astype(np.float64))
+        dc_tabs.append(_huff_codes(*_HT_DC_CHROMA))
+        ac_tabs.append(ac_prog)
+
+    # quantized coefficient blocks (zigzag order), raster per component
+    coefzz = []
+    for ci, p in enumerate(planes):
+        ti = 0 if ci == 0 else 1
+        pp = np.empty((my * 8, mx * 8))
+        pp[:h, :w] = p
+        if my * 8 > h:
+            pp[h:, :w] = p[h - 1 : h, :]
+        if mx * 8 > w:
+            pp[:, w:] = pp[:, w - 1 : w]
+        blocks = []
+        for by in range(my):
+            for bx in range(mx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                Fq = np.round(C @ (block - 128.0) @ C.T / qts[ti]).astype(np.int64)
+                blocks.append([int(Fq.flat[z]) for z in _ZIGZAG])
+        coefzz.append(blocks)
+    nblocks = mx * my
+
+    def dc_first_scan(al):
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for bi in range(nblocks):
+            for ci in range(ncomp):
+                ti = 0 if ci == 0 else 1
+                v = coefzz[ci][bi][0] >> al  # arithmetic shift (T.81 G.1.2.1)
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _mag_category(diff)
+                code, ln = dc_tabs[ti][t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        bw.flush()
+        return bw.buf
+
+    def dc_refine_scan(al):
+        bw = _BitWriter()
+        for bi in range(nblocks):
+            for ci in range(ncomp):
+                bw.write((coefzz[ci][bi][0] >> al) & 1, 1)
+        bw.flush()
+        return bw.buf
+
+    def ac_first_scan(ci, ss, se, al):
+        tab = ac_tabs[0 if ci == 0 else 1]
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = tab[nb << 4]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        for bi in range(nblocks):
+            zz = coefzz[ci][bi]
+            # AC point transform truncates toward zero (T.81 G.1.2.2)
+            vals = [
+                (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tab[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _mag_category(v)
+                code, ln = tab[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < len(vals) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        return bw.buf
+
+    def ac_refine_scan(ci, ss, se, al):
+        # T.81 G.1.2.3 / the libjpeg control flow: newly-significant
+        # coefficients carry huffman symbols; already-nonzero ones emit
+        # raw correction bits, buffered until the next symbol (or the
+        # deferred EOBRUN) so decoder and encoder walk the band in the
+        # same order
+        tab = ac_tabs[0 if ci == 0 else 1]
+        bw = _BitWriter()
+        eobrun = 0
+        eob_pending: list[int] = []  # bits owned by the deferred EOBRUN (BE)
+        pending: list[int] = []  # current block's bits so far (BR)
+
+        def emit_pending():
+            for bit in pending:
+                bw.write(bit, 1)
+            pending.clear()
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = tab[nb << 4]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+                for bit in eob_pending:
+                    bw.write(bit, 1)
+                eob_pending.clear()
+
+        for bi in range(nblocks):
+            zz = coefzz[ci][bi]
+            absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+            eob_pos = max(
+                (i for i, t in enumerate(absv) if t == 1), default=-1
+            )
+            run = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_pos:
+                    flush_eob()
+                    code, ln = tab[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    emit_pending()
+                if t > 1:
+                    pending.append(t & 1)
+                    continue
+                # newly significant (t == 1): i <= eob_pos by definition
+                flush_eob()
+                code, ln = tab[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if zz[ss + i] >= 0 else 0, 1)
+                emit_pending()
+                run = 0
+            if run > 0 or pending:
+                eobrun += 1
+                eob_pending.extend(pending)
+                pending.clear()
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        return bw.buf
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qtab in enumerate(qts):
+        out += seg(0xDB, bytes([ti]) + bytes(int(qtab.flat[z]) for z in _ZIGZAG))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    hts = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_PROG)]
+    if not gray:
+        hts += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_PROG)]
+    for tc, (bits, values) in hts:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(values))
+
+    def sos(comps_td, ss, se, ah, al, body):
+        payload = bytes([len(comps_td)])
+        for cid, td in comps_td:
+            payload += bytes([cid, td])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, payload) + body
+
+    all_dc = [(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(ncomp)]
+    # the scan script: DC first, AC bands at reduced precision, then
+    # refinements down to full precision
+    out += sos(all_dc, 0, 0, 0, 1, dc_first_scan(1))
+    out += sos([(1, 0x00)], 1, 5, 0, 2, ac_first_scan(0, 1, 5, 2))
+    if not gray:
+        out += sos([(2, 0x01)], 1, 63, 0, 1, ac_first_scan(1, 1, 63, 1))
+        out += sos([(3, 0x01)], 1, 63, 0, 1, ac_first_scan(2, 1, 63, 1))
+    out += sos([(1, 0x00)], 6, 63, 0, 2, ac_first_scan(0, 6, 63, 2))
+    out += sos([(1, 0x00)], 1, 63, 2, 1, ac_refine_scan(0, 1, 63, 1))
+    out += sos(all_dc, 0, 0, 1, 0, dc_refine_scan(0))
+    if not gray:
+        out += sos([(3, 0x01)], 1, 63, 1, 0, ac_refine_scan(2, 1, 63, 0))
+        out += sos([(2, 0x01)], 1, 63, 1, 0, ac_refine_scan(1, 1, 63, 0))
+    out += sos([(1, 0x00)], 1, 63, 1, 0, ac_refine_scan(0, 1, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg_bytes(content: bytes):
-    """Baseline JFIF decoder → uint8 array (H,W) or (H,W,3). Reads
-    quant + huffman tables from the file; supports 1 (grayscale) or 3
-    (YCbCr) components, sampling factors 1-2, and DRI/RSTn.
-    Progressive (SOF2), arithmetic coding, and 2/4-component frames
-    (Adobe CMYK/YCCK) raise ``NotImplementedError``."""
+    """JFIF decoder → uint8 array (H,W) or (H,W,3). Reads quant +
+    huffman tables from the file; supports 1 (grayscale) or 3 (YCbCr)
+    components and sampling factors 1-2. Baseline (SOF0) with
+    DRI/RSTn, AND progressive (SOF2, r5): spectral selection +
+    successive approximation, interleaved/non-interleaved DC scans,
+    per-component AC band scans, EOBRUN, and both refinement scan
+    kinds (T.81 G.2). Extended-sequential/lossless/arithmetic coding
+    and 2/4-component frames (Adobe CMYK/YCCK) raise
+    ``NotImplementedError``."""
     import numpy as np
 
     d = content
@@ -937,7 +1202,8 @@ def decode_jpeg_bytes(content: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
-    scan = None
+    scans: list[tuple] = []
+    progressive = False
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -945,9 +1211,10 @@ def decode_jpeg_bytes(content: bytes):
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG is supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG are "
+                "supported"
             )
         ln = int.from_bytes(d[pos : pos + 2], "big")
         payload = d[pos + 2 : pos + ln]
@@ -972,7 +1239,8 @@ def decode_jpeg_bytes(content: bytes):
                 values = list(payload[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _huff_decode_map(bits, values)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec = payload[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -1000,6 +1268,9 @@ def decode_jpeg_bytes(content: bytes):
             for si in range(ns):
                 cs, tt = payload[1 + 2 * si : 3 + 2 * si]
                 sel[cs] = (tt >> 4, tt & 0xF)
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
             scan_start = pos + ln
             # entropy data runs to the next non-RST marker
             p = scan_start
@@ -1007,14 +1278,21 @@ def decode_jpeg_bytes(content: bytes):
                 if d[p] == 0xFF and d[p + 1] not in (0x00, *range(0xD0, 0xD8)):
                     break
                 p += 1
-            scan = (sel, d[scan_start:p])
+            scans.append(
+                (sel, ss, se, ahal >> 4, ahal & 0xF, d[scan_start:p])
+            )
             pos = p
             continue
         pos += ln
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0/SOS")
+    if frame is None or not scans:
+        raise ValueError("missing SOF/SOS")
     H, W, comps = frame
-    sel, data = scan
+    if progressive:
+        planes = _decode_progressive_jpeg(H, W, comps, scans, qt, huff, restart)
+        return _jpeg_planes_to_image(planes, H, W, comps)
+    if len(scans) > 1:
+        raise NotImplementedError("multi-scan sequential JPEG")
+    sel, _ss, _se, _ah, _al, data = scans[0]
 
     # split on RSTn, de-stuff each segment
     segs = []
@@ -1087,6 +1365,16 @@ def decode_jpeg_bytes(content: bytes):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
 
+    return _jpeg_planes_to_image(planes, H, W, comps)
+
+
+def _jpeg_planes_to_image(planes, H, W, comps):
+    """Shared decode tail: upsample subsampled planes, crop to the
+    frame size, YCbCr→RGB when 3 components."""
+    import numpy as np
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     outp = []
     for ci, c in enumerate(comps):
         p = np.repeat(
@@ -1101,6 +1389,161 @@ def decode_jpeg_bytes(content: bytes):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _destuff(data: bytes) -> bytes:
+    """Remove 0xFF00 byte stuffing from one entropy segment."""
+    out = bytearray()
+    p = 0
+    while p < len(data):
+        out.append(data[p])
+        if data[p] == 0xFF and p + 1 < len(data) and data[p + 1] == 0x00:
+            p += 2
+        else:
+            p += 1
+    return bytes(out)
+
+
+def _decode_progressive_jpeg(H, W, comps, scans, qt, huff, restart):
+    """Progressive (SOF2) scan accumulation → per-component planes
+    (T.81 G.2): each scan deposits one spectral band at one bit of
+    precision into the coefficient store; the IDCT runs once at the
+    end. Supports interleaved and single-component DC scans, single
+    -component AC band scans, EOBRUN, and both refinement kinds."""
+    import numpy as np
+
+    if restart:
+        raise NotImplementedError("restart intervals in progressive JPEG")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx, my = -(-W // (8 * hmax)), -(-H // (8 * vmax))
+    coef = [
+        np.zeros((my * c["v"], mx * c["h"], 64), np.int64) for c in comps
+    ]
+
+    def comp_block_grid(c):
+        # non-interleaved scans cover the component's OWN block grid
+        cw = -(-W * c["h"] // hmax)
+        ch = -(-H * c["v"] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    for sel, ss, se, ah, al, data in scans:
+        br = _BitReader(_destuff(data))
+        scomps = [(ci, c) for ci, c in enumerate(comps) if c["id"] in sel]
+        if ss == 0:  # ---- DC scan
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if len(scomps) > 1:
+                blocks = [
+                    (ci, myi * c["v"] + v, mxi * c["h"] + hh)
+                    for myi in range(my)
+                    for mxi in range(mx)
+                    for ci, c in scomps
+                    for v in range(c["v"])
+                    for hh in range(c["h"])
+                ]
+            else:
+                ci, c = scomps[0]
+                bh, bw_ = comp_block_grid(c)
+                blocks = [
+                    (ci, by, bx) for by in range(bh) for bx in range(bw_)
+                ]
+            if ah == 0:  # first DC scan: huffman diffs at precision Al
+                pred = {ci: 0 for ci, _ in scomps}
+                for ci, by, bx in blocks:
+                    dmap = huff[(0, sel[comps[ci]["id"]][0])]
+                    t = br.symbol(dmap)
+                    diff = _extend(br.bits(t), t) if t else 0
+                    pred[ci] += diff
+                    coef[ci][by, bx, 0] = pred[ci] << al
+            else:  # DC refinement: one raw bit per block
+                for ci, by, bx in blocks:
+                    if br.bit():
+                        coef[ci][by, bx, 0] |= 1 << al
+            continue
+        # ---- AC scan: always single-component (T.81 B.2.3)
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        ci, c = scomps[0]
+        amap = huff[(1, sel[c["id"]][1])]
+        bh, bw_ = comp_block_grid(c)
+        eobrun = 0
+        p1 = 1 << al
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = coef[ci][by, bx]
+                if ah == 0:  # ---- first AC scan for this band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = br.symbol(amap)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC band overflow")
+                        blk[_ZIGZAG[k]] = _extend(br.bits(s), s) << al
+                        k += 1
+                    continue
+                # ---- AC refinement scan (T.81 G.2.2 / the libjpeg
+                # control flow): correction bits for already-nonzero
+                # coefficients are interleaved with newly-significant
+                # ones and with the EOBRUN
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.symbol(amap)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s:
+                            newval = p1 if br.bit() else -p1
+                        elif r != 15:
+                            eobrun = (1 << r) + (br.bits(r) if r else 0)
+                            break
+                        while k <= se:
+                            zi = _ZIGZAG[k]
+                            if blk[zi] != 0:
+                                if br.bit() and (blk[zi] & p1) == 0:
+                                    blk[zi] += p1 if blk[zi] >= 0 else -p1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval:
+                            blk[_ZIGZAG[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        zi = _ZIGZAG[k]
+                        if blk[zi] != 0:
+                            if br.bit() and (blk[zi] & p1) == 0:
+                                blk[zi] += p1 if blk[zi] >= 0 else -p1
+                        k += 1
+                    eobrun -= 1
+
+    C = _dct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        plane = np.zeros((my * c["v"] * 8, mx * c["h"] * 8))
+        for by in range(my * c["v"]):
+            for bx in range(mx * c["h"]):
+                Fq = coef[ci][by, bx].astype(np.float64).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ (Fq * q) @ C + 128.0
+                )
+        planes.append(plane)
+    return planes
 
 
 def jpeg_resize_kernel(content: bytes, w: int, h: int) -> bytes:

@@ -707,3 +707,53 @@ def test_gif_interlaced_decode():
     frames = decode_gif_bytes(spliced)
     assert len(frames) == 1
     assert np.array_equal(frames[0], img)
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) encode/decode (r5): the scan script walks
+    spectral selection + successive approximation (DC first/refine, AC
+    bands at reduced precision, two refinement passes — EOBRUN, ZRL-in
+    -refinement, and buffered correction bits all on the wire), and
+    the decode is PIXEL-IDENTICAL to decoding the baseline encode of
+    the same image (same quantized coefficients, same IDCT)."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_bytes,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(0)
+    shapes = [(24, 17), (16, 16, 3), (33, 41, 3), (8, 8), (9, 25, 3)]
+    for shape in shapes:
+        base = rng.integers(0, 256, size=shape).astype(np.float64)
+        grad = np.linspace(0, 200, shape[0])[:, None]
+        img = np.clip(
+            base * 0.3 + (grad if len(shape) == 2 else grad[..., None]), 0, 255
+        ).astype(np.uint8)
+        prog = encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in prog  # genuinely SOF2
+        assert np.array_equal(
+            decode_jpeg_bytes(prog), decode_jpeg_bytes(encode_jpeg_bytes(img))
+        ), shape
+    # high-frequency noise stresses ZRL + refinement correction bits
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_bytes(encode_jpeg_progressive(img)),
+        decode_jpeg_bytes(encode_jpeg_bytes(img)),
+    )
+    # near-flat image stresses long EOBRUNs (all-EOB blocks)
+    img = np.full((64, 64), 128, np.uint8)
+    img[10, 10] = 140
+    assert np.array_equal(
+        decode_jpeg_bytes(encode_jpeg_progressive(img)),
+        decode_jpeg_bytes(encode_jpeg_bytes(img)),
+    )
+    # round-trip error vs the original is quantization-bounded, same
+    # contract as baseline
+    smooth = np.clip(
+        np.linspace(0, 255, 32)[:, None] + np.linspace(0, 30, 48)[None, :], 0, 255
+    ).astype(np.uint8)
+    out = decode_jpeg_bytes(encode_jpeg_progressive(smooth))
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 4.0
