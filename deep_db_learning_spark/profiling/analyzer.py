@@ -76,12 +76,17 @@ try:  # pragma: no cover - container has no inflect; fallback covers tests
 except ImportError:  # pragma: no cover
 
     # Irregular plurals inflect recognizes without a trailing 's' —
-    # the class the bare endswith('s') rule misses entirely.
+    # the class the bare endswith('s') rule misses entirely. Includes
+    # the unchanging (singular == plural) nouns, which
+    # ``inflect.singular_noun`` reports as plural (it returns the word
+    # itself, truthy) — sheep/series/species etc.
     _IRREGULAR_PLURALS = frozenset(
         "children men women people feet teeth geese mice lice oxen dice "
         "data media indices vertices matrices criteria phenomena bacteria "
         "alumni fungi cacti nuclei stimuli syllabi radii "
-        "analyses bases crises theses hypotheses diagnoses axes".split()
+        "analyses bases crises theses hypotheses diagnoses axes "
+        "sheep deer fish series species means offspring aircraft "
+        "headquarters".split()
     )
     # Singular nouns ending in 's' that the ss/us/is suffix rules do
     # NOT cover but inflect correctly rejects — common column names.
