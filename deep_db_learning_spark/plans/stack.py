@@ -442,6 +442,7 @@ def train_relational_stack(
     l2: float = 1e-4,
     seed: int = 42,
     neighbor_budget: int | None = 5,
+    task: str = "classification",
     _batch_mode: str = "semi",
     _eval_mode: str = "join",
 ) -> TrainResult:
@@ -450,6 +451,13 @@ def train_relational_stack(
     determinism contract, and the scale posture. ``neighbor_budget``
     caps the ROOT frame's aggregate fan-out (the head's untrained
     neighbor statistics); each layer's fan-out cap lives on its spec.
+
+    ``task="regression"`` swaps the head for the k=1 linear /
+    half-squared-error branch (train-standardized double label, the
+    reference's ``TaskType.REGRESSION``/``MSELoss`` —
+    ``nn/lightning/lightning_wrapper.py:40,50-55``); the deep layers
+    are unchanged, and ``TrainResult.accuracy`` carries per-split MSE
+    in standardized-label space.
 
     ``_batch_mode``/``_eval_mode`` select the scale paths ("semi",
     "join" — the defaults) or the driver-side reference paths ("isin",
@@ -477,6 +485,7 @@ def train_relational_stack(
         num_cols,
         seed=seed,
         neighbor_budget=neighbor_budget,
+        task=task,
     )
     spark = frame.sparkSession
     frames: list[DataFrame] = []
@@ -497,7 +506,10 @@ def train_relational_stack(
     ids = np.array([r["node_id"] for r in rows], dtype=np.int64)
     codes = np.array([r["code"] for r in rows], dtype=np.int64)
     nums = np.array([list(r["nums"]) for r in rows], dtype=np.float64)
-    y = np.array([r["label"] for r in rows], dtype=np.int64)
+    y = np.array(
+        [r["label"] for r in rows],
+        dtype=np.float64 if task == "regression" else np.int64,
+    )
     batch_of = np.array(
         [knuth_hash_py(int(i), seed + 7) % n_batches for i in ids], dtype=np.int64
     )
@@ -591,7 +603,7 @@ def train_relational_stack(
             )
             loss, GW2, gb2, demb0, gH = two_layer_head_step(
                 codes[sel], nums[sel], hbar, y[sel], emb, l_W[0], W_head, b_head,
-                l2, extra_l2=extra_l2,
+                l2, extra_l2=extra_l2, task=task,
             )
             losses.append(loss)
 
@@ -647,7 +659,7 @@ def train_relational_stack(
 
     accuracy = _stack_eval(
         frame, frames, emb, l_emb, l_W, l_b, W_head, b_head, dims, L,
-        mode=_eval_mode,
+        mode=_eval_mode, task=task,
     )
     params = {
         "emb": emb,
@@ -661,19 +673,32 @@ def train_relational_stack(
 
 
 def _stack_eval(
-    frame, frames, emb, l_emb, l_W, l_b, W_head, b_head, dims, L, mode="join"
+    frame,
+    frames,
+    emb,
+    l_emb,
+    l_W,
+    l_b,
+    W_head,
+    b_head,
+    dims,
+    L,
+    mode="join",
+    task="classification",
 ):
-    """Final per-split accuracy with the trained parameters. The
-    ``"join"`` path (default — VERDICT r4 #2a) joins the full trained
-    hbar onto the root frame and predicts in an Arrow UDF (one Spark
-    job, nothing root-sized on the driver); ``"collect"`` is the
-    original driver-side loop, kept only so tests can pin
-    bit-equality. Both use the same fixed-order ``row_logits``
+    """Final per-split metric with the trained parameters — accuracy
+    (argmax) for classification, MSE in standardized-label space for
+    regression. The ``"join"`` path (default — VERDICT r4 #2a) joins
+    the full trained hbar onto the root frame and predicts in an Arrow
+    UDF (one Spark job, nothing root-sized on the driver);
+    ``"collect"`` is the original driver-side loop, kept only so tests
+    can pin bit-equality. Both use the same fixed-order ``row_logits``
     accumulation per row."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     d1 = dims[0][2]
+    regression = task == "regression"
     hb = None
     for i in reversed(range(L)):
         d_child = dims[i + 1][2] if i + 1 < L else 0
@@ -685,6 +710,8 @@ def _stack_eval(
             hb = cut_lineage(hb, eager=True)
 
     if mode == "collect":
+        from decimal import Decimal
+
         hb_all = {
             int(r["parent_key"]): np.array(r["hbar"]) for r in hb.collect()
         }
@@ -694,8 +721,19 @@ def _stack_eval(
             X = np.concatenate(
                 [emb[int(r["code"])], np.array(list(r["nums"])), hvec]
             )
-            pred = int(np.argmax(row_logits(X[None, :], W_head, b_head)[0]))
-            acc.setdefault(r["split"], []).append(float(pred == r["label"]))
+            out = row_logits(X[None, :], W_head, b_head)[0]
+            if regression:
+                err = out[0] - r["label"]
+                # dec9-quantized like the join path's decimal fold, so
+                # the two eval modes stay bit-identical
+                acc.setdefault(r["split"], []).append(
+                    _dec9_py(Decimal, err * err)
+                )
+            else:
+                pred = int(np.argmax(out))
+                acc.setdefault(r["split"], []).append(float(pred == r["label"]))
+        if regression:
+            return {s: float(sum(v)) / len(v) for s, v in acc.items()}
         return {s: sum(v) / len(v) for s, v in acc.items()}
 
     Ec, Wc, bc = emb.copy(), W_head.copy(), b_head.copy()
@@ -706,6 +744,8 @@ def _stack_eval(
             [Ec[codes], np.vstack(nums.to_list()), np.vstack(hbar.to_list())], axis=1
         )
         out = row_logits(X, Wc, bc)
+        if regression:
+            return pd.Series(out[:, 0])
         return pd.Series(np.argmax(out, axis=1).astype(np.int64))
 
     pred_fn.__annotations__ = {
@@ -714,7 +754,7 @@ def _stack_eval(
         "hbar": pd.Series,
         "return": pd.Series,
     }
-    pudf = pandas_udf(pred_fn, "bigint")
+    pudf = pandas_udf(pred_fn, "double" if regression else "bigint")
     zeros = F.array(*[F.lit(0.0)] * d1)
     joined = (
         frame.join(
@@ -724,12 +764,23 @@ def _stack_eval(
         )
         .withColumn("hbar", F.coalesce("hbar", zeros))
     )
+    err = F.col("pred") - F.col("label")
+    if regression:
+        # exact decimal fold: a plain avg of doubles depends on the
+        # partition summation order — the fold makes the MSE
+        # partitioning-independent and bit-equal to the collect path
+        metric = (
+            F.sum((err * err).cast(DECIMAL_TYPE)).cast("double")
+            / F.count(F.lit(1))
+        )
+    else:
+        metric = F.avg((F.col("pred") == F.col("label")).cast("double"))
     rows = (
         joined.select(
             "split", "label", pudf("code", "nums", "hbar").alias("pred")
         )
         .groupBy("split")
-        .agg(F.avg((F.col("pred") == F.col("label")).cast("double")).alias("m"))
+        .agg(metric.alias("m"))
         .collect()
     )
     return {r["split"]: r["m"] for r in rows}

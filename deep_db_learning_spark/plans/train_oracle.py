@@ -514,6 +514,7 @@ def _stack_losses(
     dim: int = 4,
     lr: float = 0.5,
     l2: float = 1e-4,
+    task: str = "classification",
     with_accuracy: bool = False,
 ):
     """Replays ``plans.stack.train_relational_stack`` for a declared
@@ -523,8 +524,10 @@ def _stack_losses(
     and weight folds — every step's loss bit-equal to the engine's.
     The head step and ``row_logits`` are the SAME shared kernels the
     engine runs (the ``row_logits`` precedent); independence lives in
-    the data path, which is where engines can disagree. Returns the
-    per-step losses (plus the per-split accuracies of the trained
+    the data path, which is where engines can disagree.
+    ``task="regression"`` replays the k=1 linear-head/half-squared
+    -error branch on the standardized c_acctbal label. Returns the
+    per-step losses (plus the per-split accuracy/MSE of the trained
     model when ``with_accuracy``)."""
     import numpy as np
 
@@ -532,7 +535,7 @@ def _stack_losses(
 
     L = len(layers)
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
-        sf_dir, seed, neighbor_budget=neighbor_budget
+        sf_dir, seed, neighbor_budget=neighbor_budget, task=task
     )
     tr_sel = np.where(train_mask)[0]
     ids = np.array(node_ids, dtype=np.int64)[tr_sel]
@@ -551,7 +554,7 @@ def _stack_losses(
         [_knuth(int(i), seed + 7) % n_batches for i in ids], dtype=np.int64
     )
     card0 = int(codes_a.max()) + 1
-    k = int(y_a.max()) + 1
+    k = 1 if task == "regression" else int(y_a.max()) + 1
     m = nums.shape[1]
     # pinned init-draw order — identical to the engine's: root
     # embedding, every layer's embedding, every layer's W, the head
@@ -622,7 +625,7 @@ def _stack_losses(
             )
             loss, GW2, gb2, demb0, gH = two_layer_head_step(
                 codes[sel], nums[sel], hbar, y[sel], emb, l_W[0], W_head,
-                b_head, l2, extra_l2=extra_l2,
+                b_head, l2, extra_l2=extra_l2, task=task,
             )
             losses.append(loss)
 
@@ -689,9 +692,16 @@ def _stack_losses(
         hv = fold_level(0, int(nid))
         hvec = hv[0] if hv is not None else np.zeros(d1)
         X = np.concatenate([emb[int(codes_a[idx])], X_num[idx], hvec])
-        pred = int(np.argmax(row_logits(X[None, :], W_head, b_head)[0]))
+        out = row_logits(X[None, :], W_head, b_head)[0]
         split = "train" if train_mask[idx] else "test"
-        acc.setdefault(split, []).append(float(pred == y_a[idx]))
+        if task == "regression":
+            err = out[0] - y_a[idx]
+            acc.setdefault(split, []).append(_dec9(err * err))
+        else:
+            pred = int(np.argmax(out))
+            acc.setdefault(split, []).append(float(pred == y_a[idx]))
+    if task == "regression":
+        return losses, {s: float(sum(v)) / len(v) for s, v in acc.items()}
     return losses, {s: sum(v) / len(v) for s, v in acc.items()}
 
 

@@ -695,34 +695,47 @@ TWO_LAYER_BENCH_CONFIG = {
 }
 
 
-def two_layer_head_step(codes, nums, hbar, y, emb, W1, W2, b2, l2, extra_l2=0.0):
+def two_layer_head_step(
+    codes, nums, hbar, y, emb, W1, W2, b2, l2, extra_l2=0.0, task="classification"
+):
     """Head forward/backward over ONE collected batch (pure numpy;
     shared with the oracle twin like :func:`row_logits`, so both sides
     run the identical IEEE expression sequence). Returns
     ``(loss, GW2, gb2, demb, gH)`` — raw gradient SUMS (unnormalized);
-    ``loss`` is the batch-mean cross-entropy plus the L2 term at the
-    step-start parameters (``extra_l2`` carries squared norms of
-    parameters the head does not see, e.g. the layer-1 embedding
-    table); ``gH`` is dL/dhbar per root (row order = input order)."""
+    ``loss`` is the batch-mean loss plus the L2 term at the step-start
+    parameters (``extra_l2`` carries squared norms of parameters the
+    head does not see, e.g. the layer embedding tables); ``gH`` is
+    dL/dhbar per root (row order = input order). ``task``:
+    ``"classification"`` (softmax cross-entropy over k classes, int
+    labels) or ``"regression"`` (k=1 linear head, half-squared error,
+    standardized double labels — the same MSELoss-branch convention as
+    :func:`train_relational_regressor`)."""
     import numpy as np
 
     dim = emb.shape[1]
     m = nums.shape[1]
     X = np.concatenate([emb[codes], nums, hbar], axis=1)
-    logits = X @ W2 + b2
-    logits = logits - logits.max(axis=1, keepdims=True)
-    ex = np.exp(logits)
-    P = ex / ex.sum(axis=1, keepdims=True)
     nrows = len(codes)
-    rows_idx = np.arange(nrows)
-    loss = float(-np.log(P[rows_idx, y]).sum()) / nrows + 0.5 * l2 * (
+    l2_term = 0.5 * l2 * (
         float((emb * emb).sum())
         + float((W1 * W1).sum())
         + float((W2 * W2).sum())
         + float(extra_l2)
     )
-    resid = P.copy()
-    resid[rows_idx, y] -= 1.0
+    if task == "regression":
+        pred = (X @ W2 + b2)[:, 0]
+        r = pred - y
+        loss = float((0.5 * r * r).sum()) / nrows + l2_term
+        resid = r[:, None]
+    else:
+        logits = X @ W2 + b2
+        logits = logits - logits.max(axis=1, keepdims=True)
+        ex = np.exp(logits)
+        P = ex / ex.sum(axis=1, keepdims=True)
+        rows_idx = np.arange(nrows)
+        loss = float(-np.log(P[rows_idx, y]).sum()) / nrows + l2_term
+        resid = P.copy()
+        resid[rows_idx, y] -= 1.0
     GW2 = X.T @ resid
     gb2 = resid.sum(axis=0)
     demb = np.zeros_like(emb)

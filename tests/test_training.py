@@ -415,3 +415,52 @@ def test_stack_scale_swaps_bit_identical(db):
         assert np.array_equal(a["W"], b["W"])
         assert np.array_equal(a["emb"], b["emb"])
         assert np.array_equal(a["b"], b["b"])
+
+
+def test_stack_regression_matches_twin(db):
+    """The stack's regression head (k=1 linear, half-squared error,
+    train-standardized c_acctbal label — the MSELoss branch) trains
+    through the deep layers too: engine and twin agree bit-for-bit on
+    every step loss AND on the decimal-folded per-split MSE, and the
+    joined-hbar eval equals the collect eval exactly."""
+    from dataclasses import replace
+
+    from deep_db_learning_spark.plans.stack import (
+        ORDERS_LAYER_SPEC,
+        train_relational_stack,
+    )
+    from deep_db_learning_spark.plans.train_oracle import _stack_losses
+
+    spec = replace(ORDERS_LAYER_SPEC, neighbor_budget=5)
+    kw = dict(
+        layers=(spec,),
+        target=("customer", "c_acctbal"),
+        num_cols=(),
+        epochs=2,
+        n_batches=2,
+        seed=42,
+        neighbor_budget=5,
+        task="regression",
+        lr=0.2,
+    )
+    res = train_relational_stack(db.tables, db.primary_keys, db.foreign_keys, **kw)
+    twin_losses, twin_mse = _stack_losses(
+        "/root/testdata/sf0.001",
+        (spec,),
+        epochs=2,
+        n_batches=2,
+        seed=42,
+        neighbor_budget=5,
+        lr=0.2,
+        task="regression",
+        with_accuracy=True,
+    )
+    assert res.losses == twin_losses
+    assert len(res.losses) == 4
+    assert res.accuracy == twin_mse
+    ref = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        _batch_mode="isin", _eval_mode="collect", **kw,
+    )
+    assert ref.losses == res.losses
+    assert ref.accuracy == res.accuracy
