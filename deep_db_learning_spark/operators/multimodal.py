@@ -939,33 +939,59 @@ def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -
     return bytes(out)
 
 
-def encode_jpeg_progressive(arr) -> bytes:
+def encode_jpeg_progressive(arr, subsample: bool = False) -> bytes:
     """Progressive JFIF encoder (SOF2, r5): uint8 (H,W) grayscale or
-    (H,W,3) RGB (4:4:4) → JPEG bytes using the classic libjpeg-style
-    scan script — DC first at Al=1, AC bands at reduced precision,
-    then successive-approximation refinement scans down to Al=0
+    (H,W,3) RGB → JPEG bytes using the classic libjpeg-style scan
+    script — DC first at Al=1, AC bands at reduced precision, then
+    successive-approximation refinement scans down to Al=0
     (exercising EOBRUN, ZRL-in-refinement, and buffered correction
-    bits on both codec sides). Round-trip loss = quantization, exactly
-    like the baseline encoder."""
+    bits on both codec sides). Colour is 4:4:4 by default;
+    ``subsample=True`` writes 4:2:0 — the interleaved DC scan then
+    walks 2×2 luma blocks per MCU while the AC scans cover each
+    component's OWN ceil block grid (the non-interleaved dimension
+    rule, T.81 A.2.2). Round-trip loss = quantization (+ chroma
+    averaging when subsampled), exactly like the baseline encoder."""
     import numpy as np
 
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         raise ValueError("encode_jpeg_progressive wants uint8")
     gray = a.ndim == 2
+    if gray and subsample:
+        raise ValueError("subsample applies to colour images only")
     h, w = a.shape[:2]
     if gray:
         planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
     else:
         rgb = a.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def box2(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.empty((hh, ww))
+                pp[: p.shape[0], : p.shape[1]] = p
+                if hh > p.shape[0]:
+                    pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+                if ww > p.shape[1]:
+                    pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+                return (
+                    pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]
+                ) / 4.0
+
+            planes = [y, box2(cb), box2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
     ncomp = len(planes)
-    mx, my = -(-w // 8), -(-h // 8)
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     C = _dct_matrix()
     qts = [np.array(_QT_LUMA).reshape(8, 8).astype(np.float64)]
     dc_tabs = [_huff_codes(*_HT_DC_LUMA)]
@@ -976,47 +1002,69 @@ def encode_jpeg_progressive(arr) -> bytes:
         dc_tabs.append(_huff_codes(*_HT_DC_CHROMA))
         ac_tabs.append(ac_prog)
 
-    # quantized coefficient blocks (zigzag order), raster per component
+    # quantized coefficient blocks (zigzag order) on each component's
+    # MCU-padded grid
     coefzz = []
     for ci, p in enumerate(planes):
         ti = 0 if ci == 0 else 1
-        pp = np.empty((my * 8, mx * 8))
-        pp[:h, :w] = p
-        if my * 8 > h:
-            pp[h:, :w] = p[h - 1 : h, :]
-        if mx * 8 > w:
-            pp[:, w:] = pp[:, w - 1 : w]
-        blocks = []
-        for by in range(my):
-            for bx in range(mx):
+        sh, sv = samp[ci]
+        gh, gw = my * sv, mx * sh  # block-grid dims
+        pp = np.empty((gh * 8, gw * 8))
+        ch, cw = p.shape
+        pp[:ch, :cw] = p
+        if gh * 8 > ch:
+            pp[ch:, :cw] = p[ch - 1 : ch, :]
+        if gw * 8 > cw:
+            pp[:, cw:] = pp[:, cw - 1 : cw]
+        grid = []
+        for by in range(gh):
+            row = []
+            for bx in range(gw):
                 block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 Fq = np.round(C @ (block - 128.0) @ C.T / qts[ti]).astype(np.int64)
-                blocks.append([int(Fq.flat[z]) for z in _ZIGZAG])
-        coefzz.append(blocks)
-    nblocks = mx * my
+                row.append([int(Fq.flat[z]) for z in _ZIGZAG])
+            grid.append(row)
+        coefzz.append(grid)
+
+    def dc_block_order():
+        # interleaved MCU order (every component, all its MCU blocks)
+        for myi in range(my):
+            for mxi in range(mx):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            yield ci, coefzz[ci][myi * sv + v][mxi * sh + hh]
+
+    def ac_block_order(ci):
+        # the component's OWN ceil grid (padding blocks stay AC-zero)
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield coefzz[ci][by][bx]
 
     def dc_first_scan(al):
         bw = _BitWriter()
         pred = [0] * ncomp
-        for bi in range(nblocks):
-            for ci in range(ncomp):
-                ti = 0 if ci == 0 else 1
-                v = coefzz[ci][bi][0] >> al  # arithmetic shift (T.81 G.1.2.1)
-                diff = v - pred[ci]
-                pred[ci] = v
-                t = _mag_category(diff)
-                code, ln = dc_tabs[ti][t]
-                bw.write(code, ln)
-                if t:
-                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        for ci, zz in dc_block_order():
+            ti = 0 if ci == 0 else 1
+            v = zz[0] >> al  # arithmetic shift (T.81 G.1.2.1)
+            diff = v - pred[ci]
+            pred[ci] = v
+            t = _mag_category(diff)
+            code, ln = dc_tabs[ti][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
         bw.flush()
         return bw.buf
 
     def dc_refine_scan(al):
         bw = _BitWriter()
-        for bi in range(nblocks):
-            for ci in range(ncomp):
-                bw.write((coefzz[ci][bi][0] >> al) & 1, 1)
+        for _ci, zz in dc_block_order():
+            bw.write((zz[0] >> al) & 1, 1)
         bw.flush()
         return bw.buf
 
@@ -1035,8 +1083,7 @@ def encode_jpeg_progressive(arr) -> bytes:
                     bw.write(eobrun & ((1 << nb) - 1), nb)
                 eobrun = 0
 
-        for bi in range(nblocks):
-            zz = coefzz[ci][bi]
+        for zz in ac_block_order(ci):
             # AC point transform truncates toward zero (T.81 G.1.2.2)
             vals = [
                 (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
@@ -1102,8 +1149,7 @@ def encode_jpeg_progressive(arr) -> bytes:
                     bw.write(bit, 1)
                 eob_pending.clear()
 
-        for bi in range(nblocks):
-            zz = coefzz[ci][bi]
+        for zz in ac_block_order(ci):
             absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
             eob_pos = max(
                 (i for i, t in enumerate(absv) if t == 1), default=-1
@@ -1148,7 +1194,8 @@ def encode_jpeg_progressive(arr) -> bytes:
         out += seg(0xDB, bytes([ti]) + bytes(int(qtab.flat[z]) for z in _ZIGZAG))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     out += seg(0xC2, sof)
     hts = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_PROG)]
     if not gray:

@@ -757,3 +757,13 @@ def test_jpeg_progressive_roundtrip():
     ).astype(np.uint8)
     out = decode_jpeg_bytes(encode_jpeg_progressive(smooth))
     assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 4.0
+    # 4:2:0: the interleaved DC scan walks 2x2 luma blocks per MCU and
+    # the AC scans cover each component's OWN ceil grid — still pixel
+    # -identical to the 4:2:0 baseline encode (odd sizes stress the
+    # grid math)
+    for shape in [(32, 32, 3), (33, 41, 3), (17, 23, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg_bytes(encode_jpeg_progressive(img, subsample=True)),
+            decode_jpeg_bytes(encode_jpeg_bytes(img, subsample=True)),
+        ), shape
