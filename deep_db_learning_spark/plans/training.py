@@ -759,6 +759,7 @@ def train_relational_two_layer(
     l2: float = 1e-4,
     seed: int = 42,
     neighbor_budget: int | None = 5,
+    task: str = "classification",
 ) -> TrainResult:
     """Minibatch SGD through TWO stacked layers — the in-engine analog
     of the reference's end-to-end blueprint backprop
@@ -800,6 +801,7 @@ def train_relational_two_layer(
         l2=l2,
         seed=seed,
         neighbor_budget=neighbor_budget,
+        task=task,
     )
     layer = res.params["layers"][0]
     return TrainResult(

@@ -13,7 +13,7 @@ A reference user runs ``python main.py tpch --epochs E --lr R``; here:
 Pipeline (each stage is the library API a user would call directly):
 catalog load → semantic-type inference → graph statistics → training
 (full-batch GD, minibatch SGD over budgeted per-root subgraphs, the
-two-layer end-to-end mode, or the MLlib `minimum_slice` decoder
+two-layer / depth-3 stack end-to-end modes, or the MLlib `minimum_slice` decoder
 pipeline) → metrics to the JSONL experiment tracker.
 """
 
@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--mode",
-        choices=("full", "minibatch", "two_layer", "slice"),
+        choices=("full", "minibatch", "two_layer", "stack", "slice"),
         default="full",
     )
     p.add_argument(
@@ -96,9 +96,12 @@ def run(spark, args) -> dict:
         )
 
         lr_kw = {} if args.lr is None else {"lr": args.lr}
-        if args.task == "regression":
+        if args.task == "regression" and args.mode in ("full", "minibatch"):
             if args.mode != "full":
-                raise SystemExit("--task regression supports --mode full or slice")
+                raise SystemExit(
+                    "--task regression supports --mode full, two_layer, "
+                    "stack, or slice"
+                )
             res = train_relational_regressor(
                 db.tables,
                 db.primary_keys,
@@ -118,6 +121,27 @@ def run(spark, args) -> dict:
                 n_batches=args.n_batches,
                 seed=args.seed,
                 neighbor_budget=args.neighbor_budget,
+                task=args.task,
+                **lr_kw,
+            )
+        elif args.mode == "stack":
+            # depth-3 customer<-orders<-lineitem: every level trained
+            from deep_db_learning_spark.plans.stack import (
+                THREE_LAYER_SPECS,
+                train_relational_stack,
+            )
+
+            res = train_relational_stack(
+                db.tables,
+                db.primary_keys,
+                db.foreign_keys,
+                layers=THREE_LAYER_SPECS,
+                target=(table, column),
+                epochs=args.epochs,
+                n_batches=args.n_batches,
+                seed=args.seed,
+                neighbor_budget=args.neighbor_budget,
+                task=args.task,
                 **lr_kw,
             )
         elif args.mode == "full":

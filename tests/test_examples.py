@@ -38,3 +38,25 @@ def test_run_experiment_slice(spark):
     summary = rx.run(spark, args)
     assert summary["mode"] == "slice"
     assert 0.0 <= summary["accuracy"] <= 1.0
+
+
+def test_run_experiment_stack_regression(spark):
+    """The r5 stack mode from the CLI: depth-3 trained stack with the
+    regression head on a numeric target."""
+    import run_experiment as rx
+
+    args = rx.build_parser().parse_args(
+        [
+            "--data", "/root/testdata/sf0.001",
+            "--mode", "stack",
+            "--task", "regression",
+            "--target", "customer.c_acctbal",
+            "--epochs", "1",
+            "--neighbor-budget", "5",
+            "--lr", "0.2",
+        ]
+    )
+    summary = rx.run(spark, args)
+    assert summary["mode"] == "stack"
+    assert summary["train_mse"] >= 0.0
+    assert summary["final_train_loss"] > 0.0
