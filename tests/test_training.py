@@ -464,3 +464,65 @@ def test_stack_regression_matches_twin(db):
     )
     assert ref.losses == res.losses
     assert ref.accuracy == res.accuracy
+
+
+def test_stack_childless_roots_and_spec_validation(spark):
+    """Degenerate shapes: (a) roots whose batches contain no child rows
+    take the zero-gradient branch (head still trains); (b) an inner
+    layer without a key expression is rejected up front."""
+    import numpy as np
+    import pytest
+
+    from deep_db_learning_spark.plans.stack import (
+        EdgeLayerSpec,
+        THREE_LAYER_SPECS,
+        train_relational_stack,
+    )
+
+    # 40 roots; every child row points at a root id outside the table,
+    # so no root ever has children
+    roots = spark.createDataFrame(
+        [(i, i % 3, f"s{i % 2}", float(i)) for i in range(40)],
+        "id bigint, cat int, seg string, x double",
+    )
+    kids = spark.createDataFrame(
+        [(i, 10_000 + i, "a", float(i)) for i in range(20)],
+        "kid bigint, parent bigint, kcat string, kx double",
+    )
+    from deep_db_learning_spark.schema import ForeignKey
+
+    tables = {"roots": roots, "kids": kids}
+    pks = {"roots": ["id"], "kids": ["kid"]}
+    fks = {"roots": [], "kids": [ForeignKey(["parent"], "roots", ["id"])]}
+    spec = EdgeLayerSpec(
+        table="kids", fk="parent", cat_col="kcat", num_cols=("kx",), key="kid"
+    )
+    res = train_relational_stack(
+        tables, pks, fks,
+        layers=(spec,), target=("roots", "seg"), cat_col="cat", num_cols=("x",),
+        epochs=2, n_batches=2, seed=3, neighbor_budget=None,
+    )
+    assert len(res.losses) == 4
+    assert all(np.isfinite(l) for l in res.losses)
+    # the deep layer never received gradient: its weights followed the
+    # pure L2-decay trajectory W_init * (1 - lr*l2)^steps — proving the
+    # zero-gradient branch ran (and nothing crashed on empty joins)
+    card1 = res.params["layers"][0]["emb"].shape[0]
+    rng = np.random.default_rng(3)
+    rng.uniform(-0.5, 0.5, size=res.params["emb"].shape)
+    emb1_init = rng.uniform(-0.5, 0.5, size=(card1, spec.emb_dim))
+    W1_init = rng.uniform(
+        -0.5, 0.5, size=res.params["layers"][0]["W"].shape
+    ) * 0.1
+    decay = (1 - 0.5 * 1e-4) ** 4
+    assert np.allclose(res.params["layers"][0]["W"], W1_init * decay, rtol=1e-12)
+    assert np.allclose(res.params["layers"][0]["emb"], emb1_init * decay, rtol=1e-12)
+    assert np.all(res.params["layers"][0]["b"] == 0.0)
+    assert "train" in res.accuracy
+
+    with pytest.raises(ValueError, match="needs a key expression"):
+        bad = (
+            EdgeLayerSpec(table="kids", fk="parent", cat_col="kcat", key=None),
+        ) + (THREE_LAYER_SPECS[1],)
+        train_relational_stack(tables, pks, fks, layers=bad, target=("roots", "seg"),
+                               cat_col="cat", num_cols=("x",))
