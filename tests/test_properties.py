@@ -483,10 +483,17 @@ def test_jpeg_rejects_unsupported_and_validates():
         encode_jpeg_bytes(np.zeros((4, 4), np.uint8), subsample=True)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_bytes(b"nope")
-    # progressive SOF2 refuses by name
+    # extended-sequential SOF1 (still unsupported) refuses by name;
+    # SOF2 itself is now the real progressive path (r5)
     img = np.zeros((8, 8), np.uint8)
     jb = bytearray(encode_jpeg_bytes(img))
     i = jb.find(b"\xff\xc0")
+    jb[i + 1] = 0xC1
+    with pytest.raises(NotImplementedError, match="SOF0.*SOF2"):
+        decode_jpeg_bytes(bytes(jb))
+    # relabeling a BASELINE stream as SOF2 is malformed (its single
+    # scan has Se=63 with Ss=0 — not a legal progressive DC scan) and
+    # must error rather than mis-decode
     jb[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_bytes(bytes(jb))
