@@ -560,33 +560,46 @@ def train_relational_stack(
             hb = hbf
         return hb, child_hb_for
 
+    # receptive-field pruning, built ONCE per batch (the portable-hash
+    # batches never change across epochs): broadcast semi-joins down
+    # the stack (or the driver-side isin literal, for the pinned
+    # equality test), materialized so every epoch's steps reuse the
+    # pruned frames instead of re-running the join chain per action
+    batch_frames: list[list[DataFrame]] = []
+    for bi in range(n_batches):
+        bids = ids[batch_of == bi]
+        f_b: list[DataFrame] = []
+        if _batch_mode == "semi":
+            keys_df = F.broadcast(
+                spark.createDataFrame(
+                    [(int(i),) for i in bids], "parent_key bigint"
+                )
+            )
+            cur = frames[0].join(keys_df, "parent_key", "leftsemi")
+        else:
+            cur = frames[0].filter(
+                F.col("parent_key").isin([int(i) for i in bids])
+            )
+        f_b.append(cut_lineage(cur, eager=True))
+        for i in range(1, L):
+            parent_keys = f_b[i - 1].select(
+                F.col("child_key").alias("parent_key")
+            )
+            f_b.append(
+                cut_lineage(
+                    frames[i].join(parent_keys, "parent_key", "leftsemi"),
+                    eager=True,
+                )
+            )
+        batch_frames.append(f_b)
+
     losses: list[float] = []
     for _ in range(epochs):
         for bi in range(n_batches):
             sel = batch_of == bi
             bids = ids[sel]
             n_b = int(sel.sum())
-            # receptive-field pruning: broadcast semi-joins down the
-            # stack (or the driver-side isin literal, for the pinned
-            # equality test)
-            f_b: list[DataFrame] = []
-            if _batch_mode == "semi":
-                keys_df = F.broadcast(
-                    spark.createDataFrame(
-                        [(int(i),) for i in bids], "parent_key bigint"
-                    )
-                )
-                cur = frames[0].join(keys_df, "parent_key", "leftsemi")
-            else:
-                cur = frames[0].filter(
-                    F.col("parent_key").isin([int(i) for i in bids])
-                )
-            f_b.append(cur)
-            for i in range(1, L):
-                parent_keys = f_b[i - 1].select(
-                    F.col("child_key").alias("parent_key")
-                )
-                f_b.append(frames[i].join(parent_keys, "parent_key", "leftsemi"))
+            f_b = batch_frames[bi]
 
             hb1, child_hb_for = forward_chain(f_b)
             hbar = np.zeros((n_b, d1))
