@@ -518,14 +518,18 @@ def q_eval_metrics(spark, sf_dir):
 
 
 def q_train_relational(spark, sf_dir):
-    """N20/N21/N24 trainable path, ALL THREE task/loop shapes: seeded
+    """N20/N21/N24 trainable path, FIVE task/loop shapes: seeded
     full-batch GD classification, the reference's actual loop —
     minibatch SGD over budgeted per-root subgraphs (HGTLoader parity:
     neighbor fan-out cap + batched seed nodes,
-    ``experiments/blueprint_mlflow.py:119-133``) — and the REGRESSION
+    ``experiments/blueprint_mlflow.py:119-133``) — the REGRESSION
     task branch (``TaskType.REGRESSION``/``MSELoss``,
     ``nn/lightning/lightning_wrapper.py:40,50-55``: k=1 linear head,
-    half-squared error, train-standardized c_acctbal label) —
+    half-squared error, train-standardized c_acctbal label), and the
+    trained DEEP stacks (plans/stack.py — the reference's
+    arbitrary-depth blueprint backprop, ``nn/models/blueprint.py:24
+    -214``): the depth-2 customer←orders shape (``two_layer``) and the
+    depth-3 customer←orders←lineitem stack (``three_layer``) —
     over the cat embedding table + linear decoder (plans/training.py).
     Returns the per-epoch/per-step train losses, mode-tagged — each
     trajectory bit-deterministic (decimal-fold gradients, portable-hash

@@ -24,7 +24,8 @@ Scale posture (the r4 swaps, now the DEFAULT paths):
 - **batching**: per-step receptive fields are pruned with broadcast
   semi-joins on a batch-key frame (never a driver-side ``isin``
   literal) — level 1 against the batch roots, level i against the kept
-  level-(i-1) keys.
+  level-(i-1) keys — and materialized ONCE per batch (the
+  portable-hash batches never change across epochs).
 - **gradients down the stack**: dL/dhbar flows as a JOINED frame
   ``(key, gout, deg)`` — level 1's comes from the driver head step
   (bounded by batch size), deeper levels are produced by a per-row
