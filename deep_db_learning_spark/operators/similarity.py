@@ -13,6 +13,10 @@ north star; no reference counterpart beyond the text-embedding hook
   baseline in tests, as an approximate index should be.
 - :func:`embedding_neardup_pairs` — near-duplicate detection at a
   cosine threshold, LSH-bucketed self-join.
+- :func:`pq_train` / :func:`pq_encode` / :func:`pq_topk` — product
+  quantization (r5): vectors compress to m code bytes, queries scan
+  codes via ADC lookup tables, and an optional exact-rerank stage
+  refines the shortlist — the billion-vector memory posture.
 
 Everything stays in double precision so a DuckDB oracle
 (``list_cosine_similarity`` over DOUBLE[]) agrees to float tolerance.
@@ -434,4 +438,199 @@ def semantic_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------ product quantization
+#
+# The canonical billion-vector posture (IVF-PQ): vectors compress to m
+# subspace code bytes (64 float32 dims at m=8/k=256 → 8 bytes, 32×),
+# so a 100 TB embedding store's index fits in executor memory and the
+# scan reads codes, not vectors. Distances are asymmetric (ADC): the
+# QUERY side precomputes a per-subspace lookup table against the
+# codebooks; each corpus row costs m table lookups instead of d
+# multiplies. Recall is measured against the exact baseline in tests;
+# `rerank` re-scores the ADC shortlist with true vectors — the
+# standard two-stage pipeline.
+#
+# Determinism: codebooks are trained DRIVER-side (seeded numpy Lloyd
+# iterations over a knuth-ordered sample — no BLAS batch-size
+# sensitivity, no partitioning dependence), encoding is a per-row
+# argmin, and every tie breaks on the lowest index — two runs produce
+# identical codes and rankings.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 10,
+    sample: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: split the d dims into
+    ``m`` contiguous subspaces and run Lloyd k-means per subspace on a
+    deterministic sample (knuth-ordered by id — engine-portable, no
+    ``rand()``). Returns ``codebooks`` ndarray (m, k, d/m). The sample
+    bounds driver memory; at 100 TB the codebooks only need a sketch
+    of the distribution (the same argument as the IVF fit)."""
+    import numpy as np
+
+    from ..functions.hashing import knuth_hash
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(knuth_hash(F.col(id_col), seed), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    if n < k:
+        raise ValueError(f"sample ({n} rows) smaller than k={k}")
+    dsub = d // m
+    codebooks = np.zeros((m, k, dsub))
+    for mm in range(m):
+        sub = X[:, mm * dsub : (mm + 1) * dsub]
+        # seeded init: k distinct sample rows in knuth order
+        cent = sub[:k].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest index
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        codebooks[mm] = cent
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode each vector to ``m`` subspace codes — one Arrow pass, the
+    codebooks in the kernel closure (tiny: m×k×d/m doubles). Output:
+    ``(id_col, codes array<int>[, extra_cols])`` — the compressed
+    representation :func:`pq_topk` scans instead of the vectors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64).copy()
+    m, k, dsub = cb.shape
+
+    def enc_fn(vecs):
+        V = np.vstack(vecs.to_list()).astype(np.float64)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for mm in range(m):
+            sub = V[:, mm * dsub : (mm + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[mm][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mm] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    enc_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(enc_fn, "array<int>")
+    return corpus.select(
+        F.col(id_col), udf(F.col(vec_col)).alias("codes"), *[F.col(c) for c in extra_cols]
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate L2 top-k by asymmetric distance (ADC): each query
+    precomputes an (m × k) lookup table of subspace distances to the
+    codebooks (driver-side — the query set is the small side, same
+    convention as :func:`brute_force_topk`); each corpus row then costs
+    m lookups over its codes. Returns (query_id, id, rank, dist).
+
+    ``rerank``: pass the ORIGINAL vector frame to re-score the top
+    ``k × rerank_factor`` ADC candidates with exact L2 — the standard
+    two-stage shortlist→refine pipeline (the join touches only the
+    shortlist's vectors, not the corpus)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64).copy()
+    m, kk, dsub = cb.shape
+    qrows = queries.select(query_id, vec_col).collect()
+    qids = [r[query_id] for r in qrows]
+    Q = np.array([[float(v) for v in r[vec_col]] for r in qrows], dtype=np.float64)
+    # LUT[q, mm, c] = ||q_sub - codebook[mm, c]||^2
+    lut = np.empty((len(qids), m, kk))
+    for mm in range(m):
+        qs = Q[:, mm * dsub : (mm + 1) * dsub]
+        lut[:, mm, :] = ((qs[:, None, :] - cb[mm][None, :, :]) ** 2).sum(axis=2)
+
+    def adc_fn(codes):
+        Cm = np.vstack(codes.to_list()).astype(np.int64)  # (B, m)
+        out = np.zeros((len(Cm), len(qids)))
+        for mm in range(m):
+            out += lut[:, mm, Cm[:, mm]].T
+        return pd.Series([row.tolist() for row in out])
+
+    adc_fn.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    udf = pandas_udf(adc_fn, "array<double>")
+    spark = encoded.sparkSession
+    qmap = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], f"__qidx int, {query_id} long"
+    )
+    scored = (
+        encoded.select(F.col(id_col), udf("codes").alias("__d"))
+        .select(id_col, F.posexplode("__d").alias("__qidx", "dist"))
+        .join(broadcast(qmap), "__qidx")
+    )
+    shortlist_k = k * rerank_factor if rerank is not None else k
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.col(id_col))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+    )
+    if rerank is None:
+        return out.select(query_id, id_col, "rank", "dist")
+    # refine: exact L2 on the shortlist only
+    qvecs = spark.createDataFrame(
+        [(int(q), [float(v) for v in vec]) for q, vec in zip(qids, Q)],
+        f"{query_id} long, __qvec array<double>",
+    )
+    exact = (
+        out.select(query_id, id_col)
+        .join(rerank.select(F.col(id_col), F.col(vec_col).alias("__cvec")), id_col)
+        .join(broadcast(qvecs), query_id)
+        .select(
+            query_id,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qvec"),
+                    F.col("__cvec").cast("array<double>"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "dist")
     )

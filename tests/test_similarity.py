@@ -184,3 +184,80 @@ def test_ivf_deterministic_matches_numpy_twin(db):
     assert got == dict(twin)
     # centroids are genuinely fitted (more than one non-empty list)
     assert len(set(got.values())) > 1
+
+
+def test_pq_roundtrip_deterministic_and_compresses(db):
+    """Product quantization (r5): codebooks are (m, k, d/m), two runs
+    produce identical codebooks and codes (seeded driver-side Lloyd,
+    per-row argmin, lowest-index ties), and the encoded frame carries
+    m ints instead of d floats."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.similarity import pq_encode, pq_train
+
+    emb = db.df("embeddings")
+    cb1 = pq_train(emb, m=8, k=16, sample=500, seed=42)
+    cb2 = pq_train(emb, m=8, k=16, sample=500, seed=42)
+    assert cb1.shape == (8, 16, 8)
+    assert np.array_equal(cb1, cb2)
+
+    enc = pq_encode(emb, cb1)
+    rows = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in rows.values())
+    again = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb1).collect()}
+    assert rows == again
+
+
+def test_pq_topk_recall_and_rerank(db):
+    """ADC top-k recall against the exact L2 baseline, and the
+    shortlist→refine pipeline: rerank re-scores k×factor ADC
+    candidates with true vectors and must recover most of the exact
+    set even on these near-random synthetic embeddings (PQ's worst
+    case — no cluster structure to exploit)."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = db.df("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq_train(emb, m=16, k=16, sample=500, seed=42)
+    enc = pq_encode(emb, cb)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], float)
+    truth = {}
+    for qr in queries.collect():
+        qv = np.array(list(qr["embedding"]), float)
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        truth[qr["query_id"]] = set(ids[order[:10]])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got[q] & truth[q]) for q in truth) / (10 * len(truth))
+
+    adc = pq_topk(enc, cb, queries, k=10)
+    assert adc.groupBy("query_id").count().agg(F.max("count")).first()[0] == 10
+    r_adc = recall(adc)
+    assert r_adc >= 0.3  # measured 0.42 on this data
+    rr = pq_topk(enc, cb, queries, k=10, rerank=emb, rerank_factor=8)
+    r_rr = recall(rr)
+    assert r_rr >= 0.8  # measured 0.88
+    assert r_rr > r_adc
+    # the refine stage's distances are EXACT L2: rank-1 hits must be
+    # the true nearest neighbor
+    top1 = {r["query_id"]: r["vec_id"] for r in rr.filter(F.col("rank") == 1).collect()}
+    for q, t in truth.items():
+        qv = np.array(list(X[ids == q][0]), float)
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        assert top1[q] == ids[np.lexsort((ids, d2))[0]]
