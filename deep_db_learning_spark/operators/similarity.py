@@ -634,3 +634,122 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rank", "dist")
     )
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    codebooks,
+    model,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """The composed billion-vector pipeline — IVF list pruning + PQ
+    codes + optional exact rerank: ``encoded`` must carry ``list_id``
+    (``pq_encode(ivf_assigned, ..., extra_cols=("list_id",))``). Each
+    query touches only its ``n_probes`` nearest lists' CODES (m bytes
+    a row), then ADC ranks the candidates and ``rerank`` refines the
+    shortlist against true vectors. At 100 TB with ``list_id`` as a
+    partition column, the probe prunes FILES and the scan reads codes
+    — the full memory/IO posture of a production vector store."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    centers = np.array(
+        [
+            c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+            for c in model.clusterCenters()
+        ]
+    )
+
+    def probe_fn(vecs):
+        V = np.vstack(vecs.to_list()).astype(float)
+        d2 = ((V[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    probe_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    probe_udf = pandas_udf(probe_fn, "array<int>")
+    probed = queries.select(
+        query_id, probe_udf(F.col(vec_col)).alias("__lists")
+    ).select(query_id, F.explode("__lists").alias("list_id"))
+
+    # restrict the code scan to the probed lists, then ADC-rank with
+    # the per-query candidate set (the join key carries which queries
+    # probe which lists)
+    cands = encoded.join(broadcast(probed), "list_id")
+    cb = np.asarray(codebooks, dtype=np.float64).copy()
+    m, kk, dsub = cb.shape
+    qrows = queries.select(query_id, vec_col).collect()
+    lut_by_q = {}
+    for r in qrows:
+        qv = np.array([float(v) for v in r[vec_col]], dtype=np.float64)
+        lut = np.empty((m, kk))
+        for mm in range(m):
+            qs = qv[mm * dsub : (mm + 1) * dsub]
+            lut[mm] = ((cb[mm] - qs[None, :]) ** 2).sum(axis=1)
+        lut_by_q[r[query_id]] = lut
+
+    def adc_pair_fn(qids, codes):
+        Cm = np.vstack(codes.to_list()).astype(np.int64)
+        out = np.empty(len(Cm))
+        for i, q in enumerate(qids):
+            lut = lut_by_q[q]
+            out[i] = lut[np.arange(m), Cm[i]].sum()
+        return pd.Series(out)
+
+    adc_pair_fn.__annotations__ = {
+        "qids": pd.Series,
+        "codes": pd.Series,
+        "return": pd.Series,
+    }
+    udf = pandas_udf(adc_pair_fn, "double")
+    scored = cands.select(
+        query_id, F.col(id_col), udf(query_id, "codes").alias("dist")
+    )
+    shortlist_k = k * rerank_factor if rerank is not None else k
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.col(id_col))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+    )
+    if rerank is None:
+        return out.select(query_id, id_col, "rank", "dist")
+    spark = encoded.sparkSession
+    qvecs = spark.createDataFrame(
+        [
+            (int(r[query_id]), [float(v) for v in r[vec_col]])
+            for r in qrows
+        ],
+        f"{query_id} long, __qvec array<double>",
+    )
+    exact = (
+        out.select(query_id, id_col)
+        .join(rerank.select(F.col(id_col), F.col(vec_col).alias("__cvec")), id_col)
+        .join(broadcast(qvecs), query_id)
+        .select(
+            query_id,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qvec"),
+                    F.col("__cvec").cast("array<double>"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "dist")
+    )

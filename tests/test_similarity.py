@@ -261,3 +261,50 @@ def test_pq_topk_recall_and_rerank(db):
         qv = np.array(list(X[ids == q][0]), float)
         d2 = ((X - qv) ** 2).sum(axis=1)
         assert top1[q] == ids[np.lexsort((ids, d2))[0]]
+
+
+def test_ivf_pq_composed_pipeline(db):
+    """The composed IVF-PQ path (r5): list pruning via the
+    deterministic IVF quantizer, ADC over the probed lists' codes
+    only, exact rerank of the shortlist. Recall is necessarily ≤ the
+    all-lists PQ scan (probing misses lists) but must stay useful, and
+    the candidate count per query must shrink by ~n_lists/n_probes."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_index_deterministic,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = db.df("embeddings")
+    assigned, model = ivf_index_deterministic(emb, n_lists=8, n_iters=3)
+    cb = pq_train(emb, m=16, k=16, sample=500, seed=42)
+    enc = pq_encode(assigned, cb, extra_cols=("list_id",))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_pq_topk(
+        enc, cb, model, queries, k=10, n_probes=4, rerank=emb, rerank_factor=8
+    )
+    assert out.groupBy("query_id").count().agg(F.min("count")).first()[0] == 10
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], float)
+    truth = {}
+    for qr in queries.collect():
+        qv = np.array(list(qr["embedding"]), float)
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        truth[qr["query_id"]] = set(ids[np.lexsort((ids, d2))[:10]])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(len(got[q] & truth[q]) for q in truth) / (10 * len(truth))
+    assert recall >= 0.5  # half the lists probed on near-random data
+    # determinism: the whole pipeline reruns bit-identically
+    out2 = ivf_pq_topk(
+        enc, cb, model, queries, k=10, n_probes=4, rerank=emb, rerank_factor=8
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
