@@ -185,3 +185,47 @@ def pack_shards_sql(
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {token_col}) "
         f"/ {int(budget)}) AS INT) AS {shard_col} FROM {table}"
     )
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-source keep fractions for temperature-based mixing — the
+    standard multilingual/multi-source LLM re-balancing rule: sampling
+    weight ``w_i ∝ n_i^alpha`` (``alpha=1`` keeps natural proportions,
+    ``alpha=0`` mixes uniformly, the usual range is 0.3-0.7, the
+    mT5/XLM-R convention). Returns a fractions dict to feed
+    :func:`stratified_sample` (which keeps the deterministic portable
+    -hash semantics and the DuckDB twin).
+
+    Down-sampling only (a Bernoulli keep can't up-sample): with
+    ``target_rows`` the fractions aim the expected TOTAL there
+    (``f_i = target·w_i/n_i``, capped at 1 — capped sources free no
+    budget, by design: redistributing it would distort the
+    temperature); without, the scale is chosen so the most
+    up-weighted source is kept in full (max f_i = 1) — the largest
+    corpus that achieves the temperature distribution exactly.
+
+    One count job over the strata (tiny result); everything else is
+    driver arithmetic.
+    """
+    counts = {
+        r[strata_col]: r["count"]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[strata_col] is not None
+    }
+    if not counts:
+        return {}
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    tot_w = sum(weights.values())
+    if target_rows is not None:
+        return {
+            s: min(1.0, target_rows * (weights[s] / tot_w) / counts[s])
+            for s in counts
+        }
+    # max_i (w_i / n_i) keeps that source fully
+    scale = 1.0 / max(weights[s] / counts[s] for s in counts)
+    return {s: scale * weights[s] / counts[s] for s in counts}

@@ -154,3 +154,62 @@ def test_stratified_sample_string_keys(db, duck):
         ).fetchall()
     )
     assert got == want and 0 < len(got)
+
+
+def test_temperature_fractions_math_and_composition(spark, duck):
+    """Temperature mixing (r5): w_i ∝ n_i^alpha. alpha=1 reproduces
+    natural proportions (all fractions equal), alpha=0 equalizes
+    expected counts; the fractions compose with stratified_sample and
+    its DuckDB twin reproduces the exact kept set."""
+    import math
+
+    from deep_db_learning_spark.operators.mixing import (
+        stratified_sample,
+        stratified_sample_sql,
+        temperature_fractions,
+    )
+
+    # skewed strata: 600 / 300 / 100
+    rows = (
+        [(i, "big") for i in range(600)]
+        + [(600 + i, "mid") for i in range(300)]
+        + [(900 + i, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    nat = temperature_fractions(df, "source", alpha=1.0)
+    assert all(abs(f - 1.0) < 1e-12 for f in nat.values())
+
+    uni = temperature_fractions(df, "source", alpha=0.0)
+    # expected kept counts all equal the smallest stratum
+    kept = {s: uni[s] * n for s, n in (("big", 600), ("mid", 300), ("small", 100))}
+    assert all(abs(v - 100.0) < 1e-9 for v in kept.values())
+
+    tf = temperature_fractions(df, "source", alpha=0.5)
+    assert tf["small"] == 1.0  # most up-weighted source kept in full
+    # expected counts follow n^0.5 proportions
+    exp = {s: tf[s] * n for s, n in (("big", 600), ("mid", 300), ("small", 100))}
+    assert abs(exp["big"] / exp["small"] - math.sqrt(6.0)) < 1e-9
+    assert abs(exp["mid"] / exp["small"] - math.sqrt(3.0)) < 1e-9
+
+    capped = temperature_fractions(df, "source", alpha=0.5, target_rows=200)
+    assert all(0.0 < f <= 1.0 for f in capped.values())
+
+    sampled = stratified_sample(df, "source", tf, key_col="doc_id", seed=7)
+    got = sorted(r["doc_id"] for r in sampled.collect())
+    duck.execute("CREATE OR REPLACE TABLE temp_mix(doc_id BIGINT, source VARCHAR)")
+    duck.executemany("INSERT INTO temp_mix VALUES (?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            stratified_sample_sql("temp_mix", "source", tf, "doc_id", seed=7)
+        ).fetchall()
+    )
+    assert got == want
+    # realized counts near expectation (hash Bernoulli, tolerance wide)
+    by_src = {
+        r["source"]: r["count"]
+        for r in sampled.groupBy("source").count().collect()
+    }
+    assert by_src["small"] == 100
+    assert abs(by_src["big"] - exp["big"]) < 60
