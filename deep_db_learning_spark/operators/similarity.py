@@ -589,8 +589,9 @@ def pq_topk(
     adc_fn.__annotations__ = {"codes": pd.Series, "return": pd.Series}
     udf = pandas_udf(adc_fn, "array<double>")
     spark = encoded.sparkSession
+    # schema inferred from the values: query ids keep their own type
     qmap = spark.createDataFrame(
-        [(i, q) for i, q in enumerate(qids)], f"__qidx int, {query_id} long"
+        [(i, q) for i, q in enumerate(qids)], ["__qidx", query_id]
     )
     scored = (
         encoded.select(F.col(id_col), udf("codes").alias("__d"))
@@ -607,8 +608,8 @@ def pq_topk(
         return out.select(query_id, id_col, "rank", "dist")
     # refine: exact L2 on the shortlist only
     qvecs = spark.createDataFrame(
-        [(int(q), [float(v) for v in vec]) for q, vec in zip(qids, Q)],
-        f"{query_id} long, __qvec array<double>",
+        [(q, [float(v) for v in vec]) for q, vec in zip(qids, Q)],
+        [query_id, "__qvec"],
     )
     exact = (
         out.select(query_id, id_col)
@@ -723,11 +724,8 @@ def ivf_pq_topk(
         return out.select(query_id, id_col, "rank", "dist")
     spark = encoded.sparkSession
     qvecs = spark.createDataFrame(
-        [
-            (int(r[query_id]), [float(v) for v in r[vec_col]])
-            for r in qrows
-        ],
-        f"{query_id} long, __qvec array<double>",
+        [(r[query_id], [float(v) for v in r[vec_col]]) for r in qrows],
+        [query_id, "__qvec"],
     )
     exact = (
         out.select(query_id, id_col)
