@@ -1048,30 +1048,56 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """LLM ops: IVF (3-probe) approximate top-5, each row carrying its
-    query's recall@5 vs brute force. FULLY oracle-checked since r3: the
-    index is ``ivf_index_deterministic`` (data-seeded Lloyd's with
-    per-row numpy assignment + exact decimal centroid folds), whose
-    integer assignments are recomputed bit-for-bit by the independent
-    numpy/decimal twin in ``operators/ivf_oracle.py``; sims/recall are
-    DuckDB ``list_cosine_similarity`` at round-6, the ``ann_lsh``
-    pattern. MLlib's ``ivf_index`` remains the scale path (its float
-    reductions are partitioning-sensitive, hence not hash-checkable)."""
+    """LLM ops, mode-tagged: ``ivf`` — IVF (3-probe) approximate
+    top-5, each row carrying its query's recall@5 vs brute force;
+    ``pq`` (r5) — product quantization with exact rerank (knuth-sample
+    Lloyd codebooks → m=16 subspace codes → ADC shortlist → exact-L2
+    refine), recall@5 vs the exact L2 baseline. FULLY oracle-checked:
+    the IVF index is ``ivf_index_deterministic`` (data-seeded Lloyd's
+    with per-row numpy assignment + exact decimal centroid folds),
+    whose integer assignments are recomputed bit-for-bit by the
+    independent numpy/decimal twin in ``operators/ivf_oracle.py``
+    (sims/recall via DuckDB ``list_cosine_similarity`` at round-6, the
+    ``ann_lsh`` pattern); the PQ rows are recomputed end-to-end by
+    ``pq_oracle_rows`` (deterministic sample order, one-shot numpy
+    Lloyd, fixed-order ADC adds, left-fold L2 — every stage bit-equal)
+    and pinned as VALUES. MLlib's ``ivf_index`` remains the scale path
+    (its float reductions are partitioning-sensitive, hence not
+    hash-checkable)."""
     db = _db(spark, sf_dir)
+    emb = db.df("embeddings")
     queries_df = (
-        db.df("embeddings")
-        .filter(F.col("vec_id") < 5)
+        emb.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     assigned, model = similarity.ivf_index_deterministic(
-        db.df("embeddings"), n_lists=8, n_iters=5
+        emb, n_lists=8, n_iters=5
     )
     approx = similarity.ivf_topk(
         assigned, model, queries_df, k=5, n_probes=3, query_count=5
     )
-    exact = similarity.brute_force_topk(db.df("embeddings"), queries_df, k=5)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5)
     rec = similarity.topk_recall(approx, exact)
-    return approx.join(rec, "query_id")
+    ivf_rows = approx.join(rec, "query_id").select(
+        F.lit("ivf").alias("mode"), "query_id", "vec_id", "rank", "sim", "recall"
+    )
+
+    cb = similarity.pq_train(emb, m=16, k=16, sample=500, seed=42)
+    enc = similarity.pq_encode(emb, cb)
+    pq = similarity.pq_topk(enc, cb, queries_df, k=5, rerank=emb, rerank_factor=4)
+    exact_l2 = similarity.brute_force_topk(
+        emb, queries_df, k=5, metric="l2", round_sim=None
+    )
+    rec2 = similarity.topk_recall(pq, exact_l2)
+    pq_rows = pq.join(rec2, "query_id").select(
+        F.lit("pq").alias("mode"),
+        "query_id",
+        "vec_id",
+        "rank",
+        F.round("dist", 6).alias("sim"),
+        "recall",
+    )
+    return ivf_rows.unionByName(pq_rows)
 
 
 def q_text_dedup_clusters(spark, sf_dir):
@@ -1567,13 +1593,26 @@ def _minhash_dedup_oracle(
 
 
 def _ann_ivf_oracle() -> str:
-    """The ``ann_ivf`` oracle — integer (vec_id → list_id) assignments
-    and probe lists recomputed at oracle-build time by the independent
-    numpy/decimal twin (``operators/ivf_oracle.py``); sims and recall
-    computed by DuckDB on top (the ``ann_lsh`` pattern)."""
-    from deep_db_learning_spark.operators.ivf_oracle import ivf_oracle_sql
+    """The ``ann_ivf`` oracle — ``ivf`` half: integer (vec_id →
+    list_id) assignments and probe lists recomputed at oracle-build
+    time by the independent numpy/decimal twin
+    (``operators/ivf_oracle.py``), sims and recall computed by DuckDB
+    on top (the ``ann_lsh`` pattern); ``pq`` half (r5): the full
+    PQ+rerank pipeline recomputed by ``pq_oracle_rows`` and pinned as
+    VALUES (DuckDB does the round-6)."""
+    from deep_db_learning_spark.operators.ivf_oracle import (
+        ivf_oracle_sql,
+        pq_oracle_sql,
+    )
 
-    return ivf_oracle_sql(n_lists=8, n_iters=5, n_queries=5, n_probes=3, k=5)
+    ivf = ivf_oracle_sql(n_lists=8, n_iters=5, n_queries=5, n_probes=3, k=5)
+    pq = pq_oracle_sql(
+        m=16, k_codes=16, sample=500, seed=42, n_queries=5, k=5, rerank_factor=4
+    )
+    return (
+        f"SELECT 'ivf' AS mode, * FROM ({ivf}) "
+        f"UNION ALL SELECT 'pq' AS mode, * FROM ({pq})"
+    )
 
 
 def _train_relational_oracle() -> str:

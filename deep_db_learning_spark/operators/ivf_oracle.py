@@ -152,3 +152,125 @@ def ivf_oracle_sql(
         SELECT approx.query_id, vec_id, rank, sim, recall
         FROM approx JOIN rec ON approx.query_id = rec.query_id
     """
+
+
+def pq_oracle_rows(
+    sf_dir: str | None = None,
+    m: int = 16,
+    k_codes: int = 16,
+    sample: int = 500,
+    seed: int = 42,
+    n_queries: int = 5,
+    k: int = 5,
+    rerank_factor: int = 4,
+    n_iters: int = 10,
+):
+    """Independent twin of the PQ + exact-rerank pipeline
+    (``similarity.pq_train/pq_encode/pq_topk(rerank=...)``) — pure
+    numpy/python over DuckDB-read parquet. Every stage is
+    bit-deterministic on both sides: the knuth-ordered sample, the
+    seeded Lloyd iterations (one-shot numpy on identical row order),
+    per-row argmin encoding, ADC adds in subspace order, shortlist and
+    final ranking by (dist, id), and the strictly-sequential left-fold
+    L2 of the rerank (the ``zip_with``/``aggregate`` twin). Returns
+    ``[(query_id, vec_id, rank, score_raw, hits)]`` — floats UNROUNDED
+    (the oracle SQL rounds them with DuckDB's ``round``, the same rule
+    Spark's ``F.round`` follows; python's ``round`` is banker's and
+    may differ at decimal ties) and the recall numerator as an int."""
+    import duckdb
+    import numpy as np
+
+    from ..plans.train_oracle import _knuth
+
+    if sf_dir is None:
+        sf_dir = _sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    V = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    d = V.shape[1]
+    dsub = d // m
+
+    order = sorted(range(len(ids)), key=lambda j: (_knuth(ids[j], seed), ids[j]))
+    X = V[order[:sample]]
+    codebooks = np.zeros((m, k_codes, dsub))
+    for mm in range(m):
+        sub = X[:, mm * dsub : (mm + 1) * dsub]
+        cent = sub[:k_codes].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        codebooks[mm] = cent
+
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for mm in range(m):
+        sub = V[:, mm * dsub : (mm + 1) * dsub]
+        d2 = ((sub[:, None, :] - codebooks[mm][None, :, :]) ** 2).sum(axis=2)
+        codes[:, mm] = np.argmin(d2, axis=1)
+
+    def left_fold_l2(a, b):
+        acc = 0.0
+        for j in range(d):
+            diff = a[j] - b[j]
+            acc += diff * diff
+        return acc
+
+    out = []
+    qidx = [j for j, i in enumerate(ids) if i < n_queries]
+    for j in qidx:
+        qv = V[j]
+        lut = np.empty((m, k_codes))
+        for mm in range(m):
+            qs = qv[mm * dsub : (mm + 1) * dsub]
+            lut[mm] = ((codebooks[mm] - qs[None, :]) ** 2).sum(axis=1)
+        adc = np.zeros(len(ids))
+        for mm in range(m):
+            adc += lut[mm, codes[:, mm]]
+        shortlist = sorted(range(len(ids)), key=lambda v_: (adc[v_], ids[v_]))[
+            : k * rerank_factor
+        ]
+        exact_d = {ids[v_]: left_fold_l2(qv, V[v_]) for v_ in shortlist}
+        final = sorted(exact_d, key=lambda i_: (exact_d[i_], i_))[:k]
+        # exact L2 top-k over the WHOLE corpus for the recall column
+        all_d = [(left_fold_l2(qv, V[v_]), ids[v_]) for v_ in range(len(ids))]
+        truth = {i_ for _, i_ in sorted(all_d)[:k]}
+        hits = len(set(final) & truth)
+        for rank, i_ in enumerate(final, start=1):
+            out.append((ids[j], i_, rank, exact_d[i_], hits))
+    return out
+
+
+def pq_oracle_sql(
+    sf_dir: str | None = None,
+    m: int = 16,
+    k_codes: int = 16,
+    sample: int = 500,
+    seed: int = 42,
+    n_queries: int = 5,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> str:
+    """The PQ half of the ``ann_ivf`` oracle: twin-recomputed rows as a
+    VALUES literal, float scores passed through VARCHAR (strtod
+    round-trips ``repr`` exactly) and rounded by DuckDB."""
+    rows = pq_oracle_rows(
+        sf_dir, m=m, k_codes=k_codes, sample=sample, seed=seed,
+        n_queries=n_queries, k=k, rerank_factor=rerank_factor,
+    )
+    values = ",\n              ".join(
+        f"({q}, {v}, CAST({r} AS INT), round(CAST('{s!r}' AS DOUBLE), 6), "
+        f"round(CAST({h} AS DOUBLE) / {k}, 6))"
+        for q, v, r, s, h in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES
+              {values}
+        ) AS t(query_id, vec_id, rank, sim, recall)
+    """

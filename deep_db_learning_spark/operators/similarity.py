@@ -35,6 +35,17 @@ from ..functions.hashing import KNUTH, MERSENNE_31
 from ..functions.vectors import cosine_similarity, dot
 
 
+def l2_squared(a, b):
+    """Squared L2 distance between two array columns — the same
+    strictly-sequential left fold as :func:`cosine_similarity`'s dot
+    (bit-identical to a python loop over the elements)."""
+    return F.aggregate(
+        F.zip_with(a, b.cast("array<double>"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -43,20 +54,27 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     round_sim: int | None = 6,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k by cosine. ``queries`` (query_id, vec) is broadcast —
-    the corpus never shuffles; ranking shuffles only (query, sim, id)
-    triples. Ties break on corpus id for determinism."""
+    """Exact top-k — cosine (descending ``sim``) or squared-L2
+    (``metric="l2"``, ascending ``sim``). ``queries`` (query_id, vec)
+    is broadcast — the corpus never shuffles; ranking shuffles only
+    (query, sim, id) triples. Ties break on corpus id for
+    determinism."""
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("__qvec")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
-    sims = c.crossJoin(broadcast(q)).select(
-        query_id,
-        id_col,
-        cosine_similarity(F.col("__qvec"), F.col("__cvec")).alias("sim"),
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(id_col))
+    if metric == "l2":
+        score = l2_squared(
+            F.col("__qvec").cast("array<double>"), F.col("__cvec")
+        )
+        order = F.asc("sim")
+    else:
+        score = cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+        order = F.desc("sim")
+    sims = c.crossJoin(broadcast(q)).select(query_id, id_col, score.alias("sim"))
+    w = Window.partitionBy(query_id).orderBy(order, F.col(id_col))
     out = (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
