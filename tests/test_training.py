@@ -526,3 +526,30 @@ def test_stack_childless_roots_and_spec_validation(spark):
         ) + (THREE_LAYER_SPECS[1],)
         train_relational_stack(tables, pks, fks, layers=bad, target=("roots", "seg"),
                                cat_col="cat", num_cols=("x",))
+
+
+def test_trainer_root_generality_orders_target(db):
+    """The root side is schema-driven too: train on a DIFFERENT target
+    table (orders — label o_orderpriority, categorical o_custkey,
+    lineitem aggregates as neighbor features) with the same trainer;
+    descent + bit-reproducibility hold."""
+    res = train_relational_classifier(
+        db.tables, db.primary_keys, db.foreign_keys,
+        target=("orders", "o_orderpriority"),
+        cat_col="o_custkey",
+        num_cols=("o_totalprice",),
+        epochs=3,
+        seed=42,
+    )
+    assert len(res.losses) == 3
+    assert res.losses[-1] < res.losses[0]
+    res2 = train_relational_classifier(
+        db.tables, db.primary_keys, db.foreign_keys,
+        target=("orders", "o_orderpriority"),
+        cat_col="o_custkey",
+        num_cols=("o_totalprice",),
+        epochs=3,
+        seed=42,
+    )
+    assert res.losses == res2.losses
+    assert "train" in res.accuracy and "test" in res.accuracy
