@@ -209,6 +209,35 @@ def minhash_signature_expr(
     )
 
 
+def _banded_buckets(
+    signed: DataFrame, id_col: str, signature: str, bands: int
+) -> DataFrame:
+    """The shared banding projection: ``(doc, band, bucket)`` with the
+    portable md5-prefix bucket of each band's comma-joined values (see
+    :func:`lsh_candidate_pairs` for why md5, not engine-native hash)."""
+    from ..functions.hashing import md5_prefix_hash
+
+    return signed.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    F.col(signature),
+                    b * (F.size(F.col(signature)) / bands).cast("int") + 1,
+                    (F.size(F.col(signature)) / bands).cast("int"),
+                ),
+            )
+        ).alias("band", "band_sig"),
+    ).select(
+        "doc",
+        "band",
+        md5_prefix_hash(
+            F.array_join(F.transform("band_sig", lambda x: x.cast("string")), ",")
+        ).alias("bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str,
@@ -233,27 +262,7 @@ def lsh_candidate_pairs(
     lineage once per join side; the banded table is tiny (bands rows
     of 3 ints per doc).
     """
-    from ..functions.hashing import md5_prefix_hash
-
-    banded = signed.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    F.col(signature),
-                    b * (F.size(F.col(signature)) / bands).cast("int") + 1,
-                    (F.size(F.col(signature)) / bands).cast("int"),
-                ),
-            )
-        ).alias("band", "band_sig"),
-    ).select(
-        "doc",
-        "band",
-        md5_prefix_hash(
-            F.array_join(F.transform("band_sig", lambda x: x.cast("string")), ",")
-        ).alias("bucket"),
-    )
+    banded = _banded_buckets(signed, id_col, signature, bands)
     # cut_lineage, not a bare persist(): the banded table is consumed
     # by both self-join sides and the result is lazy, so there is no
     # moment to unpersist — localCheckpoint blocks are instead reclaimed
@@ -849,3 +858,76 @@ def dedup_paragraphs(
         all_docs.join(rebuilt, id_col, "left")
         .na.fill({text_col: ""})
     )
+
+
+def minhash_dedup_against(
+    new: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_id_col: str | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus dedup (r5): drop rows of ``new`` that near-duplicate
+    ANY ``reference`` document — the dedup-new-crawl-against-the-store
+    shape (same contract as :func:`minhash_lsh_dedup`, but the kept set
+    is decided against an external corpus instead of within one).
+
+    Same scale pipeline: both sides get MinHash signatures, the banded
+    buckets join ACROSS corpora (one shuffle on the band key — never a
+    cross join), candidate pairs verify with exact distinct-shingle
+    Jaccard, and matched ``new`` ids anti-join away. The reference side
+    is typically the big side: its banded projection is a narrow
+    (id, band, bucket) frame, so at 100 TB it can be precomputed once
+    and persisted as the store's dedup index while each incoming batch
+    computes only its own signatures."""
+    from ..functions.text import char_shingles
+
+    ref_id_col = ref_id_col or id_col
+    sig_new = minhash_signature(
+        new.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
+    )
+    sig_ref = minhash_signature(
+        reference.select(F.col(ref_id_col).alias("__ref_id"), F.col(text_col)),
+        text_col,
+        num_perm,
+        shingle_k,
+    )
+    b_new = _banded_buckets(sig_new, id_col, "signature", bands).withColumnRenamed(
+        "doc", "__new_id"
+    )
+    b_ref = _banded_buckets(sig_ref, "__ref_id", "signature", bands).withColumnRenamed(
+        "doc", "__ref_id"
+    )
+    cands = (
+        b_new.join(b_ref, ["band", "bucket"])
+        .select("__new_id", "__ref_id")
+        .distinct()
+    )
+    # verify only the candidates' texts: distinct-shingle Jaccard
+    new_sh = new.select(
+        F.col(id_col).alias("__new_id"),
+        char_shingles(text_col, shingle_k).alias("__sh_a"),
+    ).join(cands.select("__new_id").distinct(), "__new_id", "leftsemi")
+    ref_sh = reference.select(
+        F.col(ref_id_col).alias("__ref_id"),
+        char_shingles(text_col, shingle_k).alias("__sh_b"),
+    ).join(cands.select("__ref_id").distinct(), "__ref_id", "leftsemi")
+    matched = (
+        cands.join(new_sh, "__new_id")
+        .join(ref_sh, "__ref_id")
+        .select(
+            "__new_id",
+            (
+                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                / F.size(F.array_union("__sh_a", "__sh_b"))
+            ).alias("__j"),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(matched, id_col, "left_anti")

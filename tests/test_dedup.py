@@ -242,3 +242,50 @@ def test_dedup_paragraphs_boilerplate_removal(spark, duck):
         ).fetchall()
     )
     assert out == want
+
+
+def test_minhash_dedup_against_reference(spark):
+    """Cross-corpus dedup (r5): rows of the new corpus that
+    near-duplicate any reference doc are dropped; unique rows survive;
+    the result is deterministic."""
+    from deep_db_learning_spark.operators.dedup import minhash_dedup_against
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light returns again"
+    )
+    other = (
+        "completely different content about database engines and "
+        "distributed query processing with columnar storage layouts"
+    )
+    ref = spark.createDataFrame(
+        [(100, base), (101, other)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),  # exact copy -> dropped
+            (2, base.replace("morning", "evening")),  # near-dup -> dropped
+            (3, "totally novel text with no overlap whatsoever to speak of "
+                "regarding culinary adventures in small mountain villages"),
+            (4, other[: len(other) // 2] + " plus a long unique tail that "
+                "changes most of the shingles beyond the jaccard threshold "
+                "by adding plenty of fresh character sequences"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = minhash_dedup_against(
+        new, ref, "text", "doc_id", num_perm=64, bands=16, shingle_k=9,
+        threshold=0.7,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [3, 4]
+    again = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_against(
+            new, ref, "text", "doc_id", num_perm=64, bands=16, shingle_k=9,
+            threshold=0.7,
+        ).collect()
+    )
+    assert again == ids
+    # schema passthrough: the survivors are original rows
+    assert set(kept.columns) == {"doc_id", "text"}
