@@ -444,6 +444,7 @@ def train_relational_stack(
     seed: int = 42,
     neighbor_budget: int | None = 5,
     task: str = "classification",
+    fit_fn=None,
     _batch_mode: str = "semi",
     _eval_mode: str = "join",
 ) -> TrainResult:
@@ -459,6 +460,13 @@ def train_relational_stack(
     ``nn/lightning/lightning_wrapper.py:40,50-55``); the deep layers
     are unchanged, and ``TrainResult.accuracy`` carries per-split MSE
     in standardized-label space.
+
+    ``fit_fn`` is the TorchDistributor hand-off seam the 1-layer
+    trainer also carries: when set, it receives ``(frame, frames,
+    meta)`` — the assembled (and lineage-cut) root frame, the per-layer
+    child frames, and the root metadata — and takes over training
+    entirely (e.g. materialize to Parquet shards and run DDP); the
+    assembly plans are identical either way.
 
     ``_batch_mode``/``_eval_mode`` select the scale paths ("semi",
     "join" — the defaults) or the driver-side reference paths ("isin",
@@ -495,6 +503,8 @@ def train_relational_stack(
         f, card = _assemble_child_frame(tables, spec, seed)
         frames.append(cut_lineage(f, eager=True))
         cards.append(card)
+    if fit_fn is not None:
+        return fit_fn(frame, frames, meta)
 
     # the seed-node set: train roots collected ONCE (the batch the
     # reference also materializes in trainer memory)

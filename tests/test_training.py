@@ -553,3 +553,35 @@ def test_trainer_root_generality_orders_target(db):
     )
     assert res.losses == res2.losses
     assert "train" in res.accuracy and "test" in res.accuracy
+
+
+def test_stack_fit_fn_handoff(db):
+    """The stack's TorchDistributor seam (the 1-layer trainer's
+    contract, now at depth): fit_fn receives the assembled root frame,
+    the per-layer child frames, and the metadata, and takes over
+    training entirely."""
+    from deep_db_learning_spark.plans.stack import (
+        THREE_LAYER_SPECS,
+        train_relational_stack,
+    )
+
+    seen = {}
+
+    def fake_fit(frame, frames, meta):
+        seen["root_cols"] = set(frame.columns)
+        seen["n_layers"] = len(frames)
+        seen["layer_cols"] = [set(f.columns) for f in frames]
+        seen["n_classes"] = meta["n_classes"]
+        return "handed-off"
+
+    out = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        layers=THREE_LAYER_SPECS, seed=42, neighbor_budget=5,
+        fit_fn=fake_fit,
+    )
+    assert out == "handed-off"
+    assert seen["root_cols"] == {"node_id", "code", "nums", "label", "split"}
+    assert seen["n_layers"] == 2
+    for cols in seen["layer_cols"]:
+        assert {"parent_key", "child_key", "code", "x"} <= cols
+    assert seen["n_classes"] == 5
