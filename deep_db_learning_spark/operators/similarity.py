@@ -17,6 +17,9 @@ north star; no reference counterpart beyond the text-embedding hook
   quantization (r5): vectors compress to m code bytes, queries scan
   codes via ADC lookup tables, and an optional exact-rerank stage
   refines the shortlist — the billion-vector memory posture.
+- :func:`sq8_train` / :func:`sq8_encode` / :func:`sq8_topk` — int8
+  scalar quantization (r5): 4× compression with per-dim scales,
+  dequantize-on-the-fly cosine entirely in JVM codegen (no UDF).
 
 Everything stays in double precision so a DuckDB oracle
 (``list_cosine_similarity`` over DOUBLE[]) agrees to float tolerance.
@@ -768,4 +771,85 @@ def ivf_pq_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rank", "dist")
+    )
+
+
+# ------------------------------------------------ scalar quantization
+#
+# The lighter compression rung below PQ: per-dimension symmetric int8
+# (float32 → 1 byte, 4×), with distances computed on dequantized codes
+# — entirely JVM-side expressions (zip_with/aggregate), no UDF, no
+# model object beyond a per-dim scale vector. The right tool when 4×
+# is enough and exactness-per-dimension matters (PQ's subspace
+# centroids give 32× but quantize jointly).
+
+
+def sq8_train(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension symmetric scales ``s_j = max|x_j| / 127`` — one
+    exact max aggregation (posexplode → per-position max: the shuffle
+    carries (pos, |x|) pairs, result is d rows). Deterministic: max is
+    order-free."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("col"))).alias("mx"))
+        .collect()
+    )
+    scales = [0.0] * (max(r["pos"] for r in rows) + 1)
+    for r in rows:
+        scales[r["pos"]] = (r["mx"] / 127.0) if r["mx"] > 0 else 1.0
+    return scales
+
+
+def _scales_lit(scales: list[float]):
+    return F.array(*[F.lit(float(s)) for s in scales])
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to int8 codes ``round(x/s)`` clipped to
+    [-127, 127] — a pure JVM ``zip_with`` (codegen, no UDF). Output:
+    ``(id_col, codes array<tinyint>)``."""
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        _scales_lit(scales),
+        lambda x, s: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x / s, 0).cast("int"))
+        ).cast("tinyint"),
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    scales: list[float],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k over the int8 store: codes dequantize
+    on the fly (``code * s_j``) inside the same JVM fold the exact
+    path uses — the scan stays whole-stage-codegen with zero Python.
+    Queries broadcast, per-query window top-k, id tiebreak."""
+    deq = F.zip_with(
+        F.col("codes").cast("array<double>"), _scales_lit(scales), lambda c, s: c * s
+    )
+    c = encoded.select(F.col(id_col), deq.alias("__cvec"))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    sims = c.crossJoin(broadcast(q)).select(
+        query_id,
+        id_col,
+        cosine_similarity(F.col("__qvec"), F.col("__cvec")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", F.round("sim", 6).alias("sim"))
     )
