@@ -784,13 +784,20 @@ def _mag_category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -> bytes:
+def encode_jpeg_bytes(
+    arr,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    interleaved: bool = True,
+) -> bytes:
     """Baseline JFIF encoder: uint8 (H,W) grayscale or (H,W,3) RGB →
     JPEG bytes (Annex-K tables). Colour is 4:4:4 by default;
     ``subsample=True`` writes 4:2:0 (2×2 box-averaged chroma, the
     common real-world form). ``restart_interval`` > 0 emits DRI/RSTn
-    every that many MCUs. Round-trip loss = quantization (+ chroma
-    averaging when subsampled)."""
+    every that many MCUs. ``interleaved=False`` (r5) writes one
+    NON-interleaved scan per component over its own ceil block grid —
+    the multi-scan sequential form some encoders emit. Round-trip
+    loss = quantization (+ chroma averaging when subsampled)."""
     import numpy as np
 
     a = np.asarray(arr)
@@ -799,6 +806,8 @@ def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -
     gray = a.ndim == 2
     if gray and subsample:
         raise ValueError("subsample applies to colour images only")
+    if not interleaved and restart_interval:
+        raise ValueError("restart_interval supports the interleaved scan only")
     h, w = a.shape[:2]
     if gray:
         planes = [a.astype(np.float64)]
@@ -884,27 +893,47 @@ def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -
             c0, l0 = ac_tabs[ti][0x00]  # EOB
             bw.write(c0, l0)
 
-    bw = _BitWriter()
-    pred = [0] * len(planes)
-    mcu = 0
-    rst_n = 0
-    for myi in range(my):
-        for mxi in range(mx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.flush()
-                bw.buf += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                pred = [0] * len(planes)
-            for ci, p in enumerate(padded):
-                ti = 0 if (gray or ci == 0) else 1
-                sh, sv = samp[ci]
-                for v in range(sv):
-                    for hI in range(sh):
-                        y0 = (myi * sv + v) * 8
-                        x0 = (mxi * sh + hI) * 8
-                        encode_block(bw, p[y0 : y0 + 8, x0 : x0 + 8], ti, pred, ci)
-            mcu += 1
-    bw.flush()
+    scan_bufs: list = []
+    if interleaved or gray:
+        bw = _BitWriter()
+        pred = [0] * len(planes)
+        mcu = 0
+        rst_n = 0
+        for myi in range(my):
+            for mxi in range(mx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.flush()
+                    bw.buf += bytes([0xFF, 0xD0 + rst_n])
+                    rst_n = (rst_n + 1) % 8
+                    pred = [0] * len(planes)
+                for ci, p in enumerate(padded):
+                    ti = 0 if (gray or ci == 0) else 1
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for hI in range(sh):
+                            y0 = (myi * sv + v) * 8
+                            x0 = (mxi * sh + hI) * 8
+                            encode_block(bw, p[y0 : y0 + 8, x0 : x0 + 8], ti, pred, ci)
+                mcu += 1
+        bw.flush()
+    else:
+        # one scan per component, raster over its ceil grid (the
+        # non-interleaved dimension rule; DC predictor resets per scan)
+        for ci, p in enumerate(padded):
+            ti = 0 if ci == 0 else 1
+            sh, sv = samp[ci]
+            cw = -(-w * sh // hmax)
+            chh = -(-h * sv // vmax)
+            bw_c = _BitWriter()
+            pred = [0] * len(planes)
+            for by in range(-(-chh // 8)):
+                for bx in range(-(-cw // 8)):
+                    encode_block(
+                        bw_c, p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        ti, pred, ci,
+                    )
+            bw_c.flush()
+            scan_bufs.append(bw_c.buf)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
@@ -928,13 +957,19 @@ def encode_jpeg_bytes(arr, subsample: bool = False, restart_interval: int = 0) -
         hts += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
     for tc, (bits, values) in hts:
         out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(values))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        ht = 0x00 if ci == 0 else 0x11
-        sos += bytes([ci + 1, ht])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += bw.buf
+    if interleaved or gray:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            ht = 0x00 if ci == 0 else 0x11
+            sos += bytes([ci + 1, ht])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += bw.buf
+    else:
+        for ci in range(ncomp):
+            ht = 0x00 if ci == 0 else 0x11
+            out += seg(0xDA, bytes([1, ci + 1, ht, 0, 63, 0]))
+            out += scan_bufs[ci]
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1233,12 +1268,13 @@ def decode_jpeg_bytes(content: bytes):
     """JFIF decoder → uint8 array (H,W) or (H,W,3). Reads quant +
     huffman tables from the file; supports 1 (grayscale) or 3 (YCbCr)
     components and sampling factors 1-2. Baseline (SOF0) with
-    DRI/RSTn, AND progressive (SOF2, r5): spectral selection +
-    successive approximation, interleaved/non-interleaved DC scans,
-    per-component AC band scans, EOBRUN, and both refinement scan
-    kinds (T.81 G.2). Extended-sequential/lossless/arithmetic coding
-    and 2/4-component frames (Adobe CMYK/YCCK) raise
-    ``NotImplementedError``."""
+    DRI/RSTn — one interleaved scan or several non-interleaved
+    single-component scans (r5) — AND progressive (SOF2, r5):
+    spectral selection + successive approximation,
+    interleaved/non-interleaved DC scans, per-component AC band
+    scans, EOBRUN, and both refinement scan kinds (T.81 G.2).
+    Extended-sequential/lossless/arithmetic coding and 2/4-component
+    frames (Adobe CMYK/YCCK) raise ``NotImplementedError``."""
     import numpy as np
 
     d = content
@@ -1337,30 +1373,11 @@ def decode_jpeg_bytes(content: bytes):
     if progressive:
         planes = _decode_progressive_jpeg(H, W, comps, scans, qt, huff, restart)
         return _jpeg_planes_to_image(planes, H, W, comps)
-    if len(scans) > 1:
-        raise NotImplementedError("multi-scan sequential JPEG")
-    sel, _ss, _se, _ah, _al, data = scans[0]
 
-    # split on RSTn, de-stuff each segment
-    segs = []
-    cur = bytearray()
-    p = 0
-    while p < len(data):
-        if data[p] == 0xFF:
-            nxt = data[p + 1] if p + 1 < len(data) else 0
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segs.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-        cur.append(data[p])
-        p += 1
-    segs.append(bytes(cur))
-
+    # sequential: one interleaved scan (the classic form) OR several
+    # non-interleaved scans, one component each (r5 — some encoders
+    # emit these; the scan walks the component's OWN ceil block grid
+    # and an MCU is a single block, T.81 A.2.2)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mx, my = -(-W // (8 * hmax)), -(-H // (8 * vmax))
@@ -1368,49 +1385,96 @@ def decode_jpeg_bytes(content: bytes):
         np.zeros((my * c["v"] * 8, mx * c["h"] * 8)) for c in comps
     ]
     C = _dct_matrix()
-    pred = [0] * len(comps)
-    seg_i = 0
-    br = _BitReader(segs[0])
-    mcu = 0
-    for myi in range(my):
-        for mxi in range(mx):
-            if restart and mcu and mcu % restart == 0:
-                seg_i += 1
-                br = _BitReader(segs[seg_i])
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_map = huff[(0, sel[c["id"]][0])]
-                ac_map = huff[(1, sel[c["id"]][1])]
-                q = qt[c["tq"]]
-                for v in range(c["v"]):
-                    for hI in range(c["h"]):
-                        t = br.symbol(dc_map)
-                        diff = _extend(br.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz = np.zeros(64)
-                        zz[0] = pred[ci]
-                        i = 1
-                        while i < 64:
-                            rs = br.symbol(ac_map)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            t = rs & 0xF
-                            if i > 63:
-                                raise ValueError("AC index overflow")
-                            zz[i] = _extend(br.bits(t), t)
-                            i += 1
-                        Fq = np.zeros(64)
-                        for i in range(64):
-                            Fq[_ZIGZAG[i]] = zz[i]
-                        block = C.T @ (Fq.reshape(8, 8) * q) @ C + 128.0
-                        y0 = (myi * c["v"] + v) * 8
-                        x0 = (mxi * c["h"] + hI) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu += 1
+
+    def split_segs(data):
+        # split on RSTn, de-stuff each segment
+        segs = []
+        cur = bytearray()
+        p = 0
+        while p < len(data):
+            if data[p] == 0xFF:
+                nxt = data[p + 1] if p + 1 < len(data) else 0
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    p += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                    continue
+            cur.append(data[p])
+            p += 1
+        segs.append(bytes(cur))
+        return segs
+
+    def decode_block(br, dc_map, ac_map, q, pred, ci):
+        t = br.symbol(dc_map)
+        diff = _extend(br.bits(t), t) if t else 0
+        pred[ci] += diff
+        zz = np.zeros(64)
+        zz[0] = pred[ci]
+        i = 1
+        while i < 64:
+            rs = br.symbol(ac_map)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                i += 16
+                continue
+            i += rs >> 4
+            t = rs & 0xF
+            if i > 63:
+                raise ValueError("AC index overflow")
+            zz[i] = _extend(br.bits(t), t)
+            i += 1
+        Fq = np.zeros(64)
+        for i in range(64):
+            Fq[_ZIGZAG[i]] = zz[i]
+        return C.T @ (Fq.reshape(8, 8) * q) @ C + 128.0
+
+    for sel, _ss, _se, _ah, _al, data in scans:
+        segs = split_segs(data)
+        scomps = [(ci, c) for ci, c in enumerate(comps) if c["id"] in sel]
+        pred = [0] * len(comps)
+        seg_i = 0
+        br = _BitReader(segs[0])
+        if len(scomps) > 1:
+            mcu = 0
+            for myi in range(my):
+                for mxi in range(mx):
+                    if restart and mcu and mcu % restart == 0:
+                        seg_i += 1
+                        br = _BitReader(segs[seg_i])
+                        pred = [0] * len(comps)
+                    for ci, c in scomps:
+                        dc_map = huff[(0, sel[c["id"]][0])]
+                        ac_map = huff[(1, sel[c["id"]][1])]
+                        q = qt[c["tq"]]
+                        for v in range(c["v"]):
+                            for hI in range(c["h"]):
+                                block = decode_block(br, dc_map, ac_map, q, pred, ci)
+                                y0 = (myi * c["v"] + v) * 8
+                                x0 = (mxi * c["h"] + hI) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                    mcu += 1
+        else:
+            ci, c = scomps[0]
+            dc_map = huff[(0, sel[c["id"]][0])]
+            ac_map = huff[(1, sel[c["id"]][1])]
+            q = qt[c["tq"]]
+            cw = -(-W * c["h"] // hmax)
+            ch = -(-H * c["v"] // vmax)
+            n_blk = 0
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    if restart and n_blk and n_blk % restart == 0:
+                        seg_i += 1
+                        br = _BitReader(segs[seg_i])
+                        pred = [0] * len(comps)
+                    block = decode_block(br, dc_map, ac_map, q, pred, ci)
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                    n_blk += 1
 
     return _jpeg_planes_to_image(planes, H, W, comps)
 

@@ -767,3 +767,29 @@ def test_jpeg_progressive_roundtrip():
             decode_jpeg_bytes(encode_jpeg_progressive(img, subsample=True)),
             decode_jpeg_bytes(encode_jpeg_bytes(img, subsample=True)),
         ), shape
+
+
+def test_jpeg_multiscan_sequential_roundtrip():
+    """Non-interleaved sequential JPEG (r5): one scan per component
+    over its own ceil block grid — decodes pixel-identical to the
+    interleaved encode of the same image at 4:4:4 AND 4:2:0 (odd sizes
+    stress the per-component grids)."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_bytes,
+    )
+
+    rng = np.random.default_rng(2)
+    for shape in [(16, 16, 3), (33, 41, 3), (17, 23, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ms = encode_jpeg_bytes(img, interleaved=False)
+        assert ms.count(b"\xff\xda") == 3  # genuinely three scans
+        assert np.array_equal(
+            decode_jpeg_bytes(ms), decode_jpeg_bytes(encode_jpeg_bytes(img))
+        ), shape
+        assert np.array_equal(
+            decode_jpeg_bytes(encode_jpeg_bytes(img, subsample=True, interleaved=False)),
+            decode_jpeg_bytes(encode_jpeg_bytes(img, subsample=True)),
+        ), shape
