@@ -584,7 +584,8 @@ def audio_features(media: DataFrame, content_col: str = "content") -> DataFrame:
 # JFIF in pure numpy + stdlib — the third real image codec (siblings:
 # PNG, BMP above). Scope: 8-bit precision, huffman entropy coding,
 # 1 or 3 components, chroma subsampling factors 1-2, DRI/RSTn restart
-# intervals, AND progressive (SOF2, r5): spectral selection +
+# intervals, non-interleaved multi-scan sequential both ways (r5),
+# AND progressive (SOF2, r5): spectral selection +
 # successive approximation on both the encode and decode side —
 # interleaved/non-interleaved DC scans, per-component AC band scans,
 # EOBRUN, ZRL-in-refinement, buffered correction bits (the T.81
