@@ -19,8 +19,13 @@ decimal fold of dec9-quantized components — so the whole trajectory is
 bit-reproducible under any partitioning and recomputed by the
 independent twin (``plans/train_oracle.py:_stack_losses``).
 
-Scale posture (the r4 swaps, now the DEFAULT paths):
+Scale posture (the r4/r5 swaps, now the DEFAULT paths):
 
+- **root sharding**: the train-split root set is never collected
+  whole — batch assignment is a Spark-side portable knuth hash and
+  each step collects only its own batch's root rows (O(batch) driver
+  residency; the reference analog is the batched seed nodes of
+  ``HGTLoader``, ``experiments/blueprint_mlflow.py:119-133``).
 - **batching**: per-step receptive fields are pruned with broadcast
   semi-joins on a batch-key frame (never a driver-side ``isin``
   literal) — level 1 against the batch roots, level i against the kept
@@ -447,6 +452,7 @@ def train_relational_stack(
     fit_fn=None,
     _batch_mode: str = "semi",
     _eval_mode: str = "join",
+    _root_mode: str = "shard",
 ) -> TrainResult:
     """Minibatch SGD through a depth-(L+1) stack declared by
     ``layers`` — see the module docstring for the model, the
@@ -468,16 +474,28 @@ def train_relational_stack(
     entirely (e.g. materialize to Parquet shards and run DDP); the
     assembly plans are identical either way.
 
-    ``_batch_mode``/``_eval_mode`` select the scale paths ("semi",
-    "join" — the defaults) or the driver-side reference paths ("isin",
-    "collect"); both members of each pair are bit-identical by
-    construction and pinned so in tests.
+    ``_batch_mode``/``_eval_mode``/``_root_mode`` select the scale
+    paths ("semi", "join", "shard" — the defaults) or the driver-side
+    reference paths ("isin", "collect", "collect"); both members of
+    each pair are bit-identical by construction and pinned so in
+    tests. ``_root_mode="shard"`` (VERDICT r5 #1) computes the
+    portable-hash batch assignment IN SPARK and collects only the
+    current batch's root rows per step, so driver residency in the
+    training loop is O(batch), never O(roots); "collect" is the
+    original up-front all-train-roots materialization (the reference
+    trainer's memory shape, ``experiments/blueprint_mlflow.py:119-133``
+    seed-node batches).
     """
-    from ..functions.hashing import knuth_hash_py
+    from ..functions.hashing import knuth_hash, knuth_hash_py
 
     L = len(layers)
     if L == 0:
         raise ValueError("train_relational_stack needs at least one layer spec")
+    if _batch_mode == "isin" and _root_mode != "collect":
+        raise ValueError(
+            "_batch_mode='isin' needs the driver-side root ids — "
+            "use _root_mode='collect' with it"
+        )
     for i in range(L - 1):
         if layers[i].key is None:
             raise ValueError(
@@ -506,29 +524,78 @@ def train_relational_stack(
     if fit_fn is not None:
         return fit_fn(frame, frames, meta)
 
-    # the seed-node set: train roots collected ONCE (the batch the
-    # reference also materializes in trainer memory)
-    rows = (
-        frame.filter(F.col("split") == "train")
-        .select("node_id", "code", "nums", "label")
-        .collect()
+    # the seed-node set. "shard" computes the batch assignment in
+    # Spark with the SAME portable knuth hash and collects only one
+    # batch's rows at a time; "collect" materializes all train roots
+    # up-front (the reference trainer's memory shape). Both orders are
+    # node_id-sorted per batch, so the head-step arrays — and hence
+    # the whole trajectory — are bit-identical between the modes.
+    train_f = frame.filter(F.col("split") == "train").select(
+        "node_id", "code", "nums", "label"
     )
-    rows.sort(key=lambda r: r["node_id"])
-    ids = np.array([r["node_id"] for r in rows], dtype=np.int64)
-    codes = np.array([r["code"] for r in rows], dtype=np.int64)
-    nums = np.array([list(r["nums"]) for r in rows], dtype=np.float64)
-    y = np.array(
-        [r["label"] for r in rows],
-        dtype=np.float64 if task == "regression" else np.int64,
-    )
-    batch_of = np.array(
-        [knuth_hash_py(int(i), seed + 7) % n_batches for i in ids], dtype=np.int64
-    )
-    if set(np.unique(batch_of)) != set(range(n_batches)):
-        raise ValueError(
-            "train_relational_stack: a batch is empty — lower n_batches "
-            "or grow the input"
+    y_dtype = np.float64 if task == "regression" else np.int64
+
+    def _to_arrays(rows):
+        rows.sort(key=lambda r: r["node_id"])
+        return (
+            np.array([r["node_id"] for r in rows], dtype=np.int64),
+            np.array([r["code"] for r in rows], dtype=np.int64),
+            np.array([list(r["nums"]) for r in rows], dtype=np.float64),
+            np.array([r["label"] for r in rows], dtype=y_dtype),
         )
+
+    if _root_mode == "shard":
+        train_f = cut_lineage(
+            train_f.withColumn(
+                "__batch", knuth_hash(F.col("node_id"), seed + 7) % F.lit(n_batches)
+            ),
+            eager=True,
+        )
+        present = {
+            int(r["__batch"])
+            for r in train_f.select("__batch").distinct().collect()
+        }
+        if present != set(range(n_batches)):
+            raise ValueError(
+                "train_relational_stack: a batch is empty — lower n_batches "
+                "or grow the input"
+            )
+
+        def batch_arrays(bi):
+            return _to_arrays(
+                train_f.filter(F.col("__batch") == bi).drop("__batch").collect()
+            )
+
+        def batch_keys_df(bi):
+            return F.broadcast(
+                train_f.filter(F.col("__batch") == bi).select(
+                    F.col("node_id").alias("parent_key")
+                )
+            )
+
+    else:
+        ids, codes, nums, y = _to_arrays(train_f.collect())
+        batch_of = np.array(
+            [knuth_hash_py(int(i), seed + 7) % n_batches for i in ids],
+            dtype=np.int64,
+        )
+        if set(np.unique(batch_of)) != set(range(n_batches)):
+            raise ValueError(
+                "train_relational_stack: a batch is empty — lower n_batches "
+                "or grow the input"
+            )
+
+        def batch_arrays(bi):
+            sel = batch_of == bi
+            return ids[sel], codes[sel], nums[sel], y[sel]
+
+        def batch_keys_df(bi):
+            return F.broadcast(
+                spark.createDataFrame(
+                    [(int(i),) for i in ids[batch_of == bi]],
+                    "parent_key bigint",
+                )
+            )
 
     k = meta["n_classes"]
     m = meta["n_num"]
@@ -578,16 +645,11 @@ def train_relational_stack(
     # pruned frames instead of re-running the join chain per action
     batch_frames: list[list[DataFrame]] = []
     for bi in range(n_batches):
-        bids = ids[batch_of == bi]
         f_b: list[DataFrame] = []
         if _batch_mode == "semi":
-            keys_df = F.broadcast(
-                spark.createDataFrame(
-                    [(int(i),) for i in bids], "parent_key bigint"
-                )
-            )
-            cur = frames[0].join(keys_df, "parent_key", "leftsemi")
+            cur = frames[0].join(batch_keys_df(bi), "parent_key", "leftsemi")
         else:
+            bids = ids[batch_of == bi]
             cur = frames[0].filter(
                 F.col("parent_key").isin([int(i) for i in bids])
             )
@@ -607,9 +669,8 @@ def train_relational_stack(
     losses: list[float] = []
     for _ in range(epochs):
         for bi in range(n_batches):
-            sel = batch_of == bi
-            bids = ids[sel]
-            n_b = int(sel.sum())
+            bids, codes_b, nums_b, y_b = batch_arrays(bi)
+            n_b = len(bids)
             f_b = batch_frames[bi]
 
             hb1, child_hb_for = forward_chain(f_b)
@@ -626,7 +687,7 @@ def train_relational_stack(
                 sum(float((W * W).sum()) for W in l_W[1:])
             )
             loss, GW2, gb2, demb0, gH = two_layer_head_step(
-                codes[sel], nums[sel], hbar, y[sel], emb, l_W[0], W_head, b_head,
+                codes_b, nums_b, hbar, y_b, emb, l_W[0], W_head, b_head,
                 l2, extra_l2=extra_l2, task=task,
             )
             losses.append(loss)

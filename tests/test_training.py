@@ -401,11 +401,11 @@ def test_stack_scale_swaps_bit_identical(db):
     kw = dict(epochs=2, n_batches=2, seed=42, neighbor_budget=5)
     scale = train_relational_stack(
         db.tables, db.primary_keys, db.foreign_keys,
-        _batch_mode="semi", _eval_mode="join", **kw,
+        _batch_mode="semi", _eval_mode="join", _root_mode="shard", **kw,
     )
     ref = train_relational_stack(
         db.tables, db.primary_keys, db.foreign_keys,
-        _batch_mode="isin", _eval_mode="collect", **kw,
+        _batch_mode="isin", _eval_mode="collect", _root_mode="collect", **kw,
     )
     assert scale.losses == ref.losses
     assert scale.accuracy == ref.accuracy
@@ -415,6 +415,38 @@ def test_stack_scale_swaps_bit_identical(db):
         assert np.array_equal(a["W"], b["W"])
         assert np.array_equal(a["emb"], b["emb"])
         assert np.array_equal(a["b"], b["b"])
+
+
+def test_stack_root_shard_bit_identical(db):
+    """Ask r5 #1 — the sharded root path (Spark-side batch hash +
+    per-step O(batch) collect, the new default) reproduces the
+    up-front all-roots collect bit-for-bit, and the isin literal
+    refuses to run without the driver-side ids it needs."""
+    import numpy as np
+    import pytest
+
+    from deep_db_learning_spark.plans.stack import train_relational_stack
+
+    kw = dict(epochs=2, n_batches=3, seed=7, neighbor_budget=5)
+    shard = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, _root_mode="shard", **kw,
+    )
+    coll = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, _root_mode="collect", **kw,
+    )
+    assert shard.losses == coll.losses
+    assert shard.accuracy == coll.accuracy
+    assert np.array_equal(shard.params["emb"], coll.params["emb"])
+    assert np.array_equal(shard.params["W_head"], coll.params["W_head"])
+    for a, b in zip(shard.params["layers"], coll.params["layers"]):
+        assert np.array_equal(a["emb"], b["emb"])
+        assert np.array_equal(a["W"], b["W"])
+
+    with pytest.raises(ValueError, match="isin"):
+        train_relational_stack(
+            db.tables, db.primary_keys, db.foreign_keys,
+            _batch_mode="isin", _root_mode="shard", **kw,
+        )
 
 
 def test_stack_regression_matches_twin(db):
@@ -460,7 +492,7 @@ def test_stack_regression_matches_twin(db):
     assert res.accuracy == twin_mse
     ref = train_relational_stack(
         db.tables, db.primary_keys, db.foreign_keys,
-        _batch_mode="isin", _eval_mode="collect", **kw,
+        _batch_mode="isin", _eval_mode="collect", _root_mode="collect", **kw,
     )
     assert ref.losses == res.losses
     assert ref.accuracy == res.accuracy
