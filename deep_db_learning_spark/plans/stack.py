@@ -79,6 +79,16 @@ class EdgeLayerSpec:
     original two-layer trainer's ``li_qty_mean``); when the same edge
     is instead a deeper :class:`EdgeLayerSpec`, the feature is trained
     through — don't use both on one edge.
+
+    ``emb_storage`` picks where this layer's embedding table lives:
+    ``"driver"`` (a numpy array, indexed inside the Arrow kernels),
+    ``"frame"`` (a distributed ``(code, evec)`` DataFrame joined into
+    every pass — the high-cardinality posture, VERDICT r5 #2), or
+    ``"auto"`` (frame when the layer's cardinality reaches
+    :data:`FRAME_EMB_THRESHOLD`). Both modes walk identical elementwise
+    IEEE update sequences, so the parameter trajectories are bitwise
+    equal; only the loss's emb-L2 scalar is folded differently
+    (decimal fold in frame mode — the twin replays it).
     """
 
     table: str
@@ -90,6 +100,7 @@ class EdgeLayerSpec:
     emb_dim: int = 2
     hidden_dim: int = 4
     neighbor_budget: int | None = None
+    emb_storage: str = "auto"
 
     @property
     def n_feats(self) -> int:
@@ -129,6 +140,119 @@ THREE_LAYER_SPECS = (
 )
 
 THREE_LAYER_BENCH_CONFIG = {"epochs": 2, "n_batches": 2, "neighbor_budget": 5}
+
+# Past this cardinality an "auto" layer keeps its embedding table as a
+# distributed (code, evec) frame instead of a driver numpy array: the
+# driver then holds only W/b (card × emb_dim never materializes after
+# the pinned init draw).
+FRAME_EMB_THRESHOLD = 50_000
+
+
+def _resolve_frame_emb(spec: EdgeLayerSpec, card: int) -> bool:
+    """Shared CONFIG with the oracle twin (like the spec itself): does
+    this layer train its embedding as a frame?"""
+    storage = getattr(spec, "emb_storage", "auto")
+    if storage not in ("auto", "driver", "frame"):
+        raise ValueError(f"emb_storage must be auto|driver|frame, got {storage!r}")
+    return storage == "frame" or (storage == "auto" and card >= FRAME_EMB_THRESHOLD)
+
+
+def _is_frame_emb(e) -> bool:
+    return isinstance(e, DataFrame)
+
+
+def _emb_rows(Ec, first):
+    """Embedding block of a kernel's per-row input matrix: index the
+    driver-held table by code (``Ec`` set), or stack the pre-joined
+    ``__evec`` column (frame mode, ``Ec is None``)."""
+    if Ec is None:
+        return np.vstack(first.to_list())
+    return Ec[first.to_numpy(dtype=np.int64)]
+
+
+def _with_emb(frame: DataFrame, emb) -> DataFrame:
+    """Frame mode: join the layer's ``(code, evec)`` embedding frame
+    onto its rows; driver mode: no-op (the kernel indexes directly)."""
+    if not _is_frame_emb(emb):
+        return frame
+    return frame.join(
+        emb.select("code", F.col("evec").alias("__evec")), "code", "inner"
+    )
+
+
+def _emb_to_frame(spark, E: np.ndarray) -> DataFrame:
+    """Ship the pinned init draw to a distributed ``(code, evec)``
+    frame — the only O(card) driver touch of frame mode (the draw must
+    come from the shared rng stream; swap a counter-based per-code RNG
+    if cards ever outgrow a single driver array at init)."""
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(E)],
+        "code bigint, evec array<double>",
+    )
+    return cut_lineage(df, eager=True)
+
+
+def _emb_sq_norm(e) -> float:
+    """This table's contribution to the loss's L2 scalar. Driver mode
+    keeps the original numpy float sum; frame mode folds dec9-quantized
+    squares as exact decimals (partitioning-independent — replayed by
+    the twin's matching Decimal loop)."""
+    if not _is_frame_emb(e):
+        return float((e * e).sum())
+    from decimal import Decimal
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sq_fn(evec):
+        out = []
+        for row in evec.to_list():
+            t = Decimal(0)
+            for v in row:
+                t += _dec9_py(Decimal, v * v)
+            out.append(t)
+        return pd.Series(out)
+
+    sq_fn.__annotations__ = {"evec": pd.Series, "return": pd.Series}
+    udf = pandas_udf(sq_fn, DECIMAL_TYPE)
+    tot = e.select(udf("evec").alias("q")).agg(F.sum("q")).first()[0]
+    return float(tot or 0)
+
+
+def _update_emb_frame(
+    emb_f: DataFrame, demb_f: DataFrame | None, lr: float, l2: float, n_b: int
+) -> DataFrame:
+    """One SGD step on a frame-resident embedding table — the same
+    elementwise IEEE expression the driver path applies
+    (``e - lr*(demb/n_b + l2*e)``), one row per code, nothing
+    collected. Codes outside the batch's receptive field (left-join
+    null) decay exactly like the driver path's zero-gradient rows."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def upd_fn(evec, demb):
+        out = []
+        for e_row, d_row in zip(evec.to_list(), demb.to_list()):
+            e = np.asarray(e_row, dtype=np.float64)
+            dm = np.asarray(d_row, dtype=np.float64) if d_row is not None else 0.0
+            out.append([float(v) for v in e - lr * (dm / n_b + l2 * e)])
+        return pd.Series(out)
+
+    upd_fn.__annotations__ = {
+        "evec": pd.Series,
+        "demb": pd.Series,
+        "return": pd.Series,
+    }
+    udf = pandas_udf(upd_fn, "array<double>")
+    if demb_f is None:
+        joined = emb_f.withColumn("__demb", F.lit(None).cast("array<double>"))
+    else:
+        joined = emb_f.join(
+            demb_f.select("code", F.col("demb").alias("__demb")), "code", "left"
+        )
+    return cut_lineage(
+        joined.select("code", udf("evec", "__demb").alias("evec")), eager=True
+    )
 
 
 def _assemble_child_frame(
@@ -236,26 +360,31 @@ def _layer_forward_frame(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    Ec, Wc, bc = E.copy(), W.copy(), b.copy()
-    frame = _with_child_hbar(frame, child_hb, d_child)
+    Ec = None if _is_frame_emb(E) else E.copy()
+    Wc, bc = W.copy(), b.copy()
+    frame = _with_emb(_with_child_hbar(frame, child_hb, d_child), E)
+    first = "__evec" if Ec is None else "code"
 
     if child_hb is None:
 
         def h_fn(code, x):
-            codes = code.to_numpy(dtype=np.int64)
-            X = np.concatenate([Ec[codes], np.vstack(x.to_list())], axis=1)
+            X = np.concatenate([_emb_rows(Ec, code), np.vstack(x.to_list())], axis=1)
             H = np.tanh(row_logits(X, Wc, bc))
             return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in H])
 
         h_fn.__annotations__ = {"code": pd.Series, "x": pd.Series, "return": pd.Series}
         udf = pandas_udf(h_fn, f"array<{DECIMAL_TYPE}>")
-        h = frame.select("parent_key", udf("code", "x").alias("h"))
+        h = frame.select("parent_key", udf(first, "x").alias("h"))
     else:
 
         def h_fn(code, x, chb):
-            codes = code.to_numpy(dtype=np.int64)
             X = np.concatenate(
-                [Ec[codes], np.vstack(x.to_list()), np.vstack(chb.to_list())], axis=1
+                [
+                    _emb_rows(Ec, code),
+                    np.vstack(x.to_list()),
+                    np.vstack(chb.to_list()),
+                ],
+                axis=1,
             )
             H = np.tanh(row_logits(X, Wc, bc))
             return pd.Series([[_dec9_py(Decimal, v) for v in row] for row in H])
@@ -267,7 +396,7 @@ def _layer_forward_frame(
             "return": pd.Series,
         }
         udf = pandas_udf(h_fn, f"array<{DECIMAL_TYPE}>")
-        h = frame.select("parent_key", udf("code", "x", "__child_hbar").alias("h"))
+        h = frame.select("parent_key", udf(first, "x", "__child_hbar").alias("h"))
 
     sums = h.groupBy("parent_key").agg(
         F.count(F.lit(1)).alias("deg"),
@@ -310,17 +439,28 @@ def _layer_backward_fold(
     (1 - h²)``; the per-code decimal fold of ``[X (x) delta ++
     delta]`` yields ``(dW, db, demb)`` exactly as in the original
     two-layer trainer (``demb[c] = (Σ_{code=c} delta) @ W[:d_e].T``).
-    Bit-deterministic under any partitioning."""
+    Bit-deterministic under any partitioning.
+
+    Frame-emb mode (``E`` a DataFrame — VERDICT r5 #2): nothing
+    O(card) ever reaches the driver. ``dW``/``db`` come from ONE
+    global decimal agg (exact decimal addition is associative, so the
+    global fold bit-equals the driver path's per-code-then-total
+    fold), and ``demb`` is returned as a distributed ``(code, demb)``
+    frame — each row the same ``dsum @ W[:d_e].T`` gemv the driver
+    path runs per code."""
     from decimal import Decimal
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     glen = m * d + d
-    Ec, Wc, bc = E.copy(), W.copy(), b.copy()
+    frame_mode = _is_frame_emb(E)
+    Ec = None if frame_mode else E.copy()
+    Wc, bc = W.copy(), b.copy()
+    first = "__evec" if frame_mode else "code"
 
     def make_out(codes, xs, chbs, gouts, gdegs):
-        parts = [Ec[codes], np.vstack(xs.to_list())]
+        parts = [_emb_rows(Ec, codes), np.vstack(xs.to_list())]
         if chbs is not None:
             parts.append(np.vstack(chbs.to_list()))
         X = np.concatenate(parts, axis=1)
@@ -335,7 +475,7 @@ def _layer_backward_fold(
     if with_child:
 
         def g_fn(code, x, chb, gout, gdeg):
-            return make_out(code.to_numpy(dtype=np.int64), x, chb, gout, gdeg)
+            return make_out(code, x, chb, gout, gdeg)
 
         g_fn.__annotations__ = {
             "code": pd.Series,
@@ -347,12 +487,12 @@ def _layer_backward_fold(
         }
         udf = pandas_udf(g_fn, f"array<{DECIMAL_TYPE}>")
         g = joined.select(
-            "code", udf("code", "x", "__child_hbar", "__gout", "__gdeg").alias("g")
+            "code", udf(first, "x", "__child_hbar", "__gout", "__gdeg").alias("g")
         )
     else:
 
         def g_fn(code, x, gout, gdeg):
-            return make_out(code.to_numpy(dtype=np.int64), x, None, gout, gdeg)
+            return make_out(code, x, None, gout, gdeg)
 
         g_fn.__annotations__ = {
             "code": pd.Series,
@@ -362,25 +502,63 @@ def _layer_backward_fold(
             "return": pd.Series,
         }
         udf = pandas_udf(g_fn, f"array<{DECIMAL_TYPE}>")
-        g = joined.select("code", udf("code", "x", "__gout", "__gdeg").alias("g"))
+        g = joined.select("code", udf(first, "x", "__gout", "__gdeg").alias("g"))
 
-    rows = (
-        g.groupBy("code")
-        .agg(*[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)])
-        .collect()
+    if not frame_mode:
+        rows = (
+            g.groupBy("code")
+            .agg(
+                *[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)]
+            )
+            .collect()
+        )
+        tot = [Decimal(0)] * glen
+        demb = np.zeros((card, d_e))
+        for r in rows:
+            for i in range(glen):
+                v = r[f"v{i}"]
+                if v is not None:
+                    tot[i] += v
+            dsum = np.array([float(r[f"v{m * d + j}"] or 0) for j in range(d)])
+            demb[r["code"]] = dsum @ Wc[:d_e].T
+        dW = np.array([float(tot[i]) for i in range(m * d)]).reshape(m, d)
+        db = np.array([float(tot[m * d + i]) for i in range(d)])
+        return dW, db, demb
+
+    # frame mode: materialize the per-row gradient vectors once, then
+    # one bounded-global agg (m·d+d scalars to the driver) plus the
+    # distributed per-code delta fold → (code, demb) frame
+    g = cut_lineage(g, eager=True)
+    tot_row = g.agg(
+        *[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)]
+    ).first()
+    dW = np.array(
+        [float(tot_row[f"v{i}"] or 0) for i in range(m * d)]
+    ).reshape(m, d)
+    db = np.array([float(tot_row[f"v{m * d + i}"] or 0) for i in range(d)])
+    dsums = g.groupBy("code").agg(
+        *[
+            F.sum(F.element_at("g", m * d + j + 1)).cast("double").alias(f"s{j}")
+            for j in range(d)
+        ]
     )
-    tot = [Decimal(0)] * glen
-    demb = np.zeros((card, d_e))
-    for r in rows:
-        for i in range(glen):
-            v = r[f"v{i}"]
-            if v is not None:
-                tot[i] += v
-        dsum = np.array([float(r[f"v{m * d + j}"] or 0) for j in range(d)])
-        demb[r["code"]] = dsum @ Wc[:d_e].T
-    dW = np.array([float(tot[i]) for i in range(m * d)]).reshape(m, d)
-    db = np.array([float(tot[m * d + i]) for i in range(d)])
-    return dW, db, demb
+    # ship the C-contiguous base and take the .T view inside the UDF,
+    # so the per-code gemv sees the exact memory layout (and hence
+    # BLAS path) of the driver path's ``dsum @ Wc[:d_e].T``
+    Wde = Wc[:d_e].copy()
+
+    def demb_fn(s):
+        WT = Wde.T
+        A = np.vstack(s.to_list()).astype(np.float64)
+        return pd.Series([[float(v) for v in row @ WT] for row in A])
+
+    demb_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    dudf = pandas_udf(demb_fn, "array<double>")
+    demb_frame = dsums.select(
+        "code",
+        dudf(F.array(*[F.col(f"s{j}") for j in range(d)])).alias("demb"),
+    )
+    return dW, db, demb_frame
 
 
 def _layer_g_next_frame(
@@ -402,14 +580,16 @@ def _layer_g_next_frame(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    Ec, Wc, bc = E.copy(), W.copy(), b.copy()
+    Ec = None if _is_frame_emb(E) else E.copy()
+    Wc, bc = W.copy(), b.copy()
+    first = "__evec" if Ec is None else "code"
     WhT = W[d_e + nx :].T.copy()  # (d, d_child)
     zeros = np.zeros(d_child)
 
     def gn_fn(code, x, chb, gout, gdeg):
-        codes = code.to_numpy(dtype=np.int64)
         X = np.concatenate(
-            [Ec[codes], np.vstack(x.to_list()), np.vstack(chb.to_list())], axis=1
+            [_emb_rows(Ec, code), np.vstack(x.to_list()), np.vstack(chb.to_list())],
+            axis=1,
         )
         G = np.vstack(gout.to_list()) / gdeg.to_numpy(dtype=np.float64)[:, None]
         H = np.tanh(row_logits(X, Wc, bc))
@@ -428,7 +608,7 @@ def _layer_g_next_frame(
     udf = pandas_udf(gn_fn, "array<double>")
     return joined.select(
         F.col("child_key").alias("key"),
-        udf("code", "x", "__child_hbar", "__gout", "__gdeg").alias("gout"),
+        udf(first, "x", "__child_hbar", "__gout", "__gdeg").alias("gout"),
         F.col("__child_deg").alias("gdeg"),
     )
 
@@ -521,6 +701,7 @@ def train_relational_stack(
         f, card = _assemble_child_frame(tables, spec, seed)
         frames.append(cut_lineage(f, eager=True))
         cards.append(card)
+    use_frame = [_resolve_frame_emb(layers[i], cards[i]) for i in range(L)]
     if fit_fn is not None:
         return fit_fn(frame, frames, meta)
 
@@ -605,9 +786,10 @@ def train_relational_stack(
     # the original two-layer order (emb, emb1, W1, W2)
     rng = np.random.default_rng(seed)
     emb = rng.uniform(-0.5, 0.5, size=(card0, dim))
-    l_emb = [
-        rng.uniform(-0.5, 0.5, size=(cards[i], layers[i].emb_dim)) for i in range(L)
-    ]
+    l_emb = []
+    for i in range(L):
+        E0 = rng.uniform(-0.5, 0.5, size=(cards[i], layers[i].emb_dim))
+        l_emb.append(_emb_to_frame(spark, E0) if use_frame[i] else E0)
     dims = []  # (d_e, nx, d, m_i) per layer
     for i, spec in enumerate(layers):
         d_child = layers[i + 1].hidden_dim if i + 1 < L else 0
@@ -683,7 +865,7 @@ def train_relational_stack(
             for j, i in enumerate(bids):
                 if int(i) in hb_rows:
                     hbar[j], degs[j] = hb_rows[int(i)]
-            extra_l2 = float(sum(float((E * E).sum()) for E in l_emb)) + float(
+            extra_l2 = float(sum(_emb_sq_norm(E) for E in l_emb)) + float(
                 sum(float((W * W).sum()) for W in l_W[1:])
             )
             loss, GW2, gb2, demb0, gH = two_layer_head_step(
@@ -710,8 +892,13 @@ def train_relational_stack(
                     d_e, nx, d, m_i = dims[i]
                     with_child = i + 1 < L
                     joined = _join_gradient(
-                        _with_child_hbar(
-                            f_b[i], child_hb_for[i], dims[i + 1][2] if with_child else 0
+                        _with_emb(
+                            _with_child_hbar(
+                                f_b[i],
+                                child_hb_for[i],
+                                dims[i + 1][2] if with_child else 0,
+                            ),
+                            l_emb[i],
                         ),
                         g_frame,
                     )
@@ -728,7 +915,11 @@ def train_relational_stack(
                         )
             else:  # every batch root is childless — nothing to backprop
                 grads = [
-                    (np.zeros_like(l_W[i]), np.zeros_like(l_b[i]), np.zeros_like(l_emb[i]))
+                    (
+                        np.zeros_like(l_W[i]),
+                        np.zeros_like(l_b[i]),
+                        None if use_frame[i] else np.zeros_like(l_emb[i]),
+                    )
                     for i in range(L)
                 ]
 
@@ -738,7 +929,10 @@ def train_relational_stack(
             b_head -= lr * (gb2 / n_b)
             for i in range(L):
                 dW, db_i, demb_i = grads[i]
-                l_emb[i] -= lr * (demb_i / n_b + l2 * l_emb[i])
+                if use_frame[i]:
+                    l_emb[i] = _update_emb_frame(l_emb[i], demb_i, lr, l2, n_b)
+                else:
+                    l_emb[i] -= lr * (demb_i / n_b + l2 * l_emb[i])
                 l_W[i] -= lr * (dW / n_b + l2 * l_W[i])
                 l_b[i] -= lr * (db_i / n_b)
 

@@ -549,6 +549,22 @@ def _stack_losses(
         by_parent, card_i = _child_frame_twin(sf_dir, spec, seed)
         child.append(by_parent)
         cards.append(card_i)
+    # shared CONFIG with the engine (like the spec itself): which
+    # layers fold their emb-L2 loss term as exact decimals (the
+    # frame-resident storage mode) instead of a numpy float sum
+    from .stack import _resolve_frame_emb
+
+    frame_l2 = [_resolve_frame_emb(layers[i], cards[i]) for i in range(L)]
+
+    def emb_sq(i, E):
+        if not frame_l2[i]:
+            return float((E * E).sum())
+        t = Decimal(0)
+        for row in E:
+            for v in row:
+                fv = float(v)
+                t += _dec9(fv * fv)
+        return float(t)
 
     batch_of = np.array(
         [_knuth(int(i), seed + 7) % n_batches for i in ids], dtype=np.int64
@@ -620,9 +636,9 @@ def _stack_losses(
                 hv = fold_level(0, int(i_))
                 if hv is not None:
                     hbar[j], degs[j] = hv
-            extra_l2 = float(sum(float((E * E).sum()) for E in l_emb)) + float(
-                sum(float((W * W).sum()) for W in l_W[1:])
-            )
+            extra_l2 = float(
+                sum(emb_sq(i_l, E) for i_l, E in enumerate(l_emb))
+            ) + float(sum(float((W * W).sum()) for W in l_W[1:]))
             loss, GW2, gb2, demb0, gH = two_layer_head_step(
                 codes[sel], nums[sel], hbar, y[sel], emb, l_W[0], W_head,
                 b_head, l2, extra_l2=extra_l2, task=task,

@@ -560,6 +560,109 @@ def test_stack_childless_roots_and_spec_validation(spark):
                                cat_col="cat", num_cols=("x",))
 
 
+def test_stack_frame_emb_matches_driver_and_twin(db):
+    """Ask r5 #2 — frame-resident embedding storage walks the exact
+    elementwise update sequence of the driver path: forced onto a
+    small layer, every parameter trajectory (including the embedding
+    table itself, collected back) is BITWISE equal to driver storage,
+    eval metrics match, and the twin replays the frame-mode losses
+    (whose emb-L2 loss scalar is a decimal fold) bit-for-bit."""
+    from dataclasses import replace
+
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from deep_db_learning_spark.plans.stack import (
+        ORDERS_LAYER_SPEC,
+        train_relational_stack,
+    )
+    from deep_db_learning_spark.plans.train_oracle import _stack_losses
+
+    fspec = replace(ORDERS_LAYER_SPEC, neighbor_budget=5, emb_storage="frame")
+    dspec = replace(fspec, emb_storage="driver")
+    kw = dict(epochs=2, n_batches=2, seed=42, neighbor_budget=5)
+    fr = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, layers=(fspec,), **kw,
+    )
+    dr = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, layers=(dspec,), **kw,
+    )
+    # gradients never touch the L2 loss scalar, so parameters agree
+    # bitwise even though the loss fold differs by storage mode
+    assert np.array_equal(fr.params["emb"], dr.params["emb"])
+    assert np.array_equal(fr.params["W_head"], dr.params["W_head"])
+    assert np.array_equal(fr.params["layers"][0]["W"], dr.params["layers"][0]["W"])
+    assert np.array_equal(fr.params["layers"][0]["b"], dr.params["layers"][0]["b"])
+    emb_f = fr.params["layers"][0]["emb"]
+    assert isinstance(emb_f, DataFrame)
+    got = {int(r["code"]): list(r["evec"]) for r in emb_f.collect()}
+    want = {
+        i: [float(v) for v in row]
+        for i, row in enumerate(dr.params["layers"][0]["emb"])
+    }
+    assert got == want
+    assert fr.accuracy == dr.accuracy
+    assert len(fr.losses) == 4 and fr.losses[-1] < fr.losses[0]
+    twin = _stack_losses("/root/testdata/sf0.001", (fspec,), **kw)
+    assert fr.losses == twin
+
+
+def test_stack_high_card_frame_auto(spark):
+    """Ask r5 #2 at scale shape: a 60k-cardinality layer crosses
+    FRAME_EMB_THRESHOLD under "auto" storage, so its embedding table
+    trains as a distributed (code, evec) frame — in the steady state
+    the driver holds only this layer's W/b — and the step still
+    descends with finite losses."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.plans.stack import (
+        EdgeLayerSpec,
+        FRAME_EMB_THRESHOLD,
+        train_relational_stack,
+    )
+    from deep_db_learning_spark.schema import ForeignKey
+
+    n_cat = FRAME_EMB_THRESHOLD + 10_000
+    roots = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("cat"),
+        F.concat(F.lit("s"), F.col("id") % 2).alias("seg"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    kids = spark.range(n_cat).select(
+        F.col("id").alias("kid"),
+        (F.col("id") % 200).alias("parent"),
+        F.concat(F.lit("c"), F.col("id")).alias("kcat"),  # all-distinct
+        (F.col("id") % 17).cast("double").alias("kx"),
+    )
+    tables = {"roots": roots, "kids": kids}
+    pks = {"roots": ["id"], "kids": ["kid"]}
+    fks = {"roots": [], "kids": [ForeignKey(["parent"], "roots", ["id"])]}
+    spec = EdgeLayerSpec(
+        table="kids", fk="parent", cat_col="kcat", num_cols=("kx",), key="kid",
+        emb_dim=2, hidden_dim=2,
+    )
+    res = train_relational_stack(
+        tables, pks, fks,
+        layers=(spec,), target=("roots", "seg"), cat_col="cat", num_cols=("x",),
+        epochs=1, n_batches=1, seed=3, neighbor_budget=None,
+    )
+    assert len(res.losses) == 1
+    assert all(np.isfinite(l) for l in res.losses)
+    emb_f = res.params["layers"][0]["emb"]
+    assert isinstance(emb_f, DataFrame)  # never a driver array
+    assert emb_f.count() == n_cat + 1  # every code incl. NULL→0 kept
+    # codes outside the receptive field decayed, in-field codes moved
+    # by their gradient — spot-check a trained row is off its init
+    rng = np.random.default_rng(3)
+    rng.uniform(-0.5, 0.5, size=res.params["emb"].shape)
+    init = rng.uniform(-0.5, 0.5, size=(n_cat + 1, 2))
+    row1 = [r["evec"] for r in emb_f.filter(F.col("code") == 1).collect()][0]
+    assert not np.array_equal(np.array(row1), init[1])
+
+
 def test_trainer_root_generality_orders_target(db):
     """The root side is schema-driven too: train on a DIFFERENT target
     table (orders — label o_orderpriority, categorical o_custkey,
