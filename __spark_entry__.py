@@ -1097,7 +1097,31 @@ def q_ann_ivf(spark, sf_dir):
         F.round("dist", 6).alias("sim"),
         "recall",
     )
-    return ivf_rows.unionByName(pq_rows)
+
+    # ``pqr`` (r6) — residual IVF-PQ (FAISS-IVFPQ formulation): codes
+    # encode vec − coarse-centroid, the ADC LUT is per (query, probed
+    # list), and only the probed lists' codes are scanned; recomputed
+    # end-to-end by ``pq_residual_oracle_rows``
+    cbr = similarity.pq_train(
+        assigned, m=16, k=16, sample=500, seed=42, residual_model=model
+    )
+    encr = similarity.pq_encode(
+        assigned, cbr, extra_cols=("list_id",), residual_model=model
+    )
+    pqr = similarity.ivf_pq_topk(
+        encr, cbr, model, queries_df, k=5, n_probes=3,
+        rerank=emb, rerank_factor=4, residual=True,
+    )
+    rec3 = similarity.topk_recall(pqr, exact_l2)
+    pqr_rows = pqr.join(rec3, "query_id").select(
+        F.lit("pqr").alias("mode"),
+        "query_id",
+        "vec_id",
+        "rank",
+        F.round("dist", 6).alias("sim"),
+        "recall",
+    )
+    return ivf_rows.unionByName(pq_rows).unionByName(pqr_rows)
 
 
 def q_text_dedup_clusters(spark, sf_dir):
@@ -1597,21 +1621,30 @@ def _ann_ivf_oracle() -> str:
     list_id) assignments and probe lists recomputed at oracle-build
     time by the independent numpy/decimal twin
     (``operators/ivf_oracle.py``), sims and recall computed by DuckDB
-    on top (the ``ann_lsh`` pattern); ``pq`` half (r5): the full
+    on top (the ``ann_lsh`` pattern); ``pq`` third (r5): the full
     PQ+rerank pipeline recomputed by ``pq_oracle_rows`` and pinned as
-    VALUES (DuckDB does the round-6)."""
+    VALUES (DuckDB does the round-6); ``pqr`` third (r6): the residual
+    IVF-PQ pipeline recomputed by ``pq_residual_oracle_rows`` (decimal
+    -fold centroids, residual codebooks, per-(query, list) ADC,
+    exact rerank)."""
     from deep_db_learning_spark.operators.ivf_oracle import (
         ivf_oracle_sql,
         pq_oracle_sql,
+        pq_residual_oracle_sql,
     )
 
     ivf = ivf_oracle_sql(n_lists=8, n_iters=5, n_queries=5, n_probes=3, k=5)
     pq = pq_oracle_sql(
         m=16, k_codes=16, sample=500, seed=42, n_queries=5, k=5, rerank_factor=4
     )
+    pqr = pq_residual_oracle_sql(
+        m=16, k_codes=16, sample=500, seed=42, n_queries=5, k=5,
+        rerank_factor=4, n_lists=8, n_iters_ivf=5, n_probes=3,
+    )
     return (
         f"SELECT 'ivf' AS mode, * FROM ({ivf}) "
-        f"UNION ALL SELECT 'pq' AS mode, * FROM ({pq})"
+        f"UNION ALL SELECT 'pq' AS mode, * FROM ({pq}) "
+        f"UNION ALL SELECT 'pqr' AS mode, * FROM ({pqr})"
     )
 
 

@@ -481,6 +481,18 @@ def semantic_search(
 # identical codes and rankings.
 
 
+def _model_centers(model):
+    import numpy as np
+
+    return np.array(
+        [
+            c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+            for c in model.clusterCenters()
+        ],
+        dtype=np.float64,
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -490,24 +502,38 @@ def pq_train(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual_model=None,
+    list_col: str = "list_id",
 ):
     """Train product-quantization codebooks: split the d dims into
     ``m`` contiguous subspaces and run Lloyd k-means per subspace on a
     deterministic sample (knuth-ordered by id — engine-portable, no
     ``rand()``). Returns ``codebooks`` ndarray (m, k, d/m). The sample
     bounds driver memory; at 100 TB the codebooks only need a sketch
-    of the distribution (the same argument as the IVF fit)."""
+    of the distribution (the same argument as the IVF fit).
+
+    ``residual_model`` (VERDICT r5 #3 — the FAISS-IVFPQ accuracy win):
+    train on the residual ``vec - centroid[list]`` instead of the raw
+    vector; ``corpus`` must then carry ``list_col`` (an IVF-assigned
+    frame). Residuals concentrate around the origin, so the same m×k
+    codebook budget spends its resolution on the within-list geometry
+    instead of re-encoding the coarse position — higher recall at
+    identical memory."""
     import numpy as np
 
     from ..functions.hashing import knuth_hash
 
+    cols = [id_col, vec_col] + ([list_col] if residual_model is not None else [])
     rows = (
-        corpus.select(id_col, vec_col)
+        corpus.select(*cols)
         .orderBy(knuth_hash(F.col(id_col), seed), F.col(id_col))
         .limit(sample)
         .collect()
     )
     X = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    if residual_model is not None:
+        centers = _model_centers(residual_model)
+        X = X - centers[np.array([int(r[list_col]) for r in rows], dtype=np.int64)]
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -536,20 +562,25 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = (),
+    residual_model=None,
+    list_col: str = "list_id",
 ) -> DataFrame:
     """Encode each vector to ``m`` subspace codes — one Arrow pass, the
     codebooks in the kernel closure (tiny: m×k×d/m doubles). Output:
     ``(id_col, codes array<int>[, extra_cols])`` — the compressed
-    representation :func:`pq_topk` scans instead of the vectors."""
+    representation :func:`pq_topk` scans instead of the vectors.
+    With ``residual_model`` the row's coarse centroid is subtracted
+    before encoding (pair with ``pq_train(residual_model=...)`` and
+    ``ivf_pq_topk(residual=True)``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cb = np.asarray(codebooks, dtype=np.float64).copy()
     m, k, dsub = cb.shape
+    centers = None if residual_model is None else _model_centers(residual_model)
 
-    def enc_fn(vecs):
-        V = np.vstack(vecs.to_list()).astype(np.float64)
+    def encode_block(V):
         codes = np.empty((len(V), m), dtype=np.int32)
         for mm in range(m):
             sub = V[:, mm * dsub : (mm + 1) * dsub]
@@ -557,10 +588,30 @@ def pq_encode(
             codes[:, mm] = np.argmin(d2, axis=1)
         return pd.Series([row.tolist() for row in codes])
 
-    enc_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    udf = pandas_udf(enc_fn, "array<int>")
+    if centers is None:
+
+        def enc_fn(vecs):
+            return encode_block(np.vstack(vecs.to_list()).astype(np.float64))
+
+        enc_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        udf = pandas_udf(enc_fn, "array<int>")
+        code_col = udf(F.col(vec_col))
+    else:
+
+        def enc_fn(vecs, lists):
+            V = np.vstack(vecs.to_list()).astype(np.float64)
+            V = V - centers[lists.to_numpy(dtype=np.int64)]
+            return encode_block(V)
+
+        enc_fn.__annotations__ = {
+            "vecs": pd.Series,
+            "lists": pd.Series,
+            "return": pd.Series,
+        }
+        udf = pandas_udf(enc_fn, "array<int>")
+        code_col = udf(F.col(vec_col), F.col(list_col))
     return corpus.select(
-        F.col(id_col), udf(F.col(vec_col)).alias("codes"), *[F.col(c) for c in extra_cols]
+        F.col(id_col), code_col.alias("codes"), *[F.col(c) for c in extra_cols]
     )
 
 
@@ -670,6 +721,7 @@ def ivf_pq_topk(
     query_id: str = "query_id",
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """The composed billion-vector pipeline — IVF list pruning + PQ
     codes + optional exact rerank: ``encoded`` must carry ``list_id``
@@ -678,17 +730,19 @@ def ivf_pq_topk(
     a row), then ADC ranks the candidates and ``rerank`` refines the
     shortlist against true vectors. At 100 TB with ``list_id`` as a
     partition column, the probe prunes FILES and the scan reads codes
-    — the full memory/IO posture of a production vector store."""
+    — the full memory/IO posture of a production vector store.
+
+    ``residual=True`` (VERDICT r5 #3): the codes are residual-encoded
+    (``pq_train``/``pq_encode`` with ``residual_model``), so the ADC
+    lookup table is built per (query, probed list) from
+    ``q - centroid[list]`` — the FAISS-IVFPQ formulation; same memory,
+    higher recall, one LUT per probe pair (n_queries × n_probes of
+    them, all tiny)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    centers = np.array(
-        [
-            c.toArray() if hasattr(c, "toArray") else np.asarray(c)
-            for c in model.clusterCenters()
-        ]
-    )
+    centers = _model_centers(model)
 
     def probe_fn(vecs):
         V = np.vstack(vecs.to_list()).astype(float)
@@ -709,32 +763,67 @@ def ivf_pq_topk(
     cb = np.asarray(codebooks, dtype=np.float64).copy()
     m, kk, dsub = cb.shape
     qrows = queries.select(query_id, vec_col).collect()
-    lut_by_q = {}
-    for r in qrows:
-        qv = np.array([float(v) for v in r[vec_col]], dtype=np.float64)
+
+    def build_lut(qv):
         lut = np.empty((m, kk))
         for mm in range(m):
             qs = qv[mm * dsub : (mm + 1) * dsub]
             lut[mm] = ((cb[mm] - qs[None, :]) ** 2).sum(axis=1)
-        lut_by_q[r[query_id]] = lut
+        return lut
 
-    def adc_pair_fn(qids, codes):
-        Cm = np.vstack(codes.to_list()).astype(np.int64)
-        out = np.empty(len(Cm))
-        for i, q in enumerate(qids):
-            lut = lut_by_q[q]
-            out[i] = lut[np.arange(m), Cm[i]].sum()
-        return pd.Series(out)
+    if residual:
+        # one LUT per (query, probed list) — the probe set is re-derived
+        # here with the exact kernel probe_fn runs, so both sides agree
+        lut_by_ql = {}
+        for r in qrows:
+            qv = np.array([float(v) for v in r[vec_col]], dtype=np.float64)
+            d2 = ((qv[None, :] - centers) ** 2).sum(axis=1)
+            lists = np.argsort(d2, kind="stable")[:n_probes]
+            for li in lists:
+                lut_by_ql[(r[query_id], int(li))] = build_lut(qv - centers[li])
 
-    adc_pair_fn.__annotations__ = {
-        "qids": pd.Series,
-        "codes": pd.Series,
-        "return": pd.Series,
-    }
-    udf = pandas_udf(adc_pair_fn, "double")
-    scored = cands.select(
-        query_id, F.col(id_col), udf(query_id, "codes").alias("dist")
-    )
+        def adc_fn(qids, lids, codes):
+            Cm = np.vstack(codes.to_list()).astype(np.int64)
+            lid_arr = lids.to_numpy(dtype=np.int64)
+            out = np.empty(len(Cm))
+            for i, q in enumerate(qids):
+                lut = lut_by_ql[(q, int(lid_arr[i]))]
+                out[i] = lut[np.arange(m), Cm[i]].sum()
+            return pd.Series(out)
+
+        adc_fn.__annotations__ = {
+            "qids": pd.Series,
+            "lids": pd.Series,
+            "codes": pd.Series,
+            "return": pd.Series,
+        }
+        udf = pandas_udf(adc_fn, "double")
+        scored = cands.select(
+            query_id, F.col(id_col), udf(query_id, "list_id", "codes").alias("dist")
+        )
+    else:
+        lut_by_q = {}
+        for r in qrows:
+            qv = np.array([float(v) for v in r[vec_col]], dtype=np.float64)
+            lut_by_q[r[query_id]] = build_lut(qv)
+
+        def adc_pair_fn(qids, codes):
+            Cm = np.vstack(codes.to_list()).astype(np.int64)
+            out = np.empty(len(Cm))
+            for i, q in enumerate(qids):
+                lut = lut_by_q[q]
+                out[i] = lut[np.arange(m), Cm[i]].sum()
+            return pd.Series(out)
+
+        adc_pair_fn.__annotations__ = {
+            "qids": pd.Series,
+            "codes": pd.Series,
+            "return": pd.Series,
+        }
+        udf = pandas_udf(adc_pair_fn, "double")
+        scored = cands.select(
+            query_id, F.col(id_col), udf(query_id, "codes").alias("dist")
+        )
     shortlist_k = k * rerank_factor if rerank is not None else k
     w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.col(id_col))
     out = (

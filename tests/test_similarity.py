@@ -310,6 +310,89 @@ def test_ivf_pq_composed_pipeline(db):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
 
 
+def test_ivf_pq_residual_uplift_and_twin(db, spark):
+    """Residual IVF-PQ (r6 — the FAISS-IVFPQ formulation): encoding
+    ``vec − coarse-centroid`` spends the same m×k codebook budget on
+    within-list geometry. (a) On a CLUSTERED corpus (where the coarse
+    quantizer captures real structure) ADC-only recall@10 at fixed m
+    beats raw-vector IVF-PQ; (b) on the synthetic embeddings the full
+    rerank pipeline is recomputed bit-for-bit by the independent
+    ``pq_residual_oracle_rows`` twin."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.ivf_oracle import (
+        pq_residual_oracle_rows,
+    )
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_index_deterministic,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    # (a) clustered corpus: 8 tight clusters, queries inside them
+    rng = np.random.default_rng(7)
+    n_clusters, per, d = 8, 250, 32
+    centers = rng.uniform(-10, 10, size=(n_clusters, d))
+    V = np.concatenate(
+        [centers[c] + rng.normal(0, 0.8, size=(per, d)) for c in range(n_clusters)]
+    )
+    ids = np.arange(len(V))
+    cemb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = cemb.filter(F.col("vec_id") % 250 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, model = ivf_index_deterministic(cemb, n_lists=8, n_iters=5)
+    cb = pq_train(cemb, m=8, k=16, sample=600, seed=42)
+    enc = pq_encode(assigned, cb, extra_cols=("list_id",))
+    raw = ivf_pq_topk(enc, cb, model, queries, k=10, n_probes=2)
+    cbr = pq_train(assigned, m=8, k=16, sample=600, seed=42, residual_model=model)
+    encr = pq_encode(assigned, cbr, extra_cols=("list_id",), residual_model=model)
+    res = ivf_pq_topk(encr, cbr, model, queries, k=10, n_probes=2, residual=True)
+
+    truth = {}
+    for qr in queries.collect():
+        qv = np.array(list(qr["embedding"]))
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        truth[qr["query_id"]] = set(ids[np.lexsort((ids, d2))[:10]])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got[q] & truth[q]) for q in truth) / (10 * len(truth))
+
+    r_raw, r_res = recall(raw), recall(res)
+    assert r_res > r_raw  # measured 0.2875 vs 0.225 at identical memory
+    assert r_res >= 0.26
+
+    # (b) twin parity on the driver-query shape (synthetic embeddings)
+    emb = db.df("embeddings")
+    q5 = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned2, model2 = ivf_index_deterministic(emb, n_lists=8, n_iters=5)
+    cbr2 = pq_train(assigned2, m=16, k=16, sample=500, seed=42, residual_model=model2)
+    encr2 = pq_encode(
+        assigned2, cbr2, extra_cols=("list_id",), residual_model=model2
+    )
+    pqr = ivf_pq_topk(
+        encr2, cbr2, model2, q5, k=5, n_probes=3,
+        rerank=emb, rerank_factor=4, residual=True,
+    )
+    eng = sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["dist"]) for r in pqr.collect()
+    )
+    twin = pq_residual_oracle_rows(
+        "/root/testdata/sf0.001", m=16, k_codes=16, sample=500, seed=42,
+        n_queries=5, k=5, rerank_factor=4, n_lists=8, n_iters_ivf=5, n_probes=3,
+    )
+    assert eng == sorted((q, v, r, s) for q, v, r, s, _h in twin)
+
+
 def test_sq8_quantization_roundtrip_and_recall(db):
     """int8 scalar quantization (r5): 4x compression with per-dim
     symmetric scales, fully JVM-side (codegen, no UDF). Quantization
