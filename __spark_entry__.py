@@ -1124,6 +1124,31 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_rows.unionByName(pq_rows).unionByName(pqr_rows)
 
 
+def q_ivf_append(spark, sf_dir):
+    """Bench/scaleprobe-only (r6, outside the 50-slot registry; pytest
+    pins its invariants): the incremental-crawl append path — fit IVF
+    on the standing 80% of the corpus, ``ivf_append`` the arriving 20%
+    with the frozen centroids (one Arrow pass + union, the existing
+    store never reshuffles), then answer queries over the grown store
+    with the drift verdict attached."""
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assigned, model = similarity.ivf_index_deterministic(old, n_lists=8, n_iters=3)
+    store, drift = similarity.ivf_append(assigned, model, new)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.ivf_topk(
+        store, model, queries_df, k=5, n_probes=3, query_count=5
+    )
+    flagged = drift.agg(
+        F.sum(F.col("refit").cast("int")).alias("n_refit_lists")
+    )
+    return topk.crossJoin(flagged)
+
+
 def q_text_dedup_clusters(spark, sf_dir):
     """LLM ops: transitive dedup clusters — exact 9-gram Jaccard pairs
     (j ≥ 0.7) collapsed to connected components via iterative min-label

@@ -942,3 +942,162 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# -------------------------------------- incremental store maintenance
+#
+# A 100 TB pipeline APPENDS: each crawl batch lands new vectors (and
+# new documents — ``dedup.minhash_dedup_against`` is the text half of
+# this pair). The ANN family is batch-fit, so appends must (a) reuse
+# the frozen codebook/scales — bit-identical to re-assigning the grown
+# corpus with the same model, never a silent approximation — and (b)
+# carry drift counters that tell the pipeline WHEN the frozen fit has
+# gone stale and a refit pass is due.
+
+
+def _assign_with_err(centers, vec_col: str):
+    """Nearest-centroid assignment + its squared L2 quantization error
+    in one Arrow pass — same d2 expression and stable tie-break as
+    :func:`_assign_lists`, so the ``list_id`` halves are bit-equal."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=float)
+
+    def fn(vecs):
+        V = np.vstack(vecs.to_list()).astype(float)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame(
+            {
+                "list_id": idx.astype("int32"),
+                "qerr": d2[np.arange(len(V)), idx],
+            }
+        )
+
+    fn.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(fn, "struct<list_id:int, qerr:double>")(F.col(vec_col))
+
+
+def ivf_append(
+    store_assigned: DataFrame,
+    model,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mass_threshold: float = 0.3,
+    err_ratio_threshold: float = 1.5,
+) -> tuple:
+    """Append ``new`` vectors to an existing IVF store WITHOUT
+    refitting: assign them to the FROZEN coarse centroids (the same
+    kernel the fit's final pass runs, so the appended store is
+    bit-identical to re-assigning the grown corpus against the same
+    model — the invariant the tests pin), and compute per-list drift
+    counters.
+
+    Returns ``(store, drift)``. ``drift`` has one row per touched
+    list: ``(list_id, n_old, n_new, err_old, err_new, new_share,
+    refit)`` — ``refit`` flags a list whose appended mass exceeds
+    ``mass_threshold`` of its total or whose new-arrival mean
+    quantization error exceeds ``err_ratio_threshold ×`` the old mean
+    (the arrivals no longer look like the distribution the centroids
+    were fit on). ``drift.refit.any()`` is the pipeline's refit
+    trigger; between refits, appends are one Arrow pass + a union —
+    no shuffle of the existing store."""
+    centers = _model_centers(model)
+    new_assigned = cut_lineage(
+        new.withColumn("__a", _assign_with_err(centers, vec_col))
+        .withColumn("list_id", F.col("__a.list_id"))
+        .withColumn("__qerr", F.col("__a.qerr"))
+        .drop("__a"),
+        eager=True,
+    )
+    old_stats = (
+        store_assigned.withColumn("__a", _assign_with_err(centers, vec_col))
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_old"),
+            F.avg(F.col("__a.qerr")).alias("err_old"),
+        )
+    )
+    new_stats = new_assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_new"), F.avg("__qerr").alias("err_new")
+    )
+    drift = (
+        new_stats.join(old_stats, "list_id", "left")
+        .na.fill({"n_old": 0})
+        .withColumn(
+            "new_share",
+            F.col("n_new") / (F.col("n_new") + F.col("n_old")),
+        )
+        .withColumn(
+            "refit",
+            (F.col("new_share") > mass_threshold)
+            | (
+                F.col("err_new")
+                > F.lit(err_ratio_threshold) * F.coalesce("err_old", "err_new")
+            ),
+        )
+        .select(
+            "list_id", "n_old", "n_new", "err_old", "err_new", "new_share", "refit"
+        )
+    )
+    store = store_assigned.unionByName(
+        new_assigned.select(*store_assigned.columns)
+    )
+    return store, drift
+
+
+def sq8_append(
+    encoded_store: DataFrame,
+    scales: list,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    clip_threshold: float = 0.01,
+) -> tuple:
+    """The SQ8 analog of :func:`ivf_append`: encode ``new`` with the
+    FROZEN per-dimension scales (bit-identical to :func:`sq8_encode`
+    on the grown corpus) and union into the code store. Drift here is
+    SATURATION: a component whose magnitude exceeds ``127 × s_j``
+    clips, and clipped mass silently flattens cosine contrast.
+    Returns ``(store, drift)`` with a one-row drift frame ``(n_new,
+    clip_frac, max_scale_ratio, refit)`` — ``max_scale_ratio`` is the
+    largest ``|x_j| / (127·s_j)`` seen (how much the scales would need
+    to grow), ``refit`` fires when the clipped-component fraction
+    exceeds ``clip_threshold``. All JVM expressions, no UDF — the same
+    codegen posture as the sq8 family."""
+    clip_pair = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        _scales_lit(scales),
+        lambda x, s: F.struct(
+            (F.abs(F.round(x / s, 0)) > 127).cast("int").alias("clipped"),
+            (F.abs(x) / (F.lit(127.0) * s)).alias("ratio"),
+        ),
+    )
+    drift = (
+        new.select(
+            F.aggregate(
+                clip_pair,
+                F.struct(
+                    F.lit(0).cast("bigint").alias("c"),
+                    F.lit(0).cast("bigint").alias("n"),
+                    F.lit(0.0).alias("mx"),
+                ),
+                lambda acc, v: F.struct(
+                    (acc["c"] + v["clipped"]).alias("c"),
+                    (acc["n"] + 1).cast("bigint").alias("n"),
+                    F.greatest(acc["mx"], v["ratio"]).alias("mx"),
+                ),
+            ).alias("__s")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            (F.sum("__s.c") / F.sum("__s.n")).alias("clip_frac"),
+            F.max("__s.mx").alias("max_scale_ratio"),
+        )
+        .withColumn("refit", F.col("clip_frac") > clip_threshold)
+    )
+    store = encoded_store.unionByName(sq8_encode(new, scales, id_col, vec_col))
+    return store, drift

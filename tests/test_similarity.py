@@ -432,3 +432,87 @@ def test_sq8_quantization_roundtrip_and_recall(db):
         approx._jdf.queryExecution(), "simple"
     )
     assert "EvalPython" not in plan
+
+
+def test_ivf_append_parity_and_drift(db):
+    """Incremental IVF maintenance (r6): appending with the frozen
+    centroids is BIT-IDENTICAL to re-assigning the grown corpus
+    against the same model (the append contract), queries over the
+    appended store match, in-distribution appends don't flag a refit,
+    and a shifted batch (distribution drift) does."""
+    from deep_db_learning_spark.operators.similarity import (
+        _assign_lists,
+        ivf_append,
+        ivf_index_deterministic,
+        ivf_topk,
+    )
+
+    emb = db.df("embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assigned_old, model = ivf_index_deterministic(old, n_lists=8, n_iters=3)
+    store, drift = ivf_append(assigned_old, model, new)
+
+    full = emb.withColumn(
+        "list_id", _assign_lists(model.clusterCenters(), "embedding", 1)[0]
+    )
+    got = sorted((r["vec_id"], r["list_id"]) for r in store.collect())
+    want = sorted((r["vec_id"], r["list_id"]) for r in full.collect())
+    assert got == want
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_topk(store, model, queries, k=5, n_probes=3, query_count=3)
+    b = ivf_topk(full, model, queries, k=5, n_probes=3, query_count=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    rows = drift.collect()
+    assert rows and not any(r["refit"] for r in rows)  # in-distribution
+    shifted = new.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(50.0))
+    )
+    _, drift2 = ivf_append(assigned_old, model, shifted)
+    assert drift2.filter("refit").count() > 0  # err_ratio fires
+
+
+def test_sq8_append_parity_and_drift(db):
+    """Incremental SQ8 maintenance (r6): appending with frozen scales
+    equals encoding the grown corpus, query results match, and the
+    saturation drift counter stays quiet in-distribution but fires
+    (with a meaningful max_scale_ratio) on out-of-range arrivals."""
+    from deep_db_learning_spark.operators.similarity import (
+        sq8_append,
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    emb = db.df("embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    scales = sq8_train(emb)  # scales fit on the full range: no clip
+    store_old = sq8_encode(old, scales)
+    store, drift = sq8_append(store_old, scales, new)
+
+    full = sq8_encode(emb, scales)
+    got = sorted((r["vec_id"], tuple(r["codes"])) for r in store.collect())
+    want = sorted((r["vec_id"], tuple(r["codes"])) for r in full.collect())
+    assert got == want
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sq8_topk(store, scales, queries, k=5)
+    b = sq8_topk(full, scales, queries, k=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    d = drift.first()
+    assert d["n_new"] == new.count()
+    assert d["clip_frac"] == 0.0 and not d["refit"]
+    big = new.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(10.0))
+    )
+    _, drift2 = sq8_append(store_old, scales, big)
+    d2 = drift2.first()
+    assert d2["refit"] and d2["clip_frac"] > 0.5 and d2["max_scale_ratio"] > 5.0
