@@ -880,15 +880,55 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
-    """LLM ops: MinHash+LSH dedup survivors. FULLY oracle-checked: the
-    shingle rolling hashes, permutation-min signature, md5 band buckets,
-    candidate join, exact-Jaccard verify, and the survivor anti-join are
-    all portable arithmetic a DuckDB oracle reproduces bit-for-bit
-    (recall vs exact Jaccard additionally pytest-verified in
-    tests/test_dedup.py)."""
+    """LLM ops, mode-tagged (r6 registry rotation — the edge_augment
+    merge pattern): ``all`` — MinHash+LSH dedup survivors within the
+    corpus; ``incr`` — cross-corpus dedup of the "arriving" half
+    (odd doc_ids) against the "store" half (even doc_ids) via
+    ``minhash_dedup_against`` (banded buckets join ACROSS corpora —
+    the incremental-crawl pair of ``ivf_append``); ``mix`` — the kept
+    set of temperature-based mixing (``temperature_fractions`` n^0.5
+    re-balancing feeding ``stratified_sample``'s portable-hash keep
+    rule). FULLY oracle-checked: every stage is portable arithmetic a
+    DuckDB oracle reproduces bit-for-bit (the mix fractions are
+    recomputed at oracle-build time by an independent python twin from
+    the raw parquet and inlined as repr literals)."""
+    from deep_db_learning_spark.operators.mixing import (
+        stratified_sample,
+        temperature_fractions,
+    )
+
+    from deep_db_learning_spark.checkpoint import cut_lineage
+
     db = _db(spark, sf_dir)
-    kept = dedup.minhash_lsh_dedup(db.df("documents"), "text", "doc_id", threshold=0.7)
-    return kept.select("doc_id")
+    docs = db.df("documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    # sign ONCE; the intra-corpus pass and both cross-corpus halves
+    # reuse the materialized signatures
+    signed = cut_lineage(
+        dedup.minhash_signature(docs, "text", 64, 9), eager=True
+    )
+    kept = dedup.minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.7, signed=signed
+    )
+    store = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    kept_incr = dedup.minhash_dedup_against(
+        new, store, "text", "doc_id", num_perm=64, bands=16, shingle_k=9,
+        threshold=0.7,
+        new_signed=signed.filter(F.col("doc_id") % 2 == 1),
+        ref_signed=signed.filter(F.col("doc_id") % 2 == 0),
+    )
+    fr = temperature_fractions(
+        docs, "source", alpha=0.5, target_rows=int(0.6 * docs.count())
+    )
+    mixed = stratified_sample(docs, "source", fr, "doc_id")
+    return (
+        kept.select(F.lit("all").alias("mode"), "doc_id")
+        .unionByName(kept_incr.select(F.lit("incr").alias("mode"), "doc_id"))
+        .unionByName(mixed.select(F.lit("mix").alias("mode"), "doc_id"))
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -1589,15 +1629,29 @@ _SHINGLE_CTE = """
 def _minhash_dedup_oracle(
     num_perm: int = 64, bands: int = 16, shingle_k: int = 9, threshold: float = 0.7
 ) -> str:
-    """DuckDB twin of the FULL minhash_lsh_dedup pipeline (defaults
-    mirror q_minhash_dedup's call): portable rolling shingle hashes →
-    permutation-min signature → md5 band buckets → candidate pairs →
-    exact-Jaccard verify on the same hash sets → survivor anti-join.
-    Every step is engine-independent arithmetic (Horner fold over code
-    points, Knuth multiplicative perms, md5 prefix buckets — see
-    operators/dedup.py and functions/hashing.py)."""
+    """DuckDB twin of the mode-tagged q_minhash_dedup (r6). ``all``:
+    the FULL minhash_lsh_dedup pipeline — portable rolling shingle
+    hashes → permutation-min signature → md5 band buckets → candidate
+    pairs → exact-Jaccard verify on the same hash sets → survivor
+    anti-join; every step engine-independent arithmetic (Horner fold
+    over code points, Knuth multiplicative perms, md5 prefix buckets —
+    operators/dedup.py, functions/hashing.py). ``incr``: the same
+    band machinery with buckets joined ACROSS the odd/even corpus
+    halves and the verify on distinct STRING shingles (the
+    ``minhash_dedup_against`` contract — its union size is
+    la+lb−inter for distinct sets). ``mix``: the temperature_fractions
+    → stratified_sample keep set, with the n^0.5 fractions recomputed
+    here at oracle-build time by an independent python twin over the
+    raw parquet and inlined as repr literals (so both engines compare
+    the identical doubles — no SQL pow() ulp risk)."""
+    import os
+
+    import duckdb
+
     from deep_db_learning_spark.functions.hashing import KNUTH, MERSENNE_31
     from deep_db_learning_spark.operators.dedup import SHINGLE_B, SHINGLE_P
+    from deep_db_learning_spark.operators.mixing import stratified_sample_sql
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
 
     rpb = num_perm // bands
     gram_hash = (
@@ -1606,38 +1660,90 @@ def _minhash_dedup_oracle(
         " ch -> CAST(CASE WHEN ch = '' THEN 0 ELSE ord(ch) END AS BIGINT))),"
         f" (acc, ch) -> (acc * {SHINGLE_B} + ch) % {SHINGLE_P})"
     )
-    return f"""
-        WITH sh AS (
-          SELECT doc_id, list_distinct(list_transform(
-            CASE WHEN length(text) < {shingle_k} THEN [text]
-                 ELSE list_transform(range(1, length(text) - {shingle_k - 2}),
-                                     i -> substr(text, i, {shingle_k})) END,
-            g -> {gram_hash})) AS h
-          FROM documents
-        ), sig AS (
-          SELECT doc_id, h, list_transform(range(0, {num_perm}), i ->
+    grams_expr = (
+        f"CASE WHEN length(text) < {shingle_k} THEN [text] "
+        f"ELSE list_transform(range(1, length(text) - {shingle_k - 2}), "
+        f"i -> substr(text, i, {shingle_k})) END"
+    )
+
+    def chain(tag: str, src: str) -> str:
+        """sh/sig/banded CTE bodies for one corpus."""
+        return f"""
+        sh_{tag} AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({grams_expr}, g -> {gram_hash})) AS h,
+                 list_distinct({grams_expr}) AS grams
+          FROM {src}
+        ), sig_{tag} AS (
+          SELECT doc_id, list_transform(range(0, {num_perm}), i ->
             list_min(list_transform(h,
               x -> ((x % {MERSENNE_31} + i) * {KNUTH}) % {MERSENNE_31}))) AS s
-          FROM sh
-        ), banded AS (
+          FROM sh_{tag}
+        ), banded_{tag} AS (
           SELECT doc_id, b AS band,
                  CAST(('0x' || substr(md5(array_to_string(
                    s[b * {rpb} + 1 : b * {rpb} + {rpb}], ',')), 1, 8)) AS BIGINT) AS bucket
-          FROM sig CROSS JOIN range(0, {bands}) r(b)
-        ), cand AS (
+          FROM sig_{tag} CROSS JOIN range(0, {bands}) r(b)
+        )"""
+
+    # independent twin of temperature_fractions(alpha=0.5,
+    # target_rows=0.6·total): counts from the raw parquet, the same
+    # float expression sequence, inlined by repr into the keep
+    # predicate
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT source, count(*) FROM read_parquet('{sf}/documents.parquet') "
+            "WHERE source IS NOT NULL GROUP BY source"
+        ).fetchall()
+    )
+    total = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    target_rows = int(0.6 * total)
+    weights = {s: float(n) ** 0.5 for s, n in counts.items()}
+    tot_w = sum(weights[s] for s in sorted(weights))
+    fractions = {
+        s: min(1.0, target_rows * (weights[s] / tot_w) / counts[s]) for s in counts
+    }
+    mix_sql = stratified_sample_sql("documents", "source", fractions, "doc_id")
+
+    return f"""
+        WITH {chain("all", "documents")}, cand AS (
           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM banded a JOIN banded c
+          FROM banded_all a JOIN banded_all c
             ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
         ), verified AS (
           SELECT DISTINCT cand.id_b
-          FROM cand JOIN sh x ON x.doc_id = cand.id_a
-                    JOIN sh y ON y.doc_id = cand.id_b
+          FROM cand JOIN sh_all x ON x.doc_id = cand.id_a
+                    JOIN sh_all y ON y.doc_id = cand.id_b
           WHERE round(len(list_intersect(x.h, y.h))::DOUBLE /
                 (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6)
                 >= {threshold}
+        ),
+        docs_new AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        docs_ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        {chain("new", "docs_new")}, {chain("ref", "docs_ref")},
+        cand_x AS (
+          SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+          FROM banded_new n JOIN banded_ref r
+            ON n.band = r.band AND n.bucket = r.bucket
+        ), matched AS (
+          SELECT DISTINCT c.new_id
+          FROM cand_x c JOIN sh_new x ON x.doc_id = c.new_id
+                        JOIN sh_ref y ON y.doc_id = c.ref_id
+          WHERE len(list_intersect(x.grams, y.grams))::DOUBLE /
+                (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+                >= {threshold}
         )
-        SELECT doc_id FROM documents
+        SELECT 'all' AS mode, doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM verified)
+        UNION ALL
+        SELECT 'incr' AS mode, doc_id FROM docs_new
+        WHERE doc_id NOT IN (SELECT new_id FROM matched)
+        UNION ALL
+        SELECT 'mix' AS mode, doc_id FROM ({mix_sql})
     """
 
 

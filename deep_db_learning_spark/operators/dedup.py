@@ -475,11 +475,17 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 9,
     threshold: float = 0.7,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """The full scale pipeline: signature → LSH candidates → exact
     Jaccard verify → survivors. Returns rows of ``df`` whose id is NOT
     a higher-id near-duplicate of a kept doc (min-id wins, transitive
     chains collapse to their min via the candidate graph edges).
+
+    ``signed``: a precomputed :func:`minhash_signature` frame of
+    ``df`` (same ``num_perm``/``shingle_k``) — sign once, reuse across
+    the intra-batch dedup and the store dedup
+    (:func:`minhash_dedup_against`), the incremental-crawl shape.
 
     Default ``shingle_k=9``: with char 5-grams, unrelated docs drawn
     from one vocabulary share ~0.17 Jaccard, so 4-row LSH bands pass
@@ -491,7 +497,8 @@ def minhash_lsh_dedup(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    signed = minhash_signature(df, text_col, num_perm, shingle_k)
+    if signed is None:
+        signed = minhash_signature(df, text_col, num_perm, shingle_k)
     cand = lsh_candidate_pairs(signed, id_col, bands=bands)
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_k, threshold, candidates=cand
@@ -870,11 +877,16 @@ def minhash_dedup_against(
     bands: int = 16,
     shingle_k: int = 9,
     threshold: float = 0.7,
+    new_signed: DataFrame | None = None,
+    ref_signed: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus dedup (r5): drop rows of ``new`` that near-duplicate
     ANY ``reference`` document — the dedup-new-crawl-against-the-store
     shape (same contract as :func:`minhash_lsh_dedup`, but the kept set
     is decided against an external corpus instead of within one).
+    ``new_signed``/``ref_signed``: precomputed signature frames
+    carrying ``(id, signature)`` — the store side in particular should
+    sign once and persist its banded index across batches.
 
     Same scale pipeline: both sides get MinHash signatures, the banded
     buckets join ACROSS corpora (one shuffle on the band key — never a
@@ -887,25 +899,47 @@ def minhash_dedup_against(
     from ..functions.text import char_shingles
 
     ref_id_col = ref_id_col or id_col
-    sig_new = minhash_signature(
-        new.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
-    )
-    sig_ref = minhash_signature(
-        reference.select(F.col(ref_id_col).alias("__ref_id"), F.col(text_col)),
-        text_col,
-        num_perm,
-        shingle_k,
-    )
+    # spread single-file scans (the minhash_lsh_dedup posture) and
+    # materialize each banding ONCE: the signature kernels would
+    # otherwise re-run on every consumer of the candidate frame (the
+    # two semi-joins, the verify join, and the final anti-join) — at
+    # sf0.1 that turned one signature pass into five
+    par = new.sparkSession.sparkContext.defaultParallelism
+    if new.rdd.getNumPartitions() < par:
+        new = new.repartition(par)
+    if reference.rdd.getNumPartitions() < par:
+        reference = reference.repartition(par)
+    if new_signed is None:
+        sig_new = minhash_signature(
+            new.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
+        )
+    else:
+        sig_new = new_signed.select(F.col(id_col), F.col("signature"))
+    if ref_signed is None:
+        sig_ref = minhash_signature(
+            reference.select(F.col(ref_id_col).alias("__ref_id"), F.col(text_col)),
+            text_col,
+            num_perm,
+            shingle_k,
+        )
+    else:
+        sig_ref = ref_signed.select(
+            F.col(ref_id_col).alias("__ref_id"), F.col("signature")
+        )
     b_new = _banded_buckets(sig_new, id_col, "signature", bands).withColumnRenamed(
         "doc", "__new_id"
     )
     b_ref = _banded_buckets(sig_ref, "__ref_id", "signature", bands).withColumnRenamed(
         "doc", "__ref_id"
     )
-    cands = (
+    # one cut at the fan-out point: the candidate frame feeds two
+    # semi-joins, the verify join, and (via matched) the anti-join —
+    # without it the whole signature+banding chain re-runs per consumer
+    cands = cut_lineage(
         b_new.join(b_ref, ["band", "bucket"])
         .select("__new_id", "__ref_id")
-        .distinct()
+        .distinct(),
+        eager=True,
     )
     # verify only the candidates' texts: distinct-shingle Jaccard
     new_sh = new.select(
@@ -930,4 +964,7 @@ def minhash_dedup_against(
         .select(F.col("__new_id").alias(id_col))
         .distinct()
     )
+    # no broadcast hint: matched is bounded by the BATCH size, which a
+    # big crawl batch can blow past the broadcast limit — AQE picks the
+    # strategy from the materialized candidate stats at runtime
     return new.join(matched, id_col, "left_anti")

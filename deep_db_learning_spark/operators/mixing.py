@@ -220,12 +220,15 @@ def temperature_fractions(
     if not counts:
         return {}
     weights = {s: float(n) ** alpha for s, n in counts.items()}
-    tot_w = sum(weights.values())
+    # fold in sorted-strata order: a dict-order float sum would make
+    # the fractions depend on collect order — an independent twin
+    # (DuckDB-counted) must reproduce the exact doubles
+    tot_w = sum(weights[s] for s in sorted(weights))
     if target_rows is not None:
         return {
             s: min(1.0, target_rows * (weights[s] / tot_w) / counts[s])
             for s in counts
         }
     # max_i (w_i / n_i) keeps that source fully
-    scale = 1.0 / max(weights[s] / counts[s] for s in counts)
+    scale = 1.0 / max(weights[s] / counts[s] for s in sorted(weights))
     return {s: scale * weights[s] / counts[s] for s in counts}

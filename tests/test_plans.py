@@ -161,7 +161,13 @@ PLAN_PINS = {
     "tpch_q18": (2, 4),
     "decontamination": (4, 2),  # eval grams MUST broadcast
     "dedup_exact": (2, 0),
-    "minhash_dedup": (6, 0),
+    # r6: three pipelines under one mode tag — within-corpus dedup,
+    # cross-corpus incr dedup (shared sign-once signature checkpoint,
+    # band join + string-shingle verify), and the exchange-free mix
+    # filter. Checkpoint scans carry no stats, so several verify joins
+    # plan as SMJ at sf0.001 (AQE re-plans them at runtime) — the pin
+    # bounds the static shape
+    "minhash_dedup": (26, 4),
     "simhash": (0, 2),
     "events_hourly": (4, 0),
     "events_sessions": (2, 0),
