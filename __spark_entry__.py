@@ -1048,14 +1048,28 @@ def q_text_metrics(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
-    """LLM ops: brute-force cosine top-5 for queries vec_id < 5."""
+    """LLM ops, mode-tagged (r6 registry rotation): ``exact`` —
+    brute-force cosine top-5 for queries vec_id < 5; ``sq8`` — the
+    same top-5 over the int8 scalar-quantized store (per-dim
+    max/127 scales, round-half-up encode, clip to ±127, dequantize-on
+    -the-fly cosine — all JVM codegen). Oracle-checked end to end:
+    the oracle recomputes the scales independently from the raw
+    parquet and replays encode→dequantize→cosine in DuckDB."""
     db = _db(spark, sf_dir)
+    emb = db.df("embeddings")
     queries = (
-        db.df("embeddings")
-        .filter(F.col("vec_id") < 5)
+        emb.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return similarity.brute_force_topk(db.df("embeddings"), queries, k=5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    scales = similarity.sq8_train(emb)
+    enc = similarity.sq8_encode(emb, scales)
+    sq8 = similarity.sq8_topk(enc, scales, queries, k=5)
+    return exact.select(
+        F.lit("exact").alias("mode"), "query_id", "vec_id", "rank", "sim"
+    ).unionByName(
+        sq8.select(F.lit("sq8").alias("mode"), "query_id", "vec_id", "rank", "sim")
+    )
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -1779,6 +1793,79 @@ def _ann_ivf_oracle() -> str:
     )
 
 
+def _embedding_topk_oracle() -> str:
+    """Mode-tagged embedding_topk oracle (r6). ``exact``: the original
+    brute-force cosine SQL. ``sq8``: the scalar-quantization twin —
+    the per-dimension scales are recomputed HERE from the raw parquet
+    (``max|x_j|/127``, the same float expressions as ``sq8_train``)
+    and inlined as a repr-literal list; DuckDB then replays
+    encode (round-half-away ≡ Spark's HALF_UP at scale 0, where every
+    reachable tie is a binary-exact half) → clip ±127 → dequantize →
+    ``list_cosine_similarity`` (the embedding_topk precedent)."""
+    import os
+
+    import duckdb
+
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT len(embedding) FROM read_parquet('{sf}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+    maxes = con.execute(
+        f"""
+        SELECT i, max(abs(embedding[i]::DOUBLE))
+        FROM read_parquet('{sf}/embeddings.parquet')
+        CROSS JOIN range(1, {d} + 1) t(i)
+        GROUP BY i ORDER BY i
+        """
+    ).fetchall()
+    scales = [(mx / 127.0) if mx > 0 else 1.0 for _, mx in maxes]
+    sc_lit = "[" + ", ".join(repr(float(s)) for s in scales) + "]"
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        sims AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+          FROM q CROSS JOIN embeddings e
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM sims
+        ),
+        deq AS (
+          SELECT vec_id,
+                 list_transform(range(1, {d} + 1), i ->
+                   GREATEST(-127, LEAST(127,
+                     round(embedding[i]::DOUBLE / ({sc_lit})[i], 0)))
+                   * ({sc_lit})[i]) AS v
+          FROM embeddings
+        ),
+        sims8 AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qv, e.v) AS sim
+          FROM q CROSS JOIN deq e
+        ),
+        ranked8 AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM sims8
+        )
+        SELECT 'exact' AS mode, query_id, vec_id, CAST(rank AS INT) AS rank,
+               round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 5
+        UNION ALL
+        SELECT 'sq8' AS mode, query_id, vec_id, CAST(rank AS INT) AS rank,
+               round(sim, 6) AS sim
+        FROM ranked8 WHERE rank <= 5
+    """
+
+
 def _train_relational_oracle() -> str:
     """The ``train_relational`` VALUES oracle — recomputed from the raw
     parquet at oracle-build time by the independent numpy/decimal twin
@@ -2320,24 +2407,7 @@ def oracle_sql() -> dict[str, str]:
                         GROUP BY doc_id, t)
                   GROUP BY doc_id) tt ON d.doc_id = tt.doc_id
         """,
-        "embedding_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                       FROM embeddings WHERE vec_id < 5),
-            sims AS (
-              SELECT q.query_id, e.vec_id,
-                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
-              FROM q CROSS JOIN embeddings e
-            ),
-            ranked AS (
-              SELECT query_id, vec_id, sim,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, vec_id) AS rank
-              FROM sims
-            )
-            SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
-                   round(sim, 6) AS sim
-            FROM ranked WHERE rank <= 5
-        """,
+        "embedding_topk": _embedding_topk_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_lsh": """
             -- full LSH reproduction: the hyperplanes are seed-derived

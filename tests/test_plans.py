@@ -172,7 +172,9 @@ PLAN_PINS = {
     "events_hourly": (4, 0),
     "events_sessions": (2, 0),
     "customer_features": (4, 8),
-    "embedding_topk": (2, 0),
+    # r6: exact + sq8 modes — two window top-k pipelines (the sq8 scan
+    # stays UDF-free codegen; its scales come from one tiny agg job)
+    "embedding_topk": (4, 0),
     "message_2hop": (4, 6),
     "attention_aggregate": (2, 4),
     "data_mixing": (6, 2),
