@@ -597,12 +597,28 @@ def q_train_relational(spark, sf_dir):
         seed=42,
         **THREE_LAYER_BENCH_CONFIG,
     )
+    # TabNet decision head through the fit_fn hand-off (r6): frozen
+    # seeded encoder (exact-mode kernel, batch-independent), in-engine
+    # decimal-fold GD on the head; twin plans/train_oracle.py
+    from deep_db_learning_spark.plans.tabnet_head import (
+        TABNET_HEAD_BENCH_CONFIG,
+        train_tabnet_head,
+    )
+
+    tab = train_tabnet_head(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        seed=42,
+        **TABNET_HEAD_BENCH_CONFIG,
+    )
     rows = (
         [("full", i, float(l)) for i, l in enumerate(full.losses)]
         + [("minibatch", i, float(l)) for i, l in enumerate(mb.losses)]
         + [("regression", i, float(l)) for i, l in enumerate(reg.losses)]
         + [("two_layer", i, float(l)) for i, l in enumerate(two.losses)]
         + [("three_layer", i, float(l)) for i, l in enumerate(three.losses)]
+        + [("tabnet", i, float(l)) for i, l in enumerate(tab.losses)]
     )
     return spark.createDataFrame(rows, "mode string, epoch int, train_loss double")
 

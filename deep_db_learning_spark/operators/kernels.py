@@ -205,6 +205,72 @@ def sparsemax(z):
     return np.maximum(z - tau, 0.0)
 
 
+def tabnet_forward(
+    xs,
+    out_channels: int,
+    num_layers: int = 3,
+    feat_channels: int = 8,
+    attn_channels: int = 8,
+    gamma: float = 1.2,
+    seed: int = 42,
+    exact: bool = False,
+):
+    """The TabNet encoder forward over a [batch, in_ch] float matrix —
+    the SHARED kernel (the ``row_logits`` precedent: engine UDF and
+    oracle twin run this identical function; independence lives in the
+    data path). ``exact=True`` replaces every GEMM with the
+    fixed-order rank-1 accumulation, making results independent of the
+    Arrow batch split — required whenever the encoding feeds a
+    bit-pinned trajectory (the decision-head trainer)."""
+    import numpy as np
+
+    if exact:
+        from ..plans.training import row_logits
+
+        def lin(x, w, b):
+            return row_logits(x, w, b)
+
+    else:
+
+        def lin(x, w, b):
+            return x @ w + b
+
+    def glu_block(x, w, b):
+        h = lin(x, w, b)
+        half = h.shape[-1] // 2
+        return h[..., :half] * (1.0 / (1.0 + np.exp(-h[..., half:])))
+
+    in_ch = xs.shape[1]
+    split = feat_channels + attn_channels
+    scale = 1.0 / math.sqrt(max(in_ch, 1))
+    w_feat = [
+        _seeded_matrix((seed, "feat", i), in_ch, 2 * split, scale)
+        for i in range(num_layers + 1)
+    ]
+    b_feat = [
+        _seeded_matrix((seed, "featb", i), 1, 2 * split, scale)[0]
+        for i in range(num_layers + 1)
+    ]
+    w_attn = [
+        _seeded_matrix((seed, "attn", i), attn_channels, in_ch, scale)
+        for i in range(num_layers)
+    ]
+    w_out = _seeded_matrix((seed, "out"), feat_channels, out_channels, scale)
+    zeros_attn = np.zeros(in_ch)
+    zeros_out = np.zeros(out_channels)
+
+    prior = np.ones_like(xs)
+    attention_x = glu_block(xs, w_feat[0], b_feat[0])[..., feat_channels:]
+    acc = np.zeros((xs.shape[0], feat_channels))
+    for i in range(num_layers):
+        mask = sparsemax(lin(attention_x, w_attn[i], zeros_attn) * prior)
+        h = glu_block(mask * xs, w_feat[i + 1], b_feat[i + 1])
+        acc += np.maximum(h[..., :feat_channels], 0.0)
+        attention_x = h[..., feat_channels:]
+        prior = (gamma - mask) * prior
+    return lin(acc, w_out, zeros_out)
+
+
 def tabnet_encode(
     col: Column,
     out_channels: int,
@@ -213,6 +279,7 @@ def tabnet_encode(
     attn_channels: int = 8,
     gamma: float = 1.2,
     seed: int = 42,
+    exact: bool = False,
 ) -> Column:
     """N22 TabNet encoder dataflow (``nn/models/tabular/tabnet.py:76-110``)
     over a flat ``array<float>`` feature row: per step, an attentive
@@ -220,47 +287,15 @@ def tabnet_encode(
     running prior, the masked input passes a GLU feature transformer,
     ReLU'd splits accumulate, and the prior decays by (γ − mask).
     BatchNorm/GhostBN are training-time statistics and live with the
-    trainer."""
-
-    def glu_block(x, w, b):
-        import numpy as np
-
-        h = x @ w + b
-        half = h.shape[-1] // 2
-        return h[..., :half] * (1.0 / (1.0 + np.exp(-h[..., half:])))
+    trainer. ``exact``: see :func:`tabnet_forward`."""
 
     def fn(v):
-        import numpy as np
         import pandas as pd
 
-        xs = _stack(v)  # [batch, in_ch]
-        in_ch = xs.shape[1]
-        split = feat_channels + attn_channels
-        scale = 1.0 / math.sqrt(max(in_ch, 1))
-        w_feat = [
-            _seeded_matrix((seed, "feat", i), in_ch, 2 * split, scale)
-            for i in range(num_layers + 1)
-        ]
-        b_feat = [
-            _seeded_matrix((seed, "featb", i), 1, 2 * split, scale)[0]
-            for i in range(num_layers + 1)
-        ]
-        w_attn = [
-            _seeded_matrix((seed, "attn", i), attn_channels, in_ch, scale)
-            for i in range(num_layers)
-        ]
-        w_out = _seeded_matrix((seed, "out"), feat_channels, out_channels, scale)
-
-        prior = np.ones_like(xs)
-        attention_x = glu_block(xs, w_feat[0], b_feat[0])[..., feat_channels:]
-        acc = np.zeros((xs.shape[0], feat_channels))
-        for i in range(num_layers):
-            mask = sparsemax((attention_x @ w_attn[i]) * prior)
-            h = glu_block(mask * xs, w_feat[i + 1], b_feat[i + 1])
-            acc += np.maximum(h[..., :feat_channels], 0.0)
-            attention_x = h[..., feat_channels:]
-            prior = (gamma - mask) * prior
-        res = acc @ w_out
+        res = tabnet_forward(
+            _stack(v), out_channels, num_layers, feat_channels, attn_channels,
+            gamma, seed, exact,
+        )
         return pd.Series([r.tolist() for r in res])
 
     return _pandas_udf(fn, "array<double>")(col)

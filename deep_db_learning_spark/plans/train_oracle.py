@@ -355,6 +355,81 @@ def _regression_losses(
     return losses
 
 
+def _tabnet_head_losses(
+    sf_dir: str,
+    epochs: int = 4,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    out_channels: int = 8,
+    num_layers: int = 2,
+    feat_channels: int = 8,
+    attn_channels: int = 8,
+) -> list[float]:
+    """Twin of ``plans.tabnet_head.train_tabnet_head``: DuckDB-assembled
+    root frame (:func:`_assemble`), the SHARED exact-mode
+    ``tabnet_forward`` kernel (frozen seeded encoder — the
+    ``row_logits`` precedent), then an independent numpy/decimal replay
+    of the decision-head GD: per-row dec9-quantized gradients summed as
+    exact decimals in row order (order-free), the same update
+    expressions — every epoch's loss bit-equal to the engine's."""
+    import numpy as np
+
+    from ..operators.kernels import tabnet_forward
+    from .training import row_logits
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    onehot = np.zeros((len(codes_a), card))
+    onehot[np.arange(len(codes_a)), codes_a] = 1.0
+    feats = np.concatenate([onehot, X_num], axis=1)
+    tr = np.where(train_mask)[0]
+    X = tabnet_forward(
+        feats[tr], out_channels, num_layers, feat_channels, attn_channels,
+        seed=seed, exact=True,
+    )
+    y = y_a[tr]
+    n = len(tr)
+    d = out_channels
+    glen = 1 + d * k + k
+    rng = np.random.default_rng(seed)
+    W = rng.uniform(-0.5, 0.5, size=(d, k)) * 0.1
+    b = np.zeros(k)
+    losses: list[float] = []
+    for _ in range(epochs):
+        logits = row_logits(X, W, b)
+        logits = logits - logits.max(axis=1, keepdims=True)
+        ex = np.exp(logits)
+        P = ex / ex.sum(axis=1, keepdims=True)
+        ridx = np.arange(n)
+        loss_rows = -np.log(P[ridx, y])
+        resid = P.copy()
+        resid[ridx, y] -= 1.0
+        out = np.concatenate(
+            [
+                loss_rows[:, None],
+                (X[:, :, None] * resid[:, None, :]).reshape(n, -1),
+                resid,
+            ],
+            axis=1,
+        )
+        tot = [Decimal(0)] * glen
+        for row in out:
+            for i in range(glen):
+                tot[i] += _dec9(float(row[i]))
+        loss_sum = float(tot[0])
+        GW = np.array([float(tot[1 + i]) for i in range(d * k)]).reshape(d, k)
+        gb = np.array([float(tot[1 + d * k + i]) for i in range(k)])
+        losses.append(loss_sum / n + 0.5 * l2 * float((W * W).sum()))
+        W -= lr * (GW / n + l2 * W)
+        b -= lr * (gb / n)
+    return losses
+
+
 def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     """The ``train_relational`` oracle: recompute BOTH loss trajectories
     (full-batch GD and the minibatch-SGD loop over budgeted per-root
@@ -364,6 +439,7 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     selfcheck overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at
     another SF."""
     from .stack import THREE_LAYER_BENCH_CONFIG
+    from .tabnet_head import TABNET_HEAD_BENCH_CONFIG
     from .training import (
         MINIBATCH_BENCH_CONFIG,
         REGRESSION_BENCH_CONFIG,
@@ -396,6 +472,11 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
         ("three_layer", i, loss)
         for i, loss in enumerate(
             _three_layer_losses(sf_dir, seed=seed, **THREE_LAYER_BENCH_CONFIG)
+        )
+    ] + [
+        ("tabnet", i, loss)
+        for i, loss in enumerate(
+            _tabnet_head_losses(sf_dir, seed=seed, **TABNET_HEAD_BENCH_CONFIG)
         )
     ]
     # the double literal goes through VARCHAR: DuckDB parses a bare
