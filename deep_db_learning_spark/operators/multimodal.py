@@ -975,6 +975,123 @@ def encode_jpeg_bytes(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(arr, ycck: bool = False) -> bytes:
+    """Adobe 4-component JPEG encoder (r6): uint8 (H,W,4) CMYK →
+    baseline 4:4:4 JPEG with an APP14 "Adobe" segment. Samples are
+    stored INVERTED per the Adobe convention (s = 255 − ink);
+    ``ycck=True`` additionally runs the inverted CMY triplet through
+    the YCbCr forward transform (APP14 transform 2), the form Adobe
+    products actually emit. Round-trip loss = quantization."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk wants uint8 (H, W, 4)")
+    h, w = a.shape[:2]
+    inv = 255.0 - a.astype(np.float64)  # stored = inverted ink
+    if ycck:
+        r, g, b = inv[..., 0], inv[..., 1], inv[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            inv[..., 3],
+        ]
+        # Y and K quantize/code as luma; Cb/Cr as chroma
+        tabs = [0, 1, 1, 0]
+    else:
+        planes = [inv[..., 0], inv[..., 1], inv[..., 2], inv[..., 3]]
+        tabs = [0, 0, 0, 0]
+
+    C = _dct_matrix()
+    qts = [
+        np.array(_QT_LUMA).reshape(8, 8).astype(np.float64),
+        np.array(_QT_CHROMA).reshape(8, 8).astype(np.float64),
+    ]
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA), _huff_codes(*_HT_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA), _huff_codes(*_HT_AC_CHROMA)]
+    mx, my = -(-w // 8), -(-h // 8)
+    padded = []
+    for p in planes:
+        pp = np.empty((my * 8, mx * 8))
+        pp[:h, :w] = p
+        if my * 8 > h:
+            pp[h:, :w] = p[h - 1 : h, :]
+        if mx * 8 > w:
+            pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    bw = _BitWriter()
+    pred = [0] * 4
+    for myi in range(my):
+        for mxi in range(mx):
+            for ci, p in enumerate(padded):
+                ti = tabs[ci]
+                block = p[myi * 8 : myi * 8 + 8, mxi * 8 : mxi * 8 + 8]
+                Fq = np.round(C @ (block - 128.0) @ C.T / qts[ti]).astype(
+                    np.int64
+                )
+                zz = [int(Fq.flat[z]) for z in _ZIGZAG]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t = _mag_category(diff)
+                code, ln = dc_tabs[ti][t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c0, l0 = ac_tabs[ti][0xF0]
+                        bw.write(c0, l0)
+                        run -= 16
+                    t = _mag_category(v)
+                    code, ln = ac_tabs[ti][(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << t) - 1, t)
+                    run = 0
+                if last_nz < 63:
+                    c0, l0 = ac_tabs[ti][0x00]
+                    bw.write(c0, l0)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xEE,
+        b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2 if ycck else 0]),
+    )
+    for ti, qt in enumerate(qts):
+        zzb = bytes(int(qt.flat[z]) for z in _ZIGZAG)
+        out += seg(0xDB, bytes([ti]) + zzb)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([4])
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, tabs[ci]])
+    out += seg(0xC0, sof)
+    for tc, (bits, values) in [
+        (0x00, _HT_DC_LUMA),
+        (0x10, _HT_AC_LUMA),
+        (0x01, _HT_DC_CHROMA),
+        (0x11, _HT_AC_CHROMA),
+    ]:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(values))
+    sos = bytes([4])
+    for ci in range(4):
+        sos += bytes([ci + 1, (tabs[ci] << 4) | tabs[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive(arr, subsample: bool = False) -> bytes:
     """Progressive JFIF encoder (SOF2, r5): uint8 (H,W) grayscale or
     (H,W,3) RGB → JPEG bytes using the classic libjpeg-style scan
@@ -1267,15 +1384,16 @@ def encode_jpeg_progressive(arr, subsample: bool = False) -> bytes:
 
 def decode_jpeg_bytes(content: bytes):
     """JFIF decoder → uint8 array (H,W) or (H,W,3). Reads quant +
-    huffman tables from the file; supports 1 (grayscale) or 3 (YCbCr)
-    components and sampling factors 1-2. Baseline (SOF0) with
+    huffman tables from the file; supports 1 (grayscale), 3 (YCbCr),
+    or 4 (Adobe CMYK/YCCK via the APP14 transform, r6 — returned as
+    RGB) components and sampling factors 1-2. Baseline (SOF0) with
     DRI/RSTn — one interleaved scan or several non-interleaved
     single-component scans (r5) — AND progressive (SOF2, r5):
     spectral selection + successive approximation,
     interleaved/non-interleaved DC scans, per-component AC band
     scans, EOBRUN, and both refinement scan kinds (T.81 G.2).
-    Extended-sequential/lossless/arithmetic coding and 2/4-component
-    frames (Adobe CMYK/YCCK) raise ``NotImplementedError``."""
+    Extended-sequential/lossless/arithmetic coding and 2-component
+    frames raise ``NotImplementedError``."""
     import numpy as np
 
     d = content
@@ -1288,6 +1406,7 @@ def decode_jpeg_bytes(content: bytes):
     restart = 0
     scans: list[tuple] = []
     progressive = False
+    adobe_transform = None
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -1323,6 +1442,8 @@ def decode_jpeg_bytes(content: bytes):
                 values = list(payload[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _huff_decode_map(bits, values)
                 p += 17 + nv
+        elif marker == 0xEE and payload[:5] == b"Adobe" and len(payload) >= 12:
+            adobe_transform = payload[11]  # APP14: 0 CMYK, 2 YCCK
         elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
             progressive = marker == 0xC2
             prec = payload[0]
@@ -1331,13 +1452,13 @@ def decode_jpeg_bytes(content: bytes):
             H = int.from_bytes(payload[1:3], "big")
             W = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
-            if nc not in (1, 3):
-                # 4-component Adobe CMYK/YCCK would silently lose the K
-                # plane through the 3-plane YCbCr path; 2-component
-                # files have no defined color transform here (ADVICE r4)
+            if nc not in (1, 3, 4):
+                # 2-component files have no defined color transform
+                # here (ADVICE r4); 4-component Adobe CMYK/YCCK is
+                # handled via the APP14 transform (r6)
                 raise NotImplementedError(
-                    f"{nc}-component JPEG (only grayscale and YCbCr "
-                    "are supported)"
+                    f"{nc}-component JPEG (grayscale, YCbCr, and Adobe "
+                    "CMYK/YCCK are supported)"
                 )
             comps = []
             for ci in range(nc):
@@ -1373,7 +1494,7 @@ def decode_jpeg_bytes(content: bytes):
     H, W, comps = frame
     if progressive:
         planes = _decode_progressive_jpeg(H, W, comps, scans, qt, huff, restart)
-        return _jpeg_planes_to_image(planes, H, W, comps)
+        return _jpeg_planes_to_image(planes, H, W, comps, adobe_transform)
 
     # sequential: one interleaved scan (the classic form) OR several
     # non-interleaved scans, one component each (r5 — some encoders
@@ -1477,12 +1598,18 @@ def decode_jpeg_bytes(content: bytes):
                     planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
                     n_blk += 1
 
-    return _jpeg_planes_to_image(planes, H, W, comps)
+    return _jpeg_planes_to_image(planes, H, W, comps, adobe_transform)
 
 
-def _jpeg_planes_to_image(planes, H, W, comps):
+def _jpeg_planes_to_image(planes, H, W, comps, adobe_transform=None):
     """Shared decode tail: upsample subsampled planes, crop to the
-    frame size, YCbCr→RGB when 3 components."""
+    frame size, then the color transform — YCbCr→RGB for 3
+    components; for 4 components (r6) the Adobe conventions: samples
+    are stored INVERTED (s = 255 − ink), so with transform 0 (CMYK)
+    ``R = s_c·s_k/255`` directly, and transform 2 (YCCK) first maps
+    the YCbCr triplet back to the inverted-CMY plane. Output is always
+    RGB (or grayscale) uint8 — the downstream feature extractors see
+    one colorspace."""
     import numpy as np
 
     hmax = max(c["h"] for c in comps)
@@ -1495,10 +1622,26 @@ def _jpeg_planes_to_image(planes, H, W, comps):
         outp.append(p[:H, :W])
     if len(outp) == 1:
         return np.clip(np.round(outp[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = outp[0], outp[1] - 128.0, outp[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+
+    def ycc_to_rgb(y, cb, cr):
+        cb, cr = cb - 128.0, cr - 128.0
+        return (
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        )
+
+    if len(outp) == 4:
+        if adobe_transform == 2:  # YCCK
+            sc, sm, sy = ycc_to_rgb(outp[0], outp[1], outp[2])
+        else:  # CMYK (transform 0 or no APP14 — the libjpeg default)
+            sc, sm, sy = outp[0], outp[1], outp[2]
+        sk = np.clip(outp[3], 0.0, 255.0)
+        sc, sm, sy = (np.clip(p, 0.0, 255.0) for p in (sc, sm, sy))
+        rgb = np.stack([sc * sk, sm * sk, sy * sk], axis=-1) / 255.0
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    r, g, b = ycc_to_rgb(outp[0], outp[1], outp[2])
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 

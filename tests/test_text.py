@@ -637,9 +637,9 @@ def test_gif_transparency_and_disposal():
 
 
 def test_jpeg_component_count_gate():
-    """2/4-component SOF0 frames (Adobe CMYK/YCCK) must refuse by name
-    instead of silently dropping planes through the YCbCr path
-    (ADVICE r4)."""
+    """2-component SOF0 frames (no defined color transform) must
+    refuse by name instead of guessing (ADVICE r4); 4-component is now
+    the real Adobe CMYK path (r6), tested below."""
     import numpy as np
     import pytest
 
@@ -650,14 +650,69 @@ def test_jpeg_component_count_gate():
 
     img = np.full((8, 8, 3), 128, np.uint8)
     data = bytearray(encode_jpeg_bytes(img))
-    # find the SOF0 marker and bump its component count to 4
     i = data.find(b"\xff\xc0")
     assert i > 0
     ncomp_at = i + 2 + 2 + 1 + 4  # len(2) + precision(1) + H,W(4)
     assert data[ncomp_at] == 3
-    data[ncomp_at] = 4
-    with pytest.raises(NotImplementedError, match="4-component"):
+    data[ncomp_at] = 2
+    with pytest.raises(NotImplementedError, match="2-component"):
         decode_jpeg_bytes(bytes(data))
+
+
+def test_jpeg_cmyk_ycck_roundtrip():
+    """Adobe 4-component JPEG (r6 — the last common crawl-corpus
+    refusal): CMYK (APP14 transform 0, inverted samples) and YCCK
+    (transform 2) both encode → decode to the expected RGB
+    (R = s_c·s_k/255 on the inverted planes) within quantization
+    error, and a missing APP14 falls back to the CMYK convention."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_cmyk,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    cmyk = np.stack(
+        [
+            yy * 255 / h,
+            xx * 255 / w,
+            (yy + xx) * 255 / (h + w),
+            np.full((h, w), 40.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    inv = 255.0 - cmyk.astype(np.float64)
+    want = np.clip(
+        np.round(
+            np.stack(
+                [
+                    inv[..., 0] * inv[..., 3],
+                    inv[..., 1] * inv[..., 3],
+                    inv[..., 2] * inv[..., 3],
+                ],
+                axis=-1,
+            )
+            / 255.0
+        ),
+        0,
+        255,
+    )
+    for ycck, tol in ((False, 5), (True, 8)):
+        data = encode_jpeg_cmyk(cmyk, ycck=ycck)
+        assert b"Adobe" in data
+        rgb = decode_jpeg_bytes(data)
+        assert rgb.shape == (h, w, 3)
+        err = np.abs(rgb.astype(float) - want)
+        assert err.max() <= tol, (ycck, err.max())
+    # strip APP14: a bare 4-component file decodes via the CMYK default
+    data = bytearray(encode_jpeg_cmyk(cmyk, ycck=False))
+    i = data.find(b"\xff\xee")
+    ln = int.from_bytes(data[i + 2 : i + 4], "big")
+    del data[i : i + 2 + ln]
+    rgb = decode_jpeg_bytes(bytes(data))
+    assert np.abs(rgb.astype(float) - want).max() <= 5
 
 
 def test_gif_interlaced_decode():
