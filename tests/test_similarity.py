@@ -516,3 +516,117 @@ def test_sq8_append_parity_and_drift(db):
     _, drift2 = sq8_append(store_old, scales, big)
     d2 = drift2.first()
     assert d2["refit"] and d2["clip_frac"] > 0.5 and d2["max_scale_ratio"] > 5.0
+
+
+def test_opq_rotation_beats_plain_pq_on_correlated_data(spark):
+    """OPQ (r6 — Ge et al. 2013): on dimension-correlated embeddings
+    (a low-rank latent mixed across subspace boundaries — the shape
+    real embedding models produce) the learned orthonormal rotation
+    recovers the codebook resolution plain contiguous-subspace PQ
+    wastes: ADC recall@10 at IDENTICAL memory strictly improves, and
+    the fit is deterministic."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.similarity import (
+        opq_rotate,
+        opq_train,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, lat = 1500, 32, 6
+    A = rng.normal(size=(lat, d))
+    X = rng.normal(size=(n, lat)) @ A + 0.05 * rng.normal(size=(n, d))
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    truth = {}
+    ids = np.arange(n)
+    for qi in range(8):
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        truth[qi] = set(ids[np.lexsort((ids, d2))[:10]])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got[q] & truth[q]) for q in truth) / (10 * len(truth))
+
+    cb = pq_train(emb, m=8, k=16, sample=1500, seed=42)
+    plain = pq_topk(pq_encode(emb, cb), cb, queries, k=10)
+    r_plain = recall(plain)
+
+    R, cbr = opq_train(emb, m=8, k=16, sample=1500, seed=42)
+    rot = opq_rotate(emb, R)
+    rot_q = opq_rotate(queries, R)
+    opq = pq_topk(pq_encode(rot, cbr), cbr, rot_q, k=10)
+    r_opq = recall(opq)
+    assert r_opq > r_plain  # measured uplift on this data
+    assert r_opq >= r_plain + 0.05
+    # deterministic fit: same sample -> identical rotation + codebooks
+    R2, cbr2 = opq_train(emb, m=8, k=16, sample=1500, seed=42)
+    assert np.array_equal(R, R2) and np.array_equal(cbr, cbr2)
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-8)
+
+
+def test_ivf_pq_append_parity_and_drift(db):
+    """Compressed-store appends (r6): residual-encoding the arriving
+    batch with the frozen centroids+codebooks is bit-identical to
+    encoding the grown corpus, ivf_pq_topk over the appended store
+    matches the full re-encode, and the mass drift counter fires only
+    when a list's appended share crosses the threshold."""
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_index_deterministic,
+        ivf_pq_append,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = db.df("embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assigned_old, model = ivf_index_deterministic(old, n_lists=8, n_iters=3)
+    cb = pq_train(assigned_old, m=16, k=16, sample=500, seed=42,
+                  residual_model=model)
+    store_old = pq_encode(
+        assigned_old, cb, extra_cols=("list_id",), residual_model=model
+    )
+    store, drift = ivf_pq_append(store_old, cb, model, new)
+
+    # parity: the grown corpus, assigned+encoded from scratch with the
+    # SAME frozen model/codebooks
+    from deep_db_learning_spark.operators.similarity import _assign_lists
+
+    full_assigned = emb.withColumn(
+        "list_id", _assign_lists(model.clusterCenters(), "embedding", 1)[0]
+    )
+    full = pq_encode(
+        full_assigned, cb, extra_cols=("list_id",), residual_model=model
+    )
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["list_id"]) for r in store.collect()
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["list_id"]) for r in full.collect()
+    )
+    assert got == want
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_pq_topk(store, cb, model, queries, k=5, n_probes=3, residual=True)
+    b = ivf_pq_topk(full, cb, model, queries, k=5, n_probes=3, residual=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    rows = drift.collect()
+    assert rows and not any(r["refit"] for r in rows)  # 20% < 0.3 threshold
+    _, drift2 = ivf_pq_append(store_old, cb, model, new, mass_threshold=0.1)
+    assert drift2.filter("refit").count() > 0
