@@ -602,7 +602,9 @@ def q_train_relational(spark, sf_dir):
     # decimal-fold GD on the head; twin plans/train_oracle.py
     from deep_db_learning_spark.plans.tabnet_head import (
         TABNET_HEAD_BENCH_CONFIG,
+        TROMPT_HEAD_BENCH_CONFIG,
         train_tabnet_head,
+        train_trompt_head,
     )
 
     tab = train_tabnet_head(
@@ -612,6 +614,16 @@ def q_train_relational(spark, sf_dir):
         seed=42,
         **TABNET_HEAD_BENCH_CONFIG,
     )
+    # Trompt decision head, same fit_fn pattern (r6): frozen seeded
+    # prompt-bank encoder over per-column embeddings, mean-pooled,
+    # decimal-fold head GD; twin _trompt_head_losses
+    tro = train_trompt_head(
+        db.tables,
+        db.primary_keys,
+        db.foreign_keys,
+        seed=42,
+        **TROMPT_HEAD_BENCH_CONFIG,
+    )
     rows = (
         [("full", i, float(l)) for i, l in enumerate(full.losses)]
         + [("minibatch", i, float(l)) for i, l in enumerate(mb.losses)]
@@ -619,6 +631,7 @@ def q_train_relational(spark, sf_dir):
         + [("two_layer", i, float(l)) for i, l in enumerate(two.losses)]
         + [("three_layer", i, float(l)) for i, l in enumerate(three.losses)]
         + [("tabnet", i, float(l)) for i, l in enumerate(tab.losses)]
+        + [("trompt", i, float(l)) for i, l in enumerate(tro.losses)]
     )
     return spark.createDataFrame(rows, "mode string, epoch int, train_loss double")
 

@@ -316,24 +316,33 @@ def trompt_encode(
     ``TromptDecoder.forward`` (``trompt.py:66-82``)."""
 
     def fn(v):
-        import numpy as np
         import pandas as pd
 
         out = []
         for x in v:
-            m = _stack(x)  # [n_cols, ch]
-            ch = m.shape[1]
-            prompt = _seeded_matrix((seed, "prompt"), num_prompts, ch, 0.01)
-            outs = []
-            for i in range(num_layers):
-                w = _seeded_matrix((seed, "conv", i), ch, ch, 1.0 / math.sqrt(ch))
-                scores = (prompt @ w) @ m.T / math.sqrt(ch)
-                scores -= scores.max(axis=1, keepdims=True)
-                imp = np.exp(scores)
-                imp /= imp.sum(axis=1, keepdims=True)
-                prompt = prompt + imp @ m
-                outs.append(prompt.copy())
-            out.append(np.concatenate(outs, axis=0).tolist())
+            out.append(trompt_forward(_stack(x), num_prompts, num_layers, seed).tolist())
         return pd.Series(out)
 
     return _pandas_udf(fn, "array<array<double>>")(col)
+
+
+def trompt_forward(m, num_prompts: int = 4, num_layers: int = 2, seed: int = 42):
+    """One row's Trompt encoder forward over its [n_cols, ch] column
+    embeddings → the stacked per-layer prompts [num_layers·num_prompts,
+    ch]. The SHARED per-row kernel (the ``row_logits`` precedent) —
+    every matmul has row-count-independent shapes, so the result never
+    depends on the Arrow batch split."""
+    import numpy as np
+
+    ch = m.shape[1]
+    prompt = _seeded_matrix((seed, "prompt"), num_prompts, ch, 0.01)
+    outs = []
+    for i in range(num_layers):
+        w = _seeded_matrix((seed, "conv", i), ch, ch, 1.0 / math.sqrt(ch))
+        scores = (prompt @ w) @ m.T / math.sqrt(ch)
+        scores -= scores.max(axis=1, keepdims=True)
+        imp = np.exp(scores)
+        imp /= imp.sum(axis=1, keepdims=True)
+        prompt = prompt + imp @ m
+        outs.append(prompt.copy())
+    return np.concatenate(outs, axis=0)

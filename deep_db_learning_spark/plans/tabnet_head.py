@@ -54,6 +54,110 @@ def tabnet_feature_expr(card: int):
     return F.concat(onehot, F.col("nums"))
 
 
+def _fit_linear_head(frame, enc, d: int, k: int, epochs, lr, l2, seed) -> TrainResult:
+    """Shared decision-head GD over a frozen encoder column ``enc``
+    (an ``array<double>`` of width ``d``): encode ONCE into a
+    materialized frame, then per epoch one Spark job folds the
+    dec9-quantized per-row gradients as exact decimals; SGD on the
+    driver; the eval is exact integer counts. Used by both the TabNet
+    and Trompt heads — and replayed by their twins."""
+    full = cut_lineage(
+        frame.select("split", "label", enc.alias("x")), eager=True
+    )
+    tr = full.filter(F.col("split") == "train").select("x", "label")
+    n = tr.count()
+    rng = np.random.default_rng(seed)
+    W = rng.uniform(-0.5, 0.5, size=(d, k)) * 0.1
+    b = np.zeros(k)
+    glen = 1 + d * k + k
+
+    losses: list[float] = []
+    for _ in range(epochs):
+        from decimal import Decimal
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        Wc, bc = W.copy(), b.copy()
+
+        def grad_fn(x, label):
+            X = np.vstack(x.to_list())
+            y = label.to_numpy(dtype=np.int64)
+            logits = row_logits(X, Wc, bc)
+            logits = logits - logits.max(axis=1, keepdims=True)
+            ex = np.exp(logits)
+            P = ex / ex.sum(axis=1, keepdims=True)
+            rows_idx = np.arange(len(y))
+            loss = -np.log(P[rows_idx, y])
+            resid = P.copy()
+            resid[rows_idx, y] -= 1.0
+            out = np.concatenate(
+                [
+                    loss[:, None],
+                    (X[:, :, None] * resid[:, None, :]).reshape(len(X), -1),
+                    resid,
+                ],
+                axis=1,
+            )
+            return pd.Series(
+                [[_dec9_py(Decimal, v) for v in row] for row in out]
+            )
+
+        grad_fn.__annotations__ = {
+            "x": pd.Series,
+            "label": pd.Series,
+            "return": pd.Series,
+        }
+        udf = pandas_udf(grad_fn, f"array<{DECIMAL_TYPE}>")
+        tot = (
+            tr.select(udf("x", "label").alias("g"))
+            .agg(
+                *[
+                    F.sum(F.element_at("g", i + 1)).alias(f"v{i}")
+                    for i in range(glen)
+                ]
+            )
+            .first()
+        )
+        loss_sum = float(tot["v0"] or 0)
+        GW = np.array(
+            [float(tot[f"v{1 + i}"] or 0) for i in range(d * k)]
+        ).reshape(d, k)
+        gb = np.array(
+            [float(tot[f"v{1 + d * k + i}"] or 0) for i in range(k)]
+        )
+        losses.append(loss_sum / n + 0.5 * l2 * float((W * W).sum()))
+        W -= lr * (GW / n + l2 * W)
+        b -= lr * (gb / n)
+
+    # eval: argmax over the materialized encodings — exact integer
+    # counts, so the metric is partitioning-independent
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Wc, bc = W.copy(), b.copy()
+
+    def pred_fn(x):
+        X = np.vstack(x.to_list())
+        return pd.Series(
+            np.argmax(row_logits(X, Wc, bc), axis=1).astype(np.int64)
+        )
+
+    pred_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    pudf = pandas_udf(pred_fn, "bigint")
+    rows = (
+        full.select("split", "label", pudf("x").alias("pred"))
+        .groupBy("split")
+        .agg(
+            F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
+    return TrainResult(losses=losses, accuracy=accuracy, params={"W": W, "b": b})
+
+
 def train_tabnet_head(
     tables,
     primary_keys,
@@ -83,105 +187,113 @@ def train_tabnet_head(
             tabnet_feature_expr(card), out_channels, num_layers,
             feat_channels, attn_channels, seed=seed, exact=True,
         )
-        # the encoder is frozen: encode ONCE, every epoch reuses the
-        # materialized features (and the eval pass below re-encodes the
-        # full frame once)
-        full = cut_lineage(
-            frame.select("split", "label", enc.alias("x")), eager=True
-        )
-        tr = full.filter(F.col("split") == "train").select("x", "label")
-        n = tr.count()
-        d = out_channels
-        rng = np.random.default_rng(seed)
-        W = rng.uniform(-0.5, 0.5, size=(d, k)) * 0.1
-        b = np.zeros(k)
-        glen = 1 + d * k + k
+        return _fit_linear_head(frame, enc, out_channels, k, epochs, lr, l2, seed)
 
-        losses: list[float] = []
-        for _ in range(epochs):
-            from decimal import Decimal
+    return train_relational_stack(
+        tables,
+        primary_keys,
+        foreign_keys,
+        layers=(ORDERS_LAYER_SPEC,),
+        target=target,
+        cat_col=cat_col,
+        num_cols=num_cols,
+        seed=seed,
+        neighbor_budget=neighbor_budget,
+        fit_fn=fit,
+    )
 
-            import pandas as pd
-            from pyspark.sql.functions import pandas_udf
 
-            Wc, bc = W.copy(), b.copy()
+# ------------------------------------------------------- Trompt head
+#
+# Same split for N23 (reference ``nn/models/tabular/trompt.py:9-82``):
+# the prompt-bank encoder runs frozen at its seeded init — per row,
+# column embeddings (the N1/N2 seeded shapes: cat lookup + per-numeric
+# x·w+b) feed the shared ``trompt_forward`` kernel, and the stacked
+# prompts MEAN-POOL into one feature vector (the reference's
+# TromptDecoder applies one shared linear per layer and averages the
+# per-layer predictions — with a shared linear that composes to a
+# linear over the mean feature, which is exactly what trains here) —
+# while the decision head trains in-engine via the same decimal-fold
+# GD as the TabNet head. Twin: ``_trompt_head_losses``.
 
-            def grad_fn(x, label):
-                X = np.vstack(x.to_list())
-                y = label.to_numpy(dtype=np.int64)
-                logits = row_logits(X, Wc, bc)
-                logits = logits - logits.max(axis=1, keepdims=True)
-                ex = np.exp(logits)
-                P = ex / ex.sum(axis=1, keepdims=True)
-                rows_idx = np.arange(len(y))
-                loss = -np.log(P[rows_idx, y])
-                resid = P.copy()
-                resid[rows_idx, y] -= 1.0
-                out = np.concatenate(
-                    [
-                        loss[:, None],
-                        (X[:, :, None] * resid[:, None, :]).reshape(len(X), -1),
-                        resid,
-                    ],
-                    axis=1,
-                )
-                return pd.Series(
-                    [[_dec9_py(Decimal, v) for v in row] for row in out]
-                )
+TROMPT_HEAD_BENCH_CONFIG = {
+    "epochs": 4,
+    "lr": 0.5,
+    "l2": 1e-4,
+    "ch": 8,
+    "num_prompts": 4,
+    "num_layers": 2,
+    "neighbor_budget": 5,
+}
 
-            grad_fn.__annotations__ = {
-                "x": pd.Series,
-                "label": pd.Series,
-                "return": pd.Series,
-            }
-            udf = pandas_udf(grad_fn, f"array<{DECIMAL_TYPE}>")
-            tot = (
-                tr.select(udf("x", "label").alias("g"))
-                .agg(
-                    *[
-                        F.sum(F.element_at("g", i + 1)).alias(f"v{i}")
-                        for i in range(glen)
-                    ]
-                )
-                .first()
-            )
-            loss_sum = float(tot["v0"] or 0)
-            GW = np.array(
-                [float(tot[f"v{1 + i}"] or 0) for i in range(d * k)]
-            ).reshape(d, k)
-            gb = np.array(
-                [float(tot[f"v{1 + d * k + i}"] or 0) for i in range(k)]
-            )
-            losses.append(loss_sum / n + 0.5 * l2 * float((W * W).sum()))
-            W -= lr * (GW / n + l2 * W)
-            b -= lr * (gb / n)
 
-        # eval: argmax over the materialized encodings — exact integer
-        # counts, so the metric is partitioning-independent
+def trompt_root_encoding_rows(
+    codes, nums, card: int, ch: int, num_prompts: int, num_layers: int, seed: int
+):
+    """[batch] codes + [batch, m] nums → [batch, ch] mean-pooled
+    Trompt encodings — the SHARED kernel (engine UDF and twin run this
+    identical function). Every per-row op has batch-independent
+    shapes, so the encoding never depends on the Arrow split."""
+    from ..operators.kernels import _seeded_matrix, trompt_forward
+
+    E = _seeded_matrix((seed, "cat"), card, ch, 0.5)
+    m_num = nums.shape[1]
+    Wn = [_seeded_matrix((seed, "num", j), 1, ch, 0.5)[0] for j in range(m_num)]
+    Bn = [_seeded_matrix((seed, "numb", j), 1, ch, 0.5)[0] for j in range(m_num)]
+    out = np.empty((len(codes), ch))
+    for i in range(len(codes)):
+        cols = [E[int(codes[i])]] + [
+            nums[i, j] * Wn[j] + Bn[j] for j in range(m_num)
+        ]
+        st = trompt_forward(np.vstack(cols), num_prompts, num_layers, seed)
+        out[i] = st.mean(axis=0)
+    return out
+
+
+def train_trompt_head(
+    tables,
+    primary_keys,
+    foreign_keys,
+    target=("customer", "c_mktsegment"),
+    cat_col="c_nationkey",
+    num_cols=("c_acctbal",),
+    epochs: int = 4,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    ch: int = 8,
+    num_prompts: int = 4,
+    num_layers: int = 2,
+) -> TrainResult:
+    """Decision-head GD over frozen seeded Trompt encodings, through
+    the stack trainer's fit_fn hand-off — see the section comment."""
+    from .stack import ORDERS_LAYER_SPEC, train_relational_stack
+
+    def fit(frame, frames, meta):
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        Wc, bc = W.copy(), b.copy()
+        card = meta["n_codes"]
+        k = meta["n_classes"]
 
-        def pred_fn(x):
-            X = np.vstack(x.to_list())
-            return pd.Series(
-                np.argmax(row_logits(X, Wc, bc), axis=1).astype(np.int64)
+        def enc_fn(code, nums):
+            codes = code.to_numpy(dtype=np.int64)
+            M = np.vstack(nums.to_list()).astype(np.float64)
+            out = trompt_root_encoding_rows(
+                codes, M, card, ch, num_prompts, num_layers, seed
             )
+            return pd.Series([row.tolist() for row in out])
 
-        pred_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
-        pudf = pandas_udf(pred_fn, "bigint")
-        rows = (
-            full.select("split", "label", pudf("x").alias("pred"))
-            .groupBy("split")
-            .agg(
-                F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("h"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+        enc_fn.__annotations__ = {
+            "code": pd.Series,
+            "nums": pd.Series,
+            "return": pd.Series,
+        }
+        udf = pandas_udf(enc_fn, "array<double>")
+        return _fit_linear_head(
+            frame, udf("code", "nums"), ch, k, epochs, lr, l2, seed
         )
-        accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
-        return TrainResult(losses=losses, accuracy=accuracy, params={"W": W, "b": b})
 
     return train_relational_stack(
         tables,

@@ -377,7 +377,6 @@ def _tabnet_head_losses(
     import numpy as np
 
     from ..operators.kernels import tabnet_forward
-    from .training import row_logits
 
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
         sf_dir, seed, neighbor_budget=neighbor_budget
@@ -392,9 +391,19 @@ def _tabnet_head_losses(
         feats[tr], out_channels, num_layers, feat_channels, attn_channels,
         seed=seed, exact=True,
     )
-    y = y_a[tr]
-    n = len(tr)
-    d = out_channels
+    return _head_gd_losses(X, y_a[tr], k, epochs, lr, l2, seed)
+
+
+def _head_gd_losses(X, y, k, epochs, lr, l2, seed) -> list[float]:
+    """Independent replay of ``plans.tabnet_head._fit_linear_head``'s
+    GD: per-row dec9-quantized gradients summed as exact decimals in
+    row order (order-free), the same update expressions — shared by
+    the TabNet and Trompt head twins."""
+    import numpy as np
+
+    from .training import row_logits
+
+    n, d = X.shape
     glen = 1 + d * k + k
     rng = np.random.default_rng(seed)
     W = rng.uniform(-0.5, 0.5, size=(d, k)) * 0.1
@@ -430,6 +439,37 @@ def _tabnet_head_losses(
     return losses
 
 
+def _trompt_head_losses(
+    sf_dir: str,
+    epochs: int = 4,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    ch: int = 8,
+    num_prompts: int = 4,
+    num_layers: int = 2,
+) -> list[float]:
+    """Twin of ``plans.tabnet_head.train_trompt_head``: DuckDB root
+    assembly, the SHARED per-row ``trompt_root_encoding_rows`` kernel
+    (frozen seeded prompt bank — row-shape matmuls, batch-independent),
+    then the shared head-GD replay."""
+    import numpy as np
+
+    from .tabnet_head import trompt_root_encoding_rows
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    tr = np.where(train_mask)[0]
+    X = trompt_root_encoding_rows(
+        codes_a[tr], X_num[tr], card, ch, num_prompts, num_layers, seed
+    )
+    return _head_gd_losses(X, y_a[tr], k, epochs, lr, l2, seed)
+
+
 def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     """The ``train_relational`` oracle: recompute BOTH loss trajectories
     (full-batch GD and the minibatch-SGD loop over budgeted per-root
@@ -439,7 +479,7 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     selfcheck overrides via ``SPARK_GRAFT_ORACLE_SF`` when run at
     another SF."""
     from .stack import THREE_LAYER_BENCH_CONFIG
-    from .tabnet_head import TABNET_HEAD_BENCH_CONFIG
+    from .tabnet_head import TABNET_HEAD_BENCH_CONFIG, TROMPT_HEAD_BENCH_CONFIG
     from .training import (
         MINIBATCH_BENCH_CONFIG,
         REGRESSION_BENCH_CONFIG,
@@ -477,6 +517,11 @@ def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
         ("tabnet", i, loss)
         for i, loss in enumerate(
             _tabnet_head_losses(sf_dir, seed=seed, **TABNET_HEAD_BENCH_CONFIG)
+        )
+    ] + [
+        ("trompt", i, loss)
+        for i, loss in enumerate(
+            _trompt_head_losses(sf_dir, seed=seed, **TROMPT_HEAD_BENCH_CONFIG)
         )
     ]
     # the double literal goes through VARCHAR: DuckDB parses a bare

@@ -779,3 +779,27 @@ def test_tabnet_exact_mode_batch_independent(spark):
         for r in df.repartition(8).select("id", enc.alias("e")).collect()
     }
     assert one == eight
+
+
+def test_trompt_head_trains_through_fit_fn(db):
+    """N23 upgrade (r6): the Trompt decision head trains IN-ENGINE
+    through the same fit_fn hand-off — frozen seeded prompt-bank
+    encoder over per-column embeddings (per-row matmuls, shapes
+    batch-independent), mean-pooled, decimal-fold head GD; the twin
+    replays every epoch's loss bit-for-bit and the loss descends."""
+    from deep_db_learning_spark.plans.tabnet_head import (
+        TROMPT_HEAD_BENCH_CONFIG,
+        train_trompt_head,
+    )
+    from deep_db_learning_spark.plans.train_oracle import _trompt_head_losses
+
+    res = train_trompt_head(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        **TROMPT_HEAD_BENCH_CONFIG,
+    )
+    twin = _trompt_head_losses(
+        "/root/testdata/sf0.001", seed=42, **TROMPT_HEAD_BENCH_CONFIG
+    )
+    assert res.losses == twin
+    assert res.losses[-1] < res.losses[0]
+    assert "train" in res.accuracy
