@@ -36,7 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--mode",
-        choices=("full", "minibatch", "two_layer", "stack", "slice"),
+        choices=(
+            "full", "minibatch", "two_layer", "stack", "slice",
+            "tabnet", "trompt",
+        ),
         default="full",
     )
     p.add_argument(
@@ -96,7 +99,30 @@ def run(spark, args) -> dict:
         )
 
         lr_kw = {} if args.lr is None else {"lr": args.lr}
-        if args.task == "regression" and args.mode in ("full", "minibatch"):
+        if args.mode in ("tabnet", "trompt"):
+            # frozen seeded encoder + in-engine decimal-fold head GD
+            # through the stack trainer's fit_fn hand-off (r6)
+            if args.task == "regression":
+                raise SystemExit(
+                    "--mode tabnet/trompt train classification heads"
+                )
+            from deep_db_learning_spark.plans.tabnet_head import (
+                train_tabnet_head,
+                train_trompt_head,
+            )
+
+            fn = train_tabnet_head if args.mode == "tabnet" else train_trompt_head
+            res = fn(
+                db.tables,
+                db.primary_keys,
+                db.foreign_keys,
+                target=(table, column),
+                epochs=args.epochs,
+                seed=args.seed,
+                neighbor_budget=args.neighbor_budget,
+                **lr_kw,
+            )
+        elif args.task == "regression" and args.mode in ("full", "minibatch"):
             if args.mode != "full":
                 raise SystemExit(
                     "--task regression supports --mode full, two_layer, "
