@@ -803,3 +803,49 @@ def test_trompt_head_trains_through_fit_fn(db):
     assert res.losses == twin
     assert res.losses[-1] < res.losses[0]
     assert "train" in res.accuracy
+
+
+def test_stack_frame_emb_deep_matches_driver(db):
+    """Frame-resident embeddings at DEPTH: both layers of the
+    customer←orders←lineitem stack forced to frame storage — the
+    child-hbar forward join, the gradient chain through
+    `_layer_g_next_frame`, and both distributed demb folds all run in
+    frame mode, and every parameter still matches driver storage
+    bitwise."""
+    from dataclasses import replace
+
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from deep_db_learning_spark.plans.stack import (
+        THREE_LAYER_SPECS,
+        train_relational_stack,
+    )
+
+    fr_specs = tuple(replace(s, emb_storage="frame") for s in THREE_LAYER_SPECS)
+    dr_specs = tuple(replace(s, emb_storage="driver") for s in THREE_LAYER_SPECS)
+    kw = dict(epochs=1, n_batches=2, seed=42, neighbor_budget=5)
+    fr = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, layers=fr_specs, **kw,
+    )
+    dr = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, layers=dr_specs, **kw,
+    )
+    assert np.array_equal(fr.params["emb"], dr.params["emb"])
+    assert np.array_equal(fr.params["W_head"], dr.params["W_head"])
+    for i in range(2):
+        assert np.array_equal(
+            fr.params["layers"][i]["W"], dr.params["layers"][i]["W"]
+        )
+        assert np.array_equal(
+            fr.params["layers"][i]["b"], dr.params["layers"][i]["b"]
+        )
+        emb_f = fr.params["layers"][i]["emb"]
+        assert isinstance(emb_f, DataFrame)
+        got = {int(r["code"]): list(r["evec"]) for r in emb_f.collect()}
+        want = {
+            j: [float(v) for v in row]
+            for j, row in enumerate(dr.params["layers"][i]["emb"])
+        }
+        assert got == want
+    assert fr.accuracy == dr.accuracy
