@@ -1058,12 +1058,16 @@ def q_quality_scores(spark, sf_dir):
 def q_text_metrics(spark, sf_dir):
     """LLM ops merged: per-document text analysis in one scan — token
     counts (whitespace + BPE-ish regex), n-gram language ID, md5 + min
-    shingle-md5 fingerprints, the composite quality score, and the
+    shingle-md5 fingerprints, the composite quality score, the
     Gopher-style repetition signals (duplicate-token + top-token
-    fractions; boilerplate flags)."""
+    fractions; boilerplate flags), and (r6) the corpus-frequency
+    signal ``mean_tok_freq`` (mean corpus occurrence count of the
+    document's tokens — the unigram-surprisal quality axis in exact
+    integer arithmetic, so the oracle matches bitwise)."""
     db = _db(spark, sf_dir)
+    docs = db.df("documents")
     t = F.col("text")
-    return db.df("documents").select(
+    per_doc = docs.select(
         "doc_id",
         T.whitespace_token_count(t).alias("ws_tokens"),
         T.bpe_token_count(t).alias("bpe_tokens"),
@@ -1074,6 +1078,8 @@ def q_text_metrics(spark, sf_dir):
         T.duplicate_token_fraction(t).alias("dup_token_frac"),
         T.top_token_fraction(t).alias("top_token_frac"),
     )
+    mtf = T.mean_token_corpus_freq(docs, "text", "doc_id")
+    return per_doc.join(mtf, "doc_id")
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -2425,7 +2431,8 @@ def oracle_sql() -> dict[str, str]:
                    END AS dup_token_frac,
                    CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0.0
                         ELSE tt.topcnt::DOUBLE / s.n_toks
-                   END AS top_token_frac
+                   END AS top_token_frac,
+                   coalesce(mtf.mean_tok_freq, 0.0) AS mean_tok_freq
             FROM documents d
             JOIN s ON d.doc_id = s.doc_id
             -- LEFT: unnest(NULL toks) emits no rows, and a NULL-text
@@ -2435,6 +2442,20 @@ def oracle_sql() -> dict[str, str]:
                         FROM (SELECT doc_id, unnest(toks) AS t FROM m)
                         GROUP BY doc_id, t)
                   GROUP BY doc_id) tt ON d.doc_id = tt.doc_id
+            -- r6: corpus-frequency signal — exact integer sums until
+            -- one final double division (bitwise across engines)
+            LEFT JOIN (
+                  WITH tokf AS (
+                    SELECT doc_id, t
+                    FROM (SELECT doc_id, unnest(toks) AS t FROM m)
+                    WHERE t <> ''
+                  ), cnt AS (
+                    SELECT t, count(*) AS c FROM tokf GROUP BY t
+                  )
+                  SELECT tokf.doc_id,
+                         sum(cnt.c)::DOUBLE / count(*) AS mean_tok_freq
+                  FROM tokf JOIN cnt ON tokf.t = cnt.t
+                  GROUP BY tokf.doc_id) mtf ON d.doc_id = mtf.doc_id
         """,
         "embedding_topk": _embedding_topk_oracle(),
         "ann_ivf": _ann_ivf_oracle(),

@@ -431,3 +431,45 @@ def chunk_documents(
             F.expr(f"substring({text_col}, chunk_start + 1, {size})").alias("chunk"),
         )
     )
+
+
+def mean_token_corpus_freq(
+    df, text_col: str = "text", id_col: str = "doc_id", out: str = "mean_tok_freq"
+):
+    """Inverse-rarity quality signal: the mean, over a document's
+    lowercased whitespace tokens, of each token's CORPUS occurrence
+    count — high values mean the document is built from the corpus's
+    most common vocabulary (boilerplate/templated text), low values
+    mean rare-token-dense text. The unigram-LM surprisal signal
+    without the cross-engine ``log()`` hazard: everything is exact
+    integer arithmetic (token counts, per-doc count sums) until ONE
+    final bigint/bigint double division, so a DuckDB oracle reproduces
+    the doubles bitwise.
+
+    Returns ``(id_col, out)`` — one row per input document (tokenless
+    documents get 0.0). Two shuffles at any scale: the corpus count
+    groupBy and the per-doc fold; the token→count join is shuffle-side
+    on the token key (skew from stopword tokens is bounded by the
+    per-token row groups AQE splits)."""
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        toks.join(counts, "__tok")
+        .groupBy(id_col)
+        .agg((F.sum("__c") / F.count(F.lit(1))).alias(out))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({out: 0.0})
+    )

@@ -848,3 +848,31 @@ def test_jpeg_multiscan_sequential_roundtrip():
             decode_jpeg_bytes(encode_jpeg_bytes(img, subsample=True, interleaved=False)),
             decode_jpeg_bytes(encode_jpeg_bytes(img, subsample=True)),
         ), shape
+
+
+def test_mean_token_corpus_freq(spark):
+    """Corpus-frequency quality signal (r6): a document made of the
+    corpus's most common tokens scores higher than a rare-token
+    document, empty/NULL docs score 0.0, values are exact rationals
+    (integer sums / integer counts), and every input row survives."""
+    from deep_db_learning_spark.functions.text import mean_token_corpus_freq
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the"),
+            (3, "zyzzyva qwerty"),
+            (4, "   "),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["mean_tok_freq"] for r in
+           mean_token_corpus_freq(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # 'the' occurs 5x in the corpus; doc 2 is all 'the' -> exactly 5.0
+    assert out[2] == 5.0
+    assert out[2] > out[1] > out[3]
+    # doc 3: both tokens unique -> exactly 1.0
+    assert out[3] == 1.0
+    assert out[4] == 0.0 and out[5] == 0.0
