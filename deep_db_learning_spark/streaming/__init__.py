@@ -9,6 +9,7 @@ from .events import (
     user_profile_features,
 )
 from .node_store import SnapshotStore, stream_profiles_into_store
+from .vector_store import stream_vectors_into_store
 from .stateful import stream_sessionize
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "read_events_stream",
     "SnapshotStore",
     "stream_profiles_into_store",
+    "stream_vectors_into_store",
     "run_stream_to_memory",
     "session_stats",
     "sliding_user_features",

@@ -1,0 +1,87 @@
+"""Streaming maintenance of the IVF vector store — the ANN half of the
+incremental-crawl loop (``dedup.minhash_dedup_against`` is the text
+half, ``operators.similarity.ivf_append`` the batch form this wraps).
+
+Each arriving micro-batch of vectors is coarse-assigned with the
+FROZEN centroids and appended to the versioned snapshot store (the
+same :class:`~.node_store.SnapshotStore` layout the node store uses —
+atomic pointer flips, Delta/Iceberg-swappable), and the batch's
+per-list drift counters land beside the snapshot as ``drift_v{n}``.
+The refit POLICY stays with the caller — read the latest drift frame,
+and when ``refit`` fires on any list, run
+``ivf_index_deterministic`` (or the MLlib fit) over the grown store
+and swap the model; the streaming operator shape is unchanged.
+
+At 100 TB this is the production posture: appends cost one Arrow pass
+over the batch plus a snapshot commit; the standing store is never
+reshuffled, and drift — not a timer — decides when the expensive
+refit pass runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import cut_lineage
+from .node_store import SnapshotStore
+
+
+def stream_vectors_into_store(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mass_threshold: float = 0.3,
+    err_ratio_threshold: float = 1.5,
+    query_name: str = "vector_store_append",
+):
+    """Maintain the IVF-assigned vector store from a stream:
+    ``foreachBatch`` appends each micro-batch with the frozen
+    centroids (bit-identical to re-assigning the grown corpus — the
+    ``ivf_append`` contract) and writes the drift verdict. Same
+    exactly-once caveat as the node store: the snapshot commit after
+    the checkpoint makes replays idempotent-only-if-committed; a txn
+    log (Delta) removes the at-least-once window, same operator."""
+    from ..operators.similarity import _assign_with_err, _model_centers, ivf_append
+
+    store = SnapshotStore(store_path)
+    spark = vec_stream.sparkSession
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        old = store.read(spark)
+        if old is None:
+            centers = _model_centers(model)
+            new_store = (
+                batch_df.withColumn("__a", _assign_with_err(centers, vec_col))
+                .withColumn("list_id", F.col("__a.list_id"))
+                .drop("__a")
+            )
+            drift = None
+        else:
+            new_store, drift = ivf_append(
+                old, model, batch_df, id_col, vec_col,
+                mass_threshold, err_ratio_threshold,
+            )
+        # materialize BEFORE overwriting: the appended plan reads the
+        # old snapshot files the commit is about to supersede
+        new_store = cut_lineage(new_store, eager=True)
+        if drift is not None:
+            drift = cut_lineage(drift, eager=True)
+        v = store.commit(new_store)
+        if drift is not None:
+            drift.write.mode("overwrite").parquet(
+                os.path.join(store_path, f"drift_v{v}")
+            )
+
+    return (
+        vec_stream.writeStream.foreachBatch(append)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -402,3 +402,59 @@ def test_merge_profiles_null_user_key_merges(spark):
     assert got[None] == (5, 4.0, t2)
     assert got[7] == (1, 1.0, t1)
     assert len(got) == 2
+
+
+def test_stream_vectors_into_store(spark, db, tmp_path):
+    """Streaming IVF store maintenance (r6): two micro-batches of
+    vectors append into the versioned snapshot store with frozen
+    centroids; the final store is bit-identical to assigning the whole
+    corpus against the same model (the ivf_append contract under
+    foreachBatch), and the drift verdict lands beside the snapshot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.similarity import (
+        _assign_lists,
+        ivf_index_deterministic,
+    )
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        stream_vectors_into_store,
+    )
+
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    _, model = ivf_index_deterministic(
+        emb.filter(F.col("vec_id") % 2 == 0), n_lists=4, n_iters=2
+    )
+    in_dir = str(tmp_path / "in")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_vectors_into_store(
+        stream, str(tmp_path / "store"), str(tmp_path / "ck"), model
+    )
+    q.awaitTermination(120)
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    assert store.latest_version() == 2  # one commit per micro-batch
+    final = store.read(spark)
+    got = sorted((r["vec_id"], r["list_id"]) for r in final.collect())
+    full = emb.withColumn(
+        "list_id", _assign_lists(model.clusterCenters(), "embedding", 1)[0]
+    )
+    want = sorted((r["vec_id"], r["list_id"]) for r in full.collect())
+    assert got == want
+    # the second batch carried a drift verdict
+    drift = spark.read.parquet(os.path.join(str(tmp_path / "store"), "drift_v2"))
+    rows = drift.collect()
+    assert rows and {"list_id", "n_old", "n_new", "refit"} <= set(drift.columns)
