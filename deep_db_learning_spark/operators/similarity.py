@@ -988,6 +988,8 @@ def ivf_append(
     vec_col: str = "embedding",
     mass_threshold: float = 0.3,
     err_ratio_threshold: float = 1.5,
+    old_stats: DataFrame | None = None,
+    with_stats: bool = False,
 ) -> tuple:
     """Append ``new`` vectors to an existing IVF store WITHOUT
     refitting: assign them to the FROZEN coarse centroids (the same
@@ -1003,8 +1005,17 @@ def ivf_append(
     quantization error exceeds ``err_ratio_threshold ×`` the old mean
     (the arrivals no longer look like the distribution the centroids
     were fit on). ``drift.refit.any()`` is the pipeline's refit
-    trigger; between refits, appends are one Arrow pass + a union —
-    no shuffle of the existing store."""
+    trigger.
+
+    ``old_stats``: the running ``(list_id, n, err_sum)`` frame from
+    :func:`ivf_append_stats` (or a previous ``with_stats=True``
+    append). WITHOUT it the old-side stats re-scan the standing store
+    — fine for a one-off, O(store) per append in a loop; WITH it each
+    append touches only the batch (drift state is n_lists rows, merged
+    associatively). ``with_stats=True`` additionally returns the
+    updated stats frame as a third element — persist it beside the
+    store and feed it to the next append (the streaming wrapper does
+    exactly this)."""
     centers = _model_centers(model)
     new_assigned = cut_lineage(
         new.withColumn("__a", _assign_with_err(centers, vec_col))
@@ -1013,20 +1024,24 @@ def ivf_append(
         .drop("__a"),
         eager=True,
     )
-    old_stats = (
-        store_assigned.withColumn("__a", _assign_with_err(centers, vec_col))
-        .groupBy("list_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_old"),
-            F.avg(F.col("__a.qerr")).alias("err_old"),
-        )
-    )
-    new_stats = new_assigned.groupBy("list_id").agg(
-        F.count(F.lit(1)).alias("n_new"), F.avg("__qerr").alias("err_new")
+    if old_stats is None:
+        old_stats = ivf_append_stats(store_assigned, model, vec_col)
+    new_sums = new_assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("__qerr").alias("err_sum_new"),
     )
     drift = (
-        new_stats.join(old_stats, "list_id", "left")
+        new_sums.join(
+            old_stats.select(
+                "list_id",
+                F.col("n").alias("n_old"),
+                (F.col("err_sum") / F.col("n")).alias("err_old"),
+            ),
+            "list_id",
+            "left",
+        )
         .na.fill({"n_old": 0})
+        .withColumn("err_new", F.col("err_sum_new") / F.col("n_new"))
         .withColumn(
             "new_share",
             F.col("n_new") / (F.col("n_new") + F.col("n_old")),
@@ -1046,7 +1061,39 @@ def ivf_append(
     store = store_assigned.unionByName(
         new_assigned.select(*store_assigned.columns)
     )
-    return store, drift
+    if not with_stats:
+        return store, drift
+    updated = (
+        old_stats.join(new_sums, "list_id", "full")
+        .select(
+            "list_id",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("n_new", F.lit(0))).alias("n"),
+            (
+                F.coalesce("err_sum", F.lit(0.0))
+                + F.coalesce("err_sum_new", F.lit(0.0))
+            ).alias("err_sum"),
+        )
+    )
+    return store, drift, updated
+
+
+def ivf_append_stats(
+    store_assigned: DataFrame, model, vec_col: str = "embedding"
+) -> DataFrame:
+    """The running drift state of an IVF store — ``(list_id, n,
+    err_sum)`` per coarse list (err_sum = summed squared quantization
+    error; advisory doubles, not bit-pinned). Compute ONCE at store
+    build, then let ``ivf_append(with_stats=True)`` maintain it
+    associatively so appends never re-scan the standing store."""
+    centers = _model_centers(model)
+    return (
+        store_assigned.withColumn("__a", _assign_with_err(centers, vec_col))
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__a.qerr")).alias("err_sum"),
+        )
+    )
 
 
 def sq8_append(

@@ -47,32 +47,56 @@ def stream_vectors_into_store(
     exactly-once caveat as the node store: the snapshot commit after
     the checkpoint makes replays idempotent-only-if-committed; a txn
     log (Delta) removes the at-least-once window, same operator."""
-    from ..operators.similarity import _assign_with_err, _model_centers, ivf_append
+    from ..operators.similarity import (
+        _assign_with_err,
+        _model_centers,
+        ivf_append,
+        ivf_append_stats,
+    )
 
     store = SnapshotStore(store_path)
     spark = vec_stream.sparkSession
+
+    def stats_path(v: int) -> str:
+        return os.path.join(store_path, f"stats_v{v}")
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         old = store.read(spark)
         if old is None:
             centers = _model_centers(model)
-            new_store = (
+            assigned = (
                 batch_df.withColumn("__a", _assign_with_err(centers, vec_col))
                 .withColumn("list_id", F.col("__a.list_id"))
+                .withColumn("__qerr", F.col("__a.qerr"))
                 .drop("__a")
+            )
+            new_store = assigned.drop("__qerr")
+            stats = assigned.groupBy("list_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__qerr").alias("err_sum"),
             )
             drift = None
         else:
-            new_store, drift = ivf_append(
+            # running stats from the previous version — each append
+            # touches only the batch, never re-scans the store
+            prev_v = store.latest_version()
+            try:
+                old_stats = spark.read.parquet(stats_path(prev_v))
+            except Exception:
+                old_stats = ivf_append_stats(old, model, vec_col)
+            new_store, drift, stats = ivf_append(
                 old, model, batch_df, id_col, vec_col,
                 mass_threshold, err_ratio_threshold,
+                old_stats=old_stats, with_stats=True,
             )
         # materialize BEFORE overwriting: the appended plan reads the
         # old snapshot files the commit is about to supersede
         new_store = cut_lineage(new_store, eager=True)
+        stats = cut_lineage(stats, eager=True)
         if drift is not None:
             drift = cut_lineage(drift, eager=True)
         v = store.commit(new_store)
+        stats.write.mode("overwrite").parquet(stats_path(v))
         if drift is not None:
             drift.write.mode("overwrite").parquet(
                 os.path.join(store_path, f"drift_v{v}")

@@ -630,3 +630,44 @@ def test_ivf_pq_append_parity_and_drift(db):
     assert rows and not any(r["refit"] for r in rows)  # 20% < 0.3 threshold
     _, drift2 = ivf_pq_append(store_old, cb, model, new, mass_threshold=0.1)
     assert drift2.filter("refit").count() > 0
+
+
+def test_ivf_append_running_stats(db):
+    """O(batch) drift state (r6): feeding the running (list_id, n,
+    err_sum) frame into ivf_append reproduces the store-scan drift
+    verdicts without touching the standing store, and the returned
+    stats equal a fresh recompute over the grown corpus (counts exact,
+    error sums to float tolerance — they are advisory doubles)."""
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_append,
+        ivf_append_stats,
+        ivf_index_deterministic,
+    )
+
+    emb = db.df("embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assigned_old, model = ivf_index_deterministic(old, n_lists=8, n_iters=3)
+    stats0 = ivf_append_stats(assigned_old, model)
+
+    store, drift_a, stats1 = ivf_append(
+        assigned_old, model, new, old_stats=stats0, with_stats=True
+    )
+    _, drift_b = ivf_append(assigned_old, model, new)  # store-scan path
+
+    a = {r["list_id"]: r for r in drift_a.collect()}
+    b = {r["list_id"]: r for r in drift_b.collect()}
+    assert set(a) == set(b)
+    for lid in a:
+        assert a[lid]["n_old"] == b[lid]["n_old"]
+        assert a[lid]["n_new"] == b[lid]["n_new"]
+        assert a[lid]["refit"] == b[lid]["refit"]
+        assert abs(a[lid]["err_old"] - b[lid]["err_old"]) < 1e-9
+        assert abs(a[lid]["err_new"] - b[lid]["err_new"]) < 1e-9
+
+    fresh = {r["list_id"]: r for r in ivf_append_stats(store, model).collect()}
+    got = {r["list_id"]: r for r in stats1.collect()}
+    assert set(got) == set(fresh)
+    for lid in got:
+        assert got[lid]["n"] == fresh[lid]["n"]
+        assert abs(got[lid]["err_sum"] - fresh[lid]["err_sum"]) < 1e-6
