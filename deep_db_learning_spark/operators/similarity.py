@@ -1273,6 +1273,8 @@ def ivf_pq_append(
     vec_col: str = "embedding",
     residual: bool = True,
     mass_threshold: float = 0.3,
+    old_counts: DataFrame | None = None,
+    with_counts: bool = False,
 ) -> tuple:
     """The compressed-store analog of :func:`ivf_append` — the full
     incremental posture of a production vector store: new vectors are
@@ -1306,11 +1308,20 @@ def ivf_pq_append(
     new_stats = assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_new"), F.avg("__qerr").alias("err_new")
     )
-    old_stats = encoded_store.groupBy("list_id").agg(
-        F.count(F.lit(1)).alias("n_old")
-    )
+    # ``old_counts`` ((list_id, n) — e.g. a previous ``with_counts``
+    # return) keeps the per-append cost O(batch); without it the code
+    # store is counted once per append (cheap — counts only — but
+    # still a store scan)
+    if old_counts is None:
+        old_counts = encoded_store.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     drift = (
-        new_stats.join(old_stats, "list_id", "left")
+        new_stats.join(
+            old_counts.select("list_id", F.col("n").alias("n_old")),
+            "list_id",
+            "left",
+        )
         .na.fill({"n_old": 0})
         .withColumn(
             "new_share", F.col("n_new") / (F.col("n_new") + F.col("n_old"))
@@ -1319,4 +1330,15 @@ def ivf_pq_append(
         .select("list_id", "n_old", "n_new", "err_new", "new_share", "refit")
     )
     store = encoded_store.unionByName(enc_new.select(*encoded_store.columns))
-    return store, drift
+    if not with_counts:
+        return store, drift
+    updated = (
+        old_counts.join(
+            new_stats.select("list_id", "n_new"), "list_id", "full"
+        )
+        .select(
+            "list_id",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("n_new", F.lit(0))).alias("n"),
+        )
+    )
+    return store, drift, updated
