@@ -497,3 +497,45 @@ def test_jpeg_rejects_unsupported_and_validates():
     jb[i + 1] = 0xC2
     with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_bytes(bytes(jb))
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    ycck=st.booleans(),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_cmyk_roundtrip_smooth_bounded_error(h, w, ycck, seed):
+    """Adobe CMYK/YCCK encode/decode (r6): on smooth ink gradients the
+    decoded RGB stays within quantization error of the expected
+    R = s_c·s_k/255 conversion, at every shape (including 1×1 and
+    non-multiples of 8), both APP14 transforms."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_cmyk,
+    )
+
+    rng = np.random.default_rng(seed)
+    slopes = rng.uniform(0.5, 2.5, size=4)
+    offs = rng.uniform(10, 60, size=4)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cmyk = np.stack(
+        [
+            np.clip(yy * slopes[0] + xx * slopes[1] + offs[0], 0, 200),
+            np.clip(xx * slopes[2] + offs[1], 0, 200),
+            np.clip(yy * slopes[3] + offs[2], 0, 200),
+            np.full((h, w), offs[3]),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    inv = 255.0 - cmyk.astype(np.float64)
+    want = np.stack(
+        [inv[..., j] * inv[..., 3] / 255.0 for j in range(3)], axis=-1
+    )
+    out = decode_jpeg_bytes(encode_jpeg_cmyk(cmyk, ycck=ycck))
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(float) - want)
+    assert err.mean() <= 6.0
