@@ -671,3 +671,52 @@ def test_ivf_append_running_stats(db):
     for lid in got:
         assert got[lid]["n"] == fresh[lid]["n"]
         assert abs(got[lid]["err_sum"] - fresh[lid]["err_sum"]) < 1e-6
+
+
+def test_ivf_store_partition_pruning(db, tmp_path):
+    """The persisted IVF store layout (r6): partitioned by list_id, a
+    probe-shaped filter reaches the scan as a PartitionFilter — the
+    plan proves a 2-of-8-list probe reads 2 lists' files, not the
+    store — and appends land in-place without rewriting old files."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_append,
+        ivf_index_deterministic,
+        load_ivf_store,
+        save_ivf_store,
+    )
+
+    emb = db.df("embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assigned, model = ivf_index_deterministic(old, n_lists=8, n_iters=2)
+    path = str(tmp_path / "ivf_store")
+    save_ivf_store(assigned, path)
+    assert any(d.startswith("list_id=") for d in os.listdir(path))
+
+    store = load_ivf_store(db.spark, path)
+    probed = store.filter(F.col("list_id").isin(1, 3))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # append composes: only the new batch's rows get written
+    before = {
+        d: set(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("list_id=")
+    }
+    appended, _ = ivf_append(store, model, new)
+    new_rows = appended.join(store, "vec_id", "left_anti")
+    save_ivf_store(new_rows.select(*store.columns), path, mode="append")
+    grown = load_ivf_store(db.spark, path)
+    assert grown.count() == emb.count()
+    for d, files in before.items():
+        # the standing files survived the append untouched
+        assert files <= set(os.listdir(os.path.join(path, d)))
