@@ -54,13 +54,20 @@ def tabnet_feature_expr(card: int):
     return F.concat(onehot, F.col("nums"))
 
 
-def _fit_linear_head(frame, enc, d: int, k: int, epochs, lr, l2, seed) -> TrainResult:
+def _fit_linear_head(
+    frame, enc, d: int, k: int, epochs, lr, l2, seed, task: str = "classification"
+) -> TrainResult:
     """Shared decision-head GD over a frozen encoder column ``enc``
     (an ``array<double>`` of width ``d``): encode ONCE into a
     materialized frame, then per epoch one Spark job folds the
     dec9-quantized per-row gradients as exact decimals; SGD on the
-    driver; the eval is exact integer counts. Used by both the TabNet
-    and Trompt heads — and replayed by their twins."""
+    driver. ``task="classification"`` (softmax CE, integer labels,
+    exact-integer-count accuracy eval) or ``"regression"`` (k=1 linear
+    head, half-squared error on the train-standardized double label,
+    decimal-fold per-split MSE eval — the same conventions as the stack
+    trainer's regression branch). Used by both the TabNet and Trompt
+    heads — and replayed by their twins."""
+    regression = task == "regression"
     full = cut_lineage(
         frame.select("split", "label", enc.alias("x")), eager=True
     )
@@ -82,15 +89,22 @@ def _fit_linear_head(frame, enc, d: int, k: int, epochs, lr, l2, seed) -> TrainR
 
         def grad_fn(x, label):
             X = np.vstack(x.to_list())
-            y = label.to_numpy(dtype=np.int64)
-            logits = row_logits(X, Wc, bc)
-            logits = logits - logits.max(axis=1, keepdims=True)
-            ex = np.exp(logits)
-            P = ex / ex.sum(axis=1, keepdims=True)
-            rows_idx = np.arange(len(y))
-            loss = -np.log(P[rows_idx, y])
-            resid = P.copy()
-            resid[rows_idx, y] -= 1.0
+            if regression:
+                y = label.to_numpy(dtype=np.float64)
+                pred = row_logits(X, Wc, bc)[:, 0]
+                r = pred - y
+                loss = 0.5 * r * r
+                resid = r[:, None]
+            else:
+                y = label.to_numpy(dtype=np.int64)
+                logits = row_logits(X, Wc, bc)
+                logits = logits - logits.max(axis=1, keepdims=True)
+                ex = np.exp(logits)
+                P = ex / ex.sum(axis=1, keepdims=True)
+                rows_idx = np.arange(len(y))
+                loss = -np.log(P[rows_idx, y])
+                resid = P.copy()
+                resid[rows_idx, y] -= 1.0
             out = np.concatenate(
                 [
                     loss[:, None],
@@ -139,22 +153,41 @@ def _fit_linear_head(frame, enc, d: int, k: int, epochs, lr, l2, seed) -> TrainR
 
     def pred_fn(x):
         X = np.vstack(x.to_list())
-        return pd.Series(
-            np.argmax(row_logits(X, Wc, bc), axis=1).astype(np.int64)
-        )
+        out = row_logits(X, Wc, bc)
+        if regression:
+            return pd.Series(out[:, 0])
+        return pd.Series(np.argmax(out, axis=1).astype(np.int64))
 
     pred_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
-    pudf = pandas_udf(pred_fn, "bigint")
-    rows = (
-        full.select("split", "label", pudf("x").alias("pred"))
-        .groupBy("split")
-        .agg(
-            F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("h"),
-            F.count(F.lit(1)).alias("n"),
+    pudf = pandas_udf(pred_fn, "double" if regression else "bigint")
+    preds = full.select("split", "label", pudf("x").alias("pred"))
+    if regression:
+        # decimal fold: partitioning-independent MSE in standardized-
+        # label space (the _stack_eval convention)
+        err = F.col("pred") - F.col("label")
+        rows = (
+            preds.groupBy("split")
+            .agg(
+                (
+                    F.sum((err * err).cast(DECIMAL_TYPE)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
         )
-        .collect()
-    )
-    accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
+        accuracy = {r["split"]: r["m"] for r in rows}
+    else:
+        rows = (
+            preds.groupBy("split")
+            .agg(
+                F.sum(
+                    (F.col("pred") == F.col("label")).cast("bigint")
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
     return TrainResult(losses=losses, accuracy=accuracy, params={"W": W, "b": b})
 
 
@@ -174,9 +207,12 @@ def train_tabnet_head(
     num_layers: int = 2,
     feat_channels: int = 8,
     attn_channels: int = 8,
+    task: str = "classification",
 ) -> TrainResult:
     """Full-batch GD on the TabNet decision head over frozen seeded
-    encoder features — see the module docstring for the contract."""
+    encoder features — see the module docstring for the contract.
+    ``task="regression"`` swaps in the k=1 linear / half-squared-error
+    head on the train-standardized double label."""
     from ..operators.kernels import tabnet_encode
     from .stack import ORDERS_LAYER_SPEC, train_relational_stack
 
@@ -187,7 +223,9 @@ def train_tabnet_head(
             tabnet_feature_expr(card), out_channels, num_layers,
             feat_channels, attn_channels, seed=seed, exact=True,
         )
-        return _fit_linear_head(frame, enc, out_channels, k, epochs, lr, l2, seed)
+        return _fit_linear_head(
+            frame, enc, out_channels, k, epochs, lr, l2, seed, task=task
+        )
 
     return train_relational_stack(
         tables,
@@ -199,6 +237,7 @@ def train_tabnet_head(
         num_cols=num_cols,
         seed=seed,
         neighbor_budget=neighbor_budget,
+        task=task,
         fit_fn=fit,
     )
 
@@ -265,9 +304,11 @@ def train_trompt_head(
     ch: int = 8,
     num_prompts: int = 4,
     num_layers: int = 2,
+    task: str = "classification",
 ) -> TrainResult:
     """Decision-head GD over frozen seeded Trompt encodings, through
-    the stack trainer's fit_fn hand-off — see the section comment."""
+    the stack trainer's fit_fn hand-off — see the section comment.
+    ``task="regression"``: the k=1 half-squared-error head."""
     from .stack import ORDERS_LAYER_SPEC, train_relational_stack
 
     def fit(frame, frames, meta):
@@ -292,7 +333,7 @@ def train_trompt_head(
         }
         udf = pandas_udf(enc_fn, "array<double>")
         return _fit_linear_head(
-            frame, udf("code", "nums"), ch, k, epochs, lr, l2, seed
+            frame, udf("code", "nums"), ch, k, epochs, lr, l2, seed, task=task
         )
 
     return train_relational_stack(
@@ -305,5 +346,6 @@ def train_trompt_head(
         num_cols=num_cols,
         seed=seed,
         neighbor_budget=neighbor_budget,
+        task=task,
         fit_fn=fit,
     )

@@ -366,6 +366,7 @@ def _tabnet_head_losses(
     num_layers: int = 2,
     feat_channels: int = 8,
     attn_channels: int = 8,
+    task: str = "classification",
 ) -> list[float]:
     """Twin of ``plans.tabnet_head.train_tabnet_head``: DuckDB-assembled
     root frame (:func:`_assemble`), the SHARED exact-mode
@@ -379,10 +380,10 @@ def _tabnet_head_losses(
     from ..operators.kernels import tabnet_forward
 
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
-        sf_dir, seed, neighbor_budget=neighbor_budget
+        sf_dir, seed, neighbor_budget=neighbor_budget, task=task
     )
     card = int(codes_a.max()) + 1
-    k = int(y_a.max()) + 1
+    k = 1 if task == "regression" else int(y_a.max()) + 1
     onehot = np.zeros((len(codes_a), card))
     onehot[np.arange(len(codes_a)), codes_a] = 1.0
     feats = np.concatenate([onehot, X_num], axis=1)
@@ -391,14 +392,15 @@ def _tabnet_head_losses(
         feats[tr], out_channels, num_layers, feat_channels, attn_channels,
         seed=seed, exact=True,
     )
-    return _head_gd_losses(X, y_a[tr], k, epochs, lr, l2, seed)
+    return _head_gd_losses(X, y_a[tr], k, epochs, lr, l2, seed, task=task)
 
 
-def _head_gd_losses(X, y, k, epochs, lr, l2, seed) -> list[float]:
+def _head_gd_losses(X, y, k, epochs, lr, l2, seed, task="classification") -> list[float]:
     """Independent replay of ``plans.tabnet_head._fit_linear_head``'s
     GD: per-row dec9-quantized gradients summed as exact decimals in
     row order (order-free), the same update expressions — shared by
-    the TabNet and Trompt head twins."""
+    the TabNet and Trompt head twins. ``task="regression"`` replays
+    the k=1 half-squared-error branch."""
     import numpy as np
 
     from .training import row_logits
@@ -410,14 +412,20 @@ def _head_gd_losses(X, y, k, epochs, lr, l2, seed) -> list[float]:
     b = np.zeros(k)
     losses: list[float] = []
     for _ in range(epochs):
-        logits = row_logits(X, W, b)
-        logits = logits - logits.max(axis=1, keepdims=True)
-        ex = np.exp(logits)
-        P = ex / ex.sum(axis=1, keepdims=True)
-        ridx = np.arange(n)
-        loss_rows = -np.log(P[ridx, y])
-        resid = P.copy()
-        resid[ridx, y] -= 1.0
+        if task == "regression":
+            pred = row_logits(X, W, b)[:, 0]
+            r = pred - y
+            loss_rows = 0.5 * r * r
+            resid = r[:, None]
+        else:
+            logits = row_logits(X, W, b)
+            logits = logits - logits.max(axis=1, keepdims=True)
+            ex = np.exp(logits)
+            P = ex / ex.sum(axis=1, keepdims=True)
+            ridx = np.arange(n)
+            loss_rows = -np.log(P[ridx, y])
+            resid = P.copy()
+            resid[ridx, y] -= 1.0
         out = np.concatenate(
             [
                 loss_rows[:, None],
@@ -449,6 +457,7 @@ def _trompt_head_losses(
     ch: int = 8,
     num_prompts: int = 4,
     num_layers: int = 2,
+    task: str = "classification",
 ) -> list[float]:
     """Twin of ``plans.tabnet_head.train_trompt_head``: DuckDB root
     assembly, the SHARED per-row ``trompt_root_encoding_rows`` kernel
@@ -459,15 +468,15 @@ def _trompt_head_losses(
     from .tabnet_head import trompt_root_encoding_rows
 
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
-        sf_dir, seed, neighbor_budget=neighbor_budget
+        sf_dir, seed, neighbor_budget=neighbor_budget, task=task
     )
     card = int(codes_a.max()) + 1
-    k = int(y_a.max()) + 1
+    k = 1 if task == "regression" else int(y_a.max()) + 1
     tr = np.where(train_mask)[0]
     X = trompt_root_encoding_rows(
         codes_a[tr], X_num[tr], card, ch, num_prompts, num_layers, seed
     )
-    return _head_gd_losses(X, y_a[tr], k, epochs, lr, l2, seed)
+    return _head_gd_losses(X, y_a[tr], k, epochs, lr, l2, seed, task=task)
 
 
 def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:

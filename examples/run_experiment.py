@@ -101,11 +101,9 @@ def run(spark, args) -> dict:
         lr_kw = {} if args.lr is None else {"lr": args.lr}
         if args.mode in ("tabnet", "trompt"):
             # frozen seeded encoder + in-engine decimal-fold head GD
-            # through the stack trainer's fit_fn hand-off (r6)
-            if args.task == "regression":
-                raise SystemExit(
-                    "--mode tabnet/trompt train classification heads"
-                )
+            # through the stack trainer's fit_fn hand-off (r6); both
+            # tasks — regression swaps in the k=1 half-squared-error
+            # head on the train-standardized label
             from deep_db_learning_spark.plans.tabnet_head import (
                 train_tabnet_head,
                 train_trompt_head,
@@ -120,6 +118,7 @@ def run(spark, args) -> dict:
                 epochs=args.epochs,
                 seed=args.seed,
                 neighbor_budget=args.neighbor_budget,
+                task=args.task,
                 **lr_kw,
             )
         elif args.task == "regression" and args.mode in ("full", "minibatch"):

@@ -849,3 +849,45 @@ def test_stack_frame_emb_deep_matches_driver(db):
         }
         assert got == want
     assert fr.accuracy == dr.accuracy
+
+
+def test_head_trainers_regression_task(db):
+    """Both encoder heads carry the regression branch (r6): k=1
+    half-squared-error head on the train-standardized c_acctbal label,
+    decimal-fold MSE eval; the twin replays every epoch's loss
+    bit-for-bit for each encoder."""
+    from deep_db_learning_spark.plans.tabnet_head import (
+        TABNET_HEAD_BENCH_CONFIG,
+        TROMPT_HEAD_BENCH_CONFIG,
+        train_tabnet_head,
+        train_trompt_head,
+    )
+    from deep_db_learning_spark.plans.train_oracle import (
+        _tabnet_head_losses,
+        _trompt_head_losses,
+    )
+
+    kw = dict(target=("customer", "c_acctbal"), task="regression", seed=42)
+    tab = train_tabnet_head(
+        db.tables, db.primary_keys, db.foreign_keys, **kw,
+        **TABNET_HEAD_BENCH_CONFIG,
+    )
+    twin_tab = _tabnet_head_losses(
+        "/root/testdata/sf0.001", seed=42, task="regression",
+        **TABNET_HEAD_BENCH_CONFIG,
+    )
+    assert tab.losses == twin_tab
+    assert tab.losses[-1] < tab.losses[0]
+    # standardized-label space: the mean predictor scores ~1.0
+    assert tab.accuracy["train"] < 1.5
+
+    tro = train_trompt_head(
+        db.tables, db.primary_keys, db.foreign_keys, **kw,
+        **TROMPT_HEAD_BENCH_CONFIG,
+    )
+    twin_tro = _trompt_head_losses(
+        "/root/testdata/sf0.001", seed=42, task="regression",
+        **TROMPT_HEAD_BENCH_CONFIG,
+    )
+    assert tro.losses == twin_tro
+    assert tro.losses[-1] < tro.losses[0]
