@@ -1,0 +1,112 @@
+"""Incremental-crawl pipeline — the r6 maintenance surfaces composed
+end-to-end, the way a production training-data pipeline runs them:
+
+    arriving batch ──► cross-corpus dedup against the standing store
+                       (minhash_dedup_against: banded signatures join
+                        ACROSS corpora, exact-Jaccard verify)
+        kept docs ──► their vectors append to the IVF store with the
+                      FROZEN centroids (ivf_append + running stats —
+                      O(batch), the standing store never re-scans)
+            drift ──► per-list verdicts decide whether the next refit
+                      pass (ivf_index_deterministic over the grown
+                      store) is due
+            store ──► persisted partitioned by list_id
+                      (save_ivf_store: probes prune FILES, appends
+                       land in-place)
+
+    python examples/incremental_crawl.py --data /root/testdata/sf0.001 \
+        --out /tmp/crawl_store
+
+The doc/vector split here is synthetic (even ids = standing store,
+odd ids = the arriving batch); in production the batch is the new
+crawl and the store side's banded signature frame + stats frame are
+persisted artifacts maintained across batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", default="/root/testdata/sf0.001")
+    p.add_argument("--out", default=None, help="persist the IVF store here")
+    p.add_argument("--n-lists", type=int, default=8)
+    p.add_argument("--threshold", type=float, default=0.7)
+    return p
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.dedup import minhash_dedup_against
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_append,
+        ivf_append_stats,
+        ivf_index_deterministic,
+        save_ivf_store,
+    )
+    from deep_db_learning_spark.sources import load_testdata
+
+    db = load_testdata(spark, args.data)
+    docs = db.df("documents")
+    emb = db.df("embeddings")
+
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = minhash_dedup_against(
+        batch_docs, store_docs, "text", "doc_id", threshold=args.threshold
+    )
+    n_batch = batch_docs.count()
+    n_kept = kept.count()
+
+    # vector half: the standing store's vectors are the even half; the
+    # kept batch docs' vectors append (doc_id keys the embedding here)
+    store_vecs = emb.filter(F.col("vec_id") % 2 == 0)
+    kept_ids = kept.select(F.col("doc_id").alias("vec_id"))
+    batch_vecs = emb.join(kept_ids, "vec_id", "leftsemi")
+    assigned, model = ivf_index_deterministic(
+        store_vecs, n_lists=args.n_lists, n_iters=3
+    )
+    stats = ivf_append_stats(assigned, model)
+    grown, drift, stats = ivf_append(
+        assigned, model, batch_vecs, old_stats=stats, with_stats=True
+    )
+    n_refit = drift.filter("refit").count()
+
+    if args.out:
+        save_ivf_store(grown, args.out)
+
+    summary = {
+        "batch_docs": n_batch,
+        "kept_after_store_dedup": n_kept,
+        "dropped_as_store_dupes": n_batch - n_kept,
+        "vectors_appended": batch_vecs.count(),
+        "store_size": grown.count(),
+        "lists_flagging_refit": n_refit,
+        "refit_due": n_refit > 0,
+    }
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    from deep_db_learning_spark.session import make_session
+
+    spark = make_session("incremental_crawl")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return run(spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

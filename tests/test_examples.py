@@ -60,3 +60,23 @@ def test_run_experiment_stack_regression(spark):
     assert summary["mode"] == "stack"
     assert summary["train_mse"] >= 0.0
     assert summary["final_train_loss"] > 0.0
+
+
+def test_incremental_crawl_pipeline(spark, tmp_path):
+    """The r6 incremental-crawl composition end-to-end: store dedup →
+    frozen-centroid vector append with running stats → drift verdict →
+    list-partitioned store on disk."""
+    import os
+
+    import incremental_crawl as ic
+
+    out = str(tmp_path / "store")
+    args = ic.build_parser().parse_args(
+        ["--data", "/root/testdata/sf0.001", "--out", out]
+    )
+    s = ic.run(spark, args)
+    assert s["batch_docs"] == s["kept_after_store_dedup"] + s["dropped_as_store_dupes"]
+    assert s["kept_after_store_dedup"] > 0
+    assert s["vectors_appended"] <= s["kept_after_store_dedup"]
+    assert s["store_size"] >= s["vectors_appended"]
+    assert any(d.startswith("list_id=") for d in os.listdir(out))
