@@ -879,14 +879,19 @@ def minhash_dedup_against(
     threshold: float = 0.7,
     new_signed: DataFrame | None = None,
     ref_signed: DataFrame | None = None,
+    ref_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus dedup (r5): drop rows of ``new`` that near-duplicate
     ANY ``reference`` document — the dedup-new-crawl-against-the-store
     shape (same contract as :func:`minhash_lsh_dedup`, but the kept set
     is decided against an external corpus instead of within one).
     ``new_signed``/``ref_signed``: precomputed signature frames
-    carrying ``(id, signature)`` — the store side in particular should
-    sign once and persist its banded index across batches.
+    carrying ``(id, signature)``. ``ref_banded``: the store side's
+    PERSISTED dedup index — the :func:`minhash_band_index` frame
+    ``(id, band, bucket)`` — so each incoming batch computes only its
+    own signatures and joins the standing index (the store's TEXTS are
+    still read, but only for the candidate rows the verify semi-join
+    keeps).
 
     Same scale pipeline: both sides get MinHash signatures, the banded
     buckets join ACROSS corpora (one shuffle on the band key — never a
@@ -915,23 +920,30 @@ def minhash_dedup_against(
         )
     else:
         sig_new = new_signed.select(F.col(id_col), F.col("signature"))
-    if ref_signed is None:
-        sig_ref = minhash_signature(
-            reference.select(F.col(ref_id_col).alias("__ref_id"), F.col(text_col)),
-            text_col,
-            num_perm,
-            shingle_k,
-        )
-    else:
-        sig_ref = ref_signed.select(
-            F.col(ref_id_col).alias("__ref_id"), F.col("signature")
-        )
     b_new = _banded_buckets(sig_new, id_col, "signature", bands).withColumnRenamed(
         "doc", "__new_id"
     )
-    b_ref = _banded_buckets(sig_ref, "__ref_id", "signature", bands).withColumnRenamed(
-        "doc", "__ref_id"
-    )
+    if ref_banded is not None:
+        b_ref = ref_banded.select(
+            F.col(ref_id_col).alias("__ref_id"), "band", "bucket"
+        )
+    else:
+        if ref_signed is None:
+            sig_ref = minhash_signature(
+                reference.select(
+                    F.col(ref_id_col).alias("__ref_id"), F.col(text_col)
+                ),
+                text_col,
+                num_perm,
+                shingle_k,
+            )
+        else:
+            sig_ref = ref_signed.select(
+                F.col(ref_id_col).alias("__ref_id"), F.col("signature")
+            )
+        b_ref = _banded_buckets(
+            sig_ref, "__ref_id", "signature", bands
+        ).withColumnRenamed("doc", "__ref_id")
     # one cut at the fan-out point: the candidate frame feeds two
     # semi-joins, the verify join, and (via matched) the anti-join —
     # without it the whole signature+banding chain re-runs per consumer
@@ -968,3 +980,28 @@ def minhash_dedup_against(
     # big crawl batch can blow past the broadcast limit — AQE picks the
     # strategy from the materialized candidate stats at runtime
     return new.join(matched, id_col, "left_anti")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+) -> DataFrame:
+    """The PERSISTABLE cross-corpus dedup index: the corpus's banded
+    projection ``(id_col, band, bucket)`` — write it to parquet
+    (partitioned by ``band`` if liked) and hand it to
+    ``minhash_dedup_against(ref_banded=...)`` so each arriving crawl
+    batch signs only ITSELF and joins the standing index. At 100 TB
+    the index is ``bands`` rows of three scalars per document — a
+    narrow fraction of the corpus — and appends to it are the kept
+    batch's own banded rows (the same frame this returns for the
+    batch)."""
+    sig = minhash_signature(
+        df.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
+    )
+    return _banded_buckets(sig, id_col, "signature", bands).withColumnRenamed(
+        "doc", id_col
+    )

@@ -289,3 +289,48 @@ def test_minhash_dedup_against_reference(spark):
     assert again == ids
     # schema passthrough: the survivors are original rows
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_minhash_band_index_reuse(spark, tmp_path):
+    """The persisted dedup index (r6): minhash_dedup_against with a
+    parquet-round-tripped ref_banded index keeps exactly the same set
+    as the from-scratch run — the store is never re-signed."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_against,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light returns again"
+    )
+    ref = spark.createDataFrame(
+        [(100, base), (101, "unrelated words about storage engines and "
+                           "columnar layouts in distributed databases")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("morning", "evening")),
+            (3, "completely novel content regarding alpine gardening and "
+                "terrace irrigation schedules in small mountain villages"),
+        ],
+        "doc_id bigint, text string",
+    )
+    direct = sorted(
+        r["doc_id"] for r in minhash_dedup_against(
+            new, ref, "text", "doc_id", threshold=0.7
+        ).collect()
+    )
+    idx_path = str(tmp_path / "dedup_index")
+    minhash_band_index(ref, "text", "doc_id").write.parquet(idx_path)
+    via_index = sorted(
+        r["doc_id"] for r in minhash_dedup_against(
+            new, ref, "text", "doc_id", threshold=0.7,
+            ref_banded=spark.read.parquet(idx_path),
+        ).collect()
+    )
+    assert via_index == direct == [3]
