@@ -149,6 +149,10 @@ def main() -> None:
         "events_hourly",
         "events_sessions",
         "customer_features",
+        # r6: the incremental-crawl append path — IVF fit on the
+        # standing 80%, frozen-centroid append of the arriving 20%,
+        # query + drift verdict (scaleprobe ratio 0.41 at 10×)
+        "ivf_append",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

@@ -197,6 +197,10 @@ PLAN_PINS = {
     "quality_scores": (0, 0),
     "events_user_profile": (6, 4),
     "message_mean": (2, 2),  # bench b3_message_layer
+    # r6: the append path — per-list drift agg + probe/candidate joins
+    # over the appended store; the broadcast floor pins the probe and
+    # drift-verdict small sides
+    "ivf_append": (8, 4),
 }
 
 
