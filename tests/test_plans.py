@@ -117,13 +117,22 @@ def test_neighbor_budget_adds_no_shuffle(db):
 
 
 def test_text_metrics_single_scan_no_shuffle(spark, entry):
-    """The merged per-document text-analysis query (token counts, lang
-    ID, fingerprints, quality, repetition signals) stays one shuffle-
-    free scan — every signal is a row-local expression."""
+    """The merged per-document text-analysis query: every PER-DOCUMENT
+    signal (token counts, lang ID, fingerprints, quality, repetition)
+    is a row-local expression, and the only shuffles are the r6
+    corpus-frequency aggregation (a corpus-wide token count needs a
+    groupBy by definition) plus its per-doc fold/join — pinned at ≤4
+    exchanges with the final doc join broadcast."""
     df = entry.q_text_metrics(spark, "/root/testdata/sf0.001")
-    plan = explain(df, "simple")
-    assert "Exchange" not in plan
-    assert plan.count("Scan parquet") == 1
+    plan = explain(df)
+    assert shuffle_count(plan) <= 4
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the bench-only row-local forms stay exchange-free single scans
+    for name in ("text_stats", "quality_scores"):
+        p = explain(getattr(entry, "q_" + name)(spark, "/root/testdata/sf0.001"),
+                    "simple")
+        assert "Exchange" not in p
+        assert p.count("Scan parquet") == 1
 
 
 # --------------------------------------------------- shuffle-count pins
