@@ -720,3 +720,61 @@ def test_ivf_store_partition_pruning(db, tmp_path):
     for d, files in before.items():
         # the standing files survived the append untouched
         assert files <= set(os.listdir(os.path.join(path, d)))
+
+
+def test_opq_composes_with_residual_ivfpq(spark):
+    """The FAISS index-factory composition "OPQ → IVF → residual PQ"
+    (r6): rotate the corpus once, fit the coarse quantizer and the
+    residual codebooks in rotated space, query with rotated queries —
+    on dimension-correlated data the composed recall@10 at identical
+    memory beats the unrotated residual IVF-PQ."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.similarity import (
+        ivf_index_deterministic,
+        ivf_pq_topk,
+        opq_rotate,
+        opq_train,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, lat = 1600, 32, 6
+    A = rng.normal(size=(lat, d))
+    V = rng.normal(size=(n, lat)) @ A + 0.05 * rng.normal(size=(n, d))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ids = np.arange(n)
+    truth = {}
+    for qi in range(8):
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        truth[qi] = set(ids[np.lexsort((ids, d2))[:10]])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got[q] & truth[q]) for q in truth) / (10 * len(truth))
+
+    def residual_ivfpq(corpus, qs):
+        assigned, model = ivf_index_deterministic(corpus, n_lists=8, n_iters=3)
+        cb = pq_train(
+            assigned, m=8, k=16, sample=1600, seed=42, residual_model=model
+        )
+        enc = pq_encode(
+            assigned, cb, extra_cols=("list_id",), residual_model=model
+        )
+        return ivf_pq_topk(
+            enc, cb, model, qs, k=10, n_probes=3, residual=True
+        )
+
+    r_plain = recall(residual_ivfpq(emb, queries))
+    R, _ = opq_train(emb, m=8, k=16, sample=1600, seed=42)
+    r_opq = recall(residual_ivfpq(opq_rotate(emb, R), opq_rotate(queries, R)))
+    assert r_opq > r_plain  # rotation helps even under the coarse split
