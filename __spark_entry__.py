@@ -971,6 +971,20 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Scaleprobe-only (r6): span-level dedup — the Lee et al. 2022
+    exact-substring pass in its fixed-window Spark form (double
+    rolling-hash every 50-char window, corpus-wide duplicate filter,
+    per-doc island merge). O(total chars) rows through one groupBy;
+    pytest pins detection/removal/DuckDB-twin parity."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return dedup.duplicate_spans(docs, "text", "doc_id", min_len=50)
+
+
 def q_ngram_jaccard_t07(spark, sf_dir):
     """Bench-only (not in the 50-query registry): the realistic dedup
     parameterization (k=9, t=0.7) of the exact Jaccard join — the same

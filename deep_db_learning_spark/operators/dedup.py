@@ -118,9 +118,12 @@ def shingle_hashes_pandas(
     return df.withColumn(out, pandas_udf(sh_fn, "array<bigint>")(F.col(text_col)))
 
 
-def _rolling_shingle_hashes(t: str, k: int):
-    """Distinct k-gram rolling hashes of one string, vectorized Horner
-    over code points (value-identical to :func:`shingle_hashes`)."""
+def _rolling_shingle_hashes(t: str, k: int, distinct: bool = True):
+    """k-gram rolling hashes of one string, vectorized Horner over
+    code points (value-identical to :func:`shingle_hashes`). Default
+    distinct+sorted (the minhash set semantics); ``distinct=False``
+    keeps POSITION order — one hash per window start (the span-dedup
+    consumer)."""
     import numpy as np
 
     cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
@@ -132,7 +135,7 @@ def _rolling_shingle_hashes(t: str, k: int):
     h = np.zeros(m, dtype=np.int64)
     for j in range(kk):
         h = (h * SHINGLE_B + cp[j : j + m]) % SHINGLE_P
-    return np.unique(h)
+    return np.unique(h) if distinct else h
 
 
 def minhash_signature(
@@ -1005,3 +1008,157 @@ def minhash_band_index(
     return _banded_buckets(sig, id_col, "signature", bands).withColumnRenamed(
         "doc", id_col
     )
+
+
+# ------------------------------------------------ span-level dedup
+#
+# Doc-level dedup keeps one copy of near-identical DOCUMENTS; the
+# other famous pipeline pass (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better") removes duplicated SUBSTRINGS —
+# boilerplate headers, licenses, templated paragraphs — that repeat
+# across otherwise-distinct documents. The paper builds a suffix
+# array; the Spark-first form below is the equivalent fixed-window
+# formulation: hash EVERY min_len-char window (stride 1), keep hashes
+# occurring ≥ min_count times corpus-wide, merge each doc's surviving
+# windows into maximal intervals with one island-detection window
+# pass, and excise them with a pure-codegen fold. O(total chars) rows
+# through one groupBy — the same asymptotic footprint as the suffix
+# array, in shuffle-friendly form.
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring intervals per document:
+    ``(id_col, start, end)`` — 1-based inclusive char positions of
+    every region covered by ``min_len``-char windows whose content
+    occurs ≥ ``min_count`` times in the corpus (duplicates WITHIN one
+    document count too — self-repetition is boilerplate all the same).
+    Window hashes are a DOUBLE portable rolling polynomial (two
+    independent Horner bases over the same 40-bit prime — an 80-bit
+    effective key, so hash-collision false spans are negligible even
+    at trillions of windows; one vectorized Arrow pass per document
+    instead of an md5 per window; a DuckDB twin reproduces the
+    intervals from the same folds)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    k = min_len
+
+    def wh_fn(texts):
+        out = []
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append([])
+            else:
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                    np.int64
+                )
+                m = len(cp) - k + 1
+                h1 = np.zeros(m, dtype=np.int64)
+                h2 = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    w = cp[j : j + m]
+                    h1 = (h1 * SHINGLE_B + w) % SHINGLE_P
+                    h2 = (h2 * SHINGLE_B2 + w) % SHINGLE_P
+                out.append([{"h1": int(a), "h2": int(b)} for a, b in zip(h1, h2)])
+        return pd.Series(out)
+
+    wh_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    wh_udf = pandas_udf(wh_fn, "array<struct<h1:bigint,h2:bigint>>")
+    wins = df.select(
+        F.col(id_col), F.posexplode(wh_udf(F.col(text_col))).alias("__i", "__h")
+    ).select(
+        id_col,
+        (F.col("__i") + 1).alias("pos"),
+        F.col("__h.h1").alias("__h1"),
+        F.col("__h.h2").alias("__h2"),
+    )
+    dup_hashes = (
+        wins.groupBy("__h1", "__h2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h1", "__h2")
+    )
+    dup_wins = wins.join(dup_hashes, ["__h1", "__h2"], "leftsemi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup_wins.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + F.lit(k - 1)).alias("end"),
+        )
+        .select(id_col, "start", "end")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    min_count: int = 2,
+    out: str | None = None,
+) -> DataFrame:
+    """Excise every duplicated span from the text (the paper's
+    destructive pass): the kept text is the concatenation of the
+    between-span gaps — a pure-codegen ``aggregate`` fold over each
+    doc's sorted intervals (cursor + accumulated string), no UDF.
+    Documents without duplicated spans pass through unchanged."""
+    out = out or text_col
+    spans = duplicate_spans(df, text_col, id_col, min_len, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("start", "end"))
+        ).alias("__spans")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    rebuilt = F.expr(
+        f"""
+        CASE WHEN __spans IS NULL THEN {text_col} ELSE
+          concat(
+            aggregate(
+              __spans,
+              struct(CAST(1 AS INT) AS cursor, CAST('' AS STRING) AS acc),
+              (st, sp) -> struct(
+                CAST(sp.end + 1 AS INT) AS cursor,
+                concat(st.acc,
+                       substring({text_col}, st.cursor,
+                                 greatest(0, sp.start - st.cursor))) AS acc
+              )
+            ).acc,
+            substring({text_col},
+                      aggregate(
+                        __spans,
+                        struct(CAST(1 AS INT) AS cursor, CAST('' AS STRING) AS acc),
+                        (st, sp) -> struct(
+                          CAST(sp.end + 1 AS INT) AS cursor,
+                          concat(st.acc,
+                                 substring({text_col}, st.cursor,
+                                           greatest(0, sp.start - st.cursor))) AS acc
+                        )
+                      ).cursor,
+                      length({text_col})))
+        END
+        """
+    )
+    cols = [c for c in df.columns if c != text_col]
+    return joined.select(*cols, rebuilt.alias(out))

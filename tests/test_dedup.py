@@ -334,3 +334,116 @@ def test_minhash_band_index_reuse(spark, tmp_path):
         ).collect()
     )
     assert via_index == direct == [3]
+
+
+def test_duplicate_spans_detection_and_removal(spark, duck):
+    """Span-level dedup (r6 — the Lee et al. 2022 exact-substring
+    pass): windows of shared boilerplate merge into maximal intervals
+    (cross-doc AND within-doc repeats), removal excises exactly those
+    regions and leaves unique documents untouched, and a DuckDB twin
+    reproduces the intervals from the same portable window hashes."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    boiler = (
+        "This document is provided under the standard license "
+        "agreement version two point one all rights reserved."
+    )
+    rep = "repeated sixty character boilerplate sentence number one here!"
+    rows = [
+        (1, "Intro text alpha. " + boiler + " Unique tail about mountain "
+            "weather patterns and their seasonal variation."),
+        (2, "Other beginning entirely. " + boiler + " Different ending "
+            "regarding submarine cable maintenance operations."),
+        (3, "A fully unique document about medieval bread baking "
+            "techniques and the guild system that governed them."),
+        (4, rep + " interlude words " + rep + " closing remarks"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    K = 50
+    spans = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in duplicate_spans(docs, "text", "doc_id", min_len=K).collect()
+    }
+    by_doc = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    # the shared boilerplate is covered in docs 1 and 2; doc 3 clean;
+    # doc 4's self-repeat is covered at both occurrences
+    for did, text in rows[:2]:
+        (s, e), = by_doc[did]
+        assert text[s - 1 : e].find(boiler) >= 0
+    assert 3 not in by_doc
+    assert len(by_doc[4]) >= 1
+    covered = set()
+    for s, e in by_doc[4]:
+        covered.update(range(s, e + 1))
+    first = rows[3][1].find(rep) + 1
+    second = rows[3][1].find(rep, first) + 1
+    assert set(range(first, first + len(rep))) <= covered
+    assert set(range(second, second + len(rep))) <= covered
+
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, "text", "doc_id", min_len=K).collect()
+    }
+    assert boiler not in cleaned[1] and boiler not in cleaned[2]
+    assert rep not in cleaned[4]
+    assert cleaned[3] == rows[2][1]
+    assert "Unique tail about mountain" in cleaned[1]
+    assert "Different ending" in cleaned[2]
+
+    # DuckDB twin of the interval computation (the same two portable
+    # Horner window folds, count filter, island merge)
+    from deep_db_learning_spark.operators.dedup import (
+        SHINGLE_B,
+        SHINGLE_B2,
+        SHINGLE_P,
+    )
+
+    def fold(base):
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(substr(d.text, CAST(w.pos AS INT), {K}), ''), "
+            "ch -> CAST(CASE WHEN ch = '' THEN 0 ELSE ord(ch) END AS BIGINT))), "
+            f"(acc, ch) -> (acc * {base} + ch) % {SHINGLE_P})"
+        )
+
+    duck.execute("CREATE OR REPLACE TABLE span_docs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO span_docs VALUES (?, ?)", rows)
+    twin = set(
+        map(
+            tuple,
+            duck.execute(
+                f"""
+        WITH w AS (
+          SELECT doc_id, unnest(range(1, greatest(length(text) - {K - 1}, 0) + 1)) AS pos
+          FROM span_docs
+        ), h AS (
+          SELECT w.doc_id, w.pos,
+                 {fold(SHINGLE_B)} AS gh1,
+                 {fold(SHINGLE_B2)} AS gh2
+          FROM w JOIN span_docs d ON d.doc_id = w.doc_id
+        ), dup AS (
+          SELECT gh1, gh2 FROM h GROUP BY gh1, gh2 HAVING count(*) >= 2
+        ), dw AS (
+          SELECT h.doc_id, h.pos FROM h JOIN dup USING (gh1, gh2)
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev IS NULL OR pos - prev > {K} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM dw)
+        )
+        SELECT doc_id, min(pos) AS start, max(pos) + {K - 1} AS "end"
+        FROM isl GROUP BY doc_id, island
+        """
+            ).fetchall(),
+        )
+    )
+    assert twin == spans
