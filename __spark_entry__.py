@@ -1261,7 +1261,14 @@ def q_text_dedup_clusters(spark, sf_dir):
     reproduce it); heavy-hitter shingles make it quadratic-ish on big
     corpora. At scale feed `connected_components` the verified pairs of
     `minhash_lsh_dedup`'s candidate path instead — identical clusters
-    whenever LSH recall holds (tested in tests/test_dedup.py)."""
+    whenever LSH recall holds (tested in tests/test_dedup.py).
+
+    r6 adds a second mode, ``span``: the Lee-et-al.-2022 exact
+    duplicated-SUBSTRING intervals (``duplicate_spans``, double
+    rolling-hash 50-char windows → corpus-wide duplicate filter →
+    per-doc island merge) — rows ``(span, doc_id, a=start, b=end)``
+    beside ``(cluster, doc_id, a=component, b=NULL)``, both
+    DuckDB-recomputed."""
     from deep_db_learning_spark.operators.components import connected_components
 
     db = _db(spark, sf_dir)
@@ -1271,7 +1278,25 @@ def q_text_dedup_clusters(spark, sf_dir):
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         nodes=docs.select("doc_id"),
     )
-    return comp.select(F.col("node").alias("doc_id"), "component")
+    par = spark.sparkContext.defaultParallelism
+    sdocs = docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+    spans = dedup.duplicate_spans(sdocs, "text", "doc_id", min_len=50)
+    return (
+        comp.select(
+            F.lit("cluster").alias("mode"),
+            F.col("node").alias("doc_id"),
+            F.col("component").cast("bigint").alias("a"),
+            F.lit(None).cast("bigint").alias("b"),
+        )
+        .unionByName(
+            spans.select(
+                F.lit("span").alias("mode"),
+                "doc_id",
+                F.col("start").cast("bigint").alias("a"),
+                F.col("end").cast("bigint").alias("b"),
+            )
+        )
+    )
 
 
 def q_decontamination(spark, sf_dir):
@@ -1842,6 +1867,77 @@ def _ann_ivf_oracle() -> str:
     )
 
 
+def _text_dedup_clusters_oracle() -> str:
+    """Mode-tagged text_dedup_clusters oracle (r6). ``cluster``: the
+    original recursive-CTE transitive closure over exact 9-gram
+    Jaccard pairs. ``span``: the duplicated-substring intervals — the
+    SAME two portable Horner window folds the engine's Arrow kernel
+    computes, corpus-wide duplicate filter, per-doc island merge."""
+    from deep_db_learning_spark.operators.dedup import (
+        SHINGLE_B,
+        SHINGLE_B2,
+        SHINGLE_P,
+    )
+
+    K = 50
+
+    def fold(base: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(substr(d.text, CAST(w.pos AS INT), {K}), ''), "
+            "ch -> CAST(CASE WHEN ch = '' THEN 0 ELSE ord(ch) END AS BIGINT))), "
+            f"(acc, ch) -> (acc * {base} + ch) % {SHINGLE_P})"
+        )
+
+    return f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN length(text) < 9 THEN [text]
+            ELSE list_transform(range(1, length(text) - 7), i -> substr(text, i, 9)) END) AS grams
+          FROM documents
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+        ), e AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ), reach(n, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.n
+        ),
+        w AS (
+          SELECT doc_id,
+                 unnest(range(1, greatest(length(text) - {K - 1}, 0) + 1)) AS pos
+          FROM documents
+        ), hh AS (
+          SELECT w.doc_id, w.pos, {fold(SHINGLE_B)} AS gh1, {fold(SHINGLE_B2)} AS gh2
+          FROM w JOIN documents d ON d.doc_id = w.doc_id
+        ), dup AS (
+          SELECT gh1, gh2 FROM hh GROUP BY gh1, gh2 HAVING count(*) >= 2
+        ), dw AS (
+          SELECT hh.doc_id, hh.pos FROM hh JOIN dup USING (gh1, gh2)
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev IS NULL OR pos - prev > {K} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM dw)
+        )
+        SELECT 'cluster' AS mode, n AS doc_id,
+               CAST(min(m) AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b
+        FROM reach GROUP BY n
+        UNION ALL
+        SELECT 'span' AS mode, doc_id,
+               CAST(min(pos) AS BIGINT) AS a,
+               CAST(max(pos) + {K - 1} AS BIGINT) AS b
+        FROM isl GROUP BY doc_id, island
+    """
+
+
 def _embedding_topk_oracle() -> str:
     """Mode-tagged embedding_topk oracle (r6). ``exact``: the original
     brute-force cosine SQL. ``sq8``: the scalar-quantization twin —
@@ -2334,27 +2430,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         """,
-        "text_dedup_clusters": """
-            WITH RECURSIVE sh AS (
-              SELECT doc_id, list_distinct(CASE WHEN length(text) < 9 THEN [text]
-                ELSE list_transform(range(1, length(text) - 7), i -> substr(text, i, 9)) END) AS grams
-              FROM documents
-            ), p AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-                    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
-            ), e AS (
-              SELECT id_a AS a, id_b AS b FROM p
-              UNION
-              SELECT id_b, id_a FROM p
-            ), reach(n, m) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.n
-            )
-            SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
-        """,
+        "text_dedup_clusters": _text_dedup_clusters_oracle(),
         "minhash_dedup": _minhash_dedup_oracle(),
         "train_relational": _train_relational_oracle(),
         "decontamination": """
