@@ -78,6 +78,13 @@ def clean_corpus(
     ``with_stats`` runs one extra ``count()`` job per stage over a
     persisted snapshot of that stage (audit mode — the plain call runs
     no extra jobs and persists nothing).
+
+    Span-level substring excision
+    (:func:`~..operators.dedup.remove_duplicate_spans`, r6 — the Lee
+    et al. 2022 pass) is deliberately NOT a default stage: it is
+    destructive and an order of magnitude heavier than the
+    paragraph-level boilerplate removal here; run it as its own pass
+    before or after this cascade when the corpus calls for it.
     """
     if boilerplate_min_docs is not None and boilerplate_min_docs < 2:
         raise ValueError(
