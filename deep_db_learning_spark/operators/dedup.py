@@ -1160,5 +1160,7 @@ def remove_duplicate_spans(
         END
         """
     )
-    cols = [c for c in df.columns if c != text_col]
+    # only displace the source column when writing in place — a
+    # distinct ``out`` keeps the original text beside the excised copy
+    cols = [c for c in df.columns if c != out]
     return joined.select(*cols, rebuilt.alias(out))

@@ -1141,8 +1141,11 @@ def sq8_append(
         )
         .agg(
             F.count(F.lit(1)).alias("n_new"),
-            (F.sum("__s.c") / F.sum("__s.n")).alias("clip_frac"),
-            F.max("__s.mx").alias("max_scale_ratio"),
+            # empty batch → 0/0; a no-op append is clean, not unknown
+            F.coalesce(F.sum("__s.c") / F.sum("__s.n"), F.lit(0.0)).alias(
+                "clip_frac"
+            ),
+            F.coalesce(F.max("__s.mx"), F.lit(0.0)).alias("max_scale_ratio"),
         )
         .withColumn("refit", F.col("clip_frac") > clip_threshold)
     )

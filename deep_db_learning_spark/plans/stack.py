@@ -423,6 +423,22 @@ def _join_gradient(frame: DataFrame, g_frame: DataFrame) -> DataFrame:
     return frame.join(g, "parent_key", "inner")
 
 
+def _require_nonnull_sums(tot_row, glen: int) -> None:
+    """A decimal SUM over a NON-EMPTY frame can only be NULL when the
+    accumulator overflowed (non-ANSI Spark nulls instead of raising);
+    folding that into ``float(x or 0)`` would silently zero a
+    gradient. Empty frames legitimately sum to NULL and pass."""
+    if tot_row["__n"] == 0:
+        return
+    bad = [i for i in range(glen) if tot_row[f"v{i}"] is None]
+    if bad:
+        raise ArithmeticError(
+            "decimal overflow in frame-mode gradient fold: NULL sum for "
+            f"components {bad[:8]}{'…' if len(bad) > 8 else ''} over a "
+            f"non-empty ({tot_row['__n']}-row) gradient frame"
+        )
+
+
 def _layer_backward_fold(
     joined: DataFrame,
     E: np.ndarray,
@@ -530,8 +546,10 @@ def _layer_backward_fold(
     # distributed per-code delta fold → (code, demb) frame
     g = cut_lineage(g, eager=True)
     tot_row = g.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[F.sum(F.element_at("g", i + 1)).alias(f"v{i}") for i in range(glen)]
     ).first()
+    _require_nonnull_sums(tot_row, glen)
     dW = np.array(
         [float(tot_row[f"v{i}"] or 0) for i in range(m * d)]
     ).reshape(m, d)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,7 +83,9 @@ def stream_vectors_into_store(
             prev_v = store.latest_version()
             try:
                 old_stats = spark.read.parquet(stats_path(prev_v))
-            except Exception:
+            except AnalysisException:
+                # only a MISSING stats snapshot degrades to the
+                # O(store) re-derivation; a corrupt file must surface
                 old_stats = ivf_append_stats(old, model, vec_col)
             new_store, drift, stats = ivf_append(
                 old, model, batch_df, id_col, vec_col,

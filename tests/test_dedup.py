@@ -447,3 +447,30 @@ def test_duplicate_spans_detection_and_removal(spark, duck):
         )
     )
     assert twin == spans
+
+
+def test_remove_duplicate_spans_separate_out_keeps_source(spark):
+    """r7 advice fix: asking for a distinct output column must keep
+    the original text beside the excised copy (previously the source
+    column was silently dropped); in-place mode still replaces it."""
+    from deep_db_learning_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = (
+        "This document is provided under the standard license "
+        "agreement version two point one all rights reserved."
+    )
+    rows = [
+        (1, "Start one. " + boiler + " Tail about glacier melt rates."),
+        (2, "Start two, differently. " + boiler + " Tail on orbit decay."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = remove_duplicate_spans(
+        docs, "text", "doc_id", min_len=50, out="clean_text"
+    )
+    assert set(got.columns) == {"doc_id", "text", "clean_text"}
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    for did, text in rows:
+        assert by_id[did]["text"] == text  # source untouched
+        assert boiler not in by_id[did]["clean_text"]
+    inplace = remove_duplicate_spans(docs, "text", "doc_id", min_len=50)
+    assert set(inplace.columns) == {"doc_id", "text"}

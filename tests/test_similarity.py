@@ -517,6 +517,16 @@ def test_sq8_append_parity_and_drift(db):
     d2 = drift2.first()
     assert d2["refit"] and d2["clip_frac"] > 0.5 and d2["max_scale_ratio"] > 5.0
 
+    # r7 advice fix: an EMPTY batch is a clean no-op append, not an
+    # unknown verdict — clip_frac/refit must not be NULL (0/0)
+    store3, drift3 = sq8_append(store_old, scales, new.limit(0))
+    d3 = drift3.first()
+    assert d3["n_new"] == 0
+    assert d3["clip_frac"] == 0.0 and d3["max_scale_ratio"] == 0.0
+    assert d3["refit"] is False
+    assert drift3.filter("refit").count() == 0
+    assert store3.count() == store_old.count()
+
 
 def test_opq_rotation_beats_plain_pq_on_correlated_data(spark):
     """OPQ (r6 — Ge et al. 2013): on dimension-correlated embeddings

@@ -458,3 +458,64 @@ def test_stream_vectors_into_store(spark, db, tmp_path):
     drift = spark.read.parquet(os.path.join(str(tmp_path / "store"), "drift_v2"))
     rows = drift.collect()
     assert rows and {"list_id", "n_old", "n_new", "refit"} <= set(drift.columns)
+
+
+def test_stream_vectors_store_missing_stats_fallback(spark, db, tmp_path):
+    """r7 advice fix: a MISSING per-version stats snapshot degrades
+    gracefully to re-deriving running stats from the store (the only
+    case the except clause may swallow), and the append still commits
+    the correct next version."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.similarity import (
+        _assign_lists,
+        ivf_index_deterministic,
+    )
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        stream_vectors_into_store,
+    )
+
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    _, model = ivf_index_deterministic(
+        emb.filter(F.col("vec_id") % 2 == 0), n_lists=4, n_iters=2
+    )
+    in_dir = str(tmp_path / "in")
+    store_dir = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_vectors_into_store(stream, store_dir, ck, model)
+        q.awaitTermination(120)
+
+    run()  # v1 + stats_v1
+    shutil.rmtree(os.path.join(store_dir, "stats_v1"))
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()  # prev stats missing -> O(store) re-derivation path
+
+    store = SnapshotStore(store_dir)
+    assert store.latest_version() == 2
+    got = sorted(
+        (r["vec_id"], r["list_id"]) for r in store.read(spark).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in emb.withColumn(
+            "list_id", _assign_lists(model.clusterCenters(), "embedding", 1)[0]
+        ).collect()
+    )
+    assert got == want
+    assert os.path.isdir(os.path.join(store_dir, "stats_v2"))

@@ -891,3 +891,21 @@ def test_head_trainers_regression_task(db):
     )
     assert tro.losses == twin_tro
     assert tro.losses[-1] < tro.losses[0]
+
+
+def test_frame_fold_overflow_guard():
+    """r7 advice fix: a NULL decimal sum over a NON-EMPTY gradient
+    frame means accumulator overflow (non-ANSI Spark nulls instead of
+    raising) and must raise rather than silently become a zero
+    gradient; empty frames legitimately pass NULLs through."""
+    import pytest
+
+    from deep_db_learning_spark.plans.stack import _require_nonnull_sums
+
+    ok = {"__n": 3, "v0": 1, "v1": 2}
+    _require_nonnull_sums(ok, 2)  # no raise
+    empty = {"__n": 0, "v0": None, "v1": None}
+    _require_nonnull_sums(empty, 2)  # empty frame: NULL is legitimate
+    bad = {"__n": 3, "v0": 1, "v1": None}
+    with pytest.raises(ArithmeticError, match="overflow"):
+        _require_nonnull_sums(bad, 2)
