@@ -1,0 +1,274 @@
+"""Full-text retrieval for the LLM-data-pipeline extension: inverted
+postings, BM25 ranking, a distinct-token Jaccard retriever, and
+reciprocal-rank-fusion (RRF) hybrid search.
+
+No reference counterpart (the reference's only text handling is the
+embedding hook, ``data/ctu_dataset.py:43-52``); this is the retrieval
+half a training-data pipeline needs next to the dedup/ANN family —
+sparse lexical search over the corpus (targeted eval-set mining,
+topic filtering, "find documents like this query") with BM25
+(Robertson et al., TREC-3) as the lexical voice, set-overlap Jaccard
+as a second independent voice, and RRF (Cormack et al., SIGIR 2009)
+to fuse any number of rankings without score calibration.
+
+Scale posture (100 TB):
+- The postings build is one explode + one ``(id, term)`` shuffle; the
+  resulting ``(id, term, tf, dl)`` frame IS the persistable inverted
+  index — write it partitioned/bucketed by term so query-time scans
+  prune to the query vocabulary's buckets.
+- Queries are DRIVER-SIDE by design: a query set is human-sized. The
+  per-term document frequencies needed for idf are a bounded collect
+  (|query vocabulary| rows), and the query-term frame broadcasts into
+  the postings join — scoring touches ONLY postings rows whose term
+  appears in some query, never the full corpus per query.
+- ``max_df_frac`` drops terms whose postings list exceeds a corpus
+  fraction (stopword degree) — the standard guard against a single
+  term fanning out to a large share of all documents.
+- All cross-row score sums go through the exact decimal fold
+  (``functions/exact_agg``), so the ranking is partitioning- and
+  engine-independent: the DuckDB oracle, a re-run, and a 1000-executor
+  cluster produce bit-identical scores.
+
+Determinism contract (the oracle-coupling rules, COVERAGE.md):
+- idf needs ``ln`` — a transcendental whose last ulp is NOT guaranteed
+  equal across math libraries. Both the engine and any SQL twin
+  therefore compute idf in PYTHON (``math.log``) from exact integer
+  (N, df) counts and inline the resulting doubles as literals; the
+  engines only ever do IEEE +,-,*,/ on identical literals.
+- Every float literal crosses into SQL as ``CAST('<repr>' AS DOUBLE)``
+  (:func:`dlit`): both Spark and DuckDB parse the decimal string and
+  round correctly to the same double, whereas bare ``2.2`` literals
+  parse as DECIMAL with engine-specific downstream promotion.
+- The score expressions are built by shared helpers
+  (:func:`bm25_score_expr`, :func:`jaccard_score_expr`,
+  :func:`rrf_score_expr`) so the engine and the oracle evaluate the
+  character-identical arithmetic tree.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact_agg import exact_sum
+
+# lowercase word tokens; RE2-compatible so DuckDB evaluates the same
+# pattern, and python's re tokenizes queries identically driver-side
+SEARCH_TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def dlit(x: float) -> str:
+    """A double literal both Spark SQL and DuckDB parse to the exact
+    same IEEE value (repr round-trips; CAST-from-string is correctly
+    rounded in both engines, bare decimal literals are not)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def search_tokens(text: Column | str) -> Column:
+    """``array<string>`` of lowercase word tokens (codegen, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(SEARCH_TOKEN_PATTERN), 0)
+
+
+def tokenize_query(q: str) -> list[str]:
+    """Driver-side twin of :func:`search_tokens`, distinct + sorted
+    (BM25 sums each query term once; order fixes the literal layout)."""
+    return sorted(set(re.findall(SEARCH_TOKEN_PATTERN, q.lower())))
+
+
+def build_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The inverted index: ``(id, dl, term, tf)`` — term frequency per
+    document plus the document's token length. One explode + one
+    shuffle on ``(id, term)``; persist this (bucketed by term) as the
+    standing index at scale."""
+    toks = df.select(
+        F.col(id_col), search_tokens(text_col).alias("__toks")
+    ).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    return toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def corpus_token_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
+    """``(n_docs, total_tokens)`` — exact integers (one scan)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.size(search_tokens(text_col))), F.lit(0)
+        ).alias("s"),
+    ).first()
+    return int(row["n"]), int(row["s"])
+
+
+def bm25_idf(n_docs: int, doc_freq: int) -> float:
+    """Lucene's non-negative BM25 idf: ``ln(1 + (N - df + .5)/(df + .5))``.
+    Python ``math.log`` on exact integers — the ONLY transcendental in
+    the pipeline, evaluated once driver-side (see module docstring)."""
+    return math.log(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def bm25_score_expr(k1: float, b: float, avgdl: float) -> str:
+    """The per-posting BM25 contribution over columns ``idf``, ``tf``,
+    ``dl`` — shared verbatim by the engine and any SQL oracle so both
+    evaluate the identical IEEE expression tree."""
+    return (
+        f"(idf * (tf * {dlit(k1 + 1.0)})) / "
+        f"(tf + {dlit(k1)} * ({dlit(1.0 - b)} + {dlit(b)} * (dl / {dlit(avgdl)})))"
+    )
+
+
+def jaccard_score_expr() -> str:
+    """Distinct-token Jaccard over integer columns ``ov`` (overlap),
+    ``da`` (doc set size), ``db`` (query set size) — one IEEE division."""
+    return "CAST(ov AS DOUBLE) / (da + db - ov)"
+
+
+def rrf_score_expr(rank_cols: list[str], rrf_k: float = 60.0) -> str:
+    """Reciprocal-rank-fusion score over nullable integer rank columns:
+    a FIXED left-to-right fold of ``1/(k + rank)`` terms (float addition
+    is not associative; pinning the tree makes the value portable)."""
+    terms = [
+        f"coalesce({dlit(1.0)} / ({dlit(rrf_k)} + {c}), {dlit(0.0)})"
+        for c in rank_cols
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def _rank_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Deterministic top-k per query: score desc, id asc tiebreak."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """BM25 top-k per query → ``(query_id, <id_col>, rank, score)``.
+
+    ``queries``: driver-side ``(query_id, query_text)`` pairs (a query
+    set is human-sized). ``postings``: a precomputed
+    :func:`build_postings` frame — pass the persisted index at scale so
+    only the tiny df-count job and the scoring join run per query set.
+    ``max_df_frac``: drop query terms whose document frequency exceeds
+    this corpus fraction (stopword-degree guard)."""
+    spark = df.sparkSession
+    qterms = {qid: tokenize_query(q) for qid, q in queries}
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    if postings is None:
+        postings = build_postings(df, text_col, id_col)
+    # bounded collect: one (term, df) row per query-vocabulary term
+    dfc = {
+        r["term"]: r["df"]
+        for r in postings.filter(F.col("term").isin(vocab))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    n_docs, total_tokens = corpus_token_stats(df, text_col)
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+    if max_df_frac is not None:
+        vocab = [t for t in vocab if dfc.get(t, 0) <= max_df_frac * n_docs]
+    keep = set(vocab)
+    idf = {t: bm25_idf(n_docs, dfc.get(t, 0)) for t in vocab}
+    qrows = [
+        (qid, t, idf[t]) for qid, ts in qterms.items() for t in ts if t in keep
+    ]
+    qframe = spark.createDataFrame(
+        qrows, "query_id bigint, term string, idf double"
+    )
+    scored = (
+        postings.join(F.broadcast(qframe), "term")
+        .withColumn("__c", F.expr(bm25_score_expr(k1, b, avgdl)))
+        .groupBy("query_id", id_col)
+        .agg(exact_sum("__c").alias("score"))
+    )
+    return _rank_topk(scored, id_col, k)
+
+
+def jaccard_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Distinct-token Jaccard top-k per query — the cheap second
+    retrieval voice for RRF. Integer set arithmetic end to end
+    (overlap via the inverted explode, union as ``da + db − ov``), so
+    the only float op is one portable division; docs sharing no term
+    with the query are never materialized (no cross join)."""
+    spark = df.sparkSession
+    qterms = {qid: tokenize_query(q) for qid, q in queries}
+    qframe = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms.items() for t in ts],
+        "query_id bigint, term string",
+    )
+    qsize = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in qterms.items()],
+        "query_id bigint, db int",
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(search_tokens(text_col)).alias("__t"),
+    ).select(
+        id_col, F.size("__t").alias("da"), F.explode("__t").alias("term")
+    )
+    scored = (
+        toks.join(F.broadcast(qframe), "term")
+        .groupBy("query_id", id_col, "da")
+        .agg(F.count(F.lit(1)).alias("ov"))
+        .join(F.broadcast(qsize), "query_id")
+        .withColumn("score", F.expr(jaccard_score_expr()))
+    )
+    return _rank_topk(scored, id_col, k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    rrf_k: float = 60.0,
+) -> DataFrame:
+    """Fuse ``(query_id, <id_col>, rank, ...)`` frames by reciprocal
+    rank: full-outer join on ``(query_id, id)`` in the GIVEN order
+    (the fold order pins the float sum), score with
+    :func:`rrf_score_expr`, re-rank deterministically. Retriever
+    scores are ignored by construction — RRF needs no calibration."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    frames = [
+        r.select(
+            "query_id", F.col(id_col), F.col("rank").alias(f"__r{i}")
+        )
+        for i, r in enumerate(rankings)
+    ]
+    joined = frames[0]
+    for f in frames[1:]:
+        joined = joined.join(f, ["query_id", id_col], "full_outer")
+    cols = [f"__r{i}" for i in range(len(rankings))]
+    scored = joined.withColumn("score", F.expr(rrf_score_expr(cols, rrf_k)))
+    return _rank_topk(scored, id_col, k)

@@ -1,0 +1,232 @@
+"""Full-text retrieval (r7): BM25 over inverted postings, the
+distinct-token Jaccard retriever, and RRF hybrid fusion — each checked
+bit-for-bit against an independent DuckDB twin (the engines share only
+the python-computed idf literals and the expression-tree helpers, per
+the oracle-coupling contract), plus ranking-semantics properties and
+plan-shape pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.functions.exact_agg import exact_sum_sql
+from deep_db_learning_spark.operators import search
+
+SF = "/root/testdata/sf0.001"
+QUERIES = [
+    (0, "hash join spark"),
+    (1, "window agg stream"),
+    (2, "customer filter scan"),
+    (3, "vector merge sort batch"),
+    (4, "slow query big table"),
+]
+TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _duck_bm25_cte(con, k1=1.2, b=0.75, k=10):
+    """DuckDB BM25 CTE chain (post → q VALUES → exact-decimal score →
+    deterministic rank), sharing ONLY the literal-layout helpers with
+    the engine."""
+    n_docs, total = con.execute(
+        f"SELECT count(*), sum(len({TOK})) FROM documents"
+    ).fetchone()
+    avgdl = total / n_docs
+    qterms = {qid: search.tokenize_query(q) for qid, q in QUERIES}
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    dfc = dict(
+        con.execute(
+            f"""
+        SELECT term, count(*) FROM (
+          SELECT doc_id, t.term FROM documents,
+            unnest({TOK}) AS t(term)
+          GROUP BY doc_id, t.term)
+        WHERE term IN ({','.join("'" + t + "'" for t in vocab)})
+        GROUP BY term"""
+        ).fetchall()
+    )
+    idf = {t: search.bm25_idf(n_docs, dfc.get(t, 0)) for t in vocab}
+    qvals = ", ".join(
+        f"({qid}, '{t}', {search.dlit(idf[t])})"
+        for qid, ts in qterms.items()
+        for t in ts
+    )
+    return f"""
+    post AS (
+      SELECT doc_id, len({TOK}) AS dl, t.term, count(*) AS tf
+      FROM documents, unnest({TOK}) AS t(term)
+      GROUP BY doc_id, dl, t.term
+    ), q(query_id, term, idf) AS (VALUES {qvals}),
+    sc AS (
+      SELECT q.query_id, p.doc_id,
+             {exact_sum_sql(search.bm25_score_expr(k1, b, avgdl))} AS score
+      FROM post p JOIN q USING (term) GROUP BY q.query_id, p.doc_id
+    ), bm AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INTEGER) AS rank, score
+      FROM sc QUALIFY rank <= {k}
+    )"""
+
+
+def _duck_jacc_cte(k=10):
+    qterms = {qid: search.tokenize_query(q) for qid, q in QUERIES}
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in qterms.items() for t in ts
+    )
+    qsz = ", ".join(f"({qid}, {len(ts)})" for qid, ts in qterms.items())
+    return f"""
+    dtok AS (
+      SELECT doc_id, len(list_distinct({TOK})) AS da, t.term
+      FROM documents, unnest(list_distinct({TOK})) AS t(term)
+    ), jq(query_id, term) AS (VALUES {qvals}),
+    qs(query_id, db) AS (VALUES {qsz}),
+    jov AS (
+      SELECT jq.query_id, d.doc_id, d.da, count(*) AS ov
+      FROM dtok d JOIN jq USING (term) GROUP BY jq.query_id, d.doc_id, d.da
+    ), jsc AS (
+      SELECT query_id, doc_id, {search.jaccard_score_expr()} AS score
+      FROM (SELECT jov.*, qs.db FROM jov JOIN qs USING (query_id))
+    ), ja AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INTEGER) AS rank, score
+      FROM jsc QUALIFY rank <= {k}
+    )"""
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_bm25_matches_duckdb(spark, duck):
+    got = sorted(
+        map(tuple, search.bm25_topk(_docs(spark), "text", "doc_id", QUERIES, k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                f"WITH {_duck_bm25_cte(duck)} SELECT * FROM bm"
+            ).fetchall(),
+        )
+    )
+    assert got == want  # bitwise, scores included
+
+
+def test_jaccard_matches_duckdb(spark, duck):
+    got = sorted(
+        map(tuple, search.jaccard_topk(_docs(spark), "text", "doc_id", QUERIES, k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                f"WITH {_duck_jacc_cte()} SELECT * FROM ja"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_rrf_matches_duckdb(spark, duck):
+    docs = _docs(spark)
+    bm = search.bm25_topk(docs, "text", "doc_id", QUERIES, k=10)
+    ja = search.jaccard_topk(docs, "text", "doc_id", QUERIES, k=10)
+    got = sorted(
+        map(tuple, search.rrf_fuse([bm, ja], "doc_id", k=10).collect())
+    )
+    rrf_expr = search.rrf_score_expr(["a.rank", "b.rank"], 60.0)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                f"""
+        WITH {_duck_bm25_cte(duck)}, {_duck_jacc_cte()}
+        , fused AS (
+          SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                 coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 {rrf_expr} AS score
+          FROM bm a FULL OUTER JOIN ja b
+            ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+        )
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS INTEGER) AS rank, score
+        FROM fused QUALIFY rank <= 10"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_bm25_ranking_sanity(spark):
+    rows = [
+        (1, "solar panel efficiency in desert climates"),
+        (2, "solar panel installation costs"),
+        (3, "medieval bread baking techniques"),
+        (4, "panel discussion about nothing solar related panel panel"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = search.bm25_topk(
+        docs, "text", "doc_id", [(0, "solar panel efficiency")], k=4
+    ).collect()
+    ranked = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # all three terms, once each
+    assert 3 not in ranked  # shares no term
+    assert all(r["score"] > 0 for r in got)
+
+
+def test_bm25_max_df_frac_drops_stopword_terms(spark):
+    rows = [
+        (1, "the quick fox"),
+        (2, "the lazy dog"),
+        (3, "the busy bee"),
+        (4, "the quiet owl"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # "the" is in 4/4 docs; with the guard at 0.5 only "fox" scores
+    got = search.bm25_topk(
+        docs, "text", "doc_id", [(0, "the fox")], k=4, max_df_frac=0.5
+    ).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    without = search.bm25_topk(
+        docs, "text", "doc_id", [(0, "the fox")], k=4
+    ).collect()
+    assert len(without) == 4  # every doc matches "the" unguarded
+
+
+def test_rrf_consensus_and_identity(spark):
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id bigint, doc_id bigint, rank int, score double"
+    )
+    a = mk([(0, 10, 1, 9.0), (0, 11, 2, 8.0), (0, 12, 3, 7.0)])
+    b = mk([(0, 11, 1, 0.9), (0, 10, 2, 0.8), (0, 13, 3, 0.7)])
+    fused = search.rrf_fuse([a, b], "doc_id", k=4).collect()
+    order = [r["doc_id"] for r in sorted(fused, key=lambda r: r["rank"])]
+    # consensus docs (10, 11 in both) beat single-list docs (12, 13);
+    # 10 and 11 tie on 1/61+1/62 — doc_id breaks the tie
+    assert order == [10, 11, 12, 13]
+    solo = search.rrf_fuse([a], "doc_id", k=3).collect()
+    assert [r["doc_id"] for r in sorted(solo, key=lambda r: r["rank"])] == [
+        10, 11, 12,
+    ]
+
+
+def test_search_plan_shape(spark):
+    """Query frames broadcast into the postings join; the whole
+    pipeline is codegen (no python UDF nodes); bm25 stays within the
+    postings shuffle + agg shuffle + one window exchange."""
+    from tests.test_plans import shuffle_count
+
+    docs = _docs(spark)
+    bm = search.bm25_topk(docs, "text", "doc_id", QUERIES, k=10)
+    plan = bm._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(plan) <= 5
+    ja = search.jaccard_topk(docs, "text", "doc_id", QUERIES, k=10)
+    jplan = ja._jdf.queryExecution().executedPlan().toString()
+    assert jplan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in jplan and "ArrowEvalPython" not in jplan
