@@ -32,7 +32,7 @@ from deep_db_learning_spark.functions.datetime_funcs import (
 )
 from deep_db_learning_spark.functions.encode import dict_encode, one_hot
 from deep_db_learning_spark.functions.normalize import normalize
-from deep_db_learning_spark.operators import dedup, similarity
+from deep_db_learning_spark.operators import dedup, search, similarity
 from deep_db_learning_spark.functions.convert import convert_table
 from deep_db_learning_spark.functions.encode import multilabel_binarize
 from deep_db_learning_spark.operators.bfs import bfs_visited_counts
@@ -1121,6 +1121,67 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+# shared between q_text_search and its oracle builder: the query set is
+# part of the spec, so both engines score the identical driver-side
+# queries against whatever corpus the sf_dir holds
+TEXT_SEARCH_QUERIES = [
+    (0, "hash join spark"),
+    (1, "window agg stream"),
+    (2, "customer filter scan"),
+    (3, "vector merge sort batch"),
+    (4, "slow query big table"),
+]
+
+
+def q_text_search(spark, sf_dir):
+    """LLM ops, mode-tagged (r7): full-text retrieval over documents —
+    ``bm25`` (inverted postings → broadcast query-term join →
+    exact-decimal score fold → deterministic top-10), ``jacc``
+    (distinct-token Jaccard, integer set arithmetic, one portable
+    division), ``rrf`` (reciprocal-rank fusion of the two, fixed-order
+    float fold). FULLY oracle-checked: idf is python ``math.log`` over
+    exact (N, df) integers inlined as literals on BOTH sides (no
+    cross-engine transcendental), every other op is IEEE arithmetic on
+    shared expression trees (operators/search.py helpers)."""
+    from deep_db_learning_spark.checkpoint import cut_lineage
+
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    # ONE inverted index serves both retrievers (at 100 TB this is the
+    # persisted standing index; here the checkpoint stands in for it) —
+    # without it each voice re-scans and re-tokenizes the corpus
+    postings = cut_lineage(
+        search.build_postings(docs, "text", "doc_id"), eager=True
+    )
+    bm = cut_lineage(
+        search.bm25_topk(
+            docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
+            postings=postings,
+        ),
+        eager=True,
+    )
+    ja = cut_lineage(
+        search.jaccard_topk(
+            docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
+            postings=postings,
+        ),
+        eager=True,
+    )
+    # the topk frames are ≤ |queries|·k rows; materializing them once
+    # feeds both their own mode and the fusion without re-running the
+    # postings pipelines
+    rr = search.rrf_fuse([bm, ja], "doc_id", k=10)
+    return (
+        bm.select(F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score")
+        .unionByName(
+            ja.select(F.lit("jacc").alias("mode"), "query_id", "doc_id", "rank", "score")
+        )
+        .unionByName(
+            rr.select(F.lit("rrf").alias("mode"), "query_id", "doc_id", "rank", "score")
+        )
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """LLM ops: exact cosine pair join at 0.32 among vec_id < 200 (the
     synthetic embeddings are random — max pairwise cosine ~0.44 — so
@@ -1319,6 +1380,30 @@ def q_events_hourly(spark, sf_dir):
     """Streaming extension (batch twin): tumbling-window user features."""
     db = _db(spark, sf_dir)
     return hourly_user_features(db.df("events"))
+
+
+def q_events_windows(spark, sf_dir):
+    """Streaming extension, mode-tagged (r7 registry rotation — the
+    minhash_dedup merge pattern): ``hourly`` — tumbling 1h per-user
+    features (count / exact sum / exact avg / distinct types);
+    ``sliding`` — 1h windows every 15min (each event in 4 windows),
+    padded with NULL avg_value/n_event_types to the shared schema."""
+    db = _db(spark, sf_dir)
+    events = db.df("events")
+    h = hourly_user_features(events).select(
+        F.lit("hourly").alias("mode"),
+        "window_start", "user_id", "n_events", "sum_value",
+        "avg_value", "n_event_types",
+    )
+    from deep_db_learning_spark.streaming import sliding_user_features
+
+    s = sliding_user_features(events).select(
+        F.lit("sliding").alias("mode"),
+        "window_start", "user_id", "n_events", "sum_value",
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("long").alias("n_event_types"),
+    )
+    return h.unionByName(s)
 
 
 def q_events_sessions(spark, sf_dir):
@@ -1547,7 +1632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
-        "events_sliding": q_events_sliding,
         # LLM data pipeline (dedup / similarity / text)
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1560,8 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "text_search": q_text_search,
         # streaming / temporal extensions
-        "events_hourly": q_events_hourly,
+        "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
         "events_user_profile": q_events_user_profile,
         "node_store": q_node_store,
@@ -1712,6 +1797,106 @@ _SHINGLE_CTE = """
            ELSE list_transform(range(1, length(text) - 3), i -> substr(text, i, 5)) END) AS grams
   FROM documents
 """
+
+
+def _text_search_oracle(
+    k: int = 10, k1: float = 1.2, b: float = 0.75, rrf_k: float = 60.0
+) -> str:
+    """DuckDB twin of the mode-tagged q_text_search (r7). ``bm25``:
+    inverted postings → query VALUES join → exact-decimal score fold →
+    deterministic rank; ``jacc``: distinct-token overlap with the
+    integer union identity la+lb−ov; ``rrf``: full-outer fusion with
+    the fixed-order reciprocal-rank fold. The idf literals are python
+    ``math.log`` over exact (N, df) integers recomputed HERE at
+    oracle-build time from the raw parquet (the temperature_fractions
+    pattern) and the score expressions come from the same
+    ``operators/search.py`` helpers the engine executes — the engines
+    never evaluate a transcendental, only identical IEEE trees."""
+    import duckdb
+
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    n_docs, total = con.execute(
+        f"SELECT count(*), sum(len({tok})) FROM documents"
+    ).fetchone()
+    avgdl = total / n_docs
+    qterms = {qid: search.tokenize_query(q) for qid, q in TEXT_SEARCH_QUERIES}
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    dfc = dict(
+        con.execute(
+            f"""
+        SELECT term, count(*) FROM (
+          SELECT doc_id, t.term FROM documents, unnest({tok}) AS t(term)
+          GROUP BY doc_id, t.term)
+        WHERE term IN ({','.join("'" + t + "'" for t in vocab)})
+        GROUP BY term"""
+        ).fetchall()
+    )
+    con.close()
+    idf = {t: search.bm25_idf(n_docs, dfc.get(t, 0)) for t in vocab}
+    qvals = ", ".join(
+        f"({qid}, '{t}', {search.dlit(idf[t])})"
+        for qid, ts in qterms.items()
+        for t in ts
+    )
+    jqvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in qterms.items() for t in ts
+    )
+    qsz = ", ".join(f"({qid}, {len(ts)})" for qid, ts in qterms.items())
+    rank = (
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, doc_id) AS INTEGER)"
+    )
+    return f"""
+        WITH post AS (
+          SELECT doc_id, len({tok}) AS dl, t.term, count(*) AS tf
+          FROM documents, unnest({tok}) AS t(term)
+          GROUP BY doc_id, dl, t.term
+        ), q(query_id, term, idf) AS (VALUES {qvals}),
+        sc AS (
+          SELECT q.query_id, p.doc_id,
+                 {exact_sum_sql(search.bm25_score_expr(k1, b, avgdl))} AS score
+          FROM post p JOIN q USING (term) GROUP BY q.query_id, p.doc_id
+        ), bm AS (
+          SELECT query_id, doc_id, {rank} AS rank, score
+          FROM sc QUALIFY rank <= {k}
+        ),
+        dtok AS (
+          SELECT doc_id, len(list_distinct({tok})) AS da, t.term
+          FROM documents, unnest(list_distinct({tok})) AS t(term)
+        ), jq(query_id, term) AS (VALUES {jqvals}),
+        qs(query_id, db) AS (VALUES {qsz}),
+        jov AS (
+          SELECT jq.query_id, d.doc_id, d.da, count(*) AS ov
+          FROM dtok d JOIN jq USING (term)
+          GROUP BY jq.query_id, d.doc_id, d.da
+        ), jsc AS (
+          SELECT query_id, doc_id, {search.jaccard_score_expr()} AS score
+          FROM (SELECT jov.*, qs.db FROM jov JOIN qs USING (query_id))
+        ), ja AS (
+          SELECT query_id, doc_id, {rank} AS rank, score
+          FROM jsc QUALIFY rank <= {k}
+        ),
+        fused AS (
+          SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                 coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 {search.rrf_score_expr(['a.rank', 'b.rank'], rrf_k)} AS score
+          FROM bm a FULL OUTER JOIN ja b
+            ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+        ), rr AS (
+          SELECT query_id, doc_id, {rank} AS rank, score
+          FROM fused QUALIFY rank <= {k}
+        )
+        SELECT 'bm25' AS mode, * FROM bm
+        UNION ALL SELECT 'jacc', * FROM ja
+        UNION ALL SELECT 'rrf', * FROM rr
+    """
 
 
 def _minhash_dedup_oracle(
@@ -2370,18 +2555,6 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         ),
-        "events_sliding": f"""
-            WITH w AS (
-              SELECT make_timestamp(k * 900 * 1000000) AS window_start,
-                     user_id, value
-              FROM events, unnest(generate_series(
-                    CAST(floor(epoch(ts)/900) AS BIGINT) - 3,
-                    CAST(floor(epoch(ts)/900) AS BIGINT), 1)) AS t(k)
-            )
-            SELECT window_start, user_id, count(*) AS n_events,
-                   {exact_sum_sql('value')} AS sum_value
-            FROM w GROUP BY 1, 2
-        """,
         "graph_stats": graph_stats,
         "convert_orders": """
             WITH st AS (
@@ -2431,6 +2604,7 @@ def oracle_sql() -> dict[str, str]:
                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         """,
         "text_dedup_clusters": _text_dedup_clusters_oracle(),
+        "text_search": _text_search_oracle(),
         "minhash_dedup": _minhash_dedup_oracle(),
         "train_relational": _train_relational_oracle(),
         "decontamination": """
@@ -2634,13 +2808,24 @@ def oracle_sql() -> dict[str, str]:
                      x -> x * x), (a, b) -> a + b)), 6) AS feat_norm
             FROM enc
         """,
-        "events_hourly": f"""
-            SELECT date_trunc('hour', ts) AS window_start, user_id,
-                   count(*) AS n_events,
+        "events_windows": f"""
+            SELECT 'hourly' AS mode, date_trunc('hour', ts) AS window_start,
+                   user_id, count(*) AS n_events,
                    {exact_sum_sql('value')} AS sum_value,
                    {exact_avg_sql('value')} AS avg_value,
                    count(DISTINCT event_type) AS n_event_types
-            FROM events GROUP BY 1, 2
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding', window_start, user_id, count(*),
+                   {exact_sum_sql('value')},
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+            FROM (
+              SELECT make_timestamp(k * 900 * 1000000) AS window_start,
+                     user_id, value
+              FROM events, unnest(generate_series(
+                    CAST(floor(epoch(ts)/900) AS BIGINT) - 3,
+                    CAST(floor(epoch(ts)/900) AS BIGINT), 1)) AS t(k)
+            ) GROUP BY 2, 3
         """,
         "events_sessions": f"""
             -- determinism contract, matching sessionize(): windows order

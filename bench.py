@@ -153,6 +153,9 @@ def main() -> None:
         # standing 80%, frozen-centroid append of the arriving 20%,
         # query + drift verdict (scaleprobe ratio 0.41 at 10×)
         "ivf_append",
+        # r7: full-text retrieval — BM25 postings + Jaccard voice +
+        # RRF fusion (three modes of one query, shared corpus scans)
+        "text_search",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

@@ -79,26 +79,39 @@ def tokenize_query(q: str) -> list[str]:
     return sorted(set(re.findall(SEARCH_TOKEN_PATTERN, q.lower())))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """A single input file = a single partition = one core running all
+    the tokenization; spread it (at scale the scan is already split —
+    the minhash_lsh_dedup posture)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def build_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """The inverted index: ``(id, dl, term, tf)`` — term frequency per
-    document plus the document's token length. One explode + one
+    """The inverted index: ``(id, dl, dt, term, tf)`` — term frequency
+    per document plus the document's token length (``dl``, with
+    multiplicity) and distinct-token count (``dt``). One explode + one
     shuffle on ``(id, term)``; persist this (bucketed by term) as the
-    standing index at scale."""
-    toks = df.select(
+    standing index at scale — ONE index serves both the BM25 and the
+    Jaccard retriever (``dt`` is what lets Jaccard skip its own scan)."""
+    toks = _spread(df).select(
         F.col(id_col), search_tokens(text_col).alias("__toks")
     ).select(
         id_col,
         F.size("__toks").alias("dl"),
+        F.size(F.array_distinct("__toks")).alias("dt"),
         F.explode("__toks").alias("term"),
     )
-    return toks.groupBy(id_col, "dl", "term").agg(
+    return toks.groupBy(id_col, "dl", "dt", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
 
 
 def corpus_token_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
     """``(n_docs, total_tokens)`` — exact integers (one scan)."""
-    row = df.select(
+    row = _spread(df).select(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.size(search_tokens(text_col))), F.lit(0)
@@ -178,6 +191,7 @@ def bm25_topk(
     spark = df.sparkSession
     qterms = {qid: tokenize_query(q) for qid, q in queries}
     vocab = sorted({t for ts in qterms.values() for t in ts})
+    shared_postings = postings is not None
     if postings is None:
         postings = build_postings(df, text_col, id_col)
     # bounded collect: one (term, df) row per query-vocabulary term
@@ -188,7 +202,18 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("df"))
         .collect()
     }
-    n_docs, total_tokens = corpus_token_stats(df, text_col)
+    if shared_postings:
+        # the index already holds the corpus totals exactly:
+        # Σtf = total tokens; only the doc count needs the (cheap,
+        # tokenization-free) base scan
+        n_docs = df.count()
+        total_tokens = int(
+            postings.agg(
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("s")
+            ).first()["s"]
+        )
+    else:
+        n_docs, total_tokens = corpus_token_stats(df, text_col)
     avgdl = total_tokens / n_docs if n_docs else 1.0
     if max_df_frac is not None:
         vocab = [t for t in vocab if dfc.get(t, 0) <= max_df_frac * n_docs]
@@ -215,12 +240,17 @@ def jaccard_topk(
     id_col: str,
     queries: list[tuple[int, str]],
     k: int = 10,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct-token Jaccard top-k per query — the cheap second
     retrieval voice for RRF. Integer set arithmetic end to end
     (overlap via the inverted explode, union as ``da + db − ov``), so
     the only float op is one portable division; docs sharing no term
-    with the query are never materialized (no cross join)."""
+    with the query are never materialized (no cross join).
+    ``postings``: a :func:`build_postings` frame (its ``dt`` column is
+    the doc's distinct-token count and its rows are term-distinct per
+    doc) — pass the shared/persisted index so no second corpus scan
+    runs."""
     spark = df.sparkSession
     qterms = {qid: tokenize_query(q) for qid, q in queries}
     qframe = spark.createDataFrame(
@@ -231,12 +261,15 @@ def jaccard_topk(
         [(qid, len(ts)) for qid, ts in qterms.items()],
         "query_id bigint, db int",
     )
-    toks = df.select(
-        F.col(id_col),
-        F.array_distinct(search_tokens(text_col)).alias("__t"),
-    ).select(
-        id_col, F.size("__t").alias("da"), F.explode("__t").alias("term")
-    )
+    if postings is None:
+        toks = _spread(df).select(
+            F.col(id_col),
+            F.array_distinct(search_tokens(text_col)).alias("__t"),
+        ).select(
+            id_col, F.size("__t").alias("da"), F.explode("__t").alias("term")
+        )
+    else:
+        toks = postings.select(id_col, F.col("dt").alias("da"), "term")
     scored = (
         toks.join(F.broadcast(qframe), "term")
         .groupBy("query_id", id_col, "da")

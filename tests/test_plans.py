@@ -210,6 +210,13 @@ PLAN_PINS = {
     # over the appended store; the broadcast floor pins the probe and
     # drift-verdict small sides
     "ivf_append": (8, 4),
+    # r7: retrieval — the final frame unions two checkpointed topk
+    # frames (their broadcast query joins live pre-cut, pinned in
+    # tests/test_search.py::test_search_plan_shape) plus the full-outer
+    # RRF fusion: 3 real shuffles (full outer cannot broadcast — SMJ's
+    # two exchanges — plus the rank window), doubled by the formatted
+    # tree+detail counting
+    "text_search": (6, 0),
 }
 
 

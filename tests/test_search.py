@@ -230,3 +230,16 @@ def test_search_plan_shape(spark):
     jplan = ja._jdf.queryExecution().executedPlan().toString()
     assert jplan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in jplan and "ArrowEvalPython" not in jplan
+
+
+def test_shared_postings_paths_identical(spark):
+    """One build_postings index must feed both retrievers bit-identically
+    to their direct-scan paths (the q_text_search composition)."""
+    docs = _docs(spark)
+    post = search.build_postings(docs, "text", "doc_id")
+    bm_a = sorted(map(tuple, search.bm25_topk(docs, "text", "doc_id", QUERIES, k=10).collect()))
+    bm_b = sorted(map(tuple, search.bm25_topk(docs, "text", "doc_id", QUERIES, k=10, postings=post).collect()))
+    assert bm_a == bm_b
+    ja_a = sorted(map(tuple, search.jaccard_topk(docs, "text", "doc_id", QUERIES, k=10).collect()))
+    ja_b = sorted(map(tuple, search.jaccard_topk(docs, "text", "doc_id", QUERIES, k=10, postings=post).collect()))
+    assert ja_a == ja_b
