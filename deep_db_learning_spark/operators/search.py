@@ -280,6 +280,59 @@ def jaccard_topk(
     return _rank_topk(scored, id_col, k)
 
 
+def postings_append(
+    postings: DataFrame, new: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental maintenance of the standing inverted index (the
+    text-retrieval analog of ``similarity.ivf_append`` /
+    ``dedup.minhash_band_index``): postings rows are per-document
+    independent, so appending a crawl batch is tokenizing ONLY the
+    batch and unioning — bit-identical to rebuilding over the grown
+    corpus (pinned in tests). No drift state is needed: BM25's corpus
+    statistics (df, N, avgdl) are re-derived from the index per query
+    set, so they are always current."""
+    return postings.unionByName(build_postings(new, text_col, id_col))
+
+
+def keyword_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str] | str,
+    mode: str = "all",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Boolean retrieval: rows of ``df`` whose text contains ALL
+    (``mode='all'``) or ANY (``mode='any'``) of the query terms —
+    the pre-ranking candidate filter. Via the inverted index: explode
+    once, broadcast the term set, count distinct matches per doc, keep
+    ``n == len(terms)`` (or ``>= 1``) — a semi-join, never a scan per
+    term."""
+    if isinstance(terms, str):
+        terms = tokenize_query(terms)
+    terms = sorted(set(terms))
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    if postings is None:
+        toks = _spread(df).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(search_tokens(text_col))
+            ).alias("term"),
+        )
+    else:
+        toks = postings.select(id_col, "term")
+    need = 1 if mode == "any" else len(terms)
+    hits = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= need)
+        .select(id_col)
+    )
+    return df.join(hits, id_col, "leftsemi")
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str,

@@ -243,3 +243,59 @@ def test_shared_postings_paths_identical(spark):
     ja_a = sorted(map(tuple, search.jaccard_topk(docs, "text", "doc_id", QUERIES, k=10).collect()))
     ja_b = sorted(map(tuple, search.jaccard_topk(docs, "text", "doc_id", QUERIES, k=10, postings=post).collect()))
     assert ja_a == ja_b
+
+
+def test_postings_append_equals_rebuild(spark):
+    """Incremental index maintenance: appending a batch's postings is
+    bit-identical to rebuilding over the grown corpus, and BM25 over
+    the appended index matches BM25 over the rebuilt one."""
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    appended = search.postings_append(
+        search.build_postings(old, "text", "doc_id"), new, "text", "doc_id"
+    )
+    rebuilt = search.build_postings(docs, "text", "doc_id")
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    bm_a = sorted(map(tuple, search.bm25_topk(
+        docs, "text", "doc_id", QUERIES, k=10, postings=appended).collect()))
+    bm_b = sorted(map(tuple, search.bm25_topk(
+        docs, "text", "doc_id", QUERIES, k=10, postings=rebuilt).collect()))
+    assert bm_a == bm_b
+
+
+def test_keyword_filter_modes(spark):
+    rows = [
+        (1, "solar panel efficiency"),
+        (2, "solar energy only"),
+        (3, "wind turbine blades"),
+        (4, "panel panel panel"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got_all = sorted(
+        r["doc_id"]
+        for r in search.keyword_filter(docs, "text", "doc_id", "solar panel").collect()
+    )
+    assert got_all == [1]
+    got_any = sorted(
+        r["doc_id"]
+        for r in search.keyword_filter(
+            docs, "text", "doc_id", "solar panel", mode="any"
+        ).collect()
+    )
+    assert got_any == [1, 2, 4]
+    # via the shared index, identical results
+    post = search.build_postings(docs, "text", "doc_id")
+    got_idx = sorted(
+        r["doc_id"]
+        for r in search.keyword_filter(
+            docs, "text", "doc_id", "solar panel", postings=post
+        ).collect()
+    )
+    assert got_idx == got_all
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search.keyword_filter(docs, "text", "doc_id", "x", mode="phrase")

@@ -72,6 +72,9 @@ DEFAULT_QUERIES = [
     # events — must not be rewrite-bound)
     "train_step",
     "node_store",
+    # r7: retrieval — postings build + broadcast query joins must stay
+    # scan-bound (driver state is the query vocabulary only)
+    "text_search",
 ]
 
 
