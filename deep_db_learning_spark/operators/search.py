@@ -169,6 +169,53 @@ def _rank_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def bm25_topk_from_index(
+    postings: DataFrame,
+    id_col: str,
+    queries: list[tuple[int, str]],
+    n_docs: int,
+    total_tokens: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """BM25 over a standing :func:`build_postings` index with KNOWN
+    corpus stats — the query-time entry point when the index and its
+    ``(n_docs, total_tokens)`` counters are maintained incrementally
+    (``streaming.stream_docs_into_index``): no corpus scan runs at
+    all, only the bounded df-count collect and the scoring join."""
+    spark = postings.sparkSession
+    qterms = {qid: tokenize_query(q) for qid, q in queries}
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    # bounded collect: one (term, df) row per query-vocabulary term
+    dfc = {
+        r["term"]: r["df"]
+        for r in postings.filter(F.col("term").isin(vocab))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+    if max_df_frac is not None:
+        vocab = [t for t in vocab if dfc.get(t, 0) <= max_df_frac * n_docs]
+    keep = set(vocab)
+    idf = {t: bm25_idf(n_docs, dfc.get(t, 0)) for t in vocab}
+    qrows = [
+        (qid, t, idf[t]) for qid, ts in qterms.items() for t in ts if t in keep
+    ]
+    qframe = spark.createDataFrame(
+        qrows, "query_id bigint, term string, idf double"
+    )
+    scored = (
+        postings.join(F.broadcast(qframe), "term")
+        .withColumn("__c", F.expr(bm25_score_expr(k1, b, avgdl)))
+        .groupBy("query_id", id_col)
+        .agg(exact_sum("__c").alias("score"))
+    )
+    return _rank_topk(scored, id_col, k)
+
+
 def bm25_topk(
     df: DataFrame,
     text_col: str,
@@ -188,21 +235,7 @@ def bm25_topk(
     only the tiny df-count job and the scoring join run per query set.
     ``max_df_frac``: drop query terms whose document frequency exceeds
     this corpus fraction (stopword-degree guard)."""
-    spark = df.sparkSession
-    qterms = {qid: tokenize_query(q) for qid, q in queries}
-    vocab = sorted({t for ts in qterms.values() for t in ts})
-    shared_postings = postings is not None
-    if postings is None:
-        postings = build_postings(df, text_col, id_col)
-    # bounded collect: one (term, df) row per query-vocabulary term
-    dfc = {
-        r["term"]: r["df"]
-        for r in postings.filter(F.col("term").isin(vocab))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .collect()
-    }
-    if shared_postings:
+    if postings is not None:
         # the index already holds the corpus totals exactly:
         # Σtf = total tokens; only the doc count needs the (cheap,
         # tokenization-free) base scan
@@ -213,25 +246,12 @@ def bm25_topk(
             ).first()["s"]
         )
     else:
+        postings = build_postings(df, text_col, id_col)
         n_docs, total_tokens = corpus_token_stats(df, text_col)
-    avgdl = total_tokens / n_docs if n_docs else 1.0
-    if max_df_frac is not None:
-        vocab = [t for t in vocab if dfc.get(t, 0) <= max_df_frac * n_docs]
-    keep = set(vocab)
-    idf = {t: bm25_idf(n_docs, dfc.get(t, 0)) for t in vocab}
-    qrows = [
-        (qid, t, idf[t]) for qid, ts in qterms.items() for t in ts if t in keep
-    ]
-    qframe = spark.createDataFrame(
-        qrows, "query_id bigint, term string, idf double"
+    return bm25_topk_from_index(
+        postings, id_col, queries, n_docs, total_tokens,
+        k=k, k1=k1, b=b, max_df_frac=max_df_frac,
     )
-    scored = (
-        postings.join(F.broadcast(qframe), "term")
-        .withColumn("__c", F.expr(bm25_score_expr(k1, b, avgdl)))
-        .groupBy("query_id", id_col)
-        .agg(exact_sum("__c").alias("score"))
-    )
-    return _rank_topk(scored, id_col, k)
 
 
 def jaccard_topk(

@@ -10,6 +10,7 @@ from .events import (
 )
 from .node_store import SnapshotStore, stream_profiles_into_store
 from .vector_store import stream_vectors_into_store
+from .doc_index import read_index_stats, stream_docs_into_index
 from .stateful import stream_sessionize
 
 __all__ = [
@@ -19,6 +20,8 @@ __all__ = [
     "SnapshotStore",
     "stream_profiles_into_store",
     "stream_vectors_into_store",
+    "read_index_stats",
+    "stream_docs_into_index",
     "run_stream_to_memory",
     "session_stats",
     "sliding_user_features",

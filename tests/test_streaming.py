@@ -519,3 +519,64 @@ def test_stream_vectors_store_missing_stats_fallback(spark, db, tmp_path):
     )
     assert got == want
     assert os.path.isdir(os.path.join(store_dir, "stats_v2"))
+
+
+def test_stream_docs_into_index(spark, db, tmp_path):
+    """Streaming inverted-index maintenance (r7): two micro-batches of
+    documents append postings with batch-only tokenization; the final
+    index is bit-identical to building over the whole corpus, the
+    running (n_docs, total_tokens) counters are exact, and BM25 over
+    the stored index + counters matches the direct-scan BM25 on the
+    full corpus bit-for-bit (zero corpus scans at query time)."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators import search
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        read_index_stats,
+        stream_docs_into_index,
+    )
+
+    docs = db.df("documents").select("doc_id", "text")
+    in_dir = str(tmp_path / "in")
+    store_dir = str(tmp_path / "idx")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_docs_into_index(stream, store_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    store = SnapshotStore(store_dir)
+    assert store.latest_version() == 2
+    got = sorted(map(tuple, store.read(spark).collect()))
+    want = sorted(
+        map(tuple, search.build_postings(docs, "text", "doc_id").collect())
+    )
+    assert got == want
+    n_docs, total_tokens = read_index_stats(spark, store_dir)
+    assert (n_docs, total_tokens) == search.corpus_token_stats(docs, "text")
+
+    queries = [(0, "hash join spark"), (1, "slow query big table")]
+    from_store = sorted(
+        map(
+            tuple,
+            search.bm25_topk_from_index(
+                store.read(spark), "doc_id", queries, n_docs, total_tokens, k=5
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            search.bm25_topk(docs, "text", "doc_id", queries, k=5).collect(),
+        )
+    )
+    assert from_store == direct
