@@ -83,6 +83,24 @@ def run(spark, args) -> dict:
     if args.out:
         save_ivf_store(grown, args.out)
 
+    # retrieval half (r7): the kept docs' postings append into the
+    # standing inverted index — batch-only tokenization, and BM25 over
+    # the grown index serves queries with zero corpus scans
+    from deep_db_learning_spark.operators.search import (
+        bm25_topk_from_index,
+        build_postings,
+        corpus_token_stats,
+        postings_append,
+    )
+
+    index = build_postings(store_docs, "text", "doc_id")
+    index = postings_append(index, kept, "text", "doc_id")
+    grown_docs = store_docs.unionByName(kept)
+    n_docs, total_tokens = corpus_token_stats(grown_docs, "text")
+    hits = bm25_topk_from_index(
+        index, "doc_id", [(0, "hash join spark")], n_docs, total_tokens, k=5
+    )
+
     summary = {
         "batch_docs": n_batch,
         "kept_after_store_dedup": n_kept,
@@ -91,6 +109,8 @@ def run(spark, args) -> dict:
         "store_size": grown.count(),
         "lists_flagging_refit": n_refit,
         "refit_due": n_refit > 0,
+        "index_postings": index.count(),
+        "bm25_hits": hits.count(),
     }
     print(json.dumps(summary), flush=True)
     return summary

@@ -80,3 +80,6 @@ def test_incremental_crawl_pipeline(spark, tmp_path):
     assert s["vectors_appended"] <= s["kept_after_store_dedup"]
     assert s["store_size"] >= s["vectors_appended"]
     assert any(d.startswith("list_id=") for d in os.listdir(out))
+    # r7: the retrieval half — appended index serves BM25 hits
+    assert s["index_postings"] > 0
+    assert 0 < s["bm25_hits"] <= 5
