@@ -1132,6 +1132,16 @@ TEXT_SEARCH_QUERIES = [
     (4, "slow query big table"),
 ]
 
+# consecutive-token phrase queries for the positional mode (the ranked
+# modes above are bag-of-words); (3) exercises the repeated-term path
+TEXT_SEARCH_PHRASES = [
+    (0, "hash join"),
+    (1, "window agg"),
+    (2, "fast table value"),
+    (3, "table table"),
+    (4, "group value"),
+]
+
 
 def q_text_search(spark, sf_dir):
     """LLM ops, mode-tagged (r7): full-text retrieval over documents —
@@ -1139,10 +1149,12 @@ def q_text_search(spark, sf_dir):
     exact-decimal score fold → deterministic top-10), ``jacc``
     (distinct-token Jaccard, integer set arithmetic, one portable
     division), ``rrf`` (reciprocal-rank fusion of the two, fixed-order
-    float fold). FULLY oracle-checked: idf is python ``math.log`` over
-    exact (N, df) integers inlined as literals on BOTH sides (no
-    cross-engine transcendental), every other op is IEEE arithmetic on
-    shared expression trees (operators/search.py helpers)."""
+    float fold), ``phrase`` (positional index, the
+    intersect-shifted-positions fold, ranked by occurrence count).
+    FULLY oracle-checked: idf is python ``math.log`` over exact
+    (N, df) integers inlined as literals on BOTH sides (no
+    cross-engine transcendental), every other op is IEEE or integer
+    arithmetic on shared expression trees (operators/search.py)."""
     from deep_db_learning_spark.checkpoint import cut_lineage
 
     db = _db(spark, sf_dir)
@@ -1171,6 +1183,15 @@ def q_text_search(spark, sf_dir):
     # feeds both their own mode and the fusion without re-running the
     # postings pipelines
     rr = search.rrf_fuse([bm, ja], "doc_id", k=10)
+    # phrase mode: positional index fold, ranked by occurrence count
+    # (integer → double cast, no float reduction to couple)
+    pos = cut_lineage(
+        search.build_positional_postings(docs, "text", "doc_id"), eager=True
+    )
+    ph = search.phrase_search(
+        docs, "text", "doc_id", TEXT_SEARCH_PHRASES, postings=pos
+    ).withColumn("score", F.col("n_occurrences").cast("double"))
+    ph = search._rank_topk(ph, "doc_id", 10)
     return (
         bm.select(F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score")
         .unionByName(
@@ -1178,6 +1199,9 @@ def q_text_search(spark, sf_dir):
         )
         .unionByName(
             rr.select(F.lit("rrf").alias("mode"), "query_id", "doc_id", "rank", "score")
+        )
+        .unionByName(
+            ph.select(F.lit("phrase").alias("mode"), "query_id", "doc_id", "rank", "score")
         )
     )
 
@@ -1853,6 +1877,28 @@ def _text_search_oracle(
         "CAST(row_number() OVER (PARTITION BY query_id "
         "ORDER BY score DESC, doc_id) AS INTEGER)"
     )
+    # phrase mode: one SELECT per phrase over the positional CTE,
+    # chaining list_intersect(list_transform(cur, +1), next.positions)
+    phrase_selects = []
+    for qid, phrase in TEXT_SEARCH_PHRASES:
+        terms = search.tokenize_phrase(phrase)
+        joins, cur = [], "c0.positions"
+        for i, t in enumerate(terms[1:], 1):
+            joins.append(
+                f"JOIN ppx c{i} ON c{i}.doc_id = c0.doc_id"
+                f" AND c{i}.term = '{t}'"
+            )
+            cur = (
+                f"list_intersect(list_transform({cur}, x -> x + 1), "
+                f"c{i}.positions)"
+            )
+        phrase_selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, c0.doc_id, "
+            f"CAST(len({cur}) AS DOUBLE) AS score "
+            f"FROM ppx c0 {' '.join(joins)} "
+            f"WHERE c0.term = '{terms[0]}' AND len({cur}) > 0"
+        )
+    phrase_union = " UNION ALL ".join(phrase_selects)
     return f"""
         WITH post AS (
           SELECT doc_id, len({tok}) AS dl, t.term, count(*) AS tf
@@ -1892,10 +1938,23 @@ def _text_search_oracle(
         ), rr AS (
           SELECT query_id, doc_id, {rank} AS rank, score
           FROM fused QUALIFY rank <= {k}
+        ),
+        ppx AS (
+          SELECT doc_id, t.term, list_sort(list(t.i)) AS positions
+          FROM (SELECT doc_id, {tok} AS toks FROM documents) d,
+               LATERAL (SELECT toks[CAST(i AS INT)] AS term,
+                               CAST(i AS INT) AS i
+                        FROM unnest(generate_series(1, len(toks))) AS s(i)) t
+          GROUP BY doc_id, t.term
+        ), phr AS ({phrase_union}),
+        ph AS (
+          SELECT query_id, doc_id, {rank} AS rank, score
+          FROM phr QUALIFY rank <= {k}
         )
         SELECT 'bm25' AS mode, * FROM bm
         UNION ALL SELECT 'jacc', * FROM ja
         UNION ALL SELECT 'rrf', * FROM rr
+        UNION ALL SELECT 'phrase', * FROM ph
     """
 
 

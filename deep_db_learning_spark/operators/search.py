@@ -79,6 +79,12 @@ def tokenize_query(q: str) -> list[str]:
     return sorted(set(re.findall(SEARCH_TOKEN_PATTERN, q.lower())))
 
 
+def tokenize_phrase(q: str) -> list[str]:
+    """Driver-side tokenization that KEEPS order and duplicates — the
+    phrase-search form of :func:`tokenize_query`."""
+    return re.findall(SEARCH_TOKEN_PATTERN, q.lower())
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """A single input file = a single partition = one core running all
     the tokenization; spread it (at scale the scan is already split —
@@ -298,6 +304,72 @@ def jaccard_topk(
         .withColumn("score", F.expr(jaccard_score_expr()))
     )
     return _rank_topk(scored, id_col, k)
+
+
+def build_positional_postings(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The positional index: ``(id, term, positions)`` with 1-based,
+    sorted, distinct token positions — what phrase queries consume.
+    Same single explode + ``(id, term)`` shuffle as
+    :func:`build_postings` (persist alongside it, or instead of it —
+    ``tf = size(positions)`` and ``dl/dt`` re-derive with one agg)."""
+    toks = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(search_tokens(text_col)).alias("__p", "term"),
+    )
+    return toks.groupBy(id_col, "term").agg(
+        F.array_sort(F.collect_list(F.col("__p") + 1)).alias("positions")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrases: list[tuple[int, str]],
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase retrieval → ``(query_id, <id_col>,
+    n_occurrences)``: a document matches when the phrase's tokens
+    occur CONSECUTIVELY. The match is the classic positional-index
+    fold — start from the first term's position list and repeatedly
+    ``intersect(positions + 1, next term's positions)`` — n−1 narrow
+    equi-joins on the doc id per phrase, all-codegen array HOFs, no
+    UDF and no re-tokenization per term. ``postings``: a shared
+    :func:`build_positional_postings` frame."""
+    if postings is None:
+        postings = build_positional_postings(df, text_col, id_col)
+    out = None
+    for qid, phrase in phrases:
+        terms = tokenize_phrase(phrase)
+        if not terms:
+            continue
+        cur = postings.filter(F.col("term") == terms[0]).select(
+            F.col(id_col), F.col("positions").alias("__cur")
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = postings.filter(F.col("term") == t).select(
+                F.col(id_col), F.col("positions").alias(f"__p{i}")
+            )
+            cur = cur.join(nxt, id_col).select(
+                F.col(id_col),
+                F.array_intersect(
+                    F.transform("__cur", lambda x: x + 1), F.col(f"__p{i}")
+                ).alias("__cur"),
+            )
+        hits = (
+            cur.select(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.col(id_col),
+                F.size("__cur").cast("int").alias("n_occurrences"),
+            )
+            .filter(F.col("n_occurrences") > 0)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    if out is None:
+        raise ValueError("phrase_search needs at least one non-empty phrase")
+    return out
 
 
 def postings_append(

@@ -212,11 +212,12 @@ PLAN_PINS = {
     "ivf_append": (8, 4),
     # r7: retrieval — the final frame unions two checkpointed topk
     # frames (their broadcast query joins live pre-cut, pinned in
-    # tests/test_search.py::test_search_plan_shape) plus the full-outer
-    # RRF fusion: 3 real shuffles (full outer cannot broadcast — SMJ's
-    # two exchanges — plus the rank window), doubled by the formatted
-    # tree+detail counting
-    "text_search": (6, 0),
+    # tests/test_search.py::test_search_plan_shape), the full-outer RRF
+    # fusion (full outer cannot broadcast: SMJ + two exchanges), and
+    # the phrase mode (per-term positional joins broadcast off the
+    # checkpointed index; one more rank window): 4 real shuffles,
+    # doubled by the formatted tree+detail counting
+    "text_search": (8, 2),
 }
 
 

@@ -299,3 +299,77 @@ def test_keyword_filter_modes(spark):
 
     with _pytest.raises(ValueError):
         search.keyword_filter(docs, "text", "doc_id", "x", mode="phrase")
+
+
+PHRASES = [(0, "hash join"), (1, "window agg"), (2, "fast table value"),
+           (3, "table table")]
+
+
+def _duck_phrase_rows(con):
+    rows = []
+    for qid, phrase in PHRASES:
+        terms = search.tokenize_phrase(phrase)
+        joins, cur = [], "c0.positions"
+        for i, t in enumerate(terms[1:], 1):
+            joins.append(
+                f"JOIN pp c{i} ON c{i}.doc_id = c0.doc_id AND c{i}.term = '{t}'"
+            )
+            cur = f"list_intersect(list_transform({cur}, x -> x + 1), c{i}.positions)"
+        rows += con.execute(f"""
+        WITH pp AS (
+          SELECT doc_id, t.term, list_sort(list(t.i)) AS positions
+          FROM (SELECT doc_id, {TOK} AS toks FROM documents) d,
+               LATERAL (SELECT toks[CAST(i AS INT)] AS term, CAST(i AS INT) AS i
+                        FROM unnest(generate_series(1, len(toks))) AS s(i)) t
+          GROUP BY doc_id, t.term
+        )
+        SELECT CAST({qid} AS BIGINT) AS query_id, c0.doc_id,
+               CAST(len({cur}) AS INT) AS n
+        FROM pp c0 {' '.join(joins)}
+        WHERE c0.term = '{terms[0]}' AND len({cur}) > 0
+        """).fetchall()
+    return sorted(map(tuple, rows))
+
+
+def test_phrase_search_matches_duckdb(spark, duck):
+    """Positional phrase retrieval (r7): the intersect-shifted-
+    positions fold matches an independent DuckDB positional twin,
+    including repeated-term phrases and occurrence counts."""
+    got = sorted(map(tuple, search.phrase_search(
+        _docs(spark), "text", "doc_id", PHRASES).collect()))
+    assert got == _duck_phrase_rows(duck)
+    assert len(got) > 0
+
+
+def test_phrase_search_semantics(spark):
+    rows = [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "beta alpha"),
+        (3, "alpha gamma beta"),
+        (4, "echo echo echo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_occurrences"]
+        for r in search.phrase_search(
+            docs, "text", "doc_id", [(0, "alpha beta"), (1, "echo echo")]
+        ).collect()
+    }
+    # consecutive + ordered: doc 1 twice, docs 2/3 never
+    assert got[(0, 1)] == 2 and (0, 2) not in got and (0, 3) not in got
+    # repeated-term phrase: "echo echo echo" holds two overlapping hits
+    assert got[(1, 4)] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search.phrase_search(docs, "text", "doc_id", [(0, "  ")])
+    # shared positional index path is identical
+    pp = search.build_positional_postings(docs, "text", "doc_id")
+    got_idx = {
+        (r["query_id"], r["doc_id"]): r["n_occurrences"]
+        for r in search.phrase_search(
+            docs, "text", "doc_id", [(0, "alpha beta"), (1, "echo echo")],
+            postings=pp,
+        ).collect()
+    }
+    assert got_idx == got
