@@ -55,10 +55,10 @@ def stream_docs_into_index(
     into the snapshot store (bit-identical to rebuilding over the
     grown corpus — the ``postings_append`` contract, pinned in tests),
     and folds the batch's exact ``(n_docs, total_tokens)`` deltas into
-    the running stats. Same exactly-once caveat as the node store: the
-    snapshot commit after the checkpoint makes replays
-    idempotent-only-if-committed; a txn log removes the
-    at-least-once window, same operator."""
+    the running stats. Exactly-once per micro-batch (r7): the last
+    committed ``batch_id`` flips atomically with the snapshot pointer,
+    so replayed batches are detected and skipped (the node-store
+    cursor)."""
     from ..operators.search import build_postings, search_tokens
 
     store = SnapshotStore(store_path)
@@ -68,6 +68,9 @@ def stream_docs_into_index(
         return os.path.join(store_path, f"stats_v{v}")
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.last_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch (r7 cursor)
         batch_post = build_postings(batch_df, text_col, id_col)
         brow = batch_df.select(
             F.count(F.lit(1)).alias("n"),
@@ -99,7 +102,7 @@ def stream_docs_into_index(
         # materialize BEFORE overwriting: the appended plan reads the
         # old snapshot files the commit is about to supersede
         new_store = cut_lineage(new_store, eager=True)
-        v = store.commit(new_store)
+        v = store.commit(new_store, batch_id=batch_id)
         stats = spark.createDataFrame(
             [(prev_docs + int(brow["n"]), prev_tokens + int(brow["s"]))],
             "n_docs bigint, total_tokens bigint",

@@ -45,7 +45,22 @@ class SnapshotStore:
     def latest_version(self) -> int | None:
         try:
             with open(self._pointer) as f:
-                return int(f.read().strip())
+                return int(f.read().strip().split(":", 1)[0])
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def last_batch_id(self) -> int | None:
+        """The streaming batch id recorded WITH the latest commit
+        (``None`` for batch-API commits): the idempotence cursor —
+        a replayed ``foreachBatch`` with ``batch_id <= this`` already
+        reached the store and must be skipped. Stored in the SAME
+        pointer file as the version so the pair flips atomically (a
+        marker written separately could survive a crash that the
+        snapshot commit did not, silently dropping a batch)."""
+        try:
+            with open(self._pointer) as f:
+                parts = f.read().strip().split(":", 1)
+                return int(parts[1]) if len(parts) == 2 else None
         except (FileNotFoundError, ValueError):
             return None
 
@@ -55,13 +70,13 @@ class SnapshotStore:
             return None
         return spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
-    def commit(self, df: DataFrame) -> int:
+    def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
         v = (self.latest_version() or 0) + 1
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)  # atomic pointer flip
+            f.write(str(v) if batch_id is None else f"{v}:{batch_id}")
+        os.replace(tmp, self._pointer)  # atomic pointer+cursor flip
         return v
 
 
@@ -117,15 +132,18 @@ def stream_profiles_into_store(
 ):
     """Maintain the per-user profile store from an events stream:
     ``foreachBatch`` computes the batch delta and commits the merged
-    snapshot. Exactly-once per micro-batch comes from the streaming
-    checkpoint (a replayed batch re-merges idempotently only if the
-    commit succeeded after the checkpoint; at-least-once double-merge
-    is the documented caveat of snapshot stores without txn logs —
-    Delta's commit protocol removes it, same operator shape)."""
+    snapshot. Exactly-once per micro-batch (r7): the store records the
+    last committed ``batch_id`` atomically WITH the snapshot pointer,
+    so a replayed batch (checkpoint lost or not yet advanced when the
+    commit landed) is detected and skipped — the Delta commit-protocol
+    idea on the snapshot store's own pointer file."""
     store = SnapshotStore(store_path)
     spark = events_stream.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.last_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
         delta = profile_delta(batch_df)
         old = store.read(spark)
         merged = merge_profiles(old, delta)
@@ -133,7 +151,7 @@ def stream_profiles_into_store(
         # snapshot; localCheckpoint cuts that lineage so the new write
         # does not race the files it is replacing
         merged = cut_lineage(merged, eager=True)
-        store.commit(merged)
+        store.commit(merged, batch_id=batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(upsert)

@@ -44,10 +44,10 @@ def stream_vectors_into_store(
     """Maintain the IVF-assigned vector store from a stream:
     ``foreachBatch`` appends each micro-batch with the frozen
     centroids (bit-identical to re-assigning the grown corpus — the
-    ``ivf_append`` contract) and writes the drift verdict. Same
-    exactly-once caveat as the node store: the snapshot commit after
-    the checkpoint makes replays idempotent-only-if-committed; a txn
-    log (Delta) removes the at-least-once window, same operator."""
+    ``ivf_append`` contract) and writes the drift verdict.
+    Exactly-once per micro-batch (r7): the last committed ``batch_id``
+    flips atomically with the snapshot pointer, so replayed batches
+    are detected and skipped (the node-store cursor)."""
     from ..operators.similarity import (
         _assign_with_err,
         _model_centers,
@@ -62,6 +62,9 @@ def stream_vectors_into_store(
         return os.path.join(store_path, f"stats_v{v}")
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.last_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch (r7 cursor)
         old = store.read(spark)
         if old is None:
             centers = _model_centers(model)
@@ -98,7 +101,7 @@ def stream_vectors_into_store(
         stats = cut_lineage(stats, eager=True)
         if drift is not None:
             drift = cut_lineage(drift, eager=True)
-        v = store.commit(new_store)
+        v = store.commit(new_store, batch_id=batch_id)
         stats.write.mode("overwrite").parquet(stats_path(v))
         if drift is not None:
             drift.write.mode("overwrite").parquet(

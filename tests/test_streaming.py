@@ -580,3 +580,49 @@ def test_stream_docs_into_index(spark, db, tmp_path):
         )
     )
     assert from_store == direct
+
+
+def test_snapshot_store_batch_cursor_makes_replays_idempotent(spark, db, tmp_path):
+    """r7 exactly-once upgrade: the store records the last committed
+    batch_id atomically with the snapshot pointer, so replaying the
+    SAME input (lost/stale checkpoint — the documented at-least-once
+    window of snapshot stores without txn logs) appends nothing and
+    the store stays bit-identical. Batch-API commits (no batch_id)
+    keep a None cursor."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        stream_docs_into_index,
+    )
+
+    docs = db.df("documents").select("doc_id", "text").limit(40)
+    in_dir = str(tmp_path / "in")
+    store_dir = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        q = stream_docs_into_index(stream, store_dir, ck)
+        q.awaitTermination(120)
+
+    run()
+    store = SnapshotStore(store_dir)
+    v1 = store.latest_version()
+    assert store.last_batch_id() == 0
+    before = sorted(map(tuple, store.read(spark).collect()))
+
+    # lose the checkpoint → the engine replays batch 0 from scratch;
+    # the cursor must swallow it
+    shutil.rmtree(ck)
+    run()
+    assert store.latest_version() == v1  # no new commit
+    assert sorted(map(tuple, store.read(spark).collect())) == before
+
+    # a batch-API commit leaves no cursor
+    plain = SnapshotStore(str(tmp_path / "plain"))
+    plain.commit(docs.limit(1))
+    assert plain.latest_version() == 1 and plain.last_batch_id() is None
