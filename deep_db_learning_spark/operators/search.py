@@ -425,6 +425,68 @@ def keyword_filter(
     return df.join(hits, id_col, "leftsemi")
 
 
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 5,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Corpus-level bigram collocation mining → ``(a, b, c_ab, c_a,
+    c_b, lift)``: consecutive-token pairs ranked by lift — the
+    pointwise-mutual-information ratio ``N·c_ab / (c_a·c_b)`` WITHOUT
+    the log (PMI is monotone in it, and skipping the transcendental
+    keeps the score a single portable IEEE division over exact integer
+    counts — the oracle-coupling rule). The standard query-expansion
+    source: filter ``a`` to a query's terms and take the top-lift
+    partners. ``terms``: restrict the left token (pushes the filter
+    into the bigram scan); ``min_count`` drops noise pairs.
+
+    Scale shape: one tokenize scan → bigram explode → one (a, b)
+    groupBy; unigram counts from the same scan; two broadcast-able
+    joins of the (small, min_count-filtered) pair frame against the
+    unigram frame."""
+    toks = _spread(df).select(search_tokens(text_col).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = "__N"  # total tokens, folded in below
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> struct(__t[i - 1] AS a, __t[i] AS b)) END"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    if terms is not None:
+        bi = bi.filter(F.col("a").isin(sorted(set(terms))))
+    pairs = (
+        bi.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    total = int(
+        uni.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s")).first()["s"]
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .select(
+            "a", "b", "c_ab", "c_a", "c_b",
+            F.expr(
+                f"CAST(c_ab * CAST({total} AS BIGINT) AS DOUBLE)"
+                " / (c_a * c_b)"
+            ).alias("lift"),
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str,

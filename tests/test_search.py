@@ -373,3 +373,41 @@ def test_phrase_search_semantics(spark):
         ).collect()
     }
     assert got_idx == got
+
+
+def test_collocations_matches_duckdb(spark, duck):
+    """Bigram collocation mining (r7): counts and the transcendental-
+    free lift score match an independent DuckDB twin bitwise; the
+    terms= restriction equals post-filtering."""
+    got = sorted(map(tuple, search.collocations(
+        _docs(spark), "text", "doc_id", min_count=5).collect()))
+    want = sorted(map(tuple, duck.execute(f"""
+    WITH t AS (SELECT {TOK} AS toks FROM documents),
+    uni AS (SELECT u.w, count(*) AS c FROM t, unnest(toks) AS u(w) GROUP BY u.w),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    bi AS (
+      SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+      WHERE len(toks) >= 2
+    ),
+    pairs AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b
+              HAVING count(*) >= 5)
+    SELECT p.a, p.b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST(p.c_ab * CAST((SELECT n FROM tot) AS BIGINT) AS DOUBLE)
+             / (ua.c * ub.c) AS lift
+    FROM pairs p JOIN uni ua ON ua.w = p.a JOIN uni ub ON ub.w = p.b
+    """).fetchall()))
+    assert got == want and len(got) > 0
+    sub = sorted(map(tuple, search.collocations(
+        _docs(spark), "text", "doc_id", min_count=5,
+        terms=["hash", "join"]).collect()))
+    assert sub == [r for r in got if r[0] in ("hash", "join")]
+
+
+def test_collocations_rank_planted_pair(spark):
+    """A planted always-adjacent pair out-lifts an incidental one."""
+    rows = [(i, "alpha beta filler%d common words common" % i) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["a"], r["b"]): r["lift"] for r in search.collocations(
+        docs, "text", "doc_id", min_count=2).collect()}
+    assert got[("alpha", "beta")] > got[("words", "common")]
