@@ -992,6 +992,7 @@ def minhash_band_index(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 9,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """The PERSISTABLE cross-corpus dedup index: the corpus's banded
     projection ``(id_col, band, bucket)`` — write it to parquet
@@ -1001,10 +1002,16 @@ def minhash_band_index(
     the index is ``bands`` rows of three scalars per document — a
     narrow fraction of the corpus — and appends to it are the kept
     batch's own banded rows (the same frame this returns for the
-    batch)."""
-    sig = minhash_signature(
-        df.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
-    )
+    batch). ``signed``: a precomputed :func:`minhash_signature` frame
+    (sign once, band here AND dedup with the same signatures — the
+    streaming crawl shape)."""
+    if signed is not None:
+        sig = signed.select(F.col(id_col), F.col("signature"))
+    else:
+        sig = minhash_signature(
+            df.select(F.col(id_col), F.col(text_col)), text_col, num_perm,
+            shingle_k,
+        )
     return _banded_buckets(sig, id_col, "signature", bands).withColumnRenamed(
         "doc", id_col
     )

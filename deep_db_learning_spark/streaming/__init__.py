@@ -10,6 +10,7 @@ from .events import (
 )
 from .node_store import SnapshotStore, stream_profiles_into_store
 from .vector_store import stream_vectors_into_store
+from .crawl import stream_dedup_into_band_index
 from .doc_index import read_index_stats, stream_docs_into_index
 from .stateful import stream_sessionize
 
@@ -21,6 +22,7 @@ __all__ = [
     "stream_profiles_into_store",
     "stream_vectors_into_store",
     "read_index_stats",
+    "stream_dedup_into_band_index",
     "stream_docs_into_index",
     "run_stream_to_memory",
     "session_stats",

@@ -626,3 +626,63 @@ def test_snapshot_store_batch_cursor_makes_replays_idempotent(spark, db, tmp_pat
     plain = SnapshotStore(str(tmp_path / "plain"))
     plain.commit(docs.limit(1))
     assert plain.latest_version() == 1 and plain.last_batch_id() is None
+
+
+def test_stream_dedup_into_band_index(spark, db, tmp_path):
+    """Streaming dedup-on-arrival (r7): two micro-batches dedup against
+    the standing band index then within themselves; the final kept
+    corpus and index are bit-identical to the batch-mode composition
+    (within-batch LSH dedup of batch 1, then cross-corpus dedup of
+    batch 2 against the survivors, then its within-batch pass)."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_against,
+        minhash_lsh_dedup,
+    )
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        stream_dedup_into_band_index,
+    )
+
+    docs = db.df("documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    in_dir = str(tmp_path / "in")
+    kept_dir = str(tmp_path / "kept")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_dedup_into_band_index(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ck"), kept_dir
+    )
+    q.awaitTermination(180)
+
+    kept_stream = {
+        r["doc_id"] for r in spark.read.parquet(kept_dir).collect()
+    }
+    # batch-mode composition
+    k1 = minhash_lsh_dedup(b1, "text", "doc_id", threshold=0.7)
+    k2 = minhash_dedup_against(b2, k1, "text", "doc_id", threshold=0.7)
+    k2 = minhash_lsh_dedup(k2, "text", "doc_id", threshold=0.7)
+    want = {r["doc_id"] for r in k1.unionByName(k2).collect()}
+    assert kept_stream == want
+    assert len(kept_stream) < docs.count()  # dups actually dropped
+
+    idx = SnapshotStore(str(tmp_path / "idx")).read(spark)
+    got_idx = sorted(map(tuple, idx.collect()))
+    want_idx = sorted(
+        map(
+            tuple,
+            minhash_band_index(k1, "text", "doc_id")
+            .unionByName(minhash_band_index(k2, "text", "doc_id"))
+            .collect(),
+        )
+    )
+    assert got_idx == want_idx
