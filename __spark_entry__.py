@@ -1159,11 +1159,15 @@ def q_text_search(spark, sf_dir):
 
     db = _db(spark, sf_dir)
     docs = db.df("documents")
-    # ONE inverted index serves both retrievers (at 100 TB this is the
-    # persisted standing index; here the checkpoint stands in for it) —
-    # without it each voice re-scans and re-tokenizes the corpus
+    # ONE tokenization for all four modes: the positional index is the
+    # single persisted artifact (checkpoint stands in for it) and the
+    # flat BM25/Jaccard index derives from it arithmetically — the
+    # corpus text is regex-scanned exactly once
+    pos = cut_lineage(
+        search.build_positional_postings(docs, "text", "doc_id"), eager=True
+    )
     postings = cut_lineage(
-        search.build_postings(docs, "text", "doc_id"), eager=True
+        search.postings_from_positional(pos, "doc_id"), eager=True
     )
     bm = cut_lineage(
         search.bm25_topk(
@@ -1185,9 +1189,6 @@ def q_text_search(spark, sf_dir):
     rr = search.rrf_fuse([bm, ja], "doc_id", k=10)
     # phrase mode: positional index fold, ranked by occurrence count
     # (integer → double cast, no float reduction to couple)
-    pos = cut_lineage(
-        search.build_positional_postings(docs, "text", "doc_id"), eager=True
-    )
     ph = search.phrase_search(
         docs, "text", "doc_id", TEXT_SEARCH_PHRASES, postings=pos
     ).withColumn("score", F.col("n_occurrences").cast("double"))

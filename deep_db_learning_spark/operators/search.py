@@ -323,6 +323,26 @@ def build_positional_postings(
     )
 
 
+def postings_from_positional(pos: DataFrame, id_col: str) -> DataFrame:
+    """Derive the flat ``(id, dl, dt, term, tf)`` index from the
+    positional one — ``tf = size(positions)``, per-doc ``dl/dt`` via
+    one groupBy + join. At scale this replaces a SECOND full-corpus
+    tokenization (regex over every text byte) with arithmetic over the
+    already-built index: persist ONLY the positional index and serve
+    BM25/Jaccard/keyword/phrase from it. Bit-identical to
+    :func:`build_postings` (pinned in tests)."""
+    flat = pos.select(
+        F.col(id_col),
+        "term",
+        F.size("positions").cast("bigint").alias("tf"),
+    )
+    per_doc = flat.groupBy(id_col).agg(
+        F.sum("tf").cast("int").alias("dl"),
+        F.count(F.lit(1)).cast("int").alias("dt"),
+    )
+    return flat.join(per_doc, id_col).select(id_col, "dl", "dt", "term", "tf")
+
+
 def phrase_search(
     df: DataFrame,
     text_col: str,

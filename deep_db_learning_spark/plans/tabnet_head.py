@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..checkpoint import cut_lineage
 from ..functions.exact_agg import DECIMAL_TYPE
+from .stack import _require_nonnull_sums
 from .training import TrainResult, _dec9_py, row_logits
 
 # shared CONFIG with the oracle twin and the driver query (the
@@ -126,6 +127,7 @@ def _fit_linear_head(
         tot = (
             tr.select(udf("x", "label").alias("g"))
             .agg(
+                F.count(F.lit(1)).alias("__n"),
                 *[
                     F.sum(F.element_at("g", i + 1)).alias(f"v{i}")
                     for i in range(glen)
@@ -133,6 +135,9 @@ def _fit_linear_head(
             )
             .first()
         )
+        # NULL sum over a non-empty frame = decimal overflow (the
+        # stack trainer's guard — a silent zero gradient otherwise)
+        _require_nonnull_sums(tot, glen)
         loss_sum = float(tot["v0"] or 0)
         GW = np.array(
             [float(tot[f"v{1 + i}"] or 0) for i in range(d * k)]

@@ -411,3 +411,19 @@ def test_collocations_rank_planted_pair(spark):
     got = {(r["a"], r["b"]): r["lift"] for r in search.collocations(
         docs, "text", "doc_id", min_count=2).collect()}
     assert got[("alpha", "beta")] > got[("words", "common")]
+
+
+def test_postings_from_positional_equals_build(spark):
+    """The flat index derived from the positional one is bit-identical
+    (rows AND schema) to build_postings — one corpus tokenization can
+    serve every retriever."""
+    docs = _docs(spark)
+    pos = search.build_positional_postings(docs, "text", "doc_id")
+    derived = search.postings_from_positional(pos, "doc_id")
+    built = search.build_postings(docs, "text", "doc_id")
+    # same names and types (nullability flags differ: count() is
+    # non-null, the derived sum is nullable — value-irrelevant)
+    assert derived.schema.simpleString() == built.schema.simpleString()
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, built.collect())
+    )
