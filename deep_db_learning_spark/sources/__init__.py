@@ -1,6 +1,7 @@
 from .catalog import (
     TESTDATA_TABLES,
     Database,
+    discover_constraints_jdbc_metadata,
     load_files,
     load_jdbc,
     load_testdata,
@@ -9,6 +10,7 @@ from .catalog import (
 __all__ = [
     "TESTDATA_TABLES",
     "Database",
+    "discover_constraints_jdbc_metadata",
     "load_files",
     "load_jdbc",
     "load_testdata",

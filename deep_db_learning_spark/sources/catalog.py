@@ -287,11 +287,13 @@ def load_jdbc(
     ingest shape). PK/FK metadata would come from ``information_schema``
     queries pushed through the same reader.
 
-    No JDBC driver jar ships in this container, so the live path cannot
-    run end-to-end here (documented in README); ``reader_factory``
-    (→ a ``DataFrameReader``-shaped object) exists so the option plumbing
-    stays testable with a recording fake — and doubles as the injection
-    point for a pre-configured reader (auth, fetchsize) in production.
+    The live path runs END-TO-END in-container against embedded Derby
+    (the JDBC driver bundled inside Spark) —
+    ``tests/test_jdbc.py::test_live_derby_end_to_end``; no
+    MariaDB/MySQL/Postgres jar ships here, so those engines stay
+    pinned through ``reader_factory`` (→ a ``DataFrameReader``-shaped
+    object), which doubles as the injection point for a pre-configured
+    reader (auth, fetchsize) in production.
     """
     props = dict(properties or {})
     dfs: dict[str, DataFrame] = {}
@@ -363,6 +365,85 @@ def discover_constraints_jdbc(
             ForeignKey(e["columns"], e["ref_table"], e["ref_columns"])
         )
     return primary_keys, foreign_keys
+
+
+def discover_constraints_jdbc_metadata(
+    spark: SparkSession,
+    url: str,
+    schema_name: str | None = None,
+    tables: Iterable[str] | None = None,
+    properties: dict[str, str] | None = None,
+    lowercase: bool = True,
+) -> tuple[dict[str, list[str]], dict[str, list[ForeignKey]]]:
+    """S3/S4 via the STANDARD ``java.sql.DatabaseMetaData`` API
+    (``getPrimaryKeys`` / ``getImportedKeys`` through the driver JVM)
+    — the engine-portable twin of :func:`discover_constraints_jdbc`:
+    no ``information_schema`` assumption, so it works against Derby,
+    MariaDB, Postgres, or anything with a JDBC driver (the reference's
+    SQLAlchemy inspector resolves to the same driver metadata calls,
+    ``db/db_inspector.py:135-146``). Constraint metadata is tiny and
+    driver-side by nature; composite keys are ordered by ``KEY_SEQ``.
+    ``lowercase`` folds identifier case (Derby/Oracle upper-case
+    unquoted names; the engine's table dicts are lower-case).
+
+    Exercised END-TO-END in tests against an embedded Derby database
+    (the JDBC driver that ships inside Spark) — a real DBMS, a real
+    typed scan, real constraint discovery; see
+    ``tests/test_jdbc.py::test_live_derby_end_to_end``."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    fold = (lambda s: s.lower()) if lowercase else (lambda s: s)
+    try:
+        meta = conn.getMetaData()
+        if tables is None:
+            names = []
+            rs = meta.getTables(None, schema_name, "%", None)
+            while rs.next():
+                if rs.getString("TABLE_TYPE") == "TABLE":
+                    names.append(rs.getString("TABLE_NAME"))
+        else:
+            names = list(tables)
+        primary_keys: dict[str, list[str]] = {}
+        foreign_keys: dict[str, list[ForeignKey]] = {}
+        for t in names:
+            rs = meta.getPrimaryKeys(None, schema_name, t)
+            pk: list[tuple[int, str]] = []
+            while rs.next():
+                pk.append(
+                    (rs.getShort("KEY_SEQ"), fold(rs.getString("COLUMN_NAME")))
+                )
+            if pk:
+                primary_keys[fold(t)] = [c for _, c in sorted(pk)]
+            rs = meta.getImportedKeys(None, schema_name, t)
+            by_fk: dict[str, dict] = {}
+            while rs.next():
+                e = by_fk.setdefault(
+                    rs.getString("FK_NAME") or "",
+                    {
+                        "cols": [],
+                        "ref_table": fold(rs.getString("PKTABLE_NAME")),
+                        "ref_cols": [],
+                    },
+                )
+                seq = rs.getShort("KEY_SEQ")
+                e["cols"].append((seq, fold(rs.getString("FKCOLUMN_NAME"))))
+                e["ref_cols"].append(
+                    (seq, fold(rs.getString("PKCOLUMN_NAME")))
+                )
+            for _name, e in sorted(by_fk.items()):
+                foreign_keys.setdefault(fold(t), []).append(
+                    ForeignKey(
+                        [c for _, c in sorted(e["cols"])],
+                        e["ref_table"],
+                        [c for _, c in sorted(e["ref_cols"])],
+                    )
+                )
+        return primary_keys, foreign_keys
+    finally:
+        conn.close()
 
 
 def bucketed_checkpoint(

@@ -169,3 +169,67 @@ def test_discover_constraints_jdbc(spark):
             (["l_orderkey", "l_linenumber"], "orders", ["o_orderkey", "o_linenumber"])
         ],
     }
+
+
+def test_live_derby_end_to_end(spark, tmp_path):
+    """r7: the LIVE JDBC path against a real DBMS — the embedded Derby
+    that ships inside Spark. Creates tables with PK/FK constraints
+    through the driver, reads them back via load_jdbc (a REAL typed
+    jdbc scan, no recording fake), discovers the constraints through
+    the standard DatabaseMetaData API, and runs the engine's graph
+    build over the result — the reference's ctu_dataset ingestion
+    shape end-to-end in-container."""
+    from deep_db_learning_spark.operators.graph import build_hetero_graph
+    from deep_db_learning_spark.sources import (
+        discover_constraints_jdbc_metadata,
+        load_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE customer (c_custkey INT PRIMARY KEY, "
+        "c_name VARCHAR(30), c_acctbal DOUBLE)"
+    )
+    st.executeUpdate(
+        "CREATE TABLE orders (o_orderkey INT PRIMARY KEY, o_custkey INT, "
+        "o_total DOUBLE, CONSTRAINT fk_cust FOREIGN KEY (o_custkey) "
+        "REFERENCES customer(c_custkey))"
+    )
+    st.executeUpdate(
+        "INSERT INTO customer VALUES (1, 'alice', 10.5), (2, 'bob', 20.25)"
+    )
+    st.executeUpdate(
+        "INSERT INTO orders VALUES (10, 1, 99.0), (11, 1, 50.0), (12, 2, 75.0)"
+    )
+    conn.close()
+
+    db = load_jdbc(spark, url, ["customer", "orders"])
+    assert sorted(db.tables) == ["customer", "orders"]
+    got = sorted(map(tuple, db.df("orders").collect()))
+    assert got == [(10, 1, 99.0), (11, 1, 50.0), (12, 2, 75.0)]
+    # the jdbc scan is typed (Derby INT/DOUBLE map through)
+    assert db.df("orders").schema.simpleString() == (
+        "struct<O_ORDERKEY:int,O_CUSTKEY:int,O_TOTAL:double>"
+    )
+
+    pks, fks = discover_constraints_jdbc_metadata(
+        spark, url, schema_name="APP"
+    )
+    assert pks == {"customer": ["c_custkey"], "orders": ["o_orderkey"]}
+    assert {
+        t: [(f.columns, f.ref_table, f.ref_columns) for f in v]
+        for t, v in fks.items()
+    } == {"orders": [(["o_custkey"], "customer", ["c_custkey"])]}
+
+    # engine composition over the live source: FK edges (identifier
+    # case folded to the discovered lower-case names)
+    tables = {
+        t: db.df(t).toDF(*[c.lower() for c in db.df(t).columns])
+        for t in db.tables
+    }
+    g = build_hetero_graph(tables, pks, fks, add_reverse=False)
+    (edge_name,) = [k for k in g.edges if "o_custkey" in k]
+    assert g.edges[edge_name].count() == 3
