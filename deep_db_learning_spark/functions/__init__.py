@@ -1,3 +1,3 @@
-from . import convert, datetime_funcs, encode, exact_agg, hashing, normalize, text, vectors
+from . import bpe, convert, datetime_funcs, encode, exact_agg, hashing, normalize, text, vectors
 
-__all__ = ["convert", "datetime_funcs", "encode", "exact_agg", "hashing", "normalize", "text", "vectors"]
+__all__ = ["bpe", "convert", "datetime_funcs", "encode", "exact_agg", "hashing", "normalize", "text", "vectors"]

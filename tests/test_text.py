@@ -876,3 +876,60 @@ def test_mean_token_corpus_freq(spark):
     # doc 3: both tokens unique -> exactly 1.0
     assert out[3] == 1.0
     assert out[4] == 0.0 and out[5] == 0.0
+
+
+def test_bpe_train_and_segment(spark):
+    """Trained BPE (r7): deterministic merge learning on the classic
+    toy corpus, GPT-2 greedy application, and the algebraic
+    invariants — zero merges = characters+marker, counts monotone
+    non-increasing in merges, concatenation reconstructs the word."""
+    from deep_db_learning_spark.functions.bpe import (
+        END,
+        bpe_segment_word,
+        bpe_token_count,
+        bpe_tokens,
+        bpe_train,
+    )
+
+    rows = [(i, "low low low lower lower newest newest newest newest "
+                "widest widest") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = bpe_train(docs, "text", "doc_id", n_merges=30)
+    assert merges == bpe_train(docs, "text", "doc_id", n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # the most frequent word collapses to a single token
+    assert bpe_segment_word("newest", ranks) == ["newest" + END]
+    # zero merges = characters + end marker
+    assert bpe_segment_word("low", {}) == ["l", "o", "w", END]
+    # concatenation reconstructs the word
+    seg = bpe_segment_word("lowest", ranks)  # unseen word
+    assert "".join(seg) == "lowest" + END
+    # counts monotone non-increasing in merges
+    prev = None
+    for n in (0, 5, 30):
+        m = bpe_train(docs, "text", "doc_id", n_merges=n)
+        cnt = bpe_token_count(docs, "text", m).agg(
+            F.sum("n_bpe_tokens")
+        ).first()[0]
+        assert prev is None or cnt <= prev
+        prev = cnt
+
+    # distributed apply == independent driver-side segmentation
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(corpus, "text", "doc_id", n_merges=100, sample=200)
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_tokens(corpus, "text", merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    import re as _re
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    for r in corpus.select("doc_id", "text").collect():
+        want = []
+        for w in _re.findall("[a-z0-9]+", (r["text"] or "").lower()):
+            want.extend(bpe_segment_word(w, ranks))
+        assert got[r["doc_id"]] == want
+    # a corpus-frequent word learned as one piece
+    assert bpe_segment_word("table", ranks) == ["table" + END]
