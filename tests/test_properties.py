@@ -539,3 +539,46 @@ def test_jpeg_cmyk_roundtrip_smooth_bounded_error(h, w, ycck, seed):
     assert out.shape == (h, w, 3)
     err = np.abs(out.astype(float) - want)
     assert err.mean() <= 6.0
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    phrase_len=st.integers(min_value=1, max_value=3),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_phrase_search_counts_match_naive_scan(spark, docs, phrase_len, data):
+    """Positional phrase retrieval equals a naive sliding-window count
+    of consecutive token matches, for arbitrary tiny-alphabet corpora
+    (overlaps, repeats, absent phrases)."""
+    from deep_db_learning_spark.operators.search import phrase_search
+
+    phrase_toks = data.draw(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]),
+            min_size=phrase_len,
+            max_size=phrase_len,
+        )
+    )
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(
+            df, "text", "doc_id", [(0, " ".join(phrase_toks))]
+        ).collect()
+    }
+    n = len(phrase_toks)
+    for i, toks in enumerate(docs):
+        naive = sum(
+            1
+            for j in range(len(toks) - n + 1)
+            if toks[j : j + n] == phrase_toks
+        )
+        assert got.get(i, 0) == naive
