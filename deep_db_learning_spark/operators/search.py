@@ -507,6 +507,105 @@ def collocations(
     )
 
 
+def best_snippet(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: list[tuple[int, str]],
+    window: int = 20,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Snippet extraction (the RAG context-window step): for each
+    (query, doc) with at least one query-term hit, the ``window``-token
+    span covering the MOST DISTINCT query terms → ``(query_id,
+    <id_col>, snippet_start, n_terms, snippet)``. Exact argmax over
+    candidate windows anchored at each matched position (ties: lowest
+    start) — a self-join of the per-doc query-term match positions
+    (bounded by matches, not tokens), then one tokenize of only the
+    matched docs to slice the span text. All integer arithmetic +
+    array slicing — DuckDB-twin testable."""
+    spark = df.sparkSession
+    qterms = {qid: tokenize_query(q) for qid, q in queries}
+    qframe = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms.items() for t in ts],
+        "query_id bigint, term string",
+    )
+    if postings is None:
+        postings = build_positional_postings(df, text_col, id_col)
+    matches = (
+        postings.join(F.broadcast(qframe), "term")
+        .select("query_id", F.col(id_col), "term",
+                F.explode("positions").alias("pos"))
+    )
+    a = matches.select("query_id", F.col(id_col), F.col("pos").alias("s"))
+    b = matches.select(
+        "query_id", F.col(id_col), "term", F.col("pos").alias("p")
+    )
+    windows = (
+        a.join(b, ["query_id", id_col])
+        .filter(
+            (F.col("p") >= F.col("s"))
+            & (F.col("p") <= F.col("s") + F.lit(window - 1))
+        )
+        .groupBy("query_id", id_col, "s")
+        .agg(F.count_distinct("term").alias("n_terms"))
+    )
+    w = Window.partitionBy("query_id", id_col).orderBy(
+        F.col("n_terms").desc(), F.col("s").asc()
+    )
+    best = (
+        windows.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id", id_col,
+            F.col("s").cast("int").alias("snippet_start"),
+            F.col("n_terms").cast("int").alias("n_terms"),
+        )
+    )
+    toks = df.join(
+        best.select(id_col).distinct(), id_col, "leftsemi"
+    ).select(F.col(id_col), search_tokens(text_col).alias("__t"))
+    return best.join(toks, id_col).select(
+        "query_id", id_col, "snippet_start", "n_terms",
+        F.concat_ws(
+            " ", F.slice("__t", F.col("snippet_start"), window)
+        ).alias("snippet"),
+    )
+
+
+def expand_query_terms(
+    colloc: DataFrame,
+    queries: list[tuple[int, str]],
+    top_m: int = 2,
+    min_lift: float = 1.0,
+) -> list[tuple[int, str]]:
+    """Query expansion from :func:`collocations`: append each query
+    term's top-``top_m`` collocation partners (lift desc, then
+    alphabetical — deterministic) with lift above ``min_lift``.
+    Driver-side over a bounded collect (query vocabulary only) —
+    returns a new query list for :func:`bm25_topk`."""
+    qterms = {qid: tokenize_query(q) for qid, q in queries}
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    rows = (
+        colloc.filter(F.col("a").isin(vocab))
+        .select("a", "b", "lift")
+        .collect()
+    )
+    partners: dict[str, list[tuple[float, str]]] = {}
+    for r in rows:
+        if r["lift"] > min_lift and r["b"] not in vocab:
+            partners.setdefault(r["a"], []).append((-r["lift"], r["b"]))
+    out = []
+    for qid, q in queries:
+        extra: list[str] = []
+        for t in qterms[qid]:
+            for _, b in sorted(partners.get(t, []))[:top_m]:
+                if b not in extra:
+                    extra.append(b)
+        out.append((qid, q + (" " + " ".join(extra) if extra else "")))
+    return out
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str,

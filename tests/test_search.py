@@ -427,3 +427,70 @@ def test_postings_from_positional_equals_build(spark):
     assert sorted(map(tuple, derived.collect())) == sorted(
         map(tuple, built.collect())
     )
+
+
+def test_best_snippet_matches_duckdb(spark, duck):
+    """Snippet extraction (r7): the exact max-distinct-terms window and
+    its sliced text match an independent DuckDB twin."""
+    W = 12
+    got = sorted(map(tuple, search.best_snippet(
+        _docs(spark), "text", "doc_id", QUERIES, window=W).collect()))
+    qterms = {qid: search.tokenize_query(q) for qid, q in QUERIES}
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in qterms.items() for t in ts
+    )
+    want = sorted(map(tuple, duck.execute(f"""
+    WITH pp AS (
+      SELECT doc_id, t.term, CAST(t.i AS INT) AS pos
+      FROM (SELECT doc_id, {TOK} AS toks FROM documents) d,
+           LATERAL (SELECT toks[CAST(i AS INT)] AS term, i
+                    FROM unnest(generate_series(1, len(toks))) AS s(i)) t
+    ), q(query_id, term) AS (VALUES {qvals}),
+    m AS (SELECT q.query_id, p.doc_id, p.term, p.pos
+          FROM pp p JOIN q USING (term)),
+    wins AS (
+      SELECT a.query_id, a.doc_id, a.pos AS s,
+             count(DISTINCT b.term) AS n_terms
+      FROM m a JOIN m b
+        ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+       AND b.pos >= a.pos AND b.pos <= a.pos + {W - 1}
+      GROUP BY a.query_id, a.doc_id, a.pos
+    ),
+    best AS (
+      SELECT query_id, doc_id, CAST(s AS INT) AS snippet_start,
+             CAST(n_terms AS INT) AS n_terms,
+             row_number() OVER (PARTITION BY query_id, doc_id
+                                ORDER BY n_terms DESC, s) AS r
+      FROM wins QUALIFY r = 1
+    )
+    SELECT b.query_id, b.doc_id, b.snippet_start, b.n_terms,
+           array_to_string(toks[b.snippet_start : b.snippet_start + {W - 1}], ' ')
+    FROM best b JOIN (SELECT doc_id, {TOK} AS toks FROM documents) d
+      USING (doc_id)
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_best_snippet_semantics(spark):
+    rows = [(1, "x x x alpha x x beta gamma x x x x x x x x alpha x")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = search.best_snippet(
+        docs, "text", "doc_id", [(0, "alpha beta gamma")], window=5
+    ).collect()
+    (r,) = got
+    # the window starting at the first 'alpha' (pos 4) covers all 3
+    assert r["snippet_start"] == 4 and r["n_terms"] == 3
+    assert r["snippet"] == "alpha x x beta gamma"
+
+
+def test_expand_query_terms_from_collocations(spark):
+    rows = [(i, "solar panel array on roof . solar panel array again") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    colloc = search.collocations(docs, "text", "doc_id", min_count=2)
+    out = search.expand_query_terms(colloc, [(0, "solar")], top_m=1)
+    assert out == [(0, "solar panel")]  # top-lift right partner
+    # expansion terms never duplicate existing query vocabulary
+    out2 = search.expand_query_terms(colloc, [(1, "solar panel")], top_m=2)
+    qid, text = out2[0]
+    toks = text.split()
+    assert len(toks) == len(set(toks))
