@@ -1150,7 +1150,10 @@ def q_text_search(spark, sf_dir):
     (distinct-token Jaccard, integer set arithmetic, one portable
     division), ``rrf`` (reciprocal-rank fusion of the two, fixed-order
     float fold), ``phrase`` (positional index, the
-    intersect-shifted-positions fold, ranked by occurrence count).
+    intersect-shifted-positions fold, ranked by occurrence count);
+    ``snippet`` (r7 late: the max-distinct-query-terms window per
+    (query, doc) — the RAG context step — with the sliced span TEXT
+    itself in the nullable ``snippet`` column, NULL for other modes).
     FULLY oracle-checked: idf is python ``math.log`` over exact
     (N, df) integers inlined as literals on BOTH sides (no
     cross-engine transcendental), every other op is IEEE or integer
@@ -1193,16 +1196,33 @@ def q_text_search(spark, sf_dir):
         docs, "text", "doc_id", TEXT_SEARCH_PHRASES, postings=pos
     ).withColumn("score", F.col("n_occurrences").cast("double"))
     ph = search._rank_topk(ph, "doc_id", 10)
+    # snippet mode: the retrieve-then-snippet composition — the BM25
+    # top-10 rows carry their best context window's TEXT through the
+    # hash check (pairs= bounds the window argmax to k docs per query)
+    snip = cut_lineage(
+        bm.join(
+            search.best_snippet(
+                docs, "text", "doc_id", TEXT_SEARCH_QUERIES,
+                window=SNIPPET_W, postings=pos, pairs=bm,
+            ).select("query_id", "doc_id", "snippet"),
+            ["query_id", "doc_id"],
+        ).select("query_id", "doc_id", "rank", "score", "snippet"),
+        eager=True,
+    )
+    nul = F.lit(None).cast("string").alias("snippet")
     return (
-        bm.select(F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score")
+        bm.select(F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
         .unionByName(
-            ja.select(F.lit("jacc").alias("mode"), "query_id", "doc_id", "rank", "score")
+            ja.select(F.lit("jacc").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
         )
         .unionByName(
-            rr.select(F.lit("rrf").alias("mode"), "query_id", "doc_id", "rank", "score")
+            rr.select(F.lit("rrf").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
         )
         .unionByName(
-            ph.select(F.lit("phrase").alias("mode"), "query_id", "doc_id", "rank", "score")
+            ph.select(F.lit("phrase").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
+        )
+        .unionByName(
+            snip.select(F.lit("snippet").alias("mode"), "query_id", "doc_id", "rank", "score", "snippet")
         )
     )
 
@@ -1824,6 +1844,9 @@ _SHINGLE_CTE = """
 """
 
 
+SNIPPET_W = 20  # snippet window tokens, shared engine/oracle
+
+
 def _text_search_oracle(
     k: int = 10, k1: float = 1.2, b: float = 0.75, rrf_k: float = 60.0
 ) -> str:
@@ -1951,11 +1974,42 @@ def _text_search_oracle(
         ph AS (
           SELECT query_id, doc_id, {rank} AS rank, score
           FROM phr QUALIFY rank <= {k}
+        ),
+        mt AS (
+          SELECT q.query_id, p.doc_id, p.term, CAST(u.pos AS INT) AS pos
+          FROM ppx p JOIN q USING (term), unnest(p.positions) AS u(pos)
+          WHERE (q.query_id, p.doc_id) IN
+                (SELECT (query_id, doc_id) FROM bm)
+        ),
+        wins AS (
+          SELECT a.query_id, a.doc_id, a.pos AS s,
+                 count(DISTINCT b.term) AS n_terms
+          FROM mt a JOIN mt b
+            ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+           AND b.pos >= a.pos AND b.pos <= a.pos + {SNIPPET_W - 1}
+          GROUP BY a.query_id, a.doc_id, a.pos
+        ),
+        bestw AS (
+          SELECT query_id, doc_id, CAST(s AS INT) AS snippet_start,
+                 row_number() OVER (PARTITION BY query_id, doc_id
+                                    ORDER BY n_terms DESC, s) AS r
+          FROM wins QUALIFY r = 1
+        ),
+        sn AS (
+          SELECT bm.query_id, bm.doc_id, bm.rank, bm.score,
+                 array_to_string(
+                   d.toks[b.snippet_start : b.snippet_start + {SNIPPET_W - 1}],
+                   ' ') AS snippet
+          FROM bm
+          JOIN bestw b USING (query_id, doc_id)
+          JOIN (SELECT doc_id, {tok} AS toks FROM documents) d
+            ON d.doc_id = bm.doc_id
         )
-        SELECT 'bm25' AS mode, * FROM bm
-        UNION ALL SELECT 'jacc', * FROM ja
-        UNION ALL SELECT 'rrf', * FROM rr
-        UNION ALL SELECT 'phrase', * FROM ph
+        SELECT 'bm25' AS mode, bm.*, CAST(NULL AS VARCHAR) AS snippet FROM bm
+        UNION ALL SELECT 'jacc', ja.*, CAST(NULL AS VARCHAR) FROM ja
+        UNION ALL SELECT 'rrf', rr.*, CAST(NULL AS VARCHAR) FROM rr
+        UNION ALL SELECT 'phrase', ph.*, CAST(NULL AS VARCHAR) FROM ph
+        UNION ALL SELECT 'snippet', sn.* FROM sn
     """
 
 

@@ -514,6 +514,7 @@ def best_snippet(
     queries: list[tuple[int, str]],
     window: int = 20,
     postings: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Snippet extraction (the RAG context-window step): for each
     (query, doc) with at least one query-term hit, the ``window``-token
@@ -523,7 +524,11 @@ def best_snippet(
     start) — a self-join of the per-doc query-term match positions
     (bounded by matches, not tokens), then one tokenize of only the
     matched docs to slice the span text. All integer arithmetic +
-    array slicing — DuckDB-twin testable."""
+    array slicing — DuckDB-twin testable.
+
+    ``pairs``: restrict to these ``(query_id, <id_col>)`` rows — the
+    retrieve-then-snippet composition (pass the BM25 top-k frame so
+    the window argmax runs over k docs per query, not the corpus)."""
     spark = df.sparkSession
     qterms = {qid: tokenize_query(q) for qid, q in queries}
     qframe = spark.createDataFrame(
@@ -537,6 +542,11 @@ def best_snippet(
         .select("query_id", F.col(id_col), "term",
                 F.explode("positions").alias("pos"))
     )
+    if pairs is not None:
+        matches = matches.join(
+            F.broadcast(pairs.select("query_id", F.col(id_col))),
+            ["query_id", id_col],
+        )
     a = matches.select("query_id", F.col(id_col), F.col("pos").alias("s"))
     b = matches.select(
         "query_id", F.col(id_col), "term", F.col("pos").alias("p")
