@@ -56,6 +56,21 @@ def md5_prefix_hash_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def md5_hash60(s: Column) -> Column:
+    """First 60 bits (15 hex chars) of md5(s) as a non-negative BIGINT.
+
+    The sketch family (KMV / HLL, ``operators/sketch.py``) needs more
+    than 32 bits: a 32-bit hash space saturates around ~2^16 distinct
+    values (birthday bound), while 60 bits keeps collision probability
+    negligible past 10^9 keys yet still fits BIGINT with headroom
+    (2^60 < 2^63). Portable: DuckDB twin below, verified bit-equal."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def bucket(key: Column, n_buckets: int, seed: int = 42) -> Column:
     """Deterministic pseudo-random bucket in [0, n_buckets)."""
     return knuth_hash(key, seed) % F.lit(n_buckets)

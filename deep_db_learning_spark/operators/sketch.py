@@ -1,0 +1,465 @@
+"""Distributed cardinality / frequency / quantile sketches.
+
+The reference profiles tables with EXACT distinct counts and value
+frequencies (``db_transformer/db/distinct_cnt_retrieval.py:55-155``,
+``db/db_inspector.py`` — every count is a full scan + hash set).  That
+is the right call at CTU-dataset scale and hopeless at 100 TB: a
+distinct count over a high-cardinality column would shuffle the whole
+column.  This module is the at-scale replacement — one-pass, bounded
+state, portable arithmetic:
+
+- :func:`kmv_distinct` — K-Minimum-Values estimator (Bar-Yossef et al.
+  2002): keep the ``k`` smallest 60-bit hash values; the k-th smallest
+  order statistic estimates the cardinality as ``(k-1) / U_(k)``.
+  State: ``k`` BIGINTs.  Exact below ``k`` distinct values.
+- :func:`hll_distinct` — HyperLogLog-shaped register sketch (Flajolet
+  et al. 2007): ``m`` registers of "position of first 1-bit", harmonic
+  estimator.  State: ``m`` small ints.  The register fold here is
+  INTEGER-exact (weights ``2^(cap-rho)`` summed as BIGINT, the final
+  estimate is a single double division), so a DuckDB oracle reproduces
+  the estimate bit-for-bit — no float-sum ordering hazard.  The
+  small-range bias correction (``m·ln(m/V)``) is deliberately omitted
+  (``ln`` is transcendental → not portably bit-stable); use
+  :func:`kmv_distinct` when the cardinality may be small — it is exact
+  there.
+- :func:`cms_heavy_hitters` — Count-Min sketch (Cormode & Muthu 2005):
+  ``depth × width`` counter matrix under ``depth`` salted hashes;
+  point estimate = min over rows; overestimates only.  The sketch
+  build is one explode + one groupBy (state ``depth·width`` rows,
+  broadcastable).  Candidate probing here enumerates distinct values
+  (exact at test scale — and the honest framing: the sketch's value at
+  100 TB is that the COUNTER state is bounded while candidates stream
+  from a sample or a prior top-k, see docstring).
+- :func:`exact_quantiles` — EXACT order statistics with no global
+  sort: histogram pass (``n_buckets`` counts) → driver locates the
+  bucket + offset holding each requested rank (≤ ``n_buckets`` rows
+  collected) → second pass sorts ONLY the hit buckets (~N/B rows
+  each) under a per-bucket window.  Two scans, no full-data shuffle
+  by a total order — the 100 TB answer to ``ORDER BY x LIMIT 1
+  OFFSET r``.
+
+Every hash is the portable md5 family (``functions/hashing.py``) and
+every cross-row fold is integer/BIGINT, so the paired ``*_oracle_sql``
+builders emit DuckDB SQL that matches the engine bit-for-bit — the
+driver's value-hash gate checks these estimators EXACTLY, not "within
+epsilon".
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    md5_hash60,
+    md5_hash60_sql,
+    md5_prefix_hash,
+    md5_prefix_hash_sql,
+)
+
+# One config shared by engine and oracle builders — the constants can't
+# drift between the two sides (the bm25 CONFIG pattern, search.py).
+SKETCH_CONFIG = {
+    "kmv_k": 256,
+    "hll_m": 256,
+    "hll_rho_cap": 40,  # max register value; 2^-40 tail is negligible
+    "hll_rest_bits": 52,  # 60-bit hash minus 8 bucket bits
+    "cms_depth": 4,
+    "cms_width": 1024,
+    "quantile_buckets": 512,
+}
+
+_H60_SPAN = float(2**60)
+
+
+def dlit(x: float) -> str:
+    """Double literal both engines parse to the same IEEE value."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def kmv_bottom_hashes(df: DataFrame, col: str, k: int) -> DataFrame:
+    """The ``k`` smallest DISTINCT 60-bit hashes of ``col`` (the KMV
+    synopsis itself — unionable across partitions/corpora by re-taking
+    the bottom k, which is how KMV merges).
+
+    Plan shape: partial (map-side) dedup inside the groupBy, then a
+    ``TakeOrderedAndProject`` — Spark keeps a per-partition top-k and
+    merges on the driver; no full sort of the hash column."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(md5_hash60(F.col(col).cast("string")).alias("h"))
+        .groupBy("h")
+        .agg(F.lit(1))
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int | None = None) -> DataFrame:
+    """One row ``(k_used, kth, est)``: the KMV cardinality estimate.
+
+    ``est = (k-1) * 2^60 / kth`` when the synopsis is full (a single
+    double division over two exact integers — deterministic), or the
+    EXACT distinct count when fewer than ``k`` values exist (KMV
+    degrades to exact below its state budget)."""
+    k = k or SKETCH_CONFIG["kmv_k"]
+    numer = float((k - 1) * 2**60)
+    return kmv_bottom_hashes(df, col, k).agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth"),
+    ).select(
+        "k_used",
+        "kth",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(F.expr(dlit(numer)) / F.col("kth").cast("double"))
+        .alias("est"),
+    )
+
+
+def kmv_distinct_oracle_sql(table: str, col: str, k: int | None = None) -> str:
+    k = k or SKETCH_CONFIG["kmv_k"]
+    numer = float((k - 1) * 2**60)
+    h = md5_hash60_sql(f"CAST({col} AS VARCHAR)")
+    return f"""
+        WITH hs AS (
+          SELECT DISTINCT {h} AS h FROM {table} WHERE {col} IS NOT NULL
+        ), tk AS (
+          SELECT h FROM hs ORDER BY h LIMIT {k}
+        )
+        SELECT count(*) AS k_used, max(h) AS kth,
+               CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                    ELSE {dlit(numer)} / CAST(max(h) AS DOUBLE) END AS est
+        FROM tk
+    """
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _bits_ladder_sql(rest_expr: str, width: int) -> str:
+    """``bit_length(rest)`` as a pure comparison ladder — identical text
+    in Spark SQL and DuckDB (no engine bit intrinsics), integer-exact."""
+    terms = " + ".join(
+        f"(CASE WHEN {rest_expr} >= {1 << j} THEN 1 ELSE 0 END)"
+        for j in range(width)
+    )
+    return f"({terms})"
+
+
+def hll_registers(df: DataFrame, col: str, m: int | None = None) -> DataFrame:
+    """``(b, rho)`` register frame: bucket = low 8 bits of the hash,
+    rho = 1 + leading zeros of the remaining 52 bits, capped.  All
+    ``m`` registers present (empty → rho 0).  State: ``m`` rows."""
+    m = m or SKETCH_CONFIG["hll_m"]
+    cap = SKETCH_CONFIG["hll_rho_cap"]
+    width = SKETCH_CONFIG["hll_rest_bits"]
+    spark = df.sparkSession
+    bits = _bits_ladder_sql("rest", width)
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(md5_hash60(F.col(col).cast("string")).alias("h"))
+        .select(
+            (F.col("h") % m).alias("b"),
+            F.expr(f"h div {m}").alias("rest"),
+        )
+        .select(
+            "b",
+            F.least(F.lit(width + 1) - F.expr(bits), F.lit(cap)).alias("rho"),
+        )
+        .groupBy("b")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = spark.range(m).select(F.col("id").alias("b"))
+    return full.join(regs, "b", "left").select(
+        "b", F.coalesce("rho", F.lit(0)).cast("int").alias("rho")
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, m: int | None = None) -> DataFrame:
+    """One row ``(intsum, zero_regs, est)``.  ``intsum`` is the exact
+    BIGINT ``Σ 2^(cap - rho_j)`` (empty register ⇒ ``2^cap``), so the
+    harmonic estimate is ``alpha·m²·2^cap / intsum`` — one double
+    division, bit-stable across engines."""
+    m = m or SKETCH_CONFIG["hll_m"]
+    cap = SKETCH_CONFIG["hll_rho_cap"]
+    numer = _hll_alpha(m) * m * m * float(2**cap)
+    return (
+        hll_registers(df, col, m)
+        .agg(
+            F.sum(
+                F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {cap} - rho) AS BIGINT)")
+            ).alias("intsum"),
+            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zero_regs"),
+        )
+        .select(
+            "intsum",
+            "zero_regs",
+            (F.expr(dlit(numer)) / F.col("intsum").cast("double")).alias("est"),
+        )
+    )
+
+
+def hll_distinct_oracle_sql(table: str, col: str, m: int | None = None) -> str:
+    m = m or SKETCH_CONFIG["hll_m"]
+    cap = SKETCH_CONFIG["hll_rho_cap"]
+    width = SKETCH_CONFIG["hll_rest_bits"]
+    numer = _hll_alpha(m) * m * m * float(2**cap)
+    h = md5_hash60_sql(f"CAST({col} AS VARCHAR)")
+    bits = _bits_ladder_sql("rest", width)
+    return f"""
+        WITH hs AS (
+          SELECT {h} AS h FROM {table} WHERE {col} IS NOT NULL
+        ), br AS (
+          SELECT h % {m} AS b,
+                 LEAST({width + 1} - {bits.replace('rest', f'(h // {m})')}, {cap}) AS rho
+          FROM hs
+        ), regs AS (
+          SELECT r.i AS b, COALESCE(mx.rho, 0) AS rho
+          FROM range(0, {m}) r(i) LEFT JOIN (
+            SELECT b, max(rho) AS rho FROM br GROUP BY b
+          ) mx ON mx.b = r.i
+        ), agg AS (
+          SELECT CAST(sum(CAST(1 AS BIGINT) << CAST({cap} - rho AS INT)) AS BIGINT) AS intsum,
+                 CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+          FROM regs
+        )
+        SELECT intsum, zero_regs,
+               {dlit(numer)} / CAST(intsum AS DOUBLE) AS est
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(item: Column, d: int, width: int) -> Column:
+    return md5_prefix_hash(F.concat(F.lit(f"cms{d}:"), item.cast("string"))) % width
+
+
+def cms_table(
+    df: DataFrame, col: str, depth: int | None = None, width: int | None = None
+) -> DataFrame:
+    """The ``depth × width`` counter matrix as ``(d, bkt, cnt)`` rows.
+    One explode (×depth) + one groupBy; ≤ ``depth·width`` result rows
+    regardless of input size — the whole point of the sketch.  Counter
+    frames from disjoint corpora ADD (sum on (d, bkt)), which is the
+    incremental/streaming merge path."""
+    depth = depth or SKETCH_CONFIG["cms_depth"]
+    width = width or SKETCH_CONFIG["cms_width"]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col(col), d, width).alias("bkt"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(arr).alias("e"))
+        .groupBy(F.col("e.d").alias("d"), F.col("e.bkt").alias("bkt"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    depth: int | None = None,
+    width: int | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Items whose Count-Min estimate ≥ ``threshold``, as
+    ``(item, est, exact)`` — ``est ≥ exact`` always (CMS overestimates
+    only), so recall is 1.0 by construction and the ``exact`` column
+    makes the overestimate auditable.
+
+    ``candidates`` defaults to the distinct values of ``col`` (with
+    their exact counts — fine at probe scale).  At 100 TB you pass the
+    candidate stream yourself — a bottom-k hash sample or yesterday's
+    heavy-hitter list — and drop the exact column; the sketch's
+    guarantee (bounded counter state, no-false-negative filter) does
+    not depend on how candidates are produced."""
+    depth = depth or SKETCH_CONFIG["cms_depth"]
+    width = width or SKETCH_CONFIG["cms_width"]
+    cms = cms_table(df, col, depth, width)
+    if candidates is None:
+        candidates = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("item"))
+            .agg(F.count("*").alias("exact"))
+        )
+    probes = candidates.select(
+        "item",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("item"), d, width).alias("bkt"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cms),
+            (probes["e.d"] == cms["d"]) & (probes["e.bkt"] == cms["bkt"]),
+        )
+        .groupBy("item", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .where(F.col("est") >= threshold)
+        .select("item", "est", "exact")
+    )
+
+
+def cms_heavy_hitters_oracle_sql(
+    table: str,
+    col: str,
+    threshold: int,
+    depth: int | None = None,
+    width: int | None = None,
+) -> str:
+    depth = depth or SKETCH_CONFIG["cms_depth"]
+    width = width or SKETCH_CONFIG["cms_width"]
+    bkt = md5_prefix_hash_sql("'cms' || CAST(d.i AS VARCHAR) || ':' || item")
+    return f"""
+        WITH vals AS (
+          SELECT CAST({col} AS VARCHAR) AS item FROM {table}
+          WHERE {col} IS NOT NULL
+        ), cms AS (
+          SELECT d.i AS d, {bkt} % {width} AS bkt, count(*) AS cnt
+          FROM vals, range(0, {depth}) d(i)
+          GROUP BY 1, 2
+        ), cand AS (
+          SELECT item, count(*) AS exact FROM vals GROUP BY item
+        ), probe AS (
+          SELECT c.item, c.exact, cms.cnt
+          FROM cand c, range(0, {depth}) d(i)
+          JOIN cms ON cms.d = d.i AND cms.bkt = {bkt.replace('item', 'c.item')} % {width}
+        )
+        SELECT item, min(cnt) AS est, exact
+        FROM probe GROUP BY item, exact
+        HAVING min(cnt) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles without a global sort
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT ``quantile_disc``-style order statistics: for each ``p``
+    return ``(p, rank, value)`` with ``rank = floor(p·(N-1)) + 1``
+    (1-indexed) and ``value`` the rank-th smallest non-null ``col``.
+
+    No global sort: job 1 is a histogram groupBy (``n_buckets``
+    counts, collected — bounded driver state); the driver walks the
+    cumulative counts to find, for each rank, its bucket and offset;
+    job 2 row-numbers ONLY the hit buckets (window partitioned by
+    bucket ⇒ each window holds ~N/B rows, never N).  The bucket
+    boundary arithmetic is internal only — correctness does not depend
+    on it (any bucketing yields the same order statistic), which is
+    why the oracle can use a plain full sort.
+    """
+    n_buckets = n_buckets or SKETCH_CONFIG["quantile_buckets"]
+    spark = df.sparkSession
+    vals = df.where(F.col(col).isNotNull()).select(F.col(col).cast("double").alias("v"))
+    stats = vals.agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    out_schema = "p double, rank bigint, value double"
+    if not n:
+        return spark.createDataFrame([], out_schema)
+    ranks = {float(p): int(math.floor(p * (n - 1))) + 1 for p in probs}
+    if lo == hi:
+        return spark.createDataFrame(
+            [(p, r, float(lo)) for p, r in sorted(ranks.items())], out_schema
+        )
+    span = hi - lo
+    b = F.least(
+        F.floor(((F.col("v") - lo) * n_buckets) / span), F.lit(n_buckets - 1)
+    ).cast("int")
+    hist = {
+        r["b"]: r["cnt"]
+        for r in vals.select(b.alias("b")).groupBy("b").agg(F.count("*").alias("cnt")).collect()
+    }
+    targets = []  # (bucket, offset_within_bucket, rank, p)
+    for p, r in sorted(ranks.items()):
+        cum = 0
+        for bi in sorted(hist):
+            if cum + hist[bi] >= r:
+                targets.append((bi, r - cum, r, p))
+                break
+            cum += hist[bi]
+    hit_buckets = sorted({t[0] for t in targets})
+    tgt = spark.createDataFrame(
+        [(bi, off, r, p) for bi, off, r, p in targets],
+        "b int, off bigint, rank bigint, p double",
+    )
+    w = Window.partitionBy("b").orderBy("v")
+    ranked = (
+        vals.select("v", b.alias("b"))
+        .where(F.col("b").isin(hit_buckets))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.join(
+            F.broadcast(tgt), (ranked["b"] == tgt["b"]) & (ranked["rn"] == tgt["off"])
+        )
+        .select("p", "rank", F.col("v").alias("value"))
+        .orderBy("p")
+    )
+
+
+def exact_quantiles_oracle_sql(table: str, col: str, probs: list[float]) -> str:
+    """Full-sort oracle: rank every non-null value once, join the rank
+    targets.  The rank formula text mirrors the engine's driver-side
+    ``floor(p·(N-1)) + 1`` exactly (double multiply then floor)."""
+    plist = ", ".join(f"({dlit(float(p))})" for p in sorted(float(p) for p in probs))
+    return f"""
+        WITH vals AS (
+          SELECT CAST({col} AS DOUBLE) AS v FROM {table} WHERE {col} IS NOT NULL
+        ), ranked AS (
+          SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+        ), n AS (
+          SELECT count(*) AS n FROM vals
+        ), pr AS (
+          SELECT p, CAST(floor(p * (n.n - 1)) AS BIGINT) + 1 AS rank
+          FROM (VALUES {plist}) pv(p), n
+        )
+        SELECT pr.p AS p, pr.rank AS rank, ranked.v AS value
+        FROM pr JOIN ranked ON ranked.rn = pr.rank
+        ORDER BY pr.p
+    """

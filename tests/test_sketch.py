@@ -1,0 +1,208 @@
+"""Sketch family: KMV / HLL / Count-Min / no-sort exact quantiles.
+
+Each operator is checked three ways: (1) bit-exact parity with its
+DuckDB oracle SQL (the same portable-arithmetic coupling the driver
+gate uses), (2) the estimator's theoretical guarantee (error bound /
+overestimate-only / exactness), (3) the merge property that makes the
+sketch usable incrementally at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators import sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _duck_rows(duck, sql):
+    return sorted(tuple(r) for r in duck.sql(sql).fetchall())
+
+
+# ---------------------------------------------------------------------------
+# oracle parity (bit-exact)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_matches_oracle(lineitem, duck):
+    got = _rows(sketch.kmv_distinct(lineitem, "l_partkey"))
+    want = _duck_rows(duck, sketch.kmv_distinct_oracle_sql("lineitem", "l_partkey"))
+    assert got == want
+
+
+def test_hll_matches_oracle(lineitem, duck):
+    got = _rows(sketch.hll_distinct(lineitem, "l_partkey"))
+    want = _duck_rows(duck, sketch.hll_distinct_oracle_sql("lineitem", "l_partkey"))
+    assert got == want
+
+
+def test_cms_matches_oracle(events, duck):
+    got = _rows(sketch.cms_heavy_hitters(events, "user_id", threshold=10))
+    want = _duck_rows(
+        duck, sketch.cms_heavy_hitters_oracle_sql("events", "user_id", 10)
+    )
+    assert got == want
+
+
+def test_quantiles_match_oracle(lineitem, duck):
+    probs = [0.0, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0]
+    got = _rows(sketch.exact_quantiles(lineitem, "l_extendedprice", probs))
+    want = _duck_rows(
+        duck, sketch.exact_quantiles_oracle_sql("lineitem", "l_extendedprice", probs)
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# estimator guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(lineitem):
+    """Fewer distinct values than k ⇒ KMV IS the exact count."""
+    exact = lineitem.select("l_partkey").distinct().count()
+    row = sketch.kmv_distinct(lineitem, "l_partkey", k=256).first()
+    assert exact < 256
+    assert row["k_used"] == exact and row["est"] == float(exact)
+
+
+def test_kmv_error_bound(spark):
+    """Full synopsis: relative error within 4/sqrt(k) (theory: ~1/sqrt(k)
+    per trial; 4x leaves room for one fixed hash draw)."""
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = sketch.kmv_distinct(df, "v", k=256).first()["est"]
+    assert abs(est - n) / n < 4 / math.sqrt(256)
+
+
+def test_hll_error_bound(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = sketch.hll_distinct(df, "v").first()["est"]
+    assert abs(est - n) / n < 4 * 1.04 / math.sqrt(256)
+
+
+def test_cms_overestimates_only_and_full_recall(events):
+    """CMS point estimates never undercount, so thresholding the
+    estimate can only ADD items vs thresholding the exact count."""
+    hh = sketch.cms_heavy_hitters(events, "user_id", threshold=1).collect()
+    assert hh, "events fixture should have users"
+    for r in hh:
+        assert r["est"] >= r["exact"]
+    exact_heavy = {
+        r["item"]
+        for r in sketch.cms_heavy_hitters(events, "user_id", threshold=5).collect()
+        if r["exact"] >= 5
+    }
+    got = {
+        r["item"]
+        for r in sketch.cms_heavy_hitters(events, "user_id", threshold=5).collect()
+    }
+    assert exact_heavy <= got
+
+
+def test_quantiles_match_duckdb_builtin(lineitem, duck):
+    """Our rank definition reproduces quantile_disc for the median on
+    an odd-count restriction (where all definitions agree)."""
+    vals = lineitem.where(F.col("l_extendedprice").isNotNull())
+    n = vals.count()
+    if n % 2 == 0:
+        vals = vals.limit(n - 1)
+        n -= 1
+    med = sketch.exact_quantiles(vals, "l_extendedprice", [0.5]).first()["value"]
+    want = duck.sql(
+        f"""SELECT quantile_disc(l_extendedprice, 0.5)
+            FROM (SELECT * FROM lineitem WHERE l_extendedprice IS NOT NULL LIMIT {n})"""
+    ).fetchone()[0]
+    assert med == pytest.approx(want)
+
+
+def test_quantiles_extremes_are_min_max(lineitem):
+    q = {
+        r["p"]: r["value"]
+        for r in sketch.exact_quantiles(lineitem, "l_extendedprice", [0.0, 1.0]).collect()
+    }
+    row = lineitem.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    ).first()
+    assert q[0.0] == row["lo"] and q[1.0] == row["hi"]
+
+
+def test_quantiles_constant_column(spark):
+    df = spark.range(100).select(F.lit(7.5).alias("v"))
+    rows = sketch.exact_quantiles(df, "v", [0.25, 0.9]).collect()
+    assert {r["value"] for r in rows} == {7.5} and len(rows) == 2
+
+
+def test_quantiles_empty(spark):
+    df = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    assert sketch.exact_quantiles(df, "v", [0.5]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# merge properties (the incremental / distributed story)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_tables_add(events):
+    """CMS counters from disjoint halves sum to the whole-corpus
+    counters — the streaming/shard merge is a plain (d, bkt) sum."""
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    whole = _rows(sketch.cms_table(events, "user_id"))
+    merged = _rows(
+        sketch.cms_table(a, "user_id")
+        .unionByName(sketch.cms_table(b, "user_id"))
+        .groupBy("d", "bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert whole == merged
+
+
+def test_kmv_synopses_merge(lineitem):
+    """Bottom-k of the union == bottom-k of (bottom-k(a) ∪ bottom-k(b))."""
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    k = 64
+    whole = _rows(sketch.kmv_bottom_hashes(lineitem, "l_partkey", k))
+    remerged = _rows(
+        sketch.kmv_bottom_hashes(a, "l_partkey", k)
+        .unionByName(sketch.kmv_bottom_hashes(b, "l_partkey", k))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    assert whole == remerged
+
+
+def test_hll_registers_merge(lineitem):
+    """Register-wise max over shard register frames == whole-corpus
+    registers (HLL's union law)."""
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    whole = _rows(sketch.hll_registers(lineitem, "l_partkey"))
+    merged = _rows(
+        sketch.hll_registers(a, "l_partkey")
+        .unionByName(sketch.hll_registers(b, "l_partkey"))
+        .groupBy("b")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+    assert whole == merged
