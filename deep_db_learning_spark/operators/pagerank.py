@@ -1,0 +1,188 @@
+"""PageRank over the FK graph — iterative DataFrame power iteration.
+
+The reference materializes the schema as a heterogeneous node/edge
+graph and learns on it (``db_transformer/data/dataset.py``,
+``db/schema_autodetect.py`` build the same orders↔customer edges our
+``operators/graph.py`` does); a classic companion analysis on that
+graph — node importance for sampling priors, hub detection before
+neighbor-budget capping (N27's hub guard), corpus-weighting — is
+PageRank.  This is the canonical *iterative* algorithm a DataFrame
+engine must express well, so it is implemented Spark-first:
+
+- each iteration is ONE join-groupBy round (edges ⋈ ranks on ``src``,
+  sum contributions by ``dst``) — the natural hash-partitioned shape;
+  edges and out-degrees are materialized once (lineage-cut) and reused
+  every iteration, ranks are lineage-cut per iteration so the plan
+  stays O(1) deep instead of O(iters);
+- dangling mass is a 1-row aggregate CROSS-joined into the update —
+  in-plan, no driver collect inside the loop;
+- ALL arithmetic is non-negative BIGINT: ranks live at a fixed scale
+  of 10^12, contributions are floor divisions (``r div deg``), sums
+  fold through DECIMAL(38,0) (exact, overflow-safe past bigint), and
+  the damping factor 0.85 is the integer pair (85, 100).  There is no
+  float anywhere in the iteration, so the fixpoint trajectory is
+  bit-identical on any engine — the DuckDB oracle (an unrolled CTE
+  chain from :func:`pagerank_oracle_sql`) reproduces every iteration
+  exactly, which upgrades an "iterative algorithm" from rows-only to
+  value-hash-checked.
+
+Scale: state per iteration is one (node, rank) frame; the only
+shuffles are the contribution groupBy and the rank join, both on the
+node key — co-partitionable and AQE-skew-handled.  Integer floor
+division loses at most ``deg`` units of 10^-12 mass per node per
+iteration (the mass deficit decays geometrically and affects every
+engine identically); BIGINT holds to ~9·10^6 nodes at scale 10^12 per
+the DECIMAL(38,0) fold (per-node ranks stay < 2^63 always — only the
+transient sums grow, and those are DECIMAL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import cut_lineage
+
+PR_CONFIG = {
+    "scale": 10**12,
+    "damp_num": 85,
+    "damp_den": 100,
+    "iters": 5,
+}
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int | None = None,
+) -> DataFrame:
+    """Integer-exact PageRank.  ``edges``: (src, dst) BIGINT directed
+    pairs; ``nodes``: (node) BIGINT — the full vertex set (isolated and
+    dangling nodes included).  Returns (node, rank_scaled, rank) where
+    ``rank_scaled`` is the exact BIGINT state at scale 10^12 and
+    ``rank`` its double rendering (one division, deterministic).
+
+    Update rule (all integer ops, ``div`` = floor division)::
+
+        r0        = S div N
+        contrib_e = r[src] div deg[src]
+        r'[d]     = (15·(S div N)) div 100
+                    + (85·(Σ contrib + dang div N)) div 100
+
+    where ``dang`` is the summed rank of out-degree-0 nodes."""
+    iters = PR_CONFIG["iters"] if iters is None else iters
+    s = PR_CONFIG["scale"]
+    dn, dd = PR_CONFIG["damp_num"], PR_CONFIG["damp_den"]
+
+    nodes = cut_lineage(nodes.select(F.col("node").cast("bigint").alias("node")), eager=True)
+    edges = cut_lineage(
+        edges.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        ),
+        eager=True,
+    )
+    n = nodes.count()  # bounded driver scalar; inlined below exactly as
+    # the oracle's (SELECT count(*) ...) — integer equality
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("bigint").alias("rank_scaled"),
+            F.lit(None).cast("double").alias("rank"),
+        )
+    deg = cut_lineage(
+        edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg")),
+        eager=True,
+    )
+    base = ((dd - dn) * (s // n)) // dd  # python ints == SQL int ops
+    ranks = nodes.select("node", F.lit(s // n).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        agg = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).cast("bigint").alias("agg")
+        )
+        dang = ranks.join(deg, "node", "left_anti").agg(
+            F.coalesce(F.sum(F.col("r").cast("decimal(38,0)")), F.lit(0))
+            .cast("bigint")
+            .alias("dang")
+        )
+        ranks = cut_lineage(
+            nodes.crossJoin(F.broadcast(dang))
+            .join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"({dn} * (coalesce(agg, CAST(0 AS BIGINT))"
+                        f" + (dang div {n}))) div {dd}"
+                    )
+                ).alias("r"),
+            ),
+            eager=True,
+        )
+    inv_s = 1.0 / float(s)  # rank = rank_scaled * (1/S): one multiply
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") * F.lit(inv_s)).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    iters: int | None = None,
+) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`pagerank` — same integer
+    update rule, one (contrib, dangling, rank) CTE triple per
+    iteration.  ``nodes_sql`` must yield (node), ``edges_sql``
+    (src, dst)."""
+    iters = PR_CONFIG["iters"] if iters is None else iters
+    s = PR_CONFIG["scale"]
+    dn, dd = PR_CONFIG["damp_num"], PR_CONFIG["damp_den"]
+    parts = [
+        f"nd AS ({nodes_sql})",
+        f"ed AS ({edges_sql})",
+        "nn AS (SELECT count(*) AS n FROM nd)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({s} // nn.n AS BIGINT) AS r FROM nd, nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(r.r // d.deg AS DECIMAL(38,0))) AS BIGINT) AS agg
+              FROM ed e
+              JOIN {prev} r ON r.node = e.src
+              JOIN deg d ON d.node = e.src
+              GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""g{i} AS (
+              SELECT CAST(COALESCE(sum(CAST(r.r AS DECIMAL(38,0))), 0) AS BIGINT) AS dang
+              FROM {prev} r LEFT JOIN deg d ON d.node = r.node
+              WHERE d.node IS NULL)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+              SELECT nd.node,
+                     CAST((({dd - dn}) * ({s} // nn.n)) // {dd}
+                       + ({dn} * (COALESCE(c{i}.agg, 0) + (g{i}.dang // nn.n))) // {dd}
+                       AS BIGINT) AS r
+              FROM nd CROSS JOIN nn CROSS JOIN g{i}
+              LEFT JOIN c{i} ON c{i}.node = nd.node)"""
+        )
+        prev = f"r{i}"
+    ctes = ",\n".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT node, r AS rank_scaled,
+               CAST(r AS DOUBLE) * (CAST(1.0 AS DOUBLE) / {float(s)!r}) AS rank
+        FROM {prev}
+    """
