@@ -971,6 +971,155 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_fingerprint_dedup(spark, sf_dir):
+    """LLM ops, mode-tagged (r7 registry rotation — the events_windows
+    merge pattern): ``exact`` — exact dedup by md5 content hash
+    (content_hash, keeper, dup count); ``simhash`` — SimHash near-dup
+    candidate pairs (portable mask-parity fingerprint + pigeonhole
+    banding).  Both are hash-fingerprint dedups over one documents
+    scan; NULL-padded to the shared (mode, h, a, b, c) schema."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    ex = dedup.exact_dedup(docs, "text", "doc_id")
+    pairs = dedup.simhash_candidate_pairs(
+        dedup.simhash(docs, "text"), "doc_id", max_hamming=10
+    )
+    return ex.select(
+        F.lit("exact").alias("mode"),
+        F.col("content_hash").alias("h"),
+        F.col("keeper_id").cast("bigint").alias("a"),
+        F.col("dup_cnt").cast("bigint").alias("b"),
+        F.lit(None).cast("bigint").alias("c"),
+    ).unionByName(
+        pairs.select(
+            F.lit("simhash").alias("mode"),
+            F.lit(None).cast("string").alias("h"),
+            F.col("id_a").cast("bigint").alias("a"),
+            F.col("id_b").cast("bigint").alias("b"),
+            F.col("hamming").cast("bigint").alias("c"),
+        )
+    )
+
+
+def q_sketches(spark, sf_dir):
+    """Sketch family, mode-tagged: ``kmv`` + ``hll`` cardinality
+    estimates of l_orderkey (the at-scale replacement for the
+    reference's exact distinct-count profiling,
+    `db_transformer/db/distinct_cnt_retrieval.py:55-155`), ``cms`` —
+    Count-Min heavy hitters over events.user_id with the auditable
+    exact column, ``quantile`` — EXACT no-global-sort order statistics
+    of l_extendedprice.  Every estimator is portable integer/single-
+    division arithmetic — the oracle reproduces the ESTIMATES
+    bit-for-bit, not approximately (operators/sketch.py)."""
+    from deep_db_learning_spark.operators import sketch
+
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem")
+    ev = db.df("events")
+    kmv = sketch.kmv_distinct(li, "l_orderkey").select(
+        F.lit("kmv").alias("mode"),
+        F.lit("l_orderkey").alias("key"),
+        F.col("kth").alias("ival"),
+        F.col("k_used").alias("ival2"),
+        F.col("est").alias("dval"),
+    )
+    hll = sketch.hll_distinct(li, "l_orderkey").select(
+        F.lit("hll").alias("mode"),
+        F.lit("l_orderkey").alias("key"),
+        F.col("intsum").alias("ival"),
+        F.col("zero_regs").alias("ival2"),
+        F.col("est").alias("dval"),
+    )
+    cms = sketch.cms_heavy_hitters(ev, "user_id", threshold=10).select(
+        F.lit("cms").alias("mode"),
+        F.col("item").alias("key"),
+        F.col("est").alias("ival"),
+        F.col("exact").alias("ival2"),
+        F.lit(None).cast("double").alias("dval"),
+    )
+    qt = sketch.exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95, 0.99]
+    ).select(
+        F.lit("quantile").alias("mode"),
+        F.concat(F.lit("p="), F.col("p").cast("string")).alias("key"),
+        F.col("rank").alias("ival"),
+        F.lit(None).cast("bigint").alias("ival2"),
+        F.col("value").alias("dval"),
+    )
+    return kmv.unionByName(hll).unionByName(cms).unionByName(qt)
+
+
+def q_pagerank(spark, sf_dir):
+    """Iterative graph algorithm: 5 integer-exact PageRank iterations
+    over the bipartite customer↔orders FK graph (node = 2·custkey /
+    2·orderkey+1; forward + reverse edges, so customers with orders
+    recirculate mass while customers without any orders have
+    out-degree 0 and exercise the dangling-mass path).  The whole
+    trajectory is BIGINT at scale 10^12 (operators/pagerank.py), so
+    the unrolled-CTE DuckDB oracle value-hash-matches every rank."""
+    from deep_db_learning_spark.operators.pagerank import pagerank
+
+    db = _db(spark, sf_dir)
+    cust, orders = db.df("customer"), db.df("orders")
+    nodes = cust.select((F.col("c_custkey") * 2).alias("node")).unionByName(
+        orders.select((F.col("o_orderkey") * 2 + 1).alias("node"))
+    )
+    fwd = orders.select(
+        (F.col("o_orderkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, nodes, iters=5)
+
+
+_PAGERANK_NODES_SQL = (
+    "SELECT c_custkey*2 AS node FROM customer "
+    "UNION ALL SELECT o_orderkey*2+1 FROM orders"
+)
+_PAGERANK_EDGES_SQL = (
+    "SELECT o_orderkey*2+1 AS src, o_custkey*2 AS dst FROM orders "
+    "UNION ALL SELECT o_custkey*2, o_orderkey*2+1 FROM orders"
+)
+
+
+def q_time_convert(spark, sf_dir):
+    """F3-F9 merged under one mode tag (r7 rotation): ``orders`` — the
+    date-decomposition family over o_orderdate; ``events`` — the
+    time-of-day/interval/clamp family over events.ts; NULL-padded to
+    one schema."""
+    o = q_datetime_decompose(spark, sf_dir)
+    e = q_events_time_convert(spark, sf_dir)
+    return o.select(
+        F.lit("orders").alias("mode"),
+        F.col("o_orderkey").alias("id"),
+        "od_year",
+        "od_dayofyear",
+        F.col("od_secs").alias("secs"),
+        F.col("od_epoch").alias("epoch"),
+        "od_month",
+        "od_day",
+        "od_ordinal",
+        F.lit(None).cast("double").alias("dur_secs"),
+        F.lit(None).cast("timestamp").alias("ts_clamped"),
+    ).unionByName(
+        e.select(
+            F.lit("events").alias("mode"),
+            F.col("event_id").alias("id"),
+            F.lit(None).cast("int").alias("od_year"),
+            F.lit(None).cast("int").alias("od_dayofyear"),
+            F.col("ssm").alias("secs"),
+            F.col("epoch_s").alias("epoch"),
+            F.lit(None).cast("int").alias("od_month"),
+            F.lit(None).cast("int").alias("od_day"),
+            F.lit(None).cast("int").alias("od_ordinal"),
+            F.col("since_midnight_secs").alias("dur_secs"),
+            "ts_clamped",
+        )
+    )
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Scaleprobe-only (r6): span-level dedup — the Lee et al. 2022
     exact-substring pass in its fixed-window Spark form (double
@@ -1650,11 +1799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_reconcile": q_cardinality_reconcile,
         "lineitem_numeric_profile": q_lineitem_numeric_profile,
         "graph_stats": q_graph_stats,
-        # converters (F family)
+        # converters (F family); r7 rotation: datetime_decompose +
+        # events_time_convert merged under one mode tag
         "encode_mktsegment": q_encode_mktsegment,
-        "datetime_decompose": q_datetime_decompose,
+        "time_convert": q_time_convert,
         "normalize_cname": q_normalize_cname,
-        "events_time_convert": q_events_time_convert,
         "impute_acctbal": q_impute_acctbal,
         "convert_orders": q_convert_orders,
         "multilabel_event_types": q_multilabel_event_types,
@@ -1677,19 +1826,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
-        # LLM data pipeline (dedup / similarity / text)
-        "dedup_exact": q_dedup_exact,
+        # LLM data pipeline (dedup / similarity / text); r7 rotation:
+        # dedup_exact + simhash merged as fingerprint_dedup
+        "fingerprint_dedup": q_fingerprint_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "text_dedup_clusters": q_text_dedup_clusters,
         "decontamination": q_decontamination,
         "minhash_dedup": q_minhash_dedup,
-        "simhash": q_simhash,
         "text_metrics": q_text_metrics,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_search": q_text_search,
+        # r7: sketch family + iterative graph algorithm
+        "sketches": q_sketches,
+        "pagerank": q_pagerank,
         # streaming / temporal extensions
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
@@ -2359,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN c_mktsegment = '{v}' THEN 1 ELSE 0 END AS c_mktsegment_{v}"
         for v in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
     )
-    return {
+    sqls = {
         "catalog_columns": f"""
             WITH rc AS ({row_counts})
             SELECT c.table_name, c.column_name, rc.n_rows
@@ -3047,3 +3199,54 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ev ON c.c_custkey = ev.k
         """,
     }
+
+    # r7 registry rotation: the merged mode-tagged entries are built
+    # FROM the original per-operator SQL (popped, so the key set stays
+    # exactly queries()'s) — the per-mode semantics can't drift from
+    # the standalone forms still exercised by bench/pytest.
+    sqls["time_convert"] = f"""
+        SELECT 'orders' AS mode, o_orderkey AS id, od_year, od_dayofyear,
+               od_secs AS secs, od_epoch AS epoch, od_month, od_day,
+               od_ordinal, CAST(NULL AS DOUBLE) AS dur_secs,
+               CAST(NULL AS TIMESTAMP) AS ts_clamped
+        FROM ({sqls.pop("datetime_decompose")})
+        UNION ALL
+        SELECT 'events', event_id, CAST(NULL AS INT), CAST(NULL AS INT),
+               ssm, epoch_s, CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), since_midnight_secs, ts_clamped
+        FROM ({sqls.pop("events_time_convert")})
+    """
+    sqls["fingerprint_dedup"] = f"""
+        SELECT 'exact' AS mode, content_hash AS h,
+               CAST(keeper_id AS BIGINT) AS a, CAST(dup_cnt AS BIGINT) AS b,
+               CAST(NULL AS BIGINT) AS c
+        FROM ({sqls.pop("dedup_exact")})
+        UNION ALL
+        SELECT 'simhash', CAST(NULL AS VARCHAR), CAST(id_a AS BIGINT),
+               CAST(id_b AS BIGINT), CAST(hamming AS BIGINT)
+        FROM ({sqls.pop("simhash")})
+    """
+
+    from deep_db_learning_spark.operators import sketch as _sk
+    from deep_db_learning_spark.operators.pagerank import pagerank_oracle_sql
+
+    sqls["sketches"] = f"""
+        SELECT 'kmv' AS mode, 'l_orderkey' AS key, kth AS ival,
+               k_used AS ival2, est AS dval
+        FROM ({_sk.kmv_distinct_oracle_sql("lineitem", "l_orderkey")})
+        UNION ALL
+        SELECT 'hll', 'l_orderkey', intsum, zero_regs, est
+        FROM ({_sk.hll_distinct_oracle_sql("lineitem", "l_orderkey")})
+        UNION ALL
+        SELECT 'cms', item, est, exact, CAST(NULL AS DOUBLE)
+        FROM ({_sk.cms_heavy_hitters_oracle_sql("events", "user_id", 10)})
+        UNION ALL
+        SELECT 'quantile', 'p=' || CAST(p AS VARCHAR), rank,
+               CAST(NULL AS BIGINT), value
+        FROM ({_sk.exact_quantiles_oracle_sql(
+            "lineitem", "l_extendedprice", [0.25, 0.5, 0.75, 0.95, 0.99])})
+    """
+    sqls["pagerank"] = pagerank_oracle_sql(
+        _PAGERANK_NODES_SQL, _PAGERANK_EDGES_SQL, 5
+    )
+    return sqls

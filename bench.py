@@ -156,6 +156,10 @@ def main() -> None:
         # r7: full-text retrieval — BM25 postings + Jaccard voice +
         # RRF fusion (three modes of one query, shared corpus scans)
         "text_search",
+        # r7: sketch family (KMV/HLL/CMS/no-sort quantiles) and the
+        # 5-iteration integer-exact PageRank over customer↔orders
+        "sketches",
+        "pagerank",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

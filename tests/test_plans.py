@@ -218,6 +218,20 @@ PLAN_PINS = {
     # checkpointed index; one more rank window): 4 real shuffles,
     # doubled by the formatted tree+detail counting
     "text_search": (8, 2),
+    # r7 rotation: merged mode-tagged entries — time_convert is two
+    # row-local converter scans unioned (zero shuffles by design);
+    # fingerprint_dedup = exact-dedup groupBy + broadcast simhash band
+    # join
+    "time_convert": (0, 0),
+    "fingerprint_dedup": (4, 2),
+    # r7: four sketch pipelines under one tag (kmv distinct+top-k, hll
+    # register fold, cms explode-groupBy + broadcast probe, quantile
+    # hit-bucket window) — 7 real shuffles doubled by formatted
+    # counting; the cms/quantile probe sides must broadcast
+    "sketches": (16, 4),
+    # pagerank's iterations run eagerly through cut_lineage — the
+    # returned frame is a projection over the final checkpoint scan
+    "pagerank": (0, 0),
 }
 
 
