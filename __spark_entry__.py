@@ -1245,6 +1245,63 @@ def q_text_metrics(spark, sf_dir):
     return per_doc.join(mtf, "doc_id")
 
 
+# stupid-backoff LM spec shared by the engine query and the oracle
+# builder — the coupling is the fit itself (Spark and DuckDB each
+# count independently under this spec; any drift breaks the hash)
+TEXT_LM_SPEC = {"vocab_size": 128, "bigram_k": 1024}
+
+
+def q_text_quality(spark, sf_dir):
+    """LLM ops, mode-tagged (r7 rotation): ``metrics`` — the merged
+    per-document text-analysis scan (q_text_metrics); ``lm`` — CCNet-
+    style perplexity scoring (Wenzek et al. 2020) under a stupid-
+    backoff bigram LM (Brants et al. 2007) fitted on the corpus itself
+    (`operators/lm.py`: distributed counting, bounded top-V/top-K
+    collects, python-log literal score tables, decimal-exact fold —
+    neither engine evaluates a transcendental). NULL-padded to one
+    schema."""
+    from deep_db_learning_spark.operators import lm as LM
+
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    metrics = q_text_metrics(spark, sf_dir)
+    model = LM.fit_stupid_backoff(docs, **TEXT_LM_SPEC)
+    scores = LM.perplexity_scores(docs, model)
+    return metrics.select(
+        F.lit("metrics").alias("mode"),
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        "lang",
+        "fp_md5",
+        "fp_minhash",
+        "quality",
+        "dup_token_frac",
+        "top_token_frac",
+        "mean_tok_freq",
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.lit(None).cast("double").alias("logp_sum"),
+        F.lit(None).cast("double").alias("avg_nll"),
+    ).unionByName(
+        scores.select(
+            F.lit("lm").alias("mode"),
+            "doc_id",
+            F.lit(None).cast("int").alias("ws_tokens"),
+            F.lit(None).cast("int").alias("bpe_tokens"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("fp_md5"),
+            F.lit(None).cast("string").alias("fp_minhash"),
+            F.lit(None).cast("double").alias("quality"),
+            F.lit(None).cast("double").alias("dup_token_frac"),
+            F.lit(None).cast("double").alias("top_token_frac"),
+            F.lit(None).cast("double").alias("mean_tok_freq"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "logp_sum",
+            "avg_nll",
+        )
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     """LLM ops, mode-tagged (r6 registry rotation): ``exact`` —
     brute-force cosine top-5 for queries vec_id < 5; ``sq8`` — the
@@ -1833,7 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_clusters": q_text_dedup_clusters,
         "decontamination": q_decontamination,
         "minhash_dedup": q_minhash_dedup,
-        "text_metrics": q_text_metrics,
+        # r7 rotation: text_metrics + the stupid-backoff-LM perplexity
+        # scores merged under one mode tag
+        "text_quality": q_text_quality,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
@@ -3249,4 +3308,42 @@ def oracle_sql() -> dict[str, str]:
     sqls["pagerank"] = pagerank_oracle_sql(
         _PAGERANK_NODES_SQL, _PAGERANK_EDGES_SQL, 5
     )
+    sqls["text_quality"] = f"""
+        SELECT 'metrics' AS mode, doc_id, ws_tokens, bpe_tokens, lang,
+               fp_md5, fp_minhash, quality, dup_token_frac,
+               top_token_frac, mean_tok_freq,
+               CAST(NULL AS INT) AS n_tokens,
+               CAST(NULL AS DOUBLE) AS logp_sum,
+               CAST(NULL AS DOUBLE) AS avg_nll
+        FROM ({sqls.pop("text_metrics")})
+        UNION ALL
+        SELECT 'lm', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), n_tokens, logp_sum, avg_nll
+        FROM ({_text_quality_lm_oracle()})
+    """
     return sqls
+
+
+def _text_quality_lm_oracle() -> str:
+    """Oracle half of the q_text_quality ``lm`` mode: re-fit the
+    stupid-backoff LM **independently in DuckDB** under the shared
+    :data:`TEXT_LM_SPEC` (same tokenizer, same count-desc/lexicographic
+    tie-breaks), then emit the scoring SQL with the python-log literal
+    VALUES tables (`operators/lm.py` — the _text_search_oracle idf
+    pattern applied to a whole model)."""
+    import duckdb
+
+    from deep_db_learning_spark.operators import lm as LM
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    model = LM.fit_counts_duckdb(con, **TEXT_LM_SPEC)
+    con.close()
+    return LM.perplexity_oracle_sql(model)

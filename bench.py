@@ -160,6 +160,8 @@ def main() -> None:
         # 5-iteration integer-exact PageRank over customer↔orders
         "sketches",
         "pagerank",
+        # r7: text metrics + stupid-backoff-LM perplexity scoring
+        "text_quality",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

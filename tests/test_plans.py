@@ -232,6 +232,10 @@ PLAN_PINS = {
     # pagerank's iterations run eagerly through cut_lineage — the
     # returned frame is a projection over the final checkpoint scan
     "pagerank": (0, 0),
+    # r7: text_metrics + LM perplexity under one tag — metrics'
+    # corpus-freq fold + the single per-doc scoring fold (3 real
+    # shuffles, doubled); the bounded LM model frames must broadcast
+    "text_quality": (6, 10),
 }
 
 
