@@ -1581,12 +1581,17 @@ def q_text_dedup_clusters(spark, sf_dir):
     per-doc island merge) — rows ``(span, doc_id, a=start, b=end)``
     beside ``(cluster, doc_id, a=component, b=NULL)``, both
     DuckDB-recomputed."""
-    from deep_db_learning_spark.operators.components import connected_components
+    from deep_db_learning_spark.operators.components import (
+        connected_components_star,
+    )
 
     db = _db(spark, sf_dir)
     docs = db.df("documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=9, threshold=0.7)
-    comp = connected_components(
+    # r7: large-star/small-star (O(log n) rounds) replaces the
+    # min-label loop as the default; equality pinned in
+    # tests/test_components.py, oracle unchanged (component = min id)
+    comp = connected_components_star(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         nodes=docs.select("doc_id"),
     )
