@@ -1,3 +1,4 @@
+from . import layout
 from .catalog import (
     TESTDATA_TABLES,
     Database,
@@ -8,6 +9,7 @@ from .catalog import (
 )
 
 __all__ = [
+    "layout",
     "TESTDATA_TABLES",
     "Database",
     "discover_constraints_jdbc_metadata",
