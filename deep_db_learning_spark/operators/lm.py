@@ -49,7 +49,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact_agg import exact_sum, exact_sum_sql
-from .search import SEARCH_TOKEN_PATTERN, dlit, search_tokens as tokenize
+from .search import (
+    SEARCH_TOKEN_PATTERN,
+    _spread,
+    dlit,
+    search_tokens as tokenize,
+)
 
 UNK = "<unk>"
 DEFAULT_LAMBDA = 0.4  # Brants et al. 2007 backoff constant
@@ -134,8 +139,12 @@ def fit_stupid_backoff(
     toks = F.coalesce(
         tokenize(F.col(text_col)), F.array().cast("array<string>")
     )
+    # tokenize ONCE, on ALL cores (a single-file scan is one
+    # partition — `_spread` as in build_postings): both count
+    # passes read the cached token arrays
+    tokdf = _spread(df).select(toks.alias("__t")).persist()
     ucnt = (
-        df.select(F.explode(toks).alias("term"))
+        tokdf.select(F.explode("__t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
@@ -147,13 +156,16 @@ def fit_stupid_backoff(
     uni_counts = {r["term"]: r["c"] for r in top}
     uni_counts[UNK] = total - sum(uni_counts.values())
 
-    mtoks = map_tokens(toks, vocab)
-    n = F.size(mtoks)
-    pairs = df.select(
+    # projection barrier: see perplexity_scores — the mapped-token
+    # expression is referenced four times below
+    base = tokdf.select(map_tokens(F.col("__t"), vocab).alias("__mt"))
+    c = F.col("__mt")
+    n = F.size(c)
+    pairs = base.select(
         F.explode(
             F.arrays_zip(
-                F.slice(mtoks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
-                F.slice(mtoks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+                F.slice(c, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice(c, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
@@ -165,6 +177,7 @@ def fit_stupid_backoff(
         .collect()
     )
     bi_counts = {(r["w1"], r["w2"]): r["c"] for r in bi}
+    tokdf.unpersist()
     return _logp_tables(vocab, uni_counts, bi_counts, total, lam)
 
 
@@ -205,14 +218,23 @@ def perplexity_scores(
         F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")),
         list(lm.vocab),
     )
-    pairs = df.select(
-        F.col(id_col).alias("__id"),
-        F.size(mtoks).alias("__n"),
+    # two-step projection on purpose: the tokenize+map expression is
+    # non-cheap and referenced three times below (size, transform, the
+    # F.get inside the lambda) — materializing it as a column first
+    # keeps CollapseProject from re-inlining it per reference (a ~10×
+    # scan blowup measured at sf0.1)
+    base = _spread(df).select(
+        F.col(id_col).alias("__id"), mtoks.alias("__mt")
+    )
+    c = F.col("__mt")
+    pairs = base.select(
+        "__id",
+        F.size(c).alias("__n"),
         F.explode_outer(
             F.transform(
-                mtoks,
+                c,
                 lambda x, i: F.struct(
-                    F.get(mtoks, i - 1).alias("prev"), x.alias("cur")
+                    F.get(c, i - 1).alias("prev"), x.alias("cur")
                 ),
             )
         ).alias("p"),

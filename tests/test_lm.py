@@ -110,5 +110,6 @@ def test_scoring_plan_broadcasts_model_single_shuffle(docs, model):
         df._jdf.queryExecution(), "formatted"
     )
     assert plan.count("BroadcastHashJoin") >= 2
-    # one real shuffle (the per-doc fold); formatted output double-counts
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+    # two real shuffles (the _spread repartition of a single-file scan
+    # + the per-doc fold); formatted output double-counts
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4

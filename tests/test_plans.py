@@ -233,9 +233,10 @@ PLAN_PINS = {
     # returned frame is a projection over the final checkpoint scan
     "pagerank": (0, 0),
     # r7: text_metrics + LM perplexity under one tag — metrics'
-    # corpus-freq fold + the single per-doc scoring fold (3 real
-    # shuffles, doubled); the bounded LM model frames must broadcast
-    "text_quality": (6, 10),
+    # corpus-freq fold + the _spread repartition + the per-doc scoring
+    # fold (4 real shuffles, doubled); the bounded LM model frames
+    # must broadcast
+    "text_quality": (8, 10),
 }
 
 
