@@ -294,12 +294,38 @@ def q_neighbor_sample(spark, sf_dir):
 
 
 def q_node_split(spark, sf_dir):
-    """N26: deterministic train/val/test split of customer nodes."""
-    db = _db(spark, sf_dir)
-    nodes = db.df("customer").select(F.col("c_custkey").alias("node_id"))
-    return random_node_split(nodes, fractions=(0.7, 0.1, 0.2), seed=42).select(
-        F.col("node_id").alias("c_custkey"), "split"
+    """N26 + r7 extensions, mode-tagged: ``random`` — hash-bucket
+    train/val/test; ``stratified`` — EXACT proportional allocation
+    within each c_mktsegment stratum (integer-arithmetic boundaries,
+    `operators/sampling.py:stratified_node_split`); ``kfold`` —
+    deterministic 5-fold CV assignment. All three are portable-hash
+    splits: reproducible across engines and partitionings."""
+    from deep_db_learning_spark.operators.sampling import (
+        kfold_assign,
+        stratified_node_split,
     )
+
+    db = _db(spark, sf_dir)
+    cust = db.df("customer")
+    nodes = cust.select(F.col("c_custkey").alias("node_id"))
+    rand = random_node_split(nodes, fractions=(0.7, 0.1, 0.2), seed=42).select(
+        F.lit("random").alias("mode"),
+        F.col("node_id").alias("c_custkey"),
+        "split",
+    )
+    strat = stratified_node_split(
+        cust.select("c_custkey", "c_mktsegment"),
+        "c_mktsegment",
+        "c_custkey",
+        fractions=(0.7, 0.1, 0.2),
+        seed=42,
+    ).select(F.lit("stratified").alias("mode"), "c_custkey", "split")
+    folds = kfold_assign(nodes, "node_id", k=5, seed=42).select(
+        F.lit("kfold").alias("mode"),
+        F.col("node_id").alias("c_custkey"),
+        F.concat(F.lit("fold_"), F.col("fold").cast("string")).alias("split"),
+    )
+    return rand.unionByName(strat).unionByName(folds)
 
 
 def q_bfs_depth2(spark, sf_dir):
@@ -2647,7 +2673,17 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         "node_split": f"""
-            SELECT c_custkey, {split_label_sql('c_custkey')} AS split FROM customer
+            SELECT 'random' AS mode, c_custkey,
+                   {split_label_sql('c_custkey')} AS split
+            FROM customer
+            UNION ALL
+            SELECT 'stratified', c_custkey, split
+            FROM ({_stratified_split_oracle()})
+            UNION ALL
+            SELECT 'kfold', c_custkey,
+                   'fold_' || CAST(({knuth_hash_sql('c_custkey', 42)}) % 5
+                                   AS VARCHAR)
+            FROM customer
         """,
         "eval_metrics": f"""
             WITH counts AS (
@@ -3330,6 +3366,23 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_text_quality_lm_oracle()})
     """
     return sqls
+
+
+def _stratified_split_oracle() -> str:
+    """node_split ``stratified`` mode: the shared SQL twin from
+    `operators/sampling.py` projected to (c_custkey, split)."""
+    from deep_db_learning_spark.operators.sampling import (
+        stratified_node_split_sql,
+    )
+
+    inner = stratified_node_split_sql(
+        "(SELECT c_custkey, c_mktsegment FROM customer)",
+        "c_mktsegment",
+        "c_custkey",
+        fractions=(0.7, 0.1, 0.2),
+        seed=42,
+    )
+    return f"SELECT c_custkey, split FROM ({inner})"
 
 
 def _text_quality_lm_oracle() -> str:

@@ -136,3 +136,99 @@ def sample_neighbors_all(
 ) -> dict[str, DataFrame]:
     """N27 across every edge type (the HGTLoader 50-per-type budget)."""
     return {et: sample_neighbors(df, k, seed) for et, df in edges.items()}
+
+
+def stratified_node_split(
+    nodes: DataFrame,
+    strata_col: str,
+    id_col: str = "node_id",
+    fractions: tuple[float, float, float] = (0.7, 0.1, 0.2),
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Stratified train/val/test split: EXACT proportional allocation
+    within every stratum (class), not just in expectation.
+
+    :func:`random_node_split`'s hash-bucket split is proportional only
+    in expectation — a rare class can land entirely in train. Here
+    rows are ranked within their stratum by the portable Knuth hash
+    (id tie-break) and the first ⌈f·n_s⌉ of each stratum go to each
+    part; the boundary test is pure integer arithmetic
+    (``rank·10⁴ ≤ f·10⁴·n_s``), so the assignment is bit-reproducible
+    across engines and partitionings. One shuffle (the stratum
+    window); the per-stratum count rides the same window partition.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        knuth_hash(F.col(id_col), seed), F.col(id_col)
+    )
+    cw = Window.partitionBy(strata_col)
+    train_hi = int(fractions[0] * 10_000)
+    val_hi = train_hi + int(fractions[1] * 10_000)
+    rn = F.row_number().over(w).cast("bigint")
+    n = F.count(F.lit(1)).over(cw).cast("bigint")
+    label = (
+        F.when(rn * 10_000 <= F.lit(train_hi) * n, F.lit("train"))
+        .when(rn * 10_000 <= F.lit(val_hi) * n, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return nodes.withColumn(out, label)
+
+
+def stratified_node_split_sql(
+    table: str,
+    strata_col: str,
+    id_col: str,
+    fractions: tuple[float, float, float] = (0.7, 0.1, 0.2),
+    seed: int = 42,
+    out: str = "split",
+) -> str:
+    """ANSI/DuckDB twin of :func:`stratified_node_split`."""
+    from ..functions.hashing import knuth_hash_sql
+
+    h = knuth_hash_sql(id_col, seed)
+    train_hi = int(fractions[0] * 10_000)
+    val_hi = train_hi + int(fractions[1] * 10_000)
+    return f"""
+        SELECT * EXCLUDE (__rn, __n),
+               CASE WHEN __rn * 10000 <= {train_hi} * __n THEN 'train'
+                    WHEN __rn * 10000 <= {val_hi} * __n THEN 'val'
+                    ELSE 'test' END AS {out}
+        FROM (
+          SELECT *,
+                 CAST(row_number() OVER (PARTITION BY {strata_col}
+                      ORDER BY {h}, {id_col}) AS BIGINT) AS __rn,
+                 CAST(count(*) OVER (PARTITION BY {strata_col}) AS BIGINT) AS __n
+          FROM {table}
+        )
+    """
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str = "node_id",
+    k: int = 5,
+    seed: int = 42,
+    out: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold CV assignment: ``fold ∈ [0, k)`` by the
+    portable key hash — row-local (zero shuffles), reproducible across
+    engines/partitionings, and stable when the table grows (a new row
+    never moves an old row's fold, unlike rank-based folding)."""
+    return df.withColumn(
+        out, (knuth_hash(F.col(id_col), seed) % F.lit(k)).cast("int")
+    )
+
+
+def kfold_train_test(
+    df: DataFrame,
+    fold: int,
+    id_col: str = "node_id",
+    k: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) pair for CV round ``fold``."""
+    a = kfold_assign(df, id_col, k, seed)
+    return (
+        a.filter(F.col("fold") != fold).drop("fold"),
+        a.filter(F.col("fold") == fold).drop("fold"),
+    )

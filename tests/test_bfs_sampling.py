@@ -166,3 +166,51 @@ def test_two_phase_sampling_matches_plain_on_hub(spark):
     # phase-1 exchange carries the salt expression, not bare dst
     plan = two._jdf.queryExecution().executedPlan().toString()
     assert "pmod" in plan
+
+
+# ---- stratified split + k-fold (r7) -----------------------------------
+
+from deep_db_learning_spark.operators.sampling import (  # noqa: E402
+    kfold_assign,
+    kfold_train_test,
+    stratified_node_split,
+)
+
+
+def test_stratified_split_exact_per_stratum(db):
+    cust = db.df("customer").select("c_custkey", "c_mktsegment")
+    got = stratified_node_split(
+        cust, "c_mktsegment", "c_custkey", fractions=(0.7, 0.1, 0.2)
+    )
+    rows = got.groupBy("c_mktsegment", "split").count().collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], {})[r["split"]] = r["count"]
+    for seg, parts in by_seg.items():
+        n = sum(parts.values())
+        # exact integer allocation: train = floor(0.7n), train+val =
+        # floor(0.8n) — not merely in expectation
+        assert parts.get("train", 0) == (7000 * n) // 10000
+        assert parts.get("train", 0) + parts.get("val", 0) == (8000 * n) // 10000
+
+
+def test_stratified_split_deterministic_under_repartition(db):
+    cust = db.df("customer").select("c_custkey", "c_mktsegment")
+    a = stratified_node_split(cust, "c_mktsegment", "c_custkey")
+    b = stratified_node_split(cust.repartition(7), "c_mktsegment", "c_custkey")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kfold_covers_and_is_append_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "node_id long")
+    folds = kfold_assign(df, k=5)
+    got = {r["node_id"]: r["fold"] for r in folds.collect()}
+    assert set(got.values()) == {0, 1, 2, 3, 4}
+    # appending rows never reassigns existing ones (hash, not rank)
+    df2 = spark.createDataFrame([(i,) for i in range(300)], "node_id long")
+    got2 = {r["node_id"]: r["fold"] for r in kfold_assign(df2, k=5).collect()}
+    assert all(got2[k] == v for k, v in got.items())
+    train, test = kfold_train_test(df, fold=2, k=5)
+    assert train.count() + test.count() == 200
+    assert test.filter(F.col("node_id").isin(
+        [k for k, v in got.items() if v != 2])).count() == 0
