@@ -75,6 +75,15 @@ DEFAULT_QUERIES = [
     # r7: retrieval — postings build + broadcast query joins must stay
     # scan-bound (driver state is the query vocabulary only)
     "text_search",
+    # r7: LM perplexity — fit collects stay bounded (top-V/top-K) and
+    # scoring is one scan + one fold, so 10× docs must scale ~linearly
+    # (at sf0.1 the entry is fixed-overhead-dominated, so the observed
+    # ratio understates even that)
+    "text_quality",
+    # r7: sketch state is O(sketch) and pagerank is 5 bounded
+    # iterations — both must stay scan-bound at 10× facts
+    "sketches",
+    "pagerank",
 ]
 
 
