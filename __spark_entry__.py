@@ -1806,13 +1806,28 @@ def q_events_conversion_window(spark, sf_dir):
 
 
 def q_events_temporal_join(spark, sf_dir):
-    """Temporal extension merged: for each CLICK event, (a) backward
-    as-of join — the user's most recent purchase value/timestamp at
-    click time (union + single window pass, one shuffle on the key) —
-    and (b) range join — purchases in the hour after the click by the
-    same user (binned equi-join + exact residual predicate), aggregated
-    to a conversion count/value. One row per click."""
+    """Temporal extension merged, mode-tagged (r7 rotation pattern):
+
+    - ``asof_range``: for each CLICK event, (a) backward as-of join —
+      the user's most recent purchase value/timestamp at click time
+      (union + single window pass, one shuffle on the key) — and (b)
+      range join — purchases in the hour after the click by the same
+      user (binned equi-join + exact residual predicate), aggregated
+      to a conversion count/value. One row per click.
+    - ``feature_frame``: the point-in-time feature-store join
+      (``plans/feature_store.py``) — purchase events as the labeled
+      spine (its own value in the purchase_value slot), a 3-day-
+      staleness as-of view of the latest 'view' event, and a 24 h
+      trailing rolling count/decimal-exact sum of click values.
+      Leakage-free by construction; `point_in_time_audit`-checked in
+      pytest. One row per purchase.
+    """
     from deep_db_learning_spark.operators.temporal import asof_join, range_join
+    from deep_db_learning_spark.plans.feature_store import (
+        FeatureView,
+        RollingFeature,
+        build_training_frame,
+    )
 
     db = _db(spark, sf_dir)
     ev = db.df("events")
@@ -1840,7 +1855,64 @@ def q_events_temporal_join(spark, sf_dir):
         F.count(F.lit(1)).alias("conversions"),
         exact_sum("value").alias("conv_value"),
     )
-    return asof.join(conv, "click_id", "left")
+    base = asof.join(conv, "click_id", "left").select(
+        F.lit("asof_range").alias("mode"),
+        F.col("click_id").alias("id"),
+        "user_id",
+        "ts",
+        "purchase_value",
+        "purchase_ts",
+        "conversions",
+        "conv_value",
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(None).cast("bigint").alias("clicks_24h"),
+        F.lit(None).cast("double").alias("click_value_24h"),
+    )
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id"), "user_id", "ts",
+        F.col("value").alias("label"),
+    )
+    ff = build_training_frame(
+        spine,
+        "user_id",
+        "ts",
+        views=[
+            FeatureView(
+                name="lastview",
+                source=ev.filter(F.col("event_type") == "view"),
+                entity_col="user_id",
+                ts_col="ts",
+                features=["value"],
+                max_staleness="3 days",
+                tie_break=["event_id"],
+            )
+        ],
+        rollings=[
+            RollingFeature(
+                name="clicks24",
+                source=ev.filter(F.col("event_type") == "click"),
+                entity_col="user_id",
+                ts_col="ts",
+                window="24 hours",
+                value_col="value",
+            )
+        ],
+    ).select(
+        F.lit("feature_frame").alias("mode"),
+        "id",
+        "user_id",
+        "ts",
+        F.col("label").alias("purchase_value"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+        F.lit(None).cast("bigint").alias("conversions"),
+        F.lit(None).cast("double").alias("conv_value"),
+        F.col("lastview_value").alias("view_value"),
+        F.col("lastview_ts").alias("view_ts"),
+        F.col("clicks24_cnt").alias("clicks_24h"),
+        F.col("clicks24_sum").alias("click_value_24h"),
+    )
+    return base.unionByName(ff)
 
 
 def q_customer_features(spark, sf_dir):
@@ -3269,13 +3341,79 @@ def oracle_sql() -> dict[str, str]:
             -- CASTs: project through microsecond TIMESTAMP so a
             -- TIMESTAMP(NANOS)-parquet environment truncates exactly
             -- like Spark's read (no-op on this container's µs data)
-            SELECT c.event_id AS click_id, c.user_id,
+            , base AS (
+              SELECT 'asof_range' AS mode, c.event_id AS id, c.user_id,
                    CAST(c.uts AS TIMESTAMP) AS ts,
                    c.purchase_value,
                    CAST(c.purchase_ts AS TIMESTAMP) AS purchase_ts,
-                   conv.conversions, conv.conv_value
-            FROM c LEFT JOIN conv ON c.event_id = conv.click_id
-            WHERE c.side = 1
+                   CAST(conv.conversions AS BIGINT) AS conversions,
+                   conv.conv_value,
+                   CAST(NULL AS DOUBLE) AS view_value,
+                   CAST(NULL AS TIMESTAMP) AS view_ts,
+                   CAST(NULL AS BIGINT) AS clicks_24h,
+                   CAST(NULL AS DOUBLE) AS click_value_24h
+              FROM c LEFT JOIN conv ON c.event_id = conv.click_id
+              WHERE c.side = 1
+            ), vsrc AS (
+              -- feature_frame mode: point-in-time join twin
+              -- (plans/feature_store.py) — dedup the view source to
+              -- one row per (entity, ts), largest event_id wins,
+              -- matching the engine's tie_break
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'view'
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            ), fu AS (
+              SELECT user_id, ts AS uts, 1 AS side, event_id,
+                     value AS label, NULL AS vv, NULL AS vts
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, 0, NULL, NULL, value, ts FROM vsrc
+            ), fc AS (
+              SELECT user_id, uts, side, event_id, label,
+                     last_value(vv IGNORE NULLS) OVER w AS vv_raw,
+                     last_value(vts IGNORE NULLS) OVER w AS vts_raw
+              FROM fu
+              WINDOW w AS (PARTITION BY user_id ORDER BY uts, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ), ru AS (
+              SELECT user_id, ts AS uts, 1 AS side,
+                     CAST(NULL AS DOUBLE) AS cv
+              FROM (SELECT DISTINCT user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+              UNION ALL
+              SELECT user_id, ts, 0, value FROM events
+              WHERE event_type = 'click'
+            ), roll AS (
+              SELECT user_id, uts, side,
+                     count(CASE WHEN side = 0 THEN 1 END) OVER w AS cnt,
+                     coalesce(CAST(CAST((sum(CASE WHEN side = 0 THEN
+                       CAST(cv AS DECIMAL(30,9)) END) OVER w)
+                       AS VARCHAR) AS DOUBLE), 0.0) AS vsum
+              FROM ru
+              WINDOW w AS (PARTITION BY user_id ORDER BY uts
+                           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                           AND CURRENT ROW)
+            ), ff AS (
+              SELECT 'feature_frame' AS mode, fc.event_id AS id,
+                   fc.user_id, CAST(fc.uts AS TIMESTAMP) AS ts,
+                   fc.label AS purchase_value,
+                   CAST(NULL AS TIMESTAMP) AS purchase_ts,
+                   CAST(NULL AS BIGINT) AS conversions,
+                   CAST(NULL AS DOUBLE) AS conv_value,
+                   CASE WHEN vts_raw >= fc.uts - INTERVAL 3 DAYS
+                        THEN vv_raw END AS view_value,
+                   CAST(CASE WHEN vts_raw >= fc.uts - INTERVAL 3 DAYS
+                        THEN vts_raw END AS TIMESTAMP) AS view_ts,
+                   CAST(r.cnt AS BIGINT) AS clicks_24h,
+                   r.vsum AS click_value_24h
+              FROM fc
+              JOIN roll r ON r.user_id = fc.user_id AND r.uts = fc.uts
+               AND r.side = 1
+              WHERE fc.side = 1
+            )
+            SELECT * FROM base UNION ALL SELECT * FROM ff
         """,
         "customer_features": f"""
             WITH ord AS (
