@@ -1717,14 +1717,22 @@ def q_events_user_profile(spark, sf_dir):
 
 
 def q_node_store(spark, sf_dir):
-    """§2.9 north star, end-to-end: the events table re-streamed in 4
-    micro-batches through the incremental profile upsert
-    (delta → full-outer merge → versioned snapshot commit with an
-    atomic pointer flip); returns the FINAL snapshot. The oracle is the
-    plain whole-history SQL profile — the driver hash-check therefore
-    proves multi-batch incremental maintenance converges to the exact
-    batch answer (decimal-fold sums make it batch-boundary-independent).
-    """
+    """§2.9 north star, end-to-end, mode-tagged (r7 rotation pattern).
+
+    ``snapshot`` — the events table re-streamed in 4 micro-batches
+    through the incremental profile upsert (delta → full-outer merge →
+    versioned snapshot commit with an atomic pointer flip); returns the
+    FINAL snapshot. The oracle is the plain whole-history SQL profile —
+    the driver hash-check therefore proves multi-batch incremental
+    maintenance converges to the exact batch answer (decimal-fold sums
+    make it batch-boundary-independent).
+
+    ``scd2`` — SCD Type 2 dimension maintenance (``sources/scd.py``):
+    the (user_id → event_type, value) change feed applied in THREE
+    ts-range batches via ``scd2_apply`` (per-ts tie-break dedup, no-op
+    suppression, version close-out). The oracle computes the whole
+    history in ONE DuckDB window pass, so the hash match proves the
+    engine's batch-boundary-independence contract on driver data."""
     import tempfile
 
     from deep_db_learning_spark.streaming.node_store import (
@@ -1755,7 +1763,42 @@ def q_node_store(spark, sf_dir):
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
-    return out
+    ts_ntz = "timestamp_ntz"
+    base = out.select(
+        F.lit("snapshot").alias("mode"),
+        "user_id", "n_events", "sum_value", "last_ts",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast(ts_ntz).alias("valid_from"),
+        F.lit(None).cast(ts_ntz).alias("valid_to"),
+    )
+
+    from deep_db_learning_spark.sources.scd import scd2_apply
+
+    ch = ev.select("user_id", "ts", "event_type", "value")
+    lo, hi = ch.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hist = None
+    for pred in (us <= b1, (us > b1) & (us <= b2), us > b2):
+        hist = scd2_apply(
+            hist, ch.filter(pred), "user_id", ["event_type", "value"]
+        )
+    scd = hist.select(
+        F.lit("scd2").alias("mode"),
+        "user_id",
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast(ts_ntz).alias("last_ts"),
+        "event_type", "value",
+        F.col("valid_from").cast(ts_ntz).alias("valid_from"),
+        F.col("valid_to").cast(ts_ntz).alias("valid_to"),
+    )
+    return base.unionByName(scd)
 
 
 def q_events_asof_purchase(spark, sf_dir):
@@ -3310,10 +3353,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "node_store": f"""
-            SELECT user_id, count(*) AS n_events,
+            -- mode 'snapshot': whole-history profile (the engine built
+            -- it incrementally in 4 micro-batches); mode 'scd2': the
+            -- full SCD2 history in ONE window pass (the engine applied
+            -- THREE ts-range batches via scd2_apply — hash equality is
+            -- the batch-boundary-independence proof)
+            WITH d AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                     event_type, value
+              FROM events
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                ORDER BY event_type DESC, value DESC) = 1
+            ), s AS (
+              SELECT *, lag(event_type) OVER w AS pt,
+                     lag(value) OVER w AS pv, lag(ts) OVER w AS pts
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), k AS (
+              SELECT user_id, ts, event_type, value FROM s
+              WHERE pts IS NULL
+                 OR NOT (event_type IS NOT DISTINCT FROM pt
+                         AND value IS NOT DISTINCT FROM pv)
+            )
+            SELECT 'snapshot' AS mode, user_id, count(*) AS n_events,
                    {exact_sum_sql('value')} AS sum_value,
-                   max(CAST(ts AS TIMESTAMP)) AS last_ts
+                   max(CAST(ts AS TIMESTAMP)) AS last_ts,
+                   CAST(NULL AS VARCHAR) AS event_type,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS TIMESTAMP) AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to
             FROM events GROUP BY user_id
+            UNION ALL
+            SELECT 'scd2' AS mode, user_id,
+                   CAST(NULL AS BIGINT) AS n_events,
+                   CAST(NULL AS DOUBLE) AS sum_value,
+                   CAST(NULL AS TIMESTAMP) AS last_ts,
+                   event_type, value,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS valid_to
+            FROM k
         """,
         "events_temporal_join": f"""
             WITH u AS (
