@@ -33,6 +33,7 @@ from deep_db_learning_spark.functions.datetime_funcs import (
 from deep_db_learning_spark.functions.encode import dict_encode, one_hot
 from deep_db_learning_spark.functions.normalize import normalize
 from deep_db_learning_spark.operators import dedup, search, similarity
+from deep_db_learning_spark.plans.tpch_suite import ORACLES as _tpch_suite_oracles
 from deep_db_learning_spark.functions.convert import convert_table
 from deep_db_learning_spark.functions.encode import multilabel_binarize
 from deep_db_learning_spark.operators.bfs import bfs_visited_counts
@@ -753,10 +754,9 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
-def q_tpch_q6(spark, sf_dir):
-    """TPC-H Q6 shape: pure filter + aggregate — the predicate-pushdown
-    showcase (all three filters reach the parquet scan)."""
-    db = _db(spark, sf_dir)
+def q_tpch_q6_core(db):
+    """The pure Q6 filter+aggregate (plan-pinned: all three predicates
+    pushed to the parquet scan, 4-column ReadSchema)."""
     li = db.df("lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -767,6 +767,39 @@ def q_tpch_q6(spark, sf_dir):
     return li.agg(
         exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H scalar shapes, mode-tagged (r7 rotation pattern): ``q6``
+    pure filter+aggregate (the predicate-pushdown showcase — all three
+    filters reach the parquet scan), plus the Q14 promo-revenue ratio
+    and Q17 small-quantity correlated-average threshold from
+    ``plans/tpch_suite`` — each a single driver-hashed double."""
+    from deep_db_learning_spark.plans import tpch_suite
+
+    db = _db(spark, sf_dir)
+    q6 = q_tpch_q6_core(db)
+    return (
+        q6.select(F.lit("q6_revenue").alias("query"), F.col("revenue").alias("value"))
+        .unionByName(
+            q6.select(
+                F.lit("q6_rows").alias("query"),
+                F.col("n_rows").cast("double").alias("value"),
+            )
+        )
+        .unionByName(
+            tpch_suite.tpch_q14(db).select(
+                F.lit("q14_promo").alias("query"),
+                F.col("promo_revenue").alias("value"),
+            )
+        )
+        .unionByName(
+            tpch_suite.tpch_q17(db).select(
+                F.lit("q17_avg_yearly").alias("query"),
+                F.col("avg_yearly").alias("value"),
+            )
+        )
     )
 
 
@@ -788,9 +821,11 @@ def q_top_orders_per_customer(spark, sf_dir):
 
 
 def q_tpch_q18(spark, sf_dir):
-    """TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back
-    to orders/customer, deterministic top-100 (threshold scaled to the
-    synthetic data's line counts)."""
+    """TPC-H top-k shapes, mode-tagged (r7 rotation pattern): ``q18``
+    HAVING-filtered aggregate subquery joined back to orders/customer,
+    deterministic top-100 (threshold scaled to the synthetic data's
+    line counts); ``q10`` returned-item top-20 customers by lost
+    revenue (``plans/tpch_suite``), NULL-padded to the shared schema."""
     db = _db(spark, sf_dir)
     big = (
         db.df("lineitem")
@@ -803,11 +838,31 @@ def q_tpch_q18(spark, sf_dir):
         .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(db.df("customer"), F.col("o_custkey") == F.col("c_custkey"))
     )
-    return (
+    q18 = (
         j.select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
+        .select(
+            F.lit("q18").alias("mode"),
+            "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty",
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("n_name"),
+            F.lit(None).cast("double").alias("revenue"),
+        )
     )
+    from deep_db_learning_spark.plans import tpch_suite
+
+    q10 = tpch_suite.tpch_q10(db).select(
+        F.lit("q10").alias("mode"),
+        "c_custkey",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        "c_name", "c_acctbal", "n_name", "revenue",
+    )
+    return q18.unionByName(q10)
 
 
 def q_lineitem_numeric_profile(spark, sf_dir):
@@ -3002,13 +3057,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "tpch_q6": f"""
-            SELECT {exact_sum_sql('l_extendedprice * l_discount')} AS revenue,
-                   count(*) AS n_rows
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24
+            WITH q6 AS (
+              SELECT {exact_sum_sql('l_extendedprice * l_discount')} AS revenue,
+                     count(*) AS n_rows
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount >= 0.05 AND l_discount <= 0.07
+                AND l_quantity < 24
+            )
+            SELECT 'q6_revenue' AS query, revenue AS value FROM q6
+            UNION ALL
+            SELECT 'q6_rows', CAST(n_rows AS DOUBLE) FROM q6
+            UNION ALL
+            SELECT 'q14_promo', promo_revenue
+            FROM ({_tpch_suite_oracles['tpch_q14']})
+            UNION ALL
+            SELECT 'q17_avg_yearly', avg_yearly
+            FROM ({_tpch_suite_oracles['tpch_q17']})
         """,
         "tpch_q18": f"""
             WITH big AS (
@@ -3016,12 +3082,26 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_orderkey
               HAVING {exact_sum_sql('l_quantity')} > 150
             )
-            SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
-            FROM orders
-              JOIN big ON o_orderkey = l_orderkey
-              JOIN customer ON o_custkey = c_custkey
-            ORDER BY o_totalprice DESC, o_orderkey ASC
-            LIMIT 100
+            SELECT 'q18' AS mode, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty,
+                   CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(NULL AS DOUBLE) AS c_acctbal,
+                   CAST(NULL AS VARCHAR) AS n_name,
+                   CAST(NULL AS DOUBLE) AS revenue
+            FROM (
+              SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     sum_qty
+              FROM orders
+                JOIN big ON o_orderkey = l_orderkey
+                JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC
+              LIMIT 100)
+            UNION ALL
+            SELECT 'q10', c_custkey, CAST(NULL AS BIGINT),
+                   CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), c_name, c_acctbal, n_name,
+                   revenue
+            FROM ({_tpch_suite_oracles['tpch_q10']})
         """,
         "lineitem_numeric_profile": " UNION ALL ".join(
             f"""

@@ -20,8 +20,10 @@ def entry():
     return e
 
 
-def test_q6_filters_pushed_and_schema_pruned(spark, entry):
-    plan = explain(entry.queries()["tpch_q6"](spark, "/root/testdata/sf0.001"))
+def test_q6_filters_pushed_and_schema_pruned(spark, entry, db):
+    # the pure Q6 core (the driver slot unions it with the Q14/Q17
+    # scalars, whose part-join scans would shadow the first ReadSchema)
+    plan = explain(entry.q_tpch_q6_core(db))
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "LessThan(l_shipdate" in plan
@@ -166,8 +168,11 @@ PLAN_PINS = {
     "tpch_q1": (2, 0),
     "tpch_q3": (2, 4),
     "tpch_q5": (2, 10),
-    "tpch_q6": (2, 0),
-    "tpch_q18": (2, 4),
+    # r7 rotation: q6 carries the Q14/Q17 scalar modes (their part
+    # joins broadcast; each mode is one partial+final agg), q18 carries
+    # the Q10 top-20 mode (nation + dims broadcast)
+    "tpch_q6": (10, 6),
+    "tpch_q18": (4, 8),
     "decontamination": (4, 2),  # eval grams MUST broadcast
     "dedup_exact": (2, 0),
     # r6: three pipelines under one mode tag — within-corpus dedup,
