@@ -981,12 +981,54 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """LLM ops: exact 5-gram Jaccard near-dup pairs, all documents
-    (inverted-index self-join; the testdata has ~25 planted near-dup
-    pairs at j >= 0.93)."""
+    """LLM ops, mode-tagged (r7 rotation): ``ppjoin`` — exact 5-gram
+    Jaccard near-dup pairs, all documents (inverted-index self-join;
+    the testdata has ~25 planted near-dup pairs at j >= 0.93);
+    ``link_scores`` / ``link_entities`` — the record-linkage pipeline
+    (``operators/linkage.py``) over the DISTINCT part-name domain
+    (id = min p_partkey per name — dedup-the-domain-first is the 100 TB
+    linkage pattern): sorted-prefix blocking → bounded candidate pairs
+    → codegen levenshtein/token-Jaccard scores → transitive entity
+    clusters at lev_sim >= 0.75 (large-star/small-star components; the
+    oracle replays them with a recursive reachability CTE)."""
+    from deep_db_learning_spark.operators import linkage
+
     db = _db(spark, sf_dir)
     docs = db.df("documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5, threshold=0.5)
+    pp = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=5, threshold=0.5
+    ).select(
+        F.lit("ppjoin").alias("mode"),
+        "id_a", "id_b", "jaccard",
+        F.lit(None).cast("int").alias("lev"),
+        F.lit(None).cast("double").alias("lev_sim"),
+        F.lit(None).cast("double").alias("token_jaccard"),
+    )
+    rec = (
+        db.df("part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("id"))
+        .select("id", F.col("p_name").alias("txt"))
+    )
+    keys = linkage.blocking_keys(rec, "id", "txt", strategy="sorted_prefix", n=1)
+    cand, _hot = linkage.candidate_pairs(keys, "id")
+    scores = linkage.pair_scores(cand, rec, "id", "txt")
+    link_scores = scores.select(
+        F.lit("link_scores").alias("mode"),
+        "id_a", "id_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        "lev", "lev_sim", "token_jaccard",
+    )
+    link_entities = linkage.entity_clusters(scores, 0.75).select(
+        F.lit("link_entities").alias("mode"),
+        F.col("id").alias("id_a"),
+        F.col("entity_id").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("int").alias("lev"),
+        F.lit(None).cast("double").alias("lev_sim"),
+        F.lit(None).cast("double").alias("token_jaccard"),
+    )
+    return pp.unionByName(link_scores).unionByName(link_entities)
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -3156,13 +3198,70 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "ngram_jaccard": f"""
-            WITH sh AS ({_SHINGLE_CTE})
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            WITH RECURSIVE sh AS ({_SHINGLE_CTE}),
+            ltok AS (
+              SELECT min(p_partkey) AS id, p_name AS txt,
+                     list_distinct(list_filter(
+                       string_split(lower(trim(p_name)), ' '),
+                       t -> t <> '')) AS tk
+              FROM part GROUP BY p_name
+            ),
+            lkeys AS (
+              SELECT DISTINCT id,
+                     array_to_string(list_sort(tk)[1:1], ' ') AS bk
+              FROM ltok WHERE len(tk) > 0
+            ),
+            lpairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM lkeys a JOIN lkeys b USING (bk)
+              WHERE a.id < b.id
+            ),
+            lsc AS (
+              SELECT id_a, id_b,
+                     levenshtein(ra.txt, rb.txt) AS lev,
+                     CAST('1' AS DOUBLE)
+                       - CAST(levenshtein(ra.txt, rb.txt) AS DOUBLE)
+                         / greatest(length(ra.txt), length(rb.txt)) AS lev_sim,
+                     CAST(len(list_intersect(ra.tk, rb.tk)) AS DOUBLE)
+                       / len(list_distinct(list_concat(ra.tk, rb.tk)))
+                       AS token_jaccard
+              FROM lpairs
+              JOIN ltok ra ON id_a = ra.id
+              JOIN ltok rb ON id_b = rb.id
+            ),
+            lsym AS (
+              SELECT id_a AS src, id_b AS dst FROM lsc WHERE lev_sim >= 0.75
+              UNION
+              SELECT id_b, id_a FROM lsc WHERE lev_sim >= 0.75
+            ),
+            lnodes AS (
+              SELECT DISTINCT id_a AS id FROM lsc
+              UNION SELECT id_b FROM lsc
+            ),
+            lwalk AS (
+              SELECT id AS node, id AS reach FROM lnodes
+              UNION
+              SELECT lwalk.node, lsym.dst
+              FROM lwalk JOIN lsym ON lwalk.reach = lsym.src
+            )
+            SELECT 'ppjoin' AS mode, a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard,
+                   CAST(NULL AS INTEGER) AS lev,
+                   CAST(NULL AS DOUBLE) AS lev_sim,
+                   CAST(NULL AS DOUBLE) AS token_jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+            UNION ALL
+            SELECT 'link_scores', id_a, id_b, CAST(NULL AS DOUBLE),
+                   lev, lev_sim, token_jaccard
+            FROM lsc
+            UNION ALL
+            SELECT 'link_entities', node, min(reach),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM lwalk GROUP BY node
         """,
         "text_dedup_clusters": _text_dedup_clusters_oracle(),
         "text_search": _text_search_oracle(),
