@@ -1792,11 +1792,16 @@ def q_events_sessions(spark, sf_dir):
 
 
 def q_events_user_profile(spark, sf_dir):
-    """Streaming extension + F-family JSON: whole-history profile joined
-    to customer (semi join drops dangling user_ids), plus a per-user sum
-    of the JSON ``props.k`` field — ``get_json_object`` (a real JSON
-    path parse, robust to whitespace; the oracle uses DuckDB's
-    ``json_extract_string``)."""
+    """Streaming extension + F-family JSON + r7 reshape: whole-history
+    profile joined to customer (semi join drops dangling user_ids), a
+    per-user sum of the JSON ``props.k`` field — ``get_json_object``
+    (a real JSON path parse; the oracle uses DuckDB's
+    ``json_extract_string``) — and the WIDE per-event-type value sums
+    from ``operators/reshape.pivot_agg`` (single-shuffle conditional
+    aggregation over the explicit 5-type domain; the oracle is the
+    ``sum(CASE WHEN …)`` form)."""
+    from deep_db_learning_spark.operators.reshape import pivot_agg
+
     db = _db(spark, sf_dir)
     ev = db.df("events")
     prof = user_profile_features(ev)
@@ -1805,11 +1810,26 @@ def q_events_user_profile(spark, sf_dir):
             F.get_json_object(F.col("props"), "$.k").cast("bigint")
         ).alias("sum_k")
     )
+    wide = pivot_agg(
+        ev,
+        "user_id",
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        exact_sum,
+        "value",
+        prefix="sum_",
+        fill=0.0,
+    )
     cust = db.df("customer").select("c_custkey")
     return (
         prof.join(ksum, "user_id")
+        .join(wide, "user_id")
         .join(cust, prof.user_id == cust.c_custkey, "leftsemi")
-        .select("user_id", "n_events", "sum_value", "n_event_types", "sum_k")
+        .select(
+            "user_id", "n_events", "sum_value", "n_event_types", "sum_k",
+            "sum_click", "sum_error", "sum_purchase", "sum_signup",
+            "sum_view",
+        )
     )
 
 
@@ -3527,7 +3547,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    {exact_sum_sql('value')} AS sum_value,
                    count(DISTINCT event_type) AS n_event_types,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   {', '.join(
+                       "COALESCE("
+                       + exact_sum_sql(
+                           f"CASE WHEN event_type = '{t}' THEN value END")
+                       + f", CAST('0' AS DOUBLE)) AS sum_{t}"
+                       for t in ('click', 'error', 'purchase', 'signup', 'view')
+                   )}
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY user_id
         """,

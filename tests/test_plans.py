@@ -209,7 +209,9 @@ PLAN_PINS = {
     "bfs_depth2": (22, 14),
     "text_stats": (0, 0),
     "quality_scores": (0, 0),
-    "events_user_profile": (6, 4),
+    # r7: + the wide per-type pivot — one more hash aggregate on
+    # user_id (the three aggregates share the key, joins co-partition)
+    "events_user_profile": (8, 4),
     "message_mean": (2, 2),  # bench b3_message_layer
     # r6: the append path — per-list drift agg + probe/candidate joins
     # over the appended store; the broadcast floor pins the probe and
