@@ -1918,6 +1918,37 @@ def q_node_store(spark, sf_dir):
     return base.unionByName(scd)
 
 
+def q_scd2_apply(spark, sf_dir):
+    """Bench/probe entry: SCD Type 2 maintenance (``sources/scd.py``) —
+    the events change feed applied in THREE ts-range batches. Between
+    batches the history is locally checkpointed: in production the
+    history lives in the dimension store between change batches (each
+    apply reads the stored table), so the bench must not let Spark
+    re-derive batch 1's history lazily inside batch 3's plan — the
+    checkpoint stands in for that store write. The per-batch cost is
+    ONE hash shuffle of (open rows + batch) on the key; closed rows
+    stream through a filter+union untouched."""
+    from deep_db_learning_spark.sources.scd import scd2_apply
+
+    db = _db(spark, sf_dir)
+    ch = db.df("events").select("user_id", "ts", "event_type", "value")
+    lo, hi = ch.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hist = None
+    for i, pred in enumerate((us <= b1, (us > b1) & (us <= b2), us > b2)):
+        hist = scd2_apply(
+            hist, ch.filter(pred), "user_id", ["event_type", "value"]
+        )
+        if i < 2:  # the store write between batches; the last apply
+            hist = hist.localCheckpoint(eager=False)  # stays a SQL plan
+    return hist
+
+
 def q_events_asof_purchase(spark, sf_dir):
     """Temporal extension: backward as-of join — each event annotated
     with the user's most recent purchase (value + its timestamp) at

@@ -162,6 +162,10 @@ def main() -> None:
         "pagerank",
         # r7: text metrics + stupid-backoff-LM perplexity scoring
         "text_quality",
+        # r7: SCD Type 2 dimension maintenance — three ts-range change
+        # batches applied to a checkpointed history (the store write
+        # stands between batches, as in production)
+        "scd2_apply",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

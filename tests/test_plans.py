@@ -212,6 +212,10 @@ PLAN_PINS = {
     # r7: + the wide per-type pivot — one more hash aggregate on
     # user_id (the three aggregates share the key, joins co-partition)
     "events_user_profile": (8, 4),
+    # r7: SCD2 — the visible plan is the LAST apply only (earlier
+    # batches sit behind the between-batch store checkpoint): one key
+    # shuffle shared by all four windows of the apply
+    "scd2_apply": (2, 0),
     "message_mean": (2, 2),  # bench b3_message_layer
     # r6: the append path — per-list drift agg + probe/candidate joins
     # over the appended store; the broadcast floor pins the probe and

@@ -84,6 +84,10 @@ DEFAULT_QUERIES = [
     # iterations — both must stay scan-bound at 10× facts
     "sketches",
     "pagerank",
+    # r7: SCD2 — per-batch cost is one key shuffle of (open rows +
+    # batch); 10× change feed must scale through the shuffle alone
+    # (no driver state at all)
+    "scd2_apply",
 ]
 
 
