@@ -336,11 +336,84 @@ def q_bfs_depth2(spark, sf_dir):
     return bfs_visited_counts(db.tables, db.foreign_keys, "customer", roots, 2)
 
 
+# hand-pinned star schema for the constraints oracle — an independent
+# spelling of the sidecar (kept as explicit literals, like the VALUES
+# list this grew from; verify modes re-check each against the data)
+_ORACLE_PKS = [
+    ("customer", "c_custkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+    ("lineitem", "l_orderkey,l_linenumber"),
+    ("nation", "n_nationkey"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("region", "r_regionkey"),
+    ("supplier", "s_suppkey"),
+]
+_ORACLE_FKS = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _constraints_oracle() -> str:
+    decl = []
+    for t, pk in _ORACLE_PKS:
+        cols = ",".join(sorted(pk.split(",")))
+        decl.append(f"('{t}','pk','{cols}',NULL)")
+    for t, c, rt, rc in _ORACLE_FKS:
+        decl.append(f"('{t}','fk','{c}','{rt}({rc})')")
+    parts = [
+        f"""
+        SELECT 'decl' AS mode, table_name, kind, cols, ref,
+               CAST(NULL AS BIGINT) AS n_rows,
+               CAST(NULL AS BIGINT) AS n_keys,
+               CAST(NULL AS BIGINT) AS n_bad
+        FROM (VALUES {', '.join(sorted(decl))}) AS t(table_name, kind, cols, ref)
+        """
+    ]
+    for t, pk in _ORACLE_PKS:
+        parts.append(f"""
+        SELECT 'verify_pk', '{t}', 'pk', '{pk}', NULL,
+               (SELECT count(*) FROM {t}),
+               (SELECT count(*) FROM (SELECT 1 FROM {t} GROUP BY {pk})),
+               (SELECT count(*) FROM (
+                  SELECT 1 FROM {t} GROUP BY {pk} HAVING count(*) > 1))
+        """)
+    for t, c, rt, rc in _ORACLE_FKS:
+        parts.append(f"""
+        SELECT 'verify_fk', '{t}', 'fk', '{c}', '{rt}',
+               (SELECT count(*) FROM {t}), CAST(NULL AS BIGINT),
+               (SELECT count(*) FROM {t} x
+                WHERE x.{c} IS NOT NULL AND NOT EXISTS (
+                  SELECT 1 FROM {rt} r WHERE r.{rc} = x.{c}))
+        """)
+    return " UNION ALL ".join(parts)
+
+
 def q_constraints(spark, sf_dir):
-    """S3/S4: PK + FK constraint listing from the catalog sidecar —
-    (table_name, kind, cols, ref). The oracle pins the star schema as a
-    hand-written VALUES literal (an independent spelling of the same
-    constraints)."""
+    """S3/S4 + r7 validation, mode-tagged: ``decl`` — PK + FK
+    constraint listing from the catalog sidecar (table_name, kind,
+    cols, ref; the oracle pins the star schema as a hand-written VALUES
+    literal — an independent spelling of the same constraints);
+    ``verify_pk`` / ``verify_fk`` — the constraints VERIFIED against
+    the data (``profiling/validate.py``): duplicate-PK-group and
+    FK-orphan counts per declared constraint (aggregate/anti-join
+    shapes, one pass each). The composite lineitem PK is genuinely
+    violated by the synthetic generator — the driver hash pins the
+    checker catching it (n_dup > 0), not a vacuous all-green."""
+    from deep_db_learning_spark.profiling.validate import (
+        check_foreign_keys,
+        check_primary_keys,
+    )
+
     db = _db(spark, sf_dir)
     rows = []
     for t in sorted(db.get_tables()):
@@ -351,9 +424,35 @@ def q_constraints(spark, sf_dir):
             rows.append(
                 (t, "fk", ",".join(fk.columns), f"{fk.ref_table}({','.join(fk.ref_columns)})")
             )
-    return spark.createDataFrame(
+    decl = spark.createDataFrame(
         rows, "table_name string, kind string, cols string, ref string"
+    ).select(
+        F.lit("decl").alias("mode"),
+        "table_name", "kind", "cols", "ref",
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_keys"),
+        F.lit(None).cast("long").alias("n_bad"),
     )
+    vpk = check_primary_keys(db).select(
+        F.lit("verify_pk").alias("mode"),
+        F.col("table").alias("table_name"),
+        F.lit("pk").alias("kind"),
+        F.col("pk_cols").alias("cols"),
+        F.lit(None).cast("string").alias("ref"),
+        "n_rows", "n_keys",
+        F.col("n_dup_keys").alias("n_bad"),
+    )
+    vfk = check_foreign_keys(db).select(
+        F.lit("verify_fk").alias("mode"),
+        F.col("table").alias("table_name"),
+        F.lit("fk").alias("kind"),
+        F.col("fk_cols").alias("cols"),
+        F.col("ref_table").alias("ref"),
+        "n_rows",
+        F.lit(None).cast("long").alias("n_keys"),
+        F.col("n_orphans").alias("n_bad"),
+    )
+    return decl.unionByName(vpk).unionByName(vfk)
 
 
 def q_db_copy_row_pick(spark, sf_dir):
@@ -2979,28 +3078,7 @@ def oracle_sql() -> dict[str, str]:
                    n_reg
             FROM cm, rm
         """,
-        "constraints": """
-            SELECT * FROM (VALUES
-              ('customer','fk','c_nationkey','nation(n_nationkey)'),
-              ('customer','pk','c_custkey',NULL),
-              ('documents','pk','doc_id',NULL),
-              ('embeddings','pk','vec_id',NULL),
-              ('events','fk','user_id','customer(c_custkey)'),
-              ('events','pk','event_id',NULL),
-              ('lineitem','fk','l_orderkey','orders(o_orderkey)'),
-              ('lineitem','fk','l_partkey','part(p_partkey)'),
-              ('lineitem','fk','l_suppkey','supplier(s_suppkey)'),
-              ('lineitem','pk','l_linenumber,l_orderkey',NULL),
-              ('nation','fk','n_regionkey','region(r_regionkey)'),
-              ('nation','pk','n_nationkey',NULL),
-              ('orders','fk','o_custkey','customer(c_custkey)'),
-              ('orders','pk','o_orderkey',NULL),
-              ('part','pk','p_partkey',NULL),
-              ('region','pk','r_regionkey',NULL),
-              ('supplier','fk','s_nationkey','nation(n_nationkey)'),
-              ('supplier','pk','s_suppkey',NULL)
-            ) AS t(table_name, kind, cols, ref)
-        """,
+        "constraints": _constraints_oracle(),
         "db_copy_row_pick": """
             WITH pos AS (
               SELECT n_nationkey, n_name, n_regionkey,

@@ -1,0 +1,195 @@
+"""Declarative data-quality validation (deequ-style expectations).
+
+The reference *discovers* constraints (PK/FK via
+``db_transformer/db/schema_autodetect.py`` and live
+``information_schema``) but never *verifies* them against the data; on
+a 100 TB ingest you must — upstream systems drift, and a silently
+violated FK poisons every downstream join and training run. This
+module turns the catalog's constraints plus user expectations into
+measurable checks:
+
+- :func:`check_primary_keys` — duplicate-key groups per declared PK;
+- :func:`check_foreign_keys` — orphaned FK values (left-anti against
+  the referenced table; NULL FKs are not orphans, matching the
+  null-safe join semantics of ``operators/graph``);
+- :func:`expect` / :func:`run_expectations` — per-column expectations
+  (``not_null``, ``unique``, ``in_set``, ``between``, ``matches``)
+  evaluated for a whole table in ONE conditional-aggregate scan (the
+  same single-shuffle shape as ``operators/reshape.pivot_agg``), each
+  yielding (violations, total, pass) rows.
+
+Scale posture: every check is an aggregate or an anti-join — no
+collects beyond the per-check scalar rows; FK orphan checks broadcast
+the referenced key set only when the dimension is provably small
+(Spark's own threshold decides — no hint is forced on a fact-fact FK).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_primary_keys(db) -> DataFrame:
+    """One row per declared PK: ``(table, pk_cols, n_rows, n_keys,
+    n_dup_keys)`` — a healthy PK has ``n_rows == n_keys`` and zero
+    ``n_dup_keys`` (count of key VALUES that occur more than once,
+    NULL-inclusive: a duplicated NULL key is still a violation)."""
+    outs = []
+    for t, pk in sorted(db.primary_keys.items()):
+        if not pk:
+            continue
+        df = db.df(t)
+        per_key = df.groupBy(*pk).agg(F.count(F.lit(1)).alias("__n"))
+        agg = per_key.agg(
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        ).select(
+            F.lit(t).alias("table"),
+            F.lit(",".join(pk)).alias("pk_cols"),
+            F.col("n_rows").cast("long"),
+            "n_keys",
+            F.col("n_dup_keys").cast("long"),
+        )
+        outs.append(agg)
+    if not outs:
+        raise ValueError("no primary keys declared")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def check_foreign_keys(db) -> DataFrame:
+    """One row per declared FK: ``(table, fk_cols, ref_table, n_rows,
+    n_orphans)``. An orphan is a row whose FK tuple is fully non-NULL
+    yet matches no referenced key (left-anti join); partially/fully
+    NULL FK tuples are skipped, as in SQL's MATCH SIMPLE."""
+    outs = []
+    for t, fks in sorted(db.foreign_keys.items()):
+        df = db.df(t)
+        for fk in fks:
+            ref = db.df(fk.ref_table).select(
+                *[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(fk.ref_columns)]
+            ).distinct()
+            nn = df
+            for c in fk.columns:
+                nn = nn.filter(F.col(c).isNotNull())
+            cond = [
+                nn[c] == ref[f"__ref_{i}"] for i, c in enumerate(fk.columns)
+            ]
+            one = (
+                nn.join(ref, cond, "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_orphans"))
+                .crossJoin(df.agg(F.count(F.lit(1)).alias("n_rows")))
+                .select(
+                    F.lit(t).alias("table"),
+                    F.lit(",".join(fk.columns)).alias("fk_cols"),
+                    F.lit(fk.ref_table).alias("ref_table"),
+                    "n_rows",
+                    "n_orphans",
+                )
+            )
+            outs.append(one)
+    if not outs:
+        raise ValueError("no foreign keys declared")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@dataclass
+class Expectation:
+    """One column expectation. ``kind`` ∈ {not_null, unique, in_set,
+    between, matches}; ``arg`` is the set / (lo, hi) / regex."""
+
+    column: str
+    kind: str
+    arg: object = None
+    name: str = field(default="")
+
+    def __post_init__(self):
+        if self.kind not in ("not_null", "unique", "in_set", "between", "matches"):
+            raise ValueError(f"unknown expectation kind: {self.kind!r}")
+        if not self.name:
+            self.name = f"{self.column}:{self.kind}"
+
+    def violation_expr(self):
+        """Row-level violation predicate (NULL rows only violate
+        not_null — range/set/regex expectations skip NULLs, compose
+        with not_null to forbid them)."""
+        c = F.col(self.column)
+        if self.kind == "not_null":
+            return c.isNull()
+        if self.kind == "in_set":
+            return c.isNotNull() & ~c.isin(list(self.arg))
+        if self.kind == "between":
+            lo, hi = self.arg
+            return c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))
+        if self.kind == "matches":
+            return c.isNotNull() & ~c.rlike(self.arg)
+        raise AssertionError(self.kind)  # unique handled separately
+
+
+def expect(column: str, kind: str, arg=None, name: str = "") -> Expectation:
+    return Expectation(column, kind, arg, name)
+
+
+def run_expectations(
+    df: DataFrame, expectations: list[Expectation]
+) -> DataFrame:
+    """Evaluate all expectations in one pass: row-level kinds fold into
+    ONE conditional-aggregate scan; ``unique`` kinds each add one
+    distinct-count (grouped into the same job via n_rows −
+    countDistinct, NULL-inclusive). Returns ``(name, violations,
+    total, pass)`` rows."""
+    rowwise = [e for e in expectations if e.kind != "unique"]
+    uniques = [e for e in expectations if e.kind == "unique"]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for e in rowwise:
+        aggs.append(
+            F.sum(e.violation_expr().cast("long")).alias(f"__v_{e.name}")
+        )
+    for e in uniques:
+        # NULL-inclusive distinct: count_distinct skips NULLs, so add
+        # one when any NULL exists (two NULLs still collide → counted
+        # through n_rows - n_distinct like the profiler's A1)
+        aggs.append(
+            (
+                F.count_distinct(F.col(e.column))
+                + F.max(F.col(e.column).isNull().cast("long"))
+            ).alias(f"__d_{e.name}")
+        )
+    row = df.agg(*aggs)
+    parts = []
+    for e in rowwise:
+        parts.append(
+            row.select(
+                F.lit(e.name).alias("name"),
+                F.col(f"__v_{e.name}").alias("violations"),
+                F.col("__total").alias("total"),
+            )
+        )
+    for e in uniques:
+        parts.append(
+            row.select(
+                F.lit(e.name).alias("name"),
+                (F.col("__total") - F.col(f"__d_{e.name}"))
+                .cast("long")
+                .alias("violations"),
+                F.col("__total").alias("total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "name",
+        F.coalesce("violations", F.lit(0)).alias("violations"),
+        "total",
+        (F.coalesce("violations", F.lit(0)) == 0).alias("pass"),
+    )

@@ -1,0 +1,125 @@
+"""Data-quality validation (profiling/validate.py) — constraint checks
+against the (clean) testdata with DuckDB twins, synthetic dirty cases
+(dup PKs, FK orphans, NULL-FK skipping), and the one-scan expectation
+runner."""
+
+import sys
+
+import pytest
+from pyspark.sql import Row
+
+sys.path.insert(0, "/root/repo")
+
+from deep_db_learning_spark.profiling.validate import (  # noqa: E402
+    check_foreign_keys,
+    check_primary_keys,
+    expect,
+    run_expectations,
+)
+from deep_db_learning_spark.schema import ForeignKey  # noqa: E402
+from deep_db_learning_spark.sources.catalog import Database  # noqa: E402
+
+
+def test_testdata_pk_check_matches_duckdb(db, duck):
+    rows = {r["table"]: r for r in check_primary_keys(db).collect()}
+    assert set(rows) == {t for t, pk in db.primary_keys.items() if pk}
+    for t, r in rows.items():
+        pk = ",".join(db.primary_keys[t])
+        n, k, d = duck.execute(
+            f"""SELECT count(*), count(DISTINCT ({pk})),
+                (SELECT count(*) FROM (
+                   SELECT 1 FROM {t} GROUP BY ({pk}) HAVING count(*) > 1))
+                FROM {t}"""
+        ).fetchone()
+        assert (r["n_rows"], r["n_keys"], r["n_dup_keys"]) == (n, k, d), t
+    # the checker catches a REAL testdata defect: the synthetic
+    # generator does not keep (l_orderkey, l_linenumber) unique —
+    # every single-column PK is clean, the declared composite one
+    # is violated. Exactly the drift this op exists to surface.
+    assert rows["lineitem"]["n_dup_keys"] > 0
+    for t in rows:
+        if t != "lineitem":
+            assert rows[t]["n_dup_keys"] == 0, t
+
+
+def test_testdata_fks_have_no_orphans(db, duck):
+    out = check_foreign_keys(db).collect()
+    assert len(out) == sum(len(v) for v in db.foreign_keys.values())
+    for r in out:
+        assert r["n_orphans"] == 0, (r["table"], r["fk_cols"])
+        n = duck.execute(f"SELECT count(*) FROM {r['table']}").fetchone()[0]
+        assert r["n_rows"] == n
+
+
+def test_dup_pk_and_orphan_fk_detected(spark):
+    dim = spark.createDataFrame([Row(id=1, v="a"), Row(id=1, v="b"), Row(id=2, v="c")])
+    fact = spark.createDataFrame(
+        [Row(fid=10, ref=1), Row(fid=11, ref=99), Row(fid=12, ref=None)]
+    )
+    db = Database(
+        spark,
+        {"dim": dim, "fact": fact},
+        primary_keys={"dim": ["id"], "fact": ["fid"]},
+        foreign_keys={"fact": [ForeignKey(["ref"], "dim", ["id"])]},
+    )
+    pks = {r["table"]: r for r in check_primary_keys(db).collect()}
+    assert (pks["dim"]["n_rows"], pks["dim"]["n_keys"], pks["dim"]["n_dup_keys"]) == (3, 2, 1)
+    assert pks["fact"]["n_dup_keys"] == 0
+    fk = check_foreign_keys(db).collect()[0]
+    # ref=99 is an orphan; ref=NULL is skipped (MATCH SIMPLE)
+    assert (fk["n_rows"], fk["n_orphans"]) == (3, 1)
+
+
+def test_expectations_one_scan_with_duckdb_twin(db, duck):
+    ev = db.df("events")
+    exps = [
+        expect("event_id", "unique"),
+        expect("event_type", "not_null"),
+        expect("event_type", "in_set", {"click", "error", "purchase", "signup", "view"}),
+        expect("value", "between", (0.0, 100.0)),
+        expect("event_type", "matches", r"^[a-z]+$"),
+        expect("props", "not_null"),
+    ]
+    got = {r["name"]: (r["violations"], r["total"], r["pass"])
+           for r in run_expectations(ev, exps).collect()}
+    n, nn_et, bad_set, bad_rng, bad_re, nn_props, du = duck.execute(
+        """
+        SELECT count(*),
+               sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                   ('click','error','purchase','signup','view') THEN 1 ELSE 0 END),
+               sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+                   THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_type IS NOT NULL AND NOT
+                   regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END),
+               sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+               count(*) - count(DISTINCT event_id)
+        FROM events
+        """
+    ).fetchone()
+    assert got["event_id:unique"] == (du, n, du == 0)
+    assert got["event_type:not_null"] == (nn_et, n, nn_et == 0)
+    assert got["event_type:in_set"] == (bad_set, n, bad_set == 0)
+    assert got["value:between"] == (bad_rng, n, bad_rng == 0)
+    assert got["event_type:matches"] == (bad_re, n, bad_re == 0)
+    assert got["props:not_null"] == (nn_props, n, nn_props == 0)
+
+
+def test_expectation_null_semantics_and_unique_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(x=None, y=1), Row(x="zz", y=None), Row(x="a", y=None)]
+    )
+    got = {r["name"]: r["violations"] for r in run_expectations(
+        df,
+        [
+            expect("x", "in_set", {"a", "b"}),   # NULL skipped, zz violates
+            expect("x", "not_null"),
+            expect("y", "unique"),               # two NULLs collide
+        ],
+    ).collect()}
+    assert got == {"x:in_set": 1, "x:not_null": 1, "y:unique": 1}
+
+
+def test_unknown_kind_rejected():
+    with pytest.raises(ValueError):
+        expect("x", "gte")
