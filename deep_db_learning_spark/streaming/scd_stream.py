@@ -1,0 +1,142 @@
+"""Streaming SCD Type 2 maintenance — the dimension-store front door.
+
+Composes ``sources/scd.scd2_apply`` with the snapshot-store machinery
+(``streaming/node_store.SnapshotStore``) into a two-area layout that a
+100 TB dimension actually needs:
+
+- ``closed/batch=<id>/`` — **append-only** version rows whose
+  ``valid_to`` is set. A closed version never changes again
+  (``scd2_apply`` drops late changes instead of rewriting history), so
+  re-writing it every commit — what a naive whole-history snapshot
+  does — would make commit cost O(history). Here each micro-batch
+  writes ONLY the versions it closed, into its own overwritten
+  partition directory (replay-safe: a replayed batch rewrites the same
+  directory with the same rows, the ``crawl.py`` kept-corpus pattern).
+- ``open/`` — a versioned snapshot of the current (``valid_to IS
+  NULL``) rows only, committed with the atomic pointer+batch-id flip.
+  Commit cost is O(open ∪ batch), independent of history length.
+
+Ordering contract: micro-batches must arrive time-ordered per key
+relative to the open rows (a file feed of time-partitioned change
+dumps does). Out-of-order rows WITHIN a batch are fine
+(``scd2_apply`` resolves them in one window pass); rows older than a
+key's open version are dropped by contract — audit them first with
+``scd2_late_changes`` on the batch.
+
+Exactly-once: the closed-area write lands BEFORE the open-snapshot
+commit records ``batch_id``. A crash between the two replays the
+batch, which rewrites the identical closed partition (overwrite) and
+then commits — the store never double-counts and never loses a batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..checkpoint import cut_lineage
+from ..sources.scd import scd2_apply
+from .node_store import SnapshotStore
+
+
+class SCD2Store:
+    """Two-area SCD2 history store (closed append-only partitions +
+    open versioned snapshot)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.closed_dir = os.path.join(path, "closed")
+        self.open_store = SnapshotStore(os.path.join(path, "open"))
+        os.makedirs(self.closed_dir, exist_ok=True)
+
+    def last_batch_id(self) -> int | None:
+        return self.open_store.last_batch_id()
+
+    def read_open(self, spark: SparkSession) -> DataFrame | None:
+        return self.open_store.read(spark)
+
+    def read_closed(self, spark: SparkSession) -> DataFrame | None:
+        batches = [
+            d for d in os.listdir(self.closed_dir) if d.startswith("batch=")
+        ]
+        if not batches:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self.closed_dir, d) for d in sorted(batches)]
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """The full history (closed ∪ open) in the ``scd2_apply``
+        layout."""
+        open_df = self.read_open(spark)
+        closed = self.read_closed(spark)
+        if open_df is None:
+            return closed
+        if closed is None:
+            return open_df
+        return closed.unionByName(open_df)
+
+    def commit(
+        self, closed_delta: DataFrame, open_df: DataFrame, batch_id: int
+    ) -> int:
+        closed_delta.write.mode("overwrite").parquet(
+            os.path.join(self.closed_dir, f"batch={batch_id}")
+        )
+        return self.open_store.commit(open_df, batch_id=batch_id)
+
+
+def scd2_store_apply(
+    store: SCD2Store,
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+    batch_id: int = 0,
+) -> None:
+    """Apply one change batch to the store (batch API; the streaming
+    path calls this per micro-batch). Only the OPEN rows join the
+    window pass — closed history is never read or rewritten."""
+    spark = changes.sparkSession
+    old_open = store.read_open(spark)
+    new_hist = scd2_apply(old_open, changes, key_cols, tracked_cols, ts_col)
+    # materialize before the writes: the plan reads the open snapshot
+    # this commit replaces
+    new_hist = cut_lineage(new_hist, eager=True)
+    newly_closed = new_hist.filter(F.col("valid_to").isNotNull())
+    still_open = new_hist.filter(F.col("valid_to").isNull())
+    store.commit(newly_closed, still_open, batch_id=batch_id)
+
+
+def stream_changes_into_scd2(
+    changes_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_cols: list[str] | str,
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+    query_name: str = "scd2_upsert",
+):
+    """Maintain an SCD2 dimension from a change stream via
+    ``foreachBatch`` — exactly-once per micro-batch through the
+    pointer-file batch cursor (a replayed ``batch_id <= cursor`` is
+    skipped; a replay that crashed mid-commit rewrites its own closed
+    partition and re-commits)."""
+    store = SCD2Store(store_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.last_batch_id()
+        if last is not None and batch_id <= last:
+            return
+        scd2_store_apply(
+            store, batch_df, key_cols, tracked_cols, ts_col, batch_id=batch_id
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(upsert)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""Streaming SCD2 (streaming/scd_stream.py): the two-area store
+converges to the one-shot batch apply, replays are idempotent, and
+closed history is partitioned per closing batch."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.sources.scd import scd2_apply
+from deep_db_learning_spark.streaming.scd_stream import (
+    SCD2Store,
+    stream_changes_into_scd2,
+)
+
+KEY, TRACKED = "user_id", ["event_type", "value"]
+
+
+def _changes(db):
+    return db.df("events").select("user_id", "ts", "event_type", "value")
+
+
+def _write_ordered_batches(ch, src, n=3):
+    """n time-range parquet drops with strictly increasing mtimes so
+    the file stream delivers them in change-time order."""
+    lo, hi = ch.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).first()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cuts = [lo + (hi - lo) * (i + 1) // n for i in range(n - 1)]
+    preds = []
+    prev = None
+    for c in cuts:
+        preds.append(us <= c if prev is None else (us > prev) & (us <= c))
+        prev = c
+    preds.append(us > prev)
+    now = time.time()
+    for i, p in enumerate(preds):
+        d = os.path.join(src, f"b{i}")
+        ch.filter(p).coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+    return [os.path.join(src, f"b{i}") for i in range(n)]
+
+
+def _run_stream(spark, ch, src, store_path, ckpt):
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_changes_into_scd2(
+        stream, store_path, ckpt, KEY, TRACKED, "ts"
+    )
+    q.awaitTermination()
+
+
+def _rows(df):
+    return sorted(
+        (r[KEY], r["event_type"], r["value"], r["valid_from"], r["valid_to"])
+        for r in df.collect()
+    )
+
+
+def test_stream_converges_to_single_shot(spark, db, tmp_path):
+    ch = _changes(db)
+    src = str(tmp_path / "src")
+    _write_ordered_batches(ch, src)
+    store_path = str(tmp_path / "store")
+    _run_stream(spark, ch, src, store_path, str(tmp_path / "ckpt"))
+    store = SCD2Store(store_path)
+    got = _rows(store.read(spark))
+    want = _rows(scd2_apply(None, ch, KEY, TRACKED))
+    assert got == want and len(got) > 0
+    # open snapshot carries only open rows; closed area only closed
+    assert store.read_open(spark).filter(F.col("valid_to").isNotNull()).count() == 0
+    closed = store.read_closed(spark)
+    assert closed.filter(F.col("valid_to").isNull()).count() == 0
+    # each micro-batch owns its own closed partition (append-only area)
+    parts = sorted(
+        d for d in os.listdir(os.path.join(store_path, "closed"))
+        if d.startswith("batch=")
+    )
+    assert parts == ["batch=0", "batch=1", "batch=2"]
+
+
+def test_replay_is_idempotent(spark, db, tmp_path):
+    ch = _changes(db)
+    src = str(tmp_path / "src")
+    _write_ordered_batches(ch, src)
+    store_path = str(tmp_path / "store")
+    _run_stream(spark, ch, src, store_path, str(tmp_path / "ckpt1"))
+    store = SCD2Store(store_path)
+    before = _rows(store.read(spark))
+    v_before = store.open_store.latest_version()
+    # lose the checkpoint → full replay of every batch
+    _run_stream(spark, ch, src, store_path, str(tmp_path / "ckpt2"))
+    assert _rows(store.read(spark)) == before
+    # every replayed batch was skipped by the cursor — no new snapshot
+    assert store.open_store.latest_version() == v_before
