@@ -534,6 +534,14 @@ def pq_train(
     if residual_model is not None:
         centers = _model_centers(residual_model)
         X = X - centers[np.array([int(r[list_col]) for r in rows], dtype=np.int64)]
+    return _pq_fit(X, m, k, n_iters)
+
+
+def _pq_fit(X, m: int, k: int, n_iters: int):
+    """Per-subspace Lloyd k-means on a driver sample matrix (the shared
+    core of :func:`pq_train` and :func:`opq_train`)."""
+    import numpy as np
+
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -556,6 +564,87 @@ def pq_train(
     return codebooks
 
 
+def _pq_reconstruct(X, codebooks):
+    """Encode-then-decode ``X`` through the codebooks (the PQ
+    approximation X̂ the OPQ Procrustes step fits against)."""
+    import numpy as np
+
+    cb = np.asarray(codebooks)
+    m, _k, dsub = cb.shape
+    Xhat = np.empty_like(X)
+    for mm in range(m):
+        sub = X[:, mm * dsub : (mm + 1) * dsub]
+        d2 = ((sub[:, None, :] - cb[mm][None, :, :]) ** 2).sum(axis=2)
+        Xhat[:, mm * dsub : (mm + 1) * dsub] = cb[mm][np.argmin(d2, axis=1)]
+    return Xhat
+
+
+def pq_error(X, codebooks, rotation=None):
+    """Mean squared quantization error of ``X`` under the (optionally
+    rotated) codebooks — the objective OPQ minimizes; exposed so tests
+    can pin the OPQ ≤ PQ guarantee."""
+    import numpy as np
+
+    XR = X if rotation is None else X @ rotation
+    return float(((XR - _pq_reconstruct(XR, codebooks)) ** 2).sum(axis=1).mean())
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 10,
+    opq_iters: int = 8,
+    sample: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Optimized Product Quantization (Ge et al., CVPR 2013; the
+    r5-VERDICT stretch beside residual encoding): learn an orthogonal
+    rotation R that redistributes correlated variance across the m
+    subspaces before PQ. Alternating minimization from R = I — (1) fit
+    codebooks on X·R, (2) solve the orthogonal Procrustes problem
+    R = U·Vᵀ with U,S,Vᵀ = svd(Xᵀ·X̂) — each step is non-increasing in
+    quantization error, so OPQ error ≤ plain-PQ error on the training
+    sample BY CONSTRUCTION (pinned in tests, no data assumptions).
+
+    Returns ``(rotation, codebooks)`` — pass both to
+    :func:`pq_encode` / :func:`pq_topk` (``rotation=``). Driver cost is
+    the same bounded sample as :func:`pq_train` plus an O(d³) SVD per
+    iteration (d ≤ a few hundred for embedding columns).
+    """
+    import numpy as np
+
+    from ..functions.hashing import knuth_hash
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(knuth_hash(F.col(id_col), seed), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    R = np.eye(d)
+    best = None
+    for _ in range(opq_iters):
+        codebooks = _pq_fit(X @ R, m, k, n_iters)
+        err = pq_error(X, codebooks, rotation=R)
+        # keep the best (R, C) seen — each Lloyd fit cold-starts, so a
+        # later iteration CAN land in a worse local minimum; tracking
+        # the minimum (whose candidate set includes the R = I plain-PQ
+        # solution of iteration 0) makes OPQ ≤ PQ a construction, not
+        # a hope
+        if best is None or err < best[0]:
+            best = (err, R.copy(), codebooks)
+        Xhat = _pq_reconstruct(X @ R, codebooks)
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    _err, R, codebooks = best
+    return R, codebooks
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks,
@@ -564,6 +653,7 @@ def pq_encode(
     extra_cols: tuple[str, ...] = (),
     residual_model=None,
     list_col: str = "list_id",
+    rotation=None,
 ) -> DataFrame:
     """Encode each vector to ``m`` subspace codes — one Arrow pass, the
     codebooks in the kernel closure (tiny: m×k×d/m doubles). Output:
@@ -571,7 +661,9 @@ def pq_encode(
     representation :func:`pq_topk` scans instead of the vectors.
     With ``residual_model`` the row's coarse centroid is subtracted
     before encoding (pair with ``pq_train(residual_model=...)`` and
-    ``ivf_pq_topk(residual=True)``)."""
+    ``ivf_pq_topk(residual=True)``). ``rotation``: the OPQ orthogonal
+    matrix from :func:`opq_train`, applied (after any residual
+    subtraction) inside the same Arrow pass."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -579,8 +671,11 @@ def pq_encode(
     cb = np.asarray(codebooks, dtype=np.float64).copy()
     m, k, dsub = cb.shape
     centers = None if residual_model is None else _model_centers(residual_model)
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64).copy()
 
     def encode_block(V):
+        if rot is not None:
+            V = V @ rot
         codes = np.empty((len(V), m), dtype=np.int32)
         for mm in range(m):
             sub = V[:, mm * dsub : (mm + 1) * dsub]
@@ -625,6 +720,7 @@ def pq_topk(
     query_id: str = "query_id",
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    rotation=None,
 ) -> DataFrame:
     """Approximate L2 top-k by asymmetric distance (ADC): each query
     precomputes an (m × k) lookup table of subspace distances to the
@@ -635,7 +731,12 @@ def pq_topk(
     ``rerank``: pass the ORIGINAL vector frame to re-score the top
     ``k × rerank_factor`` ADC candidates with exact L2 — the standard
     two-stage shortlist→refine pipeline (the join touches only the
-    shortlist's vectors, not the corpus)."""
+    shortlist's vectors, not the corpus).
+
+    ``rotation``: the OPQ matrix used at encode time — applied to the
+    QUERIES before the LUT build; the exact rerank stays on the
+    un-rotated vectors (an orthogonal rotation preserves L2, so the
+    refine stage needs no change)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -645,10 +746,11 @@ def pq_topk(
     qrows = queries.select(query_id, vec_col).collect()
     qids = [r[query_id] for r in qrows]
     Q = np.array([[float(v) for v in r[vec_col]] for r in qrows], dtype=np.float64)
+    QR = Q if rotation is None else Q @ np.asarray(rotation, dtype=np.float64)
     # LUT[q, mm, c] = ||q_sub - codebook[mm, c]||^2
     lut = np.empty((len(qids), m, kk))
     for mm in range(m):
-        qs = Q[:, mm * dsub : (mm + 1) * dsub]
+        qs = QR[:, mm * dsub : (mm + 1) * dsub]
         lut[:, mm, :] = ((qs[:, None, :] - cb[mm][None, :, :]) ** 2).sum(axis=2)
 
     def adc_fn(codes):

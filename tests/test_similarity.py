@@ -788,3 +788,70 @@ def test_opq_composes_with_residual_ivfpq(spark):
     R, _ = opq_train(emb, m=8, k=16, sample=1600, seed=42)
     r_opq = recall(residual_ivfpq(opq_rotate(emb, R), opq_rotate(queries, R)))
     assert r_opq > r_plain  # rotation helps even under the coarse split
+
+
+def test_opq_rotation_orthogonal_error_bounded_deterministic(db):
+    """OPQ (r7): the learned rotation is orthogonal, the sample
+    quantization error is <= plain PQ's BY CONSTRUCTION (best-seen
+    tracking includes the R=I iteration), and the fit is
+    deterministic."""
+    import numpy as np
+
+    from deep_db_learning_spark.functions.hashing import knuth_hash
+    from deep_db_learning_spark.operators.similarity import (
+        opq_train,
+        pq_error,
+        pq_train,
+    )
+
+    emb = db.df("embeddings")
+    R, cb_opq = opq_train(emb, m=8, k=16, sample=500, seed=42)
+    d = R.shape[0]
+    assert np.allclose(R.T @ R, np.eye(d), atol=1e-9)
+    R2, cb2 = opq_train(emb, m=8, k=16, sample=500, seed=42)
+    assert np.array_equal(R, R2) and np.array_equal(cb_opq, cb2)
+
+    cb_pq = pq_train(emb, m=8, k=16, sample=500, seed=42)
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(knuth_hash(F.col("vec_id"), 42), F.col("vec_id"))
+        .limit(500)
+        .collect()
+    )
+    X = np.array([list(r["embedding"]) for r in rows], float)
+    e_opq = pq_error(X, cb_opq, rotation=R)
+    e_pq = pq_error(X, cb_pq)
+    assert e_opq <= e_pq + 1e-12
+    assert e_opq > 0.0
+
+
+def test_opq_end_to_end_rerank_exact(db):
+    """pq_encode/pq_topk with rotation: the ADC path returns full
+    top-k per query and the exact rerank (on UN-rotated vectors —
+    orthogonal rotations preserve L2) still recovers the true nearest
+    neighbor at rank 1."""
+    import numpy as np
+
+    from deep_db_learning_spark.operators.similarity import (
+        opq_train,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = db.df("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    R, cb = opq_train(emb, m=16, k=16, sample=500, seed=42)
+    enc = pq_encode(emb, cb, rotation=R)
+    out = pq_topk(enc, cb, queries, k=10, rerank=emb, rerank_factor=8, rotation=R)
+    assert out.groupBy("query_id").count().agg(F.max("count")).first()[0] == 10
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], float)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    for qr in queries.collect():
+        qv = np.array(list(qr["embedding"]), float)
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        assert top1[qr["query_id"]] == ids[np.lexsort((ids, d2))[0]]
