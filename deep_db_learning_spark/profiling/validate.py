@@ -139,6 +139,38 @@ def expect(column: str, kind: str, arg=None, name: str = "") -> Expectation:
     return Expectation(column, kind, arg, name)
 
 
+def quarantine(
+    df: DataFrame,
+    expectations: list[Expectation],
+    reasons_col: str = "__failed",
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level ingest gate: split ``df`` into (clean, quarantined)
+    on the row-wise expectations (``unique`` is a dataset property, not
+    a row property — rejected here; run it via
+    :func:`run_expectations`). The quarantined frame carries
+    ``reasons_col``, the array of failed expectation names — route it
+    to a dead-letter sink instead of dropping it silently. One
+    row-local projection, zero shuffles, streaming-safe (usable inside
+    ``foreachBatch`` or directly on a streaming frame)."""
+    bad = [e for e in expectations if e.kind == "unique"]
+    if bad:
+        raise ValueError(
+            f"unique is not a row-level expectation: {[e.name for e in bad]}"
+        )
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(e.violation_expr(), F.lit(e.name))
+                for e in expectations
+            ]
+        )
+    )
+    tagged = df.withColumn(reasons_col, reasons)
+    clean = tagged.filter(F.size(reasons_col) == 0).drop(reasons_col)
+    dirty = tagged.filter(F.size(reasons_col) > 0)
+    return clean, dirty
+
+
 def run_expectations(
     df: DataFrame, expectations: list[Expectation]
 ) -> DataFrame:

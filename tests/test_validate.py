@@ -123,3 +123,32 @@ def test_expectation_null_semantics_and_unique_nulls(spark):
 def test_unknown_kind_rejected():
     with pytest.raises(ValueError):
         expect("x", "gte")
+
+
+def test_quarantine_routes_rows_with_reasons(spark):
+    from deep_db_learning_spark.profiling.validate import quarantine
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="click", v=5.0),
+            Row(id=2, t=None, v=5.0),
+            Row(id=3, t="bogus", v=-1.0),
+        ]
+    )
+    exps = [
+        expect("t", "not_null"),
+        expect("t", "in_set", {"click", "view"}),
+        expect("v", "between", (0.0, 10.0)),
+    ]
+    clean, dirty = quarantine(df, exps)
+    assert [r["id"] for r in clean.collect()] == [1]
+    got = {r["id"]: sorted(r["__failed"]) for r in dirty.collect()}
+    assert got == {2: ["t:not_null"], 3: sorted(["t:in_set", "v:between"])}
+    # zero shuffles: row-local gate
+    import re
+    plan = clean._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"\bExchange\b", plan)) == 0
+    with pytest.raises(ValueError, match="unique"):
+        quarantine(df, [expect("id", "unique")])
