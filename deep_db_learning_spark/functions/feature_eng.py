@@ -1,0 +1,134 @@
+"""Leakage-safe categorical target encoding and quantile binning.
+
+The reference embeds categoricals with learned vectors
+(``db_transformer/nn/embedder``); production tabular pipelines also
+want the classic statistical encodings — but computed WITHOUT target
+leakage, which is where naive implementations poison a model: a row
+must never see a target statistic its own label contributed to.
+
+- :func:`target_encode_oof` — out-of-fold target encoding: folds come
+  from the row-local portable k-fold hash (``operators/sampling.
+  kfold_assign``); each row receives the category mean computed on the
+  OTHER k−1 folds, with additive (m-estimate) smoothing toward the
+  out-of-fold global mean so rare categories shrink to the prior.
+  One shuffle (the (category, fold) aggregate); per-row assembly is a
+  broadcast join of the tiny (category × fold) grid. All sums are
+  decimal folds → bit-reproducible across engines/partitionings.
+- :func:`bin_by_quantiles` — equal-frequency binning: cut points from
+  ``operators/sketch.exact_quantiles`` (exact order statistics, no
+  global sort), bucket assignment row-local against the broadcast
+  cut-point array.
+
+Leakage math of the OOF fold: with per-(cat, fold) decimal sums
+``s_cf``/counts ``n_cf``, fold f's encoding uses
+``(Σ_{g≠f} s_cg + m·prior_f) / (Σ_{g≠f} n_cg + m)`` where ``prior_f``
+is the global mean over the other folds — pure arithmetic over the
+grid, no second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact_agg import DECIMAL_TYPE
+from ..operators.sampling import kfold_assign
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    k: int = 5,
+    smoothing: float = 10.0,
+    seed: int = 42,
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``{cat_col}_te``): the out-of-fold
+    smoothed target mean of the row's category. NULL categories form
+    their own group (they are a real level); rows with a NULL target
+    contribute nothing to any statistic but still receive an encoding.
+    """
+    out = out or f"{cat_col}_te"
+    a = kfold_assign(df, id_col, k=k, seed=seed, out="__fold")
+    grid = a.groupBy(cat_col, "__fold").agg(
+        # coalesce: an all-NULL-target cell sums to NULL, which would
+        # poison the leave-one-out subtraction for its siblings' rows
+        F.coalesce(
+            F.sum(F.col(target_col).cast(DECIMAL_TYPE)),
+            F.lit(0).cast(DECIMAL_TYPE),
+        ).alias("__s"),
+        F.count(target_col).alias("__n"),
+    )
+    # per-fold leave-one-out sums over the tiny grid: total minus own
+    w_cat = W.partitionBy(cat_col)
+    w_all = W.partitionBy()
+    grid = (
+        grid.withColumn("__s_cat", F.sum("__s").over(w_cat))
+        .withColumn("__n_cat", F.sum("__n").over(w_cat))
+        .withColumn("__s_all", F.sum("__s").over(w_all))
+        .withColumn("__n_all", F.sum("__n").over(w_all))
+    )
+    oof_s = (F.col("__s_cat") - F.col("__s")).cast("double")
+    oof_n = (F.col("__n_cat") - F.col("__n")).cast("double")
+    # out-of-fold global prior: all folds' sums minus this fold's —
+    # needs this fold's GLOBAL (not per-cat) sums
+    w_fold = W.partitionBy("__fold")
+    grid = grid.withColumn("__s_fold", F.sum("__s").over(w_fold)).withColumn(
+        "__n_fold", F.sum("__n").over(w_fold)
+    )
+    # degenerate folds: if this fold holds ALL non-null targets the
+    # out-of-fold prior is undefined — fall back to the global mean
+    # (only reachable on toy data; real k-fold hashes spread targets);
+    # with no targets anywhere the encoding is NULL by arithmetic
+    oof_all_n = (F.col("__n_all") - F.col("__n_fold")).cast("double")
+    prior = F.when(
+        oof_all_n > 0,
+        (F.col("__s_all") - F.col("__s_fold")).cast("double") / oof_all_n,
+    ).otherwise(
+        F.col("__s_all").cast("double") / F.col("__n_all").cast("double")
+    )
+    enc = (oof_s + F.lit(smoothing) * prior) / (oof_n + F.lit(smoothing))
+    codes = grid.select(
+        cat_col, "__fold", enc.alias(out)
+    )
+    joined = a.join(
+        F.broadcast(codes),
+        on=[
+            a[cat_col].eqNullSafe(codes[cat_col]),
+            a["__fold"] == codes["__fold"],
+        ],
+        how="left",
+    ).drop(codes[cat_col]).drop(codes["__fold"]).drop("__fold")
+    return joined
+
+
+def bin_by_quantiles(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``{col}_bin``): the equal-frequency bin
+    index in ``[0, n_bins)`` — bin b covers values in
+    ``(cut[b-1], cut[b]]`` with cut points the exact
+    ``1/n … (n−1)/n`` order statistics (ties share a bin; NULLs get
+    NULL). Row-local assignment against the broadcast cut array."""
+    from ..operators.sketch import exact_quantiles
+
+    out = out or f"{col}_bin"
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = [
+        r["value"]
+        for r in sorted(
+            exact_quantiles(df, col, probs).collect(),
+            key=lambda r: r["p"],
+        )
+    ]
+    c = F.col(col)
+    expr = F.lit(0)
+    for cut in cuts:
+        expr = expr + (c > F.lit(cut)).cast("int")
+    return df.withColumn(out, F.when(c.isNull(), None).otherwise(expr))
