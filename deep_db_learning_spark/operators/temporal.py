@@ -249,3 +249,81 @@ def range_join(
     return tagged.join(
         out.select("__rjid", *right_only), ["__rjid"], "left"
     ).drop("__rjid")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered multi-step funnel: for each user, the EARLIEST
+    completion of ``steps`` in order, with every later step falling
+    within ``within_seconds`` of the user's step-1 time. Returns one
+    row per step: ``(step, name, n_users, avg_seconds)`` —
+    ``n_users`` reaching that step, ``avg_seconds`` the exact-decimal
+    mean elapsed time from step 1 (0.0 for step 1, NULL when nobody
+    reached the step).
+
+    Earliest-completion semantics (the standard product-analytics
+    definition): step 1 anchors at the user's first step-1 event;
+    step i+1 at the first step-(i+1) event strictly after step i's
+    anchor and within the window. Greedy-earliest is optimal here: an
+    anchor can only help later steps by being as early as possible, so
+    no backtracking is needed and each step costs ONE conditional
+    aggregate + ONE co-partitioned join on the user key (k−1 joins
+    total, all sharing the first shuffle's partitioning — no window
+    over the whole event set, no per-user array materialization).
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    from ..functions.exact_agg import exact_avg
+
+    u, t = F.col(user_col), F.col(ts_col)
+    t_us = F.unix_micros(t.cast("timestamp"))
+    ev = events.select(
+        u.alias("__u"), t_us.alias("__t"), F.col(type_col).alias("__y")
+    )
+    reach = (
+        ev.filter(F.col("__y") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__anchor"))
+        .withColumn("__t0", F.col("__anchor"))
+    )
+    spark = events.sparkSession
+    frames = [
+        reach.agg(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("name"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.when(F.count(F.lit(1)) > 0, F.lit(0.0)).alias("avg_seconds"),
+        )
+    ]
+    lim = F.col("__t0") + F.lit(int(within_seconds) * 1_000_000)
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("__y") == s)
+            .join(reach.select("__u", "__anchor", "__t0"), "__u")
+            .filter((F.col("__t") > F.col("__anchor")) & (F.col("__t") <= lim))
+            .groupBy("__u", "__t0")
+            .agg(F.min("__t").alias("__anchor"))
+            .select("__u", "__anchor", "__t0")
+        )
+        reach = nxt
+        frames.append(
+            reach.agg(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("name"),
+                F.count(F.lit(1)).alias("n_users"),
+                exact_avg(
+                    (F.col("__anchor") - F.col("__t0")).cast("double")
+                    / F.lit(1_000_000.0)
+                ).alias("avg_seconds"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
