@@ -2017,6 +2017,19 @@ def q_node_store(spark, sf_dir):
     return base.unionByName(scd)
 
 
+def q_event_funnel(spark, sf_dir):
+    """Bench/probe entry: the click→view→purchase ordered funnel within
+    2 days (``operators/temporal.funnel``) — per-step reach counts +
+    exact-decimal mean time-to-step. k−1 co-partitioned joins on the
+    user key; no window over the whole event set."""
+    from deep_db_learning_spark.operators.temporal import funnel
+
+    db = _db(spark, sf_dir)
+    return funnel(
+        db.df("events"), ["click", "view", "purchase"], 2 * 86400
+    )
+
+
 def q_scd2_apply(spark, sf_dir):
     """Bench/probe entry: SCD Type 2 maintenance (``sources/scd.py``) —
     the events change feed applied in THREE ts-range batches. Between

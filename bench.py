@@ -166,6 +166,9 @@ def main() -> None:
         # batches applied to a checkpointed history (the store write
         # stands between batches, as in production)
         "scd2_apply",
+        # r7: ordered funnel — greedy-earliest anchors, co-partitioned
+        # per-step joins
+        "event_funnel",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

@@ -216,6 +216,10 @@ PLAN_PINS = {
     # batches sit behind the between-batch store checkpoint): one key
     # shuffle shared by all four windows of the apply
     "scd2_apply": (2, 0),
+    # r7: funnel — per-step (agg + join) pairs over the union'd frames
+    # (6 real shuffles for 3 steps incl. the final count aggs; the
+    # step joins broadcast the shrinking reach frame)
+    "event_funnel": (12, 4),
     "message_mean": (2, 2),  # bench b3_message_layer
     # r6: the append path — per-list drift agg + probe/candidate joins
     # over the appended store; the broadcast floor pins the probe and
