@@ -88,6 +88,9 @@ DEFAULT_QUERIES = [
     # batch); 10× change feed must scale through the shuffle alone
     # (no driver state at all)
     "scd2_apply",
+    # r7: funnel — per-step conditional aggregates + co-partitioned
+    # joins; 10× events must stay scan/shuffle-bound
+    "event_funnel",
 ]
 
 
