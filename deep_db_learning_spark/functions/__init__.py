@@ -1,3 +1,3 @@
-from . import bpe, convert, datetime_funcs, encode, exact_agg, hashing, normalize, text, vectors
+from . import bpe, convert, datetime_funcs, encode, exact_agg, feature_eng, hashing, normalize, text, vectors
 
-__all__ = ["bpe", "convert", "datetime_funcs", "encode", "exact_agg", "hashing", "normalize", "text", "vectors"]
+__all__ = ["bpe", "convert", "datetime_funcs", "encode", "exact_agg", "feature_eng", "hashing", "normalize", "text", "vectors"]

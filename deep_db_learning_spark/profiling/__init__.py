@@ -1,3 +1,4 @@
+from . import validate
 from .analyzer import SchemaAnalyzer
 from .defaults import (
     DATASET_DEFAULTS,
@@ -14,6 +15,7 @@ from .profiler import (
 )
 
 __all__ = [
+    "validate",
     "DATASET_DEFAULTS",
     "DatasetDefault",
     "analyzer_for_dataset",

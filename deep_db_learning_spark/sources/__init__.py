@@ -1,4 +1,4 @@
-from . import layout
+from . import layout, scd
 from .catalog import (
     TESTDATA_TABLES,
     Database,
@@ -10,6 +10,7 @@ from .catalog import (
 
 __all__ = [
     "layout",
+    "scd",
     "TESTDATA_TABLES",
     "Database",
     "discover_constraints_jdbc_metadata",

@@ -12,9 +12,13 @@ from .node_store import SnapshotStore, stream_profiles_into_store
 from .vector_store import stream_vectors_into_store
 from .crawl import stream_dedup_into_band_index
 from .doc_index import read_index_stats, stream_docs_into_index
+from .scd_stream import SCD2Store, scd2_store_apply, stream_changes_into_scd2
 from .stateful import stream_sessionize
 
 __all__ = [
+    "SCD2Store",
+    "scd2_store_apply",
+    "stream_changes_into_scd2",
     "EVENTS_SCHEMA",
     "hourly_user_features",
     "read_events_stream",
