@@ -14,6 +14,11 @@ must never see a target statistic its own label contributed to.
   One shuffle (the (category, fold) aggregate); per-row assembly is a
   broadcast join of the tiny (category × fold) grid. All sums are
   decimal folds → bit-reproducible across engines/partitionings.
+  Cardinality limit: the grid is card × k rows and flows through one
+  global window partition + a broadcast — fine to ~10⁶ grid rows;
+  past that, swap the global window for a 1-row aggregate cross-join
+  and the broadcast for a shuffle join (the frame-resident pattern
+  ``plans/stack.py`` uses for high-cardinality embeddings).
 - :func:`bin_by_quantiles` — equal-frequency binning: cut points from
   ``operators/sketch.exact_quantiles`` (exact order statistics, no
   global sort), bucket assignment row-local against the broadcast
