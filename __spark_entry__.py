@@ -1272,13 +1272,19 @@ def q_sketches(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    """Iterative graph algorithm: 5 integer-exact PageRank iterations
-    over the bipartite customer↔orders FK graph (node = 2·custkey /
-    2·orderkey+1; forward + reverse edges, so customers with orders
-    recirculate mass while customers without any orders have
-    out-degree 0 and exercise the dangling-mass path).  The whole
-    trajectory is BIGINT at scale 10^12 (operators/pagerank.py), so
-    the unrolled-CTE DuckDB oracle value-hash-matches every rank."""
+    """Iterative graph algorithms, mode-tagged (r7): ``pagerank`` — 5
+    integer-exact PageRank iterations over the bipartite
+    customer↔orders FK graph (node = 2·custkey / 2·orderkey+1;
+    forward + reverse edges, so customers with orders recirculate mass
+    while customers without any orders have out-degree 0 and exercise
+    the dangling-mass path); ``labelprop`` — 5 synchronous
+    integer-exact label-propagation rounds on the same graph
+    (community mode: every node seeds as its own id; (count DESC,
+    label ASC) tie-break). BOTH trajectories are pure-integer
+    (operators/pagerank.py BIGINT@10^12, operators/labelprop.py
+    counts), so the unrolled-CTE DuckDB oracles value-hash-match every
+    rank and every label."""
+    from deep_db_learning_spark.operators.labelprop import label_propagation
     from deep_db_learning_spark.operators.pagerank import pagerank
 
     db = _db(spark, sf_dir)
@@ -1293,7 +1299,19 @@ def q_pagerank(spark, sf_dir):
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges, nodes, iters=5)
+    pr = pagerank(edges, nodes, iters=5).select(
+        F.lit("pagerank").alias("mode"),
+        "node", "rank_scaled", "rank",
+        F.lit(None).cast("bigint").alias("label"),
+    )
+    lp = label_propagation(fwd, nodes, iters=5, symmetrize=True).select(
+        F.lit("labelprop").alias("mode"),
+        "node",
+        F.lit(None).cast("bigint").alias("rank_scaled"),
+        F.lit(None).cast("double").alias("rank"),
+        "label",
+    )
+    return pr.unionByName(lp)
 
 
 _PAGERANK_NODES_SQL = (
@@ -3891,9 +3909,23 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_sk.exact_quantiles_oracle_sql(
             "lineitem", "l_extendedprice", [0.25, 0.5, 0.75, 0.95, 0.99])})
     """
-    sqls["pagerank"] = pagerank_oracle_sql(
-        _PAGERANK_NODES_SQL, _PAGERANK_EDGES_SQL, 5
+    from deep_db_learning_spark.operators.labelprop import (
+        label_propagation_oracle_sql,
     )
+
+    _PAGERANK_FWD_SQL = (
+        "SELECT o_orderkey*2+1 AS src, o_custkey*2 AS dst FROM orders"
+    )
+    sqls["pagerank"] = f"""
+        SELECT 'pagerank' AS mode, node, rank_scaled, rank,
+               CAST(NULL AS BIGINT) AS label
+        FROM ({pagerank_oracle_sql(_PAGERANK_NODES_SQL, _PAGERANK_EDGES_SQL, 5)})
+        UNION ALL
+        SELECT 'labelprop', node, CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), label
+        FROM ({label_propagation_oracle_sql(
+            _PAGERANK_FWD_SQL, _PAGERANK_NODES_SQL, iters=5, symmetrize=True)})
+    """
     sqls["text_quality"] = f"""
         SELECT 'metrics' AS mode, doc_id, ws_tokens, bpe_tokens, lang,
                fp_md5, fp_minhash, quality, dup_token_frac,

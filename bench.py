@@ -157,7 +157,10 @@ def main() -> None:
         # RRF fusion (three modes of one query, shared corpus scans)
         "text_search",
         # r7: sketch family (KMV/HLL/CMS/no-sort quantiles) and the
-        # 5-iteration integer-exact PageRank over customer↔orders
+        # iterative-graph slot — late-r7 it carries BOTH 5-iteration
+        # integer-exact PageRank AND 5-round synchronous label
+        # propagation over customer↔orders (mode merge; expect ~2x the
+        # pagerank-only time recorded before the merge)
         "sketches",
         "pagerank",
         # r7: text metrics + stupid-backoff-LM perplexity scoring
