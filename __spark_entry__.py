@@ -1878,18 +1878,37 @@ def q_events_hourly(spark, sf_dir):
     return hourly_user_features(db.df("events"))
 
 
+_FUNNEL_STEPS = ["click", "view", "purchase"]
+_FUNNEL_WITHIN = 2 * 86400
+
+
+def _funnel_oracle() -> str:
+    from deep_db_learning_spark.operators.temporal import funnel_oracle_sql
+
+    return funnel_oracle_sql("events", _FUNNEL_STEPS, _FUNNEL_WITHIN)
+
+
 def q_events_windows(spark, sf_dir):
     """Streaming extension, mode-tagged (r7 registry rotation — the
     minhash_dedup merge pattern): ``hourly`` — tumbling 1h per-user
     features (count / exact sum / exact avg / distinct types);
     ``sliding`` — 1h windows every 15min (each event in 4 windows),
-    padded with NULL avg_value/n_event_types to the shared schema."""
+    padded with NULL avg_value/n_event_types to the shared schema;
+    ``funnel`` (late r7) — the click→view→purchase ordered funnel
+    within 2 days (``operators/temporal.funnel``: greedy-earliest
+    anchors, decimal-fold mean time-to-step; the oracle is the
+    sequential-CTE twin). In funnel rows ``user_id`` carries the step
+    index, ``avg_value`` the mean seconds-to-step, ``step_name`` the
+    step; the other two modes pad ``step_name`` NULL."""
+    from deep_db_learning_spark.operators.temporal import funnel
+
     db = _db(spark, sf_dir)
     events = db.df("events")
     h = hourly_user_features(events).select(
         F.lit("hourly").alias("mode"),
         "window_start", "user_id", "n_events", "sum_value",
         "avg_value", "n_event_types",
+        F.lit(None).cast("string").alias("step_name"),
     )
     from deep_db_learning_spark.streaming import sliding_user_features
 
@@ -1898,8 +1917,19 @@ def q_events_windows(spark, sf_dir):
         "window_start", "user_id", "n_events", "sum_value",
         F.lit(None).cast("double").alias("avg_value"),
         F.lit(None).cast("long").alias("n_event_types"),
+        F.lit(None).cast("string").alias("step_name"),
     )
-    return h.unionByName(s)
+    fu = funnel(events, _FUNNEL_STEPS, _FUNNEL_WITHIN).select(
+        F.lit("funnel").alias("mode"),
+        F.lit(None).cast(h.schema["window_start"].dataType).alias("window_start"),
+        F.col("step").cast("long").alias("user_id"),
+        F.col("n_users").cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("avg_seconds").alias("avg_value"),
+        F.lit(None).cast("long").alias("n_event_types"),
+        F.col("name").alias("step_name"),
+    )
+    return h.unionByName(s).unionByName(fu)
 
 
 def q_events_sessions(spark, sf_dir):
@@ -3633,12 +3663,14 @@ def oracle_sql() -> dict[str, str]:
                    user_id, count(*) AS n_events,
                    {exact_sum_sql('value')} AS sum_value,
                    {exact_avg_sql('value')} AS avg_value,
-                   count(DISTINCT event_type) AS n_event_types
+                   count(DISTINCT event_type) AS n_event_types,
+                   CAST(NULL AS VARCHAR) AS step_name
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'sliding', window_start, user_id, count(*),
                    {exact_sum_sql('value')},
-                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR)
             FROM (
               SELECT make_timestamp(k * 900 * 1000000) AS window_start,
                      user_id, value
@@ -3646,6 +3678,14 @@ def oracle_sql() -> dict[str, str]:
                     CAST(floor(epoch(ts)/900) AS BIGINT) - 3,
                     CAST(floor(epoch(ts)/900) AS BIGINT), 1)) AS t(k)
             ) GROUP BY 2, 3
+            UNION ALL
+            -- funnel mode: user_id carries the step index, avg_value the
+            -- exact-decimal mean seconds-to-step, step_name the step
+            SELECT 'funnel', CAST(NULL AS TIMESTAMP),
+                   CAST(step AS BIGINT), CAST(n_users AS BIGINT),
+                   CAST(NULL AS DOUBLE), avg_seconds,
+                   CAST(NULL AS BIGINT), name
+            FROM ({_funnel_oracle()})
         """,
         "events_sessions": f"""
             -- determinism contract, matching sessionize(): windows order

@@ -327,3 +327,54 @@ def funnel(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def funnel_oracle_sql(
+    events_table: str,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """Sequential-CTE DuckDB twin of :func:`funnel` (same
+    greedy-earliest anchors, same decimal-fold mean)."""
+    from ..functions.exact_agg import exact_avg_sql
+
+    def us(alias: str) -> str:
+        return f"epoch_us(CAST({alias}.{ts_col} AS TIMESTAMP))"
+
+    lim = f"s1.t0 + CAST({int(within_seconds)} AS BIGINT) * 1000000"
+    parts = [
+        f"""s1 AS (
+          SELECT {user_col} AS u, min({us(events_table)}) AS t0
+          FROM {events_table} WHERE {type_col} = '{steps[0]}' GROUP BY 1
+        )"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"s{i - 1}"
+        anchor = "s1.t0" if i == 2 else f"{prev}.a"
+        s1_join = (
+            "" if i == 2 else f"JOIN s1 ON e.{user_col} = s1.u\n          "
+        )
+        parts.append(f"""s{i} AS (
+          SELECT e.{user_col} AS u, any_value(s1.t0) AS t0,
+                 min({us('e')}) AS a
+          FROM {events_table} e
+          JOIN {prev} ON e.{user_col} = {prev}.u
+          {s1_join}WHERE e.{type_col} = '{s}'
+            AND {us('e')} > {anchor} AND {us('e')} <= {lim}
+          GROUP BY 1
+        )""")
+    selects = [
+        f"""SELECT 1 AS step, '{steps[0]}' AS name, count(*) AS n_users,
+            CASE WHEN count(*) > 0 THEN CAST('0' AS DOUBLE) END
+              AS avg_seconds
+        FROM s1"""
+    ]
+    avg = exact_avg_sql("CAST(a - t0 AS DOUBLE) / CAST('1000000' AS DOUBLE)")
+    for i, s in enumerate(steps[1:], start=2):
+        selects.append(
+            f"SELECT {i}, '{s}', count(*), {avg} FROM s{i}"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)

@@ -8,56 +8,20 @@ import sys
 from pyspark.sql import Row
 
 sys.path.insert(0, "/root/repo")
-from deep_db_learning_spark.functions.exact_agg import exact_avg_sql  # noqa: E402
-from deep_db_learning_spark.operators.temporal import funnel  # noqa: E402
+from deep_db_learning_spark.operators.temporal import (  # noqa: E402
+    funnel,
+    funnel_oracle_sql,
+)
 
 STEPS = ["click", "view", "purchase"]
 W = 2 * 86400  # two days
-
-
-def _twin_sql():
-    us = "epoch_us(CAST({e}.ts AS TIMESTAMP))"
-    lim = f"s1.t0 + CAST({W} AS BIGINT) * 1000000"
-    return f"""
-    WITH s1 AS (
-      SELECT user_id AS u, min({us.format(e='events')}) AS t0
-      FROM events WHERE event_type = '{STEPS[0]}' GROUP BY 1
-    ), s2 AS (
-      SELECT e.user_id AS u, any_value(s1.t0) AS t0,
-             min({us.format(e='e')}) AS a
-      FROM events e JOIN s1 ON e.user_id = s1.u
-      WHERE e.event_type = '{STEPS[1]}'
-        AND {us.format(e='e')} > s1.t0 AND {us.format(e='e')} <= {lim}
-      GROUP BY 1
-    ), s3 AS (
-      SELECT e.user_id AS u, any_value(s2.t0) AS t0,
-             min({us.format(e='e')}) AS a
-      FROM events e JOIN s2 ON e.user_id = s2.u
-      JOIN s1 ON e.user_id = s1.u
-      WHERE e.event_type = '{STEPS[2]}'
-        AND {us.format(e='e')} > s2.a AND {us.format(e='e')} <= {lim}
-      GROUP BY 1
-    )
-    SELECT 1 AS step, '{STEPS[0]}' AS name,
-           count(*) AS n_users,
-           CASE WHEN count(*) > 0 THEN CAST('0' AS DOUBLE) END AS avg_seconds
-    FROM s1
-    UNION ALL
-    SELECT 2, '{STEPS[1]}', count(*),
-           {exact_avg_sql("CAST(a - t0 AS DOUBLE) / CAST('1000000' AS DOUBLE)")}
-    FROM s2
-    UNION ALL
-    SELECT 3, '{STEPS[2]}', count(*),
-           {exact_avg_sql("CAST(a - t0 AS DOUBLE) / CAST('1000000' AS DOUBLE)")}
-    FROM s3
-    """
 
 
 def test_funnel_matches_duckdb_twin(db, duck):
     got = sorted(
         tuple(r) for r in funnel(db.df("events"), STEPS, W).collect()
     )
-    want = sorted(tuple(r) for r in duck.execute(_twin_sql()).fetchall())
+    want = sorted(tuple(r) for r in duck.execute(funnel_oracle_sql("events", STEPS, W)).fetchall())
     assert got == want
     reach = {r[0]: r[2] for r in got}
     assert reach[1] >= reach[2] >= reach[3] > 0  # monotone, non-vacuous
