@@ -157,10 +157,10 @@ def main() -> None:
         # RRF fusion (three modes of one query, shared corpus scans)
         "text_search",
         # r7: sketch family (KMV/HLL/CMS/no-sort quantiles) and the
-        # iterative-graph slot — late-r7 it carries BOTH 5-iteration
-        # integer-exact PageRank AND 5-round synchronous label
-        # propagation over customer↔orders (mode merge; expect ~2x the
-        # pagerank-only time recorded before the merge)
+        # 5-iteration integer-exact PageRank over customer↔orders (the
+        # DRIVER slot 'pagerank' additionally carries the labelprop
+        # mode via q_graph_iter; the bench keeps the pagerank-only
+        # path so the timing stays comparable across rounds)
         "sketches",
         "pagerank",
         # r7: text metrics + stupid-backoff-LM perplexity scoring
