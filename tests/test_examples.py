@@ -83,3 +83,21 @@ def test_incremental_crawl_pipeline(spark, tmp_path):
     # r7: the retrieval half — appended index serves BM25 hits
     assert s["index_postings"] > 0
     assert 0 < s["bm25_hits"] <= 5
+
+
+def test_dimension_pipeline(spark):
+    import dimension_pipeline as dp
+
+    args = dp.build_parser().parse_args(
+        ["--data", "/root/testdata/sf0.001", "--batches", "3"]
+    )
+    out = dp.run(spark, args)
+    assert out["events"] == 1000
+    assert out["quarantined"] == 0  # synthetic feed is clean
+    assert out["history_versions"] > out["open_versions"] > 0
+    assert 0 < out["snapshot_rows"] <= out["open_versions"]
+    assert out["feature_rows"] == 150  # one per customer
+    # id + name + nation + acctbal + segment + te + 5 wide sums
+    assert out["feature_cols"] >= 11
+    f = out["funnel"]
+    assert f["click"] >= f["view"] >= f["purchase"] > 0
