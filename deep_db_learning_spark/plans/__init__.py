@@ -1,7 +1,7 @@
 from .blueprint import BlueprintPlan
 from .metrics import classification_metrics, regression_metrics
 from .pipeline import SliceResult, build_node_features, minimum_slice
-from .stack import EdgeLayerSpec, train_relational_stack
+from .stack import EdgeLayerSpec, predict_relational_stack, train_relational_stack
 from .training import (
     TrainResult,
     assemble_training_frame,
@@ -26,6 +26,7 @@ __all__ = [
     "train_relational_classifier",
     "train_relational_minibatch",
     "train_relational_regressor",
+    "predict_relational_stack",
     "train_relational_stack",
     "train_relational_two_layer",
 ]

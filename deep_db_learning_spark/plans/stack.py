@@ -1081,3 +1081,112 @@ def _stack_eval(
         .collect()
     )
     return {r["split"]: r["m"] for r in rows}
+
+
+def predict_relational_stack(
+    tables: dict[str, DataFrame],
+    primary_keys: dict[str, list[str]],
+    foreign_keys: dict[str, list],
+    result,
+    layers: tuple[EdgeLayerSpec, ...] = (ORDERS_LAYER_SPEC,),
+    target: tuple[str, str] = ("customer", "c_mktsegment"),
+    cat_col: str = "c_nationkey",
+    num_cols: tuple[str, ...] = ("c_acctbal",),
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    task: str = "classification",
+) -> DataFrame:
+    """Batch inference: score every root node with a trained stack's
+    parameters (``result`` is the :class:`TrainResult` from
+    :func:`train_relational_stack`, or its ``params`` dict) — the
+    write-predictions-back surface the metric-only ``_stack_eval``
+    doesn't expose. Returns ``(node_id, label, split, pred)`` — and for
+    regression also ``pred_raw`` (de-standardized with the train-split
+    mean/std the assembly recorded), since ``pred``/``label`` live in
+    standardized space.
+
+    Transductive contract (matches the reference experiment's predict
+    step): the feature assembly — aggregation stats standardization,
+    label factorization, splits — derives from THIS database with THIS
+    seed, exactly as at train time, so pass the same arguments the
+    trainer got. Per-split accuracy/MSE aggregated from this frame is
+    bit-identical to ``result.accuracy`` (pinned in tests).
+
+    Scale shape: the forward folds are the trainer's own
+    ``_layer_forward_frame`` chain (per-layer lineage-cut); prediction
+    is ONE Arrow pass over the root frame joined to the top fold —
+    nothing root-sized on the driver."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = result.params if isinstance(result, TrainResult) else result
+    L = len(layers)
+    frame, meta = assemble_training_frame(
+        tables, primary_keys, foreign_keys, target, cat_col, num_cols,
+        seed=seed, neighbor_budget=neighbor_budget, task=task,
+    )
+    frames = [
+        cut_lineage(_assemble_child_frame(tables, spec, seed)[0], eager=True)
+        for spec in layers
+    ]
+    dims = []
+    for i, spec in enumerate(layers):
+        d_child = layers[i + 1].hidden_dim if i + 1 < L else 0
+        dims.append(
+            (spec.emb_dim, spec.n_feats, spec.hidden_dim,
+             spec.emb_dim + spec.n_feats + d_child)
+        )
+    l_emb = [p["emb"] for p in params["layers"]]
+    l_W = [p["W"] for p in params["layers"]]
+    l_b = [p["b"] for p in params["layers"]]
+    hb = None
+    for i in reversed(range(L)):
+        d_child = dims[i + 1][2] if i + 1 < L else 0
+        hb = _layer_forward_frame(
+            frames[i], l_emb[i], l_W[i], l_b[i], dims[i][2],
+            child_hb=hb, d_child=d_child,
+        )
+        if i > 0:
+            hb = cut_lineage(hb, eager=True)
+
+    d1 = dims[0][2]
+    regression = task == "regression"
+    Ec = params["emb"].copy()
+    Wc, bc = params["W_head"].copy(), params["b_head"].copy()
+
+    def pred_fn(code, nums, hbar):
+        codes = code.to_numpy(dtype=np.int64)
+        X = np.concatenate(
+            [Ec[codes], np.vstack(nums.to_list()), np.vstack(hbar.to_list())],
+            axis=1,
+        )
+        out = row_logits(X, Wc, bc)
+        if regression:
+            return pd.Series(out[:, 0])
+        return pd.Series(np.argmax(out, axis=1).astype(np.int64))
+
+    pred_fn.__annotations__ = {
+        "code": pd.Series, "nums": pd.Series, "hbar": pd.Series,
+        "return": pd.Series,
+    }
+    pudf = pandas_udf(pred_fn, "double" if regression else "bigint")
+    zeros = F.array(*[F.lit(0.0)] * d1)
+    out = (
+        frame.join(
+            hb.select(F.col("parent_key").alias("node_id"), "hbar"),
+            "node_id",
+            "left",
+        )
+        .withColumn("hbar", F.coalesce("hbar", zeros))
+        .select(
+            "node_id", "label", "split",
+            pudf("code", "nums", "hbar").alias("pred"),
+        )
+    )
+    if regression:
+        out = out.withColumn(
+            "pred_raw",
+            F.col("pred") * F.lit(float(meta["y_std"]))
+            + F.lit(float(meta["y_mean"])),
+        )
+    return out

@@ -909,3 +909,72 @@ def test_frame_fold_overflow_guard():
     bad = {"__n": 3, "v0": 1, "v1": None}
     with pytest.raises(ArithmeticError, match="overflow"):
         _require_nonnull_sums(bad, 2)
+
+
+def test_predict_relational_stack_matches_trained_accuracy(db):
+    """Batch inference (predict_relational_stack) reproduces the
+    trainer's own per-split accuracy exactly — same forward folds, same
+    Arrow head — and yields one prediction per labeled root."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.plans.stack import (
+        predict_relational_stack,
+        train_relational_stack,
+    )
+
+    kw = dict(
+        epochs=1, n_batches=2, seed=42, neighbor_budget=5,
+    )
+    res = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, **kw
+    )
+    preds = predict_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, res, **{
+            k: v for k, v in kw.items() if k not in ("epochs", "n_batches")
+        }
+    )
+    rows = preds.collect()
+    assert len(rows) == db.df("customer").count()
+    assert all(r["pred"] is not None for r in rows)
+    acc = {
+        r["split"]: r["m"]
+        for r in preds.groupBy("split")
+        .agg(F.avg((F.col("pred") == F.col("label")).cast("double")).alias("m"))
+        .collect()
+    }
+    assert acc == res.accuracy
+    # params dict is accepted in place of the TrainResult
+    again = predict_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, res.params, **{
+            k: v for k, v in kw.items() if k not in ("epochs", "n_batches")
+        }
+    )
+    a = sorted((r["node_id"], r["pred"]) for r in rows)
+    b = sorted((r["node_id"], r["pred"]) for r in again.collect())
+    assert a == b
+
+
+def test_predict_relational_stack_regression_denormalizes(db):
+    from deep_db_learning_spark.plans.stack import (
+        predict_relational_stack,
+        train_relational_stack,
+    )
+
+    kw = dict(
+        target=("customer", "c_acctbal"),
+        num_cols=("c_acctbal",),
+        task="regression",
+        epochs=1, n_batches=2, seed=42, neighbor_budget=5,
+    )
+    res = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, **kw
+    )
+    preds = predict_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys, res, **{
+            k: v for k, v in kw.items() if k not in ("epochs", "n_batches")
+        }
+    )
+    r = preds.first()
+    assert "pred_raw" in preds.columns
+    # de-standardization is the affine map recorded at assembly
+    assert r["pred_raw"] != r["pred"]
