@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neighbor-budget", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--track", default=None, help="JSONL tracker output path")
+    p.add_argument(
+        "--predict-out",
+        default=None,
+        help="stack mode: write per-node predictions (parquet) here "
+        "via predict_relational_stack",
+    )
     return p
 
 
@@ -198,6 +204,20 @@ def run(spark, args) -> dict:
             "final_train_loss": res.losses[-1],
             **{f"{k}_{metric}": v for k, v in res.accuracy.items()},
         }
+        if args.predict_out and args.mode == "stack":
+            from deep_db_learning_spark.plans.stack import (
+                THREE_LAYER_SPECS,
+                predict_relational_stack,
+            )
+
+            preds = predict_relational_stack(
+                db.tables, db.primary_keys, db.foreign_keys, res,
+                layers=THREE_LAYER_SPECS, target=(table, column),
+                seed=args.seed, neighbor_budget=args.neighbor_budget,
+                task=args.task,
+            )
+            preds.write.mode("overwrite").parquet(args.predict_out)
+            summary["predictions_written"] = preds.count()
 
     if args.track:
         with ExperimentTracker(args.track) as tr:

@@ -101,3 +101,19 @@ def test_dimension_pipeline(spark):
     assert out["feature_cols"] >= 11
     f = out["funnel"]
     assert f["click"] >= f["view"] >= f["purchase"] > 0
+
+
+def test_run_experiment_stack_predict_out(spark, tmp_path):
+    import run_experiment as rx
+
+    out = str(tmp_path / "preds")
+    s = rx.run(
+        spark,
+        rx.build_parser().parse_args(
+            ["--mode", "stack", "--epochs", "1", "--predict-out", out]
+        ),
+    )
+    assert s["predictions_written"] > 0
+    back = spark.read.parquet(out)
+    assert {"node_id", "label", "split", "pred"} <= set(back.columns)
+    assert back.count() == s["predictions_written"]
