@@ -198,3 +198,14 @@ def test_dirty_variants_resolve_together(spark):
     }
     assert ents[1] == ents[2] == ents[3] == 1
     assert ents[4] == ents[5] == 4
+
+
+def test_entity_clusters_all_singletons_at_high_threshold(spark):
+    from pyspark.sql import Row as R
+
+    scores = spark.createDataFrame(
+        [R(id_a=1, id_b=2, lev_sim=0.5), R(id_a=2, id_b=3, lev_sim=0.4)]
+    )
+    ents = {r["id"]: r["entity_id"]
+            for r in entity_clusters(scores, threshold=0.99).collect()}
+    assert ents == {1: 1, 2: 2, 3: 3}  # nobody merges; all self-entities
