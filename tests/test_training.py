@@ -978,3 +978,73 @@ def test_predict_relational_stack_regression_denormalizes(db):
     assert "pred_raw" in preds.columns
     # de-standardization is the affine map recorded at assembly
     assert r["pred_raw"] != r["pred"]
+
+
+def test_save_load_stack_model_round_trip(db, tmp_path):
+    """Persist → reload → predict must be bit-identical to predicting
+    with the in-memory TrainResult (npz keeps exact float64 bits)."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.persistence import (
+        load_stack_model,
+        save_stack_model,
+    )
+    from deep_db_learning_spark.plans.stack import (
+        predict_relational_stack,
+        train_relational_stack,
+    )
+
+    res = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        epochs=1, n_batches=2, seed=42, neighbor_budget=5,
+    )
+    path = str(tmp_path / "model")
+    save_stack_model(res, path)
+    params = load_stack_model(db.spark, path)
+    assert np.array_equal(params["emb"], res.params["emb"])
+    assert np.array_equal(params["W_head"], res.params["W_head"])
+    a = sorted(
+        (r["node_id"], r["pred"])
+        for r in predict_relational_stack(
+            db.tables, db.primary_keys, db.foreign_keys, res,
+            seed=42, neighbor_budget=5,
+        ).collect()
+    )
+    b = sorted(
+        (r["node_id"], r["pred"])
+        for r in predict_relational_stack(
+            db.tables, db.primary_keys, db.foreign_keys, params,
+            seed=42, neighbor_budget=5,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_save_load_frame_embedding_layer(db, tmp_path):
+    """Frame-resident (high-cardinality) layer embeddings persist as
+    parquet and reload as DataFrames with identical contents."""
+    from dataclasses import replace
+
+    from deep_db_learning_spark.plans.persistence import (
+        load_stack_model,
+        save_stack_model,
+    )
+    from deep_db_learning_spark.plans.stack import (
+        ORDERS_LAYER_SPEC,
+        train_relational_stack,
+    )
+
+    spec = replace(ORDERS_LAYER_SPEC, emb_storage="frame")
+    res = train_relational_stack(
+        db.tables, db.primary_keys, db.foreign_keys,
+        layers=(spec,), epochs=1, n_batches=2, seed=42, neighbor_budget=5,
+    )
+    path = str(tmp_path / "model")
+    save_stack_model(res, path)
+    params = load_stack_model(db.spark, path)
+    from pyspark.sql import DataFrame
+
+    assert isinstance(params["layers"][0]["emb"], DataFrame)
+    want = sorted(map(tuple, res.params["layers"][0]["emb"].collect()))
+    got = sorted(map(tuple, params["layers"][0]["emb"].collect()))
+    assert got == want
