@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="stack mode: write per-node predictions (parquet) here "
         "via predict_relational_stack",
     )
+    p.add_argument(
+        "--save-model",
+        default=None,
+        help="stack mode: persist the trained parameters here "
+        "(plans/persistence.py: npz + parquet frame embeddings)",
+    )
     return p
 
 
@@ -204,6 +210,11 @@ def run(spark, args) -> dict:
             "final_train_loss": res.losses[-1],
             **{f"{k}_{metric}": v for k, v in res.accuracy.items()},
         }
+        if args.save_model and args.mode == "stack":
+            from deep_db_learning_spark.plans.persistence import save_stack_model
+
+            save_stack_model(res, args.save_model)
+            summary["model_saved"] = args.save_model
         if args.predict_out and args.mode == "stack":
             from deep_db_learning_spark.plans.stack import (
                 THREE_LAYER_SPECS,

@@ -117,3 +117,23 @@ def test_run_experiment_stack_predict_out(spark, tmp_path):
     back = spark.read.parquet(out)
     assert {"node_id", "label", "split", "pred"} <= set(back.columns)
     assert back.count() == s["predictions_written"]
+
+
+def test_run_experiment_stack_save_model(spark, tmp_path):
+    import os
+
+    import run_experiment as rx
+
+    path = str(tmp_path / "model")
+    s = rx.run(
+        spark,
+        rx.build_parser().parse_args(
+            ["--mode", "stack", "--epochs", "1", "--save-model", path]
+        ),
+    )
+    assert s["model_saved"] == path
+    assert os.path.exists(os.path.join(path, "arrays.npz"))
+    from deep_db_learning_spark.plans.persistence import load_stack_model
+
+    params = load_stack_model(spark, path)
+    assert set(params) == {"emb", "W_head", "b_head", "layers"}
