@@ -378,3 +378,62 @@ def funnel_oracle_sql(
             f"SELECT {i}, '{s}', count(*), {avg} FROM s{i}"
         )
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def resample_dense(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    step_seconds: int,
+    fill: dict | None = None,
+    bounds: str = "per_key",
+) -> DataFrame:
+    """Densify a (key, bucket-timestamp, metrics…) frame: emit one row
+    per key per ``step_seconds`` bucket over the key's [min, max] span
+    (``bounds="global"``: the whole frame's span — every key gets the
+    full grid), filling absent buckets with ``fill`` (column → value;
+    unfilled columns stay NULL).
+
+    Windowed aggregates (``events_hourly`` etc.) drop empty buckets; a
+    forecasting/feature consumer usually needs the dense grid. Shape:
+    one aggregate for the spans, one row-local ``sequence`` explode
+    (span/step rows per key — bounded by the time range, NOT by the
+    data volume), one left join back on (key, bucket). Input bucket
+    timestamps must be step-aligned (a misaligned row would silently
+    miss the grid — validated: misalignment raises).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    step_us = int(step_seconds) * 1_000_000
+    misaligned = df.filter((us % F.lit(step_us)) != 0).limit(1).count()
+    if misaligned:
+        raise ValueError(
+            f"resample_dense: {ts_col} has buckets not aligned to"
+            f" {step_seconds}s"
+        )
+    if bounds == "global":
+        span = df.agg(
+            F.min(us).alias("__lo"), F.max(us).alias("__hi")
+        )
+        spans = df.select(*keys).distinct().crossJoin(F.broadcast(span))
+    elif bounds == "per_key":
+        spans = df.groupBy(*keys).agg(
+            F.min(us).alias("__lo"), F.max(us).alias("__hi")
+        )
+    else:
+        raise ValueError(f"unknown bounds mode: {bounds!r}")
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_us))
+        ).alias("__bucket_us"),
+    ).select(
+        *keys,
+        F.timestamp_micros(F.col("__bucket_us"))
+        .cast(df.schema[ts_col].dataType)
+        .alias(ts_col),
+    )
+    out = grid.join(df, keys + [ts_col], "left")
+    for c, v in (fill or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out

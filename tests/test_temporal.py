@@ -235,3 +235,62 @@ def test_asof_tie_break_is_deterministic(spark):
             left, right, on="k", left_ts="ts", payload=["v"], tie_break=["rid"]
         ).collect()[0]
         assert got["v"] == "b"  # rid=2 sorts last -> carried
+
+
+def test_resample_dense_fills_gaps(spark, db, duck):
+    """Dense hourly grid over the per-user hourly features: DuckDB
+    generate_series twin (per-key spans), fills applied, misalignment
+    rejected."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from deep_db_learning_spark.operators.temporal import resample_dense
+    from deep_db_learning_spark.streaming import hourly_user_features
+
+    hourly = hourly_user_features(db.df("events")).select(
+        "user_id", "window_start", "n_events"
+    )
+    dense = resample_dense(
+        hourly, "user_id", "window_start", 3600, fill={"n_events": 0}
+    )
+    got = sorted(
+        (r["user_id"], r["window_start"], r["n_events"])
+        for r in dense.collect()
+    )
+    want = duck.execute(
+        """
+        WITH h AS (
+          SELECT user_id, date_trunc('hour', ts) AS w, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), spans AS (
+          SELECT user_id, min(w) AS lo, max(w) AS hi FROM h GROUP BY 1
+        ), grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi,
+                 INTERVAL 1 HOUR)) AS w
+          FROM spans
+        )
+        SELECT g.user_id, CAST(g.w AS TIMESTAMP),
+               coalesce(h.n, 0)
+        FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.w = h.w
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) > hourly.count()  # gaps existed and were filled
+
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [Row(user_id=1, window_start=dt.datetime(2024, 1, 1, 0, 30), n_events=1)]
+    )
+    with _pt.raises(ValueError, match="aligned"):
+        resample_dense(bad, "user_id", "window_start", 3600)
+
+    # global bounds: every key spans the whole frame
+    g = resample_dense(
+        hourly, "user_id", "window_start", 3600, fill={"n_events": 0},
+        bounds="global",
+    )
+    per_key = g.groupBy("user_id").count().select("count").distinct().count()
+    assert per_key == 1
