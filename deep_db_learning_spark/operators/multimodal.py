@@ -2226,15 +2226,13 @@ def encode_avi_mjpeg(frames, fps: int = 25, subsample: bool = False) -> bytes:
     movi = lst(b"movi", movi_payload)
     # idx1: one entry per frame — offset counts from the start of the
     # movi LIST payload ('movi' fourcc = offset 0 convention + 4)
-    import struct as _s
-
     idx, off = b"", 4
     for j in jpegs:
-        idx += b"00dc" + _s.pack("<III", 0x10, off, len(j))  # AVIIF_KEYFRAME
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))  # AVIIF_KEYFRAME
         off += 8 + len(j) + (len(j) % 2)
     idx1 = chunk(b"idx1", idx)
     body = b"AVI " + hdrl + movi + idx1
-    return b"RIFF" + _s.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_avi_mjpeg(content: bytes):
