@@ -437,3 +437,52 @@ def resample_dense(
     for c, v in (fill or {}).items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event (period = ``period_days``-day buckets counted
+    from the global minimum timestamp — fixed-width periods, so the
+    index math is pure integer division); each later period they are
+    active increments that (cohort, period_index) cell. Returns one
+    row per observed cell: ``(cohort_period, period_index,
+    n_active, n_cohort, retention)`` with ``period_index`` 0 at the
+    cohort period itself (``n_active = n_cohort`` there by
+    construction) and ``retention = n_active / n_cohort`` (double
+    division of two exact counts — deterministic).
+
+    Shape: one aggregate for the global epoch, one per-user min
+    (shuffle on user), one distinct over (user, period) co-partitioned
+    with it, one count per cell — no window over the raw events, no
+    driver state beyond the single epoch scalar."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    step = int(period_days) * 86400 * 1_000_000
+    epoch = events.agg(F.min(us)).first()[0]
+    if epoch is None:
+        raise ValueError("cohort_retention: no events")
+    # integer division end-to-end: a double quotient could land on an
+    # exact period boundary one ulp off between engines
+    period = ((us - F.lit(epoch)) - ((us - F.lit(epoch)) % F.lit(step))) / F.lit(step)
+    period = period.cast("long")
+    per_user = events.select(
+        F.col(user_col).alias("__u"), period.alias("__p")
+    )
+    first = per_user.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    active = per_user.distinct().join(first, "__u")
+    cells = active.groupBy(
+        F.col("__cohort").alias("cohort_period"),
+        (F.col("__p") - F.col("__cohort")).alias("period_index"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = first.groupBy(F.col("__cohort").alias("cohort_period")).agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_period").select(
+        "cohort_period", "period_index", "n_active", "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort"))
+        .alias("retention"),
+    )

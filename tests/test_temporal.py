@@ -294,3 +294,70 @@ def test_resample_dense_fills_gaps(spark, db, duck):
     )
     per_key = g.groupBy("user_id").count().select("count").distinct().count()
     assert per_key == 1
+
+
+def test_cohort_retention_matches_duckdb(db, duck):
+    from deep_db_learning_spark.operators.temporal import cohort_retention
+
+    got = sorted(
+        tuple(r) for r in cohort_retention(db.df("events"), period_days=7).collect()
+    )
+    want = duck.execute(
+        """
+        WITH ep AS (
+          SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS e FROM events
+        ), pu AS (
+          SELECT user_id AS u,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) - ep.e)
+                      // (7 * 86400 * CAST(1000000 AS BIGINT)) AS p
+          FROM events, ep
+        ), fst AS (
+          SELECT u, min(p) AS cohort FROM pu GROUP BY u
+        ), act AS (
+          SELECT DISTINCT pu.u, pu.p, fst.cohort
+          FROM pu JOIN fst ON pu.u = fst.u
+        ), cells AS (
+          SELECT cohort AS cohort_period, p - cohort AS period_index,
+                 count(*) AS n_active
+          FROM act GROUP BY 1, 2
+        ), sizes AS (
+          SELECT cohort AS cohort_period, count(*) AS n_cohort
+          FROM fst GROUP BY 1
+        )
+        SELECT c.cohort_period, c.period_index, c.n_active, s.n_cohort,
+               CAST(c.n_active AS DOUBLE) / s.n_cohort AS retention
+        FROM cells c JOIN sizes s USING (cohort_period)
+        """
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    assert len(got) > 0
+    # period 0 cell of each cohort covers the whole cohort
+    for cp, pi, na, nc, r in got:
+        if pi == 0:
+            assert na == nc and r == 1.0
+        assert 0 < r <= 1.0
+
+
+def test_cohort_retention_small_trace(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from deep_db_learning_spark.operators.temporal import cohort_retention
+
+    d = lambda day: dt.datetime(2024, 1, 1 + day)
+    rows = [
+        Row(user_id=1, ts=d(0)),   # cohort 0
+        Row(user_id=1, ts=d(8)),   # active period 1
+        Row(user_id=2, ts=d(1)),   # cohort 0, never again
+        Row(user_id=3, ts=d(9)),   # cohort 1
+    ]
+    got = {
+        (r["cohort_period"], r["period_index"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(spark.createDataFrame(rows), period_days=7).collect()
+    }
+    assert got == {
+        (0, 0): (2, 1.0),
+        (0, 1): (1, 0.5),
+        (1, 0): (1, 1.0),
+    }
