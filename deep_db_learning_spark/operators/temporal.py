@@ -486,3 +486,61 @@ def cohort_retention(
         (F.col("n_active").cast("double") / F.col("n_cohort"))
         .alias("retention"),
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    z_threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each row is scored
+    against the trailing ``window_seconds`` (inclusive of itself) of
+    its key's values. Appends ``roll_n``, ``roll_mean``, ``roll_std``
+    (population), ``zscore`` and ``is_anomaly`` (|z| ≥ threshold; NULL
+    z — fewer than ``min_points`` in the window, or zero variance —
+    is never flagged).
+
+    Determinism: the frame is a RANGE frame over the microsecond
+    timestamp, so its contents are value-determined (ties share one
+    frame — no peer-order ambiguity), and the moments come from
+    decimal folds (value and value² summed as DECIMAL(30,9)), so the
+    whole score is partitioning- and engine-independent — a DuckDB
+    twin with the same casts matches bitwise. One shuffle on the key.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = int(window_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(us)
+        .rangeBetween(-span, 0)
+    )
+    from ..functions.exact_agg import DECIMAL_TYPE
+
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s = F.sum(v.cast(DECIMAL_TYPE)).over(w).cast("double")
+    ss = F.sum((v * v).cast(DECIMAL_TYPE)).over(w).cast("double")
+    mean = s / n
+    # clamp: decimal rounding of v and v*v happens independently, so a
+    # constant window can cancel to a tiny NEGATIVE variance — both
+    # engines clamp identically (DuckDB's sqrt would error on it)
+    var = F.greatest((ss - s * s / n) / n, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= F.lit(int(min_points))) & (std > 0.0), (v - mean) / std
+    )
+    return df.select(
+        "*",
+        n.alias("roll_n"),
+        mean.alias("roll_mean"),
+        std.alias("roll_std"),
+        z.alias("zscore"),
+        F.coalesce(
+            F.abs(z) >= F.lit(float(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -361,3 +361,55 @@ def test_cohort_retention_small_trace(spark):
         (0, 1): (1, 0.5),
         (1, 0): (1, 1.0),
     }
+
+
+def test_rolling_anomaly_matches_duckdb(db, duck):
+    from deep_db_learning_spark.operators.temporal import rolling_anomaly
+
+    out = rolling_anomaly(
+        db.df("events").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", window_seconds=7 * 86400,
+        z_threshold=2.0, min_points=5,
+    )
+    got = sorted(
+        (r["event_id"], r["roll_n"], r["roll_mean"], r["roll_std"],
+         r["zscore"], r["is_anomaly"])
+        for r in out.collect()
+    )
+    dbl = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+    s = dbl.format(
+        x="sum(CAST(value AS DECIMAL(30,9))) OVER w"
+    )
+    ss = dbl.format(
+        x="sum(CAST(value * value AS DECIMAL(30,9))) OVER w"
+    )
+    want = duck.execute(
+        f"""
+        WITH t AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS u, value
+          FROM events
+        ), r AS (
+          SELECT event_id,
+                 count(value) OVER w AS n,
+                 {s} AS s, {ss} AS ss, value
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY u
+                       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, n, s / n AS mean,
+               sqrt(greatest((ss - s * s / n) / n, 0)) AS std,
+               CASE WHEN n >= 5 AND sqrt(greatest((ss - s * s / n) / n, 0)) > 0
+                    THEN (value - s / n) / sqrt(greatest((ss - s * s / n) / n, 0)) END AS z,
+               coalesce(abs(CASE WHEN n >= 5 AND
+                    sqrt(greatest((ss - s * s / n) / n, 0)) > 0
+                    THEN (value - s / n) / sqrt(greatest((ss - s * s / n) / n, 0)) END)
+                    >= 2.0, false) AS flag
+        FROM r
+        """
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    # the detector actually fires somewhere at |z|>=2 on this data
+    assert any(r[5] for r in got)
+    # early rows (n < min_points) are never flagged
+    assert all(not r[5] for r in got if r[1] < 5)
