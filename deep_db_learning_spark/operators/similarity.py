@@ -1255,96 +1255,6 @@ def sq8_append(
     return store, drift
 
 
-# ------------------------------------------------ optimized PQ (OPQ)
-#
-# Ge et al., "Optimized Product Quantization" (CVPR 2013): learn an
-# orthonormal rotation R that redistributes variance/correlation
-# across the m subspaces before PQ — when dimensions are correlated or
-# unevenly scaled (real embedding models), plain PQ wastes codebook
-# resolution; rotating first recovers it at IDENTICAL memory. The fit
-# is the non-parametric alternation: refit codebooks on the rotated
-# sample, reconstruct, solve the orthogonal Procrustes problem
-# (SVD of X^T X̂), repeat. Driver-side on the deterministic sample
-# (the pq_train posture); the SVD is LAPACK — deterministic within a
-# process, so OPQ is pytest-pinned rather than cross-engine oracled
-# (the judge-visible contract is the recall uplift, not bit equality).
-
-
-def _pq_lloyd_np(X, m: int, k: int, n_iters: int):
-    import numpy as np
-
-    n, d = X.shape
-    dsub = d // m
-    codebooks = np.zeros((m, k, dsub))
-    for mm in range(m):
-        sub = X[:, mm * dsub : (mm + 1) * dsub]
-        cent = sub[:k].copy()
-        for _ in range(n_iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
-        codebooks[mm] = cent
-    return codebooks
-
-
-def _pq_reconstruct_np(X, codebooks):
-    import numpy as np
-
-    m, k, dsub = codebooks.shape
-    out = np.empty_like(X)
-    for mm in range(m):
-        sub = X[:, mm * dsub : (mm + 1) * dsub]
-        d2 = ((sub[:, None, :] - codebooks[mm][None, :, :]) ** 2).sum(axis=2)
-        out[:, mm * dsub : (mm + 1) * dsub] = codebooks[mm][
-            np.argmin(d2, axis=1)
-        ]
-    return out
-
-
-def opq_train(
-    corpus: DataFrame,
-    m: int = 8,
-    k: int = 16,
-    n_iters: int = 10,
-    opq_iters: int = 10,
-    sample: int = 10_000,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-):
-    """Fit the OPQ rotation + codebooks on the deterministic knuth
-    sample. Returns ``(R, codebooks)`` — feed ``R`` to
-    :func:`opq_rotate` and the codebooks to ``pq_encode``/``pq_topk``
-    over the rotated frames."""
-    import numpy as np
-
-    from ..functions.hashing import knuth_hash
-
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(knuth_hash(F.col(id_col), seed), F.col(id_col))
-        .limit(sample)
-        .collect()
-    )
-    X = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
-    n, d = X.shape
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
-    R = np.eye(d)
-    for _ in range(opq_iters):
-        Xr = X @ R
-        cb = _pq_lloyd_np(Xr, m, k, n_iters=2)
-        Xhat = _pq_reconstruct_np(Xr, cb)
-        # orthogonal Procrustes: argmin_R ||X R − X̂||_F over R^T R = I
-        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
-        R = U @ Vt
-    codebooks = _pq_lloyd_np(X @ R, m, k, n_iters=n_iters)
-    return R, codebooks
-
-
 def opq_rotate(
     df: DataFrame,
     R,

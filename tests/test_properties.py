@@ -582,3 +582,27 @@ def test_phrase_search_counts_match_naive_scan(spark, docs, phrase_len, data):
             if toks[j : j + n] == phrase_toks
         )
         assert got.get(i, 0) == naive
+
+
+def test_no_shadowed_top_level_definitions():
+    """Every module in the package defines each top-level function/class
+    at most once — a later duplicate silently shadows the earlier one
+    (the r7 ``opq_train`` defect: the improved implementation was dead
+    code because a stale copy sat later in the module)."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "deep_db_learning_spark"
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text(), filename=str(path))
+        seen = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    offenders.append(
+                        f"{path.relative_to(pkg.parent)}:{node.lineno} "
+                        f"shadows {node.name} (first at line {seen[node.name]})"
+                    )
+                seen[node.name] = node.lineno
+    assert not offenders, "\n".join(offenders)
