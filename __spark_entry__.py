@@ -1111,6 +1111,16 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     keys = linkage.blocking_keys(rec, "id", "txt", strategy="sorted_prefix", n=1)
     cand, _hot = linkage.candidate_pairs(keys, "id")
+    # the DuckDB oracle pairs ALL blocks — if a block ever exceeds the
+    # engine's max_block cap the two sides would silently diverge, so
+    # fail loudly instead (at correctness SFs the hot frame is empty;
+    # production callers handle the returned hot blocks explicitly)
+    n_hot = _hot.count()
+    if n_hot:
+        raise AssertionError(
+            f"{n_hot} blocking keys exceeded max_block — oracle SQL pairs "
+            "all blocks; raise max_block or thread the cap into the oracle"
+        )
     scores = linkage.pair_scores(cand, rec, "id", "txt")
     link_scores = scores.select(
         F.lit("link_scores").alias("mode"),

@@ -61,7 +61,10 @@ def tpch_q4(db) -> DataFrame:
     late = o.join(
         li,
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 80)),
+        # full-timestamp shift (date_add would truncate to DATE and
+        # silently diverge from the INTERVAL-based oracle on any
+        # non-midnight order timestamp)
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")),
         "leftsemi",
     )
     return (

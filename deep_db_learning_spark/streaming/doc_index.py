@@ -36,10 +36,23 @@ def read_index_stats(spark, store_path: str) -> tuple[int, int]:
     v = store.latest_version()
     if v is None:
         return 0, 0
-    row = spark.read.parquet(
-        os.path.join(store_path, f"stats_v{v}")
-    ).first()
-    return int(row["n_docs"]), int(row["total_tokens"])
+    try:
+        row = spark.read.parquet(
+            os.path.join(store_path, f"stats_v{v}")
+        ).first()
+        return int(row["n_docs"]), int(row["total_tokens"])
+    except AnalysisException:
+        # stats are written BEFORE the pointer flips (see append), so a
+        # committed version always has them — this fallback covers only
+        # stores written before that ordering fix. Re-derive from the
+        # postings (approximate: zero-token docs carry no postings rows,
+        # so n_docs is a lower bound there; total_tokens is exact).
+        post = store.read(spark)
+        row = post.agg(
+            F.countDistinct(post.columns[0]).alias("n"),
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("s"),
+        ).first()
+        return int(row["n"]), int(row["s"])
 
 
 def stream_docs_into_index(
@@ -87,9 +100,11 @@ def stream_docs_into_index(
                 prev_docs = int(srow["n_docs"])
                 prev_tokens = int(srow["total_tokens"])
             except AnalysisException:
-                # only a MISSING stats snapshot degrades to the
-                # O(store) re-derivation (token-bearing docs only —
-                # the exact counters come from the maintained path)
+                # only a MISSING stats snapshot (legacy store written
+                # before the stats-before-pointer ordering) degrades to
+                # the O(store) re-derivation — approximate: zero-token
+                # docs carry no postings rows, so prev_docs is a lower
+                # bound; the exact counters come from the maintained path
                 prev_docs = old.select(id_col).distinct().count()
                 prev_tokens = int(
                     old.agg(
@@ -102,12 +117,20 @@ def stream_docs_into_index(
         # materialize BEFORE overwriting: the appended plan reads the
         # old snapshot files the commit is about to supersede
         new_store = cut_lineage(new_store, eager=True)
-        v = store.commit(new_store, batch_id=batch_id)
+        # stats FIRST, pointer flip LAST: a crash after commit() would
+        # advance the batch cursor, so the replayed batch is skipped and
+        # the version's stats would never be written; writing stats
+        # before the flip makes the pointer the single commit point (an
+        # orphan stats_v{n} from a pre-commit crash is simply
+        # overwritten by the replay)
+        next_v = (store.latest_version() or 0) + 1
         stats = spark.createDataFrame(
             [(prev_docs + int(brow["n"]), prev_tokens + int(brow["s"]))],
             "n_docs bigint, total_tokens bigint",
         )
-        stats.write.mode("overwrite").parquet(stats_path(v))
+        stats.write.mode("overwrite").parquet(stats_path(next_v))
+        v = store.commit(new_store, batch_id=batch_id)
+        assert v == next_v  # single-writer foreachBatch contract
 
     return (
         doc_stream.writeStream.foreachBatch(append)

@@ -686,3 +686,65 @@ def test_stream_dedup_into_band_index(spark, db, tmp_path):
         )
     )
     assert got_idx == want_idx
+
+
+def test_doc_index_stats_survive_crash_window(spark, db, tmp_path):
+    """r8 hardening (ADVICE): stats are written BEFORE the pointer
+    flips, so every committed version has its stats even if the writer
+    dies mid-commit; an orphan stats_v{n} from a pre-flip crash is
+    overwritten by the replay; and read_index_stats on a legacy store
+    whose stats are missing degrades to a postings re-derivation
+    instead of raising."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators import search
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        read_index_stats,
+        stream_docs_into_index,
+    )
+
+    docs = db.df("documents").select("doc_id", "text").limit(40)
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    in_dir = str(tmp_path / "in")
+    store_dir = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    half1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_docs_into_index(stream, store_dir, ck)
+        q.awaitTermination(120)
+
+    run()
+    store = SnapshotStore(store_dir)
+    assert store.latest_version() == 1
+    assert os.path.isdir(os.path.join(store_dir, "stats_v1"))
+
+    # a pre-flip crash leaves an ORPHAN stats_v2 (stats written, pointer
+    # not flipped) — the replayed batch must overwrite it, not trip on it
+    spark.createDataFrame(
+        [(999999, 999999)], "n_docs bigint, total_tokens bigint"
+    ).write.mode("overwrite").parquet(os.path.join(store_dir, "stats_v2"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+    assert store.latest_version() == 2
+    assert read_index_stats(spark, store_dir) == search.corpus_token_stats(
+        docs, "text"
+    )
+
+    # legacy store with missing stats: fallback re-derives from postings
+    shutil.rmtree(os.path.join(store_dir, "stats_v2"))
+    n_docs, total_tokens = read_index_stats(spark, store_dir)
+    post = store.read(spark)
+    assert n_docs == post.select("doc_id").distinct().count()
+    assert total_tokens == post.agg(F.sum("tf")).first()[0]
