@@ -4,8 +4,17 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Env:
-    SPARK_GRAFT_SF_DIR   data dir  (default /root/testdata/sf0.1)
-    SPARK_GRAFT_CPUS     local[N]  (default 32)
+    SPARK_GRAFT_SF_DIR      data dir  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS        local[N]  (default 32)
+    SPARK_GRAFT_BENCH_RUNS  runs per entry, median reported (default 3)
+
+Each entry is timed SPARK_GRAFT_BENCH_RUNS times and the MEDIAN is
+reported (r8 protocol hardening: a single contended run used to carry
+a 2-4x first-run codegen/host-load constant on sub-second entries,
+breaching the 2x gate on unchanged code). Entries whose cross-call
+memo caches would otherwise let later runs skip work (b1/b2/b5) clear
+those caches before EVERY run, so each iteration reproduces the
+historical cold-cache protocol.
 """
 
 from __future__ import annotations
@@ -47,11 +56,18 @@ def main() -> None:
 
     db = entry._db(spark, sf_dir)
     timings: dict[str, float] = {}
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, setup=None) -> None:
+        vals = []
+        for _ in range(runs):
+            if setup is not None:
+                setup()
+            t0 = time.time()
+            fn()
+            vals.append(time.time() - t0)
+        vals.sort()
+        timings[name] = round(vals[len(vals) // 2], 3)
 
     # warm the JVM + file listing with a trivial action (not timed),
     # and fork the Python/Arrow worker pool once so the first pandas-UDF
@@ -70,10 +86,16 @@ def main() -> None:
     _warm = pandas_udf(_warm_fn, "long")
     spark.range(64).repartition(int(cpus)).select(_warm(col("id"))).count()
 
-    # B1: full-DB schema inference (single profiling pass per table)
+    from deep_db_learning_spark.operators.graph import clear_packed_stats
+    from deep_db_learning_spark.profiling.analyzer import clear_profile_cache
+
+    # B1: full-DB schema inference (single profiling pass per table);
+    # the profile memo is cleared before each run so every iteration is
+    # a true cold profiling pass (the historical protocol)
     timed(
         "b1_schema_inference",
         lambda: SchemaAnalyzer(db.tables, db.primary_keys, db.foreign_keys).guess_schema(),
+        setup=clear_profile_cache,
     )
 
     # B2: graph build — all FK edge joins + reverse edges, materialized
@@ -82,6 +104,7 @@ def main() -> None:
         lambda: build_hetero_graph(
             db.tables, db.primary_keys, db.foreign_keys
         ).edge_counts(),
+        setup=clear_packed_stats,
     )
 
     # B3: one message-passing layer over the biggest edge type
@@ -95,15 +118,15 @@ def main() -> None:
     timed("b4_neighbor_sampling", b4)
 
     # B5: end-to-end minimum slice (infer -> graph -> features -> fit).
-    # Clear the cross-call memo caches first so b5 measures the FULL
-    # pipeline including its profiling and node-id stats passes —
-    # comparable to the baseline and to earlier rounds — instead of
-    # silently reusing b1/b2's warm entries.
-    from deep_db_learning_spark.operators.graph import clear_packed_stats
-    from deep_db_learning_spark.profiling.analyzer import clear_profile_cache
+    # Clear the cross-call memo caches before each run so b5 measures
+    # the FULL pipeline including its profiling and node-id stats
+    # passes — comparable to the baseline and to earlier rounds —
+    # instead of silently reusing b1/b2's (or its own previous run's)
+    # warm entries.
+    def _clear_all_caches() -> None:
+        clear_profile_cache()
+        clear_packed_stats()
 
-    clear_profile_cache()
-    clear_packed_stats()
     timed(
         "b5_minimum_slice",
         lambda: minimum_slice(
@@ -113,6 +136,7 @@ def main() -> None:
             target=("customer", "c_mktsegment"),
             depth=1,
         ),
+        setup=_clear_all_caches,
     )
 
     # headline operator queries (the driver's t2 set, timed at bench sf)

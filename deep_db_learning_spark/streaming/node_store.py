@@ -80,6 +80,47 @@ class SnapshotStore:
         return v
 
 
+def vacuum_snapshots(store: SnapshotStore, keep_last: int = 1) -> list[int]:
+    """Delete snapshot versions older than the last ``keep_last`` —
+    the retention pass every versioned store needs at scale (hourly
+    micro-batches otherwise grow storage and directory listings without
+    bound). Removes each superseded ``v{n}`` directory plus any sidecar
+    ``*_v{n}`` (``stats_v3``, ``drift_v3``, ...).
+
+    Safe by construction: the pointer file is NEVER touched, the
+    pointed-to version is always retained (``keep_last`` is clamped to
+    ≥ 1), and versions are deleted oldest-first — a crash mid-vacuum
+    leaves a store whose latest ``keep_last`` versions (and cursor) are
+    intact, and re-running finishes the job. Readers follow the pointer,
+    so they never observe a vacuumed version; run it from the single
+    writer (e.g. inside ``foreachBatch`` after the commit) so no reader
+    holds an older version open.
+
+    Returns the removed version numbers (oldest first).
+    """
+    import re
+    import shutil
+
+    latest = store.latest_version()
+    if latest is None:
+        return []
+    cutoff = latest - max(1, keep_last)  # remove versions <= cutoff
+    if cutoff < 1:
+        return []
+    pat = re.compile(r"^(?:[A-Za-z0-9_.-]*_)?v(\d+)$")
+    doomed: list[tuple[int, str]] = []
+    for name in os.listdir(store.path):
+        m = pat.match(name)
+        if m and int(m.group(1)) <= cutoff:
+            doomed.append((int(m.group(1)), name))
+    removed: list[int] = []
+    for ver, name in sorted(doomed):
+        shutil.rmtree(os.path.join(store.path, name), ignore_errors=True)
+        if name == f"v{ver}":
+            removed.append(ver)
+    return removed
+
+
 def profile_delta(batch: DataFrame) -> DataFrame:
     """Associative per-user statistics of one micro-batch."""
     return batch.groupBy("user_id").agg(

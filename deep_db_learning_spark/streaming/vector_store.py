@@ -101,12 +101,18 @@ def stream_vectors_into_store(
         stats = cut_lineage(stats, eager=True)
         if drift is not None:
             drift = cut_lineage(drift, eager=True)
-        v = store.commit(new_store, batch_id=batch_id)
-        stats.write.mode("overwrite").parquet(stats_path(v))
+        # sidecars FIRST, pointer flip LAST (r8, the doc_index ordering):
+        # a crash after commit() advances the batch cursor so the replay
+        # is skipped and the sidecars would never land; orphans from a
+        # pre-flip crash are overwritten by the replay
+        next_v = (store.latest_version() or 0) + 1
+        stats.write.mode("overwrite").parquet(stats_path(next_v))
         if drift is not None:
             drift.write.mode("overwrite").parquet(
-                os.path.join(store_path, f"drift_v{v}")
+                os.path.join(store_path, f"drift_v{next_v}")
             )
+        v = store.commit(new_store, batch_id=batch_id)
+        assert v == next_v  # single-writer foreachBatch contract
 
     return (
         vec_stream.writeStream.foreachBatch(append)
