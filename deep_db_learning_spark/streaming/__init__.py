@@ -8,7 +8,7 @@ from .events import (
     sessionize,
     user_profile_features,
 )
-from .node_store import SnapshotStore, stream_profiles_into_store
+from .node_store import SnapshotStore, stream_profiles_into_store, vacuum_snapshots
 from .vector_store import stream_vectors_into_store
 from .crawl import stream_dedup_into_band_index
 from .doc_index import read_index_stats, stream_docs_into_index
@@ -24,6 +24,7 @@ __all__ = [
     "read_events_stream",
     "SnapshotStore",
     "stream_profiles_into_store",
+    "vacuum_snapshots",
     "stream_vectors_into_store",
     "read_index_stats",
     "stream_dedup_into_band_index",

@@ -163,6 +163,16 @@ class SCD2Store:
             return open_df
         return closed.unionByName(open_df)
 
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Retention for the OPEN area: drop superseded open-snapshot
+        versions (each commit rewrites the full open snapshot, so only
+        the latest matters; older versions exist purely for readers
+        in flight). Pair with :meth:`compact_closed` for the closed
+        area."""
+        from .node_store import vacuum_snapshots
+
+        return vacuum_snapshots(self.open_store, keep_last=keep_last)
+
     def commit(
         self, closed_delta: DataFrame, open_df: DataFrame, batch_id: int
     ) -> int:

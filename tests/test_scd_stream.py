@@ -101,3 +101,64 @@ def test_replay_is_idempotent(spark, db, tmp_path):
     assert _rows(store.read(spark)) == before
     # every replayed batch was skipped by the cursor — no new snapshot
     assert store.open_store.latest_version() == v_before
+
+
+def test_compact_closed_preserves_history_and_gcs_partitions(spark, db, tmp_path):
+    """r8 retention: compacting the closed area merges the per-batch
+    partitions into one directory without changing a single history
+    row; superseded partitions are GC'd; leftovers covered by the
+    manifest (a crash between flip and GC) are ignored by reads; the
+    stream keeps appending new batch partitions afterwards and a full
+    replay is still idempotent."""
+    import shutil
+
+    ch = _changes(db)
+    src = str(tmp_path / "src")
+    dirs = _write_ordered_batches(ch, src)
+    store_path = str(tmp_path / "store")
+    _run_stream(spark, ch, src, store_path, str(tmp_path / "ckpt1"))
+    store = SCD2Store(store_path)
+    before = _rows(store.read(spark))
+    closed_before = _rows(store.read_closed(spark))
+
+    n = store.compact_closed(spark)
+    assert n == 3
+    assert _rows(store.read(spark)) == before
+    assert _rows(store.read_closed(spark)) == closed_before
+    live = [
+        d for d in os.listdir(os.path.join(store_path, "closed"))
+        if d.startswith("batch=")
+    ]
+    assert live == []  # all three partitions folded in and GC'd
+
+    # a covered leftover (crash between manifest flip and GC) is
+    # invisible to reads
+    shutil.copytree(
+        os.path.join(store_path, "closed", "compacted_2"),
+        os.path.join(store_path, "closed", "batch=1"),
+    )
+    assert _rows(store.read_closed(spark)) == closed_before
+    shutil.rmtree(os.path.join(store_path, "closed", "batch=1"))
+
+    # replay after compaction: cursor still swallows every batch
+    v_before = store.open_store.latest_version()
+    _run_stream(spark, ch, src, store_path, str(tmp_path / "ckpt2"))
+    assert _rows(store.read(spark)) == before
+    assert store.open_store.latest_version() == v_before
+
+    # open-area vacuum keeps the pointed-to snapshot only
+    removed = store.vacuum(keep_last=1)
+    assert removed and max(removed) == v_before - 1
+    assert _rows(store.read(spark)) == before
+
+    # re-compaction after more batches folds compacted_2 + new parts
+    more = ch.withColumn(
+        "ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 365 DAYS")
+    ).withColumn("value", F.col("value") * 2)
+    from deep_db_learning_spark.streaming.scd_stream import scd2_store_apply
+
+    scd2_store_apply(store, more, KEY, TRACKED, "ts", batch_id=99)
+    full = _rows(store.read(spark))
+    store.compact_closed(spark)
+    assert _rows(store.read(spark)) == full
+    assert store._read_manifest()["covers_through"] == 99

