@@ -1954,7 +1954,44 @@ def q_events_windows(spark, sf_dir):
         F.lit(None).cast("long").alias("n_event_types"),
         F.col("name").alias("step_name"),
     )
-    return h.unionByName(s).unionByName(fu)
+    # r8 rotations into this slot (registry stays 50):
+    # ``cohort`` — integer-exact cohort retention (user_id carries the
+    # cohort period, sum_value the period index, n_events the active
+    # count, n_event_types the cohort size, avg_value the retention);
+    # ``anomaly`` — per-event rolling z-scores over a 7-day RANGE frame
+    # (user_id carries the event_id, n_events the window count,
+    # sum_value the rolling mean, avg_value the z-score, n_event_types
+    # the is_anomaly flag as 0/1)
+    from deep_db_learning_spark.operators.temporal import (
+        cohort_retention,
+        rolling_anomaly,
+    )
+
+    co = cohort_retention(events, period_days=7).select(
+        F.lit("cohort").alias("mode"),
+        F.lit(None).cast(h.schema["window_start"].dataType).alias("window_start"),
+        F.col("cohort_period").alias("user_id"),
+        F.col("n_active").alias("n_events"),
+        F.col("period_index").cast("double").alias("sum_value"),
+        F.col("retention").alias("avg_value"),
+        F.col("n_cohort").alias("n_event_types"),
+        F.lit(None).cast("string").alias("step_name"),
+    )
+    an = rolling_anomaly(
+        events.select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value",
+        window_seconds=7 * 86400, z_threshold=2.0, min_points=5,
+    ).select(
+        F.lit("anomaly").alias("mode"),
+        F.lit(None).cast(h.schema["window_start"].dataType).alias("window_start"),
+        F.col("event_id").cast("long").alias("user_id"),
+        F.col("roll_n").alias("n_events"),
+        F.col("roll_mean").alias("sum_value"),
+        F.col("zscore").alias("avg_value"),
+        F.col("is_anomaly").cast("long").alias("n_event_types"),
+        F.lit(None).cast("string").alias("step_name"),
+    )
+    return h.unionByName(s).unionByName(fu).unionByName(co).unionByName(an)
 
 
 def q_events_sessions(spark, sf_dir):
@@ -2292,8 +2329,75 @@ def q_events_temporal_join(spark, sf_dir):
 
 
 def q_customer_features(spark, sf_dir):
-    """Flagship feature table (entry() at driver-chosen sf)."""
+    """Flagship feature table (entry() at driver-chosen sf; bench.py
+    times THIS core path so the timing stays comparable across rounds —
+    the q_pagerank/q_graph_iter pattern; the driver registry runs the
+    mode-merged :func:`q_customer_features_modes`)."""
     return _customer_features(spark, sf_dir)
+
+
+def q_customer_features_modes(spark, sf_dir):
+    """Flagship feature table + the r8 feature-engineering rotation,
+    mode-tagged (the edge_augment merge pattern; registry stays 50):
+    ``features`` — the graph-aggregate table ``entry()`` serves;
+    ``te`` — leakage-safe OUT-OF-FOLD target encoding of c_mktsegment
+    against c_acctbal (``functions/feature_eng.target_encode_oof``:
+    row-local knuth k-fold, decimal-fold (cat × fold) grid, m-estimate
+    smoothing toward the out-of-fold prior — the oracle replays the
+    whole leakage structure via ``target_encode_oracle_sql``, so the
+    hash match pins that no row ever sees its own fold's statistics);
+    ``bin`` — equal-frequency decile binning of c_acctbal with cut
+    points from exact NO-SORT order statistics
+    (``bin_by_quantiles`` over ``operators/sketch.exact_quantiles``;
+    the oracle's cuts come from a full-sort twin)."""
+    from deep_db_learning_spark.functions.feature_eng import (
+        bin_by_quantiles,
+        target_encode_oof,
+    )
+
+    db = _db(spark, sf_dir)
+    base = _customer_features(spark, sf_dir)
+    pad = {
+        "ord_mean_totalprice": "double",
+        "ord_sum_totalprice": "double",
+        "ord_cnt": dict(base.dtypes)["ord_cnt"],
+        "ev_sum_value": "double",
+        "ev_cnt": dict(base.dtypes)["ev_cnt"],
+        "split": "string",
+    }
+
+    def pad_cols():
+        return [F.lit(None).cast(t).alias(c) for c, t in pad.items()]
+
+    feats = base.select(
+        F.lit("features").alias("mode"),
+        "c_custkey", "c_mktsegment",
+        *[F.col(c) for c in pad],
+        F.lit(None).cast("double").alias("te"),
+        F.lit(None).cast("int").alias("acct_bin"),
+    )
+    cust = db.df("customer")
+    te = target_encode_oof(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment", "c_acctbal", "c_custkey",
+    ).select(
+        F.lit("te").alias("mode"),
+        "c_custkey", "c_mktsegment",
+        *pad_cols(),
+        F.col("c_mktsegment_te").alias("te"),
+        F.lit(None).cast("int").alias("acct_bin"),
+    )
+    bins = bin_by_quantiles(
+        cust.select("c_custkey", "c_acctbal"), "c_acctbal", n_bins=10
+    ).select(
+        F.lit("bin").alias("mode"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        *pad_cols(),
+        F.lit(None).cast("double").alias("te"),
+        F.col("c_acctbal_bin").alias("acct_bin"),
+    )
+    return feats.unionByName(te).unionByName(bins)
 
 
 def q_train_step(spark, sf_dir):
@@ -2386,7 +2490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_profile": q_events_user_profile,
         "node_store": q_node_store,
         "events_temporal_join": q_events_temporal_join,
-        "customer_features": q_customer_features,
+        # r8 rotation: the driver slot carries the te/bin feature-eng
+        # modes; bench times the unmerged core q_customer_features
+        "customer_features": q_customer_features_modes,
     }
 
 
@@ -3048,6 +3154,17 @@ def oracle_sql() -> dict[str, str]:
     seg_onehot = ",\n                   ".join(
         f"CASE WHEN c_mktsegment = '{v}' THEN 1 ELSE 0 END AS c_mktsegment_{v}"
         for v in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    )
+    from deep_db_learning_spark.functions.feature_eng import (
+        bin_by_quantiles_oracle_sql,
+        target_encode_oracle_sql,
+    )
+
+    _te_oracle_sql = target_encode_oracle_sql(
+        "customer", "c_mktsegment", "c_acctbal", "c_custkey"
+    )
+    _bin_oracle_sql = bin_by_quantiles_oracle_sql(
+        "customer", "c_acctbal", "c_custkey", n_bins=10
     )
     sqls = {
         "catalog_columns": f"""
@@ -3711,6 +3828,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), avg_seconds,
                    CAST(NULL AS BIGINT), name
             FROM ({_funnel_oracle()})
+            UNION ALL
+            -- cohort mode (r8 rotation): user_id carries the cohort
+            -- period, sum_value the period index, n_events the active
+            -- count, n_event_types the cohort size, avg_value the
+            -- retention (integer-exact period math: `//` twin of the
+            -- engine's exact-multiple subtraction)
+            SELECT 'cohort', CAST(NULL AS TIMESTAMP),
+                   CAST(cohort_period AS BIGINT), CAST(n_active AS BIGINT),
+                   CAST(period_index AS DOUBLE),
+                   CAST(n_active AS DOUBLE) / n_cohort,
+                   CAST(n_cohort AS BIGINT), CAST(NULL AS VARCHAR)
+            FROM (
+              WITH ep AS (
+                SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS e FROM events
+              ), pu AS (
+                SELECT user_id AS u,
+                       (epoch_us(CAST(ts AS TIMESTAMP)) - ep.e)
+                            // (7 * 86400 * CAST(1000000 AS BIGINT)) AS p
+                FROM events, ep
+              ), fst AS (
+                SELECT u, min(p) AS cohort FROM pu GROUP BY u
+              ), act AS (
+                SELECT DISTINCT pu.u, pu.p, fst.cohort
+                FROM pu JOIN fst ON pu.u = fst.u
+              ), cells AS (
+                SELECT cohort AS cohort_period, p - cohort AS period_index,
+                       count(*) AS n_active
+                FROM act GROUP BY 1, 2
+              ), sizes AS (
+                SELECT cohort AS cohort_period, count(*) AS n_cohort
+                FROM fst GROUP BY 1
+              )
+              SELECT c.cohort_period, c.period_index, c.n_active, s.n_cohort
+              FROM cells c JOIN sizes s USING (cohort_period)
+            )
+            UNION ALL
+            -- anomaly mode (r8 rotation): user_id carries the event_id,
+            -- n_events the 7-day RANGE-frame count, sum_value the
+            -- rolling mean, avg_value the z-score, n_event_types the
+            -- is_anomaly flag (variance clamped at 0 BOTH sides — see
+            -- operators/temporal.rolling_anomaly)
+            SELECT 'anomaly', CAST(NULL AS TIMESTAMP),
+                   CAST(event_id AS BIGINT), CAST(n AS BIGINT),
+                   s / n,
+                   CASE WHEN n >= 5
+                         AND sqrt(greatest((ss - s * s / n) / n, 0)) > 0
+                        THEN (value - s / n)
+                             / sqrt(greatest((ss - s * s / n) / n, 0)) END,
+                   CAST(coalesce(abs(
+                     CASE WHEN n >= 5
+                           AND sqrt(greatest((ss - s * s / n) / n, 0)) > 0
+                          THEN (value - s / n)
+                               / sqrt(greatest((ss - s * s / n) / n, 0)) END
+                   ) >= CAST('2.0' AS DOUBLE), false) AS BIGINT),
+                   CAST(NULL AS VARCHAR)
+            FROM (
+              SELECT event_id,
+                     count(value) OVER w AS n,
+                     CAST(CAST(sum(CAST(value AS DECIMAL(30,9))) OVER w
+                          AS VARCHAR) AS DOUBLE) AS s,
+                     CAST(CAST(sum(CAST(value * value AS DECIMAL(30,9))) OVER w
+                          AS VARCHAR) AS DOUBLE) AS ss,
+                     value
+              FROM (
+                SELECT event_id, user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS u, value
+                FROM events
+              )
+              WINDOW w AS (PARTITION BY user_id ORDER BY u
+                           RANGE BETWEEN 604800000000 PRECEDING
+                                     AND CURRENT ROW)
+            )
         """,
         "events_sessions": f"""
             -- determinism contract, matching sessionize(): windows order
@@ -3915,16 +4104,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey AS k, {exact_sum_sql('value')} AS s, count(*) AS c
               FROM events JOIN customer ON user_id = c_custkey GROUP BY 1
             )
-            SELECT c.c_custkey, c.c_mktsegment,
+            SELECT 'features' AS mode, c.c_custkey, c.c_mktsegment,
                    coalesce(ord.m, 0) AS ord_mean_totalprice,
                    coalesce(ord.s, 0) AS ord_sum_totalprice,
                    coalesce(ord.c, 0) AS ord_cnt,
                    coalesce(ev.s, 0) AS ev_sum_value,
                    coalesce(ev.c, 0) AS ev_cnt,
-                   {split_label_sql('c.c_custkey')} AS split
+                   {split_label_sql('c.c_custkey')} AS split,
+                   CAST(NULL AS DOUBLE) AS te,
+                   CAST(NULL AS INT) AS acct_bin
             FROM customer c
             LEFT JOIN ord ON c.c_custkey = ord.k
             LEFT JOIN ev ON c.c_custkey = ev.k
+            UNION ALL
+            -- r8 rotation: out-of-fold target encoding (leakage
+            -- structure replayed bitwise by the shared SQL builder)
+            SELECT 'te', c_custkey, c_mktsegment,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   te, CAST(NULL AS INT)
+            FROM ({_te_oracle_sql})
+            UNION ALL
+            -- r8 rotation: exact-quantile decile bins
+            SELECT 'bin', c_custkey, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), bin
+            FROM ({_bin_oracle_sql})
         """,
     }
 

@@ -110,6 +110,86 @@ def target_encode_oof(
     return joined
 
 
+def target_encode_oracle_sql(
+    table: str,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    k: int = 5,
+    smoothing: float = 10.0,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`target_encode_oof` — the SAME expression
+    tree (knuth folds, decimal-fold grid sums, leave-one-out window
+    arithmetic, double division order), emitted as one CTE chain so the
+    driver's hash gate can pin the leakage structure bitwise. Decimal →
+    double conversions go through the VARCHAR hop (see
+    ``exact_sum_sql``). Returns ``(id_col, cat_col, te)``."""
+    from .hashing import knuth_hash_sql
+
+    def d2(x: str) -> str:  # correctly-rounded decimal→double
+        return f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"
+
+    sm = f"CAST('{smoothing!r}' AS DOUBLE)"
+    fold = f"CAST(({knuth_hash_sql(id_col, seed)}) % {int(k)} AS INT)"
+    return f"""
+        WITH a AS (
+          SELECT {id_col}, {cat_col}, {target_col}, {fold} AS fold
+          FROM {table}
+        ), grid AS (
+          SELECT {cat_col} AS cat, fold,
+                 COALESCE(sum(CAST({target_col} AS DECIMAL(30,9))),
+                          CAST(0 AS DECIMAL(30,9))) AS s,
+                 count({target_col}) AS n
+          FROM a GROUP BY 1, 2
+        ), g AS (
+          SELECT cat, fold, s, n,
+                 sum(s) OVER (PARTITION BY cat) AS s_cat,
+                 sum(n) OVER (PARTITION BY cat) AS n_cat,
+                 sum(s) OVER () AS s_all,
+                 sum(n) OVER () AS n_all,
+                 sum(s) OVER (PARTITION BY fold) AS s_fold,
+                 sum(n) OVER (PARTITION BY fold) AS n_fold
+          FROM grid
+        ), codes AS (
+          SELECT cat, fold,
+                 ({d2('s_cat - s')} + {sm} * (
+                    CASE WHEN CAST(n_all - n_fold AS DOUBLE) > 0
+                         THEN {d2('s_all - s_fold')}
+                              / CAST(n_all - n_fold AS DOUBLE)
+                         ELSE {d2('s_all')} / CAST(n_all AS DOUBLE) END
+                 )) / (CAST(n_cat - n AS DOUBLE) + {sm}) AS te
+          FROM g
+        )
+        SELECT a.{id_col}, a.{cat_col}, codes.te
+        FROM a JOIN codes
+          ON a.{cat_col} IS NOT DISTINCT FROM codes.cat
+         AND a.fold = codes.fold
+    """
+
+
+def bin_by_quantiles_oracle_sql(
+    table: str, col: str, id_col: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`bin_by_quantiles`: cut points from the
+    full-sort ``exact_quantiles_oracle_sql`` twin, bin = count of cuts
+    STRICTLY below the value (ties share a bin, matching the engine's
+    ``value > cut`` fold). Returns ``(id_col, col, bin)``."""
+    from ..operators.sketch import exact_quantiles_oracle_sql
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return f"""
+        WITH cuts AS (
+          SELECT value FROM ({exact_quantiles_oracle_sql(table, col, probs)})
+        )
+        SELECT {id_col}, {col},
+               CASE WHEN {col} IS NULL THEN NULL ELSE CAST(
+                 (SELECT count(*) FROM cuts WHERE t.{col} > cuts.value)
+               AS INT) END AS bin
+        FROM {table} t
+    """
+
+
 def bin_by_quantiles(
     df: DataFrame,
     col: str,

@@ -185,7 +185,12 @@ PLAN_PINS = {
     "simhash": (0, 2),
     "events_hourly": (4, 0),
     "events_sessions": (2, 0),
-    "customer_features": (4, 8),
+    # r8: the registry slot carries the te/bin modes — TE adds the
+    # (cat × fold) grid aggregate and its window pass (2 real shuffles
+    # over a k·card-row frame), and the per-row code assignment MUST
+    # broadcast; bin is row-local against the collected cut array.
+    # bench times the unmerged 4-exchange core (q_customer_features).
+    "customer_features": (8, 9),
     # r6: exact + sq8 modes — two window top-k pipelines (the sq8 scan
     # stays UDF-free codegen; its scales come from one tiny agg job)
     "embedding_topk": (4, 0),
