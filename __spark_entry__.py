@@ -964,6 +964,48 @@ def q_tpch_q18(spark, sf_dir):
     return q18.unionByName(q10)
 
 
+def q_tpch_q18_modes(spark, sf_dir):
+    """The driver slot for the TPC-H join shapes (r8): everything
+    :func:`q_tpch_q18` carries (bench times THAT narrower path so the
+    cross-round timing stays comparable — the q_customer_features
+    pattern) plus ``q2`` minimum-cost supplier (correlated MIN over
+    the derived part-supplier catalog, decorrelated to a broadcast
+    per-part aggregate; c_custkey carries p_partkey, c_name s_name,
+    c_acctbal s_acctbal, revenue the min supply cost) and ``q21``
+    suppliers-who-kept-orders-waiting (EXISTS + NOT EXISTS chain as
+    semi + anti joins; c_name carries s_name, sum_qty the wait
+    count)."""
+    from deep_db_learning_spark.plans import tpch_suite
+
+    db = _db(spark, sf_dir)
+    base = q_tpch_q18(spark, sf_dir)
+    q2 = tpch_suite.tpch_q2(db).select(
+        F.lit("q2").alias("mode"),
+        F.col("p_partkey").alias("c_custkey"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.col("s_name").alias("c_name"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        "n_name",
+        F.col("ps_supplycost").alias("revenue"),
+    )
+    q21 = tpch_suite.tpch_q21(db).select(
+        F.lit("q21").alias("mode"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("numwait").cast("double").alias("sum_qty"),
+        F.col("s_name").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    return base.unionByName(q2).unionByName(q21)
+
+
 def q_lineitem_numeric_profile(spark, sf_dir):
     """A10 extension: one-scan numeric summary stats (n/mean/min/max/
     std) for lineitem's measure columns — exact decimal folds make the
@@ -2465,7 +2507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
-        "tpch_q18": q_tpch_q18,
+        # r8 rotation: the driver slot also carries Q2 + Q21; bench
+        # times the unmerged q18+q10 core (q_tpch_q18)
+        "tpch_q18": q_tpch_q18_modes,
         # LLM data pipeline (dedup / similarity / text); r7 rotation:
         # dedup_exact + simhash merged as fingerprint_dedup
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -3476,6 +3520,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), c_name, c_acctbal, n_name,
                    revenue
             FROM ({_tpch_suite_oracles['tpch_q10']})
+            UNION ALL
+            -- r8: Q2 correlated-min supplier (c_custkey carries
+            -- p_partkey, revenue the min derived supply cost)
+            SELECT 'q2', p_partkey, CAST(NULL AS BIGINT),
+                   CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), s_name, s_acctbal, n_name,
+                   ps_supplycost
+            FROM ({_tpch_suite_oracles['tpch_q2']})
+            UNION ALL
+            -- r8: Q21 EXISTS + NOT EXISTS wait chain (sum_qty carries
+            -- numwait)
+            SELECT 'q21', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+                   CAST(numwait AS DOUBLE), s_name,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM ({_tpch_suite_oracles['tpch_q21']})
         """,
         "lineitem_numeric_profile": " UNION ALL ".join(
             f"""

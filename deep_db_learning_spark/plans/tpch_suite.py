@@ -48,6 +48,61 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp_ntz")
 
 
+def _ps_pairs(db) -> DataFrame:
+    """Derived part-supplier catalog — the schema has no ``partsupp``
+    (reference registers full tpch, ``ctu_repository_defauts.py:528``),
+    so the Q2/Q16/Q20 family derives it from observed lineitems: one
+    row per (part, supplier) pair with the pair's MINIMUM observed unit
+    price standing in for ``ps_supplycost``. Unit price is a row-local
+    double division and MIN is order-independent, so the frame is
+    bit-identical to the oracle's CTE with no decimal fold needed."""
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        db.df("lineitem")
+        .select("l_partkey", "l_suppkey", unit.alias("__unit"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__unit").alias("ps_supplycost"))
+    )
+
+
+def tpch_q2(db) -> DataFrame:
+    """Q2 minimum-cost supplier: for each LARGE small-size part, the
+    EUROPE supplier(s) offering the minimum derived supply cost. The
+    correlated MIN subquery decorrelates into a per-part aggregate over
+    the region-restricted pairs, broadcast back onto an equality
+    filter (ties return every minimal supplier, as the spec does)."""
+    ps = _ps_pairs(db)
+    eu = (
+        db.df("supplier")
+        .join(
+            F.broadcast(db.df("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(db.df("region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = db.df("part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_brand")
+    cand = ps.join(
+        F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    mn = cand.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("ps_supplycost").alias("__min_cost")
+    )
+    return cand.join(
+        F.broadcast(mn),
+        (F.col("l_partkey") == F.col("__pk"))
+        & (F.col("ps_supplycost") == F.col("__min_cost")),
+    ).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+        "ps_supplycost",
+    )
+
+
 def tpch_q4(db) -> DataFrame:
     """Q4 order-priority checking. Adaptation: the schema has no
     l_commitdate/l_receiptdate, so "late" is a lineitem shipped more
@@ -179,6 +234,42 @@ def tpch_q8(db) -> DataFrame:
     )
 
 
+def tpch_q9(db) -> DataFrame:
+    """Q9 product-type profit rollup by (supplier nation, order year).
+    Adaptation: no ``ps_supplycost``, so cost = 0.5 · p_retailprice ·
+    l_quantity (a fixed wholesale fraction — the rollup/join shape is
+    the point); parts filtered by name prefix like the spec's
+    ``p_name LIKE '%green%'``."""
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        db.df("lineitem")
+        .join(
+            F.broadcast(
+                db.df("part")
+                .filter(F.col("p_name").startswith("small"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(db.df("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(db.df("supplier").select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(db.df("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(exact_sum(profit).alias("sum_profit"))
+
+
 def tpch_q10(db) -> DataFrame:
     """Q10 returned-item reporting: top 20 customers by revenue lost to
     returns (l_returnflag='R') for orders placed in 1996H1. Ties broken
@@ -206,6 +297,72 @@ def tpch_q10(db) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+    )
+
+
+def tpch_q11(db) -> DataFrame:
+    """Q11 important stock: per-part inventory value restricted to one
+    region's suppliers, kept only where it exceeds a fraction of the
+    TOTAL value — the group-by-HAVING-scalar-subquery shape. Value =
+    Σ l_extendedprice · l_quantity over ASIA-supplier lineitems
+    (deriving inventory from observed flow; no ``ps_availqty``). Both
+    the per-part and the global sums are decimal folds, so the
+    threshold comparison is bit-identical cross-engine."""
+    asia = (
+        db.df("supplier")
+        .join(
+            F.broadcast(db.df("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(db.df("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = db.df("lineitem").join(
+        F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi"
+    )
+    # multiply IN DECIMAL: a double product can straddle a scale-9
+    # boundary between Spark's shortest-repr rounding and DuckDB's
+    # true-binary rounding (price·qty does at this SF); 2-decimal price
+    # and integral quantity cast exactly, and the decimal product is
+    # exact, so the fold is engine-independent
+    value = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(3,0)")
+    per_part = li.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        exact_sum(value).alias("value")
+    )
+    total = li.agg(exact_sum(value).alias("__tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.0001) * F.col("__tot"))
+        .select("ps_partkey", "value")
+    )
+
+
+def tpch_q12(db) -> DataFrame:
+    """Q12 shipping-priority histogram: for 1996 orders whose lineitem
+    shipped more than 60 days late, count critical- vs normal-priority
+    orders per return flag (standing in for ``l_shipmode`` — the
+    conditional-count CASE shape is the point)."""
+    j = (
+        db.df("lineitem")
+        .join(db.df("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-01-01"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+        )
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
     )
 
 
@@ -275,6 +432,33 @@ def tpch_q15(db) -> DataFrame:
     )
 
 
+def tpch_q16(db) -> DataFrame:
+    """Q16 supplier-count-per-part-attribute: distinct observed
+    (part, supplier) pairs, minus suppliers on the "complaints" list
+    (NOT IN — here low-balance suppliers, no comment column), rolled
+    up to count-distinct suppliers per (brand, type, size) with the
+    spec's negated brand/type/size-set predicate."""
+    pairs = db.df("lineitem").select("l_partkey", "l_suppkey").distinct()
+    complaints = db.df("supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select("s_suppkey")
+    ok = pairs.join(
+        F.broadcast(complaints),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    p = db.df("part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49, 50))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ok.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def tpch_q17(db) -> DataFrame:
     """Q17 small-quantity-order revenue for Brand#23 (no p_container in
     the schema): lineitems under 20% of the part's average quantity,
@@ -292,6 +476,144 @@ def tpch_q17(db) -> DataFrame:
     )
     return small.agg(
         (exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def tpch_q19(db) -> DataFrame:
+    """Q19 disjunctive-band revenue: three (brand, size-band,
+    quantity-band) disjuncts over the lineitem-part join. The predicate
+    must reach the scans — Catalyst pushes the common ``l_quantity``
+    and ``p_size`` envelopes and broadcasts the part side, so the
+    disjunction never forces a full-scan cartesian recheck."""
+    j = db.df("lineitem").join(
+        F.broadcast(
+            db.df("part").select("p_partkey", "p_brand", "p_size")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 40)
+            & q.between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+
+
+def tpch_q20(db) -> DataFrame:
+    """Q20 dominant-supplier promotion: ASIA suppliers who shipped,
+    for some small-named part, MORE than 30% of that part's total 1997
+    quantity (the spec's "availqty > half the shipped quantity" nested
+    aggregate, re-anchored to observed flow). Per-pair and per-part
+    quantity sums are decimal folds; the supplier list is a semi join
+    over the qualifying pairs."""
+    li = (
+        db.df("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            F.broadcast(
+                db.df("part")
+                .filter(F.col("p_name").startswith("small"))
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "leftsemi",
+        )
+    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        exact_sum("l_quantity").alias("__q_ps")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        exact_sum("l_quantity").alias("__q_p")
+    )
+    dominant = per_pair.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("__pk")
+    ).filter(F.col("__q_ps") > F.lit(0.3) * F.col("__q_p"))
+    asia = (
+        db.df("supplier")
+        .join(
+            F.broadcast(db.df("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(db.df("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return asia.join(
+        F.broadcast(dominant.select("l_suppkey").distinct()),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "leftsemi",
+    ).select("s_suppkey", "s_name")
+
+
+def tpch_q21(db) -> DataFrame:
+    """Q21 suppliers who kept orders waiting: late (>80 days
+    ship-after-order, the Q4 lateness) lineitems in MULTI-supplier
+    orders where NO other supplier was late — the EXISTS + NOT EXISTS
+    chain as one semi join and one anti join over the distinct
+    (order, supplier) pair frames, counted per supplier (top 100,
+    name-tiebroken)."""
+    pairs = db.df("lineitem").select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        db.df("lineitem")
+        .join(
+            db.df("orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    waiting = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("__ok"))
+        & (F.col("l_suppkey") != F.col("__sk")),
+        "leftsemi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("__ok"))
+        & (F.col("l_suppkey") != F.col("__sk")),
+        "left_anti",
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(db.df("supplier").select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
     )
 
 
@@ -324,20 +646,168 @@ def tpch_q22(db) -> DataFrame:
 
 
 QUERIES = {
+    "tpch_q2": tpch_q2,
     "tpch_q4": tpch_q4,
     "tpch_q7": tpch_q7,
     "tpch_q8": tpch_q8,
+    "tpch_q9": tpch_q9,
     "tpch_q10": tpch_q10,
+    "tpch_q11": tpch_q11,
+    "tpch_q12": tpch_q12,
     "tpch_q13": tpch_q13,
     "tpch_q14": tpch_q14,
     "tpch_q15": tpch_q15,
+    "tpch_q16": tpch_q16,
     "tpch_q17": tpch_q17,
+    "tpch_q19": tpch_q19,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
     "tpch_q22": tpch_q22,
 }
 
 _VOL = "l_extendedprice * (1 - l_discount)"
 
+_PS = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+"""
+
 ORACLES = {
+    "tpch_q2": f"""
+        WITH ps AS ({_PS})
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               ps_supplycost
+        FROM part, ps, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_type = 'LARGE' AND p_size <= 10
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM ps ps2, supplier s2, nation n2, region r2
+            WHERE ps2.ps_partkey = p_partkey
+              AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')
+    """,
+    "tpch_q9": f"""
+        SELECT nation, o_year, {exact_sum_sql('amount')} AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - CAST('0.5' AS DOUBLE) * p_retailprice * l_quantity
+                   AS amount
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        )
+        GROUP BY 1, 2
+    """,
+    "tpch_q11": f"""
+        WITH li AS (
+          SELECT l_partkey,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(3,0)) AS v
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+        )
+        SELECT l_partkey AS ps_partkey, {exact_sum_sql('v')} AS value
+        FROM li GROUP BY 1
+        HAVING {exact_sum_sql('v')} >
+               CAST('0.0001' AS DOUBLE) * (SELECT {exact_sum_sql('v')} FROM li)
+    """,
+    "tpch_q12": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49, 50)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < CAST('1000' AS DOUBLE))
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q19": f"""
+        SELECT {exact_sum_sql(_VOL)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q20": f"""
+        WITH li AS (
+          SELECT l_partkey, l_suppkey, l_quantity
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        ), per_pair AS (
+          SELECT l_partkey, l_suppkey,
+                 {exact_sum_sql('l_quantity')} AS q_ps
+          FROM li GROUP BY 1, 2
+        ), per_part AS (
+          SELECT l_partkey, {exact_sum_sql('l_quantity')} AS q_p
+          FROM li GROUP BY 1
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (
+            SELECT pp.l_suppkey
+            FROM per_pair pp JOIN per_part p ON pp.l_partkey = p.l_partkey
+            WHERE pp.q_ps > CAST('0.3' AS DOUBLE) * p.q_p)
+    """,
+    "tpch_q21": """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 80 DAY
+        ), allp AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM allp l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o

@@ -172,7 +172,12 @@ PLAN_PINS = {
     # joins broadcast; each mode is one partial+final agg), q18 carries
     # the Q10 top-20 mode (nation + dims broadcast)
     "tpch_q6": (10, 6),
-    "tpch_q18": (4, 8),
+    # r8: the registry slot adds Q2 (derived-partsupp groupBy + min
+    # per part, both broadcast back) and Q21 (two pair distincts +
+    # semi/anti chain + count + TakeOrdered) — every dimension/pair
+    # frame small enough MUST broadcast; bench times the unmerged
+    # 4-exchange q18+q10 core (q_tpch_q18)
+    "tpch_q18": (22, 20),
     "decontamination": (4, 2),  # eval grams MUST broadcast
     "dedup_exact": (2, 0),
     # r6: three pipelines under one mode tag — within-corpus dedup,

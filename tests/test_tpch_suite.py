@@ -34,3 +34,40 @@ def test_every_query_returns_rows(db):
     for name, fn in tpch_suite.QUERIES.items():
         n = fn(db).count()
         assert n > 0, name
+
+
+@pytest.fixture(scope="module")
+def db01(spark):
+    from deep_db_learning_spark.sources import load_testdata
+
+    return load_testdata(spark, "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(tpch_suite.QUERIES))
+def test_matches_duckdb_twin_sf001(name, db01, duck01):
+    """Second-SF pin: the same hash match at 10x the smoke data — a
+    predicate that only passes because a small-SF edge case is absent
+    (empty band, single supplier, all-ties) fails here."""
+    sdf = tpch_suite.QUERIES[name](db01)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck01.execute(tpch_suite.ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), (scols, ocols)
+    assert len(srows) == len(orows) > 0, (name, len(srows), len(orows))
+    sh, _ = canon_rows(scols, srows)
+    oh, _ = canon_rows(ocols, orows)
+    assert sh == oh, name
