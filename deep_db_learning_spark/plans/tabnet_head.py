@@ -354,3 +354,287 @@ def train_trompt_head(
         task=task,
         fit_fn=fit,
     )
+
+
+# ------------------------------------------- GLU-level training (r8)
+#
+# One level deeper than the decision head (VERDICT r7 #6): the LAST
+# GLU feature transformer of the TabNet encoder
+# (``operators/kernels.tabnet_forward`` — the block whose ReLU'd value
+# half feeds the decision accumulator) now trains JOINTLY with the
+# head, in-engine, under the same bit-determinism contract. Everything
+# upstream (attentive masks, earlier GLU blocks, the prior chain) stays
+# frozen at the seeded init — those states are encoded ONCE
+# (``tabnet_penultimate_encode``) into a materialized frame, so each
+# epoch differentiates a two-matmul + GLU sub-network over fixed
+# inputs: per-row gradients dec9-quantized in the Arrow kernel, folded
+# as exact decimals, SGD on the driver. Twin:
+# ``plans/train_oracle._tabnet_glu_losses`` replays the trajectory
+# bit-for-bit. Full-encoder training (masks included) remains the
+# ``fit_fn``/TorchDistributor hand-off — sparsemax's sort makes its
+# backward a different class of kernel; see COVERAGE.md.
+
+TABNET_GLU_BENCH_CONFIG = {
+    "epochs": 3,
+    "lr": 0.2,
+    "l2": 1e-4,
+    "out_channels": 8,
+    "num_layers": 2,
+    "feat_channels": 8,
+    "attn_channels": 8,
+    "neighbor_budget": 5,
+}
+
+
+def glu_seed_params(
+    in_ch: int,
+    num_layers: int,
+    feat_channels: int,
+    attn_channels: int,
+    out_channels: int,
+    seed: int,
+):
+    """Seeded initial values of the trainable slice — the last GLU
+    feature transformer's VALUE and GATE columns that reach the
+    decision accumulator (its attention-half columns receive zero
+    gradient in the last layer: their output is discarded) — plus the
+    frozen ``w_out``. Slicing the SAME ``_seeded_matrix`` draws
+    ``tabnet_forward`` makes iteration 0 of the trained network equal
+    the frozen encoder exactly."""
+    import math as _math
+
+    from ..operators.kernels import _seeded_matrix
+
+    split = feat_channels + attn_channels
+    scale = 1.0 / _math.sqrt(max(in_ch, 1))
+    wL = _seeded_matrix((seed, "feat", num_layers), in_ch, 2 * split, scale)
+    bL = _seeded_matrix((seed, "featb", num_layers), 1, 2 * split, scale)[0]
+    w_out = _seeded_matrix(
+        (seed, "out"), feat_channels, out_channels, scale
+    )
+    fc, sp = feat_channels, split
+    return (
+        wL[:, :fc].copy(),
+        bL[:fc].copy(),
+        wL[:, sp : sp + fc].copy(),
+        bL[sp : sp + fc].copy(),
+        w_out,
+    )
+
+
+def glu_head_forward(Z, A, Wv, bv, Wg, bg, Wh, bh, w_out):
+    """Forward of the trainable sub-network over the frozen states:
+    GLU(Z) → ReLU → accumulate onto A → frozen ``w_out`` → head
+    logits. SHARED by the engine kernel and the twin (the
+    ``row_logits`` precedent); every GEMM is the fixed-order exact
+    fold, so the values are Arrow-batch-independent. Returns
+    ``(gs, gl, acc, enc, logits)``."""
+    from .training import row_logits
+
+    av = row_logits(Z, Wv, bv)
+    ag = row_logits(Z, Wg, bg)
+    gs = 1.0 / (1.0 + np.exp(-ag))
+    gl = av * gs
+    acc = A + np.maximum(gl, 0.0)
+    enc = row_logits(acc, w_out, np.zeros(w_out.shape[1]))
+    logits = row_logits(enc, Wh, bh)
+    return gs, gl, acc, enc, logits
+
+
+def _fit_glu_head(
+    frame, states, in_ch: int, fc: int, out_channels: int, k: int,
+    epochs: int, lr: float, l2: float, seed: int,
+    num_layers: int = 2, attn_channels: int = 8,
+) -> TrainResult:
+    """Joint GD on (last-GLU value/gate columns, decision head) over
+    the frozen penultimate states ``states`` (``array<double>`` of
+    ``z ++ acc_prev``). Classification only (softmax CE) — the mode the
+    driver trajectory pins."""
+    full = cut_lineage(
+        frame.select("split", "label", states.alias("x")), eager=True
+    )
+    tr = full.filter(F.col("split") == "train").select("x", "label")
+    n = tr.count()
+    Wv, bv, Wg, bg, w_out = glu_seed_params(
+        in_ch, num_layers, fc, attn_channels, out_channels, seed,
+    )
+    rng = np.random.default_rng(seed)
+    Wh = rng.uniform(-0.5, 0.5, size=(out_channels, k)) * 0.1
+    bh = np.zeros(k)
+    glen = 1 + 2 * (in_ch * fc + fc) + out_channels * k + k
+
+    losses: list[float] = []
+    for _ in range(epochs):
+        from decimal import Decimal
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        Wvc, bvc, Wgc, bgc = Wv.copy(), bv.copy(), Wg.copy(), bg.copy()
+        Whc, bhc = Wh.copy(), bh.copy()
+
+        def grad_fn(x, label):
+            M = np.vstack(x.to_list())
+            Z, A = M[:, :in_ch], M[:, in_ch:]
+            y = label.to_numpy(dtype=np.int64)
+            gs, gl, acc, enc, logits = glu_head_forward(
+                Z, A, Wvc, bvc, Wgc, bgc, Whc, bhc, w_out
+            )
+            logits = logits - logits.max(axis=1, keepdims=True)
+            ex = np.exp(logits)
+            P = ex / ex.sum(axis=1, keepdims=True)
+            ridx = np.arange(len(y))
+            loss = -np.log(P[ridx, y])
+            resid = P.copy()
+            resid[ridx, y] -= 1.0
+            d_enc = resid @ Whc.T
+            d_acc = d_enc @ w_out.T
+            d_gl = d_acc * (gl > 0)
+            d_av = d_gl * gs
+            d_ag = d_gl * (gl * (1.0 - gs))  # = av·σ·(1−σ) since gl=av·σ
+            out = np.concatenate(
+                [
+                    loss[:, None],
+                    (Z[:, :, None] * d_av[:, None, :]).reshape(len(y), -1),
+                    d_av,
+                    (Z[:, :, None] * d_ag[:, None, :]).reshape(len(y), -1),
+                    d_ag,
+                    (enc[:, :, None] * resid[:, None, :]).reshape(len(y), -1),
+                    resid,
+                ],
+                axis=1,
+            )
+            return pd.Series(
+                [[_dec9_py(Decimal, v) for v in row] for row in out]
+            )
+
+        grad_fn.__annotations__ = {
+            "x": pd.Series,
+            "label": pd.Series,
+            "return": pd.Series,
+        }
+        udf = pandas_udf(grad_fn, f"array<{DECIMAL_TYPE}>")
+        tot = (
+            tr.select(udf("x", "label").alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("g", i + 1)).alias(f"v{i}")
+                    for i in range(glen)
+                ],
+            )
+            .first()
+        )
+        _require_nonnull_sums(tot, glen)
+
+        def seg(off, size):
+            return np.array(
+                [float(tot[f"v{off + i}"] or 0) for i in range(size)]
+            )
+
+        o = 1
+        GWv = seg(o, in_ch * fc).reshape(in_ch, fc); o += in_ch * fc
+        gbv = seg(o, fc); o += fc
+        GWg = seg(o, in_ch * fc).reshape(in_ch, fc); o += in_ch * fc
+        gbg = seg(o, fc); o += fc
+        GWh = seg(o, out_channels * k).reshape(out_channels, k)
+        o += out_channels * k
+        gbh = seg(o, k)
+        loss_sum = float(tot["v0"] or 0)
+        losses.append(
+            loss_sum / n
+            + 0.5
+            * l2
+            * float((Wh * Wh).sum() + (Wv * Wv).sum() + (Wg * Wg).sum())
+        )
+        Wv -= lr * (GWv / n + l2 * Wv)
+        bv -= lr * (gbv / n)
+        Wg -= lr * (GWg / n + l2 * Wg)
+        bg -= lr * (gbg / n)
+        Wh -= lr * (GWh / n + l2 * Wh)
+        bh -= lr * (gbh / n)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Wvc, bvc, Wgc, bgc = Wv.copy(), bv.copy(), Wg.copy(), bg.copy()
+    Whc, bhc = Wh.copy(), bh.copy()
+
+    def pred_fn(x):
+        M = np.vstack(x.to_list())
+        *_rest, logits = glu_head_forward(
+            M[:, :in_ch], M[:, in_ch:], Wvc, bvc, Wgc, bgc, Whc, bhc, w_out
+        )
+        return pd.Series(np.argmax(logits, axis=1).astype(np.int64))
+
+    pred_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    pudf = pandas_udf(pred_fn, "bigint")
+    rows = (
+        full.select("split", "label", pudf("x").alias("pred"))
+        .groupBy("split")
+        .agg(
+            F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
+    return TrainResult(
+        losses=losses,
+        accuracy=accuracy,
+        params={"Wv": Wv, "bv": bv, "Wg": Wg, "bg": bg, "W": Wh, "b": bh},
+    )
+
+
+def train_tabnet_glu(
+    tables,
+    primary_keys,
+    foreign_keys,
+    target=("customer", "c_mktsegment"),
+    cat_col="c_nationkey",
+    num_cols=("c_acctbal",),
+    epochs: int = 3,
+    lr: float = 0.2,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    out_channels: int = 8,
+    num_layers: int = 2,
+    feat_channels: int = 8,
+    attn_channels: int = 8,
+) -> TrainResult:
+    """Joint GD on the TabNet decision head AND the last GLU feature
+    transformer, over frozen upstream states — the r8 one-level
+    extension of :func:`train_tabnet_head` (see the section
+    comment)."""
+    from ..operators.kernels import tabnet_penultimate_encode
+    from .stack import ORDERS_LAYER_SPEC, train_relational_stack
+
+    def fit(frame, frames, meta):
+        card = meta["n_codes"]
+        k = meta["n_classes"]
+        # nums carries the stack-assembled aggregate features too, so
+        # the input width is measured, not derived from num_cols
+        in_ch = card + int(frame.select(F.size("nums")).first()[0])
+        states = tabnet_penultimate_encode(
+            tabnet_feature_expr(card), out_channels, num_layers,
+            feat_channels, attn_channels, seed=seed,
+        )
+        return _fit_glu_head(
+            frame, states, in_ch, feat_channels, out_channels, k,
+            epochs, lr, l2, seed,
+            num_layers=num_layers, attn_channels=attn_channels,
+        )
+
+    return train_relational_stack(
+        tables,
+        primary_keys,
+        foreign_keys,
+        layers=(ORDERS_LAYER_SPEC,),
+        target=target,
+        cat_col=cat_col,
+        num_cols=num_cols,
+        seed=seed,
+        neighbor_budget=neighbor_budget,
+        fit_fn=fit,
+    )

@@ -447,6 +447,113 @@ def _head_gd_losses(X, y, k, epochs, lr, l2, seed, task="classification") -> lis
     return losses
 
 
+def _tabnet_glu_losses(
+    sf_dir: str,
+    epochs: int = 3,
+    lr: float = 0.2,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    out_channels: int = 8,
+    num_layers: int = 2,
+    feat_channels: int = 8,
+    attn_channels: int = 8,
+) -> list[float]:
+    """Twin of ``plans.tabnet_head.train_tabnet_glu``: DuckDB-assembled
+    root frame, the SHARED exact-mode ``tabnet_forward`` penultimate
+    states and ``glu_head_forward`` sub-network (the ``row_logits``
+    precedent), then an independent numpy/decimal replay of the JOINT
+    (last-GLU, head) GD — per-row dec9-quantized gradients summed as
+    exact decimals in row order, the same update expressions — every
+    epoch's loss bit-equal to the engine's."""
+    import numpy as np
+
+    from ..operators.kernels import tabnet_forward
+    from .tabnet_head import glu_head_forward, glu_seed_params
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    onehot = np.zeros((len(codes_a), card))
+    onehot[np.arange(len(codes_a)), codes_a] = 1.0
+    feats = np.concatenate([onehot, X_num], axis=1)
+    tr = np.where(train_mask)[0]
+    Z, A = tabnet_forward(
+        feats[tr], out_channels, num_layers, feat_channels, attn_channels,
+        seed=seed, exact=True, return_last_states=True,
+    )
+    y = y_a[tr]
+    in_ch, fc = feats.shape[1], feat_channels
+    n = len(y)
+    Wv, bv, Wg, bg, w_out = glu_seed_params(
+        in_ch, num_layers, fc, attn_channels, out_channels, seed
+    )
+    rng = np.random.default_rng(seed)
+    Wh = rng.uniform(-0.5, 0.5, size=(out_channels, k)) * 0.1
+    bh = np.zeros(k)
+    glen = 1 + 2 * (in_ch * fc + fc) + out_channels * k + k
+    losses: list[float] = []
+    for _ in range(epochs):
+        gs, gl, acc, enc, logits = glu_head_forward(
+            Z, A, Wv, bv, Wg, bg, Wh, bh, w_out
+        )
+        logits = logits - logits.max(axis=1, keepdims=True)
+        ex = np.exp(logits)
+        P = ex / ex.sum(axis=1, keepdims=True)
+        ridx = np.arange(n)
+        loss_rows = -np.log(P[ridx, y])
+        resid = P.copy()
+        resid[ridx, y] -= 1.0
+        d_enc = resid @ Wh.T
+        d_acc = d_enc @ w_out.T
+        d_gl = d_acc * (gl > 0)
+        d_av = d_gl * gs
+        d_ag = d_gl * (gl * (1.0 - gs))
+        out = np.concatenate(
+            [
+                loss_rows[:, None],
+                (Z[:, :, None] * d_av[:, None, :]).reshape(n, -1),
+                d_av,
+                (Z[:, :, None] * d_ag[:, None, :]).reshape(n, -1),
+                d_ag,
+                (enc[:, :, None] * resid[:, None, :]).reshape(n, -1),
+                resid,
+            ],
+            axis=1,
+        )
+        tot = [Decimal(0)] * glen
+        for row in out:
+            for i in range(glen):
+                tot[i] += _dec9(float(row[i]))
+        o = 1
+
+        def seg(off, size):
+            return np.array([float(tot[off + i]) for i in range(size)])
+
+        GWv = seg(o, in_ch * fc).reshape(in_ch, fc); o += in_ch * fc
+        gbv = seg(o, fc); o += fc
+        GWg = seg(o, in_ch * fc).reshape(in_ch, fc); o += in_ch * fc
+        gbg = seg(o, fc); o += fc
+        GWh = seg(o, out_channels * k).reshape(out_channels, k)
+        o += out_channels * k
+        gbh = seg(o, k)
+        losses.append(
+            float(tot[0]) / n
+            + 0.5
+            * l2
+            * float((Wh * Wh).sum() + (Wv * Wv).sum() + (Wg * Wg).sum())
+        )
+        Wv -= lr * (GWv / n + l2 * Wv)
+        bv -= lr * (gbv / n)
+        Wg -= lr * (GWg / n + l2 * Wg)
+        bg -= lr * (gbg / n)
+        Wh -= lr * (GWh / n + l2 * Wh)
+        bh -= lr * (gbh / n)
+    return losses
+
+
 def _trompt_head_losses(
     sf_dir: str,
     epochs: int = 4,

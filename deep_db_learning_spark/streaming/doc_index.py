@@ -62,6 +62,7 @@ def stream_docs_into_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     query_name: str = "doc_index_append",
+    keep_last: int | None = None,
 ):
     """Maintain the inverted index from a document stream:
     ``foreachBatch`` tokenizes each micro-batch, unions its postings
@@ -131,6 +132,10 @@ def stream_docs_into_index(
         stats.write.mode("overwrite").parquet(stats_path(next_v))
         v = store.commit(new_store, batch_id=batch_id)
         assert v == next_v  # single-writer foreachBatch contract
+        if keep_last is not None:
+            from .node_store import vacuum_snapshots
+
+            vacuum_snapshots(store, keep_last=keep_last)
 
     return (
         doc_stream.writeStream.foreachBatch(append)

@@ -170,6 +170,7 @@ def stream_profiles_into_store(
     store_path: str,
     checkpoint: str,
     query_name: str = "node_store_upsert",
+    keep_last: int | None = None,
 ):
     """Maintain the per-user profile store from an events stream:
     ``foreachBatch`` computes the batch delta and commits the merged
@@ -193,6 +194,10 @@ def stream_profiles_into_store(
         # does not race the files it is replacing
         merged = cut_lineage(merged, eager=True)
         store.commit(merged, batch_id=batch_id)
+        if keep_last is not None:
+            # retention runs INSIDE the single writer, after the
+            # pointer flip — no reader can hold a vacuumed version
+            vacuum_snapshots(store, keep_last=keep_last)
 
     return (
         events_stream.writeStream.foreachBatch(upsert)

@@ -212,6 +212,7 @@ def stream_changes_into_scd2(
     tracked_cols: list[str],
     ts_col: str = "ts",
     query_name: str = "scd2_upsert",
+    keep_last: int | None = None,
 ):
     """Maintain an SCD2 dimension from a change stream via
     ``foreachBatch`` — exactly-once per micro-batch through the
@@ -227,6 +228,8 @@ def stream_changes_into_scd2(
         scd2_store_apply(
             store, batch_df, key_cols, tracked_cols, ts_col, batch_id=batch_id
         )
+        if keep_last is not None:
+            store.vacuum(keep_last=keep_last)
 
     return (
         changes_stream.writeStream.foreachBatch(upsert)

@@ -40,6 +40,7 @@ def stream_vectors_into_store(
     mass_threshold: float = 0.3,
     err_ratio_threshold: float = 1.5,
     query_name: str = "vector_store_append",
+    keep_last: int | None = None,
 ):
     """Maintain the IVF-assigned vector store from a stream:
     ``foreachBatch`` appends each micro-batch with the frozen
@@ -113,6 +114,10 @@ def stream_vectors_into_store(
             )
         v = store.commit(new_store, batch_id=batch_id)
         assert v == next_v  # single-writer foreachBatch contract
+        if keep_last is not None:
+            from .node_store import vacuum_snapshots
+
+            vacuum_snapshots(store, keep_last=keep_last)
 
     return (
         vec_stream.writeStream.foreachBatch(append)

@@ -815,3 +815,45 @@ def test_vacuum_snapshots_retention(spark, db, tmp_path):
     run(str(tmp_path / "ck2"))
     assert store.latest_version() == 3
     assert sorted(map(tuple, store.read(spark).collect())) == before
+
+
+def test_stream_maintainers_apply_retention_inline(spark, db, tmp_path):
+    """keep_last wires vacuum into the single writer: after the stream
+    drains, only the retained snapshot versions (and their sidecars)
+    remain, and the surviving snapshot equals the no-retention run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        read_index_stats,
+        stream_docs_into_index,
+    )
+
+    docs = db.df("documents").select("doc_id", "text").limit(40)
+    in_dir = str(tmp_path / "in")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run(store_dir, ck, **kw):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_docs_into_index(stream, store_dir, ck, **kw)
+        q.awaitTermination(120)
+
+    kept = str(tmp_path / "kept")
+    run(kept, str(tmp_path / "ck1"), keep_last=1)
+    plain = str(tmp_path / "plain")
+    run(plain, str(tmp_path / "ck2"))
+
+    assert sorted(os.listdir(kept)) == ["_LATEST", "stats_v2", "v2"]
+    a = sorted(map(tuple, SnapshotStore(kept).read(spark).collect()))
+    b = sorted(map(tuple, SnapshotStore(plain).read(spark).collect()))
+    assert a == b
+    assert read_index_stats(spark, kept) == read_index_stats(spark, plain)
