@@ -1378,7 +1378,28 @@ def q_graph_iter(spark, sf_dir):
         F.lit(None).cast("double").alias("rank"),
         "label",
     )
-    return pr.unionByName(lp)
+    # r8: exact triangle counting + local clustering coefficients over
+    # the part co-purchase graph (operators/triangles.py — degree
+    # orientation bounds the wedge join at O(m^1.5)); rank_scaled
+    # carries n_triangles, rank the coefficient, label the degree. The
+    # hot-group cap is SHARED with the oracle (cooccurrence_oracle_sql),
+    # so wide orders are excluded identically on both sides.
+    from deep_db_learning_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_stats,
+    )
+
+    co_edges, _hot = cooccurrence_edges(
+        db.df("lineitem"), "l_orderkey", "l_partkey"
+    )
+    tri = triangle_stats(co_edges).select(
+        F.lit("triangles").alias("mode"),
+        "node",
+        F.col("n_triangles").alias("rank_scaled"),
+        F.col("clustering").alias("rank"),
+        F.col("degree").cast("bigint").alias("label"),
+    )
+    return pr.unionByName(lp).unionByName(tri)
 
 
 _PAGERANK_NODES_SQL = (
@@ -4250,6 +4271,11 @@ def oracle_sql() -> dict[str, str]:
     _PAGERANK_FWD_SQL = (
         "SELECT o_orderkey*2+1 AS src, o_custkey*2 AS dst FROM orders"
     )
+    from deep_db_learning_spark.operators.triangles import (
+        cooccurrence_oracle_sql,
+        triangle_stats_oracle_sql,
+    )
+
     sqls["pagerank"] = f"""
         SELECT 'pagerank' AS mode, node, rank_scaled, rank,
                CAST(NULL AS BIGINT) AS label
@@ -4259,6 +4285,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE), label
         FROM ({label_propagation_oracle_sql(
             _PAGERANK_FWD_SQL, _PAGERANK_NODES_SQL, iters=5, symmetrize=True)})
+        UNION ALL
+        -- r8: exact triangle counts + clustering coefficients on the
+        -- part co-purchase graph (rank_scaled carries n_triangles,
+        -- rank the coefficient, label the degree) — identical packed
+        -- (degree<<32 | id) orientation arithmetic both sides
+        SELECT 'triangles', node, n_triangles,
+               clustering, degree
+        FROM ({triangle_stats_oracle_sql(
+            cooccurrence_oracle_sql("lineitem", "l_orderkey", "l_partkey"))})
     """
     sqls["text_quality"] = f"""
         SELECT 'metrics' AS mode, doc_id, ws_tokens, bpe_tokens, lang,

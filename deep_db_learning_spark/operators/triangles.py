@@ -1,0 +1,251 @@
+"""Exact triangle counting + local clustering coefficients.
+
+Graph analytics over FK-derived graphs beyond the iterative pair
+(``pagerank.py`` / ``labelprop.py``): triangles are the primitive
+behind clustering coefficients, community seeding, and spam/bot
+detection on co-occurrence graphs — a training-data pipeline uses them
+to score how "clumped" a domain/author/product neighborhood is.
+
+Algorithm (the standard distributed one — Schank & Wagner 2005 degree
+orientation; the MapReduce formulation of Suri & Vassilvitskii 2011):
+
+1. canonicalize to undirected simple edges ``a < b``;
+2. compute degrees, and ORIENT every edge from its lower-``(degree,
+   id)`` endpoint to the higher — a total order, so each triangle
+   ``u → v → w`` has exactly ONE orientation with both wedge edges
+   leaving ``u``;
+3. wedge join: pairs of out-edges ``(u→v, u→w)`` with ``key(v) <
+   key(w)``; a triangle exists iff the closing oriented edge ``v→w``
+   exists — one equi-join against the edge set.
+
+Why this scales: orientation bounds every out-neighborhood by
+O(√m) (a node of degree d only keeps out-edges to HIGHER-degree
+nodes, and there are at most 2√m nodes of degree ≥ √m), so the wedge
+join materializes O(m^1.5) candidates worst-case instead of
+Σ d(v)² — the difference between feasible and not on a power-law
+graph at 100 TB. Everything is joins + groupBys on key columns
+(co-partitionable, AQE-skew-splittable); the only driver value is the
+final count.
+
+The ``(degree, id)`` key packs into ONE BIGINT (``degree·2³² + id``)
+so the orientation comparison stays a single integer comparison in
+whole-stage codegen — and the DuckDB oracle replays the identical
+arithmetic (integer-exact end to end).
+
+Co-purchase graph builder: ``cooccurrence_edges`` turns a fact table
+(order → items) into item-item edges. Groups wider than
+``max_per_group`` are EXCLUDED-AND-RETURNED rather than silently
+joined (the ``linkage.candidate_pairs`` hot-block contract) — one
+degenerate 10⁵-item order would otherwise contribute 10¹⁰ pairs.
+
+Reference parity: the reference has no graph analytics (its graphs
+feed GNN message passing only) — this extends SURVEY §2's J/A families
+the same way pagerank/labelprop do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACK = 4294967296  # 2^32 — node ids must be non-negative and below
+# this for the packed (degree, id) key to order correctly; FK-derived
+# keys in this engine are (see operators/graph.py mint_node_ids)
+
+
+def cooccurrence_edges(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_per_group: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Item-item co-occurrence edges from a (group → item) fact table:
+    one undirected edge ``(a, b), a < b`` per item pair sharing a
+    group, deduplicated across groups. Returns ``(edges, hot)`` where
+    ``hot`` lists the excluded groups wider than ``max_per_group``
+    (returned as data, never silently dropped — a pathological group
+    is quadratic in its width)."""
+    items = facts.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = items.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    hot = sizes.filter(F.col("__n") > max_per_group)
+    ok = items.join(F.broadcast(hot.select("__g")), "__g", "left_anti")
+    a = ok.select(F.col("__g"), F.col("__i").alias("a"))
+    b = ok.select(F.col("__g"), F.col("__i").alias("b"))
+    edges = (
+        a.join(b, "__g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return edges, hot.select(
+        F.col("__g").alias(group_col), F.col("__n").alias("n_items")
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edges → degree-oriented edges with packed
+    ``(degree·2³² + id)`` keys: ``(src, dst, src_key, dst_key)`` with
+    ``src_key < dst_key``."""
+    und = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(
+        F.col("node").alias("a"),
+        (F.col("deg") * F.lit(PACK) + F.col("a")).alias("ka"),
+    )
+    d2 = deg.select(
+        F.col("node").alias("b"),
+        (F.col("deg") * F.lit(PACK) + F.col("b")).alias("kb"),
+    )
+    keyed = und.join(d1, "a").join(d2, "b")
+    return keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.least("ka", "kb").alias("src_key"),
+        F.greatest("ka", "kb").alias("dst_key"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles of the undirected simple graph, one row each:
+    ``(u, v, w)`` — the degree-orientation guarantees each triangle
+    appears exactly once, with ``u`` the lowest-``(deg, id)`` corner.
+    Input ``edges(a, b)`` need not be canonical; self-loops drop."""
+    o = _oriented(edges)
+    e1 = o.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_key").alias("kv"),
+    )
+    e2 = o.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_key").alias("kw"),
+    )
+    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw"))
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(closing, ["v", "w"], "leftsemi").select("u", "v", "w")
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient:
+    ``(node, degree, n_triangles, clustering)`` with ``clustering =
+    2·T / (d·(d−1))`` for ``d ≥ 2`` (NULL below — undefined, not 0; a
+    degree-1 node has no potential wedges). Nodes of the graph with
+    zero triangles still appear (left join against the degree table).
+    Exact integer counts; the single division is double and
+    deterministic."""
+    tri = triangles(edges)
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    und = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    j = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+    d = F.col("degree").cast("double")
+    return j.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0) * F.col("n_triangles").cast("double") / (d * (d - 1)),
+        ).alias("clustering"),
+    )
+
+
+def cooccurrence_oracle_sql(
+    table: str, group_col: str, item_col: str, max_per_group: int = 1000
+) -> str:
+    """DuckDB CTE producing the same canonical co-occurrence edges
+    (hot groups excluded with the same cap)."""
+    return f"""
+        SELECT DISTINCT i1.__i AS a, i2.__i AS b
+        FROM (SELECT DISTINCT {group_col} AS __g, {item_col} AS __i
+              FROM {table}) i1
+        JOIN (SELECT DISTINCT {group_col} AS __g, {item_col} AS __i
+              FROM {table}) i2 ON i1.__g = i2.__g AND i1.__i < i2.__i
+        WHERE i1.__g NOT IN (
+          SELECT {group_col} FROM (
+            SELECT DISTINCT {group_col}, {item_col} FROM {table})
+          GROUP BY {group_col} HAVING count(*) > {int(max_per_group)})
+    """
+
+
+def triangle_stats_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_stats` over an edge CTE
+    ``edges_sql`` producing ``(a, b)`` — the identical packed-key
+    orientation arithmetic and wedge join, integer-exact."""
+    return f"""
+        WITH raw(a, b) AS ({edges_sql}),
+        und AS (
+          SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+          FROM raw WHERE a <> b
+        ), deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node
+        ), keyed AS (
+          SELECT und.a, und.b,
+                 d1.deg * {PACK} + und.a AS ka,
+                 d2.deg * {PACK} + und.b AS kb
+          FROM und
+          JOIN deg d1 ON d1.node = und.a
+          JOIN deg d2 ON d2.node = und.b
+        ), o AS (
+          SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+                 CASE WHEN ka < kb THEN b ELSE a END AS dst,
+                 least(ka, kb) AS src_key, greatest(ka, kb) AS dst_key
+          FROM keyed
+        ), tri AS (
+          SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+          FROM o e1 JOIN o e2
+            ON e1.src = e2.src AND e1.dst_key < e2.dst_key
+          WHERE EXISTS (
+            SELECT 1 FROM o c WHERE c.src = e1.dst AND c.dst = e2.dst)
+        ), per_node AS (
+          SELECT node, count(*) AS n_triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+          GROUP BY node
+        )
+        SELECT deg.node, deg.deg AS degree,
+               coalesce(per_node.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.deg >= 2 THEN
+                 CAST('2.0' AS DOUBLE) * CAST(coalesce(per_node.n_triangles, 0) AS DOUBLE)
+                 / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1))
+               END AS clustering
+        FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+    """

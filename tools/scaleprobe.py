@@ -91,6 +91,14 @@ DEFAULT_QUERIES = [
     # r7: funnel — per-step conditional aggregates + co-partitioned
     # joins; 10× events must stay scan/shuffle-bound
     "event_funnel",
+    # r8: cohort + rolling-anomaly modes ride the events_windows slot —
+    # the cohort distinct and the RANGE-frame window shuffle on
+    # (user, period)/(user) and must scale through the shuffle alone
+    "events_windows",
+    # r8: the Q2/Q21 modes — the derived part-supplier groupBy and the
+    # pair-distinct + semi/anti chain grow with lineitem; the per-part
+    # min and the supplier count stay broadcast-sized
+    "tpch_q18_modes",
 ]
 
 
