@@ -1399,8 +1399,24 @@ def q_graph_iter(spark, sf_dir):
         F.col("clustering").alias("rank"),
         F.col("degree").cast("bigint").alias("label"),
     )
-    return pr.unionByName(lp).unionByName(tri)
+    # r8: k-core of the same graph (operators/kcore.py — 8 fixed peel
+    # rounds, at-or-past the k=80 fixpoint depth at the oracle SF, so
+    # the unrolled-CTE twin replays the exact fixpoint); rank_scaled
+    # carries the induced core degree, label the k
+    from deep_db_learning_spark.operators.kcore import k_core
 
+    kc = k_core(co_edges, _KCORE_K, iters=_KCORE_ITERS).select(
+        F.lit("kcore").alias("mode"),
+        "node",
+        F.col("core_degree").alias("rank_scaled"),
+        F.lit(None).cast("double").alias("rank"),
+        F.lit(_KCORE_K).cast("bigint").alias("label"),
+    )
+    return pr.unionByName(lp).unionByName(tri).unionByName(kc)
+
+
+_KCORE_K = 80      # real 6-round cascade at the sf0.01 oracle scale
+_KCORE_ITERS = 8   # at-or-past fixpoint depth (monotone, so safe)
 
 _PAGERANK_NODES_SQL = (
     "SELECT c_custkey*2 AS node FROM customer "
@@ -4271,6 +4287,7 @@ def oracle_sql() -> dict[str, str]:
     _PAGERANK_FWD_SQL = (
         "SELECT o_orderkey*2+1 AS src, o_custkey*2 AS dst FROM orders"
     )
+    from deep_db_learning_spark.operators.kcore import k_core_oracle_sql
     from deep_db_learning_spark.operators.triangles import (
         cooccurrence_oracle_sql,
         triangle_stats_oracle_sql,
@@ -4294,6 +4311,14 @@ def oracle_sql() -> dict[str, str]:
                clustering, degree
         FROM ({triangle_stats_oracle_sql(
             cooccurrence_oracle_sql("lineitem", "l_orderkey", "l_partkey"))})
+        UNION ALL
+        -- r8: k-core membership + induced degree (8 unrolled peel
+        -- rounds — past the fixpoint depth, so this IS the k-core)
+        SELECT 'kcore', node, core_degree,
+               CAST(NULL AS DOUBLE), {_KCORE_K}
+        FROM ({k_core_oracle_sql(
+            cooccurrence_oracle_sql("lineitem", "l_orderkey", "l_partkey"),
+            _KCORE_K, iters=_KCORE_ITERS)})
     """
     sqls["text_quality"] = f"""
         SELECT 'metrics' AS mode, doc_id, ws_tokens, bpe_tokens, lang,

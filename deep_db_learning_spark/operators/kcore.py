@@ -1,0 +1,116 @@
+"""k-core extraction — iterative degree peeling on FK-derived graphs.
+
+The k-core is the maximal subgraph where every node keeps degree ≥ k —
+the standard "dense backbone" primitive (spam rings, community cores,
+curriculum selection of well-connected training examples). Peeling is
+the fixpoint of: drop every node with induced degree < k, recompute.
+
+Determinism/oracle contract: the engine runs a FIXED number of peel
+rounds (``iters``) rather than a data-dependent convergence loop — the
+fixpoint is monotone (the alive set only shrinks), so any round count
+at-or-past convergence returns the exact k-core, and a fixed count is
+what lets the DuckDB twin replay the computation as ``iters`` unrolled
+CTE stages (the ``labelprop`` oracle pattern). Tests pin that the
+result IS the fixpoint (one more round changes nothing) at the pinned
+``iters``.
+
+Scale shape: each round is one groupBy (induced degrees) + two semi
+joins (filter both edge endpoints), all shuffling on the node key —
+co-partitionable, no driver state beyond the loop counter; lineage is
+cut every two rounds (the pagerank cadence). Peeling converges in
+O(peeling depth) rounds, which is small for power-law graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import cut_lineage
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _induced_degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def k_core(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
+    """Nodes of the k-core after ``iters`` peel rounds, with their
+    induced degree in the surviving subgraph: ``(node, core_degree)``.
+    A node whose neighbors all peeled away in the final round appears
+    with ``core_degree`` 0 (the next round would drop it — pick
+    ``iters`` at-or-past convergence; see module docstring)."""
+    und = cut_lineage(_canonical(edges), eager=True)
+    alive = _induced_degrees(und).filter(F.col("deg") >= k).select("node")
+    for i in range(iters - 1):
+        sub = und.join(
+            alive.select(F.col("node").alias("a")), "a", "leftsemi"
+        ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
+        alive = _induced_degrees(sub).filter(F.col("deg") >= k).select("node")
+        if i % 2 == 1:
+            alive = cut_lineage(alive, eager=True)
+    final = und.join(
+        alive.select(F.col("node").alias("a")), "a", "leftsemi"
+    ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
+    return alive.join(
+        _induced_degrees(final).withColumnRenamed("deg", "core_degree"),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("core_degree", F.lit(0)).alias("core_degree")
+    )
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, iters: int = 8) -> str:
+    """DuckDB twin of :func:`k_core`: the same ``iters`` peel rounds
+    unrolled as CTE stages over an edge CTE producing ``(a, b)``.
+    Stages are MATERIALIZED — DuckDB inlines plain CTEs at every use
+    site, which re-opens the source parquet once per reference and
+    exhausts file handles on a deep unroll."""
+    parts = [
+        f"und AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b "
+        f"FROM ({edges_sql}) WHERE a <> b)",
+        f"a0 AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS deg FROM ("
+        f"SELECT a AS node FROM und UNION ALL SELECT b FROM und) "
+        f"GROUP BY node) WHERE deg >= {int(k)})",
+    ]
+    prev = "a0"
+    for i in range(1, iters):
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM und WHERE a IN (SELECT node FROM {prev}) "
+            f"AND b IN (SELECT node FROM {prev}))"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS deg FROM ("
+            f"SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) "
+            f"GROUP BY node) WHERE deg >= {int(k)})"
+        )
+        prev = f"a{i}"
+    parts.append(
+        f"ef AS MATERIALIZED (SELECT a, b FROM und WHERE a IN (SELECT node FROM {prev}) "
+        f"AND b IN (SELECT node FROM {prev}))"
+    )
+    parts.append(
+        "df AS (SELECT node, count(*) AS deg FROM ("
+        "SELECT a AS node FROM ef UNION ALL SELECT b FROM ef) GROUP BY node)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT {prev}.node, coalesce(df.deg, 0) AS core_degree "
+        f"FROM {prev} LEFT JOIN df ON {prev}.node = df.node"
+    )
