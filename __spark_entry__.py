@@ -1320,7 +1320,48 @@ def q_sketches(spark, sf_dir):
         F.lit(None).cast("bigint").alias("ival2"),
         F.col("value").alias("dval"),
     )
-    return kmv.unionByName(hll).unionByName(cms).unionByName(qt)
+    # r8: KMV set algebra — union/Jaccard/intersection of the
+    # ordering-customer and event-user key populations estimated from
+    # the two bottom-k synopses alone (the mergeable-sketch property:
+    # no re-scan of either corpus at combine time)
+    from deep_db_learning_spark.checkpoint import cut_lineage
+
+    # one-row estimate frame consumed three times — materialize once
+    ks = cut_lineage(
+        sketch.kmv_set_estimates(
+            db.df("orders"), "o_custkey", ev, "user_id", k=256
+        ),
+        eager=True,
+    )
+    kset = (
+        ks.select(
+            F.lit("kmv_set").alias("mode"), F.lit("union").alias("key"),
+            F.col("kth").alias("ival"), F.col("k_used").alias("ival2"),
+            F.col("union_est").alias("dval"),
+        )
+        .unionByName(
+            ks.select(
+                F.lit("kmv_set").alias("mode"),
+                F.lit("jaccard").alias("key"),
+                F.col("n_common").alias("ival"),
+                F.col("k_used").alias("ival2"),
+                F.col("jaccard_est").alias("dval"),
+            )
+        )
+        .unionByName(
+            ks.select(
+                F.lit("kmv_set").alias("mode"),
+                F.lit("intersect").alias("key"),
+                F.col("n_common").alias("ival"),
+                F.col("k_used").alias("ival2"),
+                F.col("intersect_est").alias("dval"),
+            )
+        )
+    )
+    return (
+        kmv.unionByName(hll).unionByName(cms).unionByName(qt)
+        .unionByName(kset)
+    )
 
 
 def _fk_bipartite_graph(db):
@@ -4279,6 +4320,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT), value
         FROM ({_sk.exact_quantiles_oracle_sql(
             "lineitem", "l_extendedprice", [0.25, 0.5, 0.75, 0.95, 0.99])})
+        UNION ALL
+        -- r8: KMV set algebra (union/jaccard/intersect from the two
+        -- bottom-k synopses alone — identical estimate arithmetic)
+        SELECT 'kmv_set', key, ival, ival2, dval FROM (
+          SELECT 'union' AS key, kth AS ival, k_used AS ival2,
+                 union_est AS dval
+          FROM ({_sk.kmv_set_estimates_oracle_sql(
+              "orders", "o_custkey", "events", "user_id", k=256)})
+          UNION ALL
+          SELECT 'jaccard', n_common, k_used, jaccard_est
+          FROM ({_sk.kmv_set_estimates_oracle_sql(
+              "orders", "o_custkey", "events", "user_id", k=256)})
+          UNION ALL
+          SELECT 'intersect', n_common, k_used, intersect_est
+          FROM ({_sk.kmv_set_estimates_oracle_sql(
+              "orders", "o_custkey", "events", "user_id", k=256)})
+        )
     """
     from deep_db_learning_spark.operators.labelprop import (
         label_propagation_oracle_sql,

@@ -60,9 +60,13 @@ def k_core(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
         sub = und.join(
             alive.select(F.col("node").alias("a")), "a", "leftsemi"
         ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
-        alive = _induced_degrees(sub).filter(F.col("deg") >= k).select("node")
-        if i % 2 == 1:
-            alive = cut_lineage(alive, eager=True)
+        # cut EVERY round: the alive frame is node-sized (tiny next to
+        # the edges) and each uncut round would otherwise stack two
+        # semi joins + an aggregate into one enormous static plan
+        alive = cut_lineage(
+            _induced_degrees(sub).filter(F.col("deg") >= k).select("node"),
+            eager=True,
+        )
     final = und.join(
         alive.select(F.col("node").alias("a")), "a", "leftsemi"
     ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")

@@ -141,6 +141,107 @@ def kmv_distinct_oracle_sql(table: str, col: str, k: int | None = None) -> str:
     """
 
 
+def kmv_set_estimates(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int | None = None,
+) -> DataFrame:
+    """KMV set algebra (Beyer et al., SIGMOD 2007): estimate
+    ``|A ∪ B|``, the Jaccard ``|A ∩ B| / |A ∪ B|`` and ``|A ∩ B|`` of
+    two key populations from their bottom-k synopses ALONE — the
+    mergeability that makes KMV a distributed sketch (sketch each
+    corpus independently, combine k-row frames; no re-scan of either
+    side). One row: ``(k_used, kth, n_common, union_est, jaccard_est,
+    intersect_est)``.
+
+    Math: ``K = bottom-k(H(A) ∪ H(B))`` estimates the union like any
+    KMV; within K, the fraction ``ρ`` of hashes present in BOTH
+    synopses is an unbiased Jaccard estimator (K is a uniform sample
+    of the union); ``|A ∩ B| ≈ ρ · |A ∪ B|``. Below the state budget
+    (``k_used < k``) everything degrades to exact set arithmetic.
+
+    Plan shape: two independent bottom-k jobs (partial dedup +
+    TakeOrderedAndProject), then all combination work happens on three
+    ≤ k-row frames — the union re-take is a sort-limit of ≤ 2k rows
+    and the membership joins broadcast. Determinism: counts are exact
+    integers; the three estimates are single double divisions /
+    products over exact integers, bit-reproducible cross-engine."""
+    k = k or SKETCH_CONFIG["kmv_k"]
+    numer = float((k - 1) * 2**60)
+    sa = kmv_bottom_hashes(df_a, col_a, k)
+    sb = kmv_bottom_hashes(df_b, col_b, k)
+    ku = (
+        sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    )
+    common = ku.join(F.broadcast(sa), "h", "leftsemi").join(
+        F.broadcast(sb), "h", "leftsemi"
+    )
+    agg = ku.agg(
+        F.count("*").alias("k_used"), F.max("h").alias("kth")
+    ).crossJoin(
+        F.broadcast(common.agg(F.count("*").alias("n_common")))
+    )
+    union_est = (
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(F.expr(dlit(numer)) / F.col("kth").cast("double"))
+    )
+    jacc = F.col("n_common").cast("double") / F.col("k_used").cast("double")
+    return agg.select(
+        "k_used",
+        "kth",
+        "n_common",
+        union_est.alias("union_est"),
+        jacc.alias("jaccard_est"),
+        (jacc * union_est).alias("intersect_est"),
+    )
+
+
+def kmv_set_estimates_oracle_sql(
+    table_a: str, col_a: str, table_b: str, col_b: str, k: int | None = None
+) -> str:
+    """DuckDB twin of :func:`kmv_set_estimates` — identical synopsis
+    construction and estimate arithmetic."""
+    k = k or SKETCH_CONFIG["kmv_k"]
+    numer = float((k - 1) * 2**60)
+    ha = md5_hash60_sql(f"CAST({col_a} AS VARCHAR)")
+    hb = md5_hash60_sql(f"CAST({col_b} AS VARCHAR)")
+    return f"""
+        WITH sa AS MATERIALIZED (
+          SELECT h FROM (
+            SELECT DISTINCT {ha} AS h FROM {table_a}
+            WHERE {col_a} IS NOT NULL)
+          ORDER BY h LIMIT {k}
+        ), sb AS MATERIALIZED (
+          SELECT h FROM (
+            SELECT DISTINCT {hb} AS h FROM {table_b}
+            WHERE {col_b} IS NOT NULL)
+          ORDER BY h LIMIT {k}
+        ), ku AS MATERIALIZED (
+          SELECT h FROM (
+            SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT {k}
+        ), stats AS (
+          SELECT count(*) AS k_used, max(h) AS kth,
+                 (SELECT count(*) FROM ku
+                  WHERE ku.h IN (SELECT h FROM sa)
+                    AND ku.h IN (SELECT h FROM sb)) AS n_common
+          FROM ku
+        )
+        SELECT k_used, kth, n_common,
+               CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                    ELSE {dlit(numer)} / CAST(kth AS DOUBLE) END AS union_est,
+               CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE)
+                 AS jaccard_est,
+               (CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE))
+                 * (CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                         ELSE {dlit(numer)} / CAST(kth AS DOUBLE) END)
+                 AS intersect_est
+        FROM stats
+    """
+
+
 # ---------------------------------------------------------------------------
 # HLL
 # ---------------------------------------------------------------------------

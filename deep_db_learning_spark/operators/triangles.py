@@ -123,7 +123,12 @@ def triangles(edges: DataFrame) -> DataFrame:
     ``(u, v, w)`` — the degree-orientation guarantees each triangle
     appears exactly once, with ``u`` the lowest-``(deg, id)`` corner.
     Input ``edges(a, b)`` need not be canonical; self-loops drop."""
-    o = _oriented(edges)
+    from ..checkpoint import cut_lineage
+
+    # the oriented frame is consumed THREE times (both wedge sides +
+    # the closing-edge probe) — materialize once or the plan recomputes
+    # the canonicalize/degree/orient chain per consumer
+    o = cut_lineage(_oriented(edges), eager=True)
     e1 = o.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
@@ -147,7 +152,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     zero triangles still appear (left join against the degree table).
     Exact integer counts; the single division is double and
     deterministic."""
-    tri = triangles(edges)
+    from ..checkpoint import cut_lineage
+
+    # consumed three times by the corner union — materialize
+    tri = cut_lineage(triangles(edges), eager=True)
     per_node = (
         tri.select(F.col("u").alias("node"))
         .unionAll(tri.select(F.col("v").alias("node")))

@@ -252,11 +252,29 @@ PLAN_PINS = {
     # r7: four sketch pipelines under one tag (kmv distinct+top-k, hll
     # register fold, cms explode-groupBy + broadcast probe, quantile
     # hit-bucket window) — 7 real shuffles doubled by formatted
-    # counting; the cms/quantile probe sides must broadcast
+    # counting; the cms/quantile probe sides must broadcast. r8: the
+    # kmv_set estimate rows read a checkpointed 1-row frame (its two
+    # synopsis jobs run eagerly at build time), so the visible plan
+    # SHRANK; membership joins in that eager stage must broadcast
     "sketches": (16, 4),
     # pagerank's iterations run eagerly through cut_lineage — the
-    # returned frame is a projection over the final checkpoint scan
+    # bench entry is a projection over the final checkpoint scan.
     "pagerank": (0, 0),
+    # r8: the REGISTRY slot adds triangles + kcore modes — wedge join
+    # + closing-edge probe over the checkpointed oriented frame, the
+    # final k-core degree join, and the co-purchase edge build (its
+    # hot-size frame must broadcast); the per-round peels run eagerly
+    # behind cut_lineage so they never stack into the static plan
+    "graph_iter": (52, 8),
+}
+
+# pins whose name must resolve to a SPECIFIC module function — the
+# default resolution prefers the (possibly mode-merged) registry entry,
+# but 'pagerank' the bench entry and 'pagerank' the registry slot are
+# different plans (the q_pagerank/q_graph_iter split)
+PIN_FN = {
+    "pagerank": "q_pagerank",
+    "graph_iter": "q_graph_iter",
     # r7: text_metrics + LM perplexity under one tag — metrics'
     # corpus-freq fold + the _spread repartition + the per-doc scoring
     # fold (4 real shuffles, doubled); the bounded LM model frames
@@ -268,7 +286,10 @@ PLAN_PINS = {
 @pytest.mark.parametrize("name", sorted(PLAN_PINS))
 def test_bench_query_shuffle_pins(spark, entry, name):
     max_ex, min_bhj = PLAN_PINS[name]
-    fn = entry.queries().get(name) or getattr(entry, "q_" + name)
+    if name in PIN_FN:
+        fn = getattr(entry, PIN_FN[name])
+    else:
+        fn = entry.queries().get(name) or getattr(entry, "q_" + name)
     plan = explain(fn(spark, "/root/testdata/sf0.001"))
     n_ex = shuffle_count(plan)
     n_bhj = plan.count("BroadcastHashJoin")

@@ -206,3 +206,61 @@ def test_hll_registers_merge(lineitem):
         .agg(F.max("rho").cast("int").alias("rho"))
     )
     assert whole == merged
+
+
+def test_kmv_set_estimates_match_twin_and_exact(db, duck):
+    """KMV set algebra: the engine row matches the DuckDB twin
+    bit-for-bit, and the estimates land within the k^-1/2 error band
+    of the exact union/intersection (computed independently)."""
+    from deep_db_learning_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_set_estimates_oracle_sql,
+    )
+
+    k = 256
+    got = [
+        tuple(r)
+        for r in kmv_set_estimates(
+            db.df("orders"), "o_custkey", db.df("events"), "user_id", k=k
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            kmv_set_estimates_oracle_sql(
+                "orders", "o_custkey", "events", "user_id", k=k
+            )
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 1
+    k_used, _kth, n_common, union_est, jacc, inter = got[0]
+    exact_union = duck.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders "
+        "UNION SELECT DISTINCT user_id FROM events)"
+    ).fetchone()[0]
+    exact_inter = duck.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders "
+        "INTERSECT SELECT DISTINCT user_id FROM events)"
+    ).fetchone()[0]
+    if k_used < k:  # sketch not full → exact by contract
+        assert union_est == exact_union
+        assert round(inter) == exact_inter
+    else:
+        band = 4.0 / (k ** 0.5)  # 4 standard errors
+        assert abs(union_est - exact_union) <= band * exact_union
+        assert abs(inter - exact_inter) <= band * exact_union
+    assert 0.0 <= jacc <= 1.0
+
+
+def test_kmv_set_estimates_disjoint_and_identical(spark):
+    from deep_db_learning_spark.operators.sketch import kmv_set_estimates
+
+    a = spark.range(0, 300).selectExpr("id AS x")
+    b = spark.range(1000, 1300).selectExpr("id AS x")
+    r = kmv_set_estimates(a, "x", b, "x", k=64).first()
+    assert r["n_common"] == 0 and r["jaccard_est"] == 0.0
+    assert r["intersect_est"] == 0.0
+    same = kmv_set_estimates(a, "x", a, "x", k=64).first()
+    assert same["jaccard_est"] == 1.0
+    # identical inputs: intersection estimate equals the union estimate
+    assert same["intersect_est"] == same["union_est"]
