@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 
 from ..checkpoint import cut_lineage
 from .node_store import SnapshotStore
+from .partdir import compact_parts as compact_kept_corpus  # re-export
+from .partdir import read_parts
 
 
 def stream_dedup_into_band_index(
@@ -50,6 +52,7 @@ def stream_dedup_into_band_index(
     threshold: float = 0.7,
     within_batch: bool = True,
     query_name: str = "crawl_dedup",
+    keep_last: int | None = None,
 ):
     """Dedup each arriving batch against the standing band index, then
     (optionally) within itself; append survivors' band rows to the
@@ -77,7 +80,10 @@ def stream_dedup_into_band_index(
         old_index = store.read(spark)
         kept = batch_df
         if old_index is not None:
-            reference = spark.read.parquet(kept_path)
+            # manifest-aware read: after compact_kept_corpus the dir
+            # holds compacted_<id> (+ possibly covered leftovers from a
+            # crash window) — a bare read.parquet would double-count
+            reference = read_parts(spark, kept_path)
             kept = minhash_dedup_against(
                 kept, reference, text_col, id_col,
                 num_perm=num_perm, bands=bands, shingle_k=shingle_k,
@@ -110,6 +116,10 @@ def stream_dedup_into_band_index(
         )
         new_index = cut_lineage(new_index, eager=True)
         store.commit(new_index, batch_id=batch_id)
+        if keep_last is not None:
+            from .node_store import vacuum_snapshots
+
+            vacuum_snapshots(store, keep_last=keep_last)
 
     return (
         doc_stream.writeStream.foreachBatch(append)

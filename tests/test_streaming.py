@@ -857,3 +857,69 @@ def test_stream_maintainers_apply_retention_inline(spark, db, tmp_path):
     b = sorted(map(tuple, SnapshotStore(plain).read(spark).collect()))
     assert a == b
     assert read_index_stats(spark, kept) == read_index_stats(spark, plain)
+
+
+def test_crawl_kept_corpus_compaction_and_retention(spark, db, tmp_path):
+    """r8: the crawl outputs get the same retention treatment as the
+    stores — compact_kept_corpus folds the per-batch kept partitions
+    behind the manifest (reads identical before/after, covered
+    leftovers invisible), keep_last vacuums superseded band-index
+    snapshots, and a third batch arriving AFTER compaction still
+    dedups against the compacted corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.streaming import SnapshotStore
+    from deep_db_learning_spark.streaming.crawl import (
+        compact_kept_corpus,
+        read_parts,
+        stream_dedup_into_band_index,
+    )
+
+    docs = db.df("documents").select("doc_id", "text").limit(90)
+    in_dir = str(tmp_path / "in")
+    kept_dir = str(tmp_path / "kept")
+    idx_dir = str(tmp_path / "idx")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_dedup_into_band_index(
+            stream, idx_dir, ck, kept_dir, keep_last=1
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck"))
+    store = SnapshotStore(idx_dir)
+    # inline retention: only the latest band-index snapshot survives
+    assert [d for d in os.listdir(idx_dir) if d.startswith("v")] == ["v2"]
+    idx_before = sorted(map(tuple, store.read(spark).collect()))
+    kept_before = sorted(
+        map(tuple, read_parts(spark, kept_dir).collect())
+    )
+
+    n = compact_kept_corpus(spark, kept_dir)
+    assert n == 2
+    assert sorted(
+        d for d in os.listdir(kept_dir) if d.startswith("batch=")
+    ) == []
+    assert sorted(map(tuple, read_parts(spark, kept_dir).collect())) == kept_before
+
+    # batch 3 arrives post-compaction: dedups against the compacted
+    # corpus and appends its own batch=2 partition beside compacted_1
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run(str(tmp_path / "ck"))
+    assert store.last_batch_id() == 2
+    after = sorted(map(tuple, read_parts(spark, kept_dir).collect()))
+    assert len(after) >= len(kept_before)
+    assert sorted(map(tuple, store.read(spark).collect())) != idx_before
