@@ -1358,9 +1358,22 @@ def q_sketches(spark, sf_dir):
             )
         )
     )
+    # r8: per-group exact order statistics (rank targets computed
+    # in-plan from the group count — no driver collect)
+    gq = sketch.grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9]
+    ).select(
+        F.lit("gquantile").alias("mode"),
+        F.concat(
+            F.col("l_returnflag"), F.lit(":p="), F.col("p").cast("string")
+        ).alias("key"),
+        F.col("rank").alias("ival"),
+        F.lit(None).cast("bigint").alias("ival2"),
+        F.col("value").alias("dval"),
+    )
     return (
         kmv.unionByName(hll).unionByName(cms).unionByName(qt)
-        .unionByName(kset)
+        .unionByName(kset).unionByName(gq)
     )
 
 
@@ -4337,6 +4350,13 @@ def oracle_sql() -> dict[str, str]:
           FROM ({_sk.kmv_set_estimates_oracle_sql(
               "orders", "o_custkey", "events", "user_id", k=256)})
         )
+        UNION ALL
+        -- r8: per-group exact order statistics
+        SELECT 'gquantile', l_returnflag || ':p=' || CAST(p AS VARCHAR),
+               rank, CAST(NULL AS BIGINT), value
+        FROM ({_sk.grouped_quantiles_oracle_sql(
+            "lineitem", "l_returnflag", "l_extendedprice",
+            [0.25, 0.5, 0.9])})
     """
     from deep_db_learning_spark.operators.labelprop import (
         label_propagation_oracle_sql,

@@ -564,3 +564,77 @@ def exact_quantiles_oracle_sql(table: str, col: str, probs: list[float]) -> str:
         FROM pr JOIN ranked ON ranked.rn = pr.rank
         ORDER BY pr.p
     """
+
+
+def grouped_quantiles(
+    df: DataFrame, group_col: str, col: str, probs: list[float]
+) -> DataFrame:
+    """PER-GROUP exact order statistics: for each group and each ``p``,
+    ``(group_col, p, rank, value)`` with the same
+    ``rank = floor(p·(n−1)) + 1`` definition as :func:`exact_quantiles`
+    (``quantile_disc``; ties share values, so the rank-th smallest is
+    well-defined even though row_number over ties is not — only the
+    VALUE is emitted).
+
+    Shape: ONE shuffle on the group key; each window holds one group's
+    rows (fine while every group fits an executor — the per-group
+    analogue of the global histogram trick applies past that; the
+    global :func:`exact_quantiles` is the no-sort path). The rank
+    targets are computed per group IN-PLAN from the group count — no
+    driver collect, so group cardinality is unbounded."""
+    w = Window.partitionBy(group_col).orderBy(F.col("v"))
+    wc = Window.partitionBy(group_col)
+    vals = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group_col), F.col(col).cast("double").alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                (
+                    F.floor(F.lit(float(p)) * (F.col("n") - 1).cast("double"))
+                    .cast("bigint")
+                    + 1
+                ).alias("rank"),
+            )
+            for p in sorted(float(p) for p in probs)
+        ]
+    )
+    hit = vals.select(
+        group_col, "v", "rn", F.explode(targets).alias("t")
+    ).filter(F.col("rn") == F.col("t.rank"))
+    return hit.select(
+        group_col,
+        F.col("t.p").alias("p"),
+        F.col("t.rank").alias("rank"),
+        F.col("v").alias("value"),
+    )
+
+
+def grouped_quantiles_oracle_sql(
+    table: str, group_col: str, col: str, probs: list[float]
+) -> str:
+    """DuckDB twin of :func:`grouped_quantiles` — identical rank
+    formula text (double multiply then floor)."""
+    plist = ", ".join(
+        f"({dlit(float(p))})" for p in sorted(float(p) for p in probs)
+    )
+    return f"""
+        WITH vals AS (
+          SELECT {group_col} AS g, CAST({col} AS DOUBLE) AS v,
+                 row_number() OVER (
+                   PARTITION BY {group_col} ORDER BY CAST({col} AS DOUBLE)
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY {group_col}) AS n
+          FROM {table} WHERE {col} IS NOT NULL
+        )
+        SELECT g AS {group_col}, pv.p AS p,
+               CAST(floor(pv.p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+                 AS rank,
+               v AS value
+        FROM vals, (VALUES {plist}) pv(p)
+        WHERE rn = CAST(floor(pv.p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+    """

@@ -64,10 +64,30 @@ class SnapshotStore:
         except (FileNotFoundError, ValueError):
             return None
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def versions(self) -> list[int]:
+        """Snapshot versions still on disk (ascending) — the latest is
+        the pointer target; older ones exist until vacuumed."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """The latest snapshot, or — Delta-style time travel — a
+        specific retained ``version``. Reading a vacuumed or
+        never-committed version raises (silently returning the latest
+        would corrupt a replay-style consumer)."""
         v = self.latest_version()
         if v is None:
             return None
+        if version is not None:
+            if version not in self.versions() or version > v:
+                raise ValueError(
+                    f"version {version} not available (retained: "
+                    f"{self.versions()}, latest committed: {v})"
+                )
+            v = version
         return spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
     def commit(self, df: DataFrame, batch_id: int | None = None) -> int:

@@ -264,3 +264,44 @@ def test_kmv_set_estimates_disjoint_and_identical(spark):
     assert same["jaccard_est"] == 1.0
     # identical inputs: intersection estimate equals the union estimate
     assert same["intersect_est"] == same["union_est"]
+
+
+def test_grouped_quantiles_match_twin_and_global(db, duck):
+    """Per-group exact order statistics: twin hash, consistency with
+    the global exact_quantiles on a single-group projection, and the
+    rank definition (rank-th smallest, ties share values)."""
+    from deep_db_learning_spark.operators.sketch import (
+        exact_quantiles,
+        grouped_quantiles,
+        grouped_quantiles_oracle_sql,
+    )
+
+    probs = [0.25, 0.5, 0.9]
+    out = grouped_quantiles(db.df("lineitem"), "l_returnflag", "l_extendedprice", probs)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                grouped_quantiles_oracle_sql(
+                    "lineitem", "l_returnflag", "l_extendedprice", probs
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    flags = {g[0] for g in got}
+    assert len(got) == len(flags) * len(probs)  # every (group, p) present
+    # single-group slice agrees with the global operator
+    one = db.df("lineitem").filter("l_returnflag = 'R'")
+    glob = {
+        (r["p"], r["rank"], r["value"])
+        for r in exact_quantiles(one, "l_extendedprice", probs).collect()
+    }
+    grp = {
+        (r["p"], r["rank"], r["value"])
+        for r in grouped_quantiles(
+            one, "l_returnflag", "l_extendedprice", probs
+        ).collect()
+    }
+    assert glob == grp

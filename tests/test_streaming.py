@@ -923,3 +923,30 @@ def test_crawl_kept_corpus_compaction_and_retention(spark, db, tmp_path):
     after = sorted(map(tuple, read_parts(spark, kept_dir).collect()))
     assert len(after) >= len(kept_before)
     assert sorted(map(tuple, store.read(spark).collect())) != idx_before
+
+
+def test_snapshot_store_time_travel(spark, tmp_path):
+    """read(version=) returns historical snapshots (Delta-style time
+    travel) while they are retained; vacuumed or future versions raise
+    instead of silently aliasing to the latest."""
+    import pytest
+
+    from deep_db_learning_spark.streaming import (
+        SnapshotStore,
+        vacuum_snapshots,
+    )
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    for i in range(3):
+        store.commit(spark.range(i + 1).selectExpr("id AS x"))
+    assert store.versions() == [1, 2, 3]
+    assert store.read(spark, version=1).count() == 1
+    assert store.read(spark, version=2).count() == 2
+    assert store.read(spark).count() == 3
+    with pytest.raises(ValueError):
+        store.read(spark, version=9)
+    vacuum_snapshots(store, keep_last=1)
+    assert store.versions() == [3]
+    with pytest.raises(ValueError):
+        store.read(spark, version=1)
+    assert store.read(spark, version=3).count() == 3
