@@ -1019,6 +1019,41 @@ def q_lineitem_numeric_profile(spark, sf_dir):
     )
 
 
+def q_lineitem_numeric_profile_modes(spark, sf_dir):
+    """The driver slot for the numeric profiler (r8): the one-scan
+    summary stats (mode ``stats``; bench times that core path via
+    :func:`q_lineitem_numeric_profile`) plus mode ``corr`` — pairwise-
+    complete Pearson correlations of the same measures in ONE scan
+    (``profiling/profiler.pairwise_correlations``: decimal-fold sums,
+    FACTOR-cast decimal cross-products — the tpch_q11 lesson — and
+    double arithmetic mirrored term-for-term by the oracle)."""
+    from deep_db_learning_spark.profiling.profiler import (
+        pairwise_correlations,
+    )
+
+    db = _db(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    stats = q_lineitem_numeric_profile(spark, sf_dir).select(
+        F.lit("stats").alias("mode"),
+        "column_name",
+        F.lit(None).cast("string").alias("col_b"),
+        "n", "mean", "min", "max", "std",
+        F.lit(None).cast("double").alias("corr"),
+    )
+    corr = pairwise_correlations(db.df("lineitem"), cols).select(
+        F.lit("corr").alias("mode"),
+        F.col("col_a").alias("column_name"),
+        "col_b",
+        "n",
+        F.lit(None).cast("double").alias("mean"),
+        F.lit(None).cast("double").alias("min"),
+        F.lit(None).cast("double").alias("max"),
+        F.lit(None).cast("double").alias("std"),
+        "corr",
+    )
+    return stats.unionByName(corr)
+
+
 def q_events_rollup(spark, sf_dir):
     """A-family extension (reference has no grouping sets/rollup/cube,
     SURVEY §2.4): hierarchical rollup of event volume and value over
@@ -2570,7 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "db_copy_row_pick": q_db_copy_row_pick,
         "constant_columns": q_constant_columns,
         "cardinality_reconcile": q_cardinality_reconcile,
-        "lineitem_numeric_profile": q_lineitem_numeric_profile,
+        # r8 rotation: + pairwise correlations; bench times the core
+        "lineitem_numeric_profile": q_lineitem_numeric_profile_modes,
         "graph_stats": q_graph_stats,
         # converters (F family); r7 rotation: datetime_decompose +
         # events_time_convert merged under one mode tag
@@ -3301,6 +3337,14 @@ def oracle_sql() -> dict[str, str]:
     _bin_oracle_sql = bin_by_quantiles_oracle_sql(
         "customer", "c_acctbal", "c_custkey", n_bins=10
     )
+    from deep_db_learning_spark.profiling.profiler import (
+        pairwise_correlations_oracle_sql,
+    )
+
+    _pairwise_corr_oracle_sql = pairwise_correlations_oracle_sql(
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
     sqls = {
         "catalog_columns": f"""
             WITH rc AS ({row_counts})
@@ -3629,7 +3673,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE)
             FROM ({_tpch_suite_oracles['tpch_q21']})
         """,
-        "lineitem_numeric_profile": " UNION ALL ".join(
+        "lineitem_numeric_profile": "SELECT 'stats' AS mode, column_name, "
+        "CAST(NULL AS VARCHAR) AS col_b, n, mean, min, max, std, "
+        "CAST(NULL AS DOUBLE) AS corr FROM ("
+        + " UNION ALL ".join(
             f"""
             SELECT '{c}' AS column_name, count({c}) AS n,
                    {exact_avg_sql(c)} AS mean,
@@ -3641,7 +3688,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             """
             for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        ),
+        )
+        + f""")
+        UNION ALL
+        -- r8: pairwise-complete Pearson correlations, one scan
+        SELECT 'corr', col_a, col_b, n, CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), corr
+        FROM ({_pairwise_corr_oracle_sql})
+        """,
         "graph_stats": graph_stats,
         "convert_orders": """
             WITH st AS (

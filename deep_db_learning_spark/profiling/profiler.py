@@ -254,6 +254,112 @@ def numeric_stats(df: DataFrame, num_cols: list[str]) -> DataFrame:
     )
 
 
+def pairwise_correlations(df: DataFrame, num_cols: list[str]) -> DataFrame:
+    """Pairwise-complete Pearson correlations of the numeric columns in
+    ONE scan: ``(col_a, col_b, n, corr)`` for every unordered pair
+    (``col_a < col_b`` lexicographically) — the feature-selection /
+    redundancy primitive the profiler feeds. Each pair's statistics are
+    restricted to rows where BOTH columns are non-null (pairwise
+    deletion), so the per-pair ``n`` differs.
+
+    Determinism: all five sums fold through decimal — plain sums at
+    (30,9), cross/square products as (18,6)·(18,6) DECIMAL MULTIPLIES
+    (casting each FACTOR is unambiguous cross-engine; casting a double
+    product is not — the tpch_q11 lesson) — and the correlation is then
+    pure IEEE double arithmetic over those exact inputs, mirrored
+    term-for-term by :func:`pairwise_correlations_oracle_sql`. The
+    variance terms clamp at 0 (decimal rounding of x vs x·x cancels to
+    tiny negatives on constant columns); a zero denominator yields NULL
+    (undefined), never 0."""
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(num_cols))
+        for b in sorted(num_cols)[i + 1 :]
+    ]
+    if not pairs:
+        raise ValueError("need at least two columns")
+    aggs: list[Column] = []
+    for i, (a, b) in enumerate(pairs):
+        ca, cb = F.col(a), F.col(b)
+        both = ca.isNotNull() & cb.isNotNull()
+        va = F.when(both, ca)
+        vb = F.when(both, cb)
+        d6 = "decimal(18,6)"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"__n_{i}"),
+            F.sum(va.cast("decimal(30,9)")).cast("double").alias(f"__sa_{i}"),
+            F.sum(vb.cast("decimal(30,9)")).cast("double").alias(f"__sb_{i}"),
+            F.sum(va.cast(d6) * va.cast(d6)).cast("double").alias(f"__saa_{i}"),
+            F.sum(vb.cast(d6) * vb.cast(d6)).cast("double").alias(f"__sbb_{i}"),
+            F.sum(va.cast(d6) * vb.cast(d6)).cast("double").alias(f"__sab_{i}"),
+        ]
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __n_{i}, __sa_{i}, __sb_{i}, __saa_{i}, __sbb_{i}, __sab_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    long = df.agg(*aggs).select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS "
+            "(col_a, col_b, n, __sa, __sb, __saa, __sbb, __sab)"
+        )
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    var_a = F.greatest(nn * F.col("__saa") - F.col("__sa") * F.col("__sa"), F.lit(0.0))
+    var_b = F.greatest(nn * F.col("__sbb") - F.col("__sb") * F.col("__sb"), F.lit(0.0))
+    den = F.sqrt(var_a) * F.sqrt(var_b)
+    return long.select(
+        "col_a",
+        "col_b",
+        "n",
+        F.when(den > 0.0, num / den).alias("corr"),
+    )
+
+
+def pairwise_correlations_oracle_sql(table: str, num_cols: list[str]) -> str:
+    """DuckDB twin of :func:`pairwise_correlations` — the identical
+    expression tree ((19,6) factor casts force int128 storage, see
+    ``_sumsq_sql`` in the entry; VARCHAR hop for the correctly-rounded
+    doubles)."""
+
+    def d2(x: str) -> str:
+        return f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"
+
+    cols = sorted(num_cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    selects = []
+    for a, b in pairs:
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        va = f"CASE WHEN {both} THEN {a} END"
+        vb = f"CASE WHEN {both} THEN {b} END"
+        sa = d2(f"sum(CAST({va} AS DECIMAL(30,9)))")
+        sb = d2(f"sum(CAST({vb} AS DECIMAL(30,9)))")
+        saa = d2(f"sum(CAST({va} AS DECIMAL(19,6)) * CAST({va} AS DECIMAL(19,6)))")
+        sbb = d2(f"sum(CAST({vb} AS DECIMAL(19,6)) * CAST({vb} AS DECIMAL(19,6)))")
+        sab = d2(f"sum(CAST({va} AS DECIMAL(19,6)) * CAST({vb} AS DECIMAL(19,6)))")
+        selects.append(
+            f"""
+            SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   count(CASE WHEN {both} THEN 1 END) AS n,
+                   {sa} AS sa, {sb} AS sb, {saa} AS saa,
+                   {sbb} AS sbb, {sab} AS sab
+            FROM {table}
+            """
+        )
+    base = " UNION ALL ".join(selects)
+    return f"""
+        SELECT col_a, col_b, n,
+               CASE WHEN sqrt(greatest(CAST(n AS DOUBLE) * saa - sa * sa, 0.0))
+                       * sqrt(greatest(CAST(n AS DOUBLE) * sbb - sb * sb, 0.0))
+                       > 0.0
+                    THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+                         / (sqrt(greatest(CAST(n AS DOUBLE) * saa - sa * sa, 0.0))
+                            * sqrt(greatest(CAST(n AS DOUBLE) * sbb - sb * sb, 0.0)))
+               END AS corr
+        FROM ({base})
+    """
+
+
 def imputation_stats(
     df: DataFrame, num_cols: list[str] = (), cat_cols: list[str] = ()
 ) -> dict[str, tuple[str, object]]:

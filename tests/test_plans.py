@@ -211,7 +211,11 @@ PLAN_PINS = {
     # the rest of bench.py's headline list (VERDICT r4 #3): every timed
     # DataFrame entry is pinned
     "top_orders_per_customer": (2, 0),
-    "lineitem_numeric_profile": (2, 0),
+    # r8: the registry slot adds the one-scan pairwise-correlation
+    # aggregate (its own partial+final pair); bench times the 2-exchange
+    # stats core (resolution prefers the registry entry here, so the
+    # pin covers the merged plan)
+    "lineitem_numeric_profile": (4, 0),
     "events_rollup": (2, 0),
     "events_asof_purchase": (2, 0),
     "events_conversion_window": (2, 2),

@@ -191,3 +191,45 @@ def test_plural_fallback_irregulars_and_false_positives():
     for singular in ("alias", "bias", "gas", "lens", "news", "status",
                      "address", "axis", "analysis", "campus", "order"):
         assert not _is_plural(singular), singular
+
+
+def test_pairwise_correlations_match_twin_and_ground_truth(spark, db, duck):
+    """One-scan pairwise-complete Pearson: DuckDB twin bit-equal on
+    lineitem measures; a handcrafted frame pins sign/magnitude, the
+    pairwise-deletion n, the constant-column NULL, and perfect
+    correlation."""
+    from deep_db_learning_spark.profiling.profiler import (
+        pairwise_correlations,
+        pairwise_correlations_oracle_sql,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = sorted(
+        map(tuple, pairwise_correlations(db.df("lineitem"), cols).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                pairwise_correlations_oracle_sql("lineitem", cols)
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 6
+
+    rows = [
+        # y = 2x (perfect +), z constant, w anti-correlated, one NULL
+        (1.0, 2.0, 5.0, 4.0),
+        (2.0, 4.0, 5.0, 3.0),
+        (3.0, 6.0, 5.0, 2.0),
+        (4.0, 8.0, 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    out = {
+        (r["col_a"], r["col_b"]): (r["n"], r["corr"])
+        for r in pairwise_correlations(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert abs(out[("x", "y")][1] - 1.0) < 1e-12
+    assert out[("x", "z")] == (4, None)  # zero variance -> undefined
+    assert out[("w", "x")][0] == 3  # pairwise deletion drops the NULL row
+    assert abs(out[("w", "x")][1] + 1.0) < 1e-12
