@@ -1214,7 +1214,23 @@ def q_ngram_jaccard(spark, sf_dir):
         F.lit(None).cast("double").alias("lev_sim"),
         F.lit(None).cast("double").alias("token_jaccard"),
     )
-    return pp.unionByName(link_scores).unionByName(link_entities)
+    # r8: reciprocal-best-hit 1:1 matching (each kept pair is BOTH
+    # sides' best match — the rule that turns scored pairs into a
+    # one-to-one assignment; the oracle replays it with a QUALIFY
+    # window + self-join)
+    link_mutual = linkage.mutual_best_matches(scores).select(
+        F.lit("link_mutual").alias("mode"),
+        "id_a", "id_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("int").alias("lev"),
+        "lev_sim",
+        F.lit(None).cast("double").alias("token_jaccard"),
+    )
+    return (
+        pp.unionByName(link_scores)
+        .unionByName(link_entities)
+        .unionByName(link_mutual)
+    )
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -3801,6 +3817,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM lwalk GROUP BY node
+            UNION ALL
+            -- r8: reciprocal best hits (1:1 assignment)
+            SELECT 'link_mutual', b1.src, b1.dst, CAST(NULL AS DOUBLE),
+                   CAST(NULL AS INTEGER), b1.s, CAST(NULL AS DOUBLE)
+            FROM (
+              SELECT src, dst, s FROM (
+                SELECT src, dst, s,
+                       row_number() OVER (
+                         PARTITION BY src ORDER BY s DESC, dst ASC
+                       ) AS r
+                FROM (
+                  SELECT id_a AS src, id_b AS dst, lev_sim AS s FROM lsc
+                  UNION ALL
+                  SELECT id_b, id_a, lev_sim FROM lsc
+                )
+              ) WHERE r = 1
+            ) b1
+            JOIN (
+              SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                         PARTITION BY src ORDER BY s DESC, dst ASC
+                       ) AS r
+                FROM (
+                  SELECT id_a AS src, id_b AS dst, lev_sim AS s FROM lsc
+                  UNION ALL
+                  SELECT id_b, id_a, lev_sim FROM lsc
+                )
+              ) WHERE r = 1
+            ) b2 ON b1.src = b2.dst AND b1.dst = b2.src
+            WHERE b1.src < b1.dst
         """,
         "text_dedup_clusters": _text_dedup_clusters_oracle(),
         "text_search": _text_search_oracle(),

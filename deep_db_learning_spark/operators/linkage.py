@@ -199,3 +199,53 @@ def entity_clusters(
             "id", F.coalesce("entity_id", F.col("id")).alias("entity_id")
         )
     )
+
+
+def mutual_best_matches(
+    scores: DataFrame,
+    score_col: str = "lev_sim",
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """1:1 assignment from the scored pairs: keep exactly the pairs
+    where each side is the OTHER side's best match (score desc, id asc
+    tiebreak — a total order, so the result is deterministic). The
+    standard reciprocal-best-hit rule — greedy per-record top-1 alone
+    produces chains (a→b while b→c); mutuality guarantees a matching
+    (every id appears in at most one output pair).
+
+    Shape: one window over the symmetrized pairs (shuffle on the node
+    id — already-blocked pair counts, not n²) and one self-join of the
+    per-node best rows. Returns canonical ``(id_a < id_b, score)``."""
+    ida, idb = id_cols
+    sym = scores.select(
+        F.col(ida).alias("src"), F.col(idb).alias("dst"),
+        F.col(score_col).alias("s"),
+    ).unionByName(
+        scores.select(
+            F.col(idb).alias("src"), F.col(ida).alias("dst"),
+            F.col(score_col).alias("s"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    best = (
+        sym.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("src", "dst", "s")
+    )
+    other = best.select(
+        F.col("src").alias("__bsrc"), F.col("dst").alias("__bdst")
+    )
+    return (
+        best.join(
+            other,
+            (F.col("src") == F.col("__bdst"))
+            & (F.col("dst") == F.col("__bsrc")),
+            "leftsemi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias(ida),
+            F.col("dst").alias(idb),
+            F.col("s").alias(score_col),
+        )
+    )

@@ -209,3 +209,39 @@ def test_entity_clusters_all_singletons_at_high_threshold(spark):
     ents = {r["id"]: r["entity_id"]
             for r in entity_clusters(scores, threshold=0.99).collect()}
     assert ents == {1: 1, 2: 2, 3: 3}  # nobody merges; all self-entities
+
+
+def test_mutual_best_matches_is_a_matching(spark):
+    """Reciprocal-best-hit: chains break (a's best is b, b's best is c
+    -> no pair with a), reciprocal pairs survive, and every id appears
+    in at most one output pair."""
+    from deep_db_learning_spark.operators.linkage import mutual_best_matches
+
+    rows = [
+        # chain: 1->2 (0.9), 2->3 (0.95), 3<->2 reciprocal
+        (1, 2, 0.9),
+        (2, 3, 0.95),
+        # isolated reciprocal pair
+        (10, 11, 0.8),
+        # 20's best is 21; 21's best is 22; 22's best is 21 -> (21,22)
+        (20, 21, 0.7),
+        (21, 22, 0.75),
+    ]
+    df = spark.createDataFrame(rows, "id_a bigint, id_b bigint, lev_sim double")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["lev_sim"])
+        for r in mutual_best_matches(df).collect()
+    )
+    assert got == [(2, 3, 0.95), (10, 11, 0.8), (21, 22, 0.75)]
+    ids = [i for a, b, _s in got for i in (a, b)]
+    assert len(ids) == len(set(ids))  # a matching: no id twice
+
+
+def test_mutual_best_matches_tiebreak_deterministic(spark):
+    from deep_db_learning_spark.operators.linkage import mutual_best_matches
+
+    # 1 ties between 2 and 3 -> smaller id (2) wins; 2's best is 1
+    rows = [(1, 2, 0.5), (1, 3, 0.5)]
+    df = spark.createDataFrame(rows, "id_a bigint, id_b bigint, lev_sim double")
+    got = [(r["id_a"], r["id_b"]) for r in mutual_best_matches(df).collect()]
+    assert got == [(1, 2)]
