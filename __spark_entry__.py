@@ -1214,6 +1214,20 @@ def q_ngram_jaccard(spark, sf_dir):
         F.lit(None).cast("double").alias("lev_sim"),
         F.lit(None).cast("double").alias("token_jaccard"),
     )
+    # r8: asymmetric CONTAINMENT pairs — sub-document duplication a
+    # symmetric Jaccard join never sees (short doc quoted inside a
+    # long one); exact shape quarantined to oracle duty like ppjoin,
+    # LSH→verify(candidates=) is the production path
+    cm = dedup.ngram_containment_pairs(
+        docs, "text", "doc_id", shingle_k=5, threshold=0.8
+    ).select(
+        F.lit("containment").alias("mode"),
+        "id_a", "id_b",
+        F.col("containment").alias("jaccard"),
+        F.lit(None).cast("int").alias("lev"),
+        F.lit(None).cast("double").alias("lev_sim"),
+        F.lit(None).cast("double").alias("token_jaccard"),
+    )
     # r8: reciprocal-best-hit 1:1 matching (each kept pair is BOTH
     # sides' best match — the rule that turns scored pairs into a
     # one-to-one assignment; the oracle replays it with a QUALIFY
@@ -1227,7 +1241,8 @@ def q_ngram_jaccard(spark, sf_dir):
         F.lit(None).cast("double").alias("token_jaccard"),
     )
     return (
-        pp.unionByName(link_scores)
+        pp.unionByName(cm)
+        .unionByName(link_scores)
         .unionByName(link_entities)
         .unionByName(link_mutual)
     )
@@ -3808,6 +3823,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+            UNION ALL
+            -- r8: asymmetric containment (|A∩B| / min side)
+            SELECT 'containment', a.doc_id, b.doc_id,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         least(len(a.grams), len(b.grams)), 6),
+                   CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE)
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  least(len(a.grams), len(b.grams)) >= 0.8
             UNION ALL
             SELECT 'link_scores', id_a, id_b, CAST(NULL AS DOUBLE),
                    lev, lev_sim, token_jaccard

@@ -1171,3 +1171,83 @@ def remove_duplicate_spans(
     # distinct ``out`` keeps the original text beside the excised copy
     cols = [c for c in df.columns if c != out]
     return joined.select(*cols, rebuilt.alias(out))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join: pairs with
+    ``|A∩B| / min(|A|, |B|) ≥ threshold`` — the asymmetric companion of
+    :func:`ngram_jaccard_pairs` that catches sub-document duplication
+    (a short doc quoted inside a long one has high containment but low
+    Jaccard, so symmetric dedup never sees it).
+
+    With ``candidates`` (id_a, id_b): verify only those pairs — the
+    production path after LSH at scale. Without: the naive inverted-
+    index self-join — containment admits NO length filter (the small
+    side can be arbitrarily smaller) and hence no per-doc PPJoin
+    prefix, so the exact self-join shape is quarantined to
+    oracle/verify duty exactly like the exact Jaccard join. Returns
+    ``(id_a, id_b, containment)`` rounded to 6 decimals (cross-engine
+    comparability)."""
+    cont = lambda i, na, nb: F.round(  # noqa: E731
+        i.cast("double") / F.least(na, nb), 6
+    )
+    if candidates is not None:
+        candidates = cut_lineage(candidates, eager=True)
+        ids = (
+            candidates.select(F.col("id_a").alias("doc"))
+            .union(candidates.select(F.col("id_b").alias("doc")))
+            .distinct()
+        )
+        needed = df.select(F.col(id_col).alias("doc"), text_col).join(
+            ids, "doc", "leftsemi"
+        )
+        sh = shingle_hashes_pandas(needed, text_col, shingle_k).select(
+            "doc", "sh", F.size("sh").alias("n_sh")
+        )
+        sh = cut_lineage(sh, eager=True)
+        a = sh.select(
+            F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        b = sh.select(
+            F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        j = (
+            candidates.join(a, "id_a").join(b, "id_b")
+            .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "containment", cont(F.col("__i"), F.col("n_a"), F.col("n_b"))
+            )
+        )
+        return j.filter(F.col("containment") >= threshold).select(
+            "id_a", "id_b", "containment"
+        )
+    sh = shingle_hashes_pandas(
+        df.select(F.col(id_col).alias("doc"), text_col), text_col, shingle_k
+    ).select("doc", F.explode("sh").alias("g"), F.size("sh").alias("n_sh"))
+    sh = cut_lineage(sh, eager=True)
+    a = sh.select(
+        F.col("doc").alias("id_a"), "g", F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(
+        F.col("doc").alias("id_b"), "g", F.col("n_sh").alias("n_b")
+    )
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    return inter.withColumn(
+        "containment", cont(F.col("__i"), F.col("n_a"), F.col("n_b"))
+    ).filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment"
+    )

@@ -474,3 +474,47 @@ def test_remove_duplicate_spans_separate_out_keeps_source(spark):
         assert boiler not in by_id[did]["clean_text"]
     inplace = remove_duplicate_spans(docs, "text", "doc_id", min_len=50)
     assert set(inplace.columns) == {"doc_id", "text"}
+
+
+def test_ngram_containment_catches_subdocument_duplication(spark):
+    """Containment finds a short doc embedded in a long one — the pair
+    a symmetric Jaccard join misses — and the candidates= verify path
+    agrees with the exact self-join."""
+    from deep_db_learning_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i}" for i in range(120))
+    rows = [
+        (0, quote),
+        (1, filler + " " + quote + " " + filler[::-1]),
+        (2, "completely unrelated text about spark query planning " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", shingle_k=5, threshold=0.8
+        ).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)] == 1.0  # fully contained
+    assert all(k == (0, 1) for k in cont)
+    # symmetric jaccard misses it at any reasonable threshold
+    jac = ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_k=5, threshold=0.5
+    ).collect()
+    assert all((r["id_a"], r["id_b"]) != (0, 1) for r in jac)
+    # verify path over explicit candidates == exact self-join
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "id_a bigint, id_b bigint"
+    )
+    via_cand = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", shingle_k=5, threshold=0.8,
+            candidates=cand,
+        ).collect()
+    }
+    assert via_cand == cont
