@@ -217,3 +217,53 @@ def bin_by_quantiles(
     for cut in cuts:
         expr = expr + (c > F.lit(cut)).cast("int")
     return df.withColumn(out, F.when(c.isNull(), None).otherwise(expr))
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``{col}_wins``): the value clamped to
+    the exact ``[p_lo, p_hi]`` order statistics — the standard heavy-
+    tail guard before scaling/regression. Cut points come from the
+    no-sort :func:`~..operators.sketch.exact_quantiles` (two bounded
+    jobs); the clamp itself is row-local codegen. NULLs stay NULL."""
+    from ..operators.sketch import exact_quantiles
+
+    out = out or f"{col}_wins"
+    cuts = {
+        r["p"]: r["value"]
+        for r in exact_quantiles(df, col, [p_lo, p_hi]).collect()
+    }
+    lo, hi = cuts[float(p_lo)], cuts[float(p_hi)]
+    c = F.col(col)
+    return df.withColumn(
+        out, F.when(c.isNull(), None).otherwise(F.least(F.greatest(c, F.lit(lo)), F.lit(hi)))
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``{col}_rs``): ``(x − median) / IQR``
+    — the outlier-insensitive standardization (sklearn RobustScaler
+    semantics) over exact order statistics. A zero IQR (≥ 50% ties)
+    yields NULL, never a division blow-up. Row-local after two bounded
+    quantile jobs."""
+    from ..operators.sketch import exact_quantiles
+
+    out = out or f"{col}_rs"
+    cuts = {
+        r["p"]: r["value"]
+        for r in exact_quantiles(df, col, [0.25, 0.5, 0.75]).collect()
+    }
+    med, iqr = cuts[0.5], cuts[0.75] - cuts[0.25]
+    c = F.col(col)
+    if iqr == 0.0:
+        return df.withColumn(out, F.lit(None).cast("double"))
+    return df.withColumn(out, (c - F.lit(med)) / F.lit(iqr))

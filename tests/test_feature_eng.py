@@ -121,3 +121,63 @@ def test_bin_nulls_stay_null(spark):
     )
     out = bin_by_quantiles(df, "x", n_bins=2)
     assert out.filter(F.col("x").isNull()).first()["x_bin"] is None
+
+
+def test_winsorize_matches_duckdb_twin(db, duck):
+    from deep_db_learning_spark.functions.feature_eng import winsorize
+
+    out = winsorize(
+        db.df("lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", 0.05, 0.95,
+    )
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["l_extendedprice_wins"])
+        for r in out.collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                """
+        WITH vals AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+        ), ranked AS (
+          SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+        ), n AS (SELECT count(*) AS n FROM vals),
+        cuts AS (
+          SELECT
+            (SELECT v FROM ranked, n
+             WHERE rn = CAST(floor(0.05 * (n.n - 1)) AS BIGINT) + 1) AS lo,
+            (SELECT v FROM ranked, n
+             WHERE rn = CAST(floor(0.95 * (n.n - 1)) AS BIGINT) + 1) AS hi
+        )
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_extendedprice IS NULL THEN NULL
+                    ELSE least(greatest(l_extendedprice, lo), hi) END
+        FROM lineitem, cuts
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # tails actually clamped
+    hi = max(g[2] for g in got)
+    assert hi < db.df("lineitem").agg({"l_extendedprice": "max"}).first()[0]
+
+
+def test_robust_scale_semantics(spark):
+    from deep_db_learning_spark.functions.feature_eng import robust_scale
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(10_000.0,)], "x double"
+    )
+    out = {r["x"]: r["x_rs"] for r in robust_scale(df, "x").collect()}
+    # median of 1..100 + outlier = 51 (rank floor(.5*100)+1), IQR = 76-26
+    assert out[51.0] == 0.0
+    assert abs(out[10_000.0]) > 100  # outlier scales far out
+    # constant column -> NULL, not a crash
+    const = spark.createDataFrame([(5.0,)] * 10, "x double")
+    assert all(
+        r["x_rs"] is None for r in robust_scale(const, "x").collect()
+    )
