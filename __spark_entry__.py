@@ -1110,9 +1110,39 @@ def q_tpch_q5(spark, sf_dir):
 
 def q_graph_stats(spark, sf_dir):
     """A9 dataset statistics (`scripts/dataset_info.py:19-60`): per-FK
-    tuple/edge counts + edges-per-source ratio."""
+    tuple/edge counts + edges-per-source ratio — mode ``fk``. r8 adds
+    mode ``rule``: pairwise association rules over the order→part
+    baskets (``operators/basket.py`` — support/confidence/lift from
+    exact counts, hot-basket cap shared with the oracle; src/dst_table
+    carry the antecedent/consequent part keys as strings, the count
+    columns n_pair/n_ante/n_cons, edges_per_src the confidence)."""
+    from deep_db_learning_spark.operators.basket import (
+        pair_association_rules,
+    )
+
     db = _db(spark, sf_dir)
-    return graph_statistics(db.tables, db.primary_keys, db.foreign_keys)
+    fk = graph_statistics(db.tables, db.primary_keys, db.foreign_keys).select(
+        F.lit("fk").alias("mode"),
+        "edge_type", "src_table", "dst_table",
+        "n_src_rows", "n_dst_rows", "n_edges", "edges_per_src",
+        F.lit(None).cast("double").alias("support"),
+        F.lit(None).cast("double").alias("lift"),
+    )
+    rules, _hot = pair_association_rules(
+        db.df("lineitem"), "l_orderkey", "l_partkey", min_pair_groups=2
+    )
+    rl = rules.select(
+        F.lit("rule").alias("mode"),
+        F.lit("copurchase").alias("edge_type"),
+        F.col("antecedent").cast("string").alias("src_table"),
+        F.col("consequent").cast("string").alias("dst_table"),
+        F.col("n_ante").alias("n_src_rows"),
+        F.col("n_cons").alias("n_dst_rows"),
+        F.col("n_pair").alias("n_edges"),
+        F.col("confidence").alias("edges_per_src"),
+        "support", "lift",
+    )
+    return fk.unionByName(rl)
 
 
 def q_convert_orders(spark, sf_dir):
@@ -3376,6 +3406,13 @@ def oracle_sql() -> dict[str, str]:
         "lineitem",
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+    from deep_db_learning_spark.operators.basket import (
+        pair_association_rules_oracle_sql,
+    )
+
+    _basket_rules_oracle_sql = pair_association_rules_oracle_sql(
+        "lineitem", "l_orderkey", "l_partkey", min_pair_groups=2
+    )
     sqls = {
         "catalog_columns": f"""
             WITH rc AS ({row_counts})
@@ -3728,7 +3765,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE), corr
         FROM ({_pairwise_corr_oracle_sql})
         """,
-        "graph_stats": graph_stats,
+        "graph_stats": f"""
+            SELECT 'fk' AS mode, edge_type, src_table, dst_table,
+                   n_src_rows, n_dst_rows, n_edges, edges_per_src,
+                   CAST(NULL AS DOUBLE) AS support,
+                   CAST(NULL AS DOUBLE) AS lift
+            FROM ({graph_stats})
+            UNION ALL
+            -- r8: pairwise association rules over order baskets
+            SELECT 'rule', 'copurchase',
+                   CAST(antecedent AS VARCHAR), CAST(consequent AS VARCHAR),
+                   n_ante, n_cons, n_pair, confidence, support, lift
+            FROM ({_basket_rules_oracle_sql})
+        """,
         "convert_orders": """
             WITH st AS (
               SELECT v AS value, row_number() OVER (ORDER BY v) AS code
