@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -357,6 +357,73 @@ def pairwise_correlations_oracle_sql(table: str, num_cols: list[str]) -> str:
                             * sqrt(greatest(CAST(n AS DOUBLE) * sbb - sb * sb, 0.0)))
                END AS corr
         FROM ({base})
+    """
+
+
+def key_skew_report(
+    df: DataFrame, col: str, k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostics — the pre-join report that decides
+    between a plain shuffle join, AQE skew splitting, and salting at
+    scale: the ``k`` heaviest key values with their row share, plus the
+    skew factor (heaviest key count / mean rows per key — 1.0 is
+    perfectly uniform). One groupBy + a sort-limit (no global sort);
+    NULL keys are a real (often the heaviest) group and are reported as
+    such. Output: ``(rank, key, cnt, share, skew_factor)`` — ``key``
+    stringified so the report is column-type-agnostic; share and
+    skew_factor are single divisions of exact counts."""
+    counts = df.groupBy(F.col(col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__n_rows"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("__k"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("__k"))
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        F.col("__k").cast("string").alias("key"),
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("__n_rows").cast("double"))
+        .alias("share"),
+        (
+            F.col("cnt").cast("double")
+            / (F.col("__n_rows").cast("double") / F.col("__n_keys").cast("double"))
+        ).alias("skew_factor"),
+    )
+
+
+def key_skew_report_oracle_sql(table: str, col: str, k: int = 10) -> str:
+    """DuckDB twin of :func:`key_skew_report` (identical tie-break and
+    double expressions; NULLS FIRST on the key tiebreak mirrors Spark's
+    ascending-null-first default)."""
+    return f"""
+        WITH counts AS (
+          SELECT {col} AS k, count(*) AS cnt FROM {table} GROUP BY 1
+        ), tot AS (
+          SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM counts
+        ), top AS (
+          SELECT k, cnt,
+                 row_number() OVER (
+                   ORDER BY cnt DESC, k ASC NULLS FIRST) AS rank
+          FROM counts
+          ORDER BY cnt DESC, k ASC NULLS FIRST LIMIT {int(k)}
+        )
+        SELECT rank, CAST(k AS VARCHAR) AS key, cnt,
+               CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+               CAST(cnt AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+                 AS skew_factor
+        FROM top, tot
     """
 
 

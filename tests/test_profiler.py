@@ -233,3 +233,35 @@ def test_pairwise_correlations_match_twin_and_ground_truth(spark, db, duck):
     assert out[("x", "z")] == (4, None)  # zero variance -> undefined
     assert out[("w", "x")][0] == 3  # pairwise deletion drops the NULL row
     assert abs(out[("w", "x")][1] + 1.0) < 1e-12
+
+
+def test_key_skew_report_matches_twin_and_semantics(spark, db, duck):
+    from deep_db_learning_spark.profiling.profiler import (
+        key_skew_report,
+        key_skew_report_oracle_sql,
+    )
+
+    got = sorted(
+        map(tuple, key_skew_report(db.df("lineitem"), "l_partkey", k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                key_skew_report_oracle_sql("lineitem", "l_partkey", k=10)
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 10
+
+    # handcrafted skew: one hub key + uniform tail, plus NULLs
+    rows = [(1,)] * 90 + [(i,) for i in range(2, 12)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k bigint")
+    rep = {r["rank"]: (r["key"], r["cnt"], r["share"], r["skew_factor"])
+           for r in key_skew_report(df, "k", k=3).collect()}
+    key, cnt, share, skew = rep[1]
+    assert key == "1" and cnt == 90
+    # 105 rows over 12 distinct keys (NULL is a key) -> mean 8.75
+    assert abs(share - 90 / 105) < 1e-15
+    assert abs(skew - 90 / (105 / 12)) < 1e-12
+    assert rep[2][0] is None and rep[2][1] == 5  # NULL group reported
