@@ -137,3 +137,18 @@ def test_run_experiment_stack_save_model(spark, tmp_path):
 
     params = load_stack_model(spark, path)
     assert set(params) == {"emb", "W_head", "b_head", "layers"}
+
+
+def test_graph_insights_pipeline(spark):
+    import graph_insights as gi
+
+    args = gi.build_parser().parse_args(["--data", "/root/testdata/sf0.001"])
+    s = gi.run(spark, args)
+    assert s["n_edges"] > 0 and s["n_hot_baskets"] == 0
+    assert s["n_triangles"] > 0
+    assert len(s["top_clustered"]) == 3
+    assert 0 < s["core_size"] <= 200
+    assert s["n_backbone_rules"] >= 0
+    if s["top_rule"] is not None:
+        assert s["top_rule"]["lift"] > 0
+    assert s["l_partkey_max_skew_factor"] >= 1.0
