@@ -13,7 +13,7 @@ from .vector_store import stream_vectors_into_store
 from .crawl import stream_dedup_into_band_index
 from .doc_index import read_index_stats, stream_docs_into_index
 from .scd_stream import SCD2Store, scd2_store_apply, stream_changes_into_scd2
-from .stateful import stream_sessionize
+from .stateful import stream_rolling_anomaly, stream_sessionize
 
 __all__ = [
     "SCD2Store",
@@ -34,5 +34,6 @@ __all__ = [
     "sliding_user_features",
     "sessionize",
     "stream_sessionize",
+    "stream_rolling_anomaly",
     "user_profile_features",
 ]

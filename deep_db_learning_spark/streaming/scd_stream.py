@@ -143,6 +143,7 @@ def stream_changes_into_scd2(
     ts_col: str = "ts",
     query_name: str = "scd2_upsert",
     keep_last: int | None = None,
+    compact_every: int | None = None,
 ):
     """Maintain an SCD2 dimension from a change stream via
     ``foreachBatch`` — exactly-once per micro-batch through the
@@ -160,6 +161,12 @@ def stream_changes_into_scd2(
         )
         if keep_last is not None:
             store.vacuum(keep_last=keep_last)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            # periodic closed-area compaction from the single writer —
+            # crash-safe (manifest flip) and replay-safe (cursor check
+            # precedes every write), so "every N batches" is policy,
+            # not correctness
+            store.compact_closed(batch_df.sparkSession)
 
     return (
         changes_stream.writeStream.foreachBatch(upsert)

@@ -162,3 +162,42 @@ def test_compact_closed_preserves_history_and_gcs_partitions(spark, db, tmp_path
     store.compact_closed(spark)
     assert _rows(store.read(spark)) == full
     assert store._read_manifest()["covers_through"] == 99
+
+
+def test_compact_every_policy_inline(spark, db, tmp_path):
+    """compact_every runs closed-area compaction from inside the single
+    writer on schedule; history is unchanged and later batches keep
+    appending beside the compacted directory."""
+    ch = _changes(db)
+    src = str(tmp_path / "src")
+    _write_ordered_batches(ch, src)
+    store_path = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_changes_into_scd2(
+        stream, store_path, str(tmp_path / "ckpt"), KEY, TRACKED, "ts",
+        keep_last=1, compact_every=2,
+    )
+    q.awaitTermination()
+    store = SCD2Store(store_path)
+    # batches 0,1,2 ran; compaction fired after batch 1 -> manifest
+    # covers through 1, batch=2 appended afterwards
+    man = store._read_manifest()
+    assert man is not None and man["covers_through"] == 1
+    parts = sorted(
+        d for d in os.listdir(os.path.join(store_path, "closed"))
+        if d.startswith("batch=")
+    )
+    assert parts == ["batch=2"]
+    # retention kept only the latest open snapshot
+    assert [
+        d for d in os.listdir(os.path.join(store_path, "open"))
+        if d.startswith("v")
+    ] == ["v3"]
+    got = _rows(store.read(spark))
+    want = _rows(scd2_apply(None, ch, KEY, TRACKED))
+    assert got == want

@@ -950,3 +950,74 @@ def test_snapshot_store_time_travel(spark, tmp_path):
     with pytest.raises(ValueError):
         store.read(spark, version=1)
     assert store.read(spark, version=3).count() == 3
+
+
+def test_stream_rolling_anomaly_matches_batch_twin(spark, db, tmp_path):
+    """The stateful streaming z-score operator reproduces the batch
+    RANGE-frame rolling_anomaly BIT-FOR-BIT when events arrive per-key
+    in time order across micro-batches (running decimal folds with
+    exact eviction = the batch decimal fold)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.temporal import rolling_anomaly
+    from deep_db_learning_spark.streaming.stateful import (
+        stream_rolling_anomaly,
+    )
+
+    ev = db.df("events").select("event_id", "user_id", "ts", "value")
+    batch = rolling_anomaly(
+        ev, "user_id", "ts", "value",
+        window_seconds=7 * 86400, z_threshold=2.0, min_points=5,
+    )
+    want = sorted(
+        (r["event_id"], r["roll_n"], r["roll_mean"], r["roll_std"],
+         r["zscore"], r["is_anomaly"])
+        for r in batch.collect()
+    )
+
+    # three ts-range drops with increasing mtimes -> per-user in-order
+    # arrival across micro-batches (the documented contract)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).first()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cuts = [lo + (hi - lo) * (i + 1) // 3 for i in range(2)]
+    preds = [us <= cuts[0], (us > cuts[0]) & (us <= cuts[1]), us > cuts[1]]
+    src = str(tmp_path / "in")
+    now = time.time()
+    for i, p in enumerate(preds):
+        d = os.path.join(src, f"b{i}")
+        ev.filter(p).coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    scored = stream_rolling_anomaly(
+        stream, window_seconds=7 * 86400, z_threshold=2.0, min_points=5
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("roll_anom_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["event_id"], r["roll_n"], r["roll_mean"], r["roll_std"],
+         r["zscore"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM roll_anom_test").collect()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
