@@ -317,6 +317,97 @@ def hll_distinct(df: DataFrame, col: str, m: int | None = None) -> DataFrame:
     )
 
 
+def hll_distinct_by(
+    df: DataFrame, group_col: str, col: str, m: int | None = None
+) -> DataFrame:
+    """PER-GROUP HLL distinct estimate — the at-scale replacement for
+    ``count(DISTINCT x) GROUP BY g`` (which shuffles every (g, x)
+    pair): one ``(g, bucket) → max rho`` fold, O(m) state per group.
+    Returns ``(group_col, intsum, zero_regs, est)`` with the SAME
+    integer-exact estimate arithmetic as the global
+    :func:`hll_distinct` — instead of materializing the m-row register
+    frame per group, the empty registers enter algebraically:
+    ``intsum = Σ_present 2^(cap−rho) + (m − present)·2^cap`` (present
+    registers always have rho ≥ 1, so ``zero_regs = m − present``)."""
+    m = m or SKETCH_CONFIG["hll_m"]
+    cap = SKETCH_CONFIG["hll_rho_cap"]
+    width = SKETCH_CONFIG["hll_rest_bits"]
+    numer = _hll_alpha(m) * m * m * float(2**cap)
+    bits = _bits_ladder_sql("rest", width)
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            md5_hash60(F.col(col).cast("string")).alias("h"),
+        )
+        .select(
+            "__g",
+            (F.col("h") % m).alias("b"),
+            F.expr(f"h div {m}").alias("rest"),
+        )
+        .select(
+            "__g",
+            "b",
+            F.least(F.lit(width + 1) - F.expr(bits), F.lit(cap)).alias("rho"),
+        )
+        .groupBy("__g", "b")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy("__g").agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {cap} - rho) AS BIGINT)")
+        ).alias("__sp"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    intsum = (
+        F.col("__sp")
+        + (F.lit(m) - F.col("__present")) * F.lit(int(2**cap))
+    ).cast("bigint")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        intsum.alias("intsum"),
+        (F.lit(m) - F.col("__present")).cast("bigint").alias("zero_regs"),
+        (F.expr(dlit(numer)) / intsum.cast("double")).alias("est"),
+    )
+
+
+def hll_distinct_by_oracle_sql(
+    table: str, group_col: str, col: str, m: int | None = None
+) -> str:
+    """DuckDB twin of :func:`hll_distinct_by` — identical register and
+    estimate arithmetic."""
+    m = m or SKETCH_CONFIG["hll_m"]
+    cap = SKETCH_CONFIG["hll_rho_cap"]
+    width = SKETCH_CONFIG["hll_rest_bits"]
+    numer = _hll_alpha(m) * m * m * float(2**cap)
+    h = md5_hash60_sql(f"CAST({col} AS VARCHAR)")
+    bits = _bits_ladder_sql("rest", width)
+    return f"""
+        WITH hs AS (
+          SELECT {group_col} AS g, {h} AS h
+          FROM {table} WHERE {col} IS NOT NULL
+        ), reg AS (
+          SELECT g, b, max(rho) AS rho FROM (
+            SELECT g, h % {m} AS b,
+                   least({width + 1} - {bits.replace('rest', f'(h // {m})')},
+                         {cap}) AS rho
+            FROM hs
+          ) GROUP BY g, b
+        ), agg AS (
+          SELECT g, sum((CAST(1 AS BIGINT) << ({cap} - rho))) AS sp,
+                 count(*) AS present
+          FROM reg GROUP BY g
+        )
+        SELECT g AS {group_col},
+               CAST(sp + ({m} - present) * (CAST(1 AS BIGINT) << {cap})
+                    AS BIGINT) AS intsum,
+               CAST({m} - present AS BIGINT) AS zero_regs,
+               {dlit(numer)} / CAST(sp + ({m} - present)
+                   * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE) AS est
+        FROM agg
+    """
+
+
 def hll_distinct_oracle_sql(table: str, col: str, m: int | None = None) -> str:
     m = m or SKETCH_CONFIG["hll_m"]
     cap = SKETCH_CONFIG["hll_rho_cap"]

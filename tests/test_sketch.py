@@ -305,3 +305,51 @@ def test_grouped_quantiles_match_twin_and_global(db, duck):
         ).collect()
     }
     assert glob == grp
+
+
+def test_hll_distinct_by_matches_twin_and_global(db, duck):
+    """Per-group HLL: twin bit-equal; a single-group slice agrees with
+    the global hll_distinct (the algebraic empty-register form equals
+    the materialized m-row register frame); estimates land within the
+    HLL error band of exact per-group distincts."""
+    from deep_db_learning_spark.operators.sketch import (
+        SKETCH_CONFIG,
+        hll_distinct,
+        hll_distinct_by,
+        hll_distinct_by_oracle_sql,
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            hll_distinct_by(db.df("lineitem"), "l_returnflag", "l_orderkey").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                hll_distinct_by_oracle_sql("lineitem", "l_returnflag", "l_orderkey")
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 3
+
+    one = db.df("lineitem").filter("l_returnflag = 'R'")
+    g = hll_distinct(one, "l_orderkey").first()
+    bg = hll_distinct_by(one, "l_returnflag", "l_orderkey").first()
+    assert (g["intsum"], g["zero_regs"], g["est"]) == (
+        bg["intsum"], bg["zero_regs"], bg["est"],
+    )
+
+    m = SKETCH_CONFIG["hll_m"]
+    band = 4 * 1.04 / (m ** 0.5)
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    for flag, _i, _z, est in got:
+        assert abs(est - exact[flag]) <= band * exact[flag]
