@@ -225,3 +225,77 @@ def run_expectations(
         "total",
         (F.coalesce("violations", F.lit(0)) == 0).alias("pass"),
     )
+
+
+def population_stability(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+):
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column — the standard drift monitor for
+    features and scores (rule of thumb: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted). Bins are the REFERENCE's exact equal-frequency
+    quantile cuts (``operators/sketch.exact_quantiles`` — no global
+    sort), so the reference distribution is uniform over bins by
+    construction and drift shows up as current-side mass imbalance.
+
+    Returns ``(per_bin, psi)``: a DataFrame with one row per bin
+    (``bin, n_ref, n_cur, p_ref, p_cur, contrib``) and the total PSI as
+    a float. The two scans produce exact integer counts; fractions are
+    ``epsilon``-floored (a PSI convention — an empty bin would make the
+    log ratio infinite) and the log arithmetic runs DRIVER-SIDE in
+    python over those exact counts, so the number is engine-independent
+    (the same recipe as the BM25 idf literals). Bounded driver state:
+    2·n_bins counts."""
+    import math
+
+    from ..operators.sketch import exact_quantiles
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = [
+        r["value"]
+        for r in sorted(
+            exact_quantiles(df_ref, col, probs).collect(),
+            key=lambda r: r["p"],
+        )
+    ]
+    c = F.col(col)
+    expr = F.lit(0)
+    for cut in cuts:
+        expr = expr + (c > F.lit(cut)).cast("int")
+    bin_col = F.when(c.isNull(), None).otherwise(expr)
+
+    def counts(df):
+        rows = (
+            df.select(bin_col.alias("__b"))
+            .where(F.col("__b").isNotNull())
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r["__b"]: r["n"] for r in rows}
+
+    ref, cur = counts(df_ref), counts(df_cur)
+    n_ref = sum(ref.values())
+    n_cur = sum(cur.values())
+    if not n_ref or not n_cur:
+        raise ValueError("population_stability: empty side")
+    out = []
+    psi = 0.0
+    for b in range(n_bins):
+        nr, nc = ref.get(b, 0), cur.get(b, 0)
+        pr = max(nr / n_ref, epsilon)
+        pc = max(nc / n_cur, epsilon)
+        contrib = (pc - pr) * math.log(pc / pr)
+        psi += contrib
+        out.append((b, nr, nc, pr, pc, contrib))
+    spark = df_ref.sparkSession
+    per_bin = spark.createDataFrame(
+        out,
+        "bin int, n_ref bigint, n_cur bigint, p_ref double, "
+        "p_cur double, contrib double",
+    )
+    return per_bin, psi

@@ -152,3 +152,66 @@ def test_quarantine_routes_rows_with_reasons(spark):
     assert len(re.findall(r"\bExchange\b", plan)) == 0
     with pytest.raises(ValueError, match="unique"):
         quarantine(df, [expect("id", "unique")])
+
+
+def test_population_stability_detects_shift(spark, db, duck):
+    """PSI: identical distributions score ~0; a shifted current
+    snapshot scores past the 0.25 'shifted' rule of thumb; the per-bin
+    frame reconciles with an independent python replay over
+    DuckDB-computed counts."""
+    import math
+
+    from deep_db_learning_spark.profiling.validate import (
+        population_stability,
+    )
+
+    li = db.df("lineitem")
+    # self vs self: every contribution is exactly 0 (same exact counts)
+    per_bin, psi = population_stability(li, li, "l_extendedprice")
+    assert psi == 0.0
+    assert per_bin.where("contrib != 0").count() == 0
+    rows = per_bin.collect()
+    # reference bins are equal-frequency by construction: shares within
+    # a bin's worth of each other
+    shares = [r["p_ref"] for r in rows]
+    assert max(shares) - min(shares) < 2.0 / len(shares) / len(shares) + 0.02
+
+    # shifted current: prices scaled 1.5x push mass to upper bins
+    from pyspark.sql import functions as F
+
+    cur = li.withColumn("l_extendedprice", F.col("l_extendedprice") * 1.5)
+    per_bin2, psi2 = population_stability(li, cur, "l_extendedprice")
+    assert psi2 > 0.25
+
+    # independent replay: recompute PSI in python from DuckDB counts
+    cuts = [r[1] for r in sorted(
+        duck.execute(
+            """
+            WITH vals AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+                          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals),
+            n AS (SELECT count(*) AS n FROM vals)
+            SELECT p AS p, v AS value FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) pv(p), ranked, n
+            WHERE rn = CAST(floor(p * (n.n - 1)) AS BIGINT) + 1
+            """
+        ).fetchall(),
+        key=lambda r: r[0],
+    )]
+
+    def binof(v):
+        return sum(1 for c in cuts if v > c)
+    vals = [r[0] for r in duck.execute(
+        "SELECT l_extendedprice FROM lineitem WHERE l_extendedprice IS NOT NULL").fetchall()]
+    ref_counts = {}
+    cur_counts = {}
+    for v in vals:
+        ref_counts[binof(v)] = ref_counts.get(binof(v), 0) + 1
+        b2 = binof(v * 1.5)
+        cur_counts[b2] = cur_counts.get(b2, 0) + 1
+    nr, nc = sum(ref_counts.values()), sum(cur_counts.values())
+    want = 0.0
+    for b in range(10):
+        pr = max(ref_counts.get(b, 0) / nr, 1e-6)
+        pc = max(cur_counts.get(b, 0) / nc, 1e-6)
+        want += (pc - pr) * math.log(pc / pr)
+    assert psi2 == want  # bitwise: same counts, same python log recipe
