@@ -638,3 +638,270 @@ def train_tabnet_glu(
         neighbor_budget=neighbor_budget,
         fit_fn=fit,
     )
+
+
+# ---------------------------------------- Trompt layer training (r8)
+#
+# The N23 mirror of the TabNet GLU extension: the LAST prompt-bank
+# attention layer of the Trompt encoder trains JOINTLY with the
+# decision head. Softmax attention has a smooth backward (unlike
+# sparsemax's sort), so the per-row chain — head → mean-pool → the
+# residual prompt update p_out = p_in + softmax((p_in·W)·mᵀ/√ch)·m —
+# differentiates with fixed row-shape matmuls; everything upstream
+# (column embeddings, earlier layers, the seeded prompt bank) stays
+# frozen. W initializes at the SEEDED conv weight, so iteration 0
+# equals the frozen encoder exactly. Twin:
+# ``plans/train_oracle._trompt_layer_losses``.
+
+TROMPT_LAYER_BENCH_CONFIG = {
+    "epochs": 3,
+    "lr": 0.3,
+    "l2": 1e-4,
+    "ch": 8,
+    "num_prompts": 4,
+    "num_layers": 2,
+    "neighbor_budget": 5,
+}
+
+
+def trompt_column_embeddings(code: int, nums, card: int, ch: int, seed: int):
+    """One row's [n_cols, ch] column-embedding matrix — the identical
+    seeded construction ``trompt_root_encoding_rows`` uses (cat lookup
+    + per-numeric x·w+b)."""
+    from ..operators.kernels import _seeded_matrix
+
+    E = _seeded_matrix((seed, "cat"), card, ch, 0.5)
+    cols = [E[int(code)]]
+    for j, x in enumerate(nums):
+        Wn = _seeded_matrix((seed, "num", j), 1, ch, 0.5)[0]
+        Bn = _seeded_matrix((seed, "numb", j), 1, ch, 0.5)[0]
+        cols.append(float(x) * Wn + Bn)
+    return np.vstack(cols)
+
+
+def trompt_layer_states(m, num_prompts: int, num_layers: int, seed: int):
+    """Frozen upstream of the trainable layer: run layers
+    ``0 .. L−2`` exactly as ``trompt_forward`` does and return
+    ``(prompt_in, frozen_sum)`` — the last layer's input bank and the
+    column-sum of all FROZEN stacked prompt rows (what the mean-pooled
+    encoding adds to the trainable block's rows)."""
+    import math as _math
+
+    from ..operators.kernels import _seeded_matrix
+
+    ch = m.shape[1]
+    prompt = _seeded_matrix((seed, "prompt"), num_prompts, ch, 0.01)
+    frozen = np.zeros(ch)
+    for i in range(num_layers - 1):
+        w = _seeded_matrix((seed, "conv", i), ch, ch, 1.0 / _math.sqrt(ch))
+        scores = (prompt @ w) @ m.T / _math.sqrt(ch)
+        scores -= scores.max(axis=1, keepdims=True)
+        imp = np.exp(scores)
+        imp /= imp.sum(axis=1, keepdims=True)
+        prompt = prompt + imp @ m
+        frozen += prompt.sum(axis=0)
+    return prompt, frozen
+
+
+def trompt_layer_forward(m, p_in, frozen_sum, W, Wh, bh, L: int, P: int):
+    """The trainable sub-network: last attention layer + mean-pool +
+    head. SHARED by the engine kernel and the twin. Returns
+    ``(imp, enc, logits)``."""
+    import math as _math
+
+    ch = m.shape[1]
+    scores = (p_in @ W) @ m.T / _math.sqrt(ch)
+    scores = scores - scores.max(axis=1, keepdims=True)
+    e = np.exp(scores)
+    imp = e / e.sum(axis=1, keepdims=True)
+    p_out = p_in + imp @ m
+    enc = (frozen_sum + p_out.sum(axis=0)) / (L * P)
+    logits = enc @ Wh + bh
+    return imp, enc, logits
+
+
+def trompt_layer_row_grads(
+    m, p_in, frozen_sum, W, Wh, bh, y: int, L: int, P: int
+):
+    """One row's loss + gradients for (W, Wh, bh) — the chain in the
+    section comment. Returns the flat gradient vector
+    ``[loss] ++ dW ++ dWh ++ dbh`` (pre-quantization)."""
+    import math as _math
+
+    ch = m.shape[1]
+    k = Wh.shape[1]
+    imp, enc, logits = trompt_layer_forward(
+        m, p_in, frozen_sum, W, Wh, bh, L, P
+    )
+    logits = logits - logits.max()
+    ex = np.exp(logits)
+    Pr = ex / ex.sum()
+    loss = -np.log(Pr[y])
+    resid = Pr.copy()
+    resid[y] -= 1.0
+    d_enc = Wh @ resid
+    d_p2 = np.tile(d_enc / (L * P), (P, 1))
+    d_imp = d_p2 @ m.T
+    d_scores = imp * (d_imp - (d_imp * imp).sum(axis=1, keepdims=True))
+    d_q = d_scores @ m / _math.sqrt(ch)
+    dW = p_in.T @ d_q
+    dWh = np.outer(enc, resid)
+    return np.concatenate([[loss], dW.ravel(), dWh.ravel(), resid])
+
+
+def train_trompt_layer(
+    tables,
+    primary_keys,
+    foreign_keys,
+    target=("customer", "c_mktsegment"),
+    cat_col="c_nationkey",
+    num_cols=("c_acctbal",),
+    epochs: int = 3,
+    lr: float = 0.3,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    ch: int = 8,
+    num_prompts: int = 4,
+    num_layers: int = 2,
+) -> TrainResult:
+    """Joint GD on the Trompt decision head AND the last prompt-bank
+    attention layer over frozen upstream states — the N23 mirror of
+    :func:`train_tabnet_glu` (see the section comment)."""
+    import math as _math
+
+    from ..operators.kernels import _seeded_matrix
+    from .stack import ORDERS_LAYER_SPEC, train_relational_stack
+
+    def fit(frame, frames, meta):
+        card = meta["n_codes"]
+        k = meta["n_classes"]
+        full = cut_lineage(
+            frame.select("split", "label", "code", "nums"), eager=True
+        )
+        tr = full.filter(F.col("split") == "train").select(
+            "code", "nums", "label"
+        )
+        n = tr.count()
+        W = _seeded_matrix(
+            (seed, "conv", num_layers - 1), ch, ch, 1.0 / _math.sqrt(ch)
+        ).copy()
+        rng = np.random.default_rng(seed)
+        Wh = rng.uniform(-0.5, 0.5, size=(ch, k)) * 0.1
+        bh = np.zeros(k)
+        glen = 1 + ch * ch + ch * k + k
+        losses: list[float] = []
+        for _ in range(epochs):
+            from decimal import Decimal
+
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            Wc, Whc, bhc = W.copy(), Wh.copy(), bh.copy()
+
+            def grad_fn(code, nums, label):
+                out = []
+                for c, xs, y in zip(
+                    code.to_numpy(dtype=np.int64),
+                    nums.to_list(),
+                    label.to_numpy(dtype=np.int64),
+                ):
+                    m = trompt_column_embeddings(c, xs, card, ch, seed)
+                    p_in, frozen = trompt_layer_states(
+                        m, num_prompts, num_layers, seed
+                    )
+                    g = trompt_layer_row_grads(
+                        m, p_in, frozen, Wc, Whc, bhc, int(y),
+                        num_layers, num_prompts,
+                    )
+                    out.append([_dec9_py(Decimal, v) for v in g])
+                return pd.Series(out)
+
+            grad_fn.__annotations__ = {
+                "code": pd.Series,
+                "nums": pd.Series,
+                "label": pd.Series,
+                "return": pd.Series,
+            }
+            udf = pandas_udf(grad_fn, f"array<{DECIMAL_TYPE}>")
+            tot = (
+                tr.select(udf("code", "nums", "label").alias("g"))
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.sum(F.element_at("g", i + 1)).alias(f"v{i}")
+                        for i in range(glen)
+                    ],
+                )
+                .first()
+            )
+            _require_nonnull_sums(tot, glen)
+
+            def seg(off, size):
+                return np.array(
+                    [float(tot[f"v{off + i}"] or 0) for i in range(size)]
+                )
+
+            o = 1
+            GW = seg(o, ch * ch).reshape(ch, ch); o += ch * ch
+            GWh = seg(o, ch * k).reshape(ch, k); o += ch * k
+            gbh = seg(o, k)
+            losses.append(
+                float(tot["v0"] or 0) / n
+                + 0.5 * l2 * float((Wh * Wh).sum() + (W * W).sum())
+            )
+            W -= lr * (GW / n + l2 * W)
+            Wh -= lr * (GWh / n + l2 * Wh)
+            bh -= lr * (gbh / n)
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        Wc, Whc, bhc = W.copy(), Wh.copy(), bh.copy()
+
+        def pred_fn(code, nums):
+            out = []
+            for c, xs in zip(code.to_numpy(dtype=np.int64), nums.to_list()):
+                m = trompt_column_embeddings(c, xs, card, ch, seed)
+                p_in, frozen = trompt_layer_states(
+                    m, num_prompts, num_layers, seed
+                )
+                _imp, _enc, logits = trompt_layer_forward(
+                    m, p_in, frozen, Wc, Whc, bhc, num_layers, num_prompts
+                )
+                out.append(int(np.argmax(logits)))
+            return pd.Series(out)
+
+        pred_fn.__annotations__ = {
+            "code": pd.Series, "nums": pd.Series, "return": pd.Series,
+        }
+        pudf = pandas_udf(pred_fn, "bigint")
+        rows = (
+            full.select("split", "label", pudf("code", "nums").alias("pred"))
+            .groupBy("split")
+            .agg(
+                F.sum(
+                    (F.col("pred") == F.col("label")).cast("bigint")
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
+        return TrainResult(
+            losses=losses, accuracy=accuracy,
+            params={"W": W, "Wh": Wh, "bh": bh},
+        )
+
+    return train_relational_stack(
+        tables,
+        primary_keys,
+        foreign_keys,
+        layers=(ORDERS_LAYER_SPEC,),
+        target=target,
+        cat_col=cat_col,
+        num_cols=num_cols,
+        seed=seed,
+        neighbor_budget=neighbor_budget,
+        fit_fn=fit,
+    )

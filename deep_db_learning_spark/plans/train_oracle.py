@@ -586,6 +586,83 @@ def _trompt_head_losses(
     return _head_gd_losses(X, y_a[tr], k, epochs, lr, l2, seed, task=task)
 
 
+def _trompt_layer_losses(
+    sf_dir: str,
+    epochs: int = 3,
+    lr: float = 0.3,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    ch: int = 8,
+    num_prompts: int = 4,
+    num_layers: int = 2,
+) -> list[float]:
+    """Twin of ``plans.tabnet_head.train_trompt_layer``: DuckDB root
+    assembly, the SHARED per-row state/forward/grad kernels, then an
+    independent numpy/decimal replay of the joint (last attention
+    layer, head) GD — per-row dec9-quantized gradients summed as exact
+    decimals in row order, the same update expressions."""
+    import math as _math
+
+    import numpy as np
+
+    from ..operators.kernels import _seeded_matrix
+    from .tabnet_head import (
+        trompt_column_embeddings,
+        trompt_layer_row_grads,
+        trompt_layer_states,
+    )
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    tr = np.where(train_mask)[0]
+    n = len(tr)
+    W = _seeded_matrix(
+        (seed, "conv", num_layers - 1), ch, ch, 1.0 / _math.sqrt(ch)
+    ).copy()
+    rng = np.random.default_rng(seed)
+    Wh = rng.uniform(-0.5, 0.5, size=(ch, k)) * 0.1
+    bh = np.zeros(k)
+    glen = 1 + ch * ch + ch * k + k
+    # the frozen per-row states are parameter-independent — build once
+    states = []
+    for i in tr:
+        m = trompt_column_embeddings(
+            int(codes_a[i]), X_num[i], card, ch, seed
+        )
+        states.append((m, *trompt_layer_states(m, num_prompts, num_layers, seed)))
+    losses: list[float] = []
+    for _ in range(epochs):
+        tot = [Decimal(0)] * glen
+        for idx, i in enumerate(tr):
+            m, p_in, frozen = states[idx]
+            g = trompt_layer_row_grads(
+                m, p_in, frozen, W, Wh, bh, int(y_a[i]),
+                num_layers, num_prompts,
+            )
+            for j in range(glen):
+                tot[j] += _dec9(float(g[j]))
+        o = 1
+
+        def seg(off, size):
+            return np.array([float(tot[off + i]) for i in range(size)])
+
+        GW = seg(o, ch * ch).reshape(ch, ch); o += ch * ch
+        GWh = seg(o, ch * k).reshape(ch, k); o += ch * k
+        gbh = seg(o, k)
+        losses.append(
+            float(tot[0]) / n
+            + 0.5 * l2 * float((Wh * Wh).sum() + (W * W).sum())
+        )
+        W -= lr * (GW / n + l2 * W)
+        Wh -= lr * (GWh / n + l2 * Wh)
+        bh -= lr * (gbh / n)
+    return losses
+
+
 def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     """The ``train_relational`` oracle: recompute BOTH loss trajectories
     (full-batch GD and the minibatch-SGD loop over budgeted per-root

@@ -1095,3 +1095,41 @@ def test_tabnet_glu_trains_last_block_through_fit_fn(db):
     assert not np.array_equal(res.params["Wg"], Wg0)
     assert np.any(res.params["bv"] != bv0)
     assert "train" in res.accuracy and "test" in res.accuracy
+
+
+def test_trompt_layer_trains_through_fit_fn(db):
+    """r8 N23 mirror of the GLU extension: the LAST prompt-bank
+    attention layer trains jointly with the head (softmax backward —
+    smooth, unlike sparsemax). Twin replays every epoch's loss
+    bit-for-bit; the loss descends; the attention weight moves off its
+    seeded init."""
+    import math
+
+    import numpy as np
+
+    from deep_db_learning_spark.operators.kernels import _seeded_matrix
+    from deep_db_learning_spark.plans.tabnet_head import (
+        TROMPT_LAYER_BENCH_CONFIG,
+        train_trompt_layer,
+    )
+    from deep_db_learning_spark.plans.train_oracle import (
+        _trompt_layer_losses,
+    )
+
+    res = train_trompt_layer(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        **TROMPT_LAYER_BENCH_CONFIG,
+    )
+    twin = _trompt_layer_losses(
+        "/root/testdata/sf0.001", seed=42, **TROMPT_LAYER_BENCH_CONFIG
+    )
+    assert res.losses == twin
+    assert len(res.losses) == TROMPT_LAYER_BENCH_CONFIG["epochs"]
+    assert res.losses[-1] < res.losses[0]
+    ch = TROMPT_LAYER_BENCH_CONFIG["ch"]
+    W0 = _seeded_matrix(
+        (42, "conv", TROMPT_LAYER_BENCH_CONFIG["num_layers"] - 1),
+        ch, ch, 1.0 / math.sqrt(ch),
+    )
+    assert not np.array_equal(res.params["W"], W0)
+    assert "train" in res.accuracy and "test" in res.accuracy
