@@ -1467,9 +1467,18 @@ def q_sketches(spark, sf_dir):
         F.lit(None).cast("bigint").alias("ival2"),
         F.col("value").alias("dval"),
     )
+    # r8: per-group HLL (approx distinct orders per return flag —
+    # count-distinct-by-key at O(m) state per group)
+    hb = sketch.hll_distinct_by(li, "l_returnflag", "l_orderkey").select(
+        F.lit("hll_by").alias("mode"),
+        F.col("l_returnflag").alias("key"),
+        F.col("intsum").alias("ival"),
+        F.col("zero_regs").alias("ival2"),
+        F.col("est").alias("dval"),
+    )
     return (
         kmv.unionByName(hll).unionByName(cms).unionByName(qt)
-        .unionByName(kset).unionByName(gq)
+        .unionByName(kset).unionByName(gq).unionByName(hb)
     )
 
 
@@ -4533,6 +4542,11 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_sk.grouped_quantiles_oracle_sql(
             "lineitem", "l_returnflag", "l_extendedprice",
             [0.25, 0.5, 0.9])})
+        UNION ALL
+        -- r8: per-group HLL distinct (identical register algebra)
+        SELECT 'hll_by', l_returnflag, intsum, zero_regs, est
+        FROM ({_sk.hll_distinct_by_oracle_sql(
+            "lineitem", "l_returnflag", "l_orderkey")})
     """
     from deep_db_learning_spark.operators.labelprop import (
         label_propagation_oracle_sql,

@@ -258,9 +258,10 @@ PLAN_PINS = {
     # hit-bucket window) — 7 real shuffles doubled by formatted
     # counting; the cms/quantile probe sides must broadcast. r8: the
     # kmv_set estimate rows read a checkpointed 1-row frame (its two
-    # synopsis jobs run eagerly at build time), so the visible plan
-    # SHRANK; membership joins in that eager stage must broadcast
-    "sketches": (16, 4),
+    # synopsis jobs run eagerly at build time) while gquantile adds a
+    # group-key window and hll_by the (group, bucket) register fold —
+    # two more real shuffles
+    "sketches": (20, 4),
     # pagerank's iterations run eagerly through cut_lineage — the
     # bench entry is a projection over the final checkpoint scan.
     "pagerank": (0, 0),
