@@ -299,3 +299,90 @@ def population_stability(
         "p_cur double, contrib double",
     )
     return per_bin, psi
+
+
+def stream_population_stability(
+    stream: DataFrame,
+    df_ref: DataFrame,
+    col: str,
+    out_path: str,
+    checkpoint: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+    query_name: str = "psi_monitor",
+):
+    """Per-micro-batch PSI monitoring: the reference's exact quantile
+    cuts are computed ONCE driver-side, then each arriving batch costs
+    one bounded count aggregate; the batch's PSI row
+    ``(batch_id, n_cur, psi)`` plus its per-bin frame land in a
+    ``batch=<id>`` overwrite partition (``streaming/partdir`` layout —
+    a replayed batch rewrites the same rows, so the monitor is
+    replay-idempotent without a cursor). Read the monitor with
+    ``streaming.partdir.read_parts`` and alert on the 0.1/0.25
+    thresholds downstream."""
+    import math
+    import os
+
+    from ..operators.sketch import exact_quantiles
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = [
+        r["value"]
+        for r in sorted(
+            exact_quantiles(df_ref, col, probs).collect(),
+            key=lambda r: r["p"],
+        )
+    ]
+    c = F.col(col)
+    expr = F.lit(0)
+    for cut in cuts:
+        expr = expr + (c > F.lit(cut)).cast("int")
+    bin_col = F.when(c.isNull(), None).otherwise(expr)
+    ref_rows = (
+        df_ref.select(bin_col.alias("__b"))
+        .where(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ref = {r["__b"]: r["n"] for r in ref_rows}
+    n_ref = sum(ref.values())
+    spark = stream.sparkSession
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(bin_col.alias("__b"))
+            .where(F.col("__b").isNotNull())
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        cur = {r["__b"]: r["n"] for r in rows}
+        n_cur = sum(cur.values())
+        bins = []
+        psi = 0.0
+        for b in range(n_bins):
+            nr, nc = ref.get(b, 0), cur.get(b, 0)
+            pr = max(nr / n_ref, epsilon)
+            pc = max(nc / n_cur, epsilon) if n_cur else epsilon
+            contrib = (pc - pr) * math.log(pc / pr)
+            psi += contrib
+            bins.append((batch_id, b, nr, nc, pr, pc, contrib))
+        out = [row + (psi, n_cur) for row in bins]
+        frame = spark.createDataFrame(
+            out,
+            "batch_id bigint, bin int, n_ref bigint, n_cur bigint, "
+            "p_ref double, p_cur double, contrib double, psi double, "
+            "n_batch bigint",
+        )
+        frame.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(monitor)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -215,3 +215,58 @@ def test_population_stability_detects_shift(spark, db, duck):
         pc = max(cur_counts.get(b, 0) / nc, 1e-6)
         want += (pc - pr) * math.log(pc / pr)
     assert psi2 == want  # bitwise: same counts, same python log recipe
+
+
+def test_stream_population_stability_monitor(spark, db, tmp_path):
+    """Streaming PSI: a reference-like batch scores near 0, a shifted
+    batch scores past 0.25; rows land in replay-idempotent batch
+    partitions and the batch PSI equals the batch-API operator on the
+    same slice."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.profiling.validate import (
+        population_stability,
+        stream_population_stability,
+    )
+    from deep_db_learning_spark.streaming.partdir import read_parts
+
+    li = db.df("lineitem").select("l_orderkey", "l_extendedprice")
+    src = str(tmp_path / "in")
+    now = time.time()
+    # batch 0: the reference distribution itself; batch 1: 2x shifted
+    for i, frame in enumerate(
+        [li, li.withColumn("l_extendedprice", F.col("l_extendedprice") * 2.0)]
+    ):
+        d = os.path.join(src, f"b{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+
+    out = str(tmp_path / "psi")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_population_stability(
+        stream, li, "l_extendedprice", out, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    rows = read_parts(spark, out).collect()
+    psi_by_batch = {r["batch_id"]: r["psi"] for r in rows}
+    assert psi_by_batch[0] == 0.0  # identical slice -> exactly 0
+    assert psi_by_batch[1] > 0.25
+    # batch-API equivalence on the shifted slice
+    _pb, want = population_stability(
+        li, li.withColumn("l_extendedprice", F.col("l_extendedprice") * 2.0),
+        "l_extendedprice",
+    )
+    assert psi_by_batch[1] == want
+    # replay-idempotent: partitions named by batch, 2 x n_bins rows
+    assert len(rows) == 20
