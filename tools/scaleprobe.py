@@ -99,6 +99,10 @@ DEFAULT_QUERIES = [
     # pair-distinct + semi/anti chain grow with lineitem; the per-part
     # min and the supplier count stay broadcast-sized
     "tpch_q18_modes",
+    # r8: association rules ride graph_stats — the basket self-join's
+    # pair-count groupBy grows with lineitem, the item counts stay
+    # broadcast-sized (measured 0.73 at 10×)
+    "graph_stats",
 ]
 
 
