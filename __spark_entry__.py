@@ -370,12 +370,15 @@ def _constraints_oracle() -> str:
         decl.append(f"('{t}','pk','{cols}',NULL)")
     for t, c, rt, rc in _ORACLE_FKS:
         decl.append(f"('{t}','fk','{c}','{rt}({rc})')")
+    pad = ("CAST(NULL AS DOUBLE) AS p_ref, CAST(NULL AS DOUBLE) AS p_cur, "
+           "CAST(NULL AS DOUBLE) AS contrib")
     parts = [
         f"""
         SELECT 'decl' AS mode, table_name, kind, cols, ref,
                CAST(NULL AS BIGINT) AS n_rows,
                CAST(NULL AS BIGINT) AS n_keys,
-               CAST(NULL AS BIGINT) AS n_bad
+               CAST(NULL AS BIGINT) AS n_bad,
+               {pad}
         FROM (VALUES {', '.join(sorted(decl))}) AS t(table_name, kind, cols, ref)
         """
     ]
@@ -385,7 +388,8 @@ def _constraints_oracle() -> str:
                (SELECT count(*) FROM {t}),
                (SELECT count(*) FROM (SELECT 1 FROM {t} GROUP BY {pk})),
                (SELECT count(*) FROM (
-                  SELECT 1 FROM {t} GROUP BY {pk} HAVING count(*) > 1))
+                  SELECT 1 FROM {t} GROUP BY {pk} HAVING count(*) > 1)),
+               {pad}
         """)
     for t, c, rt, rc in _ORACLE_FKS:
         parts.append(f"""
@@ -393,9 +397,79 @@ def _constraints_oracle() -> str:
                (SELECT count(*) FROM {t}), CAST(NULL AS BIGINT),
                (SELECT count(*) FROM {t} x
                 WHERE x.{c} IS NOT NULL AND NOT EXISTS (
-                  SELECT 1 FROM {rt} r WHERE r.{rc} = x.{c}))
+                  SELECT 1 FROM {rt} r WHERE r.{rc} = x.{c})),
+               {pad}
         """)
+    parts.append(_psi_oracle())
     return " UNION ALL ".join(parts)
+
+
+def _psi_oracle() -> str:
+    """PSI mode of the ``constraints`` slot: recompute the reference
+    decile cuts (full-sort quantile twin) and the per-bin exact counts
+    **independently in DuckDB** at oracle-build time, then replay the
+    engine's driver-side float formula over those counts with python
+    ``math.log`` and inline the results as literals — the
+    ``_text_search_oracle`` idf recipe. The hash therefore pins the
+    quantile cuts, the bin assignment, the counts, AND the PSI
+    arithmetic (``profiling/validate.population_stability``)."""
+    import math
+
+    import duckdb
+
+    from deep_db_learning_spark.operators.sketch import (
+        dlit,
+        exact_quantiles_oracle_sql,
+    )
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    n_bins, epsilon = 10, 1e-6
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    halves = {
+        "ref": "(SELECT * FROM events WHERE event_id % 2 = 0)",
+        "cur": "(SELECT * FROM events WHERE event_id % 2 = 1)",
+    }
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = [
+        r[2]
+        for r in con.execute(
+            exact_quantiles_oracle_sql(halves["ref"], "value", probs)
+        ).fetchall()
+    ]
+    bin_expr = " + ".join(
+        f"CAST(CAST(value AS DOUBLE) > {dlit(float(c))} AS INT)" for c in cuts
+    )
+    counts = {}
+    for side, tbl in halves.items():
+        counts[side] = dict(
+            con.execute(
+                f"SELECT ({bin_expr}) AS b, count(*) AS n FROM {tbl} "
+                f"WHERE value IS NOT NULL GROUP BY 1"
+            ).fetchall()
+        )
+    con.close()
+    n_ref = sum(counts["ref"].values())
+    n_cur = sum(counts["cur"].values())
+    rows = []
+    for b in range(n_bins):
+        nr = counts["ref"].get(b, 0)
+        nc = counts["cur"].get(b, 0)
+        pr = max(nr / n_ref, epsilon)
+        pc = max(nc / n_cur, epsilon)
+        contrib = (pc - pr) * math.log(pc / pr)
+        rows.append(
+            f"({b}, {nr}, {nc}, {dlit(pr)}, {dlit(pc)}, {dlit(contrib)})"
+        )
+    return f"""
+        SELECT 'psi', 'events', 'psi', CAST(b AS VARCHAR), 'value',
+               CAST(nr AS BIGINT), CAST(nc AS BIGINT),
+               CAST(NULL AS BIGINT), pr, pc, contrib
+        FROM (VALUES {', '.join(rows)}) AS t(b, nr, nc, pr, pc, contrib)
+    """
 
 
 def q_constraints(spark, sf_dir):
@@ -408,10 +482,21 @@ def q_constraints(spark, sf_dir):
     FK-orphan counts per declared constraint (aggregate/anti-join
     shapes, one pass each). The composite lineitem PK is genuinely
     violated by the synthetic generator — the driver hash pins the
-    checker catching it (n_dup > 0), not a vacuous all-green."""
+    checker catching it (n_dup > 0), not a vacuous all-green.
+
+    ``psi`` (r9 rotation) — Population Stability Index drift check
+    (``validate.population_stability``): events.value split by
+    event_id parity into reference/current halves, binned by the
+    reference's exact equal-frequency decile cuts; one row per bin
+    with exact counts (``n_rows``/``n_keys`` carry n_ref/n_cur,
+    ``cols`` the bin index) and the python-log contributions (the BM25
+    idf literal recipe — the oracle recomputes cuts by full sort and
+    counts in DuckDB, then replays the identical driver-side float
+    formula, so the hash pins both the binning and the arithmetic)."""
     from deep_db_learning_spark.profiling.validate import (
         check_foreign_keys,
         check_primary_keys,
+        population_stability,
     )
 
     db = _db(spark, sf_dir)
@@ -424,6 +509,13 @@ def q_constraints(spark, sf_dir):
             rows.append(
                 (t, "fk", ",".join(fk.columns), f"{fk.ref_table}({','.join(fk.ref_columns)})")
             )
+    def psi_pad():
+        return [
+            F.lit(None).cast("double").alias("p_ref"),
+            F.lit(None).cast("double").alias("p_cur"),
+            F.lit(None).cast("double").alias("contrib"),
+        ]
+
     decl = spark.createDataFrame(
         rows, "table_name string, kind string, cols string, ref string"
     ).select(
@@ -432,6 +524,7 @@ def q_constraints(spark, sf_dir):
         F.lit(None).cast("long").alias("n_rows"),
         F.lit(None).cast("long").alias("n_keys"),
         F.lit(None).cast("long").alias("n_bad"),
+        *psi_pad(),
     )
     vpk = check_primary_keys(db).select(
         F.lit("verify_pk").alias("mode"),
@@ -441,6 +534,7 @@ def q_constraints(spark, sf_dir):
         F.lit(None).cast("string").alias("ref"),
         "n_rows", "n_keys",
         F.col("n_dup_keys").alias("n_bad"),
+        *psi_pad(),
     )
     vfk = check_foreign_keys(db).select(
         F.lit("verify_fk").alias("mode"),
@@ -451,8 +545,27 @@ def q_constraints(spark, sf_dir):
         "n_rows",
         F.lit(None).cast("long").alias("n_keys"),
         F.col("n_orphans").alias("n_bad"),
+        *psi_pad(),
     )
-    return decl.unionByName(vpk).unionByName(vfk)
+    ev = db.df("events")
+    per_bin, _total = population_stability(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        n_bins=10,
+    )
+    psi = per_bin.select(
+        F.lit("psi").alias("mode"),
+        F.lit("events").alias("table_name"),
+        F.lit("psi").alias("kind"),
+        F.col("bin").cast("string").alias("cols"),
+        F.lit("value").alias("ref"),
+        F.col("n_ref").alias("n_rows"),
+        F.col("n_cur").alias("n_keys"),
+        F.lit(None).cast("long").alias("n_bad"),
+        "p_ref", "p_cur", "contrib",
+    )
+    return decl.unionByName(vpk).unionByName(vfk).unionByName(psi)
 
 
 def q_db_copy_row_pick(spark, sf_dir):
@@ -1026,19 +1139,33 @@ def q_lineitem_numeric_profile_modes(spark, sf_dir):
     complete Pearson correlations of the same measures in ONE scan
     (``profiling/profiler.pairwise_correlations``: decimal-fold sums,
     FACTOR-cast decimal cross-products — the tpch_q11 lesson — and
-    double arithmetic mirrored term-for-term by the oracle)."""
+    double arithmetic mirrored term-for-term by the oracle); plus mode
+    ``skew`` (r9 rotation) — the pre-join key-skew report on
+    l_suppkey (``profiler.key_skew_report``: top-k heavy keys, row
+    share, skew factor vs the uniform mean — one groupBy + sort-limit;
+    ``col_b`` carries the stringified key value)."""
     from deep_db_learning_spark.profiling.profiler import (
+        key_skew_report,
         pairwise_correlations,
     )
 
     db = _db(spark, sf_dir)
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def tail(rank=None, share=None, skew_factor=None):
+        return [
+            (F.lit(None).cast("int") if rank is None else F.col(rank)).alias("rank"),
+            (F.lit(None).cast("double") if share is None else F.col(share)).alias("share"),
+            (F.lit(None).cast("double") if skew_factor is None else F.col(skew_factor)).alias("skew_factor"),
+        ]
+
     stats = q_lineitem_numeric_profile(spark, sf_dir).select(
         F.lit("stats").alias("mode"),
         "column_name",
         F.lit(None).cast("string").alias("col_b"),
         "n", "mean", "min", "max", "std",
         F.lit(None).cast("double").alias("corr"),
+        *tail(),
     )
     corr = pairwise_correlations(db.df("lineitem"), cols).select(
         F.lit("corr").alias("mode"),
@@ -1050,8 +1177,21 @@ def q_lineitem_numeric_profile_modes(spark, sf_dir):
         F.lit(None).cast("double").alias("max"),
         F.lit(None).cast("double").alias("std"),
         "corr",
+        *tail(),
     )
-    return stats.unionByName(corr)
+    skew = key_skew_report(db.df("lineitem"), "l_suppkey", k=10).select(
+        F.lit("skew").alias("mode"),
+        F.lit("l_suppkey").alias("column_name"),
+        F.col("key").alias("col_b"),
+        F.col("cnt").alias("n"),
+        F.lit(None).cast("double").alias("mean"),
+        F.lit(None).cast("double").alias("min"),
+        F.lit(None).cast("double").alias("max"),
+        F.lit(None).cast("double").alias("std"),
+        F.lit(None).cast("double").alias("corr"),
+        *tail(rank="rank", share="share", skew_factor="skew_factor"),
+    )
+    return stats.unionByName(corr).unionByName(skew)
 
 
 def q_events_rollup(spark, sf_dir):
@@ -2215,21 +2355,93 @@ def q_events_windows(spark, sf_dir):
         F.col("n_cohort").alias("n_event_types"),
         F.lit(None).cast("string").alias("step_name"),
     )
-    an = rolling_anomaly(
-        events.select("event_id", "user_id", "ts", "value"),
-        "user_id", "ts", "value",
-        window_seconds=7 * 86400, z_threshold=2.0, min_points=5,
-    ).select(
-        F.lit("anomaly").alias("mode"),
-        F.lit(None).cast(h.schema["window_start"].dataType).alias("window_start"),
-        F.col("event_id").cast("long").alias("user_id"),
-        F.col("roll_n").alias("n_events"),
-        F.col("roll_mean").alias("sum_value"),
-        F.col("zscore").alias("avg_value"),
-        F.col("is_anomaly").cast("long").alias("n_event_types"),
-        F.lit(None).cast("string").alias("step_name"),
+    def anomaly_shape(scored, tag):
+        return scored.select(
+            F.lit(tag).alias("mode"),
+            F.lit(None).cast(h.schema["window_start"].dataType).alias("window_start"),
+            F.col("event_id").cast("long").alias("user_id"),
+            F.col("roll_n").alias("n_events"),
+            F.col("roll_mean").alias("sum_value"),
+            F.col("zscore").alias("avg_value"),
+            F.col("is_anomaly").cast("long").alias("n_event_types"),
+            F.lit(None).cast("string").alias("step_name"),
+        )
+
+    an = anomaly_shape(
+        rolling_anomaly(
+            events.select("event_id", "user_id", "ts", "value"),
+            "user_id", "ts", "value",
+            window_seconds=7 * 86400, z_threshold=2.0, min_points=5,
+        ),
+        "anomaly",
     )
-    return h.unionByName(s).unionByName(fu).unionByName(co).unionByName(an)
+    # r9 rotation: the same rows scored by the STREAMING stateful
+    # operator (`streaming/stateful.stream_rolling_anomaly`) — events
+    # re-streamed in three ts-range micro-batches; the oracle is the
+    # batch RANGE-frame twin again, so the driver hash proves the
+    # streaming path reproduces the batch operator bit-for-bit on
+    # driver data (the node_store convergence pattern).
+    zs = anomaly_shape(_zstream_scores(spark, events), "zstream")
+    return (
+        h.unionByName(s).unionByName(fu).unionByName(co)
+        .unionByName(an).unionByName(zs)
+    )
+
+
+def _zstream_scores(spark, events):
+    """Re-stream events through the stateful rolling z-score operator:
+    three ts-range drops with increasing mtimes (per-key in-order
+    arrival across micro-batches, equal-ts tie groups never split —
+    the operator's documented ordering contract), one file per
+    micro-batch, parquet sink, read back and localCheckpoint so the
+    temp workspace can be deleted."""
+    import shutil
+    import tempfile
+    import time
+
+    from deep_db_learning_spark.streaming.stateful import (
+        stream_rolling_anomaly,
+    )
+
+    ev = events.select("event_id", "user_id", "ts", "value")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).first()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cuts = [lo + (hi - lo) * (i + 1) // 3 for i in range(2)]
+    preds = [us <= cuts[0], (us > cuts[0]) & (us <= cuts[1]), us > cuts[1]]
+    work = tempfile.mkdtemp(prefix="zstream_q_")
+    src = os.path.join(work, "in")
+    now = time.time()
+    for i, p in enumerate(preds):
+        d = os.path.join(src, f"b{i}")
+        ev.filter(p).coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    scored = stream_rolling_anomaly(
+        stream, window_seconds=7 * 86400, z_threshold=2.0, min_points=5
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def q_events_sessions(spark, sf_dir):
@@ -2587,10 +2799,17 @@ def q_customer_features_modes(spark, sf_dir):
     ``bin`` — equal-frequency decile binning of c_acctbal with cut
     points from exact NO-SORT order statistics
     (``bin_by_quantiles`` over ``operators/sketch.exact_quantiles``;
-    the oracle's cuts come from a full-sort twin)."""
+    the oracle's cuts come from a full-sort twin);
+    ``scale`` (r9 rotation) — winsorized + robust-scaled c_acctbal in
+    one frame (``functions/feature_eng.winsorize`` clamps to the exact
+    [0.01, 0.99] order statistics, ``robust_scale`` is
+    ``(x − median)/IQR`` — both row-local codegen after bounded
+    quantile jobs; the oracle recomputes the cuts by full sort)."""
     from deep_db_learning_spark.functions.feature_eng import (
         bin_by_quantiles,
+        robust_scale,
         target_encode_oof,
+        winsorize,
     )
 
     db = _db(spark, sf_dir)
@@ -2607,12 +2826,19 @@ def q_customer_features_modes(spark, sf_dir):
     def pad_cols():
         return [F.lit(None).cast(t).alias(c) for c, t in pad.items()]
 
+    def tail_cols(te=None, acct_bin=None, wins=None, rs=None):
+        return [
+            (F.lit(None).cast("double") if te is None else F.col(te)).alias("te"),
+            (F.lit(None).cast("int") if acct_bin is None else F.col(acct_bin)).alias("acct_bin"),
+            (F.lit(None).cast("double") if wins is None else F.col(wins)).alias("wins"),
+            (F.lit(None).cast("double") if rs is None else F.col(rs)).alias("rs"),
+        ]
+
     feats = base.select(
         F.lit("features").alias("mode"),
         "c_custkey", "c_mktsegment",
         *[F.col(c) for c in pad],
-        F.lit(None).cast("double").alias("te"),
-        F.lit(None).cast("int").alias("acct_bin"),
+        *tail_cols(),
     )
     cust = db.df("customer")
     te = target_encode_oof(
@@ -2622,8 +2848,7 @@ def q_customer_features_modes(spark, sf_dir):
         F.lit("te").alias("mode"),
         "c_custkey", "c_mktsegment",
         *pad_cols(),
-        F.col("c_mktsegment_te").alias("te"),
-        F.lit(None).cast("int").alias("acct_bin"),
+        *tail_cols(te="c_mktsegment_te"),
     )
     bins = bin_by_quantiles(
         cust.select("c_custkey", "c_acctbal"), "c_acctbal", n_bins=10
@@ -2632,10 +2857,19 @@ def q_customer_features_modes(spark, sf_dir):
         "c_custkey",
         F.lit(None).cast("string").alias("c_mktsegment"),
         *pad_cols(),
-        F.lit(None).cast("double").alias("te"),
-        F.col("c_acctbal_bin").alias("acct_bin"),
+        *tail_cols(acct_bin="c_acctbal_bin"),
     )
-    return feats.unionByName(te).unionByName(bins)
+    scaled = robust_scale(
+        winsorize(cust.select("c_custkey", "c_acctbal"), "c_acctbal"),
+        "c_acctbal",
+    ).select(
+        F.lit("scale").alias("mode"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        *pad_cols(),
+        *tail_cols(wins="c_acctbal_wins", rs="c_acctbal_rs"),
+    )
+    return feats.unionByName(te).unionByName(bins).unionByName(scaled)
 
 
 def q_train_step(spark, sf_dir):
@@ -3398,7 +3632,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deep_db_learning_spark.functions.feature_eng import (
         bin_by_quantiles_oracle_sql,
+        robust_scale_oracle_sql,
         target_encode_oracle_sql,
+        winsorize_oracle_sql,
     )
 
     _te_oracle_sql = target_encode_oracle_sql(
@@ -3407,13 +3643,23 @@ def oracle_sql() -> dict[str, str]:
     _bin_oracle_sql = bin_by_quantiles_oracle_sql(
         "customer", "c_acctbal", "c_custkey", n_bins=10
     )
+    _wins_oracle_sql = winsorize_oracle_sql(
+        "customer", "c_acctbal", "c_custkey"
+    )
+    _rs_oracle_sql = robust_scale_oracle_sql(
+        "customer", "c_acctbal", "c_custkey"
+    )
     from deep_db_learning_spark.profiling.profiler import (
+        key_skew_report_oracle_sql,
         pairwise_correlations_oracle_sql,
     )
 
     _pairwise_corr_oracle_sql = pairwise_correlations_oracle_sql(
         "lineitem",
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    _key_skew_oracle_sql = key_skew_report_oracle_sql(
+        "lineitem", "l_suppkey", k=10
     )
     from deep_db_learning_spark.operators.basket import (
         pair_association_rules_oracle_sql,
@@ -3752,7 +3998,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_numeric_profile": "SELECT 'stats' AS mode, column_name, "
         "CAST(NULL AS VARCHAR) AS col_b, n, mean, min, max, std, "
-        "CAST(NULL AS DOUBLE) AS corr FROM ("
+        "CAST(NULL AS DOUBLE) AS corr, CAST(NULL AS INT) AS rank, "
+        "CAST(NULL AS DOUBLE) AS share, "
+        "CAST(NULL AS DOUBLE) AS skew_factor FROM ("
         + " UNION ALL ".join(
             f"""
             SELECT '{c}' AS column_name, count({c}) AS n,
@@ -3771,8 +4019,16 @@ def oracle_sql() -> dict[str, str]:
         -- r8: pairwise-complete Pearson correlations, one scan
         SELECT 'corr', col_a, col_b, n, CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-               CAST(NULL AS DOUBLE), corr
+               CAST(NULL AS DOUBLE), corr, CAST(NULL AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         FROM ({_pairwise_corr_oracle_sql})
+        UNION ALL
+        -- r9: join-key skew report (top-k heavy keys on l_suppkey)
+        SELECT 'skew', 'l_suppkey', key, cnt, CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(rank AS INT), share, skew_factor
+        FROM ({_key_skew_oracle_sql})
         """,
         "graph_stats": f"""
             SELECT 'fk' AS mode, edge_type, src_table, dst_table,
@@ -4205,8 +4461,12 @@ def oracle_sql() -> dict[str, str]:
             -- n_events the 7-day RANGE-frame count, sum_value the
             -- rolling mean, avg_value the z-score, n_event_types the
             -- is_anomaly flag (variance clamped at 0 BOTH sides — see
-            -- operators/temporal.rolling_anomaly)
-            SELECT 'anomaly', CAST(NULL AS TIMESTAMP),
+            -- operators/temporal.rolling_anomaly).  The zstream mode
+            -- (r9) re-streams the SAME rows through the stateful
+            -- streaming operator, so its oracle is this identical
+            -- batch twin under the other tag — the hash match IS the
+            -- streaming≡batch proof.
+            SELECT m.tag, CAST(NULL AS TIMESTAMP),
                    CAST(event_id AS BIGINT), CAST(n AS BIGINT),
                    s / n,
                    CASE WHEN n >= 5
@@ -4236,7 +4496,7 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY u
                            RANGE BETWEEN 604800000000 PRECEDING
                                      AND CURRENT ROW)
-            )
+            ), (VALUES ('anomaly'), ('zstream')) m(tag)
         """,
         "events_sessions": f"""
             -- determinism contract, matching sessionize(): windows order
@@ -4449,7 +4709,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(ev.c, 0) AS ev_cnt,
                    {split_label_sql('c.c_custkey')} AS split,
                    CAST(NULL AS DOUBLE) AS te,
-                   CAST(NULL AS INT) AS acct_bin
+                   CAST(NULL AS INT) AS acct_bin,
+                   CAST(NULL AS DOUBLE) AS wins,
+                   CAST(NULL AS DOUBLE) AS rs
             FROM customer c
             LEFT JOIN ord ON c.c_custkey = ord.k
             LEFT JOIN ev ON c.c_custkey = ev.k
@@ -4460,7 +4722,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-                   te, CAST(NULL AS INT)
+                   te, CAST(NULL AS INT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM ({_te_oracle_sql})
             UNION ALL
             -- r8 rotation: exact-quantile decile bins
@@ -4468,8 +4731,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-                   CAST(NULL AS DOUBLE), bin
+                   CAST(NULL AS DOUBLE), bin,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM ({_bin_oracle_sql})
+            UNION ALL
+            -- r9 rotation: winsorize + robust scale (full-sort cut twins)
+            SELECT 'scale', w.c_custkey, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+                   w.c_acctbal_wins, r.c_acctbal_rs
+            FROM ({_wins_oracle_sql}) w
+            JOIN ({_rs_oracle_sql}) r ON w.c_custkey = r.c_custkey
         """,
     }
 

@@ -168,6 +168,59 @@ def target_encode_oracle_sql(
     """
 
 
+def winsorize_oracle_sql(
+    table: str,
+    col: str,
+    id_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> str:
+    """DuckDB twin of :func:`winsorize`: cut points from the full-sort
+    ``exact_quantiles_oracle_sql`` twin (the engine's come from the
+    no-sort histogram path — same rank definition, independent plan),
+    clamp formula text identical to the engine's
+    ``least(greatest(x, lo), hi)``. Returns ``(id_col, {col}_wins)``."""
+    from ..operators.sketch import dlit, exact_quantiles_oracle_sql
+
+    eq = exact_quantiles_oracle_sql(table, col, [p_lo, p_hi])
+    return f"""
+        WITH cuts AS (SELECT p, value FROM ({eq})),
+        lo AS (SELECT value FROM cuts WHERE p = {dlit(float(p_lo))}),
+        hi AS (SELECT value FROM cuts WHERE p = {dlit(float(p_hi))})
+        SELECT {id_col},
+               CASE WHEN {col} IS NULL THEN NULL
+                    ELSE least(greatest(CAST({col} AS DOUBLE), lo.value),
+                               hi.value)
+               END AS {col}_wins
+        FROM {table}, lo, hi
+    """
+
+
+def robust_scale_oracle_sql(table: str, col: str, id_col: str) -> str:
+    """DuckDB twin of :func:`robust_scale`: ``(x − median) / IQR`` with
+    median/quartiles from the full-sort quantile twin; the engine
+    computes ``iqr = q3 − q1`` driver-side over the same exact order
+    statistics, so the double subtraction and division reproduce
+    bitwise. Zero IQR yields NULL both sides. Returns
+    ``(id_col, {col}_rs)``."""
+    from ..operators.sketch import dlit, exact_quantiles_oracle_sql
+
+    eq = exact_quantiles_oracle_sql(table, col, [0.25, 0.5, 0.75])
+    return f"""
+        WITH cuts AS (SELECT p, value FROM ({eq})),
+        med AS (SELECT value FROM cuts WHERE p = {dlit(0.5)}),
+        iqr AS (
+          SELECT (SELECT value FROM cuts WHERE p = {dlit(0.75)})
+               - (SELECT value FROM cuts WHERE p = {dlit(0.25)}) AS v
+        )
+        SELECT {id_col},
+               CASE WHEN iqr.v = 0 THEN NULL
+                    ELSE (CAST({col} AS DOUBLE) - med.value) / iqr.v
+               END AS {col}_rs
+        FROM {table}, med, iqr
+    """
+
+
 def bin_by_quantiles_oracle_sql(
     table: str, col: str, id_col: str, n_bins: int = 10
 ) -> str:
