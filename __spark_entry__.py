@@ -1698,13 +1698,16 @@ def q_graph_iter(spark, sf_dir):
         F.col("clustering").alias("rank"),
         F.col("degree").cast("bigint").alias("label"),
     )
-    # r8: k-core of the same graph (operators/kcore.py — 8 fixed peel
-    # rounds, at-or-past the k=80 fixpoint depth at the oracle SF, so
-    # the unrolled-CTE twin replays the exact fixpoint); rank_scaled
-    # carries the induced core degree, label the k
+    # r8: k-core of the same graph (operators/kcore.py); r9: the
+    # engine now peels to the DETECTED fixpoint (alive-count-stable,
+    # bounded, raises on non-convergence — no silent superset), while
+    # the oracle stays the _KCORE_ITERS-round unrolled-CTE twin, which
+    # is at-or-past the fixpoint depth at the oracle SF so both sides
+    # land on the identical exact k-core; rank_scaled carries the
+    # induced core degree, label the k
     from deep_db_learning_spark.operators.kcore import k_core
 
-    kc = k_core(co_edges, _KCORE_K, iters=_KCORE_ITERS).select(
+    kc = k_core(co_edges, _KCORE_K, max_iters=32).select(
         F.lit("kcore").alias("mode"),
         "node",
         F.col("core_degree").alias("rank_scaled"),
@@ -1715,7 +1718,9 @@ def q_graph_iter(spark, sf_dir):
 
 
 _KCORE_K = 80      # real 6-round cascade at the sf0.01 oracle scale
-_KCORE_ITERS = 8   # at-or-past fixpoint depth (monotone, so safe)
+_KCORE_ITERS = 8   # oracle unroll depth: at-or-past fixpoint (monotone,
+                   # so the fixed-round twin == the engine's detected
+                   # fixpoint at the oracle SF)
 
 _PAGERANK_NODES_SQL = (
     "SELECT c_custkey*2 AS node FROM customer "

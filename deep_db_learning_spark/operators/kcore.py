@@ -5,14 +5,23 @@ the standard "dense backbone" primitive (spam rings, community cores,
 curriculum selection of well-connected training examples). Peeling is
 the fixpoint of: drop every node with induced degree < k, recompute.
 
-Determinism/oracle contract: the engine runs a FIXED number of peel
-rounds (``iters``) rather than a data-dependent convergence loop — the
-fixpoint is monotone (the alive set only shrinks), so any round count
-at-or-past convergence returns the exact k-core, and a fixed count is
-what lets the DuckDB twin replay the computation as ``iters`` unrolled
-CTE stages (the ``labelprop`` oracle pattern). Tests pin that the
-result IS the fixpoint (one more round changes nothing) at the pinned
-``iters``.
+Determinism/oracle contract: two modes (r9 closes the r8 sharp edge
+of a silently under-provisioned fixed round count).
+
+- **Convergence mode** (``iters=None``, the default): peel until the
+  alive count is stable — the alive set only shrinks, so an unchanged
+  COUNT means an unchanged SET, i.e. the exact fixpoint. The loop is
+  bounded by ``max_iters`` and RAISES if it hasn't converged by then
+  (loud, never a silent superset). One bounded ``count()`` action per
+  round is the only driver state. ``return_rounds=True`` also returns
+  the number of peel rounds executed, which is exactly the ``iters``
+  an unrolled-CTE oracle twin needs to replay the trajectory.
+- **Fixed mode** (``iters=n``): run exactly ``n`` peel rounds — the
+  fixpoint is monotone, so any count at-or-past convergence returns
+  the exact k-core; this is what lets the DuckDB twin replay the
+  computation as ``n`` unrolled CTE stages (the ``labelprop`` oracle
+  pattern). Tests pin that the result IS the fixpoint (one more round
+  changes nothing) at the pinned ``iters``.
 
 Scale shape: each round is one groupBy (induced degrees) + two semi
 joins (filter both edge endpoints), all shuffling on the node key —
@@ -48,35 +57,70 @@ def _induced_degrees(und: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
-    """Nodes of the k-core after ``iters`` peel rounds, with their
-    induced degree in the surviving subgraph: ``(node, core_degree)``.
-    A node whose neighbors all peeled away in the final round appears
-    with ``core_degree`` 0 (the next round would drop it — pick
-    ``iters`` at-or-past convergence; see module docstring)."""
+def k_core(
+    edges: DataFrame,
+    k: int,
+    iters: int | None = None,
+    max_iters: int = 32,
+    return_rounds: bool = False,
+):
+    """Nodes of the k-core with their induced degree in the surviving
+    subgraph: ``(node, core_degree)``. With ``iters=None`` (default)
+    peeling runs to the detected fixpoint (bounded by ``max_iters``,
+    raising on non-convergence); with a fixed ``iters`` it runs
+    exactly that many rounds (oracle-replay mode — pick it at-or-past
+    convergence; see module docstring). A node whose neighbors all
+    peeled away in the final round appears with ``core_degree`` 0.
+    ``return_rounds=True`` returns ``(df, rounds)`` where ``rounds``
+    is the peel-round count an unrolled oracle twin must replay."""
     und = cut_lineage(_canonical(edges), eager=True)
     alive = _induced_degrees(und).filter(F.col("deg") >= k).select("node")
-    for i in range(iters - 1):
+    rounds = 1
+
+    def peel(alive):
         sub = und.join(
             alive.select(F.col("node").alias("a")), "a", "leftsemi"
         ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
         # cut EVERY round: the alive frame is node-sized (tiny next to
         # the edges) and each uncut round would otherwise stack two
         # semi joins + an aggregate into one enormous static plan
-        alive = cut_lineage(
+        return cut_lineage(
             _induced_degrees(sub).filter(F.col("deg") >= k).select("node"),
             eager=True,
         )
+
+    if iters is not None:
+        for _ in range(iters - 1):
+            alive = peel(alive)
+        rounds = iters
+    else:
+        alive = cut_lineage(alive, eager=True)
+        prev = alive.count()
+        while True:
+            if rounds >= max_iters:
+                raise RuntimeError(
+                    f"k_core: no fixpoint within max_iters={max_iters} "
+                    f"peel rounds (alive={prev}) — raise max_iters"
+                )
+            alive = peel(alive)
+            rounds += 1
+            cur = alive.count()
+            if cur == prev:
+                # the alive set only shrinks: equal count == equal set
+                # == fixpoint (the confirming round is a no-op peel)
+                break
+            prev = cur
     final = und.join(
         alive.select(F.col("node").alias("a")), "a", "leftsemi"
     ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
-    return alive.join(
+    out = alive.join(
         _induced_degrees(final).withColumnRenamed("deg", "core_degree"),
         "node",
         "left",
     ).select(
         "node", F.coalesce("core_degree", F.lit(0)).alias("core_degree")
     )
+    return (out, rounds) if return_rounds else out
 
 
 def k_core_oracle_sql(edges_sql: str, k: int, iters: int = 8) -> str:

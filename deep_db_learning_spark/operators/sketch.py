@@ -657,28 +657,16 @@ def exact_quantiles_oracle_sql(table: str, col: str, probs: list[float]) -> str:
     """
 
 
-def grouped_quantiles(
-    df: DataFrame, group_col: str, col: str, probs: list[float]
+def _grouped_quantiles_window(
+    vals: DataFrame, group_col: str, probs: list[float]
 ) -> DataFrame:
-    """PER-GROUP exact order statistics: for each group and each ``p``,
-    ``(group_col, p, rank, value)`` with the same
-    ``rank = floor(p·(n−1)) + 1`` definition as :func:`exact_quantiles`
-    (``quantile_disc``; ties share values, so the rank-th smallest is
-    well-defined even though row_number over ties is not — only the
-    VALUE is emitted).
-
-    Shape: ONE shuffle on the group key; each window holds one group's
-    rows (fine while every group fits an executor — the per-group
-    analogue of the global histogram trick applies past that; the
-    global :func:`exact_quantiles` is the no-sort path). The rank
-    targets are computed per group IN-PLAN from the group count — no
-    driver collect, so group cardinality is unbounded."""
+    """Window path over ``(group_col, v)``: one shuffle on the group
+    key, each window holds ONE group's rows; rank targets computed per
+    group in-plan from the window count (no driver collect)."""
     w = Window.partitionBy(group_col).orderBy(F.col("v"))
     wc = Window.partitionBy(group_col)
-    vals = (
-        df.where(F.col(col).isNotNull())
-        .select(F.col(group_col), F.col(col).cast("double").alias("v"))
-        .withColumn("rn", F.row_number().over(w))
+    ranked = (
+        vals.withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wc))
     )
     targets = F.array(
@@ -691,10 +679,10 @@ def grouped_quantiles(
                     + 1
                 ).alias("rank"),
             )
-            for p in sorted(float(p) for p in probs)
+            for p in probs
         ]
     )
-    hit = vals.select(
+    hit = ranked.select(
         group_col, "v", "rn", F.explode(targets).alias("t")
     ).filter(F.col("rn") == F.col("t.rank"))
     return hit.select(
@@ -703,6 +691,169 @@ def grouped_quantiles(
         F.col("t.rank").alias("rank"),
         F.col("v").alias("value"),
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    probs: list[float],
+    hot_group_threshold: int | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """PER-GROUP exact order statistics: for each group and each ``p``,
+    ``(group_col, p, rank, value)`` with the same
+    ``rank = floor(p·(n−1)) + 1`` definition as :func:`exact_quantiles`
+    (``quantile_disc``; ties share values, so the rank-th smallest is
+    well-defined even though row_number over ties is not — only the
+    VALUE is emitted).
+
+    Shape: ONE shuffle on the group key; each window holds one group's
+    rows — fine while every group fits an executor. Past that, set
+    ``hot_group_threshold`` (r9): groups with more rows than the
+    threshold leave the window path and take the per-group HISTOGRAM
+    route instead — the :func:`exact_quantiles` no-sort trick applied
+    per hot group: one (group, bucket) count aggregate, a bounded
+    driver walk of the cumulative counts (``n_hot × n_buckets``
+    integers — n_hot is at most N/threshold by construction), then
+    row_number over windows partitioned by ``(group, bucket)`` for the
+    HIT buckets only, so no single window ever holds a whole hot
+    group (~n/n_buckets rows each instead of n). The bucket arithmetic
+    is internal — any bucketing yields the same order statistic — so
+    results are IDENTICAL to the window path and the full-sort oracle
+    regardless of the threshold."""
+    probs = sorted(float(p) for p in probs)
+    spark = df.sparkSession
+    gtype = df.select(group_col).schema[0].dataType
+    vals = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group_col), F.col(col).cast("double").alias("v"))
+    )
+    if hot_group_threshold is None:
+        return _grouped_quantiles_window(vals, group_col, probs)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n_buckets = n_buckets or SKETCH_CONFIG["quantile_buckets"]
+    hot = (
+        vals.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .where(F.col("n") > int(hot_group_threshold))
+        .collect()  # bounded: at most N/threshold groups
+    )
+    if not hot:
+        return _grouped_quantiles_window(vals, group_col, probs)
+    hot_keys = spark.createDataFrame(
+        [(r[group_col],) for r in hot],
+        StructType([StructField(group_col, gtype)]),
+    )
+    outs = [
+        _grouped_quantiles_window(
+            vals.join(F.broadcast(hot_keys), group_col, "left_anti"),
+            group_col,
+            probs,
+        )
+    ]
+    out_schema = StructType(
+        [
+            StructField(group_col, gtype),
+            StructField("p", DoubleType()),
+            StructField("rank", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    ranks = {
+        r[group_col]: [
+            (p, int(math.floor(p * (r["n"] - 1))) + 1) for p in probs
+        ]
+        for r in hot
+    }
+    const_rows = [
+        (r[group_col], p, rank, float(r["lo"]))
+        for r in hot
+        if r["lo"] == r["hi"]
+        for p, rank in ranks[r[group_col]]
+    ]
+    if const_rows:
+        outs.append(spark.createDataFrame(const_rows, out_schema))
+    spread = [r for r in hot if r["lo"] != r["hi"]]
+    if spread:
+        hstats = spark.createDataFrame(
+            [(r[group_col], float(r["lo"]), float(r["hi"])) for r in spread],
+            StructType(
+                [
+                    StructField(group_col, gtype),
+                    StructField("lo", DoubleType()),
+                    StructField("hi", DoubleType()),
+                ]
+            ),
+        )
+        b = F.least(
+            F.floor(
+                ((F.col("v") - F.col("lo")) * n_buckets)
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        hv = (
+            vals.join(F.broadcast(hstats), group_col)
+            .select(group_col, "v", b.alias("b"))
+        )
+        hist: dict = {}
+        for r in hv.groupBy(group_col, "b").agg(
+            F.count("*").alias("cnt")
+        ).collect():  # bounded: n_hot × n_buckets counts
+            hist.setdefault(r[group_col], {})[r["b"]] = r["cnt"]
+        targets = []  # (g, bucket, offset_within_bucket, rank, p)
+        for r in spread:
+            g = r[group_col]
+            for p, rank in ranks[g]:
+                cum = 0
+                for bi in sorted(hist[g]):
+                    if cum + hist[g][bi] >= rank:
+                        targets.append((g, bi, rank - cum, rank, p))
+                        break
+                    cum += hist[g][bi]
+        from pyspark.sql.types import IntegerType
+
+        tgt = spark.createDataFrame(
+            targets,
+            StructType(
+                [
+                    StructField(group_col, gtype),
+                    StructField("b", IntegerType()),
+                    StructField("off", LongType()),
+                    StructField("rank", LongType()),
+                    StructField("p", DoubleType()),
+                ]
+            ),
+        )
+        w = Window.partitionBy(group_col, "b").orderBy("v")
+        ranked = hv.join(
+            F.broadcast(tgt.select(group_col, "b").distinct()),
+            [group_col, "b"],
+            "leftsemi",
+        ).withColumn("rn", F.row_number().over(w))
+        outs.append(
+            ranked.join(
+                F.broadcast(tgt),
+                on=[group_col, "b"],
+            )
+            .where(F.col("rn") == F.col("off"))
+            .select(group_col, "p", "rank", F.col("v").alias("value"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def grouped_quantiles_oracle_sql(

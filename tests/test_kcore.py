@@ -45,3 +45,65 @@ def test_copurchase_kcore_matches_duckdb_twin(db, duck):
     # the pinned iters is at-or-past the fixpoint: every survivor
     # keeps induced degree >= k (otherwise one more round would peel)
     assert all(d >= k for _n, d in got) or got == []
+
+
+def _chain_fixture(spark, chain_len):
+    # triangle {1,2,3} (the 2-core) + a pendant chain hanging off node
+    # 3: interior chain nodes keep degree 2 until the chain tip peels,
+    # so each peel round removes exactly ONE chain node — the
+    # peeling-depth worst case (depth == chain length)
+    rows = [(1, 2), (1, 3), (2, 3)]
+    prev = 3
+    for i in range(chain_len):
+        rows.append((prev, 100 + i))
+        prev = 100 + i
+    return spark.createDataFrame(rows, "a bigint, b bigint")
+
+
+def test_fixpoint_detection_on_deep_cascade(spark, duck):
+    """r9: convergence mode finds the exact core on a graph whose
+    peeling depth EXCEEDS the old fixed default of 8 rounds — the
+    sharp edge the r8 verdict flagged (a silent superset under an
+    under-provisioned ``iters``)."""
+    e = _chain_fixture(spark, chain_len=12)
+    core, rounds = k_core(e, 2, return_rounds=True)
+    got = sorted(map(tuple, core.collect()))
+    assert got == [(1, 2), (2, 2), (3, 2)]
+    assert rounds > 8  # genuinely deeper than the old fixed default
+    # the old fixed-8 contract on this graph IS a strict superset
+    # (documents exactly what convergence mode closes)
+    stale = sorted(map(tuple, k_core(e, 2, iters=8).collect()))
+    assert len(stale) > len(got)
+    # the emitted round count is exactly what the unrolled-CTE oracle
+    # twin needs to replay the trajectory
+    vals = ", ".join(f"({a}, {b})" for a, b in _chain_fixture_rows(12))
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                k_core_oracle_sql(
+                    f"SELECT * FROM (VALUES {vals}) t(a, b)", 2, iters=rounds
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def _chain_fixture_rows(chain_len):
+    rows = [(1, 2), (1, 3), (2, 3)]
+    prev = 3
+    for i in range(chain_len):
+        rows.append((prev, 100 + i))
+        prev = 100 + i
+    return rows
+
+
+def test_nonconvergence_raises_loudly(spark):
+    """An under-provisioned ``max_iters`` raises instead of silently
+    returning a superset."""
+    import pytest
+
+    e = _chain_fixture(spark, chain_len=12)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(e, 2, max_iters=5)

@@ -353,3 +353,78 @@ def test_hll_distinct_by_matches_twin_and_global(db, duck):
     }
     for flag, _i, _z, est in got:
         assert abs(est - exact[flag]) <= band * exact[flag]
+
+
+def test_grouped_quantiles_hot_group_escape(db, duck):
+    """r9: the hot-group histogram route produces IDENTICAL results to
+    the window path and the full-sort twin at any threshold, and its
+    windows partition by (group, bucket) — no single window ever holds
+    a whole hot group."""
+    from deep_db_learning_spark.operators.sketch import (
+        grouped_quantiles,
+        grouped_quantiles_oracle_sql,
+    )
+
+    probs = [0.25, 0.5, 0.9]
+    li = db.df("lineitem")
+    base = sorted(
+        map(
+            tuple,
+            grouped_quantiles(
+                li, "l_returnflag", "l_extendedprice", probs
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                grouped_quantiles_oracle_sql(
+                    "lineitem", "l_returnflag", "l_extendedprice", probs
+                )
+            ).fetchall(),
+        )
+    )
+    assert base == want
+    # every-group-hot, mixed hot/small, and nothing-hot thresholds all
+    # reproduce the window path bit-for-bit
+    for thr in (100, 5000, 10**9):
+        hot = grouped_quantiles(
+            li, "l_returnflag", "l_extendedprice", probs,
+            hot_group_threshold=thr,
+        )
+        assert sorted(map(tuple, hot.collect())) == base
+    # plan shape: with every group hot, the row_number window is
+    # partitioned by (group, bucket) — the per-group single-partition
+    # sort window never appears
+    def explain(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    plan = explain(
+        grouped_quantiles(
+            li, "l_returnflag", "l_extendedprice", probs,
+            hot_group_threshold=100,
+        )
+    )
+    # the bucket column appears as a window partition key
+    assert "b#" in plan
+
+
+def test_grouped_quantiles_hot_constant_group(spark):
+    """A hot group whose values are all equal takes the driver-side
+    constant shortcut (zero-width histogram would divide by zero)."""
+    from deep_db_learning_spark.operators.sketch import grouped_quantiles
+
+    rows = [("c", 7.0)] * 500 + [("s", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        map(
+            tuple,
+            grouped_quantiles(
+                df, "g", "v", [0.5], hot_group_threshold=100
+            ).collect(),
+        )
+    )
+    assert got == [("c", 0.5, 250, 7.0), ("s", 0.5, 5, 4.0)]
