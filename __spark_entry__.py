@@ -1722,6 +1722,41 @@ _KCORE_ITERS = 8   # oracle unroll depth: at-or-past fixpoint (monotone,
                    # so the fixed-round twin == the engine's detected
                    # fixpoint at the oracle SF)
 
+
+def q_triangles(spark, sf_dir):
+    """Bench/probe entry (r9): exact triangle counts + clustering
+    coefficients on the part co-purchase graph — degree orientation
+    (Schank-Wagner), packed ``(degree<<32 | id)`` BIGINT wedge join,
+    O(m^1.5) not Σd². The driver slot ``pagerank`` carries this as a
+    mode; timing it first-class makes a plan regression in the wedge
+    join visible round-over-round (VERDICT r8 #4)."""
+    from deep_db_learning_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_stats,
+    )
+
+    db = _db(spark, sf_dir)
+    edges, _hot = cooccurrence_edges(
+        db.df("lineitem"), "l_orderkey", "l_partkey"
+    )
+    return triangle_stats(edges)
+
+
+def q_kcore(spark, sf_dir):
+    """Bench/probe entry (r9): k-core of the co-purchase graph in
+    convergence mode (fixpoint-detected peeling, bounded rounds) —
+    per-round cost is one groupBy + two semi joins on the node key."""
+    from deep_db_learning_spark.operators.kcore import k_core
+    from deep_db_learning_spark.operators.triangles import (
+        cooccurrence_edges,
+    )
+
+    db = _db(spark, sf_dir)
+    edges, _hot = cooccurrence_edges(
+        db.df("lineitem"), "l_orderkey", "l_partkey"
+    )
+    return k_core(edges, _KCORE_K, max_iters=32)
+
 _PAGERANK_NODES_SQL = (
     "SELECT c_custkey*2 AS node FROM customer "
     "UNION ALL SELECT o_orderkey*2+1 FROM orders"

@@ -196,6 +196,11 @@ def main() -> None:
         # r7: ordered funnel — greedy-earliest anchors, co-partitioned
         # per-step joins
         "event_funnel",
+        # r9: the graph-analytics modes timed first-class (the driver
+        # slot 'pagerank' runs them merged; these keep the wedge-join
+        # and peel plans individually visible round-over-round)
+        "triangles",
+        "kcore",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

@@ -271,6 +271,19 @@ PLAN_PINS = {
     # hot-size frame must broadcast); the per-round peels run eagerly
     # behind cut_lineage so they never stack into the static plan
     "graph_iter": (52, 8),
+    # r7: text_metrics + LM perplexity under one tag — metrics'
+    # corpus-freq fold + the _spread repartition + the per-doc scoring
+    # fold (4 real shuffles, doubled); the bounded LM model frames
+    # must broadcast (pin moved here from PIN_FN in r9 — it sat in the
+    # wrong dict and never ran)
+    "text_quality": (8, 10),
+    # r9 first-class bench entries: triangles = co-purchase edge build
+    # (hot-size frame broadcast) + degree orientation + wedge join +
+    # closing-edge probe + the per-node stats joins; kcore = the final
+    # alive∩degree join over checkpointed per-round peels (the rounds
+    # themselves run eagerly behind cut_lineage)
+    "triangles": (44, 12),
+    "kcore": (22, 0),
 }
 
 # pins whose name must resolve to a SPECIFIC module function — the
@@ -280,11 +293,10 @@ PLAN_PINS = {
 PIN_FN = {
     "pagerank": "q_pagerank",
     "graph_iter": "q_graph_iter",
-    # r7: text_metrics + LM perplexity under one tag — metrics'
-    # corpus-freq fold + the _spread repartition + the per-doc scoring
-    # fold (4 real shuffles, doubled); the bounded LM model frames
-    # must broadcast
-    "text_quality": (8, 10),
+    # bench-only r9 entries shadowed by no registry slot, but listed
+    # for explicitness (default resolution would find them anyway)
+    "triangles": "q_triangles",
+    "kcore": "q_kcore",
 }
 
 

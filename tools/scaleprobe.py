@@ -103,6 +103,12 @@ DEFAULT_QUERIES = [
     # pair-count groupBy grows with lineitem, the item counts stay
     # broadcast-sized (measured 0.73 at 10×)
     "graph_stats",
+    # r9: the graph modes probed first-class — the wedge join is the
+    # O(m^1.5) shape that must stay sub-quadratic at 10× facts, and
+    # the k-core peel-round count may grow with the deeper cascade but
+    # each round stays one groupBy + two semi joins
+    "triangles",
+    "kcore",
 ]
 
 
