@@ -38,6 +38,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", default="/root/testdata/sf0.001")
     p.add_argument("--batches", type=int, default=3)
     p.add_argument("--funnel-hours", type=int, default=48)
+    p.add_argument(
+        "--store", default=None,
+        help="maintain the SCD2 history in a two-area store here "
+        "(closed deltas + open snapshot) with retention/compaction — "
+        "the at-scale posture; default keeps it in memory",
+    )
+    p.add_argument(
+        "--keep-last", type=int, default=2,
+        help="open-snapshot versions kept after each vacuum",
+    )
+    p.add_argument(
+        "--compact-every", type=int, default=2,
+        help="compact the closed area every N batches",
+    )
     return p
 
 
@@ -80,15 +94,40 @@ def run(spark, args) -> dict:
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     hist, n_late = None, 0
     cuts = [lo + (hi - lo) * (i + 1) // args.batches for i in range(args.batches)]
+    store = None
+    if args.store:
+        # the at-scale posture (r9): closed history lands as append-only
+        # per-batch deltas + an open snapshot with an atomic pointer;
+        # retention (vacuum superseded open versions) and closed-area
+        # compaction run INSIDE the maintenance loop, not as an
+        # afterthought — disk stays O(live history), and a reader mid-
+        # commit still sees a consistent version (keep_last >= 2)
+        from deep_db_learning_spark.streaming.scd_stream import (
+            SCD2Store,
+            scd2_store_apply,
+        )
+
+        store = SCD2Store(args.store)
     prev = None
-    for cut in cuts:
+    for i, cut in enumerate(cuts):
         pred = us <= cut if prev is None else (us > prev) & (us <= cut)
         batch = ch.filter(pred)
-        n_late += scd2_late_changes(hist, batch, "user_id").count()
-        hist = scd2_apply(
-            hist, batch, "user_id", ["event_type", "value"]
-        ).localCheckpoint(eager=True)
+        open_rows = store.read_open(spark) if store else hist
+        n_late += scd2_late_changes(open_rows, batch, "user_id").count()
+        if store:
+            scd2_store_apply(
+                store, batch, "user_id", ["event_type", "value"], batch_id=i
+            )
+            store.vacuum(keep_last=args.keep_last)
+            if (i + 1) % args.compact_every == 0:
+                store.compact_closed(spark)
+        else:
+            hist = scd2_apply(
+                hist, batch, "user_id", ["event_type", "value"]
+            ).localCheckpoint(eager=True)
         prev = cut
+    if store:
+        hist = store.read(spark)
     # 3. leakage-safe training view: state as of 2/3 through history
     cutoff = (lo + 2 * (hi - lo) // 3) // 1_000_000
     snap = scd2_snapshot_at(
@@ -123,6 +162,11 @@ def run(spark, args) -> dict:
         "feature_rows": features.count(),
         "feature_cols": len(features.columns),
         "funnel": {r["name"]: r["n_users"] for r in fun},
+        # store mode: the open-snapshot versions surviving vacuum
+        # (<= keep_last by construction)
+        "store_open_snapshots": (
+            store.open_store.versions() if store else None
+        ),
     }
 
 

@@ -12,7 +12,10 @@ end-to-end, the way a production training-data pipeline runs them:
                       store) is due
             store ──► persisted partitioned by list_id
                       (save_ivf_store: probes prune FILES, appends
-                       land in-place)
+                       land in-place); the grown inverted index
+                      commits as a VERSIONED snapshot and superseded
+                      versions vacuum in the same pass (r9 —
+                      keep_last retention, the at-scale posture)
 
     python examples/incremental_crawl.py --data /root/testdata/sf0.001 \
         --out /tmp/crawl_store
@@ -39,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="persist the IVF store here")
     p.add_argument("--n-lists", type=int, default=8)
     p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument(
+        "--keep-last", type=int, default=2,
+        help="versioned-index retention: snapshots kept after vacuum",
+    )
     return p
 
 
@@ -81,7 +88,7 @@ def run(spark, args) -> dict:
     n_refit = drift.filter("refit").count()
 
     if args.out:
-        save_ivf_store(grown, args.out)
+        save_ivf_store(grown, os.path.join(args.out, "ivf"))
 
     # retrieval half (r7): the kept docs' postings append into the
     # standing inverted index — batch-only tokenization, and BM25 over
@@ -101,6 +108,27 @@ def run(spark, args) -> dict:
         index, "doc_id", [(0, "hash join spark")], n_docs, total_tokens, k=5
     )
 
+    # retention (r9): at scale the grown index is a VERSIONED store —
+    # each crawl batch commits a snapshot (atomic pointer flip) and
+    # superseded versions are vacuumed in the same maintenance pass,
+    # so disk stays O(live index), never O(history). keep_last=2
+    # keeps the previous version for readers in flight.
+    index_versions = None
+    if args.out:
+        from deep_db_learning_spark.streaming.node_store import (
+            SnapshotStore,
+            vacuum_snapshots,
+        )
+
+        idx_store = SnapshotStore(os.path.join(args.out, "index"))
+        base_id = (idx_store.last_batch_id() or -1) + 1
+        idx_store.commit(
+            build_postings(store_docs, "text", "doc_id"), batch_id=base_id
+        )
+        idx_store.commit(index, batch_id=base_id + 1)
+        vacuum_snapshots(idx_store, keep_last=args.keep_last)
+        index_versions = idx_store.versions()
+
     summary = {
         "batch_docs": n_batch,
         "kept_after_store_dedup": n_kept,
@@ -111,6 +139,7 @@ def run(spark, args) -> dict:
         "refit_due": n_refit > 0,
         "index_postings": index.count(),
         "bm25_hits": hits.count(),
+        "index_versions": index_versions,
     }
     print(json.dumps(summary), flush=True)
     return summary

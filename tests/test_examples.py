@@ -79,10 +79,16 @@ def test_incremental_crawl_pipeline(spark, tmp_path):
     assert s["kept_after_store_dedup"] > 0
     assert s["vectors_appended"] <= s["kept_after_store_dedup"]
     assert s["store_size"] >= s["vectors_appended"]
-    assert any(d.startswith("list_id=") for d in os.listdir(out))
+    assert any(
+        d.startswith("list_id=") for d in os.listdir(os.path.join(out, "ivf"))
+    )
     # r7: the retrieval half — appended index serves BM25 hits
     assert s["index_postings"] > 0
     assert 0 < s["bm25_hits"] <= 5
+    # r9: the grown index is a versioned snapshot store with retention
+    # — two commits, vacuum keep_last=2 keeps both; a re-run would
+    # commit v3/v4 and vacuum v1/v2
+    assert s["index_versions"] == [1, 2]
 
 
 def test_dimension_pipeline(spark):
@@ -101,6 +107,30 @@ def test_dimension_pipeline(spark):
     assert out["feature_cols"] >= 11
     f = out["funnel"]
     assert f["click"] >= f["view"] >= f["purchase"] > 0
+
+
+def test_dimension_pipeline_store_mode(spark, tmp_path):
+    """r9: --store maintains the SCD2 history in the two-area store
+    with retention + scheduled compaction, and the result is IDENTICAL
+    to the in-memory path (batch-boundary/storage independence)."""
+    import dimension_pipeline as dp
+
+    base_args = ["--data", "/root/testdata/sf0.001", "--batches", "3"]
+    mem = dp.run(spark, dp.build_parser().parse_args(base_args))
+    store_dir = str(tmp_path / "dim_store")
+    st = dp.run(
+        spark,
+        dp.build_parser().parse_args(
+            base_args + ["--store", store_dir, "--keep-last", "2"]
+        ),
+    )
+    assert st["store_open_snapshots"] is not None
+    assert len(st["store_open_snapshots"]) <= 2  # vacuum held keep_last
+    for k in (
+        "history_versions", "open_versions", "snapshot_rows",
+        "late_changes_dropped", "funnel",
+    ):
+        assert st[k] == mem[k], k
 
 
 def test_run_experiment_stack_predict_out(spark, tmp_path):
