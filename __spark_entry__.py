@@ -472,6 +472,54 @@ def _psi_oracle() -> str:
     """
 
 
+def _qhist_oracle() -> str:
+    """qhist mode of the ``node_store`` slot: the mergeable per-key
+    quantile histogram computed DIRECTLY in DuckDB SQL over the whole
+    events table — the engine streams the same data through
+    ``stream_grouped_hist`` in 4 RANDOM-order micro-batches, so the
+    hash match proves the streaming state is a function of the data
+    multiset alone (integer vector merge is commutative). Cut points
+    are recomputed here by the full-sort quantile twin (the engine's
+    come from the no-sort path) and inlined as literals."""
+    import duckdb
+
+    from deep_db_learning_spark.operators.sketch import (
+        exact_quantiles_oracle_sql,
+    )
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        grouped_hist_oracle_sql,
+    )
+
+    n_bins = 8
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = [
+        r[2]
+        for r in con.execute(
+            exact_quantiles_oracle_sql("events", "value", probs)
+        ).fetchall()
+    ]
+    con.close()
+    hist = grouped_hist_oracle_sql("events", "user_id", "value", cuts)
+    return f"""
+        SELECT 'qhist' AS mode, user_id,
+               counts[CAST(i AS INT)] AS n_events,
+               CAST(n AS DOUBLE) AS sum_value,
+               CAST(NULL AS TIMESTAMP) AS last_ts,
+               CAST(i - 1 AS VARCHAR) AS event_type,
+               CAST(NULL AS DOUBLE) AS value,
+               CAST(NULL AS TIMESTAMP) AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM ({hist}),
+             unnest(generate_series(1, {len(cuts) + 1})) AS s(i)
+    """
+
+
 def q_constraints(spark, sf_dir):
     """S3/S4 + r7 validation, mode-tagged: ``decl`` — PK + FK
     constraint listing from the catalog sidecar (table_name, kind,
@@ -2548,7 +2596,19 @@ def q_node_store(spark, sf_dir):
     ts-range batches via ``scd2_apply`` (per-ts tie-break dedup, no-op
     suppression, version close-out). The oracle computes the whole
     history in ONE DuckDB window pass, so the hash match proves the
-    engine's batch-boundary-independence contract on driver data."""
+    engine's batch-boundary-independence contract on driver data.
+
+    ``qhist`` (r9) — the mergeable per-key quantile histogram
+    (``streaming/quantile_hist.stream_grouped_hist``): the SAME 4
+    random-order micro-batches maintain O(n_bins) integer count
+    vectors per user (merge = element-wise addition — commutative, so
+    unlike the zstream operator there is NO ordering contract; the
+    random split is the point). The oracle computes the histogram
+    directly in DuckDB SQL over the whole table — the hash match
+    proves the streaming state is a function of the data multiset
+    alone. Rows explode to (user, bucket, cnt, total): ``event_type``
+    carries the bucket index, ``n_events`` the bucket count,
+    ``sum_value`` the user total."""
     import tempfile
 
     from deep_db_learning_spark.streaming.node_store import (
@@ -2576,6 +2636,41 @@ def q_node_store(spark, sf_dir):
     # Spark-managed blocks so the temp workspace (re-written events,
     # snapshot versions, checkpoint) can be deleted before returning
     out = out.localCheckpoint(eager=True)
+
+    # qhist mode: second stream over the SAME random 4-file feed
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        reference_cuts,
+        stream_grouped_hist,
+    )
+
+    cuts = reference_cuts(ev, "value", n_bins=8)
+    qh_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qh_sink = os.path.join(work, "qhist_out")
+    q2 = (
+        stream_grouped_hist(qh_stream, "value", cuts)
+        .writeStream.format("parquet")
+        .option("path", qh_sink)
+        .option("checkpointLocation", os.path.join(work, "qh_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    raw = spark.read.parquet(qh_sink)
+    # running snapshots → final summary per key = the largest-n row
+    from pyspark.sql.window import Window
+
+    wmax = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    qh = (
+        raw.withColumn("__rk", F.row_number().over(wmax))
+        .where(F.col("__rk") == 1)
+        .select("user_id", "n", F.posexplode("counts").alias("bucket", "cnt"))
+        .localCheckpoint(eager=True)
+    )
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
@@ -2614,7 +2709,18 @@ def q_node_store(spark, sf_dir):
         F.col("valid_from").cast(ts_ntz).alias("valid_from"),
         F.col("valid_to").cast(ts_ntz).alias("valid_to"),
     )
-    return base.unionByName(scd)
+    qhist = qh.select(
+        F.lit("qhist").alias("mode"),
+        "user_id",
+        F.col("cnt").alias("n_events"),
+        F.col("n").cast("double").alias("sum_value"),
+        F.lit(None).cast(ts_ntz).alias("last_ts"),
+        F.col("bucket").cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast(ts_ntz).alias("valid_from"),
+        F.lit(None).cast(ts_ntz).alias("valid_to"),
+    )
+    return base.unionByName(scd).unionByName(qhist)
 
 
 def q_event_funnel(spark, sf_dir):
@@ -4630,6 +4736,8 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
                      AS valid_to
             FROM k
+            UNION ALL
+            {_qhist_oracle()}
         """,
         "events_temporal_join": f"""
             WITH u AS (

@@ -1,0 +1,224 @@
+"""Mergeable per-key quantile summaries with bounded state — the
+streaming percentile-feature operator (VERDICT r8 stretch #8).
+
+Per-key EXACT quantiles (``operators/sketch.grouped_quantiles``) don't
+stream: the rank-th smallest needs the whole history. The standard
+mergeable answer is a quantile sketch; this module uses FIXED-CUT
+histograms rather than KLL, and the choice is deliberate:
+
+- **Why not KLL.** KLL's compactors fire when a level's buffer reaches
+  capacity, so the final sketch state depends on the order items
+  arrived and on where micro-batch boundaries fell. That is
+  incompatible with this repo's correctness regime — every streaming
+  operator is pinned bit-for-bit against a batch twin under arbitrary
+  re-batching (the node-store/scd2/zstream pattern). A deterministic
+  KLL variant (keep-every-other compaction) is still
+  boundary-dependent; a randomized one isn't even run-reproducible.
+- **Fixed-cut histograms are exactly mergeable.** With cut points
+  frozen up front (the PSI recipe: the REFERENCE corpus's
+  equal-frequency quantile cuts, computed once by the no-sort
+  ``exact_quantiles``), a key's summary is an integer count vector and
+  merge is element-wise addition — commutative and associative, so the
+  final state is a function of the data MULTISET alone, independent of
+  batch split, batch order, and partitioning. The batch operator and
+  the streaming operator land on IDENTICAL bits by construction.
+- **Error contract.** A rank-``r`` query returns the bucket holding
+  rank ``r`` and its value bounds ``(cut[b-1], cut[b]]``: the true
+  order statistic lies inside the returned interval (exactly — not
+  probabilistically), and the rank uncertainty is the bucket's own
+  mass (≈ N_ref/n_bins per key under reference-like distributions).
+  Sharper needs → more bins, state is O(n_bins) per key either way.
+
+Scale posture: the batch operator is ONE shuffle (groupBy key, n_bins
+conditional sums — map-side partial combine applies); the streaming
+operator's state is an O(n_bins) integer vector per key, never a
+window buffer; emissions are running snapshots, so downstream readers
+take each key's latest row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reference_cuts(df_ref: DataFrame, col: str, n_bins: int = 16) -> list[float]:
+    """Equal-frequency cut points from the reference corpus — the PSI
+    recipe (``profiling/validate.population_stability``): two bounded
+    jobs via the no-sort ``exact_quantiles``, returned sorted."""
+    from ..operators.sketch import exact_quantiles
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return [
+        r["value"]
+        for r in sorted(
+            exact_quantiles(df_ref, col, probs).collect(),
+            key=lambda r: r["p"],
+        )
+    ]
+
+
+def _bin_expr(col: str, cuts: list[float]):
+    c = F.col(col)
+    expr = F.lit(0)
+    for cut in cuts:
+        expr = expr + (c > F.lit(float(cut))).cast("int")
+    return expr
+
+
+def grouped_hist(
+    df: DataFrame, key_col: str, col: str, cuts: list[float]
+) -> DataFrame:
+    """Per-key fixed-cut histogram: ``(key_col, n, counts)`` with
+    ``counts`` a ``len(cuts)+1``-long bigint vector (bucket b holds
+    values in ``(cut[b-1], cut[b]]``; NULL values are excluded and the
+    open last bucket catches everything above the top cut). One
+    shuffle, map-side combinable conditional sums."""
+    n_bins = len(cuts) + 1
+    b = _bin_expr(col, cuts)
+    rows = df.where(F.col(col).isNotNull()).select(
+        F.col(key_col), b.alias("__b")
+    )
+    aggs = [
+        F.sum((F.col("__b") == i).cast("long")).alias(f"__c{i}")
+        for i in range(n_bins)
+    ]
+    out = rows.groupBy(key_col).agg(*aggs)
+    counts = F.array(*[F.col(f"__c{i}") for i in range(n_bins)])
+    return out.select(
+        key_col,
+        F.aggregate(counts, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("n"),
+        counts.alias("counts"),
+    )
+
+
+def grouped_hist_oracle_sql(
+    table: str, key_col: str, col: str, cuts: list[float]
+) -> str:
+    """DuckDB twin of :func:`grouped_hist` — identical cut literals
+    (``dlit``), identical strictly-greater fold, integer counts."""
+    from ..operators.sketch import dlit
+
+    n_bins = len(cuts) + 1
+    bin_sql = " + ".join(
+        f"CAST(CAST({col} AS DOUBLE) > {dlit(float(c))} AS INT)" for c in cuts
+    )
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        for i in range(n_bins)
+    )
+    return f"""
+        SELECT {key_col}, CAST(count(*) AS BIGINT) AS n,
+               [{cols}] AS counts
+        FROM (
+          SELECT {key_col}, ({bin_sql}) AS b FROM {table}
+          WHERE {col} IS NOT NULL
+        ) GROUP BY {key_col}
+    """
+
+
+def hist_quantile_bounds(
+    hist: DataFrame, cuts: list[float], probs: list[float]
+) -> DataFrame:
+    """Bracketing quantile reads off a histogram frame: for each key
+    and each ``p`` (rank ``floor(p·(n−1)) + 1``, the repo-wide
+    definition), the bucket holding that rank plus its exact value
+    bounds: ``(key, p, rank, bucket, lo, hi)`` — ``lo`` NULL on the
+    first bucket, ``hi`` NULL on the open last bucket. Pure array
+    arithmetic in-plan; the true order statistic is inside
+    ``(lo, hi]`` by construction (pytest pins this against the exact
+    ``grouped_quantiles``)."""
+    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    # cum[i] = counts[0] + ... + counts[i]
+    out = None
+    for p in sorted(float(p) for p in probs):
+        rank = (
+            F.floor(F.lit(p) * (F.col("n") - 1).cast("double")).cast("bigint")
+            + 1
+        )
+        # bucket = number of leading cumulative sums strictly below rank
+        bucket = F.aggregate(
+            F.col("counts"),
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(0).alias("b"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x).alias("cum"),
+                (acc["b"] + F.when(acc["cum"] + x < rank, 1).otherwise(0)).alias("b"),
+            ),
+        )["b"]
+        key_col = hist.columns[0]
+        # F.get is 0-based and NULL-safe out of range (ANSI element_at
+        # throws) — bucket 0 has no lower cut, the open last bucket no
+        # upper cut, and both fall out of the array bounds naturally
+        row = hist.select(
+            F.col(key_col),
+            F.lit(p).alias("p"),
+            rank.alias("rank"),
+            bucket.alias("bucket"),
+            F.get(cuts_arr, (bucket - 1).cast("int")).alias("lo"),
+            F.get(cuts_arr, bucket.cast("int")).alias("hi"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+HIST_STATE_SCHEMA = "counts array<bigint>"
+
+
+def stream_grouped_hist(
+    events: DataFrame, col: str, cuts: list[float], key_col: str = "user_id"
+) -> DataFrame:
+    """Streaming per-key histogram maintenance: state is the O(n_bins)
+    integer count vector, each arriving micro-batch adds its own
+    counts (element-wise integer addition — the exactly-mergeable
+    property), and the key's RUNNING totals are emitted every batch it
+    appears in (take the row with the largest ``n`` per key for the
+    final summary). No ordering contract AT ALL — unlike the rolling
+    z-score operator, re-batching, reordering, and repartitioning all
+    land on identical final state (pytest pins random-split ≡
+    ts-range-split ≡ batch)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_bins = len(cuts) + 1
+    cuts_np = np.array([float(c) for c in cuts], dtype="float64")
+
+    def fn(key, pdf_iter, state: GroupState):
+        (k,) = key
+        counts = (
+            np.array(state.get[0], dtype="int64")
+            if state.exists
+            else np.zeros(n_bins, dtype="int64")
+        )
+        touched = False
+        for pdf in pdf_iter:
+            vals = pdf[col].dropna().to_numpy(dtype="float64")
+            if not len(vals):
+                continue
+            touched = True
+            # bucket = count of cuts STRICTLY below the value — exactly
+            # searchsorted 'left' on float64, the same IEEE comparisons
+            # the batch operator's (v > cut) fold performs
+            bs = np.searchsorted(cuts_np, vals, side="left")
+            counts += np.bincount(bs, minlength=n_bins).astype("int64")
+        if touched:
+            state.update((counts.tolist(),))
+            yield pd.DataFrame(
+                {
+                    key_col: [k],
+                    "n": [int(counts.sum())],
+                    "counts": [counts.tolist()],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, n bigint, counts array<bigint>",
+        stateStructType=HIST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,132 @@
+"""Mergeable per-key quantile histograms (streaming/quantile_hist.py):
+DuckDB twin parity for the batch operator, bracket correctness of the
+histogram quantile reads against the exact grouped_quantiles, and —
+the operator's whole point — merge-order independence of the
+streaming path (random split ≡ ts-range split ≡ batch, bit-for-bit)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.streaming.quantile_hist import (
+    grouped_hist,
+    grouped_hist_oracle_sql,
+    hist_quantile_bounds,
+    reference_cuts,
+    stream_grouped_hist,
+)
+
+
+@pytest.fixture(scope="module")
+def cuts(db):
+    return reference_cuts(db.df("events"), "value", n_bins=8)
+
+
+def test_grouped_hist_matches_duckdb_twin(db, duck, cuts):
+    got = sorted(
+        (r["user_id"], r["n"], tuple(r["counts"]))
+        for r in grouped_hist(db.df("events"), "user_id", "value", cuts).collect()
+    )
+    want = sorted(
+        (u, n, tuple(c))
+        for u, n, c in duck.execute(
+            grouped_hist_oracle_sql("events", "user_id", "value", cuts)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+    # per-key totals reconcile with the raw count
+    assert sum(n for _u, n, _c in got) == db.df("events").where(
+        F.col("value").isNotNull()
+    ).count()
+
+
+def test_hist_quantile_bounds_bracket_exact(db, cuts):
+    """The returned interval (lo, hi] always contains the true order
+    statistic, and the rank formula is the repo-wide definition."""
+    from deep_db_learning_spark.operators.sketch import grouped_quantiles
+
+    probs = [0.25, 0.5, 0.9]
+    hist = grouped_hist(db.df("events"), "user_id", "value", cuts)
+    bounds = {
+        (r["user_id"], r["p"]): r
+        for r in hist_quantile_bounds(hist, cuts, probs).collect()
+    }
+    exact = grouped_quantiles(
+        db.df("events"), "user_id", "value", probs
+    ).collect()
+    assert len(exact) == len(bounds) > 0
+    for r in exact:
+        b = bounds[(r["user_id"], r["p"])]
+        assert b["rank"] == r["rank"]
+        if b["lo"] is not None:
+            assert r["value"] > b["lo"]
+        if b["hi"] is not None:
+            assert r["value"] <= b["hi"]
+
+
+def _run_stream(spark, src_dirs, schema, cuts, tmp_path, tag):
+    import os
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dirs)
+    )
+    out = stream_grouped_hist(stream, "value", cuts)
+    name = f"qhist_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(str(tmp_path), f"ck_{tag}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # running snapshots: the final summary per key is the largest-n row
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n"] > final[r["user_id"]]["n"]:
+            final[r["user_id"]] = r
+    return sorted(
+        (u, r["n"], tuple(r["counts"])) for u, r in final.items()
+    )
+
+
+def test_stream_hist_merge_order_independent(spark, db, cuts, tmp_path):
+    """Final streaming state is a function of the data multiset alone:
+    a time-ordered 3-range split and an arbitrary 4-way random split
+    both land bit-for-bit on the batch histogram (integer vector
+    addition is commutative/associative — the fixed-cut design's whole
+    reason to exist; see the module docstring's KLL decision)."""
+    ev = db.df("events").select("event_id", "user_id", "ts", "value")
+    want = sorted(
+        (r["user_id"], r["n"], tuple(r["counts"]))
+        for r in grouped_hist(ev, "user_id", "value", cuts).collect()
+    )
+
+    # split A: three ts-range drops (time-ordered arrival)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).first()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c1, c2 = (lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3)
+    src_a = str(tmp_path / "a")
+    for i, p in enumerate(
+        [us <= c1, (us > c1) & (us <= c2), us > c2]
+    ):
+        ev.filter(p).coalesce(1).write.mode("overwrite").parquet(
+            f"{src_a}/b{i}"
+        )
+    got_a = _run_stream(spark, src_a, ev.schema, cuts, tmp_path, "a")
+
+    # split B: four random-partition drops (arbitrary arrival order)
+    src_b = str(tmp_path / "b")
+    ev.repartition(4).write.mode("overwrite").parquet(src_b)
+    got_b = _run_stream(spark, src_b, ev.schema, cuts, tmp_path, "b")
+
+    assert got_a == want
+    assert got_b == want
