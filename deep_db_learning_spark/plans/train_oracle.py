@@ -663,6 +663,125 @@ def _trompt_layer_losses(
     return losses
 
 
+def _fold_rows_decimal(rows, glen: int):
+    """Twin of ``tabnet_full._fold_flat_grads``: sum the per-row
+    float gradient vectors as dec9 decimals in row order (order-free —
+    decimal addition is exact and associative)."""
+    import numpy as np
+
+    tot = [Decimal(0)] * glen
+    for row in rows:
+        for i in range(glen):
+            tot[i] += _dec9(float(row[i]))
+    return np.array([float(t) for t in tot], dtype=np.float64)
+
+
+def _tabnet_full_losses(
+    sf_dir: str,
+    epochs: int = 3,
+    lr: float = 0.1,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    out_channels: int = 8,
+    num_layers: int = 2,
+    feat_channels: int = 8,
+    attn_channels: int = 8,
+) -> list[float]:
+    """Twin of ``plans.tabnet_full.train_tabnet_full``: DuckDB root
+    assembly, the SHARED forward/backward kernels (the ``row_logits``
+    precedent — fixed-order GEMMs make every per-row gradient
+    batch-independent, so computing them here over the full training
+    set in ONE numpy batch reproduces the engine's Arrow-split values
+    exactly), then an independent decimal replay of the fold and the
+    SGD updates — every epoch's loss bit-equal to the engine's."""
+    import numpy as np
+
+    from .tabnet_full import (
+        l2_term,
+        sgd_step,
+        tabnet_full_row_grads,
+        tabnet_param_specs,
+        tabnet_seed_params,
+    )
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    onehot = np.zeros((len(codes_a), card))
+    onehot[np.arange(len(codes_a)), codes_a] = 1.0
+    feats = np.concatenate([onehot, X_num], axis=1)
+    tr = np.where(train_mask)[0]
+    X, y = feats[tr], y_a[tr]
+    n, in_ch = X.shape
+    fc, ac = feat_channels, attn_channels
+    specs = tabnet_param_specs(in_ch, num_layers, fc, ac, out_channels, k)
+    p = tabnet_seed_params(in_ch, num_layers, fc, ac, out_channels, k, seed)
+    glen = 1 + sum(int(np.prod(s)) for _n, s, _b in specs)
+    losses: list[float] = []
+    for _ in range(epochs):
+        rows = tabnet_full_row_grads(X, y, p, num_layers, fc, ac, k)
+        flat = _fold_rows_decimal(rows, glen)
+        losses.append(flat[0] / n + 0.5 * l2 * l2_term(p, specs))
+        sgd_step(p, specs, flat, n, lr, l2)
+    return losses
+
+
+def _trompt_full_losses(
+    sf_dir: str,
+    epochs: int = 3,
+    lr: float = 0.2,
+    l2: float = 1e-4,
+    seed: int = 42,
+    neighbor_budget: int | None = 5,
+    ch: int = 8,
+    num_prompts: int = 4,
+    num_layers: int = 2,
+) -> list[float]:
+    """Twin of ``plans.tabnet_full.train_trompt_full``: DuckDB root
+    assembly, the SHARED per-row forward/backward kernels, then an
+    independent decimal replay of the fold and the SGD updates."""
+    import numpy as np
+
+    from .tabnet_full import (
+        l2_term,
+        sgd_step,
+        trompt_full_row_grads,
+        trompt_param_specs,
+        trompt_seed_params,
+    )
+    from .tabnet_head import trompt_column_embeddings
+
+    node_ids, codes_a, y_a, X_num, train_mask = _assemble(
+        sf_dir, seed, neighbor_budget=neighbor_budget
+    )
+    card = int(codes_a.max()) + 1
+    k = int(y_a.max()) + 1
+    tr = np.where(train_mask)[0]
+    n = len(tr)
+    # the frozen column embeddings are parameter-independent
+    ms = [
+        trompt_column_embeddings(int(codes_a[i]), X_num[i], card, ch, seed)
+        for i in tr
+    ]
+    ys = [int(y_a[i]) for i in tr]
+    specs = trompt_param_specs(ch, num_prompts, num_layers, k)
+    p = trompt_seed_params(ch, num_prompts, num_layers, k, seed)
+    glen = 1 + sum(int(np.prod(s)) for _n, s, _b in specs)
+    losses: list[float] = []
+    for _ in range(epochs):
+        rows = [
+            trompt_full_row_grads(m, y, p, num_layers, num_prompts, k)
+            for m, y in zip(ms, ys)
+        ]
+        flat = _fold_rows_decimal(rows, glen)
+        losses.append(flat[0] / n + 0.5 * l2 * l2_term(p, specs))
+        sgd_step(p, specs, flat, n, lr, l2)
+    return losses
+
+
 def train_loss_oracle_sql(epochs: int = 8, seed: int = 42) -> str:
     """The ``train_relational`` oracle: recompute BOTH loss trajectories
     (full-batch GD and the minibatch-SGD loop over budgeted per-root

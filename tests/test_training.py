@@ -1133,3 +1133,210 @@ def test_trompt_layer_trains_through_fit_fn(db):
     )
     assert not np.array_equal(res.params["W"], W0)
     assert "train" in res.accuracy and "test" in res.accuracy
+
+
+def test_tabnet_full_gradients_match_finite_differences():
+    """r9: the full-encoder backward — through every GLU block, every
+    sparsemax (support-set projection backward), the prior-decay
+    recurrence, and the output projection — against central finite
+    differences of the shared forward, coordinate-sampled across every
+    parameter block. Absolute tolerance floor because FD truncation
+    noise (~1e-10 on an O(1) loss) dwarfs near-zero gradients."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.tabnet_full import (
+        tabnet_full_forward,
+        tabnet_full_row_grads,
+        tabnet_param_specs,
+        tabnet_seed_params,
+    )
+
+    rng = np.random.default_rng(7)
+    in_ch, L, fc, ac, out_ch, k = 10, 2, 4, 4, 6, 3
+    X = rng.normal(size=(5, in_ch))
+    y = rng.integers(0, k, size=5)
+    specs = tabnet_param_specs(in_ch, L, fc, ac, out_ch, k)
+    p = tabnet_seed_params(in_ch, L, fc, ac, out_ch, k, 42)
+    for name, shape, _b in specs:
+        p[name] = p[name] + rng.normal(scale=0.05, size=shape)
+
+    def total_loss():
+        fw = tabnet_full_forward(X, p, L, fc, ac)
+        lg = fw["logits"] - fw["logits"].max(axis=1, keepdims=True)
+        ex = np.exp(lg)
+        P = ex / ex.sum(axis=1, keepdims=True)
+        return -np.log(P[np.arange(len(y)), y]).sum()
+
+    grads = tabnet_full_row_grads(X, y, p, L, fc, ac, k).sum(axis=0)
+    eps = 1e-6
+    o = 1
+    for name, shape, _b in specs:
+        size = int(np.prod(shape))
+        g = grads[o:o + size].reshape(shape)
+        o += size
+        for fi in rng.choice(size, size=min(10, size), replace=False):
+            idx = np.unravel_index(fi, shape)
+            orig = p[name][idx]
+            p[name][idx] = orig + eps
+            lp = total_loss()
+            p[name][idx] = orig - eps
+            lm = total_loss()
+            p[name][idx] = orig
+            fd = (lp - lm) / (2 * eps)
+            assert abs(fd - g[idx]) <= 1e-4 * max(1.0, abs(fd), abs(g[idx])), (
+                name, idx, fd, g[idx],
+            )
+
+
+def test_trompt_full_gradients_match_finite_differences():
+    """r9: the full Trompt backward — through the mean-pool decode and
+    the stacked residual attention layers down to the prompt bank —
+    against central finite differences of the shared forward."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.tabnet_full import (
+        trompt_full_forward,
+        trompt_full_row_grads,
+        trompt_param_specs,
+        trompt_seed_params,
+    )
+
+    rng = np.random.default_rng(11)
+    ch, P_, L, k = 6, 3, 2, 4
+    m = rng.normal(size=(5, ch))
+    y = 2
+    specs = trompt_param_specs(ch, P_, L, k)
+    p = trompt_seed_params(ch, P_, L, k, 42)
+    for name, shape, _b in specs:
+        p[name] = p[name] + rng.normal(scale=0.05, size=shape)
+
+    def total_loss():
+        _c, _e, logits = trompt_full_forward(m, p, L, P_)
+        lg = logits - logits.max()
+        ex = np.exp(lg)
+        Pr = ex / ex.sum()
+        return -np.log(Pr[y])
+
+    g = trompt_full_row_grads(m, y, p, L, P_, k)
+    eps = 1e-6
+    o = 1
+    for name, shape, _b in specs:
+        size = int(np.prod(shape))
+        gm = g[o:o + size].reshape(shape)
+        o += size
+        for fi in rng.choice(size, size=min(10, size), replace=False):
+            idx = np.unravel_index(fi, shape)
+            orig = p[name][idx]
+            p[name][idx] = orig + eps
+            lp = total_loss()
+            p[name][idx] = orig - eps
+            lm = total_loss()
+            p[name][idx] = orig
+            fd = (lp - lm) / (2 * eps)
+            assert abs(fd - gm[idx]) <= 1e-4 * max(1.0, abs(fd), abs(gm[idx])), (
+                name, idx, fd, gm[idx],
+            )
+
+
+def test_tabnet_full_trains_whole_encoder_through_fit_fn(db):
+    """r9 (closing the N22 daylight): EVERY TabNet parameter — all GLU
+    feature transformers, all attentive transformers (sparsemax
+    backward), the output projection, the head — trains jointly
+    in-engine. The independent numpy/decimal twin replays every
+    epoch's loss bit-for-bit; the loss descends; iteration 0 equals
+    the frozen-encoder head trainer's first data loss (same seeded
+    init, same head draw — the l2 terms differ only by the now-trained
+    encoder matrices, which the assertion reconstructs)."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.tabnet_full import (
+        TABNET_FULL_BENCH_CONFIG,
+        l2_term,
+        tabnet_param_specs,
+        tabnet_seed_params,
+        train_tabnet_full,
+    )
+    from deep_db_learning_spark.plans.tabnet_head import (
+        TABNET_HEAD_BENCH_CONFIG,
+        train_tabnet_head,
+    )
+    from deep_db_learning_spark.plans.train_oracle import (
+        _tabnet_full_losses,
+    )
+
+    res = train_tabnet_full(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        **TABNET_FULL_BENCH_CONFIG,
+    )
+    twin = _tabnet_full_losses(
+        "/root/testdata/sf0.001", seed=42, **TABNET_FULL_BENCH_CONFIG
+    )
+    assert res.losses == twin
+    assert len(res.losses) == TABNET_FULL_BENCH_CONFIG["epochs"]
+    assert res.losses[-1] < res.losses[0]
+    # iteration 0 == the frozen-encoder head trainer: same data loss.
+    # Both trajectories' first entries are dataloss/n + 0.5*l2*reg with
+    # different reg sets (head: Wh only; full: every weight matrix at
+    # its seeded init) — reconstruct and compare the data part exactly.
+    head = train_tabnet_head(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        **TABNET_HEAD_BENCH_CONFIG,
+    )
+    k = res.params["Wh"].shape[1]
+    in_ch = res.params["w_feat0"].shape[0]
+    cfg = TABNET_FULL_BENCH_CONFIG
+    specs = tabnet_param_specs(
+        in_ch, cfg["num_layers"], cfg["feat_channels"],
+        cfg["attn_channels"], cfg["out_channels"], k,
+    )
+    p0 = tabnet_seed_params(
+        in_ch, cfg["num_layers"], cfg["feat_channels"],
+        cfg["attn_channels"], cfg["out_channels"], k, 42,
+    )
+    l2 = cfg["l2"]
+    full_data0 = res.losses[0] - 0.5 * l2 * l2_term(p0, specs)
+    head_data0 = head.losses[0] - 0.5 * l2 * float(
+        (p0["Wh"] * p0["Wh"]).sum()
+    )
+    assert abs(full_data0 - head_data0) < 1e-12
+    # the encoder genuinely moved off its seeded init — every block
+    for name, _shape, _b in specs:
+        assert not np.array_equal(res.params[name], p0[name]), name
+    assert "train" in res.accuracy and "test" in res.accuracy
+
+
+def test_trompt_full_trains_whole_encoder_through_fit_fn(db):
+    """r9 N23 mirror: the prompt bank, every attention layer, and the
+    head train jointly in-engine; twin bit-equal; loss descends; all
+    parameter blocks move."""
+    import numpy as np
+
+    from deep_db_learning_spark.plans.tabnet_full import (
+        TROMPT_FULL_BENCH_CONFIG,
+        train_trompt_full,
+        trompt_param_specs,
+        trompt_seed_params,
+    )
+    from deep_db_learning_spark.plans.train_oracle import (
+        _trompt_full_losses,
+    )
+
+    res = train_trompt_full(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        **TROMPT_FULL_BENCH_CONFIG,
+    )
+    twin = _trompt_full_losses(
+        "/root/testdata/sf0.001", seed=42, **TROMPT_FULL_BENCH_CONFIG
+    )
+    assert res.losses == twin
+    assert len(res.losses) == TROMPT_FULL_BENCH_CONFIG["epochs"]
+    assert res.losses[-1] < res.losses[0]
+    k = res.params["Wh"].shape[1]
+    cfg = TROMPT_FULL_BENCH_CONFIG
+    specs = trompt_param_specs(cfg["ch"], cfg["num_prompts"],
+                               cfg["num_layers"], k)
+    p0 = trompt_seed_params(cfg["ch"], cfg["num_prompts"],
+                            cfg["num_layers"], k, 42)
+    for name, _shape, _b in specs:
+        assert not np.array_equal(res.params[name], p0[name]), name
+    assert "train" in res.accuracy and "test" in res.accuracy
