@@ -1982,6 +1982,13 @@ def q_text_metrics(spark, sf_dir):
 TEXT_LM_SPEC = {"vocab_size": 128, "bigram_k": 1024}
 
 
+# shared between q_text_quality's dsir mode and its oracle builder:
+# the featurizer width and the target-domain filter are part of the
+# spec — both engines fit their own λ under this config and any drift
+# breaks the hash
+TEXT_DSIR_SPEC = {"n_buckets": 1024, "target_source": "src0"}
+
+
 def q_text_quality(spark, sf_dir):
     """LLM ops, mode-tagged (r7 rotation): ``metrics`` — the merged
     per-document text-analysis scan (q_text_metrics); ``lm`` — CCNet-
@@ -1989,46 +1996,76 @@ def q_text_quality(spark, sf_dir):
     backoff bigram LM (Brants et al. 2007) fitted on the corpus itself
     (`operators/lm.py`: distributed counting, bounded top-V/top-K
     collects, python-log literal score tables, decimal-exact fold —
-    neither engine evaluates a transcendental). NULL-padded to one
-    schema."""
+    neither engine evaluates a transcendental).
+
+    ``dsir`` (r9) — DSIR importance resampling (Xie et al. 2023,
+    `operators/dsir.py`): hashed unigram+bigram buckets (portable md5),
+    per-bucket log-likelihood-ratio weights between the src0 target
+    domain and the whole corpus computed DRIVER-side in python over
+    exact integer counts, per-document scores as exact decimal folds
+    of the dec9-quantized λ, and the deterministic resampling rank
+    (score DESC, doc_id). The oracle fits its own λ from DuckDB-side
+    counts through the SHARED python arithmetic — the LM-oracle
+    pattern applied to a selection model. NULL-padded to one schema."""
     from deep_db_learning_spark.operators import lm as LM
+    from deep_db_learning_spark.operators.dsir import (
+        dsir_scores,
+        fit_dsir_weights,
+    )
 
     db = _db(spark, sf_dir)
     docs = db.df("documents")
     metrics = q_text_metrics(spark, sf_dir)
     model = LM.fit_stupid_backoff(docs, **TEXT_LM_SPEC)
     scores = LM.perplexity_scores(docs, model)
-    return metrics.select(
-        F.lit("metrics").alias("mode"),
-        "doc_id",
-        "ws_tokens",
-        "bpe_tokens",
-        "lang",
-        "fp_md5",
-        "fp_minhash",
-        "quality",
-        "dup_token_frac",
-        "top_token_frac",
-        "mean_tok_freq",
-        F.lit(None).cast("int").alias("n_tokens"),
-        F.lit(None).cast("double").alias("logp_sum"),
-        F.lit(None).cast("double").alias("avg_nll"),
-    ).unionByName(
-        scores.select(
-            F.lit("lm").alias("mode"),
-            "doc_id",
-            F.lit(None).cast("int").alias("ws_tokens"),
-            F.lit(None).cast("int").alias("bpe_tokens"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit(None).cast("string").alias("fp_md5"),
-            F.lit(None).cast("string").alias("fp_minhash"),
-            F.lit(None).cast("double").alias("quality"),
-            F.lit(None).cast("double").alias("dup_token_frac"),
-            F.lit(None).cast("double").alias("top_token_frac"),
-            F.lit(None).cast("double").alias("mean_tok_freq"),
-            F.col("n_tokens").cast("int").alias("n_tokens"),
-            "logp_sum",
-            "avg_nll",
+    lam = fit_dsir_weights(
+        docs.where(F.col("source") == TEXT_DSIR_SPEC["target_source"]),
+        docs,
+        n_buckets=TEXT_DSIR_SPEC["n_buckets"],
+    )
+    from pyspark.sql.window import Window
+
+    dsir = dsir_scores(docs, lam).withColumn(
+        "dsir_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+        .cast("int"),
+    )
+    pad = {
+        "ws_tokens": "int", "bpe_tokens": "int", "lang": "string",
+        "fp_md5": "string", "fp_minhash": "string", "quality": "double",
+        "dup_token_frac": "double", "top_token_frac": "double",
+        "mean_tok_freq": "double", "n_tokens": "int",
+        "logp_sum": "double", "avg_nll": "double",
+        "dsir_score": "double", "dsir_rank": "int",
+    }
+
+    def padded(cols):
+        return [
+            (F.col(c) if c in cols else F.lit(None)).cast(t).alias(c)
+            for c, t in pad.items()
+        ]
+
+    return (
+        metrics.select(
+            F.lit("metrics").alias("mode"), "doc_id",
+            *padded({
+                "ws_tokens", "bpe_tokens", "lang", "fp_md5", "fp_minhash",
+                "quality", "dup_token_frac", "top_token_frac",
+                "mean_tok_freq",
+            }),
+        )
+        .unionByName(
+            scores.select(
+                F.lit("lm").alias("mode"), "doc_id",
+                *padded({"n_tokens", "logp_sum", "avg_nll"}),
+            )
+        )
+        .unionByName(
+            dsir.withColumnRenamed("score", "dsir_score").select(
+                F.lit("dsir").alias("mode"), "doc_id",
+                *padded({"dsir_score", "dsir_rank"}),
+            )
         )
     )
 
@@ -5016,17 +5053,74 @@ def oracle_sql() -> dict[str, str]:
                top_token_frac, mean_tok_freq,
                CAST(NULL AS INT) AS n_tokens,
                CAST(NULL AS DOUBLE) AS logp_sum,
-               CAST(NULL AS DOUBLE) AS avg_nll
+               CAST(NULL AS DOUBLE) AS avg_nll,
+               CAST(NULL AS DOUBLE) AS dsir_score,
+               CAST(NULL AS INT) AS dsir_rank
         FROM ({sqls.pop("text_metrics")})
         UNION ALL
         SELECT 'lm', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-               CAST(NULL AS DOUBLE), n_tokens, logp_sum, avg_nll
+               CAST(NULL AS DOUBLE), n_tokens, logp_sum, avg_nll,
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT)
         FROM ({_text_quality_lm_oracle()})
+        UNION ALL
+        SELECT 'dsir', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               dsir_score, dsir_rank
+        FROM ({_text_quality_dsir_oracle()})
     """
     return sqls
+
+
+def _text_quality_dsir_oracle() -> str:
+    """Oracle half of the q_text_quality ``dsir`` mode: re-fit the
+    per-bucket log-likelihood-ratio weights **independently in
+    DuckDB** under the shared :data:`TEXT_DSIR_SPEC` (identical
+    featurizer SQL, exact integer counts, the SHARED
+    ``dsir_lambda_py`` transcendental arithmetic — the LM/BM25-idf
+    literal pattern), then emit the scoring SQL with the dec9 λ VALUES
+    table and the deterministic resampling rank."""
+    import duckdb
+
+    from deep_db_learning_spark.operators.dsir import (
+        doc_ngram_buckets_sql,
+        dsir_lambda_py,
+        dsir_scores_sql,
+    )
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    B = TEXT_DSIR_SPEC["n_buckets"]
+    target = TEXT_DSIR_SPEC["target_source"]
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    t_counts = [0] * B
+    r_counts = [0] * B
+    tgt = f"(SELECT * FROM documents WHERE source = '{target}')"
+    for view, out in ((tgt, t_counts), ("documents", r_counts)):
+        for b, c in con.execute(
+            "SELECT bucket, count(*) FROM ("
+            + doc_ngram_buckets_sql(view, n_buckets=B)
+            + ") GROUP BY 1"
+        ).fetchall():
+            out[b] = c
+    con.close()
+    lam = dsir_lambda_py(t_counts, r_counts)
+    return f"""
+        SELECT doc_id, score AS dsir_score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INT) AS dsir_rank
+        FROM ({dsir_scores_sql('documents', lam)})
+    """
 
 
 def _stratified_split_oracle() -> str:

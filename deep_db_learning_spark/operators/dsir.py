@@ -1,0 +1,287 @@
+"""Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+arXiv:2302.03169) — pick raw-corpus documents whose hashed-n-gram
+distribution looks like a TARGET corpus. The standard pretraining
+data-selection pass the reference pipeline family lacks; a first-class
+LLM-data operator here.
+
+The algorithm, re-expressed Spark-first:
+
+1. **Featurize** every document into hashed n-gram buckets (unigrams +
+   bigrams of lowercased whitespace tokens → portable 32-bit md5
+   bucket mod ``n_buckets``). Pure codegen: split / sequence /
+   transform / explode — a row-local 1→N flatMap at scan speed.
+2. **Fit** two bag-of-hashed-ngrams models: bucket counts over the
+   target corpus and over the raw corpus — two map-side-combinable
+   ``groupBy(bucket)`` jobs whose results are BOUNDED driver state
+   (``n_buckets`` integers each, the PSI/BM25 recipe).
+3. **Weight**: per-bucket log-likelihood ratio
+   ``λ_b = log((t_b+α)/(T+αB)) − log((r_b+α)/(R+αB))`` computed
+   DRIVER-SIDE in python over the exact integer counts (Laplace-α
+   smoothing), so the transcendentals are engine-independent literals
+   — the BM25-idf/PSI coupling trick.
+4. **Score**: each document's importance ``log w = Σ_grams λ_bucket``.
+   The λ values cross into the plan dec9-QUANTIZED (decimal(30,9));
+   the per-document sum is an exact decimal fold — associative, so the
+   score is partitioning- and engine-independent bit-for-bit. One
+   explode + one broadcast join (λ is n_buckets rows) + one
+   map-side-combinable groupBy: a single narrow shuffle over the
+   corpus.
+5. **Select**: deterministic top-k by ``(score DESC, doc_id)`` (the
+   paper's importance-resampling step uses Gumbel noise; the
+   deterministic top-k variant is what ships as the oracle-coupled
+   default — :func:`gumbel_select` provides the randomized form with a
+   portable hash-seeded Gumbel, pytest-twinned).
+
+100 TB posture: no step holds more than ``n_buckets`` values on the
+driver; the corpus is touched by exactly two count shuffles (fit) and
+one score shuffle; the λ join is broadcast; top-k is a rank over the
+score frame (or a threshold from ``exact_quantiles`` to avoid the
+global sort when k is a fraction).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact_agg import DECIMAL_TYPE
+from ..functions.hashing import md5_prefix_hash, md5_prefix_hash_sql
+
+DEFAULT_BUCKETS = 10_000
+
+
+def _tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the text
+    family's tokenization (``functions/text.py`` conventions)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def doc_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """``(id_col, bucket)`` — one row per n-gram OCCURRENCE (unigrams +
+    bigrams), hashed into ``n_buckets`` portable buckets. Row-local
+    codegen flatMap: no shuffle, no UDF."""
+    toks = _tokens(text_col)
+    uni = toks
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(uni, bi)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(
+            id_col,
+            (md5_prefix_hash(F.col("gram")) % F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+
+
+def doc_ngram_buckets_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`doc_ngram_buckets` — identical
+    tokenization, gram join, md5-prefix bucket."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})), '\\s+'),"
+        f" t -> t <> '')"
+    )
+    return f"""
+        SELECT {id_col},
+               ({md5_prefix_hash_sql('gram')}) % {n_buckets} AS bucket
+        FROM (
+          SELECT {id_col},
+                 list_concat(
+                   toks,
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[CAST(i AS INT)] || ' ' ||
+                                         toks[CAST(i AS INT) + 1])
+                   ELSE [] END
+                 ) AS grams
+          FROM (SELECT {id_col}, {toks} AS toks FROM {table}
+                WHERE {text_col} IS NOT NULL)
+        ), unnest(grams) AS g(gram)
+    """
+
+
+def fit_dsir_weights(
+    df_target: DataFrame,
+    df_raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> list[float]:
+    """Per-bucket log-likelihood-ratio weights ``λ_b`` from the target
+    and raw corpora — two count jobs, then driver-side python ``log``
+    over the exact integer counts (engine-independent by the BM25-idf
+    precedent). Returns a dense length-``n_buckets`` list."""
+    def counts(df):
+        rows = (
+            doc_ngram_buckets(df, text_col, id_col, n_buckets)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        out = [0] * n_buckets
+        for r in rows:
+            out[r["bucket"]] = r["c"]
+        return out
+
+    t = counts(df_target)
+    r = counts(df_raw)
+    return dsir_lambda_py(t, r, alpha)
+
+
+def dsir_lambda_py(t_counts, r_counts, alpha: float = 1.0) -> list[float]:
+    """The shared λ arithmetic over exact integer counts — python
+    floats, used identically by the engine fit and the oracle builder
+    (any drift breaks the driver hash)."""
+    B = len(t_counts)
+    T = sum(t_counts)
+    R = sum(r_counts)
+    return [
+        math.log((t_counts[b] + alpha) / (T + alpha * B))
+        - math.log((r_counts[b] + alpha) / (R + alpha * B))
+        for b in range(B)
+    ]
+
+
+def _dec9_str(x: float) -> str:
+    """dec9 quantization of a λ literal — the exact value that crosses
+    into BOTH plans (Spark decimal literal, DuckDB CAST text)."""
+    from decimal import ROUND_HALF_UP
+
+    return str(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1.000000000"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    lambdas: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, score, n_grams)`` — per-document importance
+    ``log w = Σ λ_bucket`` as an exact decimal fold over dec9-quantized
+    λ (bit-identical under any partitioning), cast to double at the
+    end. Documents whose text yields no grams score 0 with
+    ``n_grams = 0`` (left join back to the corpus). One explode
+    shuffle + a broadcast λ join."""
+    n_buckets = len(lambdas)
+    spark = df.sparkSession
+    lam = spark.createDataFrame(
+        [(b, Decimal(_dec9_str(lambdas[b]))) for b in range(n_buckets)],
+        f"bucket bigint, lam {DECIMAL_TYPE}",
+    )
+    scored = (
+        doc_ngram_buckets(df, text_col, id_col, n_buckets)
+        .join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("lam").cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        )
+    )
+
+
+def dsir_scores_sql(
+    table: str,
+    lambdas: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dsir_scores`: the identical dec9 λ
+    literals, the identical exact decimal fold."""
+    vals = ", ".join(
+        f"({b}, CAST('{_dec9_str(lambdas[b])}' AS DECIMAL(30,9)))"
+        for b in range(len(lambdas))
+    )
+    buckets = doc_ngram_buckets_sql(table, text_col, id_col, len(lambdas))
+    return f"""
+        SELECT d.{id_col},
+               COALESCE(s.score, 0.0) AS score,
+               COALESCE(s.n_grams, 0) AS n_grams
+        FROM (SELECT {id_col} FROM {table} WHERE {text_col} IS NOT NULL) d
+        LEFT JOIN (
+          SELECT {id_col},
+                 CAST(sum(lam) AS DOUBLE) AS score,
+                 count(*) AS n_grams
+          FROM ({buckets}) b
+          JOIN (VALUES {vals}) AS lamt(bucket, lam) USING (bucket)
+          GROUP BY {id_col}
+        ) s USING ({id_col})
+    """
+
+
+def select_top_k(scores: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """The deterministic resampling step: keep the ``k`` highest-scored
+    documents, ties broken by ``id_col`` — a rank, not a global sort of
+    the corpus payload (only (id, score) shuffles)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scores.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def gumbel_select(
+    scores: DataFrame, k: int, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """The paper's randomized importance resampling: top-k by
+    ``score + Gumbel(0,1)`` with the noise derived from a PORTABLE
+    per-document hash (md5 of ``seed:id`` → uniform in (0,1) →
+    ``−log(−log u)``), so the sample is reproducible across engines
+    and runs. The transcendental is per-row float64 libm — pytest pins
+    it against a python replay (not a SQL oracle; the deterministic
+    :func:`select_top_k` is the driver-hashed form)."""
+    from pyspark.sql.window import Window
+
+    u = (
+        md5_prefix_hash(
+            F.concat(F.lit(f"dsir-gumbel:{seed}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = F.col("score") + -F.log(-F.log(u))
+    w = Window.orderBy(F.desc(key), F.col(id_col))
+    return (
+        scores.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

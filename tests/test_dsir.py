@@ -1,0 +1,148 @@
+"""DSIR importance resampling (operators/dsir.py): cross-engine
+bit-parity of the featurizer and the decimal score fold, λ fit
+sanity, deterministic + Gumbel selection."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators.dsir import (
+    doc_ngram_buckets,
+    doc_ngram_buckets_sql,
+    dsir_lambda_py,
+    dsir_scores,
+    dsir_scores_sql,
+    fit_dsir_weights,
+    gumbel_select,
+    select_top_k,
+)
+
+B = 512
+
+
+@pytest.fixture(scope="module")
+def lam(db):
+    docs = db.df("documents")
+    return fit_dsir_weights(
+        docs.where(F.col("source") == "src0"), docs, n_buckets=B
+    )
+
+
+def test_featurizer_matches_duckdb_twin(db, duck):
+    got = sorted(
+        map(tuple, doc_ngram_buckets(db.df("documents"), n_buckets=B).collect())
+    )
+    want = sorted(
+        map(tuple, duck.execute(
+            doc_ngram_buckets_sql("documents", n_buckets=B)
+        ).fetchall())
+    )
+    assert got == want
+    assert len(got) > 0
+    # occurrence rows: every bucket in range
+    assert all(0 <= b < B for _i, b in got)
+
+
+def test_scores_match_duckdb_twin_bitwise(db, duck, lam):
+    got = sorted(map(tuple, dsir_scores(db.df("documents"), lam).collect()))
+    want = sorted(
+        map(tuple, duck.execute(dsir_scores_sql("documents", lam)).fetchall())
+    )
+    assert got == want
+    assert len(got) == db.df("documents").where(
+        F.col("text").isNotNull()
+    ).count()
+
+
+def test_target_documents_score_higher(db, lam):
+    """The whole point: documents from the target domain (src0) get a
+    higher mean importance than the corpus at large."""
+    scores = dsir_scores(db.df("documents"), lam)
+    joined = scores.join(
+        db.df("documents").select("doc_id", "source"), "doc_id"
+    )
+    rows = {
+        r["grp"]: r["m"]
+        for r in joined.groupBy(
+            (F.col("source") == "src0").alias("grp")
+        ).agg(F.avg("score").alias("m")).collect()
+    }
+    assert rows[True] > rows[False]
+
+
+def test_lambda_arithmetic_is_the_shared_python(db, lam):
+    """λ recomputed from DuckDB-side counts with the shared python
+    helper equals the engine fit exactly (the BM25-idf coupling)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    t = [0] * B
+    r = [0] * B
+    for bucket, c in con.execute(
+        "SELECT bucket, count(*) FROM ("
+        + doc_ngram_buckets_sql(
+            "(SELECT * FROM documents WHERE source = 'src0')", n_buckets=B
+        )
+        + ") GROUP BY 1"
+    ).fetchall():
+        t[bucket] = c
+    for bucket, c in con.execute(
+        "SELECT bucket, count(*) FROM ("
+        + doc_ngram_buckets_sql("documents", n_buckets=B)
+        + ") GROUP BY 1"
+    ).fetchall():
+        r[bucket] = c
+    con.close()
+    assert dsir_lambda_py(t, r) == lam
+
+
+def test_select_top_k_deterministic(db, lam):
+    scores = dsir_scores(db.df("documents"), lam)
+    a = [r["doc_id"] for r in select_top_k(scores, 25).collect()]
+    b = [r["doc_id"] for r in select_top_k(scores, 25).collect()]
+    assert sorted(a) == sorted(b)
+    assert len(a) == 25
+    # every kept score >= every dropped score
+    kept_min = min(r["score"] for r in select_top_k(scores, 25).collect())
+    dropped = scores.join(
+        select_top_k(scores, 25).select("doc_id"), "doc_id", "left_anti"
+    )
+    assert all(r["score"] <= kept_min for r in dropped.collect())
+
+
+def test_gumbel_select_matches_python_replay(db, lam):
+    """The portable-hash Gumbel key replayed in python picks the same
+    document set (noise is a deterministic function of (seed, id))."""
+    import hashlib
+
+    scores = dsir_scores(db.df("documents"), lam)
+    rows = scores.collect()
+
+    def key(doc_id, score, seed=42):
+        h = int(
+            hashlib.md5(f"dsir-gumbel:{seed}:{doc_id}".encode())
+            .hexdigest()[:8],
+            16,
+        )
+        u = (h + 0.5) / float(2**32)
+        return score + -math.log(-math.log(u))
+
+    want = sorted(
+        (r["doc_id"] for r in rows),
+        key=lambda d: (
+            -key(d, {x["doc_id"]: x["score"] for x in rows}[d]),
+            d,
+        ),
+    )[:25]
+    got = [r["doc_id"] for r in gumbel_select(scores, 25).collect()]
+    assert sorted(got) == sorted(want)
+    # and a different seed picks a different set (noise is live)
+    other = [
+        r["doc_id"] for r in gumbel_select(scores, 25, seed=7).collect()
+    ]
+    assert sorted(other) != sorted(got)

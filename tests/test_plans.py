@@ -275,8 +275,12 @@ PLAN_PINS = {
     # corpus-freq fold + the _spread repartition + the per-doc scoring
     # fold (4 real shuffles, doubled); the bounded LM model frames
     # must broadcast (pin moved here from PIN_FN in r9 — it sat in the
-    # wrong dict and never ran)
-    "text_quality": (8, 10),
+    # wrong dict and never ran). r9: the dsir mode adds 3 real
+    # shuffles (per-doc decimal score fold, the zero-fill join back to
+    # the corpus, the global resampling-rank window over narrow
+    # (id, score) rows) and the λ table must broadcast (+2 bhj with
+    # the zero-fill side)
+    "text_quality": (14, 12),
     # r9 first-class bench entries: triangles = co-purchase edge build
     # (hot-size frame broadcast) + degree orientation + wedge join +
     # closing-edge probe + the per-node stats joins; kcore = the final
