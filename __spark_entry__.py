@@ -520,6 +520,20 @@ def _qhist_oracle() -> str:
     """
 
 
+def _semdedup_oracle() -> str:
+    """semdedup mode of ``embedding_neardup``: the deterministic
+    clustering re-fit by the SHARED ``ivf_fit_assign`` numpy/decimal
+    twin (assignments inlined as VALUES — the ann_ivf pattern), then
+    the identical greedy in-cluster scan in DuckDB SQL. ``sf_dir=None``
+    reads SPARK_GRAFT_ORACLE_SF at build time like every other
+    builder."""
+    from deep_db_learning_spark.operators.semdedup import (
+        semantic_dedup_oracle_sql,
+    )
+
+    return semantic_dedup_oracle_sql(0.30, sf_dir=None)
+
+
 def q_constraints(spark, sf_dir):
     """S3/S4 + r7 validation, mode-tagged: ``decl`` — PK + FK
     constraint listing from the catalog sidecar (table_name, kind,
@@ -2202,12 +2216,38 @@ def q_text_search(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """LLM ops: exact cosine pair join at 0.32 among vec_id < 200 (the
-    synthetic embeddings are random — max pairwise cosine ~0.44 — so
-    the threshold is set where pairs exist to exercise the operator)."""
+    """LLM ops, mode-tagged (r9 rotation): ``pairs`` — exact cosine
+    pair join at 0.32 among vec_id < 200 (the synthetic embeddings are
+    random — max pairwise cosine ~0.44 — so the threshold is set where
+    pairs exist to exercise the operator). ``semdedup`` (r9) —
+    SemDeDup (Abbas et al. 2023, `operators/semdedup.py`) over the
+    FULL corpus: the deterministic Lloyd's clustering (the same fit
+    the ann_ivf oracle bit-replays), in-cluster upper-triangular
+    greedy marking at 0.30, per-vector (cluster, earliest duplicate
+    source, strongest similarity) — the oracle re-fits the clustering
+    through the shared `ivf_fit_assign` twin and replays the identical
+    scan in SQL. NULL-padded to one schema."""
+    from deep_db_learning_spark.operators.semdedup import semantic_dedup
+
     db = _db(spark, sf_dir)
     sub = db.df("embeddings").filter(F.col("vec_id") < 200)
-    return similarity.embedding_neardup_pairs(sub, threshold=0.32, exact=True)
+    pairs = similarity.embedding_neardup_pairs(sub, threshold=0.32, exact=True)
+    sd = semantic_dedup(db.df("embeddings"), threshold=0.30)
+    return pairs.select(
+        F.lit("pairs").alias("mode"),
+        "id_a",
+        "id_b",
+        "sim",
+        F.lit(None).cast("int").alias("list_id"),
+    ).unionByName(
+        sd.select(
+            F.lit("semdedup").alias("mode"),
+            F.col("vec_id").alias("id_a"),
+            F.col("dup_of").alias("id_b"),
+            "sim",
+            "list_id",
+        )
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -4551,14 +4591,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT approx.query_id, vec_id, rank, sim, recall
             FROM approx JOIN rec ON approx.query_id = rec.query_id
         """,
-        "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        "embedding_neardup": f"""
+            SELECT 'pairs' AS mode, a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 6) AS sim
+                                                b.embedding::DOUBLE[]), 6) AS sim,
+                   CAST(NULL AS INT) AS list_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 200 AND b.vec_id < 200
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.32
+            UNION ALL
+            -- r9 semdedup mode: clustering bit-replayed by the shared
+            -- ivf_fit_assign twin, greedy in-cluster scan in SQL
+            SELECT 'semdedup', vec_id, dup_of, sim, list_id
+            FROM ({_semdedup_oracle()})
         """,
         "embed_customer": """
             WITH m AS (
