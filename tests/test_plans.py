@@ -297,6 +297,11 @@ PLAN_PINS = {
 PIN_FN = {
     "pagerank": "q_pagerank",
     "graph_iter": "q_graph_iter",
+    # bench times the one-scan stats core (bench.py resolves
+    # q_lineitem_numeric_profile); the registry slot is the 3-mode
+    # merge (stats+corr+skew) whose extra pipelines aren't the pinned
+    # bench plan — same split as pagerank/graph_iter
+    "lineitem_numeric_profile": "q_lineitem_numeric_profile",
     # bench-only r9 entries shadowed by no registry slot, but listed
     # for explicitness (default resolution would find them anyway)
     "triangles": "q_triangles",
