@@ -1776,7 +1776,23 @@ def q_graph_iter(spark, sf_dir):
         F.lit(None).cast("double").alias("rank"),
         F.lit(_KCORE_K).cast("bigint").alias("label"),
     )
-    return pr.unionByName(lp).unionByName(tri).unionByName(kc)
+    # r9: HITS hubs & authorities on the same FK graph
+    # (operators/hits.py — unnormalized integer path counts, ranking-
+    # identical to normalized HITS and sqrt-free so the unrolled-CTE
+    # twin value-hashes every score); rank_scaled carries hub_scaled,
+    # label auth_scaled (the max-normalized doubles are a presentation
+    # step, exercised in pytest — the exact integers are the stronger
+    # driver pin)
+    from deep_db_learning_spark.operators.hits import hits
+
+    ht = hits(fwd, nodes).select(
+        F.lit("hits").alias("mode"),
+        "node",
+        F.col("hub_scaled").alias("rank_scaled"),
+        F.lit(None).cast("double").alias("rank"),
+        F.col("auth_scaled").alias("label"),
+    )
+    return pr.unionByName(lp).unionByName(tri).unionByName(kc).unionByName(ht)
 
 
 _KCORE_K = 80      # real 6-round cascade at the sf0.01 oracle scale
@@ -5053,6 +5069,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_sk.hll_distinct_by_oracle_sql(
             "lineitem", "l_returnflag", "l_orderkey")})
     """
+    from deep_db_learning_spark.operators.hits import hits_oracle_sql
     from deep_db_learning_spark.operators.labelprop import (
         label_propagation_oracle_sql,
     )
@@ -5092,6 +5109,14 @@ def oracle_sql() -> dict[str, str]:
         FROM ({k_core_oracle_sql(
             cooccurrence_oracle_sql("lineitem", "l_orderkey", "l_partkey"),
             _KCORE_K, iters=_KCORE_ITERS)})
+        UNION ALL
+        -- r9: HITS hubs & authorities on the FK graph — unnormalized
+        -- integer path counts (ranking-identical to normalized HITS;
+        -- the sqrt-free pagerank recipe), unrolled-CTE twin;
+        -- rank_scaled carries hub_scaled, label auth_scaled
+        SELECT 'hits', node, hub_scaled, CAST(NULL AS DOUBLE),
+               auth_scaled
+        FROM ({hits_oracle_sql(_PAGERANK_NODES_SQL, _PAGERANK_FWD_SQL)})
     """
     sqls["text_quality"] = f"""
         SELECT 'metrics' AS mode, doc_id, ws_tokens, bpe_tokens, lang,

@@ -269,8 +269,11 @@ PLAN_PINS = {
     # + closing-edge probe over the checkpointed oriented frame, the
     # final k-core degree join, and the co-purchase edge build (its
     # hot-size frame must broadcast); the per-round peels run eagerly
-    # behind cut_lineage so they never stack into the static plan
-    "graph_iter": (52, 8),
+    # behind cut_lineage so they never stack into the static plan.
+    # r9: the hits mode adds 5 real shuffles — the hub/auth join, the
+    # max aggregate, and the post-checkpoint tail of the last
+    # iteration (earlier iterations run eagerly behind cut_lineage)
+    "graph_iter": (62, 8),
     # r7: text_metrics + LM perplexity under one tag — metrics'
     # corpus-freq fold + the _spread repartition + the per-doc scoring
     # fold (4 real shuffles, doubled); the bounded LM model frames
