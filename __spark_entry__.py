@@ -2422,6 +2422,18 @@ def q_text_dedup_clusters(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     sdocs = docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
     spans = dedup.duplicate_spans(sdocs, "text", "doc_id", min_len=50)
+    # r9 mode ``lrs``: the corpus-wide longest repeated substring off
+    # the DISTRIBUTED prefix-doubling suffix array
+    # (`operators/suffix_array.py` — exact, character-level, the
+    # Lee-et-al. machinery behind the rolling-hash span mode above);
+    # the oracle recomputes it with the independent python SA twin and
+    # inlines the maximal positions as VALUES. Rows (doc_id, a=pos,
+    # b=lcp).
+    from deep_db_learning_spark.operators.suffix_array import (
+        longest_repeated_substring,
+    )
+
+    lrs = longest_repeated_substring(sdocs, "text", "doc_id")
     return (
         comp.select(
             F.lit("cluster").alias("mode"),
@@ -2435,6 +2447,14 @@ def q_text_dedup_clusters(spark, sf_dir):
                 "doc_id",
                 F.col("start").cast("bigint").alias("a"),
                 F.col("end").cast("bigint").alias("b"),
+            )
+        )
+        .unionByName(
+            lrs.select(
+                F.lit("lrs").alias("mode"),
+                "doc_id",
+                F.col("pos").cast("bigint").alias("a"),
+                F.col("lcp").cast("bigint").alias("b"),
             )
         )
     )
@@ -3744,7 +3764,51 @@ def _text_dedup_clusters_oracle() -> str:
                CAST(min(pos) AS BIGINT) AS a,
                CAST(max(pos) + {K - 1} AS BIGINT) AS b
         FROM isl GROUP BY doc_id, island
+        UNION ALL
+        -- r9 lrs mode: the suffix-array twin's rows inlined (the
+        -- python SA is the independent recomputation, not SQL)
+        {_lrs_oracle_values()}
     """
+
+
+def _lrs_oracle_values() -> str:
+    """lrs mode of ``text_dedup_clusters``: the corpus-wide longest
+    repeated substring recomputed INDEPENDENTLY by the python
+    suffix-array twin (plain lexicographic suffix sort + direct
+    common-prefix comparison — no prefix doubling, no Spark) over
+    DuckDB-read parquet, inlined as VALUES. The engine runs the
+    distributed prefix-doubling construction; matching rows prove the
+    whole array agrees where it matters."""
+    import duckdb
+
+    from deep_db_learning_spark.operators.suffix_array import (
+        longest_repeated_substring_py,
+    )
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{sf}/documents.parquet') "
+            f"WHERE text IS NOT NULL AND length(text) > 0"
+        ).fetchall()
+    )
+    con.close()
+    rows = longest_repeated_substring_py(texts)
+    if not rows:
+        return (
+            "SELECT 'lrs' AS mode, CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b "
+            "WHERE FALSE"
+        )
+    vals = ", ".join(f"({d}, {p}, {l})" for d, p, l in rows)
+    return (
+        f"SELECT 'lrs' AS mode, doc_id, CAST(pos AS BIGINT) AS a, "
+        f"CAST(lcp AS BIGINT) AS b "
+        f"FROM (VALUES {vals}) AS lrs(doc_id, pos, lcp)"
+    )
 
 
 def _embedding_topk_oracle() -> str:
