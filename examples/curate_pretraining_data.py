@@ -1,0 +1,144 @@
+"""Pretraining-data curation pipeline — the LLM data-prep operators
+composed the way a data team actually sequences them, raw corpus →
+selected, deduplicated, decontaminated, packed shards:
+
+    documents ──► quality gate (composite quality score + LM
+                  perplexity band — the CCNet recipe)
+              ──► exact + MinHash-LSH dedup (drop exact clones, then
+                  near-duplicate clusters keep their min-id member)
+              ──► SemDeDup over the embeddings table (paraphrase-level
+                  duplicates exact n-gram methods miss)
+              ──► decontamination (13-gram overlap vs the eval split)
+              ──► DSIR importance selection toward the src0 target
+                  domain (hashed n-gram log-likelihood-ratio scores,
+                  deterministic top fraction)
+              ──► token-budget shard packing (two-phase prefix sum)
+
+    python examples/curate_pretraining_data.py --data /root/testdata/sf0.001
+
+Every stage is the operator the driver already hash-checks; the
+example wires them end-to-end and reports the funnel (how many
+documents each stage removed — the number a curation run actually
+reviews). Prints one JSON summary line; returns the dict from ``run``
+for tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", default="/root/testdata/sf0.001")
+    p.add_argument("--quality-min", type=float, default=0.3)
+    p.add_argument("--target-source", default="src0")
+    p.add_argument("--keep-fraction", type=float, default=0.5,
+                   help="fraction of surviving docs DSIR keeps")
+    p.add_argument("--shard-budget", type=int, default=20_000,
+                   help="token budget per packed shard")
+    return p
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.functions.text import (
+        contamination_matches,
+        quality_score,
+    )
+    from deep_db_learning_spark.operators.dedup import (
+        exact_dedup_keep_rows,
+        minhash_lsh_dedup,
+    )
+    from deep_db_learning_spark.operators.dsir import (
+        dsir_scores,
+        fit_dsir_weights,
+        select_top_k,
+    )
+    from deep_db_learning_spark.operators.mixing import pack_shards
+    from deep_db_learning_spark.operators.semdedup import semantic_dedup
+    from deep_db_learning_spark.sources import load_testdata
+
+    db = load_testdata(spark, args.data)
+    docs = db.df("documents").where(F.col("text").isNotNull())
+    funnel = {"raw": docs.count()}
+
+    # 1. quality gate
+    docs = docs.where(quality_score(F.col("text")) >= args.quality_min)
+    funnel["quality"] = docs.count()
+
+    # 2. exact + near dedup (near-duplicate clusters keep min doc_id)
+    docs = exact_dedup_keep_rows(docs, "text", "doc_id")
+    funnel["exact_dedup"] = docs.count()
+    kept = minhash_lsh_dedup(docs, "text", "doc_id")
+    docs = docs.join(kept.select("doc_id"), "doc_id", "leftsemi")
+    funnel["near_dedup"] = docs.count()
+
+    # 3. SemDeDup on the embedding table (vec_id keys documents 1:1 in
+    # the synthetic corpus; a production run joins on its own id map)
+    sd = semantic_dedup(db.df("embeddings"), threshold=0.38)
+    sem_dupes = sd.where(F.col("dup_of").isNotNull()).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    docs = docs.join(sem_dupes, "doc_id", "left_anti")
+    funnel["semdedup"] = docs.count()
+
+    # 4. decontamination against the eval split (doc_id < 50)
+    contaminated = contamination_matches(
+        docs.filter(F.col("doc_id") >= 50),
+        db.df("documents").filter(F.col("doc_id") < 50),
+        n=13,
+    ).select("doc_id")
+    docs = docs.filter(F.col("doc_id") >= 50).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    funnel["decontaminated"] = docs.count()
+
+    # 5. DSIR selection toward the target domain
+    lam = fit_dsir_weights(
+        docs.where(F.col("source") == args.target_source), docs,
+        n_buckets=1024,
+    )
+    k = max(1, int(funnel["decontaminated"] * args.keep_fraction))
+    selected = select_top_k(dsir_scores(docs, lam), k)
+    docs = docs.join(selected.select("doc_id"), "doc_id", "leftsemi")
+    funnel["dsir_selected"] = docs.count()
+
+    # 6. shard packing by token budget
+    packed = pack_shards(
+        docs.withColumn(
+            "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ),
+        "n_tokens", budget=args.shard_budget, order_col="doc_id",
+    )
+    n_shards = packed.select("shard_id").distinct().count()
+    per_shard = packed.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    max_shard_tokens = per_shard.agg(F.max("tok")).first()[0]
+
+    return {
+        "funnel": funnel,
+        "n_shards": int(n_shards),
+        "max_shard_tokens": int(max_shard_tokens),
+        "kept_fraction": funnel["dsir_selected"] / funnel["raw"],
+    }
+
+
+def main() -> None:
+    from deep_db_learning_spark.session import make_session
+
+    args = build_parser().parse_args()
+    spark = make_session("curate-pretraining-data")
+    out = run(spark, args)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

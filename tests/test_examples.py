@@ -182,3 +182,25 @@ def test_graph_insights_pipeline(spark):
     if s["top_rule"] is not None:
         assert s["top_rule"]["lift"] > 0
     assert s["l_partkey_max_skew_factor"] >= 1.0
+
+
+def test_curate_pretraining_data_pipeline(spark):
+    import curate_pretraining_data as cp
+
+    args = cp.build_parser().parse_args(
+        ["--data", "/root/testdata/sf0.001"]
+    )
+    s = cp.run(spark, args)
+    f = s["funnel"]
+    # the funnel only ever shrinks, and every stage actually ran
+    order = ["raw", "quality", "exact_dedup", "near_dedup", "semdedup",
+             "decontaminated", "dsir_selected"]
+    assert list(f) == order
+    for a, b in zip(order, order[1:]):
+        assert f[b] <= f[a], (a, b, f)
+    assert f["raw"] > 0 and f["dsir_selected"] > 0
+    # semdedup and dsir really cut something on this corpus
+    assert f["semdedup"] < f["near_dedup"]
+    assert f["dsir_selected"] < f["decontaminated"]
+    assert s["n_shards"] >= 1
+    assert 0 < s["kept_fraction"] < 1
