@@ -53,13 +53,25 @@ from ..functions.hashing import md5_prefix_hash, md5_prefix_hash_sql
 DEFAULT_BUCKETS = 10_000
 
 
-def _tokens(text_col: str) -> Column:
-    """Lowercased whitespace tokens, empties dropped — the text
-    family's tokenization (``functions/text.py`` conventions)."""
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != "",
+def _grams(text_col: str) -> Column:
+    """Unigrams + bigrams of the lowercased whitespace tokens, with
+    NO higher-order functions: interpreted per-element lambdas
+    dominate composite text plans (the ``stopword_ratio`` lesson), so
+    tokens come from one ``regexp_extract_all`` and bigrams from two
+    non-overlapping ``\\S+ \\S+`` passes over the space-normalized
+    text (pass 2 drops the leading token, so between them every
+    consecutive pair appears exactly once). Gram MULTISET identical to
+    the transform-lambda formulation — bucket counts don't see
+    order."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
     )
+    uni = F.regexp_extract_all(norm, F.lit(r"\S+"), 0)
+    b1 = F.regexp_extract_all(norm, F.lit(r"\S+ \S+"), 0)
+    b2 = F.regexp_extract_all(
+        F.regexp_replace(norm, r"^\S+ ", ""), F.lit(r"\S+ \S+"), 0
+    )
+    return F.concat(uni, b1, b2)
 
 
 def doc_ngram_buckets(
@@ -67,24 +79,22 @@ def doc_ngram_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
+    spread: bool = True,
 ) -> DataFrame:
     """``(id_col, bucket)`` — one row per n-gram OCCURRENCE (unigrams +
     bigrams), hashed into ``n_buckets`` portable buckets. Row-local
-    codegen flatMap: no shuffle, no UDF."""
-    toks = _tokens(text_col)
-    uni = toks
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                  F.element_at(toks, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(uni, bi)
+    codegen flatMap, no UDF. ``spread`` repartitions a
+    narrower-than-the-cluster input first (a single-file parquet scan
+    otherwise runs the whole md5 flatMap on ONE core — the
+    ``search._spread`` lesson); the one small pre-explode exchange
+    buys corpus-wide parallelism for the hash work."""
+    if spread:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(F.col(id_col), F.explode(_grams(text_col)).alias("gram"))
         .select(
             id_col,
             (md5_prefix_hash(F.col("gram")) % F.lit(n_buckets)).alias("bucket"),
@@ -98,27 +108,25 @@ def doc_ngram_buckets_sql(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> str:
-    """DuckDB twin of :func:`doc_ngram_buckets` — identical
-    tokenization, gram join, md5-prefix bucket."""
-    toks = (
-        f"list_filter(regexp_split_to_array(lower(trim({text_col})), '\\s+'),"
-        f" t -> t <> '')"
-    )
+    """DuckDB twin of :func:`doc_ngram_buckets` — the identical
+    normalized-text regex passes (unigrams + the two offset bigram
+    sweeps), identical md5-prefix bucket; gram multiset equal by the
+    same argument as the engine's."""
     return f"""
         SELECT {id_col},
                ({md5_prefix_hash_sql('gram')}) % {n_buckets} AS bucket
         FROM (
           SELECT {id_col},
-                 list_concat(
-                   toks,
-                   CASE WHEN len(toks) >= 2 THEN
-                     list_transform(generate_series(1, len(toks) - 1),
-                                    i -> toks[CAST(i AS INT)] || ' ' ||
-                                         toks[CAST(i AS INT) + 1])
-                   ELSE [] END
+                 list_concat(list_concat(
+                   regexp_extract_all(norm, '\\S+'),
+                   regexp_extract_all(norm, '\\S+ \\S+')),
+                   regexp_extract_all(
+                     regexp_replace(norm, '^\\S+ ', ''), '\\S+ \\S+')
                  ) AS grams
-          FROM (SELECT {id_col}, {toks} AS toks FROM {table}
-                WHERE {text_col} IS NOT NULL)
+          FROM (SELECT {id_col},
+                       regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')
+                         AS norm
+                FROM {table} WHERE {text_col} IS NOT NULL)
         ), unnest(grams) AS g(gram)
     """
 
