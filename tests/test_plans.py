@@ -282,8 +282,11 @@ PLAN_PINS = {
     # shuffles (per-doc decimal score fold, the zero-fill join back to
     # the corpus, the global resampling-rank window over narrow
     # (id, score) rows) and the λ table must broadcast (+2 bhj with
-    # the zero-fill side)
-    "text_quality": (14, 12),
+    # the zero-fill side); +1 more real shuffle for the pre-explode
+    # spread (a single-file corpus scan must not run the gram-hash
+    # flatMap on one core — the deliberate trade recorded in
+    # operators/dsir.py)
+    "text_quality": (16, 12),
     # r9 first-class bench entries: triangles = co-purchase edge build
     # (hot-size frame broadcast) + degree orientation + wedge join +
     # closing-edge probe + the per-node stats joins; kcore = the final
