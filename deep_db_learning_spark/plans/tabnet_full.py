@@ -171,28 +171,37 @@ def tabnet_full_forward(X, p: dict, num_layers: int, fc: int, ac: int,
 
 
 def tabnet_full_row_grads(X, y, p: dict, num_layers: int, fc: int, ac: int,
-                          k: int, gamma: float = 1.2):
+                          k: int, gamma: float = 1.2,
+                          task: str = "classification"):
     """[batch] per-row ``[loss] ++ flat gradients`` (pre-quantization)
     for EVERY parameter in :func:`tabnet_param_specs` order — softmax
-    CE at the head, then reverse accumulation through the output
-    projection, the accumulator sum, each GLU block, each sparsemax
-    (support-set projection backward), and the prior recurrence. All
-    batch-dim maps are fixed-order ``row_logits``; everything else is
-    elementwise or a fixed-width per-row reduction, so each row's
-    gradient is independent of the Arrow batch it rides in. SHARED by
-    the engine UDF and the twin."""
+    CE (or the k=1 half-squared-error regression head on the
+    train-standardized label, the ``_fit_linear_head`` convention) at
+    the top, then reverse accumulation through the output projection,
+    the accumulator sum, each GLU block, each sparsemax (support-set
+    projection backward), and the prior recurrence. All batch-dim maps
+    are fixed-order ``row_logits``; everything else is elementwise or
+    a fixed-width per-row reduction, so each row's gradient is
+    independent of the Arrow batch it rides in. SHARED by the engine
+    UDF and the twin."""
     B = X.shape[0]
     split = fc + ac
     in_ch = X.shape[1]
     zer_in = np.zeros(in_ch)
     fw = tabnet_full_forward(X, p, num_layers, fc, ac, gamma)
-    logits = fw["logits"] - fw["logits"].max(axis=1, keepdims=True)
-    ex = np.exp(logits)
-    P = ex / ex.sum(axis=1, keepdims=True)
-    ridx = np.arange(B)
-    loss = -np.log(P[ridx, y])
-    resid = P.copy()
-    resid[ridx, y] -= 1.0
+    if task == "regression":
+        yf = np.asarray(y, dtype=np.float64)
+        r = fw["logits"][:, 0] - yf
+        loss = 0.5 * r * r
+        resid = r[:, None]
+    else:
+        logits = fw["logits"] - fw["logits"].max(axis=1, keepdims=True)
+        ex = np.exp(logits)
+        P = ex / ex.sum(axis=1, keepdims=True)
+        ridx = np.arange(B)
+        loss = -np.log(P[ridx, y])
+        resid = P.copy()
+        resid[ridx, y] -= 1.0
 
     grads: dict = {}
     grads["Wh"] = fw["enc"][:, :, None] * resid[:, None, :]
@@ -323,14 +332,20 @@ def train_tabnet_full(
     feat_channels: int = 8,
     attn_channels: int = 8,
     gamma: float = 1.2,
+    task: str = "classification",
 ) -> TrainResult:
     """Joint full-batch GD on EVERY TabNet parameter (all GLU feature
     transformers, all attentive transformers, the output projection,
     the decision head) through the stack trainer's ``fit_fn`` seam —
-    see the module docstring. Twin:
+    see the module docstring. ``task="regression"`` swaps the k=1
+    half-squared-error head on the train-standardized double label
+    (accuracy dict carries decimal-fold per-split MSE — the
+    ``_fit_linear_head`` conventions). Twin:
     ``train_oracle._tabnet_full_losses``."""
     from .stack import ORDERS_LAYER_SPEC, train_relational_stack
     from .tabnet_head import tabnet_feature_expr
+
+    regression = task == "regression"
 
     def fit(frame, frames, meta):
         card = meta["n_codes"]
@@ -363,9 +378,11 @@ def train_tabnet_full(
 
             def grad_fn(x, label):
                 X = np.vstack(x.to_list())
-                y = label.to_numpy(dtype=np.int64)
+                y = label.to_numpy(
+                    dtype=np.float64 if regression else np.int64
+                )
                 out = tabnet_full_row_grads(
-                    X, y, pc, num_layers, fc, ac, k, gamma
+                    X, y, pc, num_layers, fc, ac, k, gamma, task=task
                 )
                 return pd.Series(
                     [[_dec9_py(Decimal, v) for v in row] for row in out]
@@ -389,20 +406,14 @@ def train_tabnet_full(
         def pred_fn(x):
             X = np.vstack(x.to_list())
             fw = tabnet_full_forward(X, pc, num_layers, fc, ac, gamma)
+            if regression:
+                return pd.Series(fw["logits"][:, 0])
             return pd.Series(np.argmax(fw["logits"], axis=1).astype(np.int64))
 
         pred_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
-        pudf = pandas_udf(pred_fn, "bigint")
-        rows = (
-            full.select("split", "label", pudf("x").alias("pred"))
-            .groupBy("split")
-            .agg(
-                F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("h"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
+        pudf = pandas_udf(pred_fn, "double" if regression else "bigint")
+        preds = full.select("split", "label", pudf("x").alias("pred"))
+        accuracy = _eval_by_split(preds, regression)
         return TrainResult(losses=losses, accuracy=accuracy, params=p)
 
     return train_relational_stack(
@@ -415,8 +426,38 @@ def train_tabnet_full(
         num_cols=num_cols,
         seed=seed,
         neighbor_budget=neighbor_budget,
+        task=task,
         fit_fn=fit,
     )
+
+
+def _eval_by_split(preds, regression: bool) -> dict:
+    """Per-split eval over a (split, label, pred) frame: exact integer
+    hit counts (classification) or the decimal-fold MSE in
+    standardized-label space (regression) — ``_fit_linear_head``'s
+    conventions, partitioning-independent either way."""
+    if regression:
+        err = F.col("pred") - F.col("label")
+        rows = (
+            preds.groupBy("split")
+            .agg(
+                (
+                    F.sum((err * err).cast(DECIMAL_TYPE)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        return {r["split"]: r["m"] for r in rows}
+    rows = (
+        preds.groupBy("split")
+        .agg(
+            F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    return {r["split"]: r["h"] / r["n"] for r in rows}
 
 
 # --------------------------------------------------------------- Trompt
@@ -472,22 +513,29 @@ def trompt_full_forward(m, p: dict, num_layers: int, num_prompts: int):
     return caches, enc, logits
 
 
-def trompt_full_row_grads(m, y: int, p: dict, num_layers: int,
-                          num_prompts: int, k: int):
+def trompt_full_row_grads(m, y, p: dict, num_layers: int,
+                          num_prompts: int, k: int,
+                          task: str = "classification"):
     """One row's ``[loss] ++ flat gradients`` in
-    :func:`trompt_param_specs` order — softmax CE, then reverse
-    accumulation through the mean-pool and the stacked residual
-    attention layers down to the prompt bank itself. SHARED by the
-    engine UDF and the twin."""
+    :func:`trompt_param_specs` order — softmax CE (or the k=1
+    half-squared-error regression head), then reverse accumulation
+    through the mean-pool and the stacked residual attention layers
+    down to the prompt bank itself. SHARED by the engine UDF and the
+    twin."""
     ch = m.shape[1]
     L, P = num_layers, num_prompts
     caches, enc, logits = trompt_full_forward(m, p, L, P)
-    logits = logits - logits.max()
-    ex = np.exp(logits)
-    Pr = ex / ex.sum()
-    loss = -np.log(Pr[y])
-    resid = Pr.copy()
-    resid[y] -= 1.0
+    if task == "regression":
+        r = logits[0] - float(y)
+        loss = 0.5 * r * r
+        resid = np.array([r])
+    else:
+        logits = logits - logits.max()
+        ex = np.exp(logits)
+        Pr = ex / ex.sum()
+        loss = -np.log(Pr[y])
+        resid = Pr.copy()
+        resid[y] -= 1.0
     dWh = np.outer(enc, resid)
     d_enc = p["Wh"] @ resid
     # every stacked prompt row contributes 1/(L·P) of itself to enc
@@ -523,14 +571,18 @@ def train_trompt_full(
     ch: int = 8,
     num_prompts: int = 4,
     num_layers: int = 2,
+    task: str = "classification",
 ) -> TrainResult:
     """Joint full-batch GD on EVERY Trompt parameter (the prompt bank,
     every layer's attention weight, the decision head; the N1/N2 column
     embeddings stay the frozen seeded shapes — they are the embedder's
     contract, not the encoder's) through the stack trainer's ``fit_fn``
-    seam. Twin: ``train_oracle._trompt_full_losses``."""
+    seam. ``task="regression"``: the k=1 half-squared-error head.
+    Twin: ``train_oracle._trompt_full_losses``."""
     from .stack import ORDERS_LAYER_SPEC, train_relational_stack
     from .tabnet_head import trompt_column_embeddings
+
+    regression = task == "regression"
 
     def fit(frame, frames, meta):
         card = meta["n_codes"]
@@ -560,11 +612,14 @@ def train_trompt_full(
                 for c, xs, y in zip(
                     code.to_numpy(dtype=np.int64),
                     nums.to_list(),
-                    label.to_numpy(dtype=np.int64),
+                    label.to_numpy(
+                        dtype=np.float64 if regression else np.int64
+                    ),
                 ):
                     m = trompt_column_embeddings(int(c), xs, card, ch, seed)
                     g = trompt_full_row_grads(
-                        m, int(y), pc, num_layers, num_prompts, k
+                        m, y if regression else int(y), pc,
+                        num_layers, num_prompts, k, task=task,
                     )
                     out.append([_dec9_py(Decimal, v) for v in g])
                 return pd.Series(out)
@@ -593,23 +648,20 @@ def train_trompt_full(
                 _c, _e, logits = trompt_full_forward(
                     m, pc, num_layers, num_prompts
                 )
-                out.append(int(np.argmax(logits)))
+                out.append(
+                    float(logits[0]) if regression
+                    else int(np.argmax(logits))
+                )
             return pd.Series(out)
 
         pred_fn.__annotations__ = {
             "code": pd.Series, "nums": pd.Series, "return": pd.Series,
         }
-        pudf = pandas_udf(pred_fn, "bigint")
-        rows = (
-            full.select("split", "label", pudf("code", "nums").alias("pred"))
-            .groupBy("split")
-            .agg(
-                F.sum((F.col("pred") == F.col("label")).cast("bigint")).alias("h"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+        pudf = pandas_udf(pred_fn, "double" if regression else "bigint")
+        preds = full.select(
+            "split", "label", pudf("code", "nums").alias("pred")
         )
-        accuracy = {r["split"]: r["h"] / r["n"] for r in rows}
+        accuracy = _eval_by_split(preds, regression)
         return TrainResult(losses=losses, accuracy=accuracy, params=p)
 
     return train_relational_stack(
@@ -622,5 +674,6 @@ def train_trompt_full(
         num_cols=num_cols,
         seed=seed,
         neighbor_budget=neighbor_budget,
+        task=task,
         fit_fn=fit,
     )

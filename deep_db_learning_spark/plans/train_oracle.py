@@ -687,6 +687,7 @@ def _tabnet_full_losses(
     num_layers: int = 2,
     feat_channels: int = 8,
     attn_channels: int = 8,
+    task: str = "classification",
 ) -> list[float]:
     """Twin of ``plans.tabnet_full.train_tabnet_full``: DuckDB root
     assembly, the SHARED forward/backward kernels (the ``row_logits``
@@ -706,10 +707,10 @@ def _tabnet_full_losses(
     )
 
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
-        sf_dir, seed, neighbor_budget=neighbor_budget
+        sf_dir, seed, neighbor_budget=neighbor_budget, task=task
     )
     card = int(codes_a.max()) + 1
-    k = int(y_a.max()) + 1
+    k = 1 if task == "regression" else int(y_a.max()) + 1
     onehot = np.zeros((len(codes_a), card))
     onehot[np.arange(len(codes_a)), codes_a] = 1.0
     feats = np.concatenate([onehot, X_num], axis=1)
@@ -722,7 +723,9 @@ def _tabnet_full_losses(
     glen = 1 + sum(int(np.prod(s)) for _n, s, _b in specs)
     losses: list[float] = []
     for _ in range(epochs):
-        rows = tabnet_full_row_grads(X, y, p, num_layers, fc, ac, k)
+        rows = tabnet_full_row_grads(
+            X, y, p, num_layers, fc, ac, k, task=task
+        )
         flat = _fold_rows_decimal(rows, glen)
         losses.append(flat[0] / n + 0.5 * l2 * l2_term(p, specs))
         sgd_step(p, specs, flat, n, lr, l2)
@@ -739,6 +742,7 @@ def _trompt_full_losses(
     ch: int = 8,
     num_prompts: int = 4,
     num_layers: int = 2,
+    task: str = "classification",
 ) -> list[float]:
     """Twin of ``plans.tabnet_full.train_trompt_full``: DuckDB root
     assembly, the SHARED per-row forward/backward kernels, then an
@@ -755,10 +759,10 @@ def _trompt_full_losses(
     from .tabnet_head import trompt_column_embeddings
 
     node_ids, codes_a, y_a, X_num, train_mask = _assemble(
-        sf_dir, seed, neighbor_budget=neighbor_budget
+        sf_dir, seed, neighbor_budget=neighbor_budget, task=task
     )
     card = int(codes_a.max()) + 1
-    k = int(y_a.max()) + 1
+    k = 1 if task == "regression" else int(y_a.max()) + 1
     tr = np.where(train_mask)[0]
     n = len(tr)
     # the frozen column embeddings are parameter-independent
@@ -766,14 +770,18 @@ def _trompt_full_losses(
         trompt_column_embeddings(int(codes_a[i]), X_num[i], card, ch, seed)
         for i in tr
     ]
-    ys = [int(y_a[i]) for i in tr]
+    ys = [
+        float(y_a[i]) if task == "regression" else int(y_a[i]) for i in tr
+    ]
     specs = trompt_param_specs(ch, num_prompts, num_layers, k)
     p = trompt_seed_params(ch, num_prompts, num_layers, k, seed)
     glen = 1 + sum(int(np.prod(s)) for _n, s, _b in specs)
     losses: list[float] = []
     for _ in range(epochs):
         rows = [
-            trompt_full_row_grads(m, y, p, num_layers, num_prompts, k)
+            trompt_full_row_grads(
+                m, y, p, num_layers, num_prompts, k, task=task
+            )
             for m, y in zip(ms, ys)
         ]
         flat = _fold_rows_decimal(rows, glen)

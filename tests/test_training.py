@@ -1340,3 +1340,51 @@ def test_trompt_full_trains_whole_encoder_through_fit_fn(db):
     for name, _shape, _b in specs:
         assert not np.array_equal(res.params[name], p0[name]), name
     assert "train" in res.accuracy and "test" in res.accuracy
+
+
+def test_tabnet_full_regression_task(db):
+    """r9: the full-encoder TabNet trainer carries the regression task
+    (k=1 half-squared-error head on the train-standardized label) —
+    twin bit-equal per epoch, loss descends, eval is per-split MSE."""
+    from deep_db_learning_spark.plans.tabnet_full import train_tabnet_full
+    from deep_db_learning_spark.plans.train_oracle import (
+        _tabnet_full_losses,
+    )
+
+    cfg = {"epochs": 2, "lr": 0.05, "l2": 1e-4, "out_channels": 8,
+           "num_layers": 2, "feat_channels": 8, "attn_channels": 8,
+           "neighbor_budget": 5}
+    res = train_tabnet_full(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        target=("customer", "c_acctbal"), task="regression", **cfg,
+    )
+    twin = _tabnet_full_losses(
+        "/root/testdata/sf0.001", seed=42, task="regression", **cfg
+    )
+    assert res.losses == twin
+    assert res.losses[-1] < res.losses[0]
+    assert set(res.accuracy) >= {"train", "test"}
+    assert all(v >= 0 for v in res.accuracy.values())  # MSEs
+    assert res.params["Wh"].shape[1] == 1
+
+
+def test_trompt_full_regression_task(db):
+    """r9: the full Trompt trainer's regression mirror."""
+    from deep_db_learning_spark.plans.tabnet_full import train_trompt_full
+    from deep_db_learning_spark.plans.train_oracle import (
+        _trompt_full_losses,
+    )
+
+    cfg = {"epochs": 2, "lr": 0.1, "l2": 1e-4, "ch": 8,
+           "num_prompts": 4, "num_layers": 2, "neighbor_budget": 5}
+    res = train_trompt_full(
+        db.tables, db.primary_keys, db.foreign_keys, seed=42,
+        target=("customer", "c_acctbal"), task="regression", **cfg,
+    )
+    twin = _trompt_full_losses(
+        "/root/testdata/sf0.001", seed=42, task="regression", **cfg
+    )
+    assert res.losses == twin
+    assert res.losses[-1] < res.losses[0]
+    assert all(v >= 0 for v in res.accuracy.values())
+    assert res.params["Wh"].shape[1] == 1
