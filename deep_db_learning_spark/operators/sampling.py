@@ -232,3 +232,50 @@ def kfold_train_test(
         a.filter(F.col("fold") != fold).drop("fold"),
         a.filter(F.col("fold") == fold).drop("fold"),
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the A-ES one-pass
+    reduction (Efraimidis & Spirakis 2006): each row draws a uniform
+    ``u`` and the k largest ``u^{1/w}`` are exactly a weighted sample
+    without replacement. Here ``u`` derives from the PORTABLE md5 hash
+    of ``(seed, id)`` (reproducible across runs, engines, and
+    partitionings — no RNG state anywhere) and the key is compared in
+    log space, ``log(u)/w`` (order-identical, no underflow at large
+    weights). One pure-codegen key column + one top-k rank — the same
+    shape as ``top_k_per_group``; at scale swap the global rank for a
+    per-partition top-k + merge if k is small.
+
+    Rows with NULL or non-positive weights are excluded (a zero weight
+    must never be sampled; A-ES keys are undefined there). Returns the
+    sampled rows with their ``__aes_key`` (pytest replays the exact key
+    arithmetic in python; the transcendental keeps this operator
+    pytest-pinned rather than driver-hashed — java's StrictMath.log and
+    python's libm agree on every value we test, but the repo's oracle
+    regime does not rest on that)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_prefix_hash
+
+    u = (
+        md5_prefix_hash(
+            F.concat(F.lit(f"aes:{seed}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__aes_key", key)
+    w = Window.orderBy(F.desc("__aes_key"), F.col(id_col))
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
