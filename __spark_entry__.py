@@ -2990,6 +2990,7 @@ def q_events_temporal_join(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("view_ts"),
         F.lit(None).cast("bigint").alias("clicks_24h"),
         F.lit(None).cast("double").alias("click_value_24h"),
+        F.lit(None).cast("string").alias("channel"),
     )
     spine = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("id"), "user_id", "ts",
@@ -3033,8 +3034,34 @@ def q_events_temporal_join(spark, sf_dir):
         F.col("lastview_ts").alias("view_ts"),
         F.col("clicks24_cnt").alias("clicks_24h"),
         F.col("clicks24_sum").alias("click_value_24h"),
+        F.lit(None).cast("string").alias("channel"),
     )
-    return base.unionByName(ff)
+    # r9 modes ``attr_first``/``attr_last``/``attr_linear``: multi-
+    # touch conversion attribution (`operators/temporal.attribution` —
+    # touches pair with conversions through the binned range_join,
+    # one window pass yields all three credit models, exact decimal
+    # credit folds); `channel` carries the touch event_type,
+    # conversions the touch count, conv_value the credited
+    # conversions. The oracle replays the identical window predicate
+    # and tie order in SQL.
+    from deep_db_learning_spark.operators.temporal import attribution
+
+    attr = attribution(ev).select(
+        F.concat(F.lit("attr_"), F.col("model")).alias("mode"),
+        F.lit(None).cast("bigint").alias("id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+        F.col("n_touches").alias("conversions"),
+        F.col("credit").alias("conv_value"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(None).cast("bigint").alias("clicks_24h"),
+        F.lit(None).cast("double").alias("click_value_24h"),
+        F.col("event_type").alias("channel"),
+    )
+    return base.unionByName(ff).unionByName(attr)
 
 
 def q_customer_features(spark, sf_dir):
@@ -3971,6 +3998,10 @@ def oracle_sql() -> dict[str, str]:
     _basket_rules_oracle_sql = pair_association_rules_oracle_sql(
         "lineitem", "l_orderkey", "l_partkey", min_pair_groups=2
     )
+    from deep_db_learning_spark.operators.temporal import (
+        attribution_oracle_sql,
+    )
+
     sqls = {
         "catalog_columns": f"""
             WITH rc AS ({row_counts})
@@ -5000,7 +5031,27 @@ def oracle_sql() -> dict[str, str]:
                AND r.side = 1
               WHERE fc.side = 1
             )
-            SELECT * FROM base UNION ALL SELECT * FROM ff
+            SELECT *, CAST(NULL AS VARCHAR) AS channel FROM base
+            UNION ALL
+            SELECT *, CAST(NULL AS VARCHAR) FROM ff
+            UNION ALL
+            -- r9 attribution modes: multi-touch credit per channel
+            -- (operators/temporal.attribution — identical window
+            -- predicate, tie order, and exact decimal credit fold)
+            SELECT 'attr_' || model AS mode,
+                   CAST(NULL AS BIGINT) AS id,
+                   CAST(NULL AS BIGINT) AS user_id,
+                   CAST(NULL AS TIMESTAMP) AS ts,
+                   CAST(NULL AS DOUBLE) AS purchase_value,
+                   CAST(NULL AS TIMESTAMP) AS purchase_ts,
+                   CAST(n_touches AS BIGINT) AS conversions,
+                   credit AS conv_value,
+                   CAST(NULL AS DOUBLE) AS view_value,
+                   CAST(NULL AS TIMESTAMP) AS view_ts,
+                   CAST(NULL AS BIGINT) AS clicks_24h,
+                   CAST(NULL AS DOUBLE) AS click_value_24h,
+                   event_type AS channel
+            FROM ({attribution_oracle_sql()})
         """,
         "customer_features": f"""
             WITH ord AS (

@@ -544,3 +544,118 @@ def rolling_anomaly(
             F.abs(z) >= F.lit(float(z_threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple = ("click", "view", "signup"),
+    lookback: str = "1 day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution — credit each touch channel
+    for the conversions it preceded, under the three standard models
+    in ONE pass: ``first`` (the earliest touch in the lookback window
+    takes the whole conversion), ``last`` (the latest touch before the
+    conversion), ``linear`` (1/n to each of the n window touches).
+    Returns ``(model, event_type, n_touches, credit)`` — ``credit``
+    sums to the number of attributed conversions per model.
+
+    Physical shape: touches pair with conversions through
+    :func:`range_join` (binned interval equi-join on the user key —
+    nothing quadratic, the 100 TB shape), then two ``conv_id`` window
+    ranks + one count produce all three credit columns from the SAME
+    pair frame, and one grouped aggregate per model folds credits as
+    exact decimals (``exact_sum`` — engine-independent doubles).
+    Ties inside a conversion window break by ``(ts, event_id)`` — a
+    deterministic total order both engines share."""
+    from pyspark.sql.window import Window
+
+    from ..functions.exact_agg import exact_sum
+
+    conv = events.where(F.col(type_col) == conv_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("conv_id"),
+        (F.col(ts_col) - F.expr(f"INTERVAL {lookback}")).alias("w_start"),
+        F.col(ts_col).alias("w_end"),
+    )
+    touches = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col),
+        F.col(type_col),
+    )
+    pairs = range_join(
+        touches, conv, on=user_col, left_point=ts_col,
+        right_start="w_start", right_end="w_end",
+    )
+    w = Window.partitionBy("conv_id")
+    ra = F.row_number().over(w.orderBy(F.col(ts_col), F.col("touch_id")))
+    rd = F.row_number().over(
+        w.orderBy(F.col(ts_col).desc(), F.col("touch_id"))
+    )
+    n = F.count(F.lit(1)).over(w)
+    scored = pairs.select(
+        type_col,
+        (ra == 1).cast("double").alias("__first"),
+        (rd == 1).cast("double").alias("__last"),
+        (F.lit(1.0) / n).alias("__linear"),
+    )
+    out = None
+    for model in ("first", "last", "linear"):
+        agg = scored.groupBy(type_col).agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            exact_sum(F.col(f"__{model}")).alias("credit"),
+        ).select(F.lit(model).alias("model"), type_col, "n_touches", "credit")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def attribution_oracle_sql(
+    events_table: str = "events",
+    conv_type: str = "purchase",
+    touch_types: tuple = ("click", "view", "signup"),
+    lookback: str = "1 day",
+) -> str:
+    """DuckDB twin of :func:`attribution` — the identical window
+    predicate (half-open ``[conv_ts − lookback, conv_ts)``), tie
+    order, credit arithmetic, and exact decimal fold."""
+    from ..functions.exact_agg import exact_sum_sql
+
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    models = []
+    for model, credit in (
+        ("first", "CASE WHEN ra = 1 THEN 1.0 ELSE 0.0 END"),
+        ("last", "CASE WHEN rd = 1 THEN 1.0 ELSE 0.0 END"),
+        ("linear", "CAST(1.0 AS DOUBLE) / n"),
+    ):
+        models.append(f"""
+        SELECT '{model}' AS model, event_type,
+               count(*) AS n_touches,
+               {exact_sum_sql(credit)} AS credit
+        FROM rk GROUP BY event_type""")
+    body = "\nUNION ALL\n".join(models)
+    return f"""
+        WITH conv AS (
+          SELECT user_id, event_id AS conv_id,
+                 ts - INTERVAL {lookback} AS w_start, ts AS w_end
+          FROM {events_table} WHERE event_type = '{conv_type}'
+        ), tch AS (
+          SELECT user_id, event_id AS touch_id, ts, event_type
+          FROM {events_table} WHERE event_type IN ({tt})
+        ), rk AS (
+          SELECT t.event_type,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.ts, t.touch_id) AS ra,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.ts DESC, t.touch_id) AS rd,
+                 count(*) OVER (PARTITION BY c.conv_id) AS n
+          FROM tch t JOIN conv c
+            ON t.user_id = c.user_id
+           AND t.ts >= c.w_start AND t.ts < c.w_end
+        )
+        {body}
+    """

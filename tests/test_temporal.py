@@ -413,3 +413,83 @@ def test_rolling_anomaly_matches_duckdb(db, duck):
     assert any(r[5] for r in got)
     # early rows (n < min_points) are never flagged
     assert all(not r[5] for r in got if r[1] < 5)
+
+
+def test_attribution_matches_duckdb_twin(db, duck):
+    from deep_db_learning_spark.operators.temporal import (
+        attribution,
+        attribution_oracle_sql,
+    )
+
+    got = sorted(map(tuple, attribution(db.df("events")).collect()))
+    want = sorted(map(tuple, duck.execute(attribution_oracle_sql()).fetchall()))
+    assert got == want
+    assert len(got) == 9  # 3 models × 3 touch channels
+
+
+def test_attribution_credit_conservation(db, duck):
+    """Every model distributes exactly one unit of credit per
+    attributed conversion: per-model total credit equals the number of
+    conversions with at least one window touch, and single-touch
+    models hand out only whole units."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.temporal import attribution
+
+    rows = attribution(db.df("events")).collect()
+    attributed = duck.execute("""
+        SELECT count(DISTINCT c.event_id) FROM events c
+        WHERE c.event_type = 'purchase' AND EXISTS (
+          SELECT 1 FROM events t
+          WHERE t.user_id = c.user_id
+            AND t.event_type IN ('click', 'view', 'signup')
+            AND t.ts >= c.ts - INTERVAL 1 DAY AND t.ts < c.ts)
+    """).fetchone()[0]
+    by_model = {}
+    for r in rows:
+        by_model.setdefault(r["model"], 0.0)
+        by_model[r["model"]] += r["credit"]
+    assert set(by_model) == {"first", "last", "linear"}
+    for model, total in by_model.items():
+        assert abs(total - attributed) < 1e-6, (model, total, attributed)
+    # first/last hand out whole conversions per channel
+    for r in rows:
+        if r["model"] in ("first", "last"):
+            assert r["credit"] == int(r["credit"])
+        assert 0 <= r["credit"] <= r["n_touches"]
+
+
+def test_attribution_window_and_params(spark):
+    """A handcrafted trace: touches outside the lookback are ignored,
+    ties break by event_id, and each model credits the documented
+    touch."""
+    import datetime as dt
+
+    rows = [
+        # conversion at 10:00; touches at 9:00 (click), 9:30 (view),
+        # and one click the day BEFORE (outside the 1h lookback)
+        (1, dt.datetime(2024, 1, 2, 10, 0), 7, "purchase", 1.0, None),
+        (2, dt.datetime(2024, 1, 2, 9, 0), 7, "click", 1.0, None),
+        (3, dt.datetime(2024, 1, 2, 9, 30), 7, "view", 1.0, None),
+        (4, dt.datetime(2024, 1, 1, 8, 0), 7, "click", 1.0, None),
+        # another user, touch at the exact conversion instant: excluded
+        # (half-open window)
+        (5, dt.datetime(2024, 1, 2, 10, 0), 8, "purchase", 1.0, None),
+        (6, dt.datetime(2024, 1, 2, 10, 0), 8, "click", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    from deep_db_learning_spark.operators.temporal import attribution
+
+    got = {
+        (r["model"], r["event_type"]): (r["n_touches"], r["credit"])
+        for r in attribution(ev, lookback="2 hours").collect()
+    }
+    assert got[("first", "click")] == (1, 1.0)
+    assert got[("last", "view")] == (1, 1.0)
+    assert got[("linear", "click")] == (1, 0.5)
+    assert got[("linear", "view")] == (1, 0.5)
+    assert ("first", "view") not in got or got[("first", "view")][1] == 0.0
