@@ -555,12 +555,19 @@ def attribution(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    decay_halflife: str | None = "6 hours",
 ) -> DataFrame:
     """Multi-touch conversion attribution — credit each touch channel
-    for the conversions it preceded, under the three standard models
+    for the conversions it preceded, under the four standard models
     in ONE pass: ``first`` (the earliest touch in the lookback window
     takes the whole conversion), ``last`` (the latest touch before the
-    conversion), ``linear`` (1/n to each of the n window touches).
+    conversion), ``linear`` (1/n to each of the n window touches),
+    ``decay`` (BUCKETED time-decay: a touch's weight halves for every
+    FULL ``decay_halflife`` elapsed before the conversion —
+    ``w = 2^−⌊Δt/H⌋`` normalized per conversion. The floor makes every
+    weight an exact power of two and the whole model engine-exact;
+    the smooth ``2^{−Δt/H}`` would put a transcendental in the oracle
+    trajectory for a cosmetic difference).
     Returns ``(model, event_type, n_touches, credit)`` — ``credit``
     sums to the number of attributed conversions per model.
 
@@ -598,14 +605,38 @@ def attribution(
         w.orderBy(F.col(ts_col).desc(), F.col("touch_id"))
     )
     n = F.count(F.lit(1)).over(w)
+    # bucketed decay: Δt and H in integer microseconds, weight an
+    # exact power of two, per-conversion normalization in-plan
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    h_us = F.unix_micros(
+        epoch + F.expr(f"INTERVAL {decay_halflife or '6 hours'}")
+    ) - F.unix_micros(epoch)
+    buckets = F.floor(
+        (
+            F.unix_micros(F.col("w_end").cast("timestamp"))
+            - F.unix_micros(F.col(ts_col).cast("timestamp"))
+        )
+        / h_us
+    ).cast("int")
+    # weights are exact powers of two (cap 62 keeps the shift off the
+    # sign bit); the per-conversion normalizer folds them as decimals —
+    # a float window sum would be accumulation-order-sensitive
+    dw = F.lit(1.0) / F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"),
+        F.least(buckets, F.lit(62)),
+    ).cast("double")
     scored = pairs.select(
         type_col,
         (ra == 1).cast("double").alias("__first"),
         (rd == 1).cast("double").alias("__last"),
         (F.lit(1.0) / n).alias("__linear"),
+        (
+            dw
+            / F.sum(dw.cast("decimal(30,18)")).over(w).cast("double")
+        ).alias("__decay"),
     )
     out = None
-    for model in ("first", "last", "linear"):
+    for model in ("first", "last", "linear", "decay"):
         agg = scored.groupBy(type_col).agg(
             F.count(F.lit(1)).alias("n_touches"),
             exact_sum(F.col(f"__{model}")).alias("credit"),
@@ -619,6 +650,7 @@ def attribution_oracle_sql(
     conv_type: str = "purchase",
     touch_types: tuple = ("click", "view", "signup"),
     lookback: str = "1 day",
+    decay_halflife: str = "6 hours",
 ) -> str:
     """DuckDB twin of :func:`attribution` — the identical window
     predicate (half-open ``[conv_ts − lookback, conv_ts)``), tie
@@ -631,6 +663,7 @@ def attribution_oracle_sql(
         ("first", "CASE WHEN ra = 1 THEN 1.0 ELSE 0.0 END"),
         ("last", "CASE WHEN rd = 1 THEN 1.0 ELSE 0.0 END"),
         ("linear", "CAST(1.0 AS DOUBLE) / n"),
+        ("decay", "dw / dnorm"),
     ):
         models.append(f"""
         SELECT '{model}' AS model, event_type,
@@ -646,16 +679,31 @@ def attribution_oracle_sql(
         ), tch AS (
           SELECT user_id, event_id AS touch_id, ts, event_type
           FROM {events_table} WHERE event_type IN ({tt})
-        ), rk AS (
-          SELECT t.event_type,
+        ), pr AS (
+          SELECT t.event_type, c.conv_id,
                  row_number() OVER (PARTITION BY c.conv_id
                                     ORDER BY t.ts, t.touch_id) AS ra,
                  row_number() OVER (PARTITION BY c.conv_id
                                     ORDER BY t.ts DESC, t.touch_id) AS rd,
-                 count(*) OVER (PARTITION BY c.conv_id) AS n
+                 count(*) OVER (PARTITION BY c.conv_id) AS n,
+                 -- bucketed decay weight: exact power of two (integer
+                 -- floor division; the engine's float floor agrees —
+                 -- microsecond integers keep the quotient >1 µs from
+                 -- any boundary flip)
+                 CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << CAST(
+                   least((epoch_us(c.w_end) - epoch_us(t.ts)) //
+                         (epoch_us(TIMESTAMP '1970-01-01 00:00:00'
+                                   + INTERVAL {decay_halflife})), 62)
+                   AS INT) AS DOUBLE) AS dw
           FROM tch t JOIN conv c
             ON t.user_id = c.user_id
            AND t.ts >= c.w_start AND t.ts < c.w_end
+        ), rk AS (
+          SELECT *,
+                 CAST(CAST(sum(CAST(dw AS DECIMAL(30,18)))
+                       OVER (PARTITION BY conv_id) AS VARCHAR)
+                      AS DOUBLE) AS dnorm
+          FROM pr
         )
         {body}
     """

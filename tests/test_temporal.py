@@ -424,7 +424,7 @@ def test_attribution_matches_duckdb_twin(db, duck):
     got = sorted(map(tuple, attribution(db.df("events")).collect()))
     want = sorted(map(tuple, duck.execute(attribution_oracle_sql()).fetchall()))
     assert got == want
-    assert len(got) == 9  # 3 models × 3 touch channels
+    assert len(got) == 12  # 4 models × 3 touch channels
 
 
 def test_attribution_credit_conservation(db, duck):
@@ -449,7 +449,7 @@ def test_attribution_credit_conservation(db, duck):
     for r in rows:
         by_model.setdefault(r["model"], 0.0)
         by_model[r["model"]] += r["credit"]
-    assert set(by_model) == {"first", "last", "linear"}
+    assert set(by_model) == {"first", "last", "linear", "decay"}
     for model, total in by_model.items():
         assert abs(total - attributed) < 1e-6, (model, total, attributed)
     # first/last hand out whole conversions per channel
