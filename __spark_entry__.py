@@ -2041,6 +2041,7 @@ def q_text_quality(spark, sf_dir):
     from deep_db_learning_spark.operators.dsir import (
         dsir_scores,
         fit_dsir_weights,
+        spread_input,
     )
 
     db = _db(spark, sf_dir)
@@ -2048,10 +2049,16 @@ def q_text_quality(spark, sf_dir):
     metrics = q_text_metrics(spark, sf_dir)
     model = LM.fit_stupid_backoff(docs, **TEXT_LM_SPEC)
     scores = LM.perplexity_scores(docs, model)
+    # spread ONCE for the fit (the r9 advice: the .rdd partition probe
+    # forces a plan materialization per call — fit then probes zero
+    # times); dsir_scores spreads only its bucket path, keeping the
+    # returned plan's id-join side on the raw scan (pin-identical)
+    docs_s = spread_input(docs)
     lam = fit_dsir_weights(
-        docs.where(F.col("source") == TEXT_DSIR_SPEC["target_source"]),
-        docs,
+        docs_s.where(F.col("source") == TEXT_DSIR_SPEC["target_source"]),
+        docs_s,
         n_buckets=TEXT_DSIR_SPEC["n_buckets"],
+        spread=False,
     )
     from pyspark.sql.window import Window
 

@@ -34,9 +34,12 @@ The algorithm, re-expressed Spark-first:
 
 100 TB posture: no step holds more than ``n_buckets`` values on the
 driver; the corpus is touched by exactly two count shuffles (fit) and
-one score shuffle; the λ join is broadcast; top-k is a rank over the
-score frame (or a threshold from ``exact_quantiles`` to avoid the
-global sort when k is a fraction).
+one score shuffle; the λ join is broadcast; selection runs through
+:func:`~.selection.topk_threshold_cut` — histogram refinement locates
+the exact k-th score with bounded driver state and the kept set is a
+pure codegen filter, so NOTHING ranks through a single reducer (the
+``exact_window=True`` forms retain the global-rank reference
+semantics for the pytest equality pins).
 """
 
 from __future__ import annotations
@@ -51,6 +54,20 @@ from ..functions.exact_agg import DECIMAL_TYPE
 from ..functions.hashing import md5_prefix_hash, md5_prefix_hash_sql
 
 DEFAULT_BUCKETS = 10_000
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Repartition a narrower-than-the-cluster input once (a
+    single-file parquet scan otherwise runs the whole md5 flatMap on
+    ONE core — the ``search._spread`` lesson). The partition-count
+    probe (``df.rdd``) forces a plan materialization, so call this
+    ONCE per distinct frame and pass ``spread=False`` downstream —
+    :func:`fit_dsir_weights` + :func:`dsir_scores` on a pre-spread
+    frame touch ``.rdd`` zero times."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _grams(text_col: str) -> Column:
@@ -89,9 +106,7 @@ def doc_ngram_buckets(
     ``search._spread`` lesson); the one small pre-explode exchange
     buys corpus-wide parallelism for the hash work."""
     if spread:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
+        df = spread_input(df)
     return (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(_grams(text_col)).alias("gram"))
@@ -138,14 +153,21 @@ def fit_dsir_weights(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
+    spread: bool = True,
 ) -> list[float]:
     """Per-bucket log-likelihood-ratio weights ``λ_b`` from the target
     and raw corpora — two count jobs, then driver-side python ``log``
     over the exact integer counts (engine-independent by the BM25-idf
-    precedent). Returns a dense length-``n_buckets`` list."""
+    precedent). Returns a dense length-``n_buckets`` list. Each input
+    is spread ONCE here (pass ``spread=False`` for pre-spread
+    frames)."""
+    if spread:
+        df_target = spread_input(df_target)
+        df_raw = spread_input(df_raw)
+
     def counts(df):
         rows = (
-            doc_ngram_buckets(df, text_col, id_col, n_buckets)
+            doc_ngram_buckets(df, text_col, id_col, n_buckets, spread=False)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
@@ -191,13 +213,18 @@ def dsir_scores(
     lambdas: list[float],
     text_col: str = "text",
     id_col: str = "doc_id",
+    spread: bool = True,
 ) -> DataFrame:
     """``(id_col, score, n_grams)`` — per-document importance
     ``log w = Σ λ_bucket`` as an exact decimal fold over dec9-quantized
     λ (bit-identical under any partitioning), cast to double at the
     end. Documents whose text yields no grams score 0 with
     ``n_grams = 0`` (left join back to the corpus). One explode
-    shuffle + a broadcast λ join."""
+    shuffle + a broadcast λ join. ``spread`` widens ONLY the bucket
+    path (the md5 flatMap) — the id-projection left side never needs
+    it; pass ``spread=False`` for a frame already through
+    :func:`spread_input`."""
+    src = spread_input(df) if spread else df
     n_buckets = len(lambdas)
     spark = df.sparkSession
     lam = spark.createDataFrame(
@@ -205,7 +232,7 @@ def dsir_scores(
         f"bucket bigint, lam {DECIMAL_TYPE}",
     )
     scored = (
-        doc_ngram_buckets(df, text_col, id_col, n_buckets)
+        doc_ngram_buckets(src, text_col, id_col, n_buckets, spread=False)
         .join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
@@ -254,22 +281,51 @@ def dsir_scores_sql(
     """
 
 
-def select_top_k(scores: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+def select_top_k(
+    scores: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    exact_window: bool = False,
+) -> DataFrame:
     """The deterministic resampling step: keep the ``k`` highest-scored
-    documents, ties broken by ``id_col`` — a rank, not a global sort of
-    the corpus payload (only (id, score) shuffles)."""
-    from pyspark.sql.window import Window
+    documents, ties broken by ``id_col``. Default path is the
+    threshold cut (:func:`~.selection.topk_threshold_cut` — histogram
+    refinement locates the exact k-th score with bounded driver state,
+    the returned plan is a pure codegen filter, NO single-partition
+    rank anywhere — the 100 TB shape). ``exact_window=True`` keeps the
+    global-rank window form — the reference semantics pytest pins the
+    cut against; never the production path."""
+    if exact_window:
+        from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("score"), F.col(id_col))
-    return (
-        scores.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+        w = Window.orderBy(F.desc("score"), F.col(id_col))
+        return (
+            scores.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+    from .selection import topk_threshold_cut
+
+    return topk_threshold_cut(scores, "score", k, id_col, descending=True)
+
+
+def _gumbel_key(id_col: str, seed: int) -> Column:
+    """``score + Gumbel(0,1)`` with hash-seeded portable noise."""
+    u = (
+        md5_prefix_hash(
+            F.concat(F.lit(f"dsir-gumbel:{seed}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    return F.col("score") + -F.log(-F.log(u))
 
 
 def gumbel_select(
-    scores: DataFrame, k: int, id_col: str = "doc_id", seed: int = 42
+    scores: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    exact_window: bool = False,
 ) -> DataFrame:
     """The paper's randomized importance resampling: top-k by
     ``score + Gumbel(0,1)`` with the noise derived from a PORTABLE
@@ -277,19 +333,22 @@ def gumbel_select(
     ``−log(−log u)``), so the sample is reproducible across engines
     and runs. The transcendental is per-row float64 libm — pytest pins
     it against a python replay (not a SQL oracle; the deterministic
-    :func:`select_top_k` is the driver-hashed form)."""
-    from pyspark.sql.window import Window
+    :func:`select_top_k` is the driver-hashed form). Selection runs
+    through the same threshold cut as :func:`select_top_k`
+    (``exact_window=True`` retains the global-rank reference form)."""
+    key = _gumbel_key(id_col, seed)
+    if exact_window:
+        from pyspark.sql.window import Window
 
-    u = (
-        md5_prefix_hash(
-            F.concat(F.lit(f"dsir-gumbel:{seed}:"), F.col(id_col).cast("string"))
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(2**32))
-    key = F.col("score") + -F.log(-F.log(u))
-    w = Window.orderBy(F.desc(key), F.col(id_col))
-    return (
-        scores.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+        w = Window.orderBy(F.desc(key), F.col(id_col))
+        return (
+            scores.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+    from .selection import topk_threshold_cut
+
+    keyed = scores.withColumn("__gk", key)
+    return topk_threshold_cut(
+        keyed, "__gk", k, id_col, descending=True
+    ).drop("__gk")

@@ -240,6 +240,7 @@ def weighted_sample_without_replacement(
     k: int,
     id_col: str,
     seed: int = 42,
+    exact_window: bool = False,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement — the A-ES one-pass
     reduction (Efraimidis & Spirakis 2006): each row draws a uniform
@@ -248,9 +249,8 @@ def weighted_sample_without_replacement(
     of ``(seed, id)`` (reproducible across runs, engines, and
     partitionings — no RNG state anywhere) and the key is compared in
     log space, ``log(u)/w`` (order-identical, no underflow at large
-    weights). One pure-codegen key column + one top-k rank — the same
-    shape as ``top_k_per_group``; at scale swap the global rank for a
-    per-partition top-k + merge if k is small.
+    weights). One pure-codegen key column + one exact
+    threshold-cut top-k (see below) — only (id, key) pairs ever probe.
 
     Rows with NULL or non-positive weights are excluded (a zero weight
     must never be sampled; A-ES keys are undefined there). Returns the
@@ -258,9 +258,15 @@ def weighted_sample_without_replacement(
     arithmetic in python; the transcendental keeps this operator
     pytest-pinned rather than driver-hashed — java's StrictMath.log and
     python's libm agree on every value we test, but the repo's oracle
-    regime does not rest on that)."""
-    from pyspark.sql.window import Window
+    regime does not rest on that).
 
+    Default selection path is the threshold cut
+    (:func:`~.selection.topk_threshold_cut`): histogram refinement
+    finds the exact k-th key with bounded driver state, the kept set
+    is a pure codegen filter — nothing ranks through one reducer at
+    any corpus size. ``exact_window=True`` retains the global-rank
+    window form (the reference semantics the pytest equality pin
+    compares against)."""
     from ..functions.hashing import md5_prefix_hash
 
     u = (
@@ -273,9 +279,15 @@ def weighted_sample_without_replacement(
     keyed = df.where(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("__aes_key", key)
-    w = Window.orderBy(F.desc("__aes_key"), F.col(id_col))
-    return (
-        keyed.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    if exact_window:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc("__aes_key"), F.col(id_col))
+        return (
+            keyed.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+    from .selection import topk_threshold_cut
+
+    return topk_threshold_cut(keyed, "__aes_key", k, id_col, descending=True)

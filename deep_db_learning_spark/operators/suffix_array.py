@@ -71,12 +71,39 @@ def corpus_positions(
 
 
 def _dense_rank_keys(keyed: DataFrame, cols: list[str]) -> DataFrame:
-    """Dense-rank the frame by ``cols`` WITHOUT funneling it through a
-    single partition: rank the DISTINCT key tuples (the shrinking
-    dictionary), broadcast-or-shuffle join back."""
+    """Dense-rank the frame by ``cols`` WITHOUT a single-partition
+    stage anywhere: rank the DISTINCT key tuples (the shrinking
+    dictionary) by the classic two-phase distributed rank —
+    range-partition the dictionary on the sort key, number rows
+    locally per partition, then shift each partition by the cumulative
+    count of the partitions before it. The only single-partition work
+    is the cumulative sum over the PER-PARTITION COUNTS (≤
+    ``spark.sql.shuffle.partitions`` rows — bounded state independent
+    of data volume), so even in the LAST doubling round — where the
+    key dictionary approaches corpus-position count — no stage holds
+    the dictionary on one reducer. Ranks are dense, start at 1, and
+    are independent of where the range boundaries land (global order
+    is preserved across range partitions), so the output is
+    deterministic bit-for-bit."""
     keys = keyed.select(*cols).distinct()
-    w = Window.orderBy(*[F.col(c) for c in cols])
-    ranked = keys.withColumn("__r", F.dense_rank().over(w))
+    parts = keys.repartitionByRange(*[F.col(c) for c in cols])
+    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lr",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+        ),
+    )
+    counts = local.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    ranked = local.join(F.broadcast(offs), "__pid").select(
+        *cols, (F.col("__lr") + F.col("__off")).alias("__r")
+    )
     return keyed.join(ranked, cols)
 
 
@@ -96,6 +123,10 @@ def build_suffix_array(
     cur = cut_lineage(cur, eager=True)
     n_pos = cur.count()
     rounds: list[tuple[int, DataFrame]] = [(1, cur)]
+    if n_pos == 0:
+        # all texts NULL/empty — F.max() below would return None and
+        # the loop arithmetic would crash on None + 1
+        return cur, rounds
     offset = 1
     while True:
         n_ranks = cur.agg(F.max("r")).first()[0]

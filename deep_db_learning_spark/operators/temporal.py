@@ -618,12 +618,18 @@ def attribution(
         )
         / h_us
     ).cast("int")
-    # weights are exact powers of two (cap 62 keeps the shift off the
-    # sign bit); the per-conversion normalizer folds them as decimals —
-    # a float window sum would be accumulation-order-sensitive
+    # weights are exact powers of two. Cap the shift at 59, not 62:
+    # the normalizer folds weights as decimal(30,18), and 2^-60 and
+    # below quantize to 0E-18 — a conversion whose window touches ALL
+    # sit >=~60 halflives back (reachable with e.g. lookback '90 days'
+    # + halflife '1 hour') would get a zero normalizer and divide to
+    # Inf.  2^-59 still rounds to 2E-18 at scale 18, so every touch
+    # keeps a nonzero decimal weight.  The per-conversion normalizer
+    # folds as decimals — a float window sum would be
+    # accumulation-order-sensitive.
     dw = F.lit(1.0) / F.call_function(
         "shiftleft", F.lit(1).cast("bigint"),
-        F.least(buckets, F.lit(62)),
+        F.least(buckets, F.lit(59)),
     ).cast("double")
     scored = pairs.select(
         type_col,
@@ -689,11 +695,12 @@ def attribution_oracle_sql(
                  -- bucketed decay weight: exact power of two (integer
                  -- floor division; the engine's float floor agrees —
                  -- microsecond integers keep the quotient >1 µs from
-                 -- any boundary flip)
+                 -- any boundary flip).  Shift capped at 59 like the
+                 -- engine: 2^-60 quantizes to 0 at decimal scale 18.
                  CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << CAST(
                    least((epoch_us(c.w_end) - epoch_us(t.ts)) //
                          (epoch_us(TIMESTAMP '1970-01-01 00:00:00'
-                                   + INTERVAL {decay_halflife})), 62)
+                                   + INTERVAL {decay_halflife})), 59)
                    AS INT) AS DOUBLE) AS dw
           FROM tch t JOIN conv c
             ON t.user_id = c.user_id

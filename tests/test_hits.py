@@ -97,3 +97,61 @@ def test_ranking_matches_degree_weighted_intuition(db, result):
     top = max(result, key=lambda r: (r["auth_scaled"], r["node"]))
     degs = sorted(deg.values())
     assert deg.get(top["node"], 0) >= degs[len(degs) // 2]
+
+
+def test_rescale_dense_graph_bit_equal_and_loud_overflow(spark):
+    """The r9 documented escape, now built: a complete 40-node digraph
+    at iters=8 would overflow BIGINT without rescale — the in-plan
+    guard raises LOUDLY (independent of ANSI mode) when headroom is
+    denied; with the default rescale the engine, the unrolled DuckDB
+    twin (identical shift CTEs from the identical bit-length ladder),
+    and the python replay agree bit-for-bit."""
+    import duckdb
+
+    from deep_db_learning_spark.operators.hits import hits_py
+
+    n = 40
+    nodes = list(range(n))
+    edges = [(i, j) for i in nodes for j in nodes if i != j]
+    ndf = spark.createDataFrame([(x,) for x in nodes], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(edf, ndf, iters=8).collect()
+    }
+    assert got == hits_py(edges, nodes, iters=8)
+    assert max(v for h, a in got.values() for v in (h, a)) > 0
+    nodes_sql = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({x})" for x in nodes)
+        + ") t(node)"
+    )
+    edges_sql = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({s},{d})" for s, d in edges)
+        + ") t(src, dst)"
+    )
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            hits_oracle_sql(nodes_sql, edges_sql, iters=8)
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    with pytest.raises(Exception, match="fold exceeds BIGINT"):
+        hits(edf, ndf, iters=8, rescale_bits=63).collect()
+
+
+def test_rescale_never_fires_at_moderate_density(db, result):
+    """At the FK graph's density the shift is 0 every round: the
+    rescaled path returns the exact path counts (the driver-slot hash
+    regime depends on this)."""
+    fwd, nodes = _graph(db)
+    noresc = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(fwd, nodes, rescale_bits=62).collect()
+    }
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"]) for r in result}
+    assert got == noresc

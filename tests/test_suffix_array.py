@@ -112,3 +112,21 @@ def test_no_repeat_corpus(spark):
     )
     assert rows == longest_repeated_substring_py({1: "abca"})
     assert rows[0][2] == 1
+
+
+def test_all_null_or_empty_corpus(spark):
+    """Zero corpus positions (every text NULL or ''): the build
+    returns the empty ranks frame instead of crashing on None
+    aggregates, and LRS is empty."""
+    from deep_db_learning_spark.operators.suffix_array import (
+        build_suffix_array,
+        longest_repeated_substring,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id bigint, text string"
+    )
+    ranks, rounds = build_suffix_array(df)
+    assert ranks.count() == 0
+    assert len(rounds) == 1
+    assert longest_repeated_substring(df).count() == 0

@@ -493,3 +493,56 @@ def test_attribution_window_and_params(spark):
     assert got[("linear", "click")] == (1, 0.5)
     assert got[("linear", "view")] == (1, 0.5)
     assert ("first", "view") not in got or got[("first", "view")][1] == 0.0
+
+
+def test_attribution_extreme_decay_stays_finite(spark):
+    """lookback ≫ halflife (90 days / 1 hour → bucket 1920): the
+    59-cap keeps every decimal weight nonzero, so the per-conversion
+    normalizer never hits 0 and credits stay finite — and the DuckDB
+    twin (same cap) agrees bitwise."""
+    import datetime as dt
+    import math
+
+    import duckdb
+
+    from deep_db_learning_spark.operators.temporal import (
+        attribution,
+        attribution_oracle_sql,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "click", base - dt.timedelta(days=80)),
+        (2, 10, "click", base - dt.timedelta(minutes=1)),
+        (3, 10, "purchase", base),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = attribution(
+        df, lookback="90 days", decay_halflife="1 hour"
+    ).collect()
+    decay = [r for r in out if r["model"] == "decay"]
+    assert decay and all(math.isfinite(r["credit"]) for r in decay)
+    assert abs(sum(r["credit"] for r in decay) - 1.0) < 1e-9
+    con = duckdb.connect()
+    vals = ",".join(
+        f"({e}, {u}, '{t}', TIMESTAMP '{ts}')" for e, u, t, ts in rows
+    )
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + vals
+        + ") v(event_id, user_id, event_type, ts)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                attribution_oracle_sql(
+                    lookback="90 days", decay_halflife="1 hour"
+                )
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert sorted(map(tuple, out)) == want
