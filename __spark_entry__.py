@@ -299,11 +299,22 @@ def q_node_split(spark, sf_dir):
     train/val/test; ``stratified`` — EXACT proportional allocation
     within each c_mktsegment stratum (integer-arithmetic boundaries,
     `operators/sampling.py:stratified_node_split`); ``kfold`` —
-    deterministic 5-fold CV assignment. All three are portable-hash
-    splits: reproducible across engines and partitionings."""
+    deterministic 5-fold CV assignment. All are portable-hash
+    splits: reproducible across engines and partitionings.
+
+    ``wsample`` (r10 rotation) — A-ES weighted sampling without
+    replacement (Efraimidis & Spirakis 2006,
+    `operators/sampling.py:weighted_sample_without_replacement`):
+    k=120 customers drawn ∝ |c_acctbal| through portable md5 uniforms
+    and log-space keys, selected by the scale-safe threshold cut. The
+    oracle replays the identical key arithmetic in python over the
+    DuckDB-read rows and inlines the chosen ids as VALUES (the
+    SemDeDup/ivf pattern); libm log is the one cross-engine float —
+    the documented A-ES caveat, pinned here by the driver hash."""
     from deep_db_learning_spark.operators.sampling import (
         kfold_assign,
         stratified_node_split,
+        weighted_sample_without_replacement,
     )
 
     db = _db(spark, sf_dir)
@@ -326,7 +337,63 @@ def q_node_split(spark, sf_dir):
         F.col("node_id").alias("c_custkey"),
         F.concat(F.lit("fold_"), F.col("fold").cast("string")).alias("split"),
     )
-    return rand.unionByName(strat).unionByName(folds)
+    ws = weighted_sample_without_replacement(
+        cust.select("c_custkey", F.abs(F.col("c_acctbal")).alias("w")),
+        "w",
+        NODE_WSAMPLE_SPEC["k"],
+        "c_custkey",
+        seed=NODE_WSAMPLE_SPEC["seed"],
+    ).select(
+        F.lit("wsample").alias("mode"),
+        "c_custkey",
+        F.lit("sampled").alias("split"),
+    )
+    return rand.unionByName(strat).unionByName(folds).unionByName(ws)
+
+
+# shared between q_node_split's wsample mode and its oracle builder —
+# both engines draw under this config; any drift breaks the hash
+NODE_WSAMPLE_SPEC = {"k": 120, "seed": 42}
+
+
+def _wsample_oracle() -> str:
+    """wsample mode of ``node_split``: the A-ES draw replayed in
+    python over the exact (c_custkey, |c_acctbal|) rows read through
+    DuckDB at build time — the identical portable md5 uniform and
+    log-space key arithmetic as the engine — with the chosen ids
+    inlined as a VALUES list (the SemDeDup/ivf_oracle pattern). The
+    selected SET is a deterministic function of the data under the
+    portable hash; libm ``log`` is the single cross-engine float in
+    the key (the documented A-ES caveat)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT c_custkey, abs(c_acctbal) FROM "
+        f"read_parquet('{sf}/customer.parquet') "
+        "WHERE c_acctbal IS NOT NULL AND abs(c_acctbal) > 0"
+    ).fetchall()
+    con.close()
+    seed, k = NODE_WSAMPLE_SPEC["seed"], NODE_WSAMPLE_SPEC["k"]
+
+    def key(cid, w):
+        h = int(
+            hashlib.md5(f"aes:{seed}:{cid}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / float(2**32)
+        return math.log(u) / w
+
+    chosen = sorted(
+        rows, key=lambda t: (-key(t[0], float(t[1])), t[0])
+    )[:k]
+    vals = ", ".join(f"({int(c)})" for c, _w in chosen)
+    return f"SELECT c_custkey FROM (VALUES {vals}) AS t(c_custkey)"
 
 
 def q_bfs_depth2(spark, sf_dir):
@@ -4092,6 +4159,9 @@ def oracle_sql() -> dict[str, str]:
                    'fold_' || CAST(({knuth_hash_sql('c_custkey', 42)}) % 5
                                    AS VARCHAR)
             FROM customer
+            UNION ALL
+            SELECT 'wsample', c_custkey, 'sampled'
+            FROM ({_wsample_oracle()})
         """,
         "eval_metrics": f"""
             WITH counts AS (
