@@ -3110,14 +3110,16 @@ def q_events_temporal_join(spark, sf_dir):
         F.col("clicks24_sum").alias("click_value_24h"),
         F.lit(None).cast("string").alias("channel"),
     )
-    # r9 modes ``attr_first``/``attr_last``/``attr_linear``: multi-
-    # touch conversion attribution (`operators/temporal.attribution` —
-    # touches pair with conversions through the binned range_join,
-    # one window pass yields all three credit models, exact decimal
-    # credit folds); `channel` carries the touch event_type,
-    # conversions the touch count, conv_value the credited
+    # ``attr_*`` modes (r9; +ushape r10): multi-touch conversion
+    # attribution (`operators/temporal.attribution` — touches pair
+    # with conversions through the binned range_join, one window pass
+    # yields ALL FIVE credit models first/last/linear/ushape/decay,
+    # exact decimal credit folds); `channel` carries the touch
+    # event_type, conversions the touch count, conv_value the credited
     # conversions. The oracle replays the identical window predicate
-    # and tie order in SQL.
+    # and tie order in SQL — both sides enumerate models from the
+    # SHARED attribution implementation, so the mode list cannot
+    # drift.
     from deep_db_learning_spark.operators.temporal import attribution
 
     attr = attribution(ev).select(

@@ -558,11 +558,14 @@ def attribution(
     decay_halflife: str | None = "6 hours",
 ) -> DataFrame:
     """Multi-touch conversion attribution — credit each touch channel
-    for the conversions it preceded, under the four standard models
+    for the conversions it preceded, under the five standard models
     in ONE pass: ``first`` (the earliest touch in the lookback window
     takes the whole conversion), ``last`` (the latest touch before the
     conversion), ``linear`` (1/n to each of the n window touches),
-    ``decay`` (BUCKETED time-decay: a touch's weight halves for every
+    ``ushape`` (position-based 40/20/40: first and last touch take
+    0.4 each, the n−2 middles split 0.2 evenly; n=1 → 1, n=2 → ½/½ —
+    exact rationals of the existing rank/count columns), ``decay``
+    (BUCKETED time-decay: a touch's weight halves for every
     FULL ``decay_halflife`` elapsed before the conversion —
     ``w = 2^−⌊Δt/H⌋`` normalized per conversion. The floor makes every
     weight an exact power of two and the whole model engine-exact;
@@ -636,13 +639,21 @@ def attribution(
         (ra == 1).cast("double").alias("__first"),
         (rd == 1).cast("double").alias("__last"),
         (F.lit(1.0) / n).alias("__linear"),
+        # position-based (U-shaped) 40/20/40 — the n==2 branch first,
+        # so the row that is BOTH first and last of a pair gets ½ once
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(ra == 1, F.lit(0.4))
+        .when(rd == 1, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
+        .alias("__ushape"),
         (
             dw
             / F.sum(dw.cast("decimal(30,18)")).over(w).cast("double")
         ).alias("__decay"),
     )
     out = None
-    for model in ("first", "last", "linear", "decay"):
+    for model in ("first", "last", "linear", "ushape", "decay"):
         agg = scored.groupBy(type_col).agg(
             F.count(F.lit(1)).alias("n_touches"),
             exact_sum(F.col(f"__{model}")).alias("credit"),
@@ -669,6 +680,16 @@ def attribution_oracle_sql(
         ("first", "CASE WHEN ra = 1 THEN 1.0 ELSE 0.0 END"),
         ("last", "CASE WHEN rd = 1 THEN 1.0 ELSE 0.0 END"),
         ("linear", "CAST(1.0 AS DOUBLE) / n"),
+        # float literals cross as CAST('..' AS DOUBLE) — bare decimals
+        # parse as DECIMAL in DuckDB
+        (
+            "ushape",
+            "CASE WHEN n = 1 THEN CAST('1.0' AS DOUBLE) "
+            "WHEN n = 2 THEN CAST('0.5' AS DOUBLE) "
+            "WHEN ra = 1 THEN CAST('0.4' AS DOUBLE) "
+            "WHEN rd = 1 THEN CAST('0.4' AS DOUBLE) "
+            "ELSE CAST('0.2' AS DOUBLE) / CAST(n - 2 AS DOUBLE) END",
+        ),
         ("decay", "dw / dnorm"),
     ):
         models.append(f"""

@@ -424,7 +424,7 @@ def test_attribution_matches_duckdb_twin(db, duck):
     got = sorted(map(tuple, attribution(db.df("events")).collect()))
     want = sorted(map(tuple, duck.execute(attribution_oracle_sql()).fetchall()))
     assert got == want
-    assert len(got) == 12  # 4 models × 3 touch channels
+    assert len(got) == 15  # 5 models × 3 touch channels
 
 
 def test_attribution_credit_conservation(db, duck):
@@ -449,7 +449,7 @@ def test_attribution_credit_conservation(db, duck):
     for r in rows:
         by_model.setdefault(r["model"], 0.0)
         by_model[r["model"]] += r["credit"]
-    assert set(by_model) == {"first", "last", "linear", "decay"}
+    assert set(by_model) == {"first", "last", "linear", "ushape", "decay"}
     for model, total in by_model.items():
         assert abs(total - attributed) < 1e-6, (model, total, attributed)
     # first/last hand out whole conversions per channel
@@ -492,7 +492,42 @@ def test_attribution_window_and_params(spark):
     assert got[("last", "view")] == (1, 1.0)
     assert got[("linear", "click")] == (1, 0.5)
     assert got[("linear", "view")] == (1, 0.5)
+    # n=2: the U-shape pair branch gives each endpoint exactly half
+    assert got[("ushape", "click")] == (1, 0.5)
+    assert got[("ushape", "view")] == (1, 0.5)
     assert ("first", "view") not in got or got[("first", "view")][1] == 0.0
+
+
+def test_attribution_ushape_40_20_40(spark):
+    """Position-based model on a 4-touch window: endpoints take 0.4
+    each, the two middles split 0.2; a single-touch conversion takes
+    the whole unit."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 2, 10, 0)
+    rows = [
+        (1, t0, 7, "purchase", 1.0, None),
+        (2, t0 - dt.timedelta(minutes=50), 7, "click", 1.0, None),   # first
+        (3, t0 - dt.timedelta(minutes=40), 7, "view", 1.0, None),    # middle
+        (4, t0 - dt.timedelta(minutes=30), 7, "signup", 1.0, None),  # middle
+        (5, t0 - dt.timedelta(minutes=20), 7, "view", 1.0, None),    # last
+        (6, t0, 8, "purchase", 1.0, None),
+        (7, t0 - dt.timedelta(minutes=5), 8, "click", 1.0, None),    # solo
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    from deep_db_learning_spark.operators.temporal import attribution
+
+    got = {
+        (r["model"], r["event_type"]): r["credit"]
+        for r in attribution(ev, lookback="2 hours").collect()
+    }
+    assert got[("ushape", "click")] == 0.4 + 1.0   # first of u7 + solo u8
+    assert got[("ushape", "signup")] == 0.2 / 2    # one middle
+    assert got[("ushape", "view")] == 0.4 + 0.2 / 2  # last + one middle
 
 
 def test_attribution_extreme_decay_stays_finite(spark):
