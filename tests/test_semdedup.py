@@ -101,3 +101,49 @@ def test_threshold_monotone(db):
     n_strict = strict.where(F.col("dup_of").isNotNull()).count()
     assert n_strict <= n_loose
     assert n_loose > 0
+
+
+def test_auto_n_lists_sizing():
+    """k ∝ n with an 8-floor: fixture counts keep the stable 8;
+    corpus-scale counts grow linearly with n."""
+    from deep_db_learning_spark.operators.semdedup import auto_n_lists
+
+    assert auto_n_lists(500) == 8
+    assert auto_n_lists(4096 * 8) == 8
+    assert auto_n_lists(4096 * 8 + 1) == 9
+    assert auto_n_lists(10_000_000) == -(-10_000_000 // 4096)
+    assert auto_n_lists(1000, target_cluster_rows=100) == 10
+
+
+def test_hot_cluster_cap_excluded_and_returned(spark):
+    """A degenerate cluster (60 identical vectors — Lloyd's puts them
+    in ONE list) is excluded from the quadratic scan and returned as
+    data; the small clusters still get verdicts; nothing is silently
+    marked kept."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)] + [
+        (100 + i, [0.0, 1.0 if i % 2 else -1.0, float(i % 3), 0.0])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    verdicts, hot = semantic_dedup(
+        df, threshold=0.9, n_lists=4, hot_cluster_cap=30
+    )
+    hot_rows = hot.collect()
+    assert len(hot_rows) >= 1
+    assert any(r["n_vectors"] == 60 for r in hot_rows)
+    got_ids = {r["vec_id"] for r in verdicts.collect()}
+    assert got_ids and not (got_ids & set(range(60)))
+    # without the cap the identical mass IS marked (id 0 the keeper)
+    all_v = semantic_dedup(df, threshold=0.9, n_lists=4)
+    dup = {r["vec_id"]: r["dup_of"] for r in all_v.collect()}
+    assert dup[1] == 0 and dup[59] == 0 and dup[0] is None
+
+
+def test_auto_default_matches_pinned_8_on_fixture(db):
+    """At fixture scale the auto default derives exactly the historic
+    n_lists=8, so the driver-slot clustering is unchanged."""
+    auto = semantic_dedup(db.df("embeddings"), threshold=TAU)
+    pinned = semantic_dedup(db.df("embeddings"), threshold=TAU, n_lists=8)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
