@@ -34,6 +34,33 @@ conditional sums — map-side partial combine applies); the streaming
 operator's state is an O(n_bins) integer vector per key, never a
 window buffer; emissions are running snapshots, so downstream readers
 take each key's latest row.
+
+**Cut-set lifecycle (the re-cut procedure).** Cuts are FROZEN at
+stream start — that freeze is what makes the state exactly mergeable,
+and it is also a liability: if the live distribution drifts away from
+the reference that produced the cuts, mass piles into few buckets and
+the bracketing intervals widen. The policy:
+
+1. **Monitor**: :func:`stream_cut_drift_monitor` scores every arriving
+   micro-batch with the PSI of its bucket mass against the frozen cut
+   set's implied reference (equal-frequency cuts ⇒ uniform 1/n_bins
+   per bucket by construction, so no reference data is re-read) and
+   writes ``(batch_id, psi, drifted)`` rows into replay-idempotent
+   ``batch=<id>`` partitions. The standard thresholds apply (< 0.1
+   stable, 0.1–0.25 drifting, ≥ 0.25 shifted — the default flag).
+2. **Re-cut**: when the flag fires, freeze a NEW cut set from a fresh
+   reference window (:func:`reference_cuts` on recent data) and start
+   a NEW store generation — new checkpoint, new output path (suffix
+   the cut-set version, e.g. ``hist_cuts_v2/``), state rebuilt from
+   the switchover point.
+3. **Never mix histories across cut sets.** A count vector is only
+   meaningful against the cuts that binned it; vectors from different
+   cut sets are NOT mergeable (different bucket boundaries), so the
+   old generation stays readable under its own cuts and the new one
+   accumulates independently. Replay bit-identity holds per
+   generation: within one cut set the state is still a pure function
+   of the data multiset (pytest pins a post-re-cut stream against its
+   batch twin).
 """
 
 from __future__ import annotations
@@ -162,6 +189,89 @@ def hist_quantile_bounds(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cut_drift(
+    df: DataFrame, col: str, cuts: list[float], epsilon: float = 1e-6
+) -> tuple:
+    """PSI of ``df[col]`` against the FROZEN cut set's implied
+    reference: equal-frequency cuts make the reference uniform
+    (p_ref = 1/n_bins per bucket, exact up to rank rounding), so drift
+    is measured without re-reading any reference data — one bounded
+    count job plus driver-side python ``log`` over the exact integer
+    counts (the ``population_stability`` recipe). Returns
+    ``(psi, per_bin)`` with ``per_bin`` = [(bin, n_cur, p_cur,
+    contrib)]."""
+    import math
+
+    n_bins = len(cuts) + 1
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .select(_bin_expr(col, cuts).alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cur = {r["__b"]: r["n"] for r in rows}
+    n_cur = sum(cur.values())
+    pr = 1.0 / n_bins
+    per_bin = []
+    psi = 0.0
+    for b in range(n_bins):
+        nc = cur.get(b, 0)
+        pc = max(nc / n_cur, epsilon) if n_cur else epsilon
+        contrib = (pc - pr) * math.log(pc / pr)
+        psi += contrib
+        per_bin.append((b, nc, pc, contrib))
+    return psi, per_bin
+
+
+def stream_cut_drift_monitor(
+    stream: DataFrame,
+    col: str,
+    cuts: list[float],
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.25,
+    epsilon: float = 1e-6,
+    query_name: str = "qhist_cut_monitor",
+):
+    """Per-micro-batch drift scoring for a frozen cut set (step 1 of
+    the module's re-cut procedure): each batch costs one bounded count
+    aggregate; its ``(batch_id, bin, n_cur, p_cur, contrib, psi,
+    n_batch, drifted)`` rows land in a ``batch=<id>`` OVERWRITE
+    partition, so a replayed batch rewrites the same rows and the
+    monitor is replay-idempotent without a cursor. ``drifted`` is
+    ``psi >= threshold`` — when it fires, re-cut per the module
+    docstring (new cuts, new checkpoint, new store generation; never
+    merge vectors across cut sets)."""
+    import os
+
+    spark = stream.sparkSession
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        psi, per_bin = cut_drift(batch_df, col, cuts, epsilon)
+        n_batch = sum(nc for _b, nc, _pc, _c in per_bin)
+        out = [
+            (batch_id, b, nc, pc, contrib, psi, n_batch, psi >= threshold)
+            for b, nc, pc, contrib in per_bin
+        ]
+        frame = spark.createDataFrame(
+            out,
+            "batch_id bigint, bin int, n_cur bigint, p_cur double, "
+            "contrib double, psi double, n_batch bigint, drifted boolean",
+        )
+        frame.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(monitor)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 HIST_STATE_SCHEMA = "counts array<bigint>"

@@ -130,3 +130,72 @@ def test_stream_hist_merge_order_independent(spark, db, cuts, tmp_path):
 
     assert got_a == want
     assert got_b == want
+
+
+def test_cut_drift_flag_and_recut_generation(spark, db, cuts, tmp_path):
+    """The cut-set lifecycle (module docstring): the monitor scores a
+    reference-like batch under the flag and a shifted batch over it;
+    the re-cut generation (new cuts from the drifted data, fresh
+    checkpoint/path) replays bit-identically against its own batch
+    twin — histories never mix across cut sets."""
+    import os
+
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        cut_drift,
+        stream_cut_drift_monitor,
+    )
+
+    ev = db.df("events").select("event_id", "user_id", "ts", "value")
+    shifted = ev.withColumn(
+        "value", F.col("value") * 100 + F.lit(1e6)
+    )
+
+    # batch-side semantics first: self-distribution ≈ uniform (tiny
+    # PSI), everything-in-the-top-bucket is a shift (huge PSI)
+    psi_ref, _ = cut_drift(ev, "value", cuts)
+    psi_shift, per_bin = cut_drift(shifted, "value", cuts)
+    assert psi_ref < 0.1 < 0.25 <= psi_shift
+    assert per_bin[-1][1] == shifted.where(F.col("value").isNotNull()).count()
+
+    # streaming monitor: one drop per distribution, one PSI row set per
+    # batch, replay-idempotent overwrite partitions
+    src = str(tmp_path / "drift_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    shifted.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "drift_out")
+    q = stream_cut_drift_monitor(
+        stream, "value", cuts, out_path,
+        os.path.join(str(tmp_path), "ck_drift"),
+    )
+    q.awaitTermination(180)
+    rows = spark.read.option("basePath", out_path).parquet(
+        f"{out_path}/batch=*"
+    ).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], r)
+    assert len(by_batch) == 2
+    flags = sorted((r["psi"], r["drifted"]) for r in by_batch.values())
+    assert flags[0][1] is False and flags[1][1] is True
+    assert flags[0][0] == psi_ref and flags[1][0] == psi_shift
+
+    # the re-cut: new generation under NEW cuts, fresh checkpoint —
+    # stream ≡ batch bit-for-bit within the new cut set
+    new_cuts = reference_cuts(shifted, "value", n_bins=8)
+    assert new_cuts != cuts
+    src2 = str(tmp_path / "gen2_src")
+    shifted.repartition(3).write.mode("overwrite").parquet(src2)
+    got = _run_stream(
+        spark, src2, shifted.schema, new_cuts, tmp_path, "gen2"
+    )
+    want = sorted(
+        (r["user_id"], r["n"], tuple(r["counts"]))
+        for r in grouped_hist(shifted, "user_id", "value", new_cuts).collect()
+    )
+    assert got == want
