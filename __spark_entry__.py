@@ -2103,7 +2103,20 @@ def q_text_quality(spark, sf_dir):
     of the dec9-quantized λ, and the deterministic resampling rank
     (score DESC, doc_id). The oracle fits its own λ from DuckDB-side
     counts through the SHARED python arithmetic — the LM-oracle
-    pattern applied to a selection model. NULL-padded to one schema."""
+    pattern applied to a selection model.
+
+    ``qfilter`` (r10) — the discriminative counterpart
+    (`operators/quality_filter.py`): a logistic-regression quality
+    classifier over the same hashed features, trained IN-ENGINE by
+    full-batch GD (exact decimal z/gradient folds, one Arrow-numpy
+    nonlinearity pass, dec9 driver updates) against the src0 target
+    label, scored as the pure decimal LOGIT fold. The oracle RE-RUNS
+    the whole descent through the shared python twin
+    (`fit_quality_filter_py` — bit-equal weights by the tabnet_full
+    twin regime) and emits the identical scoring SQL. The synthetic
+    corpus's labels carry no textual signal (shared vocabulary), so
+    the slot pins the ARITHMETIC; learning itself is pytest-pinned on
+    a constructed signal fixture. NULL-padded to one schema."""
     from deep_db_learning_spark.operators import lm as LM
     from deep_db_learning_spark.operators.dsir import (
         dsir_scores,
@@ -2135,6 +2148,19 @@ def q_text_quality(spark, sf_dir):
         .over(Window.orderBy(F.desc("score"), F.col("doc_id")))
         .cast("int"),
     )
+    from deep_db_learning_spark.operators.quality_filter import (
+        fit_quality_filter,
+        quality_logit_scores,
+    )
+
+    qmodel = fit_quality_filter(
+        docs.withColumn(
+            "__y",
+            (F.col("source") == TEXT_DSIR_SPEC["target_source"]).cast("int"),
+        ),
+        "__y",
+    )
+    qf = quality_logit_scores(docs, qmodel)
     pad = {
         "ws_tokens": "int", "bpe_tokens": "int", "lang": "string",
         "fp_md5": "string", "fp_minhash": "string", "quality": "double",
@@ -2142,6 +2168,7 @@ def q_text_quality(spark, sf_dir):
         "mean_tok_freq": "double", "n_tokens": "int",
         "logp_sum": "double", "avg_nll": "double",
         "dsir_score": "double", "dsir_rank": "int",
+        "qf_logit": "double",
     }
 
     def padded(cols):
@@ -2169,6 +2196,12 @@ def q_text_quality(spark, sf_dir):
             dsir.withColumnRenamed("score", "dsir_score").select(
                 F.lit("dsir").alias("mode"), "doc_id",
                 *padded({"dsir_score", "dsir_rank"}),
+            )
+        )
+        .unionByName(
+            qf.select(
+                F.lit("qfilter").alias("mode"), "doc_id",
+                *padded({"qf_logit"}),
             )
         )
     )
@@ -5320,7 +5353,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE) AS logp_sum,
                CAST(NULL AS DOUBLE) AS avg_nll,
                CAST(NULL AS DOUBLE) AS dsir_score,
-               CAST(NULL AS INT) AS dsir_rank
+               CAST(NULL AS INT) AS dsir_rank,
+               CAST(NULL AS DOUBLE) AS qf_logit
         FROM ({sqls.pop("text_metrics")})
         UNION ALL
         SELECT 'lm', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
@@ -5328,7 +5362,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), n_tokens, logp_sum, avg_nll,
-               CAST(NULL AS DOUBLE), CAST(NULL AS INT)
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS DOUBLE)
         FROM ({_text_quality_lm_oracle()})
         UNION ALL
         SELECT 'dsir', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
@@ -5337,10 +5372,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), CAST(NULL AS INT),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-               dsir_score, dsir_rank
+               dsir_score, dsir_rank, CAST(NULL AS DOUBLE)
         FROM ({_text_quality_dsir_oracle()})
+        UNION ALL
+        -- r10: the in-engine LR quality filter — the oracle re-runs
+        -- the FULL descent through the shared python twin (bit-equal
+        -- weights) and scores with the identical decimal-fold SQL
+        SELECT 'qfilter', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT), qf_logit
+        FROM ({_text_quality_qfilter_oracle()})
     """
     return sqls
+
+
+def _text_quality_qfilter_oracle() -> str:
+    """Oracle half of the q_text_quality ``qfilter`` mode: RE-RUN the
+    whole gradient descent through the shared python twin
+    (`operators/quality_filter.fit_quality_filter_py` — DuckDB-read
+    features, decimal folds, the same numpy nonlinearity, the same
+    dec9 update; weights bit-equal to the engine's by the tabnet_full
+    twin regime) and emit the identical decimal-fold scoring SQL."""
+    import duckdb
+
+    from deep_db_learning_spark.operators.quality_filter import (
+        doc_features_sql,
+        fit_quality_filter_py,
+        quality_logit_scores_sql,
+    )
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    target = TEXT_DSIR_SPEC["target_source"]
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    feats = con.execute(doc_features_sql("documents")).fetchall()
+    labels = dict(
+        con.execute(
+            f"SELECT doc_id, CASE WHEN source = '{target}' THEN 1 ELSE 0 "
+            "END FROM documents WHERE text IS NOT NULL"
+        ).fetchall()
+    )
+    con.close()
+    model = fit_quality_filter_py(feats, labels)
+    return (
+        "SELECT doc_id, qf_logit FROM ("
+        + quality_logit_scores_sql("documents", model)
+        + ")"
+    )
 
 
 def _text_quality_dsir_oracle() -> str:

@@ -1,0 +1,379 @@
+"""Model-based quality filtering — a logistic-regression document
+classifier over hashed n-gram features, trained IN-ENGINE and scored
+as a pure decimal fold. The canonical "quality classifier" stage of
+pretraining-data curation (GPT-3 trained an LR filter against WebText;
+CCNet and the Llama corpus reports describe the same shape): label a
+small trusted slice positive, the raw crawl negative, train a linear
+model, keep documents the model scores target-like. DSIR
+(``operators/dsir.py``) is the importance-weighting view of the same
+problem; this operator is the discriminative view — together they
+close the standard selection toolbox.
+
+Spark-first decomposition (the ``tabnet_full``/DSIR recipes combined):
+
+1. **Features**: per-document hashed unigram+bigram counts —
+   ``dsir.doc_ngram_buckets`` (pure codegen flatMap, portable md5)
+   grouped to ``(doc, bucket, c)``. Materialized ONCE
+   (``cut_lineage``); every epoch reuses the narrow frame.
+2. **Forward**: ``z_d = w0 + Σ_b c_db · w_b`` with the weights dec9
+   decimals, so the fold is EXACT and partitioning-independent; the
+   per-document sigmoid/logloss run in ONE Arrow kernel (numpy
+   float64 — the attention-kernel precedent: the python twin calls
+   the same numpy, so the nonlinearity is bit-identical without any
+   cross-engine libm assumption).
+3. **Gradient**: ``∂/∂w_b = Σ_d (σ_d − y_d) · c_db`` — the residual
+   crosses back into decimal by the engine's own shortest-repr dec9
+   cast (``train_oracle._dec9`` is the shared twin rule), the
+   per-bucket fold is exact, and only ``n_buckets`` values ever reach
+   the driver.
+4. **Update**: driver-side through :func:`_lr_update` — ONE shared
+   float arithmetic (used verbatim by the python twin), re-quantized
+   dec9 so the next epoch's broadcast weights are exact decimals
+   again.
+5. **Score**: :func:`quality_logit_scores` emits the LOGIT (monotone
+   in the probability — thresholding and ranking are unchanged) as a
+   broadcast-join decimal fold, so scoring has NO transcendental and
+   the DuckDB oracle reproduces it bit-for-bit (the dsir_scores
+   pattern). The probability rendering, when wanted, is one
+   deterministic Arrow pass downstream.
+
+Twin regime: :func:`fit_quality_filter_py` replays the whole descent
+(decimal folds via python ``Decimal``, the same numpy nonlinearity,
+the same ``_lr_update``) from DuckDB-read features — per-epoch losses
+and every weight are bit-equal to the engine's (pytest pins both; the
+driver slot re-fits through the twin and hashes the scores).
+
+100 TB posture: per epoch the corpus is touched by exactly two
+shuffles (the z fold and the gradient fold — both map-side
+combinable) plus one Arrow pass; driver state is ``n_buckets``
+decimals; the feature frame is built once. No step ranks, collects,
+or windows over the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import cut_lineage
+from ..functions.exact_agg import DECIMAL_TYPE
+from ..plans.train_oracle import _dec9
+
+QF_CONFIG = {"n_buckets": 512, "epochs": 3, "lr": 0.05, "l2": 1e-4}
+
+
+@dataclass
+class QFModel:
+    """Trained filter: dec9 weights (exact decimals — broadcast
+    literals for scoring), per-epoch logloss SUMS (exact decimals —
+    the bit-parity pin), and the training row count."""
+
+    w0: Decimal
+    w: list
+    losses: list
+    n_docs: int
+    n_buckets: int
+
+
+def _grad_loss_np(z, y):
+    """The per-document nonlinearity, shared by the engine's Arrow
+    kernel and the python twin — float64 numpy end to end, so both
+    sides compute identical bits. Returns ``(g, loss)`` with
+    ``g = σ(z) − y`` and the overflow-stable logloss
+    ``log(1+e^{−z}) + (1−y)·z``."""
+    import numpy as np
+
+    zz = np.asarray(z, dtype="float64")
+    yy = np.asarray(y, dtype="float64")
+    g = 1.0 / (1.0 + np.exp(-zz)) - yy
+    loss = np.logaddexp(0.0, -zz) + (1.0 - yy) * zz
+    return g, loss
+
+
+def _lr_update(w, grad, n_docs: int, lr: float, l2: float):
+    """One GD step in ONE shared float arithmetic (fixed op order),
+    re-quantized dec9: ``w ← dec9(w − lr·(g/N + l2·w))``. The
+    intercept passes ``l2=0``."""
+    out = []
+    for wi, gi in zip(w, grad):
+        step = lr * (float(gi) / n_docs + l2 * float(wi))
+        out.append(_dec9(float(wi) - step))
+    return out
+
+
+def doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    spread: bool = True,
+) -> DataFrame:
+    """``(id_col, bucket, c)`` — per-document hashed-n-gram counts,
+    the classifier's sparse feature rows (integer counts: exact
+    decimal factors)."""
+    from .dsir import doc_ngram_buckets
+
+    n_buckets = QF_CONFIG["n_buckets"] if n_buckets is None else n_buckets
+    return (
+        doc_ngram_buckets(df, text_col, id_col, n_buckets, spread=spread)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def doc_features_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`doc_features` (over the shared
+    ``doc_ngram_buckets_sql`` featurizer)."""
+    from .dsir import doc_ngram_buckets_sql
+
+    n_buckets = QF_CONFIG["n_buckets"] if n_buckets is None else n_buckets
+    inner = doc_ngram_buckets_sql(table, text_col, id_col, n_buckets)
+    return f"""
+        SELECT {id_col}, bucket, count(*) AS c
+        FROM ({inner}) GROUP BY {id_col}, bucket
+    """
+
+
+def fit_quality_filter(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    epochs: int | None = None,
+    lr: float | None = None,
+    l2: float | None = None,
+) -> QFModel:
+    """Full-batch gradient descent, distributed: two exact-decimal
+    fold shuffles + one Arrow pass per epoch, ``n_buckets`` decimals
+    of driver state. ``label_col`` must be numeric 0/1; the training
+    set is every row with non-NULL ``text_col`` (zero-gram documents
+    train at ``z = w0``). Weights start at zero — no seed anywhere."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_buckets = QF_CONFIG["n_buckets"] if n_buckets is None else n_buckets
+    epochs = QF_CONFIG["epochs"] if epochs is None else epochs
+    lr = QF_CONFIG["lr"] if lr is None else lr
+    l2 = QF_CONFIG["l2"] if l2 is None else l2
+    spark = df.sparkSession
+
+    docs = df.where(F.col(text_col).isNotNull())
+    feats = cut_lineage(
+        doc_features(docs, text_col, id_col, n_buckets), eager=True
+    )
+    lab = cut_lineage(
+        docs.select(
+            F.col(id_col), F.col(label_col).cast("double").alias("__y")
+        ),
+        eager=True,
+    )
+    n_docs = lab.count()
+    if n_docs == 0:
+        raise ValueError("fit_quality_filter: empty training set")
+
+    def gl_fn(z, y):
+        g, loss = _grad_loss_np(z.to_numpy(), y.to_numpy())
+        return pd.Series([[float(a), float(b)] for a, b in zip(g, loss)])
+
+    # runtime annotations (the stack.py pattern): `from __future__
+    # import annotations` stringifies inline hints, which the
+    # pandas_udf type-hint inference can't resolve
+    gl_fn.__annotations__ = {"z": pd.Series, "y": pd.Series,
+                             "return": pd.Series}
+    gl_kernel = pandas_udf(gl_fn, "array<double>")
+
+    # Decimal-type discipline (the exactness load-bearing part): Spark
+    # ADJUSTS oversized decimal result types by DROPPING SCALE
+    # (decimalOperations.allowPrecisionLoss) — bigint×decimal(30,9)
+    # lands on (38,6), and (30,9)+(38,9) on (38,8) — which silently
+    # rounds the folds and breaks twin bit-parity at the 9th decimal.
+    # Every product here is decimal(17,0)×decimal(20,9) → (38,9) EXACT,
+    # and the w0 addition runs at (30,9)+(30,9) → (31,9) EXACT.
+    c_dec = F.col("c").cast("decimal(17,0)")
+    w = [Decimal(0)] * n_buckets
+    w0 = Decimal(0)
+    losses = []
+    for _epoch in range(epochs):
+        wdf = spark.createDataFrame(
+            [(b, w[b]) for b in range(n_buckets)],
+            "bucket bigint, w decimal(20,9)",
+        )
+        zfold = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(c_dec * F.col("w")).alias("__zf"))
+        )
+        zl = lab.join(zfold, id_col, "left").select(
+            id_col,
+            "__y",
+            (
+                F.lit(w0).cast(DECIMAL_TYPE)
+                + F.coalesce(
+                    F.col("__zf").cast(DECIMAL_TYPE),
+                    F.lit(0).cast(DECIMAL_TYPE),
+                )
+            ).cast("double").alias("__z"),
+        )
+        gldf = cut_lineage(
+            zl.withColumn("__gl", gl_kernel("__z", "__y")).select(
+                id_col,
+                F.get("__gl", 0).cast("decimal(20,9)").alias("__g"),
+                F.get("__gl", 1).cast(DECIMAL_TYPE).alias("__l"),
+            ),
+            eager=True,
+        )
+        tot = gldf.agg(
+            F.sum("__l").alias("loss"), F.sum("__g").alias("g0")
+        ).first()
+        losses.append(tot["loss"])
+        grows = (
+            feats.join(gldf.select(id_col, "__g"), id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__g") * c_dec).alias("g"))
+            .collect()
+        )
+        gmap = {r["bucket"]: r["g"] for r in grows}
+        w = _lr_update(
+            w, [gmap.get(b, Decimal(0)) for b in range(n_buckets)],
+            n_docs, lr, l2,
+        )
+        w0 = _lr_update([w0], [tot["g0"]], n_docs, lr, 0.0)[0]
+    return QFModel(w0=w0, w=w, losses=losses, n_docs=n_docs,
+                   n_buckets=n_buckets)
+
+
+def fit_quality_filter_py(
+    feats: list,
+    labels: dict,
+    n_buckets: int | None = None,
+    epochs: int | None = None,
+    lr: float | None = None,
+    l2: float | None = None,
+) -> QFModel:
+    """Independent python replay of :func:`fit_quality_filter` —
+    ``feats`` = [(doc, bucket, c)] (e.g. DuckDB-read through
+    :func:`doc_features_sql`), ``labels`` = {doc: y}. Decimal folds,
+    the SAME numpy nonlinearity, the SAME ``_lr_update`` — per-epoch
+    losses and every weight land bit-equal to the engine's."""
+    n_buckets = QF_CONFIG["n_buckets"] if n_buckets is None else n_buckets
+    epochs = QF_CONFIG["epochs"] if epochs is None else epochs
+    lr = QF_CONFIG["lr"] if lr is None else lr
+    l2 = QF_CONFIG["l2"] if l2 is None else l2
+    n_docs = len(labels)
+    if n_docs == 0:
+        raise ValueError("fit_quality_filter_py: empty training set")
+    docs = sorted(labels)
+    w = [Decimal(0)] * n_buckets
+    w0 = Decimal(0)
+    losses = []
+    for _epoch in range(epochs):
+        zf = {}
+        for d, b, c in feats:
+            zf[d] = zf.get(d, Decimal(0)) + Decimal(int(c)) * w[b]
+        z = [float(w0 + zf.get(d, Decimal(0))) for d in docs]
+        y = [float(labels[d]) for d in docs]
+        g, loss = _grad_loss_np(z, y)
+        gdec = {d: _dec9(float(gv)) for d, gv in zip(docs, g)}
+        losses.append(sum((_dec9(float(lv)) for lv in loss), Decimal(0)))
+        grad = [Decimal(0)] * n_buckets
+        for d, b, c in feats:
+            grad[b] += gdec[d] * Decimal(int(c))
+        g0 = sum(gdec.values(), Decimal(0))
+        w = _lr_update(w, grad, n_docs, lr, l2)
+        w0 = _lr_update([w0], [g0], n_docs, lr, 0.0)[0]
+    return QFModel(w0=w0, w=w, losses=losses, n_docs=n_docs,
+                   n_buckets=n_buckets)
+
+
+def quality_logit_scores(
+    df: DataFrame,
+    model: QFModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = True,
+) -> DataFrame:
+    """``(id_col, qf_logit, n_grams)`` — the trained filter's logit
+    per document as an exact decimal fold over the dec9 weights
+    (monotone in the probability; zero-gram documents score
+    ``w0``). No transcendental anywhere, so the SQL twin reproduces
+    it bit-for-bit."""
+    from .dsir import doc_ngram_buckets, spread_input
+
+    spark = df.sparkSession
+    src = spread_input(df) if spread else df
+    wdf = spark.createDataFrame(
+        [(b, model.w[b]) for b in range(model.n_buckets)],
+        f"bucket bigint, w {DECIMAL_TYPE}",
+    )
+    scored = (
+        doc_ngram_buckets(src, text_col, id_col, model.n_buckets,
+                          spread=False)
+        .join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("__s"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            # cast the (38,9) sum back to (30,9) BEFORE the add — the
+            # fit-loop's scale-preservation rule
+            (
+                F.lit(model.w0).cast(DECIMAL_TYPE)
+                + F.coalesce(
+                    F.col("__s").cast(DECIMAL_TYPE),
+                    F.lit(0).cast(DECIMAL_TYPE),
+                )
+            ).cast("double").alias("qf_logit"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        )
+    )
+
+
+def quality_logit_scores_sql(
+    table: str,
+    model: QFModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`quality_logit_scores`: identical dec9
+    weight literals, identical exact fold, identical decimal→double
+    rendering (direct cast — exact here because every sum is a
+    multiple of 1e-9 well inside double's integer range ≤ ~9e15
+    nanounits; the generic VARCHAR hop is unnecessary but harmless,
+    kept for uniformity)."""
+    from .dsir import doc_ngram_buckets_sql
+
+    vals = ", ".join(
+        f"({b}, CAST('{model.w[b]}' AS DECIMAL(30,9)))"
+        for b in range(model.n_buckets)
+    )
+    buckets = doc_ngram_buckets_sql(table, text_col, id_col, model.n_buckets)
+    return f"""
+        SELECT d.{id_col},
+               CAST(CAST(CAST('{model.w0}' AS DECIMAL(30,9))
+                    + COALESCE(s.sw, CAST(0 AS DECIMAL(30,9)))
+                    AS VARCHAR) AS DOUBLE) AS qf_logit,
+               COALESCE(s.n_grams, 0) AS n_grams
+        FROM (SELECT {id_col} FROM {table} WHERE {text_col} IS NOT NULL) d
+        LEFT JOIN (
+          SELECT {id_col}, sum(w) AS sw, count(*) AS n_grams
+          FROM ({buckets}) b
+          JOIN (VALUES {vals}) AS wt(bucket, w) USING (bucket)
+          GROUP BY {id_col}
+        ) s USING ({id_col})
+    """

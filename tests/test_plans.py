@@ -285,8 +285,12 @@ PLAN_PINS = {
     # the zero-fill side); +1 more real shuffle for the pre-explode
     # spread (a single-file corpus scan must not run the gram-hash
     # flatMap on one core — the deliberate trade recorded in
-    # operators/dsir.py)
-    "text_quality": (16, 12),
+    # operators/dsir.py). r10: the qfilter mode adds 3 real shuffles
+    # (the scoring leg's spread repartition, the per-doc logit fold,
+    # the zero-fill id join) with the dec9 weight table broadcast —
+    # the TRAINING epochs run eagerly at build time and never enter
+    # this static plan
+    "text_quality": (22, 13),
     # r9 first-class bench entries: triangles = co-purchase edge build
     # (hot-size frame broadcast) + degree orientation + wedge join +
     # closing-edge probe + the per-node stats joins; kcore = the final

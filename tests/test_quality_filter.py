@@ -1,0 +1,125 @@
+"""In-engine logistic-regression quality filter
+(operators/quality_filter.py): bit-parity of the full distributed
+descent against the python twin (losses, weights), bitwise scoring
+parity against the DuckDB SQL twin, and the classifier actually
+separating the labeled domain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_db_learning_spark.operators.quality_filter import (
+    QF_CONFIG,
+    doc_features_sql,
+    fit_quality_filter,
+    fit_quality_filter_py,
+    quality_logit_scores,
+    quality_logit_scores_sql,
+)
+
+N_BUCKETS = 128  # fixture-scale; the driver slot uses QF_CONFIG's 512
+
+
+@pytest.fixture(scope="module")
+def labeled(db):
+    return db.df("documents").withColumn(
+        "y", (F.col("source") == "src0").cast("int")
+    )
+
+
+@pytest.fixture(scope="module")
+def model(labeled):
+    return fit_quality_filter(labeled, "y", n_buckets=N_BUCKETS)
+
+
+@pytest.fixture(scope="module")
+def twin(duck):
+    feats = duck.execute(
+        doc_features_sql("documents", n_buckets=N_BUCKETS)
+    ).fetchall()
+    labels = dict(
+        duck.execute(
+            "SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END "
+            "FROM documents WHERE text IS NOT NULL"
+        ).fetchall()
+    )
+    return fit_quality_filter_py(feats, labels, n_buckets=N_BUCKETS)
+
+
+def test_descent_bit_equal_to_python_twin(model, twin):
+    """Every epoch's logloss sum, every bucket weight, and the
+    intercept — identical decimals (the tabnet_full twin regime)."""
+    assert model.n_docs == twin.n_docs > 0
+    assert [str(a) for a in model.losses] == [str(b) for b in twin.losses]
+    assert model.w0 == twin.w0
+    assert model.w == twin.w
+    # the descent actually descends
+    assert float(model.losses[-1]) < float(model.losses[0])
+
+
+def test_scores_match_duckdb_twin_bitwise(db, duck, model):
+    got = sorted(
+        map(tuple, quality_logit_scores(db.df("documents"), model).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                quality_logit_scores_sql("documents", model)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_classifier_separates_real_signal(spark):
+    """The whole point — on a corpus where the label HAS textual
+    signal (the driver testdata's lang/source labels are random w.r.t.
+    its shared vocabulary, so no classifier can separate them there;
+    the slot pins arithmetic, this test pins learning): positives from
+    one vocabulary, negatives from another, a few epochs → clean
+    separation."""
+    import random
+
+    rng = random.Random(7)
+    pos_vocab = ["clean", "prose", "article", "well", "written", "cited"]
+    neg_vocab = ["spam", "click", "buy", "now", "xxx", "free"]
+    shared = ["the", "a", "of", "and"]
+    rows = []
+    for i in range(200):
+        y = i % 2
+        vocab = (pos_vocab if y else neg_vocab) + shared
+        text = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((i, text, y))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+    m = fit_quality_filter(df, "y", n_buckets=64, epochs=6)
+    scored = quality_logit_scores(df, m).join(
+        df.select("doc_id", "y"), "doc_id"
+    )
+    agg = {
+        r["y"]: (r["lo"], r["hi"])
+        for r in scored.groupBy("y")
+        .agg(F.min("qf_logit").alias("lo"), F.max("qf_logit").alias("hi"))
+        .collect()
+    }
+    # every positive outscores every negative
+    assert agg[1][0] > agg[0][1]
+    assert float(m.losses[-1]) < float(m.losses[0])
+
+
+def test_zero_gram_documents_score_intercept(spark, model):
+    df = spark.createDataFrame(
+        [(1, "   "), (2, None), (3, "real text here")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality_logit_scores(df, model).collect()
+    }
+    assert 2 not in rows  # NULL text is outside the corpus convention
+    assert rows[1]["n_grams"] == 0
+    assert rows[1]["qf_logit"] == float(model.w0)
+
+
+def test_config_is_the_shared_spec():
+    assert set(QF_CONFIG) == {"n_buckets", "epochs", "lr", "l2"}
