@@ -396,6 +396,28 @@ def _wsample_oracle() -> str:
     return f"SELECT c_custkey FROM (VALUES {vals}) AS t(c_custkey)"
 
 
+def q_wsample_select(spark, sf_dir):
+    """Bench-only (r10): the scale-safe selection path under load —
+    A-ES weighted sampling of k=5000 events ∝ |value| through
+    ``operators/selection.topk_threshold_cut`` with a deliberately
+    TIGHT ``collect_cap`` (4096), so the histogram-refinement rounds —
+    the 100 TB shape — actually run instead of the small-frame collect
+    shortcut. Times the probe jobs (count + histograms + boundary
+    collect) AND the final filter; the returned plan itself is pinned
+    window-free and single-partition-free in tests/test_selection.py."""
+    from deep_db_learning_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    db = _db(spark, sf_dir)
+    ev = db.df("events").select(
+        "event_id", F.abs(F.col("value")).alias("w")
+    )
+    return weighted_sample_without_replacement(
+        ev, "w", 5000, "event_id", n_bins=256, collect_cap=4096
+    )
+
+
 def q_bfs_depth2(spark, sf_dir):
     """J3/N28: BFS from customers 0-9, depth 2, both directions."""
     db = _db(spark, sf_dir)

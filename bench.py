@@ -201,6 +201,10 @@ def main() -> None:
         # and peel plans individually visible round-over-round)
         "triangles",
         "kcore",
+        # r10: the threshold-cut top-k (A-ES sample of 5000 events,
+        # tight collect_cap so the histogram-refinement rounds run) —
+        # the selection shape that replaced the single-reducer rank
+        "wsample_select",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module

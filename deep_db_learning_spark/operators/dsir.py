@@ -286,6 +286,8 @@ def select_top_k(
     k: int,
     id_col: str = "doc_id",
     exact_window: bool = False,
+    n_bins: int | None = None,
+    collect_cap: int | None = None,
 ) -> DataFrame:
     """The deterministic resampling step: keep the ``k`` highest-scored
     documents, ties broken by ``id_col``. Default path is the
@@ -304,9 +306,12 @@ def select_top_k(
             .where(F.col("__rk") <= k)
             .drop("__rk")
         )
-    from .selection import topk_threshold_cut
+    from .selection import COLLECT_CAP, N_BINS, topk_threshold_cut
 
-    return topk_threshold_cut(scores, "score", k, id_col, descending=True)
+    return topk_threshold_cut(
+        scores, "score", k, id_col, descending=True,
+        n_bins=n_bins or N_BINS, collect_cap=collect_cap or COLLECT_CAP,
+    )
 
 
 def _gumbel_key(id_col: str, seed: int) -> Column:
@@ -326,6 +331,8 @@ def gumbel_select(
     id_col: str = "doc_id",
     seed: int = 42,
     exact_window: bool = False,
+    n_bins: int | None = None,
+    collect_cap: int | None = None,
 ) -> DataFrame:
     """The paper's randomized importance resampling: top-k by
     ``score + Gumbel(0,1)`` with the noise derived from a PORTABLE
@@ -346,9 +353,10 @@ def gumbel_select(
             .where(F.col("__rk") <= k)
             .drop("__rk")
         )
-    from .selection import topk_threshold_cut
+    from .selection import COLLECT_CAP, N_BINS, topk_threshold_cut
 
     keyed = scores.withColumn("__gk", key)
     return topk_threshold_cut(
-        keyed, "__gk", k, id_col, descending=True
+        keyed, "__gk", k, id_col, descending=True,
+        n_bins=n_bins or N_BINS, collect_cap=collect_cap or COLLECT_CAP,
     ).drop("__gk")

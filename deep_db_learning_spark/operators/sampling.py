@@ -241,6 +241,8 @@ def weighted_sample_without_replacement(
     id_col: str,
     seed: int = 42,
     exact_window: bool = False,
+    n_bins: int | None = None,
+    collect_cap: int | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement — the A-ES one-pass
     reduction (Efraimidis & Spirakis 2006): each row draws a uniform
@@ -288,6 +290,9 @@ def weighted_sample_without_replacement(
             .where(F.col("__rk") <= k)
             .drop("__rk")
         )
-    from .selection import topk_threshold_cut
+    from .selection import COLLECT_CAP, N_BINS, topk_threshold_cut
 
-    return topk_threshold_cut(keyed, "__aes_key", k, id_col, descending=True)
+    return topk_threshold_cut(
+        keyed, "__aes_key", k, id_col, descending=True,
+        n_bins=n_bins or N_BINS, collect_cap=collect_cap or COLLECT_CAP,
+    )

@@ -298,6 +298,12 @@ PLAN_PINS = {
     # themselves run eagerly behind cut_lineage)
     "triangles": (44, 12),
     "kcore": (22, 0),
+    # r10: the threshold-cut selection — the RETURNED plan is a pure
+    # codegen filter over the scan: ZERO exchanges, zero windows, zero
+    # single-partition stages (the probe jobs run eagerly before the
+    # plan exists); test_selection.py additionally pins the
+    # no-Window/no-SinglePartition property explicitly
+    "wsample_select": (0, 0),
 }
 
 # pins whose name must resolve to a SPECIFIC module function — the
