@@ -4,6 +4,9 @@ selected, deduplicated, decontaminated, packed shards:
 
     documents ──► quality gate (composite quality score + LM
                   perplexity band — the CCNet recipe)
+              ──► trained quality classifier (r10: the in-engine LR
+                  filter over hashed n-grams, GPT-3's discriminative
+                  stage — drop the lowest-logit tail)
               ──► exact + MinHash-LSH dedup (drop exact clones, then
                   near-duplicate clusters keep their min-id member)
               ──► SemDeDup over the embeddings table (paraphrase-level
@@ -11,7 +14,8 @@ selected, deduplicated, decontaminated, packed shards:
               ──► decontamination (13-gram overlap vs the eval split)
               ──► DSIR importance selection toward the src0 target
                   domain (hashed n-gram log-likelihood-ratio scores,
-                  deterministic top fraction)
+                  deterministic top fraction through the scale-safe
+                  threshold cut)
               ──► token-budget shard packing (two-phase prefix sum)
 
     python examples/curate_pretraining_data.py --data /root/testdata/sf0.001
@@ -38,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", default="/root/testdata/sf0.001")
     p.add_argument("--quality-min", type=float, default=0.3)
     p.add_argument("--target-source", default="src0")
+    p.add_argument("--classifier-keep", type=float, default=0.9,
+                   help="fraction the trained LR quality filter keeps")
     p.add_argument("--keep-fraction", type=float, default=0.5,
                    help="fraction of surviving docs DSIR keeps")
     p.add_argument("--shard-budget", type=int, default=20_000,
@@ -72,6 +78,30 @@ def run(spark, args) -> dict:
     # 1. quality gate
     docs = docs.where(quality_score(F.col("text")) >= args.quality_min)
     funnel["quality"] = docs.count()
+
+    # 1b. trained quality classifier: fit the LR filter against the
+    # target-domain label, keep the top --classifier-keep fraction by
+    # logit (the threshold-cut selection — no global rank anywhere)
+    from deep_db_learning_spark.operators.quality_filter import (
+        fit_quality_filter,
+        quality_logit_scores,
+    )
+
+    qmodel = fit_quality_filter(
+        docs.withColumn(
+            "__y", (F.col("source") == args.target_source).cast("int")
+        ),
+        "__y",
+    )
+    kq = max(1, int(funnel["quality"] * args.classifier_keep))
+    kept_q = select_top_k(
+        quality_logit_scores(docs, qmodel).withColumnRenamed(
+            "qf_logit", "score"
+        ),
+        kq,
+    )
+    docs = docs.join(kept_q.select("doc_id"), "doc_id", "leftsemi")
+    funnel["classifier"] = docs.count()
 
     # 2. exact + near dedup (near-duplicate clusters keep min doc_id)
     docs = exact_dedup_keep_rows(docs, "text", "doc_id")

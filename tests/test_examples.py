@@ -193,8 +193,8 @@ def test_curate_pretraining_data_pipeline(spark):
     s = cp.run(spark, args)
     f = s["funnel"]
     # the funnel only ever shrinks, and every stage actually ran
-    order = ["raw", "quality", "exact_dedup", "near_dedup", "semdedup",
-             "decontaminated", "dsir_selected"]
+    order = ["raw", "quality", "classifier", "exact_dedup", "near_dedup",
+             "semdedup", "decontaminated", "dsir_selected"]
     assert list(f) == order
     for a, b in zip(order, order[1:]):
         assert f[b] <= f[a], (a, b, f)
