@@ -296,3 +296,43 @@ def weighted_sample_without_replacement(
         keyed, "__aes_key", k, id_col, descending=True,
         n_bins=n_bins or N_BINS, collect_cap=collect_cap or COLLECT_CAP,
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """A-ES weighted sampling without replacement PER GROUP — ≤k rows
+    from every group, drawn ∝ weight. The key arithmetic is identical
+    to :func:`weighted_sample_without_replacement` (portable md5
+    uniforms derived from ``(seed, id)`` alone, log-space comparison),
+    so a row's key does not depend on its group and the python replay
+    is one shared function. Selection here is a PARTITIONED window
+    (``partition by group``) — per-group ranks scale fine (the
+    single-reducer problem is specific to GLOBAL ranks; AQE handles
+    group skew), the same shape as ``sample_neighbors``. Returns the
+    sampled rows with ``__aes_key``."""
+    from ..functions.hashing import md5_prefix_hash
+
+    u = (
+        md5_prefix_hash(
+            F.concat(F.lit(f"aes:{seed}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__aes_key", key)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__aes_key"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -274,6 +274,30 @@ def stream_cut_drift_monitor(
     )
 
 
+def merge_hists(a: DataFrame, b: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """The exactly-mergeable property as an OPERATOR: combine two
+    per-key histogram frames (SAME cut set — never merge across cut
+    sets, see the module docstring) into one, element-wise integer
+    addition over a full-outer key join. Missing sides contribute a
+    zero vector; ``merge(hist(A), hist(B)) ≡ hist(A ∪ B)`` bit-for-bit
+    (pytest-pinned) — the shape that combines per-region or per-day
+    histogram stores without touching raw data."""
+    va = a.select(key_col, F.col("counts").alias("__ca"))
+    vb = b.select(key_col, F.col("counts").alias("__cb"))
+    j = va.join(vb, key_col, "full_outer")
+    zeros_like = lambda c: F.transform(c, lambda _x: F.lit(0).cast("bigint"))  # noqa: E731
+    ca = F.coalesce(F.col("__ca"), zeros_like(F.col("__cb")))
+    cb = F.coalesce(F.col("__cb"), zeros_like(F.col("__ca")))
+    counts = F.zip_with(ca, cb, lambda x, y: x + y)
+    return j.select(
+        key_col,
+        F.aggregate(
+            counts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("n"),
+        counts.alias("counts"),
+    )
+
+
 HIST_STATE_SCHEMA = "counts array<bigint>"
 
 

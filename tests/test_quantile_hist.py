@@ -199,3 +199,25 @@ def test_cut_drift_flag_and_recut_generation(spark, db, cuts, tmp_path):
         for r in grouped_hist(shifted, "user_id", "value", new_cuts).collect()
     )
     assert got == want
+
+
+def test_merge_hists_equals_whole(db, cuts, spark):
+    """merge(hist(A), hist(B)) ≡ hist(A ∪ B) bit-for-bit — including
+    keys present on only one side (zero-vector coalesce)."""
+    from deep_db_learning_spark.streaming.quantile_hist import merge_hists
+
+    ev = db.df("events").select("event_id", "user_id", "value")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = sorted(
+        (r["user_id"], r["n"], tuple(r["counts"]))
+        for r in merge_hists(
+            grouped_hist(a, "user_id", "value", cuts),
+            grouped_hist(b, "user_id", "value", cuts),
+        ).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n"], tuple(r["counts"]))
+        for r in grouped_hist(ev, "user_id", "value", cuts).collect()
+    )
+    assert merged == want

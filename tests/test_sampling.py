@@ -63,3 +63,42 @@ def test_weighted_sample_without_replacement(db, spark):
                         .otherwise(F.col("w")))
     s = weighted_sample_without_replacement(z, "w", 20, "c_custkey")
     assert all(r["c_custkey"] % 2 == 1 for r in s.collect())
+
+
+def test_weighted_sample_per_group(db, spark):
+    """Per-group A-ES: the python replay of the shared key arithmetic
+    picks the same ≤k set within every group."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    cust = db.df("customer").select(
+        "c_custkey", "c_mktsegment", F.abs(F.col("c_acctbal")).alias("w")
+    )
+    got = {}
+    for r in weighted_sample_per_group(
+        cust, "c_mktsegment", "w", 7, "c_custkey"
+    ).collect():
+        got.setdefault(r["c_mktsegment"], []).append(r["c_custkey"])
+
+    def key(cid, w, seed=42):
+        h = int(
+            hashlib.md5(f"aes:{seed}:{cid}".encode()).hexdigest()[:8], 16
+        )
+        return math.log((h + 0.5) / float(2**32)) / w
+
+    want = {}
+    for r in cust.collect():
+        if r["w"] is not None and r["w"] > 0:
+            want.setdefault(r["c_mktsegment"], []).append(
+                (r["c_custkey"], r["w"])
+            )
+    for seg, rows in want.items():
+        top = sorted(rows, key=lambda t: (-key(*t), t[0]))[:7]
+        assert sorted(got[seg]) == sorted(c for c, _w in top), seg
+    assert set(got) == set(want)

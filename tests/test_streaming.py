@@ -1021,3 +1021,38 @@ def test_stream_rolling_anomaly_matches_batch_twin(spark, db, tmp_path):
     )
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    """Time-travel diff: added/removed/changed classification against
+    a python dict diff of the same two snapshots; self-diff empty."""
+    from deep_db_learning_spark.streaming.node_store import (
+        SnapshotStore,
+        snapshot_diff,
+    )
+
+    store = SnapshotStore(str(tmp_path / "diff_store"))
+    v1 = store.commit(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+            "user_id bigint, score double, tag string",
+        )
+    )
+    v2 = store.commit(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 25.0, "b"), (4, 40.0, "d")],
+            "user_id bigint, score double, tag string",
+        )
+    )
+    got = {
+        r["user_id"]: (r["op"], r["old"], r["new"])
+        for r in snapshot_diff(spark, store, "user_id", v1, v2).collect()
+    }
+    assert set(got) == {2, 3, 4}
+    assert got[2][0] == "changed" and got[2][1]["score"] == 20.0 \
+        and got[2][2]["score"] == 25.0
+    assert got[3][0] == "removed" and got[3][2] is None
+    assert got[4][0] == "added" and got[4][1] is None
+    # unchanged key 1 is omitted; self-diff is empty; v_to=None = latest
+    assert snapshot_diff(spark, store, "user_id", v2, v2).count() == 0
+    assert snapshot_diff(spark, store, "user_id", v1).count() == 3
