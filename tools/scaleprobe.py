@@ -109,6 +109,12 @@ DEFAULT_QUERIES = [
     # each round stays one groupBy + two semi joins
     "triangles",
     "kcore",
+    # r10: the threshold-cut selection — probe jobs are count +
+    # histogram aggregates over (id, key) (each a scan + n_bins of
+    # driver state), so 10× facts must scale through scans alone; the
+    # refinement may take one MORE round at 10× (log_{n_bins} growth),
+    # never a bigger collect
+    "wsample_select",
 ]
 
 
