@@ -178,20 +178,35 @@ _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 def topk_threshold_cut(
     df: DataFrame,
     key_col: str,
-    k: int,
+    k: int | None,
     id_col: str,
     descending: bool = True,
     n_bins: int = N_BINS,
     collect_cap: int = COLLECT_CAP,
+    fraction: float | None = None,
 ) -> DataFrame:
     """Exactly the rows ``ORDER BY key DESC|ASC, id ASC LIMIT k``
     would keep, as a pure codegen filter over ``df`` — no global sort,
     no window, no single-partition exchange in the returned plan.
-    Preconditions: ``id_col`` unique, ``key_col`` non-NULL double."""
-    if k <= 0:
+    Preconditions: ``id_col`` unique; rows with a NULL key are OUTSIDE
+    the contract (excluded up front — a SQL rank would order them
+    last, so the kept sets agree whenever ``k`` ≤ the non-NULL count,
+    and "top-k among scored rows" is the only sensible reading of a
+    NULL score). ``fraction`` (exclusive with ``k``) selects
+    ``k = ⌈fraction · n⌉`` from the SAME count the cut already takes —
+    the keep-a-percentage form curation funnels actually use."""
+    if (k is None) == (fraction is None):
+        raise ValueError("topk_threshold_cut: pass exactly one of k/fraction")
+    nn = df.where(F.col(key_col).isNotNull())
+    if k is not None and k <= 0:
         return df.limit(0)
-    keys = cut_lineage(df.select(id_col, key_col), eager=True)
+    keys = cut_lineage(nn.select(id_col, key_col), eager=True)
     total = keys.count()
+    if fraction is not None:
+        if not 0.0 < fraction:
+            return df.limit(0)
+        k = min(total, max(1, math.ceil(total * fraction)))
+    df = nn
     if total <= k:
         return df
     v_star, n_better, n_eq = kth_boundary(

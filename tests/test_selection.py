@@ -180,3 +180,23 @@ def test_plan_has_no_window_and_no_single_partition_exchange(scores):
     plan = select_top_k(scores, 50)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+def test_null_keys_excluded_and_fraction_mode(spark):
+    """NULL keys are outside the contract (excluded up front — a SQL
+    rank orders them last, so kept sets agree for k ≤ non-NULL count);
+    fraction mode derives k = ceil(f·n) from the cut's own count."""
+    rows = [(i, float(i)) for i in range(40)] + [(100 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    got = topk_threshold_cut(df, "score", 10, "doc_id")
+    assert _ids(got) == list(range(30, 40))
+    # k covers every non-null row: nulls still excluded
+    assert _ids(topk_threshold_cut(df, "score", 40, "doc_id")) == list(range(40))
+    # fraction mode
+    fr = topk_threshold_cut(df, "score", None, "doc_id", fraction=0.25)
+    assert _ids(fr) == list(range(30, 40))  # ceil(0.25*40) = 10
+    assert topk_threshold_cut(df, "score", None, "doc_id", fraction=0.0).count() == 0
+    assert topk_threshold_cut(
+        df, "score", None, "doc_id", fraction=1.0
+    ).count() == 40
+    with pytest.raises(ValueError, match="exactly one"):
+        topk_threshold_cut(df, "score", 5, "doc_id", fraction=0.5)
