@@ -83,3 +83,96 @@ def regression_metrics(
         "nrmse": float("nan") if nrmse is None else nrmse,
         "n": row["n"],
     }
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> float:
+    """EXACT ROC-AUC of a score column against a 0/1 label, distributed
+    with NO global-rank window — the metric that evaluates the r10
+    quality filter (and any ranker) at corpus scale.
+
+    AUC is the Mann-Whitney U statistic normalized by n_pos·n_neg;
+    with ties it needs MIDRANKS. Two facts keep everything integer:
+
+    - ranks come from the classic two-phase distributed rank
+      (range-partition on the score, per-partition ``row_number``,
+      cumulative per-partition-count offsets — the suffix-array
+      recipe; the only single-partition work is the cumsum over ≤
+      ``shuffle.partitions`` counts);
+    - within a tie group the row numbers are CONSECUTIVE (the sort key
+      is the score alone), so twice the group's midrank is the exact
+      integer ``min_rank + max_rank`` — no division until the end, and
+      the intra-group row order (arbitrary under ties) cancels out.
+
+    ``AUC = (Σ_g n_pos_g·(min_g+max_g)/2 − n_pos(n_pos+1)/2)
+            / (n_pos·n_neg)``
+
+    computed from exact BIGINT aggregates; the single float division
+    happens driver-side in python, so the value is engine-independent
+    (pytest pins a pair-counting python replay bit-for-bit and the
+    DuckDB rank-window twin). NULL scores/labels are excluded; raises
+    if either class is absent (AUC undefined)."""
+    from pyspark.sql.window import Window
+
+    rows = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    parts = rows.repartitionByRange(F.col("__s"))
+    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lr",
+        F.row_number().over(Window.partitionBy("__pid").orderBy("__s")),
+    )
+    counts = local.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    ranked = local.join(F.broadcast(offs), "__pid").select(
+        "__s", "__y", (F.col("__lr") + F.col("__off")).alias("__rn")
+    )
+    grp = ranked.groupBy("__s").agg(
+        F.min("__rn").alias("__lo"),
+        F.max("__rn").alias("__hi"),
+        F.sum("__y").alias("__np"),
+    )
+    agg = grp.agg(
+        F.sum(F.col("__np") * (F.col("__lo") + F.col("__hi"))).alias("s2"),
+        F.sum("__np").alias("npos"),
+        F.sum(F.col("__hi") - F.col("__lo") + 1).alias("n"),
+    ).first()
+    n_pos = int(agg["npos"] or 0)
+    n = int(agg["n"] or 0)
+    n_neg = n - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("binary_auc: needs both classes present")
+    # Σ midrank over positives = s2/2 (s2 is always even per group? no —
+    # n_pos_g·(lo+hi) can be odd; keep the /2 in exact python rationals)
+    num2 = int(agg["s2"]) - n_pos * (n_pos + 1)  # 2·(U statistic)
+    return num2 / (2.0 * n_pos * n_neg)
+
+
+def binary_auc_sql(table: str, score_col: str, label_col: str) -> str:
+    """DuckDB twin of :func:`binary_auc` — midranks via the identical
+    per-score-group (min_rank + max_rank) integer arithmetic over a
+    rank window; returns one row ``(num2, npos, n)`` so the python
+    caller applies the IDENTICAL final division."""
+    return f"""
+        WITH r AS (
+          SELECT {score_col} AS s, CAST({label_col} AS INT) AS y,
+                 row_number() OVER (ORDER BY {score_col}) AS rn
+          FROM {table}
+          WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        ), g AS (
+          SELECT s, min(rn) AS lo, max(rn) AS hi, sum(y) AS np
+          FROM r GROUP BY s
+        )
+        SELECT CAST(sum(np * (lo + hi)) AS BIGINT) AS s2,
+               CAST(sum(np) AS BIGINT) AS npos,
+               CAST(sum(hi - lo + 1) AS BIGINT) AS n
+        FROM g
+    """

@@ -123,3 +123,51 @@ def test_zero_gram_documents_score_intercept(spark, model):
 
 def test_config_is_the_shared_spec():
     assert set(QF_CONFIG) == {"n_buckets", "epochs", "lr", "l2"}
+
+
+def test_binary_auc_exact(spark, db, duck, model):
+    """Exact distributed AUC: bit-equal to a pair-counting python
+    replay AND to the DuckDB rank-window twin (identical integer
+    midrank arithmetic + identical final division); 1.0 on perfect
+    separation; raises on a single-class frame."""
+    from deep_db_learning_spark.plans.metrics import (
+        binary_auc,
+        binary_auc_sql,
+    )
+
+    scored = quality_logit_scores(db.df("documents"), model).join(
+        db.df("documents").select(
+            "doc_id", (F.col("source") == "src0").cast("int").alias("y")
+        ),
+        "doc_id",
+    ).select("qf_logit", "y")
+    got = binary_auc(scored, "qf_logit", "y")
+
+    rows = [(r["qf_logit"], r["y"]) for r in scored.collect()]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    # pair counting: a win is 2 half-points, a tie 1 => num2 = 2·U
+    num2 = sum(
+        2 * (p > q) + 1 * (p == q) for p in pos for q in neg
+    )
+    want = num2 / (2.0 * len(pos) * len(neg))
+    assert got == want
+    assert 0.0 <= got <= 1.0
+
+    import pandas as pd
+
+    duck.register("auc_rows", pd.DataFrame(rows, columns=["qf_logit", "y"]))
+    s2, npos, n = duck.execute(
+        binary_auc_sql("auc_rows", "qf_logit", "y")
+    ).fetchone()
+    dnum2 = int(s2) - int(npos) * (int(npos) + 1)
+    assert dnum2 / (2.0 * npos * (n - npos)) == got
+
+    perfect = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (-1.0, 0), (0.0, 0)], "s double, y int"
+    )
+    assert binary_auc(perfect, "s", "y") == 1.0
+    with pytest.raises(ValueError, match="both classes"):
+        binary_auc(
+            spark.createDataFrame([(1.0, 1)], "s double, y int"), "s", "y"
+        )
