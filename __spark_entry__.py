@@ -866,9 +866,18 @@ def q_eval_metrics(spark, sf_dir):
     """N24: classification + regression metrics as one-pass exact
     aggregations, on deterministic rule-based predictors (modal segment
     per nation; global-mean price) so the whole metric set is
-    oracle-checkable bit-for-bit."""
+    oracle-checkable bit-for-bit.
+
+    r10 adds exact distributed ROC-AUC (`plans/metrics.binary_auc` —
+    Mann-Whitney with integer midranks over a two-phase rank, no
+    global-rank window) of o_totalprice as a score for
+    o_orderstatus='F': the BIGINT aggregates are exact, the one float
+    division is replayed identically by the oracle (`binary_auc_sql` +
+    the same division in SQL doubles — every operand exact below
+    2^53)."""
     from deep_db_learning_spark.functions.exact_agg import DECIMAL_TYPE
     from deep_db_learning_spark.plans.metrics import (
+        binary_auc,
         classification_metrics_df,
         regression_metrics_df,
     )
@@ -902,8 +911,18 @@ def q_eval_metrics(spark, sf_dir):
             F.col("o_totalprice").alias("label"), F.lit(mean_tp).alias("prediction")
         )
     )
-    return cm.select("accuracy", F.col("n").alias("n_cls")).crossJoin(
-        rm.select("mse", "mae", "nrmse", F.col("n").alias("n_reg"))
+    auc = binary_auc(
+        orders.select(
+            "o_totalprice",
+            (F.col("o_orderstatus") == "F").cast("int").alias("__y"),
+        ),
+        "o_totalprice",
+        "__y",
+    )
+    return (
+        cm.select("accuracy", F.col("n").alias("n_cls"))
+        .crossJoin(rm.select("mse", "mae", "nrmse", F.col("n").alias("n_reg")))
+        .withColumn("auc", F.lit(float(auc)))
     )
 
 
@@ -4245,11 +4264,18 @@ def oracle_sql() -> dict[str, str]:
                      {exact_sum_sql('o_totalprice')} / count(o_totalprice) AS mean_y,
                      count(mv - o_totalprice) AS n_reg
               FROM orders, m
+            ), ar AS (
+              -- r10: exact ROC-AUC — identical integer midrank
+              -- aggregates (binary_auc_sql) + the identical final
+              -- division in doubles (every operand exact below 2^53)
+              SELECT CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                       / (2.0 * npos * (n - npos)) AS auc
+              FROM ({_eval_auc_oracle()})
             )
             SELECT accuracy, n_cls, mse, mae,
                    CASE WHEN mean_y != 0 THEN sqrt(mse) / mean_y END AS nrmse,
-                   n_reg
-            FROM cm, rm
+                   n_reg, auc
+            FROM cm, rm, ar
         """,
         "constraints": _constraints_oracle(),
         "db_copy_row_pick": """
@@ -5410,6 +5436,19 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_text_quality_qfilter_oracle()})
     """
     return sqls
+
+
+def _eval_auc_oracle() -> str:
+    """AUC leg of the eval_metrics oracle: the shared
+    `binary_auc_sql` integer aggregates over the same score/label."""
+    from deep_db_learning_spark.plans.metrics import binary_auc_sql
+
+    return binary_auc_sql(
+        "(SELECT o_totalprice, CASE WHEN o_orderstatus = 'F' THEN 1 "
+        "ELSE 0 END AS y FROM orders)",
+        "o_totalprice",
+        "y",
+    )
 
 
 def _text_quality_qfilter_oracle() -> str:
