@@ -70,23 +70,20 @@ def corpus_positions(
     )
 
 
-def _dense_rank_keys(keyed: DataFrame, cols: list[str]) -> DataFrame:
-    """Dense-rank the frame by ``cols`` WITHOUT a single-partition
-    stage anywhere: rank the DISTINCT key tuples (the shrinking
-    dictionary) by the classic two-phase distributed rank —
-    range-partition the dictionary on the sort key, number rows
-    locally per partition, then shift each partition by the cumulative
+def _two_phase_row_number(
+    df: DataFrame, cols: list[str], out: str = "__rn"
+) -> DataFrame:
+    """Global 1-based row numbers under ``ORDER BY cols`` WITHOUT a
+    single-partition stage: range-partition on the sort key, number
+    rows locally per partition, shift each partition by the cumulative
     count of the partitions before it. The only single-partition work
     is the cumulative sum over the PER-PARTITION COUNTS (≤
     ``spark.sql.shuffle.partitions`` rows — bounded state independent
-    of data volume), so even in the LAST doubling round — where the
-    key dictionary approaches corpus-position count — no stage holds
-    the dictionary on one reducer. Ranks are dense, start at 1, and
-    are independent of where the range boundaries land (global order
-    is preserved across range partitions), so the output is
-    deterministic bit-for-bit."""
-    keys = keyed.select(*cols).distinct()
-    parts = keys.repartitionByRange(*[F.col(c) for c in cols])
+    of data volume). Numbers are independent of where the range
+    boundaries land (global order is preserved across range
+    partitions), so on a total-order key the output is deterministic
+    bit-for-bit."""
+    parts = df.repartitionByRange(*[F.col(c) for c in cols])
     local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__lr",
         F.row_number().over(
@@ -101,9 +98,21 @@ def _dense_rank_keys(keyed: DataFrame, cols: list[str]) -> DataFrame:
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
-    ranked = local.join(F.broadcast(offs), "__pid").select(
-        *cols, (F.col("__lr") + F.col("__off")).alias("__r")
+    return local.join(F.broadcast(offs), "__pid").select(
+        *df.columns, (F.col("__lr") + F.col("__off")).alias(out)
     )
+
+
+def _dense_rank_keys(keyed: DataFrame, cols: list[str]) -> DataFrame:
+    """Dense-rank the frame by ``cols`` WITHOUT a single-partition
+    stage anywhere: rank the DISTINCT key tuples (the shrinking
+    dictionary) through :func:`_two_phase_row_number` (distinct rows ⇒
+    row number ≡ dense rank), then join back — so even in the LAST
+    doubling round, where the key dictionary approaches
+    corpus-position count, no stage holds the dictionary on one
+    reducer. Ranks are dense and start at 1."""
+    keys = keyed.select(*cols).distinct()
+    ranked = _two_phase_row_number(keys, cols, out="__r")
     return keyed.join(ranked, cols)
 
 
@@ -162,8 +171,12 @@ def adjacent_lcp(
     every level — without the cap the descent would overshoot their
     actual length). Returns
     ``(doc_a, pos_a, doc_b, pos_b, lcp)``. ``doc_len``: (doc, len)."""
-    order = Window.orderBy("r", "doc", "pos")
-    sa = ranks.withColumn("sa", F.row_number().over(order))
+    # SA positions via the same two-phase rank — (doc, pos) is unique,
+    # so (r, doc, pos) is a total order and the numbering is exact; the
+    # corpus-position frame never funnels through one reducer here
+    # either (this was the one remaining global-rank window in the SA
+    # family)
+    sa = _two_phase_row_number(ranks, ["r", "doc", "pos"], out="sa")
     a = sa.select(
         F.col("sa").alias("i"), F.col("doc").alias("doc_a"),
         F.col("pos").alias("pos_a"),
