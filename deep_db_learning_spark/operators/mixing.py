@@ -232,3 +232,93 @@ def temperature_fractions(
     # max_i (w_i / n_i) keeps that source fully
     scale = 1.0 / max(weights[s] / counts[s] for s in sorted(weights))
     return {s: scale * weights[s] / counts[s] for s in counts}
+
+
+def domain_weight_py(
+    stats: dict,
+    eta: float = 1.0,
+    floor: float = 0.0,
+) -> dict:
+    """The shared domain-reweighting arithmetic — used identically by
+    the engine (over Spark decimal folds) and any twin (over
+    DuckDB-read folds); drift breaks parity. ``stats`` = {domain:
+    (score_sum: float, n: int)}. Returns {domain: (mean, excess,
+    weight)} with ``weight`` the normalized, floored mixture weight.
+
+    All folds are summed in sorted-domain order so an independent twin
+    reproduces the exact doubles (the temperature_fractions rule)."""
+    import math
+
+    domains = sorted(stats)
+    n_tot = sum(stats[d][1] for d in domains)
+    s_tot = sum(stats[d][0] for d in domains)
+    mean_all = s_tot / n_tot
+    means = {d: stats[d][0] / stats[d][1] for d in domains}
+    raw = {
+        d: (stats[d][1] / n_tot) * math.exp(eta * (means[d] - mean_all))
+        for d in domains
+    }
+    z = sum(raw[d] for d in domains)
+    w = {d: raw[d] / z for d in domains}
+    if floor > 0.0:
+        w = {d: max(floor, w[d]) for d in domains}
+        z2 = sum(w[d] for d in domains)
+        w = {d: w[d] / z2 for d in domains}
+    return {d: (means[d], means[d] - mean_all, w[d]) for d in domains}
+
+
+def domain_weights(
+    scored: DataFrame,
+    domain_col: str,
+    score_col: str,
+    eta: float = 1.0,
+    floor: float = 0.0,
+) -> DataFrame:
+    """Quality-aware domain reweighting — the mixture step that feeds
+    a trained quality signal (the r10 LR filter's logit, a DSIR score,
+    an LM NLL with ``eta`` negated) back into source proportions:
+
+        ``α_d ∝ natural_frac_d · exp(η · (mean_score_d − mean_all))``
+
+    — the DoReMi-shaped multiplicative-weights objective (Xie et al.
+    2023, arXiv:2305.10429) with a STATIC proxy: one exponential
+    reweight of the natural distribution by per-domain excess score
+    (full DoReMi retrains the proxy between rounds — that loop lives
+    at the trainer seam; with static scores extra rounds are a no-op,
+    so exactly one is taken). ``floor`` keeps a minimum share per
+    domain (DoReMi's uniform-smoothing term).
+
+    Physical shape: ONE map-side-combinable groupBy over the scored
+    corpus (exact decimal score folds + counts — n_domains rows of
+    driver state), then the transcendentals run DRIVER-SIDE in shared
+    python (:func:`domain_weight_py` — the BM25-idf/PSI recipe), so
+    the weights are engine-independent literals. Returns ``(domain,
+    n_docs, mean_score, excess, weight)``; feed the ``weight`` column
+    into :func:`temperature_fractions`-style keep rates or a shard
+    mixer."""
+    from ..functions.exact_agg import exact_sum
+
+    rows = (
+        scored.where(
+            F.col(domain_col).isNotNull() & F.col(score_col).isNotNull()
+        )
+        .groupBy(domain_col)
+        .agg(
+            exact_sum(F.col(score_col)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("domain_weights: empty input")
+    stats = {r[domain_col]: (float(r["s"]), int(r["n"])) for r in rows}
+    out = domain_weight_py(stats, eta, floor)
+    spark = scored.sparkSession
+    return spark.createDataFrame(
+        [
+            (d, stats[d][1], out[d][0], out[d][1], out[d][2])
+            for d in sorted(out)
+        ],
+        f"{domain_col} string, n_docs bigint, mean_score double, "
+        "excess double, weight double",
+    )

@@ -93,15 +93,29 @@ def run(spark, args) -> dict:
         ),
         "__y",
     )
+    qf_scores = quality_logit_scores(docs, qmodel)
     kq = max(1, int(funnel["quality"] * args.classifier_keep))
     kept_q = select_top_k(
-        quality_logit_scores(docs, qmodel).withColumnRenamed(
-            "qf_logit", "score"
-        ),
-        kq,
+        qf_scores.withColumnRenamed("qf_logit", "score"), kq
     )
     docs = docs.join(kept_q.select("doc_id"), "doc_id", "leftsemi")
     funnel["classifier"] = docs.count()
+
+    # quality-aware domain mixture (the DoReMi-shaped reweight): tilt
+    # the natural source proportions by per-domain excess logit —
+    # reported for the downstream sampler/mixer
+    from deep_db_learning_spark.operators.mixing import domain_weights
+
+    mixture = {
+        r["source"]: r["weight"]
+        for r in domain_weights(
+            qf_scores.join(docs.select("doc_id", "source"), "doc_id"),
+            "source",
+            "qf_logit",
+            eta=1.0,
+            floor=0.01,
+        ).collect()
+    }
 
     # 2. exact + near dedup (near-duplicate clusters keep min doc_id)
     docs = exact_dedup_keep_rows(docs, "text", "doc_id")
@@ -158,6 +172,7 @@ def run(spark, args) -> dict:
         "n_shards": int(n_shards),
         "max_shard_tokens": int(max_shard_tokens),
         "kept_fraction": funnel["dsir_selected"] / funnel["raw"],
+        "mixture": mixture,
     }
 
 

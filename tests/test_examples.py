@@ -204,3 +204,6 @@ def test_curate_pretraining_data_pipeline(spark):
     assert f["dsir_selected"] < f["decontaminated"]
     assert s["n_shards"] >= 1
     assert 0 < s["kept_fraction"] < 1
+    # the DoReMi-shaped mixture: normalized, floored, every source
+    assert abs(sum(s["mixture"].values()) - 1.0) < 1e-9
+    assert all(w >= 0.01 - 1e-12 for w in s["mixture"].values())

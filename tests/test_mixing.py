@@ -213,3 +213,56 @@ def test_temperature_fractions_math_and_composition(spark, duck):
     }
     assert by_src["small"] == 100
     assert abs(by_src["big"] - exp["big"]) < 60
+
+
+def test_domain_weights_match_duckdb_twin_and_semantics(db, duck, spark):
+    """Quality-aware domain reweighting: the engine's decimal folds +
+    shared python arithmetic reproduce a DuckDB-fold twin bitwise;
+    weights are a floored, normalized exponential tilt of the natural
+    proportions (eta=0 recovers them exactly)."""
+    from deep_db_learning_spark.functions.exact_agg import exact_sum_sql
+    from deep_db_learning_spark.operators.mixing import (
+        domain_weight_py,
+        domain_weights,
+    )
+
+    docs = db.df("documents").withColumn(
+        "score", F.length("text").cast("double") / F.lit(1000.0)
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["mean_score"], r["excess"], r["weight"])
+        for r in domain_weights(docs, "source", "score", eta=2.0,
+                                floor=0.01).collect()
+    }
+    duck_stats = {
+        s: (float(t), int(n))
+        for s, t, n in duck.execute(f"""
+            SELECT source,
+                   {exact_sum_sql('CAST(length(text) AS DOUBLE) / 1000.0')},
+                   count(*)
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+            GROUP BY source
+        """).fetchall()
+    }
+    want = domain_weight_py(duck_stats, eta=2.0, floor=0.01)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][1:] == want[d], d
+        assert got[d][0] == duck_stats[d][1]
+    assert abs(sum(v[3] for v in got.values()) - 1.0) < 1e-12
+    assert all(v[3] >= 0.01 - 1e-12 for v in got.values())
+
+    # eta=0: exactly the natural proportions
+    nat = {
+        r["source"]: r["weight"]
+        for r in domain_weights(docs, "source", "score", eta=0.0).collect()
+    }
+    n_tot = sum(v[0] for v in got.values())
+    for d, v in got.items():
+        # up to the final renormalization's float ulp (Σ frac_d sums
+        # to 1−ε in doubles)
+        assert abs(nat[d] - v[0] / n_tot) < 1e-12
+    # higher-scoring domains gain share relative to natural at eta>0
+    up = [d for d in got if got[d][2] > 0]
+    assert any(got[d][3] > nat[d] for d in up)
