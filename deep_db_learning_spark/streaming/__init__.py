@@ -14,8 +14,11 @@ from .crawl import stream_dedup_into_band_index
 from .doc_index import read_index_stats, stream_docs_into_index
 from .scd_stream import SCD2Store, scd2_store_apply, stream_changes_into_scd2
 from .stateful import stream_rolling_anomaly, stream_sessionize
+from .quality_stream import read_routed, stream_quality_route
 
 __all__ = [
+    "read_routed",
+    "stream_quality_route",
     "SCD2Store",
     "scd2_store_apply",
     "stream_changes_into_scd2",

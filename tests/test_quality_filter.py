@@ -171,3 +171,67 @@ def test_binary_auc_exact(spark, db, duck, model):
         binary_auc(
             spark.createDataFrame([(1.0, 1)], "s double, y int"), "s", "y"
         )
+
+
+def test_stream_quality_route(spark, db, model, tmp_path):
+    """Streaming routing ≡ batch scoring by construction: two
+    micro-batches of documents routed keep/drop land on EXACTLY the
+    batch operator's verdicts; NULL-text rows go to drop with a NULL
+    logit; a checkpoint-wiped replay rewrites identical areas."""
+    import os
+
+    from deep_db_learning_spark.streaming.quality_stream import (
+        read_routed,
+        stream_quality_route,
+    )
+
+    docs = db.df("documents").select("doc_id", "text")
+    src = str(tmp_path / "route_src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b0")
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+
+    # threshold at the batch median logit so both areas are non-empty
+    batch_scores = quality_logit_scores(docs, model)
+    thr = sorted(r["qf_logit"] for r in batch_scores.collect())[250]
+
+    out = str(tmp_path / "routed")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = stream_quality_route(
+            stream, model, out, os.path.join(str(tmp_path), ck), thr
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    keep = read_routed(spark, out, "keep")
+    drop = read_routed(spark, out, "drop")
+    want_keep = sorted(
+        r["doc_id"]
+        for r in batch_scores.where(F.col("qf_logit") >= thr).collect()
+    )
+    got_keep = sorted(r["doc_id"] for r in keep.collect())
+    assert got_keep == want_keep
+    # every input row routed exactly once; NULL-text rows in drop
+    n_null = docs.where(F.col("text").isNull()).count()
+    assert keep.count() + drop.count() == docs.count()
+    assert drop.where(F.col("qf_logit").isNull()).count() == n_null
+    keep_vals = sorted(
+        map(tuple, keep.select("doc_id", "qf_logit").collect())
+    )
+
+    # replay from scratch: identical areas (overwrite idempotence)
+    run("ck2")
+    keep2 = read_routed(spark, out, "keep")
+    assert sorted(
+        map(tuple, keep2.select("doc_id", "qf_logit").collect())
+    ) == keep_vals
