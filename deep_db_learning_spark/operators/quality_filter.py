@@ -179,6 +179,15 @@ def fit_quality_filter(
     n_docs = lab.count()
     if n_docs == 0:
         raise ValueError("fit_quality_filter: empty training set")
+    # duplicate ids would merge two documents' features under one z
+    # while the label side keeps both rows — a silent mis-train; one
+    # distinct-count agg at fit time buys the loud failure
+    n_ids = lab.select(id_col).distinct().count()
+    if n_ids != n_docs:
+        raise ValueError(
+            f"fit_quality_filter: {id_col} not unique "
+            f"({n_docs} rows, {n_ids} ids)"
+        )
 
     def gl_fn(z, y):
         g, loss = _grad_loss_np(z.to_numpy(), y.to_numpy())

@@ -235,3 +235,11 @@ def test_stream_quality_route(spark, db, model, tmp_path):
     assert sorted(
         map(tuple, keep2.select("doc_id", "qf_logit").collect())
     ) == keep_vals
+
+
+def test_duplicate_ids_raise(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", 1), (1, "d e f", 0)], "doc_id bigint, text string, y int"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        fit_quality_filter(df, "y", n_buckets=16, epochs=1)
