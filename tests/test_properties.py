@@ -606,3 +606,42 @@ def test_no_shadowed_top_level_definitions():
                     )
                 seen[node.name] = node.lineno
     assert not offenders, "\n".join(offenders)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e6, max_value=1e6),
+            st.sampled_from([0.0, 1.0, -1.0]),  # force tie masses
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=0, max_value=70),
+)
+@settings(**_SETTINGS)
+def test_threshold_cut_equals_rank_form(spark, vals, k):
+    """For ARBITRARY keys (ties, NULLs, negatives, tiny/huge floats)
+    and arbitrary k, the threshold cut keeps exactly the window form's
+    rows among non-NULL keys (r10 selection contract)."""
+    from deep_db_learning_spark.operators.selection import (
+        topk_threshold_cut,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, score double"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in topk_threshold_cut(
+            df, "score", k, "doc_id", n_bins=8, collect_cap=4
+        ).collect()
+    )
+    ranked = sorted(
+        ((v, i) for i, v in enumerate(vals) if v is not None),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = sorted(i for _v, i in ranked[:k])
+    assert got == want
