@@ -1,7 +1,11 @@
 """Incremental-crawl pipeline — the r6 maintenance surfaces composed
 end-to-end, the way a production training-data pipeline runs them:
 
-    arriving batch ──► cross-corpus dedup against the standing store
+    arriving batch ──► quality gate (r10: the in-engine LR filter
+                       trained store-vs-crawl — "does this look like
+                       the curated store?" — keep the top fraction by
+                       logit through the threshold-cut selection)
+              kept ──► cross-corpus dedup against the standing store
                        (minhash_dedup_against: banded signatures join
                         ACROSS corpora, exact-Jaccard verify)
         kept docs ──► their vectors append to the IVF store with the
@@ -46,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--keep-last", type=int, default=2,
         help="versioned-index retention: snapshots kept after vacuum",
     )
+    p.add_argument(
+        "--quality-keep", type=float, default=0.9,
+        help="fraction of the arriving batch the quality gate keeps",
+    )
     return p
 
 
@@ -66,11 +74,41 @@ def run(spark, args) -> dict:
     emb = db.df("embeddings")
 
     store_docs = docs.filter(F.col("doc_id") % 2 == 0)
-    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+    n_arriving = arriving.count()
+
+    # quality gate at the front door (r10): train the LR filter with
+    # the standing store as the positive class ("looks curated") and
+    # the arriving crawl as negative, keep the top fraction of the
+    # batch by logit — the threshold-cut selection, no global rank
+    from deep_db_learning_spark.operators.quality_filter import (
+        fit_quality_filter,
+        quality_logit_scores,
+    )
+    from deep_db_learning_spark.operators.selection import (
+        topk_threshold_cut,
+    )
+
+    qmodel = fit_quality_filter(
+        store_docs.withColumn("__y", F.lit(1)).unionByName(
+            arriving.withColumn("__y", F.lit(0))
+        ),
+        "__y",
+        n_buckets=256,
+    )
+    passed_q = topk_threshold_cut(
+        quality_logit_scores(arriving, qmodel),
+        "qf_logit",
+        None,
+        "doc_id",
+        fraction=args.quality_keep,
+    ).select("doc_id")
+    batch_docs = arriving.join(passed_q, "doc_id", "leftsemi")
+    n_batch = batch_docs.count()
+
     kept = minhash_dedup_against(
         batch_docs, store_docs, "text", "doc_id", threshold=args.threshold
     )
-    n_batch = batch_docs.count()
     n_kept = kept.count()
 
     # vector half: the standing store's vectors are the even half; the
@@ -130,6 +168,8 @@ def run(spark, args) -> dict:
         index_versions = idx_store.versions()
 
     summary = {
+        "arriving_docs": n_arriving,
+        "quality_dropped": n_arriving - n_batch,
         "batch_docs": n_batch,
         "kept_after_store_dedup": n_kept,
         "dropped_as_store_dupes": n_batch - n_kept,

@@ -75,6 +75,10 @@ def test_incremental_crawl_pipeline(spark, tmp_path):
         ["--data", "/root/testdata/sf0.001", "--out", out]
     )
     s = ic.run(spark, args)
+    # r10: the quality gate runs first — kept fraction of the arriving
+    # batch, every arriving doc accounted for
+    assert s["arriving_docs"] == s["quality_dropped"] + s["batch_docs"]
+    assert 0 < s["batch_docs"] <= s["arriving_docs"]
     assert s["batch_docs"] == s["kept_after_store_dedup"] + s["dropped_as_store_dupes"]
     assert s["kept_after_store_dedup"] > 0
     assert s["vectors_appended"] <= s["kept_after_store_dedup"]
