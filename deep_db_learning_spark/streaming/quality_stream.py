@@ -81,10 +81,15 @@ def stream_quality_route(
 
 
 def read_routed(spark, out_path: str, area: str) -> DataFrame | None:
-    """Read one routed area (``keep``/``drop``) across all batches."""
+    """Read one routed area (``keep``/``drop``) across all batches;
+    ``None`` when the area doesn't exist yet. Only the missing-path
+    analysis error is swallowed (the vector_store lesson: a broad
+    except here would mask real read failures)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.option(
             "basePath", os.path.join(out_path, area)
         ).parquet(os.path.join(out_path, area, "batch=*"))
-    except Exception:
+    except AnalysisException:
         return None
