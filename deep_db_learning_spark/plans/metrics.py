@@ -176,3 +176,110 @@ def binary_auc_sql(table: str, score_col: str, label_col: str) -> str:
                CAST(sum(hi - lo + 1) AS BIGINT) AS n
         FROM g
     """
+
+
+def threshold_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    probs: list[float] | None = None,
+) -> DataFrame:
+    """Precision/recall/F1 at score-quantile thresholds — the PR-curve
+    points that pick a quality filter's operating cutoff. Thresholds
+    are the EXACT score order statistics at ``probs``
+    (``operators/sketch.exact_quantiles`` — no global sort), then ONE
+    conditional-aggregate scan computes every threshold's confusion
+    counts (4·n_thresholds integer sums — the compiled-pivot shape,
+    one shuffle); the ratio columns are plain double divisions of
+    exact BIGINTs, identical in any engine. Returns
+    ``(p, threshold, tp, fp, fn, tn, precision, recall, f1)``
+    (NULL ratios where a denominator is 0); positives = ``score ≥
+    threshold``."""
+    from ..operators.sketch import exact_quantiles
+
+    probs = probs or [i / 10 for i in range(1, 10)]
+    rows = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    cuts = sorted(
+        (r["p"], r["value"])
+        for r in exact_quantiles(rows, "__s", sorted(set(probs))).collect()
+    )
+    aggs = []
+    for i, (_p, t) in enumerate(cuts):
+        pos = F.col("__s") >= F.lit(float(t))
+        y = F.col("__y") == 1
+        aggs += [
+            F.sum((pos & y).cast("long")).alias(f"tp{i}"),
+            F.sum((pos & ~y).cast("long")).alias(f"fp{i}"),
+            F.sum((~pos & y).cast("long")).alias(f"fn{i}"),
+            F.sum((~pos & ~y).cast("long")).alias(f"tn{i}"),
+        ]
+    wide = rows.agg(*aggs)
+    out = None
+    for i, (p, t) in enumerate(cuts):
+        tp, fp, fn = F.col(f"tp{i}"), F.col(f"fp{i}"), F.col(f"fn{i}")
+        prec = F.when(tp + fp > 0, tp.cast("double") / (tp + fp))
+        rec = F.when(tp + fn > 0, tp.cast("double") / (tp + fn))
+        f1 = F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+            2.0 * (prec * rec) / (prec + rec),
+        )
+        row = wide.select(
+            F.lit(float(p)).alias("p"),
+            F.lit(float(t)).alias("threshold"),
+            tp.alias("tp"), fp.alias("fp"),
+            fn.alias("fn"), F.col(f"tn{i}").alias("tn"),
+            prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def grouped_binary_auc(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Per-group exact ROC-AUC — :func:`binary_auc`'s integer-midrank
+    arithmetic with the ranks from a GROUP-PARTITIONED window
+    (per-group ranks scale; the single-reducer problem is specific to
+    global ranks). Returns ``(group_col, n_pos, n_neg, auc)`` with
+    ``auc`` NULL where a group lacks one class (the scalar form raises
+    — a per-group report should survive degenerate groups). The
+    division runs in-plan over exact BIGINTs — deterministic IEEE on
+    identical operands."""
+    from pyspark.sql.window import Window
+
+    rows = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    w = Window.partitionBy("__g").orderBy("__s")
+    ranked = rows.withColumn("__rn", F.row_number().over(w))
+    grp = ranked.groupBy("__g", "__s").agg(
+        F.min("__rn").alias("__lo"),
+        F.max("__rn").alias("__hi"),
+        F.sum("__y").alias("__np"),
+    )
+    agg = grp.groupBy("__g").agg(
+        F.sum(F.col("__np") * (F.col("__lo") + F.col("__hi"))).alias("__s2"),
+        F.sum("__np").alias("__npos"),
+        F.sum(F.col("__hi") - F.col("__lo") + 1).alias("__n"),
+    )
+    npos = F.col("__npos")
+    nneg = F.col("__n") - npos
+    num2 = F.col("__s2") - npos * (npos + 1)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        npos.alias("n_pos"),
+        nneg.alias("n_neg"),
+        F.when(
+            (npos > 0) & (nneg > 0),
+            num2.cast("double") / (2.0 * npos * nneg),
+        ).alias("auc"),
+    )

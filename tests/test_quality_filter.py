@@ -243,3 +243,59 @@ def test_duplicate_ids_raise(spark):
     )
     with pytest.raises(ValueError, match="not unique"):
         fit_quality_filter(df, "y", n_buckets=16, epochs=1)
+
+
+def test_threshold_table_counts_exact(spark, db, model, duck):
+    """PR points at exact score quantiles: every confusion count
+    matches a python recount at the same threshold; monotone recall."""
+    from deep_db_learning_spark.plans.metrics import threshold_table
+
+    scored = quality_logit_scores(db.df("documents"), model).join(
+        db.df("documents").select(
+            "doc_id", (F.col("source") == "src0").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    tbl = threshold_table(scored, "qf_logit", "y", probs=[0.25, 0.5, 0.75])
+    rows = {r["p"]: r for r in tbl.collect()}
+    data = [(r["qf_logit"], r["y"]) for r in scored.collect()]
+    for p, r in rows.items():
+        t = r["threshold"]
+        tp = sum(1 for s, y in data if s >= t and y == 1)
+        fp = sum(1 for s, y in data if s >= t and y == 0)
+        fn = sum(1 for s, y in data if s < t and y == 1)
+        tn = sum(1 for s, y in data if s < t and y == 0)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), p
+        if r["precision"] is not None:
+            assert r["precision"] == tp / (tp + fp)
+        if r["recall"] is not None:
+            assert r["recall"] == tp / (tp + fn)
+    # recall shrinks as the threshold climbs
+    recalls = [rows[p]["recall"] for p in sorted(rows)]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+
+def test_grouped_binary_auc(spark):
+    """Per-group AUC equals the scalar operator per group; a
+    single-class group yields NULL instead of raising."""
+    import random
+
+    from deep_db_learning_spark.plans.metrics import (
+        binary_auc,
+        grouped_binary_auc,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(80):
+            y = rng.randint(0, 1)
+            rows.append((g, rng.uniform(0, 1) + 0.3 * y, y))
+    rows += [("solo", 0.5, 1), ("solo", 0.7, 1)]  # one-class group
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r["g"]: r for r in grouped_binary_auc(df, "g", "s", "y").collect()}
+    for g in ("a", "b"):
+        want = binary_auc(df.where(F.col("g") == g), "s", "y")
+        assert got[g]["auc"] == want, g
+        assert got[g]["n_pos"] + got[g]["n_neg"] == 80
+    assert got["solo"]["auc"] is None and got["solo"]["n_neg"] == 0
