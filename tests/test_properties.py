@@ -645,3 +645,34 @@ def test_threshold_cut_equals_rank_form(spark, vals, k):
     )
     want = sorted(i for _v, i in ranked[:k])
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-100, max_value=100),
+                st.sampled_from([0.0, 0.5]),  # tie masses
+            ),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_binary_auc_equals_pair_counting(spark, rows):
+    """For arbitrary (score, label) multisets with both classes, the
+    distributed integer-midrank AUC equals the O(n²) pair count
+    exactly (ties at half credit)."""
+    from deep_db_learning_spark.plans.metrics import binary_auc
+
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        return  # AUC undefined — the operator raises, covered elsewhere
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = binary_auc(df, "s", "y")
+    num2 = sum(2 * (p > q) + (p == q) for p in pos for q in neg)
+    assert got == num2 / (2.0 * len(pos) * len(neg))
