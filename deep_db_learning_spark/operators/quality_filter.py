@@ -151,15 +151,27 @@ def fit_quality_filter(
     epochs: int | None = None,
     lr: float | None = None,
     l2: float | None = None,
+    init: QFModel | None = None,
 ) -> QFModel:
     """Full-batch gradient descent, distributed: two exact-decimal
     fold shuffles + one Arrow pass per epoch, ``n_buckets`` decimals
     of driver state. ``label_col`` must be numeric 0/1; the training
     set is every row with non-NULL ``text_col`` (zero-gram documents
-    train at ``z = w0``). Weights start at zero — no seed anywhere."""
+    train at ``z = w0``). Weights start at zero — no seed anywhere —
+    or, with ``init``, continue from a saved model (the
+    retrain-on-drift step of the router lifecycle: same bucket space
+    required, fresh loss trajectory)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if init is not None:
+        if n_buckets is not None and n_buckets != init.n_buckets:
+            raise ValueError(
+                "fit_quality_filter: init model has a different bucket "
+                "space — hashed features are not transferable across "
+                "n_buckets"
+            )
+        n_buckets = init.n_buckets
     n_buckets = QF_CONFIG["n_buckets"] if n_buckets is None else n_buckets
     epochs = QF_CONFIG["epochs"] if epochs is None else epochs
     lr = QF_CONFIG["lr"] if lr is None else lr
@@ -208,8 +220,8 @@ def fit_quality_filter(
     # Every product here is decimal(17,0)×decimal(20,9) → (38,9) EXACT,
     # and the w0 addition runs at (30,9)+(30,9) → (31,9) EXACT.
     c_dec = F.col("c").cast("decimal(17,0)")
-    w = [Decimal(0)] * n_buckets
-    w0 = Decimal(0)
+    w = list(init.w) if init is not None else [Decimal(0)] * n_buckets
+    w0 = init.w0 if init is not None else Decimal(0)
     losses = []
     for _epoch in range(epochs):
         wdf = spark.createDataFrame(
@@ -267,12 +279,16 @@ def fit_quality_filter_py(
     epochs: int | None = None,
     lr: float | None = None,
     l2: float | None = None,
+    init: QFModel | None = None,
 ) -> QFModel:
     """Independent python replay of :func:`fit_quality_filter` —
     ``feats`` = [(doc, bucket, c)] (e.g. DuckDB-read through
     :func:`doc_features_sql`), ``labels`` = {doc: y}. Decimal folds,
     the SAME numpy nonlinearity, the SAME ``_lr_update`` — per-epoch
-    losses and every weight land bit-equal to the engine's."""
+    losses and every weight land bit-equal to the engine's (warm
+    starts included)."""
+    if init is not None:
+        n_buckets = init.n_buckets
     n_buckets = QF_CONFIG["n_buckets"] if n_buckets is None else n_buckets
     epochs = QF_CONFIG["epochs"] if epochs is None else epochs
     lr = QF_CONFIG["lr"] if lr is None else lr
@@ -281,8 +297,8 @@ def fit_quality_filter_py(
     if n_docs == 0:
         raise ValueError("fit_quality_filter_py: empty training set")
     docs = sorted(labels)
-    w = [Decimal(0)] * n_buckets
-    w0 = Decimal(0)
+    w = list(init.w) if init is not None else [Decimal(0)] * n_buckets
+    w0 = init.w0 if init is not None else Decimal(0)
     losses = []
     for _epoch in range(epochs):
         zf = {}
@@ -386,3 +402,44 @@ def quality_logit_scores_sql(
           GROUP BY {id_col}
         ) s USING ({id_col})
     """
+
+
+def save_quality_filter(model: QFModel, path: str) -> None:
+    """Persist a trained filter EXACTLY — weights and losses are dec9
+    decimals, serialized as strings (json floats would re-round): the
+    load side reconstructs bit-identical state, so a router restarted
+    from disk scores identically to the session that trained it."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "model.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "w0": str(model.w0),
+                "w": [str(x) for x in model.w],
+                "losses": [str(x) for x in model.losses],
+                "n_docs": model.n_docs,
+                "n_buckets": model.n_buckets,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "model.json"))
+
+
+def load_quality_filter(path: str) -> QFModel:
+    """Inverse of :func:`save_quality_filter` (bit-exact round trip,
+    pytest-pinned)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "model.json")) as f:
+        d = json.load(f)
+    return QFModel(
+        w0=Decimal(d["w0"]),
+        w=[Decimal(x) for x in d["w"]],
+        losses=[Decimal(x) for x in d["losses"]],
+        n_docs=int(d["n_docs"]),
+        n_buckets=int(d["n_buckets"]),
+    )

@@ -299,3 +299,46 @@ def test_grouped_binary_auc(spark):
         assert got[g]["auc"] == want, g
         assert got[g]["n_pos"] + got[g]["n_neg"] == 80
     assert got["solo"]["auc"] is None and got["solo"]["n_neg"] == 0
+
+
+def test_save_load_and_warm_start(spark, db, duck, model, twin, tmp_path):
+    """Model lifecycle: save→load round-trips every decimal bit
+    (scores identical); a warm-started continuation from the loaded
+    model is bit-equal between engine and twin, and equals training
+    the same total epochs in one run (full-batch GD is
+    epoch-decomposable)."""
+    from deep_db_learning_spark.operators.quality_filter import (
+        load_quality_filter,
+        save_quality_filter,
+    )
+
+    path = str(tmp_path / "qf_model")
+    save_quality_filter(model, path)
+    back = load_quality_filter(path)
+    assert back.w0 == model.w0 and back.w == model.w
+    assert back.losses == model.losses and back.n_docs == model.n_docs
+
+    labeled = db.df("documents").withColumn(
+        "y", (F.col("source") == "src0").cast("int")
+    )
+    cont = fit_quality_filter(labeled, "y", epochs=2, init=back)
+    feats = duck.execute(
+        doc_features_sql("documents", n_buckets=N_BUCKETS)
+    ).fetchall()
+    labels = dict(
+        duck.execute(
+            "SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END "
+            "FROM documents WHERE text IS NOT NULL"
+        ).fetchall()
+    )
+    cont_twin = fit_quality_filter_py(feats, labels, epochs=2, init=twin)
+    assert cont.w == cont_twin.w and cont.w0 == cont_twin.w0
+    assert [str(x) for x in cont.losses] == [str(x) for x in cont_twin.losses]
+    # 3 + 2 warm epochs == 5 straight epochs (same data, full batch)
+    straight = fit_quality_filter(
+        labeled, "y", n_buckets=N_BUCKETS, epochs=5
+    )
+    assert cont.w == straight.w and cont.w0 == straight.w0
+    # mismatched bucket space refuses loudly
+    with pytest.raises(ValueError, match="bucket space"):
+        fit_quality_filter(labeled, "y", n_buckets=64, init=back)
