@@ -254,11 +254,24 @@ def domain_weight_py(
     s_tot = sum(stats[d][0] for d in domains)
     mean_all = s_tot / n_tot
     means = {d: stats[d][0] / stats[d][1] for d in domains}
+    # log-sum-exp shift: subtract the max exponent before exp() so a
+    # large eta or a wide score range (raw LR logits) can't overflow
+    # to inf and normalize every domain to NaN. Mathematically the
+    # shift cancels in the normalization; the doubles stay
+    # deterministic under the sorted-domain fold rule (max over a
+    # sorted scan is order-independent anyway).
+    ex = {d: eta * (means[d] - mean_all) for d in domains}
+    shift = max(ex[d] for d in domains)
     raw = {
-        d: (stats[d][1] / n_tot) * math.exp(eta * (means[d] - mean_all))
+        d: (stats[d][1] / n_tot) * math.exp(ex[d] - shift)
         for d in domains
     }
     z = sum(raw[d] for d in domains)
+    if not math.isfinite(z) or z <= 0.0:
+        raise ValueError(
+            "domain_weight_py: non-finite normalizer — scores or eta "
+            "out of range even after the log-sum-exp shift"
+        )
     w = {d: raw[d] / z for d in domains}
     if floor > 0.0:
         w = {d: max(floor, w[d]) for d in domains}

@@ -191,6 +191,19 @@ def fit_quality_filter(
     n_docs = lab.count()
     if n_docs == 0:
         raise ValueError("fit_quality_filter: empty training set")
+    # a NULL (or NaN) label becomes NaN in the Arrow gradient kernel,
+    # and the NaN→decimal(20,9) cast silently NULLs — the row would
+    # vanish from the gradient/loss folds while still counted in
+    # n_docs, a silent mis-train. Count-and-raise, like the
+    # duplicate-id check below.
+    n_bad = lab.where(
+        F.col("__y").isNull() | F.isnan(F.col("__y"))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"fit_quality_filter: {n_bad} training rows have a "
+            f"NULL/NaN {label_col} — labels must be numeric 0/1"
+        )
     # duplicate ids would merge two documents' features under one z
     # while the label side keeps both rows — a silent mis-train; one
     # distinct-count agg at fit time buys the loud failure
@@ -296,6 +309,15 @@ def fit_quality_filter_py(
     n_docs = len(labels)
     if n_docs == 0:
         raise ValueError("fit_quality_filter_py: empty training set")
+    bad = [
+        d for d, y in labels.items()
+        if y is None or (isinstance(y, float) and y != y)
+    ]
+    if bad:
+        raise ValueError(
+            f"fit_quality_filter_py: {len(bad)} training rows have a "
+            "NULL/NaN label — labels must be numeric 0/1"
+        )
     docs = sorted(labels)
     w = list(init.w) if init is not None else [Decimal(0)] * n_buckets
     w0 = init.w0 if init is not None else Decimal(0)

@@ -580,8 +580,11 @@ def attribution(
     ranks + one count produce all three credit columns from the SAME
     pair frame, and one grouped aggregate per model folds credits as
     exact decimals (``exact_sum`` — engine-independent doubles).
-    Ties inside a conversion window break by ``(ts, event_id)`` — a
-    deterministic total order both engines share."""
+    Ties inside a conversion window break by ``(ts, event_id)`` for
+    the ascending rank and ``(ts DESC, event_id DESC)`` for the
+    descending one — a deterministic total order both engines share,
+    with the DESC mirror guaranteeing first ≠ last whenever n ≥ 2
+    (credit conserves even when every touch shares one timestamp)."""
     from pyspark.sql.window import Window
 
     from ..functions.exact_agg import exact_sum
@@ -604,8 +607,14 @@ def attribution(
     )
     w = Window.partitionBy("conv_id")
     ra = F.row_number().over(w.orderBy(F.col(ts_col), F.col("touch_id")))
+    # rd breaks ties by touch_id DESC (mirror-image of ra's ASC) so
+    # that whenever a window holds n >= 2 touches, the ra==1 and rd==1
+    # rows are DISTINCT even if every touch shares one timestamp —
+    # with both ranks tie-breaking ASC, an all-tied window made one
+    # row first AND last, the rd==1 ushape branch never fired, and the
+    # model handed out 0.4 + 0.2·(n−1)/(n−2) < 1 per conversion
     rd = F.row_number().over(
-        w.orderBy(F.col(ts_col).desc(), F.col("touch_id"))
+        w.orderBy(F.col(ts_col).desc(), F.col("touch_id").desc())
     )
     n = F.count(F.lit(1)).over(w)
     # bucketed decay: Δt and H in integer microseconds, weight an
@@ -711,7 +720,7 @@ def attribution_oracle_sql(
                  row_number() OVER (PARTITION BY c.conv_id
                                     ORDER BY t.ts, t.touch_id) AS ra,
                  row_number() OVER (PARTITION BY c.conv_id
-                                    ORDER BY t.ts DESC, t.touch_id) AS rd,
+                                    ORDER BY t.ts DESC, t.touch_id DESC) AS rd,
                  count(*) OVER (PARTITION BY c.conv_id) AS n,
                  -- bucketed decay weight: exact power of two (integer
                  -- floor division; the engine's float floor agrees —

@@ -277,7 +277,9 @@ def stream_cut_drift_monitor(
 def merge_hists(a: DataFrame, b: DataFrame, key_col: str = "user_id") -> DataFrame:
     """The exactly-mergeable property as an OPERATOR: combine two
     per-key histogram frames (SAME cut set — never merge across cut
-    sets, see the module docstring) into one, element-wise integer
+    sets, see the module docstring; a length mismatch between the two
+    count vectors raises in-plan rather than NULL-padding) into one,
+    element-wise integer
     addition over a full-outer key join. Missing sides contribute a
     zero vector; ``merge(hist(A), hist(B)) ≡ hist(A ∪ B)`` bit-for-bit
     (pytest-pinned) — the shape that combines per-region or per-day
@@ -286,7 +288,26 @@ def merge_hists(a: DataFrame, b: DataFrame, key_col: str = "user_id") -> DataFra
     vb = b.select(key_col, F.col("counts").alias("__cb"))
     j = va.join(vb, key_col, "full_outer")
     zeros_like = lambda c: F.transform(c, lambda _x: F.lit(0).cast("bigint"))  # noqa: E731
-    ca = F.coalesce(F.col("__ca"), zeros_like(F.col("__cb")))
+    # in-plan guard for the never-merge-across-cut-sets contract:
+    # F.zip_with pads the shorter array with NULL, so a length
+    # mismatch would silently NULL the merged counts and the n fold
+    # instead of failing. Raise loudly on the first offending key.
+    mismatch = (
+        F.col("__ca").isNotNull()
+        & F.col("__cb").isNotNull()
+        & (F.size("__ca") != F.size("__cb"))
+    )
+    ca = F.when(
+        mismatch,
+        F.raise_error(F.concat(
+            F.lit("merge_hists: cut-set mismatch (counts lengths "),
+            F.size("__ca").cast("string"), F.lit(" vs "),
+            F.size("__cb").cast("string"), F.lit(") for key "),
+            F.col(key_col).cast("string"),
+            F.lit(" — histograms from different cut sets cannot be "
+                  "merged; re-cut one side first"),
+        )),
+    ).otherwise(F.coalesce(F.col("__ca"), zeros_like(F.col("__cb"))))
     cb = F.coalesce(F.col("__cb"), zeros_like(F.col("__ca")))
     counts = F.zip_with(ca, cb, lambda x, y: x + y)
     return j.select(

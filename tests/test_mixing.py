@@ -266,3 +266,21 @@ def test_domain_weights_match_duckdb_twin_and_semantics(db, duck, spark):
     # higher-scoring domains gain share relative to natural at eta>0
     up = [d for d in got if got[d][2] > 0]
     assert any(got[d][3] > nat[d] for d in up)
+
+
+def test_domain_weight_py_logit_scale_stays_finite():
+    """Raw LR logits (or a large eta) must not overflow the exponential:
+    the log-sum-exp shift keeps weights finite and normalized, and the
+    shift cancels exactly for small exponents (same doubles as before)."""
+    import math
+
+    from deep_db_learning_spark.operators.mixing import domain_weight_py
+
+    # means differ by 1e6: unshifted exp overflowed to inf -> NaN weights
+    out = domain_weight_py(
+        {"hot": (1e6, 1), "cold": (0.0, 1)}, eta=1.0
+    )
+    ws = {d: w for d, (_m, _e, w) in out.items()}
+    assert all(math.isfinite(w) for w in ws.values())
+    assert abs(sum(ws.values()) - 1.0) < 1e-12
+    assert ws["hot"] > 0.999 and ws["cold"] >= 0.0

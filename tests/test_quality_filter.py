@@ -342,3 +342,22 @@ def test_save_load_and_warm_start(spark, db, duck, model, twin, tmp_path):
     # mismatched bucket space refuses loudly
     with pytest.raises(ValueError, match="bucket space"):
         fit_quality_filter(labeled, "y", n_buckets=64, init=back)
+
+
+def test_null_label_raises(spark):
+    """A NULL label would NaN through the Arrow kernel and silently
+    vanish from the decimal gradient fold — fit raises instead."""
+    df = spark.createDataFrame(
+        [(1, "a b c", 1), (2, "d e f", None)],
+        "doc_id bigint, text string, y int",
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        fit_quality_filter(df, "y", n_buckets=16, epochs=1)
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        fit_quality_filter_py(
+            [(1, 0, 1)], {1: 1.0, 2: None}, n_buckets=16, epochs=1
+        )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        fit_quality_filter_py(
+            [(1, 0, 1)], {1: 1.0, 2: float("nan")}, n_buckets=16, epochs=1
+        )

@@ -221,3 +221,29 @@ def test_merge_hists_equals_whole(db, cuts, spark):
         for r in grouped_hist(ev, "user_id", "value", cuts).collect()
     )
     assert merged == want
+
+
+def test_merge_hists_cut_set_mismatch_raises(spark):
+    """Different cut sets → different counts lengths: the in-plan guard
+    raises instead of letting zip_with NULL-pad the merged vector."""
+    import pytest
+
+    from deep_db_learning_spark.streaming.quantile_hist import merge_hists
+
+    a = spark.createDataFrame(
+        [(1, 3, [1, 2])], "user_id bigint, n bigint, counts array<bigint>"
+    )
+    b = spark.createDataFrame(
+        [(1, 3, [1, 1, 1])], "user_id bigint, n bigint, counts array<bigint>"
+    )
+    with pytest.raises(Exception, match="cut-set mismatch"):
+        merge_hists(a, b).collect()
+    # one-sided keys still merge fine against a same-length frame
+    c = spark.createDataFrame(
+        [(2, 2, [2, 0])], "user_id bigint, n bigint, counts array<bigint>"
+    )
+    got = sorted(
+        (r["user_id"], r["n"], tuple(r["counts"]))
+        for r in merge_hists(a, c).collect()
+    )
+    assert got == [(1, 3, (1, 2)), (2, 2, (2, 0))]

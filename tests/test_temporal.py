@@ -581,3 +581,68 @@ def test_attribution_extreme_decay_stays_finite(spark):
     )
     con.close()
     assert sorted(map(tuple, out)) == want
+
+
+def test_attribution_tied_timestamps_conserve_credit(spark):
+    """All n >= 3 window touches at ONE timestamp: ra breaks ties by
+    touch_id ASC and rd by touch_id DESC, so first != last, the 40/20/40
+    branches all fire, and every model still hands out exactly one unit
+    per conversion (the r10 ADVICE bug had the same row first AND last,
+    leaking 0.2 of ushape credit) — and the DuckDB twin agrees bitwise."""
+    import datetime as dt
+
+    import duckdb
+
+    from deep_db_learning_spark.operators.temporal import (
+        attribution,
+        attribution_oracle_sql,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    tie = base - dt.timedelta(hours=1)
+    rows = [
+        (1, 10, "click", tie),
+        (2, 10, "view", tie),
+        (3, 10, "signup", tie),
+        (4, 10, "purchase", base),
+        # a 2-touch tie as well: the pair branch must give 1/2 each
+        (5, 11, "click", tie),
+        (6, 11, "view", tie),
+        (7, 11, "purchase", base),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = attribution(df).collect()
+    by_model = {}
+    credit = {}
+    for r in out:
+        by_model[r["model"]] = by_model.get(r["model"], 0.0) + r["credit"]
+        credit[(r["model"], r["event_type"])] = r["credit"]
+    # 2 conversions, each with >=1 window touch -> every model sums to
+    # 2 (up to the exact_sum fold's documented decimal-scale-9
+    # quantization: 1/3 folds as 0.333333333, so 5e-10 per touch)
+    for model in ("first", "last", "linear", "ushape", "decay"):
+        assert abs(by_model[model] - 2.0) < 1e-8, (model, by_model[model])
+    # ushape on the tied triple: first(click, lowest id)=0.4,
+    # last(signup, highest id)=0.4, middle(view)=0.2; plus the tied
+    # pair: click 0.5, view 0.5
+    assert credit[("ushape", "click")] == 0.4 + 0.5
+    assert credit[("ushape", "signup")] == 0.4
+    assert credit[("ushape", "view")] == 0.2 + 0.5
+    # first/last are distinct rows under the mirrored tie-break
+    assert credit[("first", "click")] == 2.0
+    assert credit[("last", "signup")] == 1.0
+    assert credit[("last", "view")] == 1.0
+    con = duckdb.connect()
+    vals = ",".join(
+        f"({e}, {u}, '{t}', TIMESTAMP '{ts}')" for e, u, t, ts in rows
+    )
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + vals
+        + ") v(event_id, user_id, event_type, ts)"
+    )
+    want = sorted(map(tuple, con.execute(attribution_oracle_sql()).fetchall()))
+    con.close()
+    assert sorted(map(tuple, out)) == want
