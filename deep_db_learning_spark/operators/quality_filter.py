@@ -43,11 +43,16 @@ the same ``_lr_update``) from DuckDB-read features — per-epoch losses
 and every weight are bit-equal to the engine's (pytest pins both; the
 driver slot re-fits through the twin and hashes the scores).
 
-100 TB posture: per epoch the corpus is touched by exactly two
+100 TB posture: per epoch the TRAINING SET is touched by exactly two
 shuffles (the z fold and the gradient fold — both map-side
 combinable) plus one Arrow pass; driver state is ``n_buckets``
 decimals; the feature frame is built once. No step ranks, collects,
-or windows over the corpus.
+or windows over the corpus. At corpus scale use ``sample_n`` — the
+GPT-3/CCNet practice: a bounded deterministic per-class sample (md5
+keys through the scale-safe threshold cut) is featurized and
+descended on, and the full corpus is only ever touched by the single
+scoring fold of :func:`quality_logit_scores`. Full-batch (the
+default) remains the oracle-covered exact path at fixture scale.
 """
 
 from __future__ import annotations
@@ -142,6 +147,35 @@ def doc_features_sql(
     """
 
 
+def _qfs_key_py(seed: int, doc_id) -> int:
+    """Python twin of the engine's training-sample key — first 32 bits
+    of ``md5("qfs:<seed>:<id>")`` (the :func:`~..functions.hashing.
+    md5_prefix_hash` arithmetic; Spark's string cast of a BIGINT id and
+    python's ``str()`` render identically)."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"qfs:{seed}:{doc_id}".encode()).hexdigest()[:8], 16
+    )
+
+
+def qf_training_sample_py(labels: dict, sample_n: int, seed: int = 42) -> dict:
+    """Python twin of the engine's per-class training sample: from each
+    label class, the ``sample_n`` docs with the smallest
+    ``(md5 key, id)`` — exactly the set ``ORDER BY key ASC, id ASC
+    LIMIT sample_n`` keeps (the :func:`~.selection.topk_threshold_cut`
+    contract). Returns the sampled ``{doc: y}``."""
+    chosen = {}
+    for side in (0.0, 1.0):
+        cls = sorted(
+            (d for d, y in labels.items() if float(y) == side),
+            key=lambda d: (_qfs_key_py(seed, d), d),
+        )
+        for d in cls[:sample_n]:
+            chosen[d] = labels[d]
+    return chosen
+
+
 def fit_quality_filter(
     df: DataFrame,
     label_col: str,
@@ -152,6 +186,8 @@ def fit_quality_filter(
     lr: float | None = None,
     l2: float | None = None,
     init: QFModel | None = None,
+    sample_n: int | None = None,
+    seed: int = 42,
 ) -> QFModel:
     """Full-batch gradient descent, distributed: two exact-decimal
     fold shuffles + one Arrow pass per epoch, ``n_buckets`` decimals
@@ -160,7 +196,23 @@ def fit_quality_filter(
     train at ``z = w0``). Weights start at zero — no seed anywhere —
     or, with ``init``, continue from a saved model (the
     retrain-on-drift step of the router lifecycle: same bucket space
-    required, fresh loss trajectory)."""
+    required, fresh loss trajectory).
+
+    ``sample_n`` is the 100 TB fit mode — the GPT-3/CCNet practice the
+    module docstring cites fits the classifier on a BOUNDED sample and
+    scores everything: from each label class, the ``sample_n`` rows
+    with the smallest portable md5 key (``md5("qfs:<seed>:<id>")`` —
+    a deterministic uniform sample without replacement per class,
+    reproducible across runs, engines, and partitionings; no RNG state
+    anywhere) are selected through the scale-safe
+    :func:`~.selection.topk_threshold_cut` (bounded driver state, pure
+    codegen filter, zero windows), and ONLY those 2·sample_n documents
+    are ever featurized — the full corpus is touched once by the label
+    guards and the per-class cut probes, never by the per-epoch folds.
+    :func:`qf_training_sample_py` replays the identical selection so
+    the twin descent stays bit-equal. Sampled mode requires labels in
+    {0, 1} exactly (a third class would silently vanish from the
+    per-class cuts — checked loudly)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -179,9 +231,6 @@ def fit_quality_filter(
     spark = df.sparkSession
 
     docs = df.where(F.col(text_col).isNotNull())
-    feats = cut_lineage(
-        doc_features(docs, text_col, id_col, n_buckets), eager=True
-    )
     lab = cut_lineage(
         docs.select(
             F.col(id_col), F.col(label_col).cast("double").alias("__y")
@@ -195,7 +244,9 @@ def fit_quality_filter(
     # and the NaN→decimal(20,9) cast silently NULLs — the row would
     # vanish from the gradient/loss folds while still counted in
     # n_docs, a silent mis-train. Count-and-raise, like the
-    # duplicate-id check below.
+    # duplicate-id check below. (In sampled mode these guards run over
+    # the FULL labeled frame, before the per-class cuts can hide a bad
+    # row by simply not drawing it.)
     n_bad = lab.where(
         F.col("__y").isNull() | F.isnan(F.col("__y"))
     ).count()
@@ -213,6 +264,45 @@ def fit_quality_filter(
             f"fit_quality_filter: {id_col} not unique "
             f"({n_docs} rows, {n_ids} ids)"
         )
+    if sample_n is not None:
+        if sample_n <= 0:
+            raise ValueError("fit_quality_filter: sample_n must be > 0")
+        from ..functions.hashing import md5_prefix_hash
+        from .selection import topk_threshold_cut
+
+        n_nonbin = lab.where(~F.col("__y").isin(0.0, 1.0)).count()
+        if n_nonbin:
+            raise ValueError(
+                f"fit_quality_filter: sampled fit requires labels in "
+                f"{{0, 1}} exactly — {n_nonbin} rows are neither (they "
+                "would silently vanish from the per-class sample)"
+            )
+        keyed = docs.withColumn(
+            "__qfs_key",
+            md5_prefix_hash(
+                F.concat(
+                    F.lit(f"qfs:{seed}:"), F.col(id_col).cast("string")
+                )
+            ).cast("double"),
+        )
+        parts = [
+            topk_threshold_cut(
+                keyed.where(F.col(label_col).cast("double") == float(v)),
+                "__qfs_key", sample_n, id_col, descending=False,
+            )
+            for v in (0, 1)
+        ]
+        docs = parts[0].unionByName(parts[1]).drop("__qfs_key")
+        lab = cut_lineage(
+            docs.select(
+                F.col(id_col), F.col(label_col).cast("double").alias("__y")
+            ),
+            eager=True,
+        )
+        n_docs = lab.count()
+    feats = cut_lineage(
+        doc_features(docs, text_col, id_col, n_buckets), eager=True
+    )
 
     def gl_fn(z, y):
         g, loss = _grad_loss_np(z.to_numpy(), y.to_numpy())
@@ -293,13 +383,17 @@ def fit_quality_filter_py(
     lr: float | None = None,
     l2: float | None = None,
     init: QFModel | None = None,
+    sample_n: int | None = None,
+    seed: int = 42,
 ) -> QFModel:
     """Independent python replay of :func:`fit_quality_filter` —
     ``feats`` = [(doc, bucket, c)] (e.g. DuckDB-read through
     :func:`doc_features_sql`), ``labels`` = {doc: y}. Decimal folds,
     the SAME numpy nonlinearity, the SAME ``_lr_update`` — per-epoch
     losses and every weight land bit-equal to the engine's (warm
-    starts included)."""
+    starts included). With ``sample_n``, the FULL corpus's feats/labels
+    go in and the twin replays the identical per-class md5 selection
+    (:func:`qf_training_sample_py`) before descending."""
     if init is not None:
         n_buckets = init.n_buckets
     n_buckets = QF_CONFIG["n_buckets"] if n_buckets is None else n_buckets
@@ -318,6 +412,16 @@ def fit_quality_filter_py(
             f"fit_quality_filter_py: {len(bad)} training rows have a "
             "NULL/NaN label — labels must be numeric 0/1"
         )
+    if sample_n is not None:
+        nonbin = [d for d, y in labels.items() if float(y) not in (0.0, 1.0)]
+        if nonbin:
+            raise ValueError(
+                f"fit_quality_filter_py: sampled fit requires labels in "
+                f"{{0, 1}} exactly — {len(nonbin)} rows are neither"
+            )
+        labels = qf_training_sample_py(labels, sample_n, seed)
+        feats = [t for t in feats if t[0] in labels]
+        n_docs = len(labels)
     docs = sorted(labels)
     w = list(init.w) if init is not None else [Decimal(0)] * n_buckets
     w0 = init.w0 if init is not None else Decimal(0)

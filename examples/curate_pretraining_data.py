@@ -87,11 +87,15 @@ def run(spark, args) -> dict:
         quality_logit_scores,
     )
 
+    # sampled fit — the corpus-scale practice: the descent runs on a
+    # bounded deterministic per-class sample (md5 keys through the
+    # threshold cut), only the scoring fold below touches every row
     qmodel = fit_quality_filter(
         docs.withColumn(
             "__y", (F.col("source") == args.target_source).cast("int")
         ),
         "__y",
+        sample_n=512,
     )
     qf_scores = quality_logit_scores(docs, qmodel)
     kq = max(1, int(funnel["quality"] * args.classifier_keep))

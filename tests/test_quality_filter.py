@@ -361,3 +361,60 @@ def test_null_label_raises(spark):
         fit_quality_filter_py(
             [(1, 0, 1)], {1: 1.0, 2: float("nan")}, n_buckets=16, epochs=1
         )
+
+
+def test_sampled_fit_twin_parity_and_bounds(db, duck):
+    """sample_n: the engine draws the per-class md5 sample through the
+    threshold cut and descends on it; the python twin replays the
+    identical selection from FULL DuckDB-read feats/labels — weights,
+    losses, and n_docs land bit-equal. The sample is bounded at
+    min(sample_n, class size) per class."""
+    sample_n = 40
+    labeled = db.df("documents").withColumn(
+        "y", (F.col("source") == "src0").cast("int")
+    )
+    m = fit_quality_filter(
+        labeled, "y", n_buckets=N_BUCKETS, sample_n=sample_n
+    )
+    feats = duck.execute(
+        doc_features_sql("documents", n_buckets=N_BUCKETS)
+    ).fetchall()
+    labels = dict(
+        duck.execute(
+            "SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END "
+            "FROM documents WHERE text IS NOT NULL"
+        ).fetchall()
+    )
+    t = fit_quality_filter_py(
+        feats, labels, n_buckets=N_BUCKETS, sample_n=sample_n
+    )
+    n_pos = sum(1 for y in labels.values() if y == 1)
+    n_neg = len(labels) - n_pos
+    want_n = min(sample_n, n_pos) + min(sample_n, n_neg)
+    assert m.n_docs == t.n_docs == want_n
+    assert [str(a) for a in m.losses] == [str(b) for b in t.losses]
+    assert m.w0 == t.w0
+    assert m.w == t.w
+    # a different seed draws a different sample -> different weights
+    m2 = fit_quality_filter(
+        labeled, "y", n_buckets=N_BUCKETS, sample_n=sample_n, seed=7
+    )
+    assert m2.w != m.w
+    # scoring the corpus with the sampled model works end to end
+    assert quality_logit_scores(db.df("documents"), m).count() > 0
+
+
+def test_sampled_fit_rejects_nonbinary_labels(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", 0), (3, "e f", 2)],
+        "doc_id bigint, text string, y int",
+    )
+    with pytest.raises(ValueError, match="0, 1"):
+        fit_quality_filter(df, "y", n_buckets=16, epochs=1, sample_n=2)
+    with pytest.raises(ValueError, match="0, 1"):
+        fit_quality_filter_py(
+            [(1, 0, 1)], {1: 1.0, 2: 0.0, 3: 2.0},
+            n_buckets=16, epochs=1, sample_n=2,
+        )
+    # full-batch mode keeps accepting generic numeric labels
+    fit_quality_filter(df, "y", n_buckets=16, epochs=1)
