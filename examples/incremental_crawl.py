@@ -5,6 +5,9 @@ end-to-end, the way a production training-data pipeline runs them:
                        trained store-vs-crawl — "does this look like
                        the curated store?" — keep the top fraction by
                        logit through the threshold-cut selection)
+                       (r11: frozen logit cuts PSI-monitor each later
+                        wave; on drift the filter warm-start retrains
+                        from the deployed weights — a new generation)
               kept ──► cross-corpus dedup against the standing store
                        (minhash_dedup_against: banded signatures join
                         ACROSS corpora, exact-Jaccard verify)
@@ -96,8 +99,9 @@ def run(spark, args) -> dict:
         "__y",
         n_buckets=256,
     )
+    qf_scores = quality_logit_scores(arriving, qmodel)
     passed_q = topk_threshold_cut(
-        quality_logit_scores(arriving, qmodel),
+        qf_scores,
         "qf_logit",
         None,
         "doc_id",
@@ -105,6 +109,52 @@ def run(spark, args) -> dict:
     ).select("doc_id")
     batch_docs = arriving.join(passed_q, "doc_id", "leftsemi")
     n_batch = batch_docs.count()
+
+    # model lifecycle (r11): freeze equal-frequency logit cuts at
+    # deployment, PSI-monitor each later crawl wave against them, and
+    # on drift warm-start retrain from the deployed weights — a NEW
+    # router generation (new threshold calibration, new output area;
+    # scores across generations never mix). The "next wave" here
+    # simulates a crawl-distribution shift by spam-suffixing the same
+    # documents; in production it is simply the next day's crawl.
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        cut_drift,
+        reference_cuts,
+    )
+
+    logit_cuts = reference_cuts(qf_scores, "qf_logit", n_bins=8)
+    next_wave = arriving.withColumn(
+        "text",
+        # a spam-campaign wave: the crawl is suddenly dominated by one
+        # template, with only a stub of organic text per page
+        F.concat_ws(
+            " ",
+            F.lit("buy now free crypto moon token airdrop giveaway "
+                  "claim bonus click here limited offer"),
+            F.substring(F.col("text"), 1, 48),
+        ),
+    )
+    wave_scores = quality_logit_scores(next_wave, qmodel)
+    psi, _ = cut_drift(wave_scores, "qf_logit", logit_cuts)
+    qf_generation = 0
+    wave_kept_gen0 = wave_scores.where(F.col("qf_logit") >= 0.0).count()
+    wave_kept = wave_kept_gen0
+    if psi >= 0.25:
+        # drifted: continue the descent from the deployed weights on
+        # the new wave's labels (store = positive, wave = negative)
+        qmodel_g1 = fit_quality_filter(
+            store_docs.withColumn("__y", F.lit(1)).unionByName(
+                next_wave.withColumn("__y", F.lit(0))
+            ),
+            "__y",
+            init=qmodel,
+        )
+        qf_generation = 1
+        wave_kept = (
+            quality_logit_scores(next_wave, qmodel_g1)
+            .where(F.col("qf_logit") >= 0.0)
+            .count()
+        )
 
     kept = minhash_dedup_against(
         batch_docs, store_docs, "text", "doc_id", threshold=args.threshold
@@ -171,6 +221,11 @@ def run(spark, args) -> dict:
         "arriving_docs": n_arriving,
         "quality_dropped": n_arriving - n_batch,
         "batch_docs": n_batch,
+        "qf_wave_psi": psi,
+        "qf_wave_drifted": psi >= 0.25,
+        "qf_generation": qf_generation,
+        "qf_wave_kept_gen0": wave_kept_gen0,
+        "qf_wave_kept": wave_kept,
         "kept_after_store_dedup": n_kept,
         "dropped_as_store_dupes": n_batch - n_kept,
         "vectors_appended": batch_vecs.count(),

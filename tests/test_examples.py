@@ -86,6 +86,13 @@ def test_incremental_crawl_pipeline(spark, tmp_path):
     assert any(
         d.startswith("list_id=") for d in os.listdir(os.path.join(out, "ivf"))
     )
+    # r11: the filter lifecycle — the simulated spam wave drifts past
+    # the frozen logit cuts, the warm-start retrain bumps the
+    # generation, and the gen-1 verdicts actually change (the spam
+    # wave stops passing)
+    assert s["qf_wave_drifted"] is True and s["qf_wave_psi"] >= 0.25
+    assert s["qf_generation"] == 1
+    assert s["qf_wave_kept"] < s["qf_wave_kept_gen0"]
     # r7: the retrieval half — appended index serves BM25 hits
     assert s["index_postings"] > 0
     assert 0 < s["bm25_hits"] <= 5
