@@ -28,18 +28,43 @@ from pyspark.sql.functions import broadcast
 from .normalize import NORMALIZERS, normalize
 
 
+# the loud ceiling on code-table size: `cat` columns are ≤1000 by the
+# analyzer's threshold, so anything near this cap is a mis-typed
+# column (free text / an id guessed as categorical) — and past it BOTH
+# downstream shapes break silently-slowly: the gap-free ranking funnels
+# the whole distinct set through one reducer, and dict_encode
+# broadcasts the table to every executor
+CODE_TABLE_MAX_CARD = 100_000
+
+
 def build_code_table(
-    df: DataFrame, column: str, normalizer: str = "identity"
+    df: DataFrame,
+    column: str,
+    normalizer: str = "identity",
+    max_card: int = CODE_TABLE_MAX_CARD,
 ) -> DataFrame:
     """Code table ``(value, code)``: NULL→0, sorted non-null values→1..n.
 
     The distinct runs distributed; the window ranking runs on the
     already-tiny distinct set (single partition of ≤card rows — fine,
-    and the only way to get gap-free codes)."""
+    and the only way to get gap-free codes). That "tiny" is a CONTRACT
+    (the analyzer's ``cat`` threshold), so it is checked loudly: one
+    count over the already-distinct frame, and a cardinality past
+    ``max_card`` raises instead of funneling a mis-typed high-card
+    column (free text, an id) through one reducer and a broadcast."""
     from pyspark.sql.window import Window
 
     vals = df.select(normalize(F.col(column), normalizer).alias("value")).distinct()
     nonnull = vals.filter(F.col("value").isNotNull())
+    card = nonnull.count()
+    if card > max_card:
+        raise ValueError(
+            f"build_code_table: column {column!r} has {card} distinct "
+            f"values (> max_card={max_card}) — not a categorical "
+            "column. Check the semantic type (reconcile_cardinality / "
+            "SchemaAnalyzer), or raise max_card explicitly if the "
+            "cardinality is intended."
+        )
     w = Window.orderBy("value")
     coded = nonnull.select("value", F.row_number().over(w).alias("code"))
     return coded
@@ -132,14 +157,24 @@ def factorize_target(df: DataFrame, column: str, out: str = "label") -> DataFram
     """F14: string/categorical target → dense int codes 0..n-1 in sorted
     order (the reference uses ``pd.factorize`` appearance order,
     ``ctu_dataset.py:188-193`` — sorted is the deterministic analog).
-    NULL targets are invalid and dropped."""
+    NULL targets are invalid and dropped. Class count is capped like
+    :func:`build_code_table` (same single-reducer/broadcast contract)."""
     from pyspark.sql.window import Window
 
-    codes = (
+    distinct = (
         df.select(F.col(column).alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
-        .select("value", (F.row_number().over(Window.orderBy("value")) - 1).alias(out))
+    )
+    card = distinct.count()
+    if card > CODE_TABLE_MAX_CARD:
+        raise ValueError(
+            f"factorize_target: target {column!r} has {card} distinct "
+            f"classes (> {CODE_TABLE_MAX_CARD}) — not a categorical "
+            "target"
+        )
+    codes = distinct.select(
+        "value", (F.row_number().over(Window.orderBy("value")) - 1).alias(out)
     )
     return df.join(broadcast(codes), df[column] == codes["value"], "inner").drop("value")
 

@@ -148,3 +148,38 @@ def test_unidecode(spark):
     rows = df.select(normalize(F.col("v"), "unidecode_ci").alias("v")).collect()
     vals = {r["v"] for r in rows}
     assert "czue" in vals and None in vals
+
+
+def test_code_table_rejects_high_cardinality(spark, db):
+    """A high-card column masquerading as `cat` (free text, an id) must
+    raise loudly instead of funneling its whole distinct set through the
+    single-reducer ranking and a broadcast (the contract guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.functions.encode import (
+        build_code_table,
+        dict_encode,
+        factorize_target,
+    )
+
+    # an id column guessed as categorical: 5000 distinct "values"
+    fake_cat = spark.range(5000).select(
+        F.concat(F.lit("user_"), F.col("id").cast("string")).alias("who")
+    )
+    with pytest.raises(ValueError, match="not a categorical"):
+        build_code_table(fake_cat, "who", max_card=1000)
+    # dict_encode hits the same guard through its table build
+    with pytest.raises(ValueError, match="not a categorical"):
+        dict_encode(
+            fake_cat, "who",
+            code_table=build_code_table(fake_cat, "who", max_card=100),
+        )
+    # explicit opt-in past the cap still works
+    assert build_code_table(fake_cat, "who", max_card=10_000).count() == 5000
+    # genuinely categorical columns are untouched
+    li = db.df("lineitem")
+    assert build_code_table(li, "l_linestatus", max_card=5).count() <= 5
+    assert factorize_target(
+        li.select("l_returnflag"), "l_returnflag"
+    ).count() == li.count()
