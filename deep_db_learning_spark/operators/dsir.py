@@ -56,18 +56,33 @@ from ..functions.hashing import md5_prefix_hash, md5_prefix_hash_sql
 DEFAULT_BUCKETS = 10_000
 
 
-def spread_input(df: DataFrame) -> DataFrame:
+def spread_input(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Repartition a narrower-than-the-cluster input once (a
     single-file parquet scan otherwise runs the whole md5 flatMap on
     ONE core — the ``search._spread`` lesson). The partition-count
-    probe (``df.rdd``) forces a plan materialization, so call this
-    ONCE per distinct frame and pass ``spread=False`` downstream —
-    :func:`fit_dsir_weights` + :func:`dsir_scores` on a pre-spread
-    frame touch ``.rdd`` zero times."""
+    probe (``df.rdd``) forces a plan materialization, so its result is
+    MEMOIZED on the frame object: an external caller composing
+    :func:`fit_dsir_weights` + :func:`dsir_scores` on the same raw
+    frame pays the probe once, and re-spreading an already-spread
+    frame is a pure dict lookup (pytest spies ``.rdd`` to pin zero
+    accesses on the second call). ``num_partitions``, when the caller
+    already knows the frame's partition count, skips the probe
+    entirely."""
+    cached = getattr(df, "_ddl_spread", None)
+    if cached is not None:
+        return cached
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    n = (
+        num_partitions
+        if num_partitions is not None
+        else df.rdd.getNumPartitions()
+    )
+    out = df.repartition(par) if n < par else df
+    # memoize on both the input and the output (spread(spread(df)) is
+    # the identity); a plain attribute — the frames' lifetimes bound it
+    df._ddl_spread = out
+    out._ddl_spread = out
+    return out
 
 
 def _grams(text_col: str) -> Column:

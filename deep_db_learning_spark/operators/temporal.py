@@ -601,22 +601,43 @@ def attribution(
         F.col(ts_col),
         F.col(type_col),
     )
+    # bin width DERIVED from the lookback (lookback/24, floored at one
+    # minute) instead of range_join's fixed 1-hour default: each
+    # conversion interval then explodes to ~25 covering bins for ANY
+    # lookback — a '90 days' lookback under the fixed default would
+    # explode to ~2161 bins per conversion — while the candidate-pair
+    # overhead stays (L+W)/L ≈ 1.04. The interval string is evaluated
+    # by the ENGINE's own arithmetic (one 1-row job), so every unit
+    # Spark accepts works; binning never affects results (the exact
+    # predicate re-filters), so the oracle needs no mirror.
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    lookback_us = events.sparkSession.range(1).select(
+        (
+            F.unix_micros(epoch0 + F.expr(f"INTERVAL {lookback}"))
+            - F.unix_micros(epoch0)
+        ).alias("us")
+    ).first()["us"]
+    width_us = max(lookback_us // 24, 60_000_000)
     pairs = range_join(
         touches, conv, on=user_col, left_point=ts_col,
         right_start="w_start", right_end="w_end",
+        bin_width=f"{width_us} MICROSECOND",
     )
     w = Window.partitionBy("conv_id")
     ra = F.row_number().over(w.orderBy(F.col(ts_col), F.col("touch_id")))
-    # rd breaks ties by touch_id DESC (mirror-image of ra's ASC) so
-    # that whenever a window holds n >= 2 touches, the ra==1 and rd==1
-    # rows are DISTINCT even if every touch shares one timestamp —
-    # with both ranks tie-breaking ASC, an all-tied window made one
-    # row first AND last, the rd==1 ushape branch never fired, and the
-    # model handed out 0.4 + 0.2·(n−1)/(n−2) < 1 per conversion
-    rd = F.row_number().over(
-        w.orderBy(F.col(ts_col).desc(), F.col("touch_id").desc())
-    )
     n = F.count(F.lit(1)).over(w)
+    # rd is the descending rank under the MIRRORED tie-break
+    # (ts DESC, touch_id DESC): because (ts, touch_id) is a total
+    # order, that is exactly n + 1 − ra — computed from the ascending
+    # sort instead of a second full sort of the pair frame (one
+    # Exchange + one Sort in the plan, not two Sorts). The mirror
+    # matters for credit conservation: whenever a window holds n ≥ 2
+    # touches the ra==1 and rd==1 rows are DISTINCT even if every
+    # touch shares one timestamp — with both ranks tie-breaking ASC,
+    # an all-tied window made one row first AND last, the rd==1 ushape
+    # branch never fired, and the model handed out
+    # 0.4 + 0.2·(n−1)/(n−2) < 1 per conversion
+    rd = n + F.lit(1) - ra
     # bucketed decay: Δt and H in integer microseconds, weight an
     # exact power of two, per-conversion normalization in-plan
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
@@ -661,14 +682,22 @@ def attribution(
             / F.sum(dw.cast("decimal(30,18)")).over(w).cast("double")
         ).alias("__decay"),
     )
-    out = None
-    for model in ("first", "last", "linear", "ushape", "decay"):
-        agg = scored.groupBy(type_col).agg(
-            F.count(F.lit(1)).alias("n_touches"),
-            exact_sum(F.col(f"__{model}")).alias("credit"),
-        ).select(F.lit(model).alias("model"), type_col, "n_touches", "credit")
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    # ONE grouped aggregate folds all five models' credits (the five
+    # exact decimal folds are map-side combinable in the same shuffle),
+    # then a stack() unpivot emits the per-model rows — a five-model
+    # UNION would re-run the whole range join + window pass per model,
+    # 5× the pair-generation work for byte-identical values
+    models = ("first", "last", "linear", "ushape", "decay")
+    agg = scored.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        *[exact_sum(F.col(f"__{m}")).alias(f"__c_{m}") for m in models],
+    )
+    stack = ", ".join(f"'{m}', __c_{m}" for m in models)
+    return agg.select(
+        F.col(type_col),
+        F.col("n_touches"),
+        F.expr(f"stack({len(models)}, {stack}) AS (model, credit)"),
+    ).select("model", type_col, "n_touches", "credit")
 
 
 def attribution_oracle_sql(

@@ -146,3 +146,40 @@ def test_gumbel_select_matches_python_replay(db, lam):
         r["doc_id"] for r in gumbel_select(scores, 25, seed=7).collect()
     ]
     assert sorted(other) != sorted(got)
+
+
+def test_spread_input_memoizes_partition_probe(spark, monkeypatch):
+    """The `.rdd` partition probe forces a plan materialization, so its
+    verdict is memoized per frame: composing fit + scores on the same
+    raw frame probes once, and re-spreading a spread frame never
+    touches `.rdd` (spied at the DataFrame class)."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.dsir import spread_input
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+    )
+    out1 = spread_input(df)
+
+    calls = {"n": 0}
+    cls = type(df)
+    orig = cls.rdd  # a functools.cached_property in pyspark 4
+
+    def counting(self):
+        calls["n"] += 1
+        return orig.func(self)
+
+    monkeypatch.setattr(cls, "rdd", property(counting))
+    assert spread_input(df) is out1
+    assert spread_input(out1) is out1
+    assert calls["n"] == 0
+    # a fresh frame still probes (exactly once)
+    df2 = spark.range(10).toDF("doc_id")
+    spread_input(df2)
+    assert calls["n"] == 1
+    # a caller-supplied partition count skips the probe entirely
+    df3 = spark.range(10).toDF("doc_id")
+    spread_input(df3, num_partitions=1)
+    assert calls["n"] == 1
