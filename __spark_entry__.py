@@ -595,8 +595,15 @@ def _qhist_oracle() -> str:
     ]
     con.close()
     hist = grouped_hist_oracle_sql("events", "user_id", "value", cuts)
-    return f"""
-        SELECT 'qhist' AS mode, user_id,
+    # two modes off the same whole-table histogram: ``qhist`` twins the
+    # random-micro-batch stream, ``qmerge`` (r11) twins the engine's
+    # merge of the two event_id-parity halves — the direct whole-table
+    # rows ARE the merge operator's contract, merge(hist(A), hist(B))
+    # ≡ hist(A ∪ B)
+    selects = []
+    for mode in ("qhist", "qmerge"):
+        selects.append(f"""
+        SELECT '{mode}' AS mode, user_id,
                counts[CAST(i AS INT)] AS n_events,
                CAST(n AS DOUBLE) AS sum_value,
                CAST(NULL AS TIMESTAMP) AS last_ts,
@@ -605,8 +612,8 @@ def _qhist_oracle() -> str:
                CAST(NULL AS TIMESTAMP) AS valid_from,
                CAST(NULL AS TIMESTAMP) AS valid_to
         FROM ({hist}),
-             unnest(generate_series(1, {len(cuts) + 1})) AS s(i)
-    """
+             unnest(generate_series(1, {len(cuts) + 1})) AS s(i)""")
+    return "\nUNION ALL\n".join(selects)
 
 
 def _semdedup_oracle() -> str:
@@ -1597,11 +1604,17 @@ def q_minhash_dedup(spark, sf_dir):
     the incremental-crawl pair of ``ivf_append``); ``mix`` — the kept
     set of temperature-based mixing (``temperature_fractions`` n^0.5
     re-balancing feeding ``stratified_sample``'s portable-hash keep
-    rule). FULLY oracle-checked: every stage is portable arithmetic a
-    DuckDB oracle reproduces bit-for-bit (the mix fractions are
-    recomputed at oracle-build time by an independent python twin from
-    the raw parquet and inlined as repr literals)."""
+    rule); ``dw`` (r11 rotation) — DoReMi-shaped domain reweighting
+    (``mixing.domain_weights``): one exact-decimal score fold per
+    source, the exponential tilt computed driver-side through the
+    SHARED ``domain_weight_py`` (log-sum-exp-shifted), per-domain
+    (n_docs, mean, excess, weight) rows. FULLY oracle-checked: every
+    stage is portable arithmetic a DuckDB oracle reproduces
+    bit-for-bit (the mix fractions and the dw weights are recomputed
+    at oracle-build time by independent python twins from the raw
+    parquet and inlined as repr literals)."""
     from deep_db_learning_spark.operators.mixing import (
+        domain_weights,
         stratified_sample,
         temperature_fractions,
     )
@@ -1633,10 +1646,37 @@ def q_minhash_dedup(spark, sf_dir):
         docs, "source", alpha=0.5, target_rows=int(0.6 * docs.count())
     )
     mixed = stratified_sample(docs, "source", fr, "doc_id")
+    dw = domain_weights(
+        docs.select("source", F.col("n_chars").cast("double").alias("score")),
+        "source", "score", eta=0.002, floor=0.05,
+    )
+
+    def ids(mode, frame):
+        return frame.select(
+            F.lit(mode).alias("mode"),
+            "doc_id",
+            F.lit(None).cast("string").alias("domain"),
+            F.lit(None).cast("bigint").alias("n_docs"),
+            F.lit(None).cast("double").alias("mean_score"),
+            F.lit(None).cast("double").alias("excess"),
+            F.lit(None).cast("double").alias("weight"),
+        )
+
     return (
-        kept.select(F.lit("all").alias("mode"), "doc_id")
-        .unionByName(kept_incr.select(F.lit("incr").alias("mode"), "doc_id"))
-        .unionByName(mixed.select(F.lit("mix").alias("mode"), "doc_id"))
+        ids("all", kept)
+        .unionByName(ids("incr", kept_incr))
+        .unionByName(ids("mix", mixed))
+        .unionByName(
+            dw.select(
+                F.lit("dw").alias("mode"),
+                F.lit(None).cast("bigint").alias("doc_id"),
+                F.col("source").alias("domain"),
+                "n_docs",
+                "mean_score",
+                "excess",
+                "weight",
+            )
+        )
     )
 
 
@@ -2981,7 +3021,83 @@ def q_node_store(spark, sf_dir):
         F.lit(None).cast(ts_ntz).alias("valid_from"),
         F.lit(None).cast(ts_ntz).alias("valid_to"),
     )
-    return base.unionByName(scd).unionByName(qhist)
+
+    # ``qmerge`` mode (r11 rotation): the mergeable-histogram MERGE
+    # OPERATOR under oracle coverage — the corpus splits by event_id
+    # parity, each half's per-user histogram builds in batch, and
+    # ``merge_hists`` combines them; the oracle computes the
+    # whole-table histogram directly, so the hash match IS the
+    # operator's defining contract, merge(hist(A), hist(B)) ≡
+    # hist(A ∪ B), on driver data
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        grouped_hist,
+        merge_hists,
+    )
+
+    merged = merge_hists(
+        grouped_hist(
+            ev.where(F.col("event_id") % 2 == 0), "user_id", "value", cuts
+        ),
+        grouped_hist(
+            ev.where(F.col("event_id") % 2 == 1), "user_id", "value", cuts
+        ),
+    )
+    qmerge = merged.select(
+        F.lit("qmerge").alias("mode"),
+        "user_id",
+        F.lit(None).cast(ts_ntz).alias("last_ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast(ts_ntz).alias("valid_from"),
+        F.lit(None).cast(ts_ntz).alias("valid_to"),
+        F.col("n").cast("double").alias("sum_value"),
+        F.posexplode("counts").alias("bucket", "n_events"),
+    ).select(
+        "mode", "user_id", "n_events", "sum_value", "last_ts",
+        F.col("bucket").cast("string").alias("event_type"),
+        "value", "valid_from", "valid_to",
+    )
+
+    # ``diff`` mode (r11 rotation): time-travel diff between two store
+    # versions (``node_store.snapshot_diff`` — full-outer key join +
+    # null-safe struct comparison). A second store commits the
+    # CUMULATIVE user profile at the first two scd2 ts-thirds (the
+    # boundaries computed above), so the version contents — unlike the
+    # random 4-file stream batches — are pure SQL predicates the
+    # oracle recomputes; the diff rows flatten as: event_type ← op,
+    # (n_events, sum_value, last_ts) ← the NEW side, value ← the old
+    # sum, valid_from ← the old last_ts.
+    from deep_db_learning_spark.streaming.node_store import snapshot_diff
+
+    work2 = tempfile.mkdtemp(prefix="node_store_diff_")
+    st2 = SnapshotStore(os.path.join(work2, "store"))
+
+    def profile(pred):
+        return ch.filter(pred).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    st2.commit(profile(us <= b1), batch_id=1)
+    st2.commit(profile(us <= b2), batch_id=2)
+    diff = snapshot_diff(spark, st2, "user_id", v_from=1, v_to=2).select(
+        F.lit("diff").alias("mode"),
+        "user_id",
+        F.col("new.n_events").alias("n_events"),
+        F.col("new.sum_value").alias("sum_value"),
+        F.col("new.last_ts").cast(ts_ntz).alias("last_ts"),
+        F.col("op").alias("event_type"),
+        F.col("old.sum_value").alias("value"),
+        F.col("old.last_ts").cast(ts_ntz).alias("valid_from"),
+        F.lit(None).cast(ts_ntz).alias("valid_to"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work2, ignore_errors=True)
+    return (
+        base.unionByName(scd)
+        .unionByName(qhist)
+        .unionByName(qmerge)
+        .unionByName(diff)
+    )
 
 
 def q_event_funnel(spark, sf_dir):
@@ -3803,6 +3919,29 @@ def _minhash_dedup_oracle(
     }
     mix_sql = stratified_sample_sql("documents", "source", fractions, "doc_id")
 
+    # dw twin (r11): per-source exact decimal score folds read back as
+    # the identical doubles the engine's exact_sum produces, the
+    # exponential tilt through the SHARED domain_weight_py, the
+    # resulting rows inlined as exact double literals
+    from deep_db_learning_spark.operators.mixing import domain_weight_py
+    from deep_db_learning_spark.operators.search import dlit
+
+    dw_stats = {
+        s: (float(sm), int(n))
+        for s, sm, n in con.execute(
+            "SELECT source, CAST(CAST(sum(CAST(CAST(n_chars AS DOUBLE) "
+            "AS DECIMAL(30,9))) AS VARCHAR) AS DOUBLE), count(*) "
+            f"FROM read_parquet('{sf}/documents.parquet') "
+            "WHERE source IS NOT NULL AND n_chars IS NOT NULL "
+            "GROUP BY source"
+        ).fetchall()
+    }
+    dw_out = domain_weight_py(dw_stats, eta=0.002, floor=0.05)
+    dw_vals = ", ".join(
+        f"('{d}', {dw_stats[d][1]}, {dlit(m)}, {dlit(e)}, {dlit(w)})"
+        for d, (m, e, w) in sorted(dw_out.items())
+    )
+
     return f"""
         WITH {chain("all", "documents")}, cand AS (
           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
@@ -3831,13 +3970,25 @@ def _minhash_dedup_oracle(
                 (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
                 >= {threshold}
         )
-        SELECT 'all' AS mode, doc_id FROM documents
+        SELECT 'all' AS mode, doc_id, CAST(NULL AS VARCHAR) AS domain,
+               CAST(NULL AS BIGINT) AS n_docs,
+               CAST(NULL AS DOUBLE) AS mean_score,
+               CAST(NULL AS DOUBLE) AS excess,
+               CAST(NULL AS DOUBLE) AS weight
+        FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM verified)
         UNION ALL
-        SELECT 'incr' AS mode, doc_id FROM docs_new
+        SELECT 'incr', doc_id, NULL, NULL, NULL, NULL, NULL
+        FROM docs_new
         WHERE doc_id NOT IN (SELECT new_id FROM matched)
         UNION ALL
-        SELECT 'mix' AS mode, doc_id FROM ({mix_sql})
+        SELECT 'mix', doc_id, NULL, NULL, NULL, NULL, NULL
+        FROM ({mix_sql})
+        UNION ALL
+        SELECT 'dw', CAST(NULL AS BIGINT), domain, n_docs,
+               mean_score, excess, weight
+        FROM (VALUES {dw_vals}) dw(domain, n_docs, mean_score,
+                                   excess, weight)
     """
 
 
@@ -5092,6 +5243,52 @@ def oracle_sql() -> dict[str, str]:
             FROM k
             UNION ALL
             {_qhist_oracle()}
+            UNION ALL
+            -- mode 'diff' (r11): the engine commits the CUMULATIVE
+            -- user profile at the first two scd2 ts-thirds into a
+            -- SnapshotStore and runs snapshot_diff(v1, v2); here the
+            -- same two version contents are plain ts predicates and
+            -- the diff is one full-outer join + IS NOT DISTINCT FROM
+            SELECT 'diff' AS mode,
+                   coalesce(v2.user_id, v1.user_id) AS user_id,
+                   v2.n_events,
+                   v2.sum_value,
+                   CAST(v2.last_ts AS TIMESTAMP) AS last_ts,
+                   CASE WHEN v1.user_id IS NULL THEN 'added'
+                        WHEN v2.user_id IS NULL THEN 'removed'
+                        WHEN NOT (v1.n_events IS NOT DISTINCT FROM v2.n_events
+                              AND v1.sum_value IS NOT DISTINCT FROM v2.sum_value
+                              AND v1.last_ts IS NOT DISTINCT FROM v2.last_ts)
+                        THEN 'changed' END AS event_type,
+                   v1.sum_value AS value,
+                   CAST(v1.last_ts AS TIMESTAMP) AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to
+            FROM (
+              SELECT user_id, count(*) AS n_events,
+                     {exact_sum_sql('value')} AS sum_value,
+                     max(ts) AS last_ts
+              FROM events, (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+                                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+                            FROM events) bnd
+              WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= bnd.lo + (bnd.hi - bnd.lo) // 3
+              GROUP BY user_id
+            ) v1
+            FULL OUTER JOIN (
+              SELECT user_id, count(*) AS n_events,
+                     {exact_sum_sql('value')} AS sum_value,
+                     max(ts) AS last_ts
+              FROM events, (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+                                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+                            FROM events) bnd
+              WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= bnd.lo + 2 * (bnd.hi - bnd.lo) // 3
+              GROUP BY user_id
+            ) v2 ON v1.user_id = v2.user_id
+            WHERE (CASE WHEN v1.user_id IS NULL THEN 'added'
+                        WHEN v2.user_id IS NULL THEN 'removed'
+                        WHEN NOT (v1.n_events IS NOT DISTINCT FROM v2.n_events
+                              AND v1.sum_value IS NOT DISTINCT FROM v2.sum_value
+                              AND v1.last_ts IS NOT DISTINCT FROM v2.last_ts)
+                        THEN 'changed' END) IS NOT NULL
         """,
         "events_temporal_join": f"""
             WITH u AS (

@@ -69,3 +69,30 @@ def exact_avg_sql(expr: str) -> str:
         f"(CAST(CAST(sum(CAST(({expr}) AS DECIMAL(30,9))) AS VARCHAR) AS DOUBLE)"
         f" / count({expr}))"
     )
+
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def guarded_bigint(s: Column, context: str) -> Column:
+    """DECIMAL aggregate → BIGINT with an in-plan range check: an
+    out-of-range fold raises with ``context`` in the message instead
+    of silently casting to NULL under the default non-ANSI mode (the
+    ``hits._guarded_bigint`` lesson, shared). Use on any decimal fold
+    whose value is *supposed* to be bounded (e.g. by a conservation
+    law) — the guard converts a violated assumption into a loud
+    failure that does not depend on ``spark.sql.ansi.enabled``."""
+    dec = "decimal(38,0)"
+    return (
+        F.when(
+            (s > F.lit(_MAX_LONG).cast(dec))
+            | (s < F.lit(-_MAX_LONG - 1).cast(dec)),
+            F.raise_error(F.lit(
+                f"{context}: decimal fold exceeds BIGINT range — a "
+                "bounded-by-construction value overflowed; check the "
+                "operator's scale constants"
+            )),
+        )
+        .otherwise(s)
+        .cast("bigint")
+    )

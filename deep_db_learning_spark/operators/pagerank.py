@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import cut_lineage
+from ..functions.exact_agg import guarded_bigint
 
 PR_CONFIG = {
     "scale": 10**12,
@@ -103,13 +104,24 @@ def pagerank(
             .join(deg.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
         )
+        # both folds are bounded by rank-mass conservation (Σr = S <
+        # 2^63 every round), so the guards are unreachable by
+        # construction — they exist to make a violated assumption a
+        # loud in-plan failure independent of ANSI mode (the r10 HITS
+        # lesson), not a silent NULL rank
         agg = contrib.groupBy("node").agg(
-            F.sum(F.col("c").cast("decimal(38,0)")).cast("bigint").alias("agg")
+            guarded_bigint(
+                F.sum(F.col("c").cast("decimal(38,0)")), "pagerank contrib"
+            ).alias("agg")
         )
         dang = ranks.join(deg, "node", "left_anti").agg(
-            F.coalesce(F.sum(F.col("r").cast("decimal(38,0)")), F.lit(0))
-            .cast("bigint")
-            .alias("dang")
+            guarded_bigint(
+                F.coalesce(
+                    F.sum(F.col("r").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ),
+                "pagerank dangling mass",
+            ).alias("dang")
         )
         nxt = (
             nodes.crossJoin(F.broadcast(dang))

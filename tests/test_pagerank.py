@@ -125,3 +125,26 @@ def test_config_is_shared():
     sql = pagerank_oracle_sql("SELECT 1 AS node", "SELECT 1 AS src, 1 AS dst", 1)
     assert str(PR_CONFIG["scale"]) in sql
     assert f"({PR_CONFIG['damp_den'] - PR_CONFIG['damp_num']})" in sql
+
+
+def test_guarded_bigint_raises_on_overflow(spark):
+    """The shared decimal→BIGINT guard (functions/exact_agg): a fold
+    past the long range raises in-plan regardless of ANSI mode instead
+    of silently NULLing — pagerank's rank folds ride it (unreachable
+    there by rank-mass conservation; this pins the guard itself)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.functions.exact_agg import guarded_bigint
+
+    big = spark.createDataFrame(
+        [((1 << 62),), ((1 << 62),), ((1 << 62),)], "v long"
+    )
+    with pytest.raises(Exception, match="exceeds BIGINT"):
+        big.agg(
+            guarded_bigint(F.sum(F.col("v").cast("decimal(38,0)")), "test")
+        ).collect()
+    ok = big.limit(1).agg(
+        guarded_bigint(F.sum(F.col("v").cast("decimal(38,0)")), "test")
+    ).first()[0]
+    assert ok == (1 << 62)
