@@ -881,7 +881,14 @@ def q_eval_metrics(spark, sf_dir):
     o_orderstatus='F': the BIGINT aggregates are exact, the one float
     division is replayed identically by the oracle (`binary_auc_sql` +
     the same division in SQL doubles — every operand exact below
-    2^53)."""
+    2^53).
+
+    r11 adds expected calibration error
+    (`plans/metrics.expected_calibration_error`) of the min-max
+    normalized price as a probability of the same label —
+    equal-frequency bins at exact score quantiles, exact per-bin
+    folds, the shared ascending-bin fold; the oracle replays the whole
+    read at build time and inlines the literal."""
     from deep_db_learning_spark.functions.exact_agg import DECIMAL_TYPE
     from deep_db_learning_spark.plans.metrics import (
         binary_auc,
@@ -926,10 +933,34 @@ def q_eval_metrics(spark, sf_dir):
         "o_totalprice",
         "__y",
     )
+    # r11: expected calibration error of the min-max-normalized price
+    # as a "probability" of o_orderstatus='F' — equal-frequency bins
+    # at exact score quantiles, exact per-bin folds, the shared
+    # ascending-bin ECE fold driver-side (`plans/metrics.ece_from_bins`
+    # — the oracle replays the same function over DuckDB-read bins at
+    # oracle-build time and inlines the literal). The min/max come
+    # from one exact agg; the normalization is the same IEEE ops on
+    # identical operands in both engines.
+    from deep_db_learning_spark.plans.metrics import (
+        expected_calibration_error,
+    )
+
+    lo, hi = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    prob = orders.select(
+        (
+            (F.col("o_totalprice") - F.lit(float(lo)))
+            / F.lit(float(hi - lo))
+        ).alias("__p"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("__y"),
+    )
+    ece = expected_calibration_error(prob, "__p", "__y", n_bins=8)
     return (
         cm.select("accuracy", F.col("n").alias("n_cls"))
         .crossJoin(rm.select("mse", "mae", "nrmse", F.col("n").alias("n_reg")))
         .withColumn("auc", F.lit(float(auc)))
+        .withColumn("ece", F.lit(float(ece)))
     )
 
 
@@ -4425,7 +4456,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT accuracy, n_cls, mse, mae,
                    CASE WHEN mean_y != 0 THEN sqrt(mse) / mean_y END AS nrmse,
-                   n_reg, auc
+                   n_reg, auc,
+                   -- r11: ECE recomputed at oracle-build time through
+                   -- the shared calibration table + ascending-bin fold
+                   {_eval_ece_oracle()} AS ece
             FROM cm, rm, ar
         """,
         "constraints": _constraints_oracle(),
@@ -5646,6 +5680,53 @@ def _eval_auc_oracle() -> str:
         "o_totalprice",
         "y",
     )
+
+
+def _eval_ece_oracle() -> str:
+    """ECE leg (r11) of the eval_metrics oracle: recompute the whole
+    calibration read at oracle-build time — min-max normalization with
+    the engine's exact literal divisor, cuts from the full-sort exact
+    quantiles, per-bin table via the shared `calibration_table_sql`,
+    and the SAME ascending-bin `ece_from_bins` fold — then inline the
+    double as an exact literal."""
+    import duckdb
+
+    from deep_db_learning_spark.operators.search import dlit
+    from deep_db_learning_spark.operators.sketch import (
+        exact_quantiles_oracle_sql,
+    )
+    from deep_db_learning_spark.plans.metrics import (
+        calibration_table_sql,
+        ece_from_bins,
+    )
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    lo, hi = con.execute(
+        "SELECT min(o_totalprice), max(o_totalprice) FROM orders"
+    ).fetchone()
+    con.execute(
+        "CREATE VIEW cal_rows AS SELECT "
+        f"(o_totalprice - {dlit(float(lo))}) / {dlit(float(hi - lo))} AS p, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders"
+    )
+    cuts = [
+        r[2]
+        for r in con.execute(
+            exact_quantiles_oracle_sql(
+                "cal_rows", "p", [i / 8 for i in range(1, 8)]
+            )
+        ).fetchall()
+    ]
+    bins = con.execute(
+        calibration_table_sql("cal_rows", "p", "y", cuts)
+    ).fetchall()
+    con.close()
+    return dlit(ece_from_bins([(b[0], b[1], b[5]) for b in bins]))
 
 
 def _text_quality_qfilter_oracle() -> str:

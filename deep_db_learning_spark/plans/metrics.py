@@ -283,3 +283,120 @@ def grouped_binary_auc(
             num2.cast("double") / (2.0 * npos * nneg),
         ).alias("auc"),
     )
+
+
+def calibration_table(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability table — the calibration read of a scorer: bin the
+    scores into ``n_bins`` EQUAL-FREQUENCY bins (exact score order
+    statistics via ``operators/sketch.exact_quantiles`` — no global
+    sort), and per bin report ``(bin, n, n_pos, mean_score, pos_rate,
+    gap)`` with ``mean_score`` an exact decimal fold, ``pos_rate`` a
+    single division of exact BIGINTs, and ``gap = pos_rate −
+    mean_score`` (meaningful as a calibration error when the score IS
+    a probability; for a raw logit the table is still the empirical
+    response curve). One grouped aggregate over the corpus; bin
+    boundaries use the half-open ``score > cut`` rule (ties fall to
+    the lower bin — the ``quantile_hist`` convention), so with heavy
+    score ties some bins may be empty and others hold more than N/n
+    rows — exactness over prettiness. Every emitted double is
+    engine-independent (pytest pins the DuckDB twin bitwise)."""
+    from ..operators.sketch import exact_quantiles
+
+    rows = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = [
+        r["value"]
+        for r in sorted(
+            exact_quantiles(rows, "__s", probs).collect(),
+            key=lambda r: r["p"],
+        )
+    ]
+    b = F.lit(0)
+    for c in cuts:
+        b = b + (F.col("__s") > F.lit(float(c))).cast("int")
+    agg = rows.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        _exact_mean(F.col("__s")).alias("mean_score"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_score",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+        (
+            F.col("n_pos").cast("double") / F.col("n")
+            - F.col("mean_score")
+        ).alias("gap"),
+    )
+
+
+def calibration_table_sql(
+    table: str,
+    score_col: str,
+    label_col: str,
+    cuts: list[float],
+) -> str:
+    """DuckDB twin of :func:`calibration_table` — identical half-open
+    binning against the SAME cut literals (recompute them with
+    ``exact_quantiles_oracle_sql`` — exact order statistics agree
+    across engines), identical exact folds and divisions."""
+    from ..functions.exact_agg import exact_sum_sql
+    from ..operators.search import dlit
+
+    bexpr = " + ".join(
+        [f"CASE WHEN s > {dlit(float(c))} THEN 1 ELSE 0 END" for c in cuts]
+    ) or "0"
+    return f"""
+        WITH r AS (
+          SELECT {score_col} AS s, CAST({label_col} AS INT) AS y
+          FROM {table}
+          WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        ), g AS (
+          SELECT ({bexpr}) AS bin, count(*) AS n, sum(y) AS n_pos,
+                 {exact_sum_sql('s')} / count(s) AS mean_score
+          FROM r GROUP BY 1
+        )
+        SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos, mean_score,
+               CAST(n_pos AS DOUBLE) / n AS pos_rate,
+               CAST(n_pos AS DOUBLE) / n - mean_score AS gap
+        FROM g
+    """
+
+
+def ece_from_bins(bins: list) -> float:
+    """Expected calibration error from collected table rows — ONE
+    shared float arithmetic (ascending-bin fold of ``n·|gap|``, one
+    final division), used by the engine driver-side and by any twin
+    over DuckDB-read bins, so the value is engine-independent.
+    ``bins`` = [(bin, n, gap)]."""
+    total = 0
+    num = 0.0
+    for _b, n, gap in sorted(bins):
+        num += n * abs(gap)
+        total += n
+    if total == 0:
+        raise ValueError("ece_from_bins: empty table")
+    return num / total
+
+
+def expected_calibration_error(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> float:
+    """ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b| over the
+    equal-frequency bins of :func:`calibration_table` — the scalar
+    calibration read (the score must be a probability for the value to
+    mean "calibration"; see the table's docstring). The per-bin inputs
+    are exact; the fold runs driver-side through :func:`ece_from_bins`
+    (fixed ascending-bin order), so the double is reproducible across
+    engines and partitionings."""
+    rows = calibration_table(df, score_col, label_col, n_bins).collect()
+    return ece_from_bins([(r["bin"], r["n"], r["gap"]) for r in rows])

@@ -418,3 +418,82 @@ def test_sampled_fit_rejects_nonbinary_labels(spark):
         )
     # full-batch mode keeps accepting generic numeric labels
     fit_quality_filter(df, "y", n_buckets=16, epochs=1)
+
+
+def test_calibration_table_matches_duckdb_twin(spark, db, duck, model):
+    """Reliability table bitwise vs the SQL twin (cuts recomputed by
+    the full-sort oracle quantiles), Σn = N, and ECE replayed through
+    the shared fold from DuckDB-read bins."""
+    from deep_db_learning_spark.operators.sketch import (
+        exact_quantiles_oracle_sql,
+    )
+    from deep_db_learning_spark.plans.metrics import (
+        calibration_table,
+        calibration_table_sql,
+        ece_from_bins,
+        expected_calibration_error,
+    )
+
+    scored = quality_logit_scores(db.df("documents"), model).join(
+        db.df("documents").select(
+            "doc_id", (F.col("source") == "src0").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    # probability-like score for a meaningful gap: min-max normalize
+    lo, hi = scored.agg(F.min("qf_logit"), F.max("qf_logit")).first()
+    prob = scored.select(
+        ((F.col("qf_logit") - F.lit(float(lo))) / F.lit(float(hi - lo))
+         ).alias("p"),
+        "y",
+    )
+    got = sorted(map(tuple, calibration_table(prob, "p", "y", 8).collect()))
+
+    # twin over the SAME rows via a registered arrow table
+    pdf = prob.toPandas()
+    duck.register("cal_rows", pdf)
+    cuts = [
+        r[2]
+        for r in duck.execute(
+            exact_quantiles_oracle_sql(
+                "cal_rows", "p", [i / 8 for i in range(1, 8)]
+            )
+        ).fetchall()
+    ]
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                calibration_table_sql("cal_rows", "p", "y", cuts)
+            ).fetchall(),
+        )
+    )
+    duck.unregister("cal_rows")
+    assert got == want
+    assert sum(r[1] for r in got) == prob.count()
+    # ECE: engine scalar == shared fold over the DuckDB-read bins
+    ece = expected_calibration_error(prob, "p", "y", 8)
+    assert ece == ece_from_bins([(r[0], r[1], r[5]) for r in want])
+    assert 0.0 <= ece <= 1.0
+
+
+def test_calibration_detects_miscalibration(spark):
+    """A perfectly calibrated score (score == the true per-group rate)
+    lands near-zero ECE; a constant overconfident score does not."""
+    import random
+
+    from deep_db_learning_spark.plans.metrics import (
+        expected_calibration_error,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(4000):
+        p = (i % 10) / 10 + 0.05
+        rows.append((p, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "p double, y int")
+    good = expected_calibration_error(df, "p", "y", 10)
+    bad = expected_calibration_error(
+        df.select(F.lit(0.95).alias("p"), "y"), "p", "y", 10
+    )
+    assert good < 0.05 < bad
