@@ -202,8 +202,6 @@ def cut_drift(
     counts (the ``population_stability`` recipe). Returns
     ``(psi, per_bin)`` with ``per_bin`` = [(bin, n_cur, p_cur,
     contrib)]."""
-    import math
-
     n_bins = len(cuts) + 1
     rows = (
         df.where(F.col(col).isNotNull())
@@ -213,6 +211,16 @@ def cut_drift(
         .collect()
     )
     cur = {r["__b"]: r["n"] for r in rows}
+    return _psi_from_counts(cur, n_bins, epsilon)
+
+
+def _psi_from_counts(cur: dict, n_bins: int, epsilon: float) -> tuple:
+    """The shared driver-side PSI arithmetic over exact integer bucket
+    counts (vs the uniform-by-construction reference) — one fixed
+    ascending-bin fold, so single-column and multi-column monitors
+    produce bit-identical numbers."""
+    import math
+
     n_cur = sum(cur.values())
     pr = 1.0 / n_bins
     per_bin = []
@@ -224,6 +232,46 @@ def cut_drift(
         psi += contrib
         per_bin.append((b, nc, pc, contrib))
     return psi, per_bin
+
+
+def cut_drift_multi(
+    df: DataFrame, cut_sets: dict, epsilon: float = 1e-6
+) -> dict:
+    """PSI of MANY columns against their frozen cut sets in ONE scan —
+    the shape a production drift monitor actually runs: a feature
+    frame with dozens of monitored columns must not pay one pass per
+    column (:func:`cut_drift` ×N), it pays one. ``cut_sets`` =
+    {column: cuts}. The single global aggregate computes every
+    (column, bin) count as a conditional sum (the ``threshold_table``
+    compiled-pivot shape — Σ_cols n_bins integer sums of driver state,
+    map-side partials, no shuffle of data rows), then the SAME
+    driver-side arithmetic as :func:`cut_drift` scores each column —
+    results are bit-identical to the per-column calls
+    (pytest-pinned). Returns {column: (psi, per_bin)}."""
+    aggs = []
+    names = sorted(cut_sets)
+    for name in names:
+        bexpr = _bin_expr(name, cut_sets[name])
+        nb = len(cut_sets[name]) + 1
+        for b in range(nb):
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(name).isNotNull() & (bexpr == F.lit(b))
+                    ).cast("long")
+                ).alias(f"__c_{name}_{b}")
+            )
+    row = df.agg(*aggs).first()
+    out = {}
+    for name in names:
+        nb = len(cut_sets[name]) + 1
+        cur = {
+            b: int(row[f"__c_{name}_{b}"] or 0)
+            for b in range(nb)
+            if (row[f"__c_{name}_{b}"] or 0)
+        }
+        out[name] = _psi_from_counts(cur, nb, epsilon)
+    return out
 
 
 def stream_cut_drift_monitor(

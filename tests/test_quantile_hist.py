@@ -247,3 +247,34 @@ def test_merge_hists_cut_set_mismatch_raises(spark):
         for r in merge_hists(a, c).collect()
     )
     assert got == [(1, 3, (1, 2)), (2, 2, (2, 0))]
+
+
+def test_cut_drift_multi_matches_per_column(db, spark):
+    """One-scan multi-column drift ≡ the per-column cut_drift calls,
+    bit-for-bit (shared driver arithmetic), including a drifted column
+    and a NULL-heavy column."""
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        cut_drift,
+        cut_drift_multi,
+        reference_cuts,
+    )
+
+    ev = db.df("events").select(
+        "value",
+        (F.col("value") * 3 + 100).alias("shifted"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("holey"),
+    )
+    cut_sets = {
+        c: reference_cuts(ev, c, n_bins=6)
+        for c in ("value", "shifted", "holey")
+    }
+    # score a DIFFERENT frame against value's cuts to get real drift
+    cur = ev.withColumn("shifted", F.col("shifted") * 10 + 1e5)
+    multi = cut_drift_multi(cur, cut_sets)
+    assert set(multi) == set(cut_sets)
+    for c in cut_sets:
+        psi, per_bin = cut_drift(cur, c, cut_sets[c])
+        assert multi[c][0] == psi, c
+        assert multi[c][1] == per_bin, c
+    # the deliberately shifted column actually flags
+    assert multi["shifted"][0] >= 0.25 > multi["value"][0]
