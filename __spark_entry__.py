@@ -348,12 +348,48 @@ def q_node_split(spark, sf_dir):
         "c_custkey",
         F.lit("sampled").alias("split"),
     )
-    return rand.unionByName(strat).unionByName(folds).unionByName(ws)
+    # ``budget`` mode (r11): budgeted selection through
+    # ``operators/selection.budget_threshold_cut`` — the curation
+    # primitive "take the best up to a WEIGHT budget": customers
+    # ordered by c_acctbal DESC, each costing (c_custkey % 17) + 1
+    # units, greedily kept while the cumulative cost stays ≤ budget.
+    # Exact decimal cumulative weights, histogram-refinement boundary,
+    # pure codegen filter (zero windows — plan-pinned in
+    # tests/test_selection.py). The oracle replays the window-cumsum
+    # definition in SQL — the two forms are set-equal by contract.
+    from deep_db_learning_spark.operators.selection import (
+        budget_threshold_cut,
+    )
+
+    bsel = budget_threshold_cut(
+        cust.select(
+            "c_custkey",
+            F.col("c_acctbal").alias("key"),
+            ((F.col("c_custkey") % 17) + 1).alias("w"),
+        ),
+        "key",
+        "w",
+        NODE_BUDGET_SPEC["budget"],
+        "c_custkey",
+    ).select(
+        F.lit("budget").alias("mode"),
+        "c_custkey",
+        F.lit("selected").alias("split"),
+    )
+    return (
+        rand.unionByName(strat)
+        .unionByName(folds)
+        .unionByName(ws)
+        .unionByName(bsel)
+    )
 
 
 # shared between q_node_split's wsample mode and its oracle builder —
 # both engines draw under this config; any drift breaks the hash
 NODE_WSAMPLE_SPEC = {"k": 120, "seed": 42}
+
+# shared between q_node_split's budget mode and its oracle SQL
+NODE_BUDGET_SPEC = {"budget": 6000}
 
 
 def _wsample_oracle() -> str:
@@ -4420,6 +4456,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'wsample', c_custkey, 'sampled'
             FROM ({_wsample_oracle()})
+            UNION ALL
+            -- r11 budget mode: the window-cumsum DEFINITION of the
+            -- greedy budgeted prefix (the engine computes the same
+            -- set with the windowless threshold-cut plan); decimal
+            -- cumulative weights, NULL keys outside the contract
+            SELECT 'budget', c_custkey, 'selected'
+            FROM (
+              SELECT c_custkey,
+                     sum(CAST(c_custkey % 17 + 1 AS DECIMAL(30,9)))
+                       OVER (ORDER BY c_acctbal DESC, c_custkey
+                             ROWS UNBOUNDED PRECEDING) AS cw
+              FROM customer
+              WHERE c_acctbal IS NOT NULL
+            ) WHERE cw <= {NODE_BUDGET_SPEC["budget"]}
         """,
         "eval_metrics": f"""
             WITH counts AS (

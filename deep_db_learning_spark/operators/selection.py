@@ -232,3 +232,146 @@ def topk_threshold_cut(
     return df.where(
         better | ((kc == F.lit(v_star)) & (F.col(id_col) <= F.lit(i_star)))
     )
+
+
+def budget_threshold_cut(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget,
+    id_col: str,
+    descending: bool = True,
+    n_bins: int = N_BINS,
+    collect_cap: int = COLLECT_CAP,
+) -> DataFrame:
+    """Budgeted selection — exactly the rows the greedy prefix of
+    ``ORDER BY key DESC|ASC, id ASC`` keeps while its CUMULATIVE
+    ``weight_col`` stays ≤ ``budget``, as a pure codegen filter. This
+    is the curation primitive top-k cannot express: "take the
+    best-scoring documents up to a TOKEN budget" selects by document
+    quality but pays in tokens, so the boundary lives at a cumulative
+    weight, not a row count.
+
+    Same physical contract as :func:`topk_threshold_cut`: histogram
+    refinement locates the boundary key with BOUNDED driver state
+    (per round: ``n_bins`` weight sums + row counts; final round ≤
+    ``collect_cap`` rows of the boundary bucket), and the returned
+    plan is ``df.filter(<literals>)`` — zero windows, zero added
+    exchanges. Exactness: weights fold as decimal(30,9) (the exact_agg
+    discipline — a float cumsum's boundary would depend on
+    accumulation order) and the final boundary walk runs driver-side
+    over exact decimals, so the kept SET is identical to the window
+    cumsum form ``sum(w) OVER (ORDER BY key …, id ROWS UNBOUNDED
+    PRECEDING) ≤ budget`` for any frame with unique ids.
+
+    Contract: NULL keys are outside (excluded up front, like the
+    top-k form); a NULL or negative weight RAISES (a budget over
+    undefined costs is a silent mis-selection — zero weights are fine,
+    they ride along free). ``budget`` ≤ 0 returns the empty frame."""
+    from decimal import Decimal
+
+    nn = df.where(F.col(key_col).isNotNull())
+    budget = Decimal(str(budget))
+    if budget <= 0:
+        return df.limit(0)
+    keys = cut_lineage(
+        nn.select(
+            id_col,
+            key_col,
+            F.col(weight_col).cast("decimal(30,9)").alias("__w"),
+        ),
+        eager=True,
+    )
+    stats = keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("__w").isNull() | (F.col("__w") < 0), 1)).alias(
+            "bad"
+        ),
+        F.sum("__w").alias("tot"),
+    ).first()
+    if stats["bad"]:
+        raise ValueError(
+            f"budget_threshold_cut: {stats['bad']} rows have a NULL or "
+            f"negative {weight_col} — budget semantics undefined"
+        )
+    if stats["n"] == 0:
+        return nn
+    if stats["tot"] is not None and Decimal(stats["tot"]) <= budget:
+        return nn
+    kc = F.col(key_col)
+    pred = F.lit(True)
+    spent = Decimal(0)
+    cur = keys
+    while True:
+        lo, hi, cnt = cur.agg(
+            F.min(key_col), F.max(key_col), F.count(F.lit(1))
+        ).first()
+        if lo == hi or cnt <= collect_cap:
+            # boundary bucket (or a single tied key mass): exact walk
+            # over ≤ collect_cap rows — every equal key shares a
+            # bucket, so the tie set is fully inside
+            if cnt > collect_cap * 16:
+                raise RuntimeError(
+                    "budget_threshold_cut: boundary bucket holds "
+                    f"{cnt} rows past collect_cap — keys are too "
+                    "tie-heavy to refine; rescale the key"
+                )
+            rows = cur.select(key_col, id_col, "__w").collect()
+            # order by (key DESC|ASC, id ASC) — two stable sorts
+            rows.sort(key=lambda r: r[1])
+            rows.sort(key=lambda r: r[0], reverse=descending)
+            acc = spent
+            v_star, i_star, kept_any = None, None, False
+            for r in rows:
+                acc += Decimal(r[2])
+                if acc > budget:
+                    break
+                v_star, i_star, kept_any = r[0], r[1], True
+            if not kept_any:
+                # nothing in the boundary bucket fits — the kept set
+                # is exactly the strictly-better rows whose weight the
+                # earlier refinement rounds already accounted (empty
+                # at the top level, where no row fits at all)
+                return nn.where(_outside_pred(kc, lo, hi, descending))
+            better = (kc > F.lit(v_star)) if descending else (kc < F.lit(v_star))
+            inside = better | (
+                (kc == F.lit(v_star)) & (F.col(id_col) <= F.lit(i_star))
+            )
+            return nn.where(_outside_pred(kc, lo, hi, descending) | inside)
+        width = (float(hi) - float(lo)) / n_bins
+        if not (width > 0.0 and math.isfinite(width)):
+            raise RuntimeError(
+                f"budget_threshold_cut: key interval too narrow to "
+                f"bucket ({lo!r}..{hi!r}) with {cnt} rows"
+            )
+        bexpr = F.least(
+            F.greatest(
+                F.floor((kc - F.lit(float(lo))) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        hist = {
+            r["__b"]: (r["c"], Decimal(r["w"] or 0))
+            for r in cur.groupBy(bexpr.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("__w").alias("w"))
+            .collect()
+        }
+        order = range(n_bins - 1, -1, -1) if descending else range(n_bins)
+        hit = None
+        for b in order:
+            c, w = hist.get(b, (0, Decimal(0)))
+            if spent + w > budget:
+                hit = b
+                break
+            spent += w
+        if hit is None:  # numeric edge: everything fits after all
+            return nn
+        pred = pred & (bexpr == F.lit(hit))
+        cur = cur.where(bexpr == F.lit(hit))
+
+
+def _outside_pred(kc, lo, hi, descending: bool):
+    """Rows STRICTLY better than the boundary bucket's key range —
+    they were accounted into ``spent`` by earlier refinement rounds
+    and are kept wholesale."""
+    return (kc > F.lit(hi)) if descending else (kc < F.lit(lo))

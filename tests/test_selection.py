@@ -200,3 +200,86 @@ def test_null_keys_excluded_and_fraction_mode(spark):
     ).count() == 40
     with pytest.raises(ValueError, match="exactly one"):
         topk_threshold_cut(df, "score", 5, "doc_id", fraction=0.5)
+
+
+def test_budget_threshold_cut_equals_window_cumsum(spark, db):
+    """Budgeted selection ≡ the window form (greedy prefix of
+    ORDER BY key DESC, id with cumulative weight ≤ budget), across
+    budgets, orders, tie-heavy keys, and a collect_cap tight enough to
+    force several refinement rounds."""
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+
+    from deep_db_learning_spark.operators.selection import (
+        budget_threshold_cut,
+    )
+
+    li = db.df("lineitem").select(
+        F.monotonically_increasing_id().alias("rid"),
+        F.col("l_extendedprice").alias("key"),
+        (F.col("l_quantity") + 1).alias("w"),
+    ).localCheckpoint(eager=True)
+    # tie-heavy variant: key quantized to a few hundred distinct values
+    tied = li.select(
+        "rid", F.floor(F.col("key") / 1000).cast("double").alias("key"), "w"
+    ).localCheckpoint(eager=True)
+
+    def window_form(df, budget, descending):
+        order = [F.col("key").desc() if descending else F.col("key").asc(),
+                 F.col("rid")]
+        w = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(F.col("w").cast("decimal(30,9)")).over(w)
+        return {
+            r["rid"]
+            for r in df.withColumn("__c", cum)
+            .where(F.col("__c") <= F.lit(Decimal(str(budget))).cast(
+                "decimal(30,9)"))
+            .collect()
+        }
+
+    total = li.agg(F.sum("w")).first()[0]
+    for frame in (li, tied):
+        for descending in (True, False):
+            for budget in (0, 1, int(total * 0.3), int(total * 0.9),
+                           int(total) + 10):
+                got = {
+                    r["rid"]
+                    for r in budget_threshold_cut(
+                        frame, "key", "w", budget, "rid",
+                        descending=descending, collect_cap=512,
+                    ).collect()
+                }
+                want = window_form(frame, budget, descending)
+                assert got == want, (descending, budget, len(got), len(want))
+
+    # loud failure on undefined costs
+    import pytest
+
+    bad = li.withColumn(
+        "w", F.when(F.col("rid") % 7 == 0, None).otherwise(F.col("w"))
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        budget_threshold_cut(bad, "key", "w", 100, "rid")
+
+
+def test_budget_threshold_cut_plan_is_pure_filter(spark, db):
+    """The returned plan carries zero Window operators and zero
+    SinglePartition exchanges — the topk_threshold_cut contract."""
+    from deep_db_learning_spark.operators.selection import (
+        budget_threshold_cut,
+    )
+
+    li = db.df("lineitem").select(
+        F.monotonically_increasing_id().alias("rid"),
+        F.col("l_extendedprice").alias("key"),
+        (F.col("l_quantity") + 1).alias("w"),
+    ).localCheckpoint(eager=True)
+    out = budget_threshold_cut(li, "key", "w", 100000, "rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert out.count() > 0
