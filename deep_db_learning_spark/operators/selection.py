@@ -267,7 +267,11 @@ def budget_threshold_cut(
     Contract: NULL keys are outside (excluded up front, like the
     top-k form); a NULL or negative weight RAISES (a budget over
     undefined costs is a silent mis-selection — zero weights are fine,
-    they ride along free). ``budget`` ≤ 0 returns the empty frame."""
+    they ride along free). ``budget`` ≤ 0 returns the empty frame.
+    A single tied-key mass past ``collect_cap × 16`` raises loudly
+    (unlike the top-k cut there is no id-refinement shortcut here: the
+    budget boundary needs the tie set's weights in id order, not just
+    an id count)."""
     from decimal import Decimal
 
     nn = df.where(F.col(key_col).isNotNull())

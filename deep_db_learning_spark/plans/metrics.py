@@ -304,6 +304,8 @@ def calibration_table(
     engine-independent (pytest pins the DuckDB twin bitwise)."""
     from ..operators.sketch import exact_quantiles
 
+    if n_bins < 2:
+        raise ValueError("calibration_table: n_bins must be >= 2")
     rows = df.where(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(

@@ -248,6 +248,8 @@ def cut_drift_multi(
     driver-side arithmetic as :func:`cut_drift` scores each column —
     results are bit-identical to the per-column calls
     (pytest-pinned). Returns {column: (psi, per_bin)}."""
+    if not cut_sets:
+        raise ValueError("cut_drift_multi: empty cut_sets")
     aggs = []
     names = sorted(cut_sets)
     for name in names:
@@ -351,7 +353,9 @@ def merge_hists(a: DataFrame, b: DataFrame, key_col: str = "user_id") -> DataFra
             F.lit("merge_hists: cut-set mismatch (counts lengths "),
             F.size("__ca").cast("string"), F.lit(" vs "),
             F.size("__cb").cast("string"), F.lit(") for key "),
-            F.col(key_col).cast("string"),
+            # coalesce: a NULL key must not NULL the whole concat and
+            # hand raise_error a NULL message
+            F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
             F.lit(" — histograms from different cut sets cannot be "
                   "merged; re-cut one side first"),
         )),

@@ -16,7 +16,15 @@ selected, deduplicated, decontaminated, packed shards:
                   domain (hashed n-gram log-likelihood-ratio scores,
                   deterministic top fraction through the scale-safe
                   threshold cut)
+              ──► corpus TOKEN budget (r11: budget_threshold_cut —
+                  keep the best-scored docs until the token budget is
+                  spent; exact decimal cumulative weights, zero-window
+                  plan)
               ──► token-budget shard packing (two-phase prefix sum)
+
+The classifier stage also reports its calibration (r11: min-max
+logits → ECE over equal-frequency bins) — large on this synthetic
+corpus, whose labels carry no textual signal.
 
     python examples/curate_pretraining_data.py --data /root/testdata/sf0.001
 
@@ -48,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of surviving docs DSIR keeps")
     p.add_argument("--shard-budget", type=int, default=20_000,
                    help="token budget per packed shard")
+    p.add_argument("--corpus-token-budget", type=int, default=4_000,
+                   help="total token budget for the curated corpus "
+                        "(0 disables the budgeted cut)")
     return p
 
 
@@ -121,6 +132,34 @@ def run(spark, args) -> dict:
         ).collect()
     }
 
+    # calibration read of the trained filter (r11): min-max the logits
+    # to a [0,1] "probability" and score ECE against the target label —
+    # the number that says whether the keep-threshold can be read as a
+    # confidence at all
+    from deep_db_learning_spark.plans.metrics import (
+        expected_calibration_error,
+    )
+
+    lo, hi = qf_scores.agg(F.min("qf_logit"), F.max("qf_logit")).first()
+    qf_ece = None
+    if lo is not None and hi is not None and hi > lo:
+        prob = qf_scores.join(
+            db.df("documents").select(
+                "doc_id",
+                (F.col("source") == args.target_source).cast("int").alias(
+                    "y"
+                ),
+            ),
+            "doc_id",
+        ).select(
+            (
+                (F.col("qf_logit") - F.lit(float(lo)))
+                / F.lit(float(hi - lo))
+            ).alias("p"),
+            "y",
+        )
+        qf_ece = expected_calibration_error(prob, "p", "y", n_bins=8)
+
     # 2. exact + near dedup (near-duplicate clusters keep min doc_id)
     docs = exact_dedup_keep_rows(docs, "text", "doc_id")
     funnel["exact_dedup"] = docs.count()
@@ -158,6 +197,31 @@ def run(spark, args) -> dict:
     docs = docs.join(selected.select("doc_id"), "doc_id", "leftsemi")
     funnel["dsir_selected"] = docs.count()
 
+    # 5b. corpus token budget (r11): real curation budgets are in
+    # TOKENS, not documents — keep the best DSIR-scored docs until the
+    # budget is spent (`budget_threshold_cut`: exact decimal
+    # cumulative weights, zero-window plan)
+    if args.corpus_token_budget:
+        from deep_db_learning_spark.operators.selection import (
+            budget_threshold_cut,
+        )
+
+        weighted = dsir_scores(docs, lam).join(
+            docs.select(
+                "doc_id",
+                F.size(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                    "n_tokens"
+                ),
+            ),
+            "doc_id",
+        )
+        chosen = budget_threshold_cut(
+            weighted, "score", "n_tokens",
+            args.corpus_token_budget, "doc_id",
+        )
+        docs = docs.join(chosen.select("doc_id"), "doc_id", "leftsemi")
+        funnel["token_budget"] = docs.count()
+
     # 6. shard packing by token budget
     packed = pack_shards(
         docs.withColumn(
@@ -177,6 +241,7 @@ def run(spark, args) -> dict:
         "max_shard_tokens": int(max_shard_tokens),
         "kept_fraction": funnel["dsir_selected"] / funnel["raw"],
         "mixture": mixture,
+        "qf_ece": qf_ece,
     }
 
 

@@ -205,7 +205,7 @@ def test_curate_pretraining_data_pipeline(spark):
     f = s["funnel"]
     # the funnel only ever shrinks, and every stage actually ran
     order = ["raw", "quality", "classifier", "exact_dedup", "near_dedup",
-             "semdedup", "decontaminated", "dsir_selected"]
+             "semdedup", "decontaminated", "dsir_selected", "token_budget"]
     assert list(f) == order
     for a, b in zip(order, order[1:]):
         assert f[b] <= f[a], (a, b, f)
@@ -213,8 +213,15 @@ def test_curate_pretraining_data_pipeline(spark):
     # semdedup and dsir really cut something on this corpus
     assert f["semdedup"] < f["near_dedup"]
     assert f["dsir_selected"] < f["decontaminated"]
+    # r11: the corpus token budget binds at the default setting and the
+    # packed shard respects it
+    assert 0 < f["token_budget"] < f["dsir_selected"]
+    assert s["max_shard_tokens"] <= args.corpus_token_budget
     assert s["n_shards"] >= 1
     assert 0 < s["kept_fraction"] < 1
     # the DoReMi-shaped mixture: normalized, floored, every source
     assert abs(sum(s["mixture"].values()) - 1.0) < 1e-9
     assert all(w >= 0.01 - 1e-12 for w in s["mixture"].values())
+    # r11: the calibration read reports a finite ECE in [0,1] (on this
+    # label-signal-free corpus it is large — honestly so)
+    assert s["qf_ece"] is not None and 0.0 <= s["qf_ece"] <= 1.0
