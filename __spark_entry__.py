@@ -432,6 +432,20 @@ def _wsample_oracle() -> str:
     return f"SELECT c_custkey FROM (VALUES {vals}) AS t(c_custkey)"
 
 
+def q_attribution(spark, sf_dir):
+    """Bench-only (r11): five-model multi-touch attribution over the
+    whole events table — one binned range join (lookback-derived bin
+    width), ONE sort + window pass (the descending rank is n + 1 − ra,
+    not a second sort), and one grouped aggregate folding all five
+    credit models in the same shuffle + a stack() unpivot. Timed
+    first-class so the plan's cost stays visible round-over-round
+    (the registry slot runs it merged with the asof/feature modes)."""
+    db = _db(spark, sf_dir)
+    from deep_db_learning_spark.operators.temporal import attribution
+
+    return attribution(db.df("events"))
+
+
 def q_wsample_select(spark, sf_dir):
     """Bench-only (r10): the scale-safe selection path under load —
     A-ES weighted sampling of k=5000 events ∝ |value| through

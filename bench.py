@@ -205,6 +205,11 @@ def main() -> None:
         # tight collect_cap so the histogram-refinement rounds run) —
         # the selection shape that replaced the single-reducer rank
         "wsample_select",
+        # r11: five-model multi-touch attribution — single-sort window
+        # pass + one five-fold aggregate (keeps the reworked plan's
+        # cost visible; its 10x scaleprobe set is a ~100x pair
+        # workload by construction, see BASELINE.md)
+        "attribution",
     ]
     # resolved via getattr, not queries(): some bench entries (rollup,
     # top-k, global BFS, the unmerged text/temporal halves) are module
