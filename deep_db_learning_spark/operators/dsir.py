@@ -67,9 +67,14 @@ def spread_input(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     frame is a pure dict lookup (pytest spies ``.rdd`` to pin zero
     accesses on the second call). ``num_partitions``, when the caller
     already knows the frame's partition count, skips the probe
-    entirely."""
-    cached = getattr(df, "_ddl_spread", None)
-    if cached is not None:
+    entirely. The memo read is isinstance-guarded: PySpark's
+    ``DataFrame.__getattr__`` resolves unknown attributes to COLUMNS,
+    so a frame that happens to carry a column literally named
+    ``_ddl_spread`` would otherwise hand back a truthy ``Column``. An
+    explicit ``num_partitions`` bypasses the cache (the caller is
+    asserting fresh knowledge of the frame's layout)."""
+    cached = df.__dict__.get("_ddl_spread")
+    if isinstance(cached, DataFrame) and num_partitions is None:
         return cached
     par = df.sparkSession.sparkContext.defaultParallelism
     n = (

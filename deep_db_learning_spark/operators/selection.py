@@ -303,7 +303,6 @@ def budget_threshold_cut(
     if stats["tot"] is not None and Decimal(stats["tot"]) <= budget:
         return nn
     kc = F.col(key_col)
-    pred = F.lit(True)
     spent = Decimal(0)
     cur = keys
     while True:
@@ -370,7 +369,6 @@ def budget_threshold_cut(
             spent += w
         if hit is None:  # numeric edge: everything fits after all
             return nn
-        pred = pred & (bexpr == F.lit(hit))
         cur = cur.where(bexpr == F.lit(hit))
 
 

@@ -239,7 +239,10 @@ def run(spark, args) -> dict:
         "funnel": funnel,
         "n_shards": int(n_shards),
         "max_shard_tokens": int(max_shard_tokens),
-        "kept_fraction": funnel["dsir_selected"] / funnel["raw"],
+        # last funnel stage: the token budget (5b) shrinks the corpus
+        # AFTER dsir_selected whenever it binds
+        "kept_fraction": funnel.get("token_budget", funnel["dsir_selected"])
+        / funnel["raw"],
         "mixture": mixture,
         "qf_ece": qf_ece,
     }

@@ -183,3 +183,30 @@ def test_spread_input_memoizes_partition_probe(spark, monkeypatch):
     df3 = spark.range(10).toDF("doc_id")
     spread_input(df3, num_partitions=1)
     assert calls["n"] == 1
+
+
+def test_spread_input_column_name_collision_and_cache_bypass(spark):
+    """DataFrame.__getattr__ resolves unknown attributes to COLUMNS, so
+    the memo read must not mistake a column literally named
+    `_ddl_spread` for a cached result; and an explicit num_partitions
+    bypasses the cache (the caller asserts fresh layout knowledge)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators.dsir import spread_input
+
+    trap = spark.range(8).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("_ddl_spread")
+    )
+    out = spread_input(trap)
+    assert isinstance(out, DataFrame)
+    assert "_ddl_spread" in out.columns  # the column survives untouched
+
+    df = spark.range(8).toDF("doc_id")
+    spread_input(df)
+    # explicit num_partitions wins over the memoized result
+    par = spark.sparkContext.defaultParallelism
+    again = spread_input(df, num_partitions=par + 1)
+    assert isinstance(again, DataFrame)
+    # plain cached path still intact (memo stability after the bypass)
+    assert spread_input(df) is spread_input(df)
