@@ -310,7 +310,15 @@ def q_node_split(spark, sf_dir):
     oracle replays the identical key arithmetic in python over the
     DuckDB-read rows and inlines the chosen ids as VALUES (the
     SemDeDup/ivf pattern); libm log is the one cross-engine float —
-    the documented A-ES caveat, pinned here by the driver hash."""
+    the documented A-ES caveat, pinned here by the driver hash.
+
+    ``budget`` (r11) / ``budgeta`` (r12) — budgeted selection through
+    the windowless ``operators/selection.budget_threshold_cut``:
+    'budget' is the continuous-key descending profile (c_acctbal
+    DESC), 'budgeta' the ascending TIE-HEAVY profile (c_custkey % 7 —
+    seven distinct values, the boundary decided inside one tied mass
+    by the driver-side exact (key ASC, id ASC) walk). Both oracles
+    are the window-cumsum DEFINITION of the greedy prefix."""
     from deep_db_learning_spark.operators.sampling import (
         kfold_assign,
         stratified_node_split,
@@ -376,11 +384,36 @@ def q_node_split(spark, sf_dir):
         "c_custkey",
         F.lit("selected").alias("split"),
     )
+    # ``budgeta`` mode (r12 rotation, VERDICT r11 task 5): the SAME
+    # budgeted cut under the OPPOSITE direction and a deliberately
+    # TIE-HEAVY key — c_custkey % 7 has only seven distinct values, so
+    # the histogram refinement collapses to a single tied key mass and
+    # the boundary is decided entirely by the driver-side exact walk
+    # in (key ASC, id ASC) order — the tie edge cases the r11 'budget'
+    # mode (continuous DESC key) never reaches. Oracle: the same
+    # window-cumsum definition, ascending.
+    bsa = budget_threshold_cut(
+        cust.select(
+            "c_custkey",
+            (F.col("c_custkey") % 7).alias("key"),
+            ((F.col("c_custkey") % 5) + 1).alias("w"),
+        ),
+        "key",
+        "w",
+        NODE_BUDGETA_SPEC["budget"],
+        "c_custkey",
+        descending=False,
+    ).select(
+        F.lit("budgeta").alias("mode"),
+        "c_custkey",
+        F.lit("selected").alias("split"),
+    )
     return (
         rand.unionByName(strat)
         .unionByName(folds)
         .unionByName(ws)
         .unionByName(bsel)
+        .unionByName(bsa)
     )
 
 
@@ -390,6 +423,10 @@ NODE_WSAMPLE_SPEC = {"k": 120, "seed": 42}
 
 # shared between q_node_split's budget mode and its oracle SQL
 NODE_BUDGET_SPEC = {"budget": 6000}
+
+# shared between q_node_split's budgeta mode (ascending, tie-heavy
+# key) and its oracle SQL
+NODE_BUDGETA_SPEC = {"budget": 2000}
 
 
 def _wsample_oracle() -> str:
@@ -502,6 +539,17 @@ _ORACLE_FKS = [
 ]
 
 
+# shared between q_constraints' driftm mode and its oracle builder —
+# the monitored derived columns (SQL spelling in the oracle, Column
+# spelling in the engine) and the frozen-cut bin count are the spec
+DRIFTM_SPEC = {"n_bins": 6, "columns": ("holey", "v3", "value")}
+_DRIFTM_SQL_COLS = {
+    "value": "CAST(value AS DOUBLE)",
+    "v3": "CAST(value * 3 + 100 AS DOUBLE)",
+    "holey": "CAST(CASE WHEN event_id % 3 = 0 THEN value END AS DOUBLE)",
+}
+
+
 def _constraints_oracle() -> str:
     decl = []
     for t, pk in _ORACLE_PKS:
@@ -540,6 +588,7 @@ def _constraints_oracle() -> str:
                {pad}
         """)
     parts.append(_psi_oracle())
+    parts.append(_driftm_oracle())
     return " UNION ALL ".join(parts)
 
 
@@ -608,6 +657,78 @@ def _psi_oracle() -> str:
                CAST(nr AS BIGINT), CAST(nc AS BIGINT),
                CAST(NULL AS BIGINT), pr, pc, contrib
         FROM (VALUES {', '.join(rows)}) AS t(b, nr, nc, pr, pc, contrib)
+    """
+
+
+def _driftm_oracle() -> str:
+    """driftm mode of the ``constraints`` slot: for each monitored
+    derived column, recompute the frozen equal-frequency cuts with the
+    full-sort quantile twin over the even-event_id reference half,
+    count the odd half's bins as a conditional-sum GROUP BY — both
+    **independently in DuckDB** at oracle-build time — then replay the
+    engine's driver-side uniform-reference PSI arithmetic
+    (``streaming/quantile_hist._psi_from_counts``) with python
+    ``math.log`` and inline the results as literals (the
+    ``_psi_oracle`` recipe, once per column). Pins
+    ``cut_drift_multi``'s one-scan multi-column binning, its NULL
+    handling, and the shared float formula."""
+    import math
+
+    import duckdb
+
+    from deep_db_learning_spark.operators.sketch import (
+        dlit,
+        exact_quantiles_oracle_sql,
+    )
+    from deep_db_learning_spark.plans.train_oracle import DEFAULT_SF_DIR
+
+    n_bins = DRIFTM_SPEC["n_bins"]
+    epsilon = 1e-6
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    rows = []
+    for name in sorted(DRIFTM_SPEC["columns"]):
+        expr = _DRIFTM_SQL_COLS[name]
+        ref = (
+            f"(SELECT {expr} AS v FROM events WHERE event_id % 2 = 0)"
+        )
+        cuts = [
+            r[2]
+            for r in con.execute(
+                exact_quantiles_oracle_sql(ref, "v", probs)
+            ).fetchall()
+        ]
+        bin_expr = " + ".join(
+            f"CAST(v > {dlit(float(c))} AS INT)" for c in cuts
+        )
+        counts = dict(
+            con.execute(
+                f"SELECT ({bin_expr}) AS b, count(*) AS n "
+                f"FROM (SELECT {expr} AS v FROM events "
+                f"      WHERE event_id % 2 = 1) "
+                f"WHERE v IS NOT NULL GROUP BY 1"
+            ).fetchall()
+        )
+        n_cur = sum(counts.values())
+        pr = 1.0 / n_bins
+        for b in range(n_bins):
+            nc = counts.get(b, 0)
+            pc = max(nc / n_cur, epsilon) if n_cur else epsilon
+            contrib = (pc - pr) * math.log(pc / pr)
+            rows.append(
+                f"('{b}', '{name}', {nc}, {dlit(pr)}, {dlit(pc)}, "
+                f"{dlit(contrib)})"
+            )
+    con.close()
+    return f"""
+        SELECT 'driftm', 'events', 'drift', b, col,
+               CAST(nc AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), pr, pc, contrib
+        FROM (VALUES {', '.join(rows)}) AS t(b, col, nc, pr, pc, contrib)
     """
 
 
@@ -700,7 +821,20 @@ def q_constraints(spark, sf_dir):
     ``cols`` the bin index) and the python-log contributions (the BM25
     idf literal recipe — the oracle recomputes cuts by full sort and
     counts in DuckDB, then replays the identical driver-side float
-    formula, so the hash pins both the binning and the arithmetic)."""
+    formula, so the hash pins both the binning and the arithmetic).
+
+    ``driftm`` (r12 rotation) — the MULTI-column one-scan drift
+    monitor (``streaming/quantile_hist.cut_drift_multi``, VERDICT r11
+    task 5): three derived events columns (value, an affine shift, a
+    NULL-holey projection) binned by their frozen equal-frequency
+    6-bin reference cuts fitted on the even-event_id half, scored over
+    the odd half in ONE aggregate — one row per (column, bin) with the
+    exact n_cur count, the uniform p_ref, p_cur, and the python-log
+    PSI contribution. The oracle recomputes the cuts with the
+    full-sort quantile twin and the per-(column, bin) counts as
+    conditional-sum GROUP BYs in DuckDB, then replays the identical
+    driver float formula — pinning the multi-column binning, the
+    NULL handling, and the arithmetic."""
     from deep_db_learning_spark.profiling.validate import (
         check_foreign_keys,
         check_primary_keys,
@@ -773,7 +907,50 @@ def q_constraints(spark, sf_dir):
         F.lit(None).cast("long").alias("n_bad"),
         "p_ref", "p_cur", "contrib",
     )
-    return decl.unionByName(vpk).unionByName(vfk).unionByName(psi)
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        cut_drift_multi,
+        reference_cuts,
+    )
+
+    def _dm_derived(f):
+        return f.select(
+            F.col("value").cast("double").alias("value"),
+            (F.col("value") * 3 + 100).cast("double").alias("v3"),
+            F.when(F.col("event_id") % 3 == 0, F.col("value"))
+            .cast("double")
+            .alias("holey"),
+        )
+
+    dm_ref = _dm_derived(ev.filter(F.col("event_id") % 2 == 0))
+    dm_cur = _dm_derived(ev.filter(F.col("event_id") % 2 == 1))
+    cut_sets = {
+        c: reference_cuts(dm_ref, c, n_bins=DRIFTM_SPEC["n_bins"])
+        for c in DRIFTM_SPEC["columns"]
+    }
+    dm = cut_drift_multi(dm_cur, cut_sets)
+    drows = []
+    for c in sorted(cut_sets):
+        _psi_total, per = dm[c]
+        for b, nc, pc, contrib in per:
+            drows.append(
+                (
+                    "driftm", "events", "drift", str(b), c,
+                    int(nc), None, None,
+                    1.0 / DRIFTM_SPEC["n_bins"], float(pc), float(contrib),
+                )
+            )
+    driftm = spark.createDataFrame(
+        drows,
+        "mode string, table_name string, kind string, cols string, "
+        "ref string, n_rows bigint, n_keys bigint, n_bad bigint, "
+        "p_ref double, p_cur double, contrib double",
+    )
+    return (
+        decl.unionByName(vpk)
+        .unionByName(vfk)
+        .unionByName(psi)
+        .unionByName(driftm)
+    )
 
 
 def q_db_copy_row_pick(spark, sf_dir):
@@ -2248,6 +2425,80 @@ TEXT_LM_SPEC = {"vocab_size": 128, "bigram_k": 1024}
 TEXT_DSIR_SPEC = {"n_buckets": 1024, "target_source": "src0"}
 
 
+def q_text_lm(spark, sf_dir):
+    """Bench-only (r12): the CCNet-style perplexity pipeline timed
+    first-class — stupid-backoff bigram LM fitted on the corpus
+    (distributed counting, bounded top-V/top-K collects), per-document
+    scoring as one decimal-exact fold. Split out of the q_text_quality
+    composite so a regression in THIS pipeline is visible in the bench
+    (VERDICT r11 task 1); the composite (the driver's oracle slot)
+    unions this frame unchanged."""
+    from deep_db_learning_spark.operators import lm as LM
+
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    model = LM.fit_stupid_backoff(docs, **TEXT_LM_SPEC)
+    return LM.perplexity_scores(docs, model)
+
+
+def q_text_dsir(spark, sf_dir):
+    """Bench-only (r12): the DSIR importance-resampling pipeline timed
+    first-class — hashed unigram+bigram buckets, driver-side λ over
+    exact integer counts, per-document decimal score folds, and the
+    deterministic resampling rank. Split out of q_text_quality
+    (VERDICT r11 task 1)."""
+    from deep_db_learning_spark.operators.dsir import (
+        dsir_scores,
+        fit_dsir_weights,
+        spread_input,
+    )
+    from pyspark.sql.window import Window
+
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    # spread ONCE for the fit (the r9 advice: the .rdd partition probe
+    # forces a plan materialization per call — fit then probes zero
+    # times); dsir_scores spreads only its bucket path, keeping the
+    # returned plan's id-join side on the raw scan (pin-identical)
+    docs_s = spread_input(docs)
+    lam = fit_dsir_weights(
+        docs_s.where(F.col("source") == TEXT_DSIR_SPEC["target_source"]),
+        docs_s,
+        n_buckets=TEXT_DSIR_SPEC["n_buckets"],
+        spread=False,
+    )
+    return dsir_scores(docs, lam).withColumn(
+        "dsir_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+        .cast("int"),
+    )
+
+
+def q_text_qfilter(spark, sf_dir):
+    """Bench-only (r12): the discriminative quality-filter pipeline
+    timed first-class — logistic regression over the hashed features,
+    trained in-engine by full-batch GD (exact decimal z/gradient
+    folds, one Arrow-numpy nonlinearity pass, dec9 driver updates),
+    scored as the pure decimal logit fold. Split out of
+    q_text_quality (VERDICT r11 task 1)."""
+    from deep_db_learning_spark.operators.quality_filter import (
+        fit_quality_filter,
+        quality_logit_scores,
+    )
+
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    qmodel = fit_quality_filter(
+        docs.withColumn(
+            "__y",
+            (F.col("source") == TEXT_DSIR_SPEC["target_source"]).cast("int"),
+        ),
+        "__y",
+    )
+    return quality_logit_scores(docs, qmodel)
+
+
 def q_text_quality(spark, sf_dir):
     """LLM ops, mode-tagged (r7 rotation): ``metrics`` — the merged
     per-document text-analysis scan (q_text_metrics); ``lm`` — CCNet-
@@ -2278,51 +2529,17 @@ def q_text_quality(spark, sf_dir):
     twin regime) and emits the identical scoring SQL. The synthetic
     corpus's labels carry no textual signal (shared vocabulary), so
     the slot pins the ARITHMETIC; learning itself is pytest-pinned on
-    a constructed signal fixture. NULL-padded to one schema."""
-    from deep_db_learning_spark.operators import lm as LM
-    from deep_db_learning_spark.operators.dsir import (
-        dsir_scores,
-        fit_dsir_weights,
-        spread_input,
-    )
+    a constructed signal fixture. NULL-padded to one schema.
 
-    db = _db(spark, sf_dir)
-    docs = db.df("documents")
+    r12: the three model pipelines are factored into the bench-only
+    :func:`q_text_lm` / :func:`q_text_dsir` / :func:`q_text_qfilter`
+    (timed first-class; VERDICT r11 task 1) — this composite unions
+    their frames unchanged, so the oracle slot's plan is the same
+    plan the bench times, piecewise."""
     metrics = q_text_metrics(spark, sf_dir)
-    model = LM.fit_stupid_backoff(docs, **TEXT_LM_SPEC)
-    scores = LM.perplexity_scores(docs, model)
-    # spread ONCE for the fit (the r9 advice: the .rdd partition probe
-    # forces a plan materialization per call — fit then probes zero
-    # times); dsir_scores spreads only its bucket path, keeping the
-    # returned plan's id-join side on the raw scan (pin-identical)
-    docs_s = spread_input(docs)
-    lam = fit_dsir_weights(
-        docs_s.where(F.col("source") == TEXT_DSIR_SPEC["target_source"]),
-        docs_s,
-        n_buckets=TEXT_DSIR_SPEC["n_buckets"],
-        spread=False,
-    )
-    from pyspark.sql.window import Window
-
-    dsir = dsir_scores(docs, lam).withColumn(
-        "dsir_rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.col("doc_id")))
-        .cast("int"),
-    )
-    from deep_db_learning_spark.operators.quality_filter import (
-        fit_quality_filter,
-        quality_logit_scores,
-    )
-
-    qmodel = fit_quality_filter(
-        docs.withColumn(
-            "__y",
-            (F.col("source") == TEXT_DSIR_SPEC["target_source"]).cast("int"),
-        ),
-        "__y",
-    )
-    qf = quality_logit_scores(docs, qmodel)
+    scores = q_text_lm(spark, sf_dir)
+    dsir = q_text_dsir(spark, sf_dir)
+    qf = q_text_qfilter(spark, sf_dir)
     pad = {
         "ws_tokens": "int", "bpe_tokens": "int", "lang": "string",
         "fp_md5": "string", "fp_minhash": "string", "quality": "double",
@@ -4484,6 +4701,18 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
               WHERE c_acctbal IS NOT NULL
             ) WHERE cw <= {NODE_BUDGET_SPEC["budget"]}
+            UNION ALL
+            -- r12 budgeta mode: ascending + tie-heavy key (seven
+            -- distinct values) — the boundary is decided inside one
+            -- tied key mass by the (key ASC, id ASC) exact walk
+            SELECT 'budgeta', c_custkey, 'selected'
+            FROM (
+              SELECT c_custkey,
+                     sum(CAST(c_custkey % 5 + 1 AS DECIMAL(30,9)))
+                       OVER (ORDER BY c_custkey % 7 ASC, c_custkey
+                             ROWS UNBOUNDED PRECEDING) AS cw
+              FROM customer
+            ) WHERE cw <= {NODE_BUDGETA_SPEC["budget"]}
         """,
         "eval_metrics": f"""
             WITH counts AS (

@@ -187,8 +187,17 @@ def main() -> None:
         # path so the timing stays comparable across rounds)
         "sketches",
         "pagerank",
-        # r7: text metrics + stupid-backoff-LM perplexity scoring
-        "text_quality",
+        # r12: the former text_quality composite (metrics + LM + DSIR
+        # + LR training under one tag) decomposed so a regression in
+        # any one pipeline is visible round-over-round; the driver's
+        # oracle slot still runs the 4-way union, which is exactly
+        # these frames unioned (text_metrics' scan is the composite's
+        # fourth leg, already timed via text_stats/quality_scores'
+        # shapes and pinned under the registry slot's plan pin)
+        "text_metrics",
+        "text_lm",
+        "text_dsir",
+        "text_qfilter",
         # r7: SCD Type 2 dimension maintenance — three ts-range change
         # batches applied to a checkpointed history (the store write
         # stands between batches, as in production)

@@ -176,6 +176,55 @@ def qf_training_sample_py(labels: dict, sample_n: int, seed: int = 42) -> dict:
     return chosen
 
 
+def _fit_label_guards(
+    lab: DataFrame, id_col: str, label_col: str, check_binary: bool
+) -> int:
+    """All the loud fit-time failures in ONE aggregate scan (VERDICT
+    r11 task 3 — these were three separate jobs over the same
+    checkpointed label frame): row count, NULL/NaN-label count (a
+    NULL/NaN label becomes NaN in the Arrow gradient kernel and the
+    NaN→decimal(20,9) cast silently NULLs — the row would vanish from
+    the gradient/loss folds while still counted in ``n_docs``, a
+    silent mis-train), distinct-id count (duplicate ids would merge
+    two documents' features under one z while the label side keeps
+    both rows), and — sampled mode only — the non-binary-label count
+    (a third class would silently vanish from the per-class cuts).
+    ``count_distinct`` ignores NULL ids, so the any-NULL max adds the
+    NULL group back — identical to ``.distinct().count()`` semantics.
+    Exactly ONE action (pinned in pytest); error messages unchanged
+    from the three-job form."""
+    y = F.col("__y")
+    bad_y = y.isNull() | F.isnan(y)
+    row = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(bad_y, 1)).alias("bad"),
+        (
+            F.count_distinct(F.col(id_col))
+            + F.max(F.col(id_col).isNull().cast("long"))
+        ).alias("ids"),
+        F.count(F.when(~bad_y & ~y.isin(0.0, 1.0), 1)).alias("nonbin"),
+    ).first()
+    if row["n"] == 0:
+        raise ValueError("fit_quality_filter: empty training set")
+    if row["bad"]:
+        raise ValueError(
+            f"fit_quality_filter: {row['bad']} training rows have a "
+            f"NULL/NaN {label_col} — labels must be numeric 0/1"
+        )
+    if row["ids"] != row["n"]:
+        raise ValueError(
+            f"fit_quality_filter: {id_col} not unique "
+            f"({row['n']} rows, {row['ids']} ids)"
+        )
+    if check_binary and row["nonbin"]:
+        raise ValueError(
+            f"fit_quality_filter: sampled fit requires labels in "
+            f"{{0, 1}} exactly — {row['nonbin']} rows are neither (they "
+            "would silently vanish from the per-class sample)"
+        )
+    return row["n"]
+
+
 def fit_quality_filter(
     df: DataFrame,
     label_col: str,
@@ -237,46 +286,15 @@ def fit_quality_filter(
         ),
         eager=True,
     )
-    n_docs = lab.count()
-    if n_docs == 0:
-        raise ValueError("fit_quality_filter: empty training set")
-    # a NULL (or NaN) label becomes NaN in the Arrow gradient kernel,
-    # and the NaN→decimal(20,9) cast silently NULLs — the row would
-    # vanish from the gradient/loss folds while still counted in
-    # n_docs, a silent mis-train. Count-and-raise, like the
-    # duplicate-id check below. (In sampled mode these guards run over
-    # the FULL labeled frame, before the per-class cuts can hide a bad
-    # row by simply not drawing it.)
-    n_bad = lab.where(
-        F.col("__y").isNull() | F.isnan(F.col("__y"))
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"fit_quality_filter: {n_bad} training rows have a "
-            f"NULL/NaN {label_col} — labels must be numeric 0/1"
-        )
-    # duplicate ids would merge two documents' features under one z
-    # while the label side keeps both rows — a silent mis-train; one
-    # distinct-count agg at fit time buys the loud failure
-    n_ids = lab.select(id_col).distinct().count()
-    if n_ids != n_docs:
-        raise ValueError(
-            f"fit_quality_filter: {id_col} not unique "
-            f"({n_docs} rows, {n_ids} ids)"
-        )
+    if sample_n is not None and sample_n <= 0:
+        raise ValueError("fit_quality_filter: sample_n must be > 0")
+    n_docs = _fit_label_guards(
+        lab, id_col, label_col, check_binary=sample_n is not None
+    )
     if sample_n is not None:
-        if sample_n <= 0:
-            raise ValueError("fit_quality_filter: sample_n must be > 0")
         from ..functions.hashing import md5_prefix_hash
         from .selection import topk_threshold_cut
 
-        n_nonbin = lab.where(~F.col("__y").isin(0.0, 1.0)).count()
-        if n_nonbin:
-            raise ValueError(
-                f"fit_quality_filter: sampled fit requires labels in "
-                f"{{0, 1}} exactly — {n_nonbin} rows are neither (they "
-                "would silently vanish from the per-class sample)"
-            )
         keyed = docs.withColumn(
             "__qfs_key",
             md5_prefix_hash(

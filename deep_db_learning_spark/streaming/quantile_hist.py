@@ -234,24 +234,58 @@ def _psi_from_counts(cur: dict, n_bins: int, epsilon: float) -> tuple:
     return psi, per_bin
 
 
+# arity cap for cut_drift_multi's compiled-pivot shape: past this many
+# aggregate columns (Σ_cols n_bins conditional sums) the single wide
+# aggregate stops being the right plan — codegen blows past the method
+# limit and falls back to interpreted, and the per-partition partial
+# row itself becomes wide (the repo's tabnet-gradient lesson) — so the
+# monitor auto-switches to the narrow explode→groupBy unpivot, which
+# shuffles only the (column, bin) partial counts
+DRIFT_MULTI_WIDE_MAX = 1024
+
+
 def cut_drift_multi(
-    df: DataFrame, cut_sets: dict, epsilon: float = 1e-6
+    df: DataFrame,
+    cut_sets: dict,
+    epsilon: float = 1e-6,
+    wide_max: int = DRIFT_MULTI_WIDE_MAX,
 ) -> dict:
     """PSI of MANY columns against their frozen cut sets in ONE scan —
     the shape a production drift monitor actually runs: a feature
     frame with dozens of monitored columns must not pay one pass per
     column (:func:`cut_drift` ×N), it pays one. ``cut_sets`` =
-    {column: cuts}. The single global aggregate computes every
-    (column, bin) count as a conditional sum (the ``threshold_table``
+    {column: cuts}. Up to :data:`DRIFT_MULTI_WIDE_MAX` aggregate
+    columns, the single global aggregate computes every (column, bin)
+    count as a conditional sum (the ``threshold_table``
     compiled-pivot shape — Σ_cols n_bins integer sums of driver state,
-    map-side partials, no shuffle of data rows), then the SAME
-    driver-side arithmetic as :func:`cut_drift` scores each column —
-    results are bit-identical to the per-column calls
-    (pytest-pinned). Returns {column: (psi, per_bin)}."""
+    map-side partials, no shuffle of data rows); past the cap it
+    auto-switches to the narrow explode→groupBy unpivot (one
+    (column_idx, bin) struct per monitored value, counted after a
+    map-side partial — the same Σ_cols n_bins bounded rows reach the
+    driver, the codegen width stays constant). Either path feeds the
+    SAME driver-side arithmetic as :func:`cut_drift`, so results are
+    bit-identical to the per-column calls AND across the two shapes
+    (pytest-pinned; exact integer counts both ways). Returns
+    {column: (psi, per_bin)}."""
     if not cut_sets:
         raise ValueError("cut_drift_multi: empty cut_sets")
-    aggs = []
     names = sorted(cut_sets)
+    n_aggs = sum(len(cut_sets[n]) + 1 for n in names)
+    if n_aggs > wide_max:
+        cur_by_col = _drift_counts_narrow(df, names, cut_sets)
+    else:
+        cur_by_col = _drift_counts_wide(df, names, cut_sets)
+    out = {}
+    for name in names:
+        nb = len(cut_sets[name]) + 1
+        out[name] = _psi_from_counts(cur_by_col.get(name, {}), nb, epsilon)
+    return out
+
+
+def _drift_counts_wide(df: DataFrame, names: list, cut_sets: dict) -> dict:
+    """One wide aggregate of Σ_cols n_bins conditional sums (no data
+    rows shuffle; the partial row is the whole count vector)."""
+    aggs = []
     for name in names:
         bexpr = _bin_expr(name, cut_sets[name])
         nb = len(cut_sets[name]) + 1
@@ -267,12 +301,44 @@ def cut_drift_multi(
     out = {}
     for name in names:
         nb = len(cut_sets[name]) + 1
-        cur = {
+        out[name] = {
             b: int(row[f"__c_{name}_{b}"] or 0)
             for b in range(nb)
             if (row[f"__c_{name}_{b}"] or 0)
         }
-        out[name] = _psi_from_counts(cur, nb, epsilon)
+    return out
+
+
+def _drift_counts_narrow(df: DataFrame, names: list, cut_sets: dict) -> dict:
+    """The unpivot shape for wide monitors: each row explodes into one
+    (column_idx, bin) struct per NON-NULL monitored value (a NULL
+    value yields a NULL struct, filtered — identical to the wide
+    shape's ``isNotNull`` conjunct), then one groupBy counts them with
+    a map-side partial. Only Σ_cols n_bins count rows cross the
+    shuffle and reach the driver — the frame's width never enters the
+    generated code."""
+    pairs = F.array(
+        *[
+            F.when(
+                F.col(name).isNotNull(),
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    _bin_expr(name, cut_sets[name]).cast("int").alias("b"),
+                ),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    rows = (
+        df.select(F.explode(pairs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .groupBy(F.col("p.ci").alias("ci"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        out.setdefault(names[r["ci"]], {})[int(r["b"])] = int(r["n"])
     return out
 
 

@@ -298,6 +298,28 @@ PLAN_PINS = {
     # themselves run eagerly behind cut_lineage)
     "triangles": (44, 12),
     "kcore": (22, 0),
+    # r12: the text_quality composite decomposed into its four legs,
+    # each timed first-class in bench.py (VERDICT r11 task 1) — the
+    # registry slot's 4-way union keeps its own (22, 13) pin above.
+    # text_metrics: one corpus-freq fold + the per-doc scan joins (2
+    # real shuffles; the freq table and mtf join sides broadcast);
+    # text_lm: the bounded LM model frames broadcast, per-doc scoring
+    # fold (2 real shuffles); text_dsir: spread repartition + per-doc
+    # decimal score fold + zero-fill id join + the global resampling
+    # rank window (4 real shuffles, λ broadcast); text_qfilter: the
+    # scoring leg's spread + per-doc logit fold + zero-fill join (3
+    # real shuffles, dec9 weights broadcast — training epochs run
+    # eagerly at build time, never in this static plan)
+    "text_metrics": (4, 6),
+    "text_lm": (4, 4),
+    "text_dsir": (8, 2),
+    "text_qfilter": (6, 2),
+    # r12: five-model multi-touch attribution (VERDICT r11 task 2) —
+    # the reworked plan is ONE window pass over (conv, ts, touch_id)
+    # + ONE grouped aggregate folding all five models + the stack()
+    # unpivot: 2 real shuffles, journey-bounds frame broadcast. The
+    # single-Sort property is pinned separately below.
+    "attribution": (4, 2),
     # r10: the threshold-cut selection — the RETURNED plan is a pure
     # codegen filter over the scan: ZERO exchanges, zero windows, zero
     # single-partition stages (the probe jobs run eagerly before the
@@ -342,6 +364,24 @@ def test_bench_query_shuffle_pins(spark, entry, name):
     assert n_bhj >= min_bhj, (
         f"{name}: {n_bhj} broadcast joins, pinned min {min_bhj} — a "
         "dimension/broadcast side stopped broadcasting"
+    )
+
+
+def test_attribution_single_sort(spark, entry):
+    """The r11 attribution rework computes all five models off ONE
+    window sort — the descending rank is `n + 1 − ra` over the single
+    ascending (ts, touch_id) order, exact because that pair is a total
+    order — and folds them in ONE grouped aggregate + `stack()`
+    unpivot (operators/temporal.py:629-700). Pin the single-Sort
+    property: a reintroduced descending window or a return to the
+    5-branch per-model union would add Sort/aggregate operators here
+    (VERDICT r11 task 2)."""
+    plan = explain(entry.q_attribution(spark, "/root/testdata/sf0.001"))
+    # formatted mode prints tree + detail, doubling operator mentions:
+    # 2 == exactly one physical Sort
+    assert len(re.findall(r"\bSort\b", plan)) == 2, (
+        "attribution must rank through exactly one Sort — the "
+        "descending rank is derived (n + 1 - ra), never a second sort"
     )
 
 

@@ -245,6 +245,60 @@ def test_duplicate_ids_raise(spark):
         fit_quality_filter(df, "y", n_buckets=16, epochs=1)
 
 
+def test_fit_label_guards_single_action(spark, monkeypatch):
+    """The four fit guards (row count, NULL/NaN labels, duplicate ids,
+    sampled-mode non-binary labels) run as ONE aggregate job over the
+    label frame (VERDICT r11 task 3 — formerly three). Pinned by
+    counting actions: exactly one `.first()`, zero `.count()`/
+    `.collect()`, while every loud failure still fires."""
+    from deep_db_learning_spark.operators.quality_filter import (
+        _fit_label_guards,
+    )
+
+    lab = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, 1.0)], "doc_id bigint, __y double"
+    )
+    # patch the CONCRETE class (pyspark 4 splits the abstract
+    # pyspark.sql.DataFrame from the classic implementation)
+    cls = type(lab)
+    calls = {"first": 0, "count": 0, "collect": 0}
+    for m in calls:
+        orig = getattr(cls, m)
+
+        def spy(self, *a, _m=m, _o=orig, **k):
+            calls[_m] += 1
+            return _o(self, *a, **k)
+
+        monkeypatch.setattr(cls, m, spy)
+    assert _fit_label_guards(lab, "doc_id", "y", check_binary=True) == 3
+    assert calls["first"] == 1 and calls["count"] == 0
+    # (first() may delegate to collect() internally — one action total)
+    assert calls["collect"] <= 1
+
+    # the folded scan still fires every loud failure
+    def guard(rows, check_binary=False):
+        f = spark.createDataFrame(rows, "doc_id bigint, __y double")
+        return _fit_label_guards(f, "doc_id", "y", check_binary)
+
+    with pytest.raises(ValueError, match="empty training set"):
+        guard([])
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        guard([(1, 1.0), (2, None)])
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        guard([(1, 1.0), (2, float("nan"))])
+    with pytest.raises(ValueError, match="not unique"):
+        guard([(1, 1.0), (1, 0.0)])
+    with pytest.raises(ValueError, match="neither"):
+        guard([(1, 1.0), (2, 2.0)], check_binary=True)
+    # non-binary labels are legal outside sampled mode
+    assert guard([(1, 1.0), (2, 2.0)]) == 2
+    # a single NULL id keeps .distinct().count() semantics (NULL is
+    # one distinct group): one NULL id passes, two collide
+    assert guard([(None, 1.0), (2, 0.0)]) == 2
+    with pytest.raises(ValueError, match="not unique"):
+        guard([(None, 1.0), (None, 0.0)])
+
+
 def test_threshold_table_counts_exact(spark, db, model, duck):
     """PR points at exact score quantiles: every confusion count
     matches a python recount at the same threshold; monotone recall."""

@@ -278,3 +278,37 @@ def test_cut_drift_multi_matches_per_column(db, spark):
         assert multi[c][1] == per_bin, c
     # the deliberately shifted column actually flags
     assert multi["shifted"][0] >= 0.25 > multi["value"][0]
+    # the narrow unpivot shape (forced via wide_max=0) is bit-identical
+    narrow = cut_drift_multi(cur, cut_sets, wide_max=0)
+    assert narrow == multi
+
+
+def test_cut_drift_multi_wide_monitor_auto_switches(spark):
+    """Past DRIFT_MULTI_WIDE_MAX aggregate columns (cols × bins) the
+    monitor must leave the compiled-pivot shape (codegen width blows
+    past the method limit — the tabnet-gradient lesson) for the narrow
+    explode→groupBy unpivot. A ~1.5k-aggregate synthetic monitor
+    crosses the cap, runs the narrow path, and lands bit-identical to
+    the wide shape forced over the same cut sets."""
+    from deep_db_learning_spark.streaming.quantile_hist import (
+        DRIFT_MULTI_WIDE_MAX,
+        cut_drift_multi,
+    )
+
+    n_cols, n_cuts = 128, 11  # 128 × 12 bins = 1536 aggs > 1024 cap
+    assert n_cols * (n_cuts + 1) > DRIFT_MULTI_WIDE_MAX
+    base = spark.range(500)
+    df = base.select(
+        *[
+            ((F.col("id") * (i + 3)) % 97).cast("double").alias(f"f{i:03d}")
+            for i in range(n_cols)
+        ]
+    )
+    cut_sets = {
+        f"f{i:03d}": [float(8 * (j + 1)) for j in range(n_cuts)]
+        for i in range(n_cols)
+    }
+    auto = cut_drift_multi(df, cut_sets)  # crosses the cap: narrow
+    wide = cut_drift_multi(df, cut_sets, wide_max=10**9)  # forced wide
+    assert auto == wide
+    assert set(auto) == set(cut_sets)
