@@ -628,6 +628,86 @@ def test_snapshot_store_batch_cursor_makes_replays_idempotent(spark, db, tmp_pat
     assert plain.latest_version() == 1 and plain.last_batch_id() is None
 
 
+def test_snapshot_store_torn_commit_converges(spark, db, tmp_path, monkeypatch):
+    """Chaos test for the atomic-pointer contract under the UGLIEST
+    interleaving (VERDICT r11 task 7): kill the writer AFTER the
+    snapshot delta write but BEFORE the pointer flip, AND lose the
+    streaming checkpoint — restart must converge to the bit-identical
+    store. The torn commit leaves an orphan ``v2`` directory with the
+    pointer still at ``v1:batch0``; the restarted stream's cursor
+    skips the already-committed batch, recomputes the lost one, and
+    its overwrite-mode snapshot write reclaims the orphan directory
+    before the pointer finally flips."""
+    import os
+    import shutil
+    import time
+
+    import pytest
+
+    from deep_db_learning_spark.streaming.node_store import (
+        SnapshotStore,
+        stream_profiles_into_store,
+    )
+
+    ev = db.df("events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    wave_a = ev.where(F.col("event_id") % 2 == 0)
+    wave_b = ev.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    store_dir = str(tmp_path / "store")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_profiles_into_store(stream, store_dir, checkpoint=ck)
+        q.awaitTermination()
+
+    wave_a.coalesce(1).write.mode("append").parquet(src)
+    run()
+    store = SnapshotStore(store_dir)
+    assert store.latest_version() == 1 and store.last_batch_id() == 0
+
+    # wave 2 arrives strictly later (file-source ordering is by mod
+    # time — the replay below must rediscover the same batch order)
+    time.sleep(1.1)
+    wave_b.coalesce(1).write.mode("append").parquet(src)
+
+    real_commit = SnapshotStore.commit
+
+    def torn(self, df, batch_id=None):
+        v = (self.latest_version() or 0) + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
+        raise RuntimeError("killed between delta write and pointer flip")
+
+    monkeypatch.setattr(SnapshotStore, "commit", torn)
+    with pytest.raises(Exception, match="pointer flip"):
+        run()
+    # torn state: orphan v2 on disk, pointer (and cursor) untouched
+    assert store.latest_version() == 1 and store.last_batch_id() == 0
+    assert 2 in store.versions()
+
+    monkeypatch.setattr(SnapshotStore, "commit", real_commit)
+    shutil.rmtree(ck)  # and the checkpoint is gone too
+    run()
+    assert store.latest_version() == 2 and store.last_batch_id() == 1
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
+        for r in store.read(spark).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
+        for r in user_profile_features(ev)
+        .select("user_id", "n_events", "sum_value", "last_ts")
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_into_band_index(spark, db, tmp_path):
     """Streaming dedup-on-arrival (r7): two micro-batches dedup against
     the standing band index then within themselves; the final kept
