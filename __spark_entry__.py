@@ -1682,6 +1682,92 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q3_modes(spark, sf_dir):
+    """The driver slot for the Q3 family (r12 rotation — the q18_modes
+    pattern): everything :func:`q_tpch_q3` carries (bench times THAT
+    narrower path so cross-round timing stays comparable) plus ``q4``
+    order-priority checking (EXISTS with a cross-table date predicate,
+    as a semi join; key_str carries o_orderpriority, cnt the order
+    count) and ``q22`` global sales opportunity (anti-join under a
+    global-average scalar filter; key_int carries c_nationkey, cnt
+    numcust, value totacctbal) from ``plans/tpch_suite`` — both
+    previously pytest-only, now driver-hashed."""
+    from deep_db_learning_spark.plans import tpch_suite
+
+    db = _db(spark, sf_dir)
+    base = q_tpch_q3(spark, sf_dir).select(
+        F.lit("q3").alias("mode"),
+        "o_orderkey", "o_orderdate",
+        F.lit(None).cast("string").alias("key_str"),
+        F.lit(None).cast("long").alias("key_int"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("revenue").alias("value"),
+    )
+    q4 = tpch_suite.tpch_q4(db).select(
+        F.lit("q4").alias("mode"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.col("o_orderpriority").alias("key_str"),
+        F.lit(None).cast("long").alias("key_int"),
+        F.col("order_count").alias("cnt"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    q22 = tpch_suite.tpch_q22(db).select(
+        F.lit("q22").alias("mode"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("string").alias("key_str"),
+        F.col("c_nationkey").cast("long").alias("key_int"),
+        F.col("numcust").alias("cnt"),
+        F.col("totacctbal").alias("value"),
+    )
+    return base.unionByName(q4).unionByName(q22)
+
+
+def q_tpch_q5_modes(spark, sf_dir):
+    """The driver slot for the join-heavy family (r12 rotation):
+    everything :func:`q_tpch_q5` carries (bench times THAT path) plus
+    ``q7`` two-role-dimension volume shipping (nation+region aliased
+    twice, disjunctive pair filter; name1/name2 carry supp/cust
+    nation, yr the ship year), ``q8`` national market share (ratio of
+    two conditional decimal folds; yr the order year, value the
+    share), and ``q9`` product-type profit rollup (name1 the supplier
+    nation, yr the order year, value the profit) from
+    ``plans/tpch_suite`` — all previously pytest-only, now
+    driver-hashed."""
+    from deep_db_learning_spark.plans import tpch_suite
+
+    db = _db(spark, sf_dir)
+    base = q_tpch_q5(spark, sf_dir).select(
+        F.lit("q5").alias("mode"),
+        F.col("n_name").alias("name1"),
+        F.lit(None).cast("string").alias("name2"),
+        F.lit(None).cast("int").alias("yr"),
+        F.col("revenue").alias("value"),
+    )
+    q7 = tpch_suite.tpch_q7(db).select(
+        F.lit("q7").alias("mode"),
+        F.col("supp_nation").alias("name1"),
+        F.col("cust_nation").alias("name2"),
+        F.col("l_year").cast("int").alias("yr"),
+        F.col("revenue").alias("value"),
+    )
+    q8 = tpch_suite.tpch_q8(db).select(
+        F.lit("q8").alias("mode"),
+        F.lit(None).cast("string").alias("name1"),
+        F.lit(None).cast("string").alias("name2"),
+        F.col("o_year").cast("int").alias("yr"),
+        F.col("mkt_share").alias("value"),
+    )
+    q9 = tpch_suite.tpch_q9(db).select(
+        F.lit("q9").alias("mode"),
+        F.col("nation").alias("name1"),
+        F.lit(None).cast("string").alias("name2"),
+        F.col("o_year").cast("int").alias("yr"),
+        F.col("sum_profit").alias("value"),
+    )
+    return base.unionByName(q7).unionByName(q8).unionByName(q9)
+
 
 def q_graph_stats(spark, sf_dir):
     """A9 dataset statistics (`scripts/dataset_info.py:19-60`): per-FK
@@ -3785,8 +3871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         # generic relational shapes
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
+        "tpch_q3": q_tpch_q3_modes,
+        "tpch_q5": q_tpch_q5_modes,
         "tpch_q6": q_tpch_q6,
         # r8 rotation: the driver slot also carries Q2 + Q21; bench
         # times the unmerged q18+q10 core (q_tpch_q18)
@@ -4883,26 +4969,65 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "tpch_q3": f"""
-            SELECT o_orderkey, o_orderdate,
-                   {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
-            FROM customer JOIN orders ON c_custkey = o_custkey
-                          JOIN lineitem ON o_orderkey = l_orderkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey, o_orderdate
-            ORDER BY revenue DESC, o_orderkey ASC
-            LIMIT 10
+            SELECT 'q3' AS mode, o_orderkey, o_orderdate,
+                   CAST(NULL AS VARCHAR) AS key_str,
+                   CAST(NULL AS BIGINT) AS key_int,
+                   CAST(NULL AS BIGINT) AS cnt,
+                   revenue AS value
+            FROM (
+              SELECT o_orderkey, o_orderdate,
+                     {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY revenue DESC, o_orderkey ASC
+              LIMIT 10)
+            UNION ALL
+            -- r12: Q4 EXISTS order-priority checking (key_str carries
+            -- o_orderpriority, cnt the order count)
+            SELECT 'q4', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+                   o_orderpriority, CAST(NULL AS BIGINT),
+                   order_count, CAST(NULL AS DOUBLE)
+            FROM ({_tpch_suite_oracles['tpch_q4']})
+            UNION ALL
+            -- r12: Q22 anti-join under a global-average scalar filter
+            -- (key_int carries c_nationkey, cnt numcust, value
+            -- totacctbal)
+            SELECT 'q22', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+                   CAST(NULL AS VARCHAR), CAST(c_nationkey AS BIGINT),
+                   numcust, totacctbal
+            FROM ({_tpch_suite_oracles['tpch_q22']})
         """,
         "tpch_q5": f"""
-            SELECT n_name,
-                   {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
-            FROM customer
-              JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON o_orderkey = l_orderkey
-              JOIN supplier ON l_suppkey = s_suppkey
-              JOIN nation ON s_nationkey = n_nationkey
-              JOIN region ON n_regionkey = r_regionkey
-            WHERE c_nationkey = s_nationkey
-            GROUP BY n_name
+            SELECT 'q5' AS mode, n_name AS name1,
+                   CAST(NULL AS VARCHAR) AS name2,
+                   CAST(NULL AS INT) AS yr, revenue AS value
+            FROM (
+              SELECT n_name,
+                     {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+              FROM customer
+                JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE c_nationkey = s_nationkey
+              GROUP BY n_name)
+            UNION ALL
+            -- r12: Q7 two-role dimension + disjunctive pair filter
+            SELECT 'q7', supp_nation, cust_nation, l_year, revenue
+            FROM ({_tpch_suite_oracles['tpch_q7']})
+            UNION ALL
+            -- r12: Q8 market-share ratio of two conditional folds
+            SELECT 'q8', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   o_year, mkt_share
+            FROM ({_tpch_suite_oracles['tpch_q8']})
+            UNION ALL
+            -- r12: Q9 product-type profit rollup
+            SELECT 'q9', nation, CAST(NULL AS VARCHAR), o_year,
+                   sum_profit
+            FROM ({_tpch_suite_oracles['tpch_q9']})
         """,
         "tpch_q6": f"""
             WITH q6 AS (

@@ -84,17 +84,22 @@ def cooccurrence_edges(
     )
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """Canonical undirected edges → degree-oriented edges with packed
-    ``(degree·2³² + id)`` keys: ``(src, dst, src_key, dst_key)`` with
-    ``src_key < dst_key``."""
-    und = (
+def _canonical_und(edges: DataFrame) -> DataFrame:
+    """Undirected simple edges ``a < b``, deduplicated."""
+    return (
         edges.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edges → degree-oriented edges with packed
+    ``(degree·2³² + id)`` keys: ``(src, dst, src_key, dst_key)`` with
+    ``src_key < dst_key``."""
+    und = _canonical_und(edges)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -122,13 +127,30 @@ def triangles(edges: DataFrame) -> DataFrame:
     """All triangles of the undirected simple graph, one row each:
     ``(u, v, w)`` — the degree-orientation guarantees each triangle
     appears exactly once, with ``u`` the lowest-``(deg, id)`` corner.
-    Input ``edges(a, b)`` need not be canonical; self-loops drop."""
+    Input ``edges(a, b)`` need not be canonical; self-loops drop.
+
+    The INPUT lineage is materialized once up front (r12): ``edges``
+    often arrives as an expensive un-materialized plan (the
+    ``cooccurrence_edges`` pair join over the fact table), and the
+    orient stage consumes it three times — without the cut, the 100×
+    fixed-dims probe recomputed the facts→pairs→distinct chain per
+    consumer (the k_core entry always had this cut; the r12 probe
+    caught the asymmetry)."""
+    from ..checkpoint import cut_lineage
+
+    und = cut_lineage(_canonical_und(edges), eager=True)
+    return _triangles_from_und(und)
+
+
+def _triangles_from_und(und: DataFrame) -> DataFrame:
+    """Wedge join + closing-edge probe over an ALREADY-MATERIALIZED
+    canonical edge frame."""
     from ..checkpoint import cut_lineage
 
     # the oriented frame is consumed THREE times (both wedge sides +
     # the closing-edge probe) — materialize once or the plan recomputes
-    # the canonicalize/degree/orient chain per consumer
-    o = cut_lineage(_oriented(edges), eager=True)
+    # the degree/orient chain per consumer
+    o = cut_lineage(_oriented(und), eager=True)
     e1 = o.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
@@ -154,21 +176,19 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     deterministic."""
     from ..checkpoint import cut_lineage
 
+    # ONE materialization of the (possibly expensive) input lineage,
+    # shared by the triangle pipeline AND the degree table below (r12:
+    # the degree table previously re-derived from the raw edges plan,
+    # re-running the whole cooccurrence pair join in the final job)
+    und = cut_lineage(_canonical_und(edges), eager=True)
     # consumed three times by the corner union — materialize
-    tri = cut_lineage(triangles(edges), eager=True)
+    tri = cut_lineage(_triangles_from_und(und), eager=True)
     per_node = (
         tri.select(F.col("u").alias("node"))
         .unionAll(tri.select(F.col("v").alias("node")))
         .unionAll(tri.select(F.col("w").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    und = (
-        edges.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
     )
     deg = (
         und.select(F.col("a").alias("node"))

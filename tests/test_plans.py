@@ -166,8 +166,17 @@ def shuffle_count(plan: str) -> int:
 PLAN_PINS = {
     # query: (max_shuffle_exchanges, min_broadcast_joins)
     "tpch_q1": (2, 0),
-    "tpch_q3": (2, 4),
-    "tpch_q5": (2, 10),
+    # r12: the registry q3 slot adds Q4 (EXISTS as a broadcast semi
+    # join over the date-shifted lineitem probe) and Q22 (anti-join
+    # under a broadcast global-average scalar) — one real shuffle per
+    # added aggregate; bench times the unmerged 1-exchange q3 core
+    "tpch_q3": (8, 8),
+    # r12: the registry q5 slot adds Q7 (two-role nation+region, both
+    # roles broadcast), Q8 (conditional-fold ratio, part/supplier/
+    # nation sides broadcast), Q9 (profit rollup, all three dims
+    # broadcast) — fact-side joins and group-bys are the only real
+    # shuffles; bench times the unmerged q5 core
+    "tpch_q5": (12, 44),
     # r7 rotation: q6 carries the Q14/Q17 scalar modes (their part
     # joins broadcast; each mode is one partial+final agg), q18 carries
     # the Q10 top-20 mode (nation + dims broadcast)
@@ -272,8 +281,15 @@ PLAN_PINS = {
     # behind cut_lineage so they never stack into the static plan.
     # r9: the hits mode adds 5 real shuffles — the hub/auth join, the
     # max aggregate, and the post-checkpoint tail of the last
-    # iteration (earlier iterations run eagerly behind cut_lineage)
-    "graph_iter": (62, 8),
+    # iteration (earlier iterations run eagerly behind cut_lineage).
+    # r12: the triangles input-lineage cut (operators/triangles.py —
+    # canonical edges materialized ONCE, shared by the wedge pipeline
+    # and the degree table) nearly halved the static plan: 62→34
+    # formatted exchanges; the remaining joins read stats-free
+    # checkpoint scans, so the static shape is SMJ (AQE re-plans the
+    # tiny sides to broadcast at runtime — the minhash_dedup pattern),
+    # hence the broadcast floor drops to 0
+    "graph_iter": (34, 0),
     # r7: text_metrics + LM perplexity under one tag — metrics'
     # corpus-freq fold + the _spread repartition + the per-doc scoring
     # fold (4 real shuffles, doubled); the bounded LM model frames
@@ -292,11 +308,15 @@ PLAN_PINS = {
     # this static plan
     "text_quality": (22, 13),
     # r9 first-class bench entries: triangles = co-purchase edge build
-    # (hot-size frame broadcast) + degree orientation + wedge join +
-    # closing-edge probe + the per-node stats joins; kcore = the final
-    # alive∩degree join over checkpointed per-round peels (the rounds
-    # themselves run eagerly behind cut_lineage)
-    "triangles": (44, 12),
+    # + degree orientation + wedge join + closing-edge probe + the
+    # per-node stats joins; kcore = the final alive∩degree join over
+    # checkpointed per-round peels (the rounds themselves run eagerly
+    # behind cut_lineage). r12: the triangles input-lineage cut
+    # (canonical edges materialized ONCE before orient/stats) moved
+    # the edge build behind an eager checkpoint — the static plan is
+    # now the stats tail over checkpoint scans (44→4 formatted
+    # exchanges; stats-free scans plan SMJ, AQE broadcasts at runtime)
+    "triangles": (4, 0),
     "kcore": (22, 0),
     # r12: the text_quality composite decomposed into its four legs,
     # each timed first-class in bench.py (VERDICT r11 task 1) — the
