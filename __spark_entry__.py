@@ -2245,7 +2245,16 @@ def q_graph_iter(spark, sf_dir):
     co_edges, _hot = cooccurrence_edges(
         db.df("lineitem"), "l_orderkey", "l_partkey"
     )
-    tri = triangle_stats(co_edges).select(
+    # r12: ONE materialization of the co-purchase pair join, shared by
+    # the triangles AND kcore modes (each operator cuts its input
+    # internally, but feeding both the raw plan ran the expensive
+    # facts→pairs→distinct chain twice per slot call; canonical of
+    # canonical is the identity, so results are unchanged)
+    from deep_db_learning_spark.checkpoint import cut_lineage
+    from deep_db_learning_spark.operators.triangles import _canonical_und
+
+    co_und = cut_lineage(_canonical_und(co_edges), eager=True)
+    tri = triangle_stats(co_und).select(
         F.lit("triangles").alias("mode"),
         "node",
         F.col("n_triangles").alias("rank_scaled"),
@@ -2261,7 +2270,7 @@ def q_graph_iter(spark, sf_dir):
     # induced core degree, label the k
     from deep_db_learning_spark.operators.kcore import k_core
 
-    kc = k_core(co_edges, _KCORE_K, max_iters=32).select(
+    kc = k_core(co_und, _KCORE_K, max_iters=32).select(
         F.lit("kcore").alias("mode"),
         "node",
         F.col("core_degree").alias("rank_scaled"),
