@@ -1401,6 +1401,51 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q1_modes(spark, sf_dir):
+    """The driver slot for the scan-aggregate family (r12 rotation):
+    everything :func:`q_tpch_q1` carries (bench times THAT path) plus
+    ``q12`` shipping-priority histogram (conditional-count CASE pair;
+    count_order/count2 carry high/low line counts) and ``q13``
+    customer order-count distribution (LEFT join with the predicate ON
+    the join, zero-order customers in the c_count=0 bucket —
+    count_order carries custdist, count2 the c_count bucket) from
+    ``plans/tpch_suite`` — both previously pytest-only, now
+    driver-hashed."""
+    from deep_db_learning_spark.plans import tpch_suite
+
+    db = _db(spark, sf_dir)
+    dnull = [
+        F.lit(None).cast("double").alias(c)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price",
+                  "avg_qty", "avg_disc")
+    ]
+    base = q_tpch_q1(spark, sf_dir).select(
+        F.lit("q1").alias("mode"),
+        "l_returnflag", "l_linestatus",
+        "sum_qty", "sum_base_price", "sum_disc_price",
+        "avg_qty", "avg_disc",
+        F.col("count_order").cast("bigint").alias("count_order"),
+        F.lit(None).cast("bigint").alias("count2"),
+    )
+    q12 = tpch_suite.tpch_q12(db).select(
+        F.lit("q12").alias("mode"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        *dnull,
+        F.col("high_line_count").cast("bigint").alias("count_order"),
+        F.col("low_line_count").cast("bigint").alias("count2"),
+    )
+    q13 = tpch_suite.tpch_q13(db).select(
+        F.lit("q13").alias("mode"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        *dnull,
+        F.col("custdist").cast("bigint").alias("count_order"),
+        F.col("c_count").cast("bigint").alias("count2"),
+    )
+    return base.unionByName(q12).unionByName(q13)
+
+
 def q_tpch_q6_core(db):
     """The pure Q6 filter+aggregate (plan-pinned: all three predicates
     pushed to the parquet scan, 4-column ReadSchema)."""
@@ -3879,7 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_relational": q_train_relational,
         "eval_metrics": q_eval_metrics,
         # generic relational shapes
-        "tpch_q1": q_tpch_q1,
+        "tpch_q1": q_tpch_q1_modes,
         "tpch_q3": q_tpch_q3_modes,
         "tpch_q5": q_tpch_q5_modes,
         "tpch_q6": q_tpch_q6,
@@ -4966,16 +5011,35 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY c_custkey
         """,
         "tpch_q1": f"""
-            SELECT l_returnflag, l_linestatus,
+            SELECT 'q1' AS mode, l_returnflag, l_linestatus,
                    {exact_sum_sql('l_quantity')} AS sum_qty,
                    {exact_sum_sql('l_extendedprice')} AS sum_base_price,
                    {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
                    {exact_avg_sql('l_quantity')} AS avg_qty,
                    {exact_avg_sql('l_discount')} AS avg_disc,
-                   count(*) AS count_order
+                   count(*) AS count_order,
+                   CAST(NULL AS BIGINT) AS count2
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+            UNION ALL
+            -- r12: Q12 conditional-count CASE pair (count_order/count2
+            -- carry high/low line counts)
+            SELECT 'q12', l_returnflag, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   high_line_count, low_line_count
+            FROM ({_tpch_suite_oracles['tpch_q12']})
+            UNION ALL
+            -- r12: Q13 order-count distribution (count_order carries
+            -- custdist, count2 the c_count bucket)
+            SELECT 'q13', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   custdist, c_count
+            FROM ({_tpch_suite_oracles['tpch_q13']})
         """,
         "tpch_q3": f"""
             SELECT 'q3' AS mode, o_orderkey, o_orderdate,

@@ -165,7 +165,11 @@ def shuffle_count(plan: str) -> int:
 
 PLAN_PINS = {
     # query: (max_shuffle_exchanges, min_broadcast_joins)
-    "tpch_q1": (2, 0),
+    # r12: the registry q1 slot adds Q12 (conditional-count pair over
+    # the late-shipment join — orders side broadcast) and Q13 (LEFT
+    # join histogram: one join + two aggregates); bench times the
+    # unmerged 1-exchange q1 core
+    "tpch_q1": (8, 4),
     # r12: the registry q3 slot adds Q4 (EXISTS as a broadcast semi
     # join over the date-shifted lineitem probe) and Q22 (anti-join
     # under a broadcast global-average scalar) — one real shuffle per
