@@ -686,6 +686,23 @@ def _driftm_oracle() -> str:
     epsilon = 1e-6
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
     con = duckdb.connect()
+    try:
+        return _driftm_oracle_body(con, sf, n_bins, epsilon)
+    finally:
+        con.close()
+
+
+def _driftm_oracle_body(con, sf: str, n_bins: int, epsilon: float) -> str:
+    """Query loop of :func:`_driftm_oracle`, factored out so the
+    connection close sits in one ``try/finally`` (a mid-loop DuckDB
+    error must not leak the connection + events view)."""
+    import math
+
+    from deep_db_learning_spark.operators.sketch import (
+        dlit,
+        exact_quantiles_oracle_sql,
+    )
+
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
     )
@@ -723,7 +740,6 @@ def _driftm_oracle() -> str:
                 f"('{b}', '{name}', {nc}, {dlit(pr)}, {dlit(pc)}, "
                 f"{dlit(contrib)})"
             )
-    con.close()
     return f"""
         SELECT 'driftm', 'events', 'drift', b, col,
                CAST(nc AS BIGINT), CAST(NULL AS BIGINT),

@@ -72,7 +72,11 @@ def spread_input(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     so a frame that happens to carry a column literally named
     ``_ddl_spread`` would otherwise hand back a truthy ``Column``. An
     explicit ``num_partitions`` bypasses the cache (the caller is
-    asserting fresh knowledge of the frame's layout)."""
+    asserting fresh knowledge of the frame's layout) and its result is
+    scoped to THAT call: the input frame's memo is left untouched, so
+    a wrong caller assertion can't poison later probe-based calls on
+    the same frame (only ``out``, which IS spread under either story,
+    gets the self-memo)."""
     cached = df.__dict__.get("_ddl_spread")
     if isinstance(cached, DataFrame) and num_partitions is None:
         return cached
@@ -84,9 +88,18 @@ def spread_input(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     )
     out = df.repartition(par) if n < par else df
     # memoize on both the input and the output (spread(spread(df)) is
-    # the identity); a plain attribute — the frames' lifetimes bound it
-    df._ddl_spread = out
-    out._ddl_spread = out
+    # the identity); a plain attribute — the frames' lifetimes bound
+    # it. The input memo is ONLY written on the probed path: a
+    # caller-asserted num_partitions must not speak for future
+    # probe-based callers of the same raw frame.
+    if num_partitions is None:
+        df._ddl_spread = out
+        out._ddl_spread = out
+    elif out is not df:
+        # asserted path: the repartitioned OUTPUT is spread under
+        # either story, but a pass-through (out is df) must not be
+        # self-memoized off an unverified assertion
+        out._ddl_spread = out
     return out
 
 

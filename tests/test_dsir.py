@@ -210,3 +210,26 @@ def test_spread_input_column_name_collision_and_cache_bypass(spark):
     assert isinstance(again, DataFrame)
     # plain cached path still intact (memo stability after the bypass)
     assert spread_input(df) is spread_input(df)
+
+
+def test_spread_input_assertion_does_not_poison_memo(spark):
+    """ADVICE r12: a caller-asserted ``num_partitions`` is scoped to
+    THAT call — if the assertion is wrong (claims the frame is already
+    wide when it really has 1 partition), later plain calls on the
+    same frame must still probe and spread, not inherit the unspread
+    pass-through from the bad assertion."""
+    from deep_db_learning_spark.operators.dsir import spread_input
+
+    par = spark.sparkContext.defaultParallelism
+    if par < 2:
+        import pytest
+
+        pytest.skip("needs defaultParallelism >= 2")
+    df = spark.range(100).coalesce(1).toDF("doc_id")
+    # wrong assertion: claims >= par partitions, so no repartition
+    lied = spread_input(df, num_partitions=par)
+    assert lied.rdd.getNumPartitions() == 1  # the lie passes through
+    # ...but the memo was NOT poisoned: the probed path still spreads
+    honest = spread_input(df)
+    assert honest.rdd.getNumPartitions() == par
+    assert spread_input(df) is honest

@@ -221,6 +221,15 @@ PLAN_PINS = {
     # chain (dozens of exchanges) fails here
     "lsh_verify_pairs_t07": (0, 4),
     "clean_corpus": (14, 10),
+    # r13 (ADVICE r12): the merged registry slots above carry loosened
+    # caps for their mode unions, so the UNMERGED cores that bench.py
+    # actually times regain their own tight gates here (the
+    # pagerank/graph_iter split) — a new shuffle in a bench-timed core
+    # must fail even while the merged slot stays under its cap
+    "tpch_q1_core": (2, 0),
+    "tpch_q3_core": (2, 4),
+    "tpch_q5_core": (2, 10),
+    "tpch_q18_core": (8, 8),
     # the rest of bench.py's headline list (VERDICT r4 #3): every timed
     # DataFrame entry is pinned
     "top_orders_per_customer": (2, 0),
@@ -368,6 +377,11 @@ PIN_FN = {
     # for explicitness (default resolution would find them anyway)
     "triangles": "q_triangles",
     "kcore": "q_kcore",
+    # r13: the bench-timed unmerged TPC-H cores (see PLAN_PINS note)
+    "tpch_q1_core": "q_tpch_q1",
+    "tpch_q3_core": "q_tpch_q3",
+    "tpch_q5_core": "q_tpch_q5",
+    "tpch_q18_core": "q_tpch_q18",
 }
 
 
