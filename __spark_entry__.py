@@ -2307,14 +2307,12 @@ def q_graph_iter(spark, sf_dir):
         db.df("lineitem"), "l_orderkey", "l_partkey"
     )
     # r12: ONE materialization of the co-purchase pair join, shared by
-    # the triangles AND kcore modes (each operator cuts its input
-    # internally, but feeding both the raw plan ran the expensive
-    # facts→pairs→distinct chain twice per slot call; canonical of
-    # canonical is the identity, so results are unchanged)
-    from deep_db_learning_spark.checkpoint import cut_lineage
-    from deep_db_learning_spark.operators.triangles import _canonical_und
+    # the triangles AND kcore modes; r13: canonical_cut TAGS the frame,
+    # so both consumers take it as-is — one distinct + one checkpoint
+    # write for the whole slot, not one per mode (ADVICE r12)
+    from deep_db_learning_spark.operators.triangles import canonical_cut
 
-    co_und = cut_lineage(_canonical_und(co_edges), eager=True)
+    co_und = canonical_cut(co_edges)
     tri = triangle_stats(co_und).select(
         F.lit("triangles").alias("mode"),
         "node",

@@ -56,7 +56,14 @@ def main() -> None:
 
     db = entry._db(spark, sf_dir)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # run provenance (VERDICT r12 task 3): the r12 BENCH was taken
+    # under ambient load 3-6 and burned a judge round on adjudication —
+    # record the host 1/5/15-min load averages at suite start/end and
+    # each entry's [min, median, max] so a contended run is visible IN
+    # the artifact, not reconstructed after the fact
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     def timed(name: str, fn, setup=None) -> None:
         vals = []
@@ -68,6 +75,7 @@ def main() -> None:
             vals.append(time.time() - t0)
         vals.sort()
         timings[name] = round(vals[len(vals) // 2], 3)
+        spread[name] = [round(vals[0], 3), timings[name], round(vals[-1], 3)]
 
     # warm the JVM + file listing with a trivial action (not timed),
     # and fork the Python/Arrow worker pool once so the first pandas-UDF
@@ -236,6 +244,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # provenance: medians above are adjudicable against
+                # the per-entry [min, median, max] and the host load —
+                # read protocol in BASELINE.md (r13)
+                "runs": runs,
+                "load": {
+                    "start": load_start,
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                },
+                "spread": spread,
             }
         )
     )

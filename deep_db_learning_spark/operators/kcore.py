@@ -38,16 +38,6 @@ from pyspark.sql import functions as F
 from ..checkpoint import cut_lineage
 
 
-def _canonical(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-
-
 def _induced_degrees(und: DataFrame) -> DataFrame:
     return (
         und.select(F.col("a").alias("node"))
@@ -72,8 +62,15 @@ def k_core(
     convergence; see module docstring). A node whose neighbors all
     peeled away in the final round appears with ``core_degree`` 0.
     ``return_rounds=True`` returns ``(df, rounds)`` where ``rounds``
-    is the peel-round count an unrolled oracle twin must replay."""
-    und = cut_lineage(_canonical(edges), eager=True)
+    is the peel-round count an unrolled oracle twin must replay.
+
+    A :func:`~.triangles.canonical_cut` input is consumed as-is
+    (r13): a caller fanning one edge frame into several graph
+    operators pays ONE distinct + checkpoint total, not one per
+    operator."""
+    from .triangles import canonical_cut
+
+    und = canonical_cut(edges)
     alive = _induced_degrees(und).filter(F.col("deg") >= k).select("node")
     rounds = 1
 

@@ -95,11 +95,46 @@ def _canonical_und(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
+def is_canonical_cut(edges: DataFrame) -> bool:
+    """True iff ``edges`` was produced by :func:`canonical_cut` — i.e.
+    it is ALREADY canonical (``a < b``, simple, deduplicated) AND its
+    lineage is already materialized. Read via ``__dict__`` (the
+    ``spread_input`` lesson: ``DataFrame.__getattr__`` resolves
+    unknown attributes to COLUMNS, so a column literally named
+    ``_ddl_canonical_cut`` must not look like the tag)."""
+    return edges.__dict__.get("_ddl_canonical_cut") is True
+
+
+def canonical_cut(edges: DataFrame) -> DataFrame:
+    """Canonicalize ``edges(a, b)`` to undirected simple form and
+    materialize the result ONCE, tagging the frame so every consumer
+    (:func:`triangles`, :func:`triangle_stats`,
+    :func:`~..kcore.k_core`) skips its own re-canonicalization — a
+    full distinct shuffle + a second checkpoint write of the whole
+    edge set per consumer otherwise (ADVICE r12: canonical-of-
+    canonical is the identity, but it is NOT free). A caller fanning
+    one edge frame into several graph operators should pass it
+    through here first; passing raw edges directly to each operator
+    stays correct (each cuts internally) and merely pays the
+    per-consumer materialization."""
+    from ..checkpoint import cut_lineage
+
+    if is_canonical_cut(edges):
+        return edges
+    out = cut_lineage(_canonical_und(edges), eager=True)
+    out._ddl_canonical_cut = True
+    return out
+
+
+def _oriented(und: DataFrame) -> DataFrame:
     """Canonical undirected edges → degree-oriented edges with packed
     ``(degree·2³² + id)`` keys: ``(src, dst, src_key, dst_key)`` with
-    ``src_key < dst_key``."""
-    und = _canonical_und(edges)
+    ``src_key < dst_key``. Input MUST already be canonical (``a < b``,
+    simple, deduplicated) — both callers guarantee it
+    (:func:`_triangles_from_und` via :func:`canonical_cut`, the 100×
+    probe via :func:`cooccurrence_edges`' construction), so the
+    defensive re-distinct this used to run was a full extra shuffle of
+    the edge set inside every wedge plan (removed r13)."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -135,11 +170,9 @@ def triangles(edges: DataFrame) -> DataFrame:
     orient stage consumes it three times — without the cut, the 100×
     fixed-dims probe recomputed the facts→pairs→distinct chain per
     consumer (the k_core entry always had this cut; the r12 probe
-    caught the asymmetry)."""
-    from ..checkpoint import cut_lineage
-
-    und = cut_lineage(_canonical_und(edges), eager=True)
-    return _triangles_from_und(und)
+    caught the asymmetry). A :func:`canonical_cut` input is consumed
+    as-is (r13): no second distinct, no second checkpoint write."""
+    return _triangles_from_und(canonical_cut(edges))
 
 
 def _triangles_from_und(und: DataFrame) -> DataFrame:
@@ -179,8 +212,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # ONE materialization of the (possibly expensive) input lineage,
     # shared by the triangle pipeline AND the degree table below (r12:
     # the degree table previously re-derived from the raw edges plan,
-    # re-running the whole cooccurrence pair join in the final job)
-    und = cut_lineage(_canonical_und(edges), eager=True)
+    # re-running the whole cooccurrence pair join in the final job);
+    # a canonical_cut input passes straight through (r13)
+    und = canonical_cut(edges)
     # consumed three times by the corner union — materialize
     tri = cut_lineage(_triangles_from_und(und), eager=True)
     per_node = (

@@ -72,3 +72,52 @@ def test_copurchase_stats_match_duckdb_twin(db, duck):
     # its three corners)
     total = sum(g[2] for g in got)
     assert total > 0 and total % 3 == 0
+
+
+def test_canonical_cut_shared_single_materialization(spark, monkeypatch):
+    """ADVICE r12: a canonical_cut frame fanned into triangle_stats
+    AND k_core pays ONE distinct + ONE checkpoint write total — each
+    consumer takes the tagged frame as-is instead of re-running
+    _canonical_und / re-checkpointing the whole edge set per call."""
+    import deep_db_learning_spark.checkpoint as ckpt
+    import deep_db_learning_spark.operators.triangles as tri_mod
+    from deep_db_learning_spark.operators.kcore import k_core
+    from deep_db_learning_spark.operators.triangles import canonical_cut
+
+    # K4 + pendant: known truth (4 triangles, k_core(2) = the K4)
+    rows = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(rows, "a bigint, b bigint")
+
+    canon_calls = {"n": 0}
+    orig_canon = tri_mod._canonical_und
+
+    def counting_canon(df):
+        canon_calls["n"] += 1
+        return orig_canon(df)
+
+    monkeypatch.setattr(tri_mod, "_canonical_und", counting_canon)
+
+    und = canonical_cut(edges)
+    assert canon_calls["n"] == 1
+    assert canonical_cut(und) is und  # idempotent, no second cut
+
+    # from here on, NOTHING may re-checkpoint the edge frame itself:
+    # spy cut_lineage and assert no call receives a 2-col (a, b) frame
+    edge_cuts = {"n": 0}
+    orig_cut = ckpt.cut_lineage
+
+    def spying_cut(df, **kw):
+        if df.columns == ["a", "b"]:
+            edge_cuts["n"] += 1
+        return orig_cut(df, **kw)
+
+    monkeypatch.setattr(ckpt, "cut_lineage", spying_cut)
+
+    stats = tri_mod.triangle_stats(und)
+    kc = k_core(und, 2, max_iters=8)
+    assert canon_calls["n"] == 1  # no consumer re-canonicalized
+    assert edge_cuts["n"] == 0  # no consumer re-checkpointed the edges
+
+    by_node = {r["node"]: r["n_triangles"] for r in stats.collect()}
+    assert by_node == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+    assert sorted(r["node"] for r in kc.collect()) == [0, 1, 2, 3]

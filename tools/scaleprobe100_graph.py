@@ -85,10 +85,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from deep_db_learning_spark.checkpoint import cut_lineage
     from deep_db_learning_spark.operators.kcore import k_core
     from deep_db_learning_spark.operators.triangles import (
         _oriented,
+        canonical_cut,
         cooccurrence_edges,
         triangle_stats,
     )
@@ -128,8 +128,9 @@ def main() -> None:
         )
 
         # named bounds: the graph the wedge join / peel actually see
-        edges = cut_lineage(
-            cooccurrence_edges(li, "l_orderkey", "l_partkey")[0], eager=True
+        # (canonical_cut: _oriented requires canonical input as of r13)
+        edges = canonical_cut(
+            cooccurrence_edges(li, "l_orderkey", "l_partkey")[0]
         )
         n_edges = edges.count()
         wedges = int(
