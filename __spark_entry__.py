@@ -1459,7 +1459,19 @@ def q_tpch_q1_modes(spark, sf_dir):
         F.col("custdist").cast("bigint").alias("count_order"),
         F.col("c_count").cast("bigint").alias("count2"),
     )
-    return base.unionByName(q12).unionByName(q13)
+    # r13 rotation: Q16 supplier-count-per-part-attribute (NOT IN
+    # complaints anti-join + count-distinct rollup) — l_returnflag/
+    # l_linestatus carry brand/type, count_order the supplier count,
+    # count2 the size
+    q16 = tpch_suite.tpch_q16(db).select(
+        F.lit("q16").alias("mode"),
+        F.col("p_brand").alias("l_returnflag"),
+        F.col("p_type").alias("l_linestatus"),
+        *dnull,
+        F.col("supplier_cnt").cast("bigint").alias("count_order"),
+        F.col("p_size").cast("bigint").alias("count2"),
+    )
+    return base.unionByName(q12).unionByName(q13).unionByName(q16)
 
 
 def q_tpch_q6_core(db):
@@ -1483,7 +1495,9 @@ def q_tpch_q6(spark, sf_dir):
     pure filter+aggregate (the predicate-pushdown showcase — all three
     filters reach the parquet scan), plus the Q14 promo-revenue ratio
     and Q17 small-quantity correlated-average threshold from
-    ``plans/tpch_suite`` — each a single driver-hashed double."""
+    ``plans/tpch_suite`` — each a single driver-hashed double. r13
+    adds Q19's disjunctive (brand, size-band, quantity-band) revenue
+    (the common envelopes push to the scans, part side broadcast)."""
     from deep_db_learning_spark.plans import tpch_suite
 
     db = _db(spark, sf_dir)
@@ -1506,6 +1520,12 @@ def q_tpch_q6(spark, sf_dir):
             tpch_suite.tpch_q17(db).select(
                 F.lit("q17_avg_yearly").alias("query"),
                 F.col("avg_yearly").alias("value"),
+            )
+        )
+        .unionByName(
+            tpch_suite.tpch_q19(db).select(
+                F.lit("q19_revenue").alias("query"),
+                F.col("revenue").alias("value"),
             )
         )
     )
@@ -1612,7 +1632,22 @@ def q_tpch_q18_modes(spark, sf_dir):
         F.lit(None).cast("string").alias("n_name"),
         F.lit(None).cast("double").alias("revenue"),
     )
-    return base.unionByName(q2).unionByName(q21)
+    # r13 rotation: Q20 dominant-supplier promotion (nested per-pair /
+    # per-part quantity-share aggregate gating a region-filtered semi
+    # join; c_custkey carries s_suppkey, c_name s_name)
+    q20 = tpch_suite.tpch_q20(db).select(
+        F.lit("q20").alias("mode"),
+        F.col("s_suppkey").cast("long").alias("c_custkey"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.col("s_name").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    return base.unionByName(q2).unionByName(q21).unionByName(q20)
 
 
 def q_lineitem_numeric_profile(spark, sf_dir):
@@ -1782,7 +1817,34 @@ def q_tpch_q3_modes(spark, sf_dir):
         F.col("numcust").alias("cnt"),
         F.col("totacctbal").alias("value"),
     )
-    return base.unionByName(q4).unionByName(q22)
+    # r13 rotation: Q11 important stock (group-by-HAVING over a scalar
+    # subquery of the SAME decimal fold; key_int carries ps_partkey)
+    # and Q15 top supplier (max-of-aggregate broadcast back over the
+    # revenue view; key_int s_suppkey, key_str s_name)
+    q11 = tpch_suite.tpch_q11(db).select(
+        F.lit("q11").alias("mode"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("string").alias("key_str"),
+        F.col("ps_partkey").cast("long").alias("key_int"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("value"),
+    )
+    q15 = tpch_suite.tpch_q15(db).select(
+        F.lit("q15").alias("mode"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.col("s_name").alias("key_str"),
+        F.col("s_suppkey").cast("long").alias("key_int"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("total_revenue").alias("value"),
+    )
+    return (
+        base.unionByName(q4)
+        .unionByName(q22)
+        .unionByName(q11)
+        .unionByName(q15)
+    )
 
 
 def q_tpch_q5_modes(spark, sf_dir):
@@ -5054,6 +5116,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE),
                    custdist, c_count
             FROM ({_tpch_suite_oracles['tpch_q13']})
+            UNION ALL
+            -- r13: Q16 supplier-count rollup (brand/type in the
+            -- string keys, count_order supplier_cnt, count2 p_size)
+            SELECT 'q16', p_brand, p_type,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   CAST(supplier_cnt AS BIGINT), CAST(p_size AS BIGINT)
+            FROM ({_tpch_suite_oracles['tpch_q16']})
         """,
         "tpch_q3": f"""
             SELECT 'q3' AS mode, o_orderkey, o_orderdate,
@@ -5085,6 +5156,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR), CAST(c_nationkey AS BIGINT),
                    numcust, totacctbal
             FROM ({_tpch_suite_oracles['tpch_q22']})
+            UNION ALL
+            -- r13: Q11 HAVING-over-scalar-subquery inventory value
+            -- (key_int ps_partkey)
+            SELECT 'q11', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+                   CAST(NULL AS VARCHAR), CAST(ps_partkey AS BIGINT),
+                   CAST(NULL AS BIGINT), value
+            FROM ({_tpch_suite_oracles['tpch_q11']})
+            UNION ALL
+            -- r13: Q15 max-of-aggregate top supplier (key_int
+            -- s_suppkey, key_str s_name)
+            SELECT 'q15', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+                   s_name, CAST(s_suppkey AS BIGINT),
+                   CAST(NULL AS BIGINT), total_revenue
+            FROM ({_tpch_suite_oracles['tpch_q15']})
         """,
         "tpch_q5": f"""
             SELECT 'q5' AS mode, n_name AS name1,
@@ -5135,6 +5220,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'q17_avg_yearly', avg_yearly
             FROM ({_tpch_suite_oracles['tpch_q17']})
+            UNION ALL
+            -- r13: Q19 disjunctive-band revenue
+            SELECT 'q19_revenue', revenue
+            FROM ({_tpch_suite_oracles['tpch_q19']})
         """,
         "tpch_q18": f"""
             WITH big AS (
@@ -5179,6 +5268,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
                    CAST(NULL AS DOUBLE)
             FROM ({_tpch_suite_oracles['tpch_q21']})
+            UNION ALL
+            -- r13: Q20 dominant-supplier promotion (c_custkey carries
+            -- s_suppkey, c_name s_name)
+            SELECT 'q20', CAST(s_suppkey AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_name,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM ({_tpch_suite_oracles['tpch_q20']})
         """,
         "lineitem_numeric_profile": "SELECT 'stats' AS mode, column_name, "
         "CAST(NULL AS VARCHAR) AS col_b, n, mean, min, max, std, "

@@ -167,14 +167,21 @@ PLAN_PINS = {
     # query: (max_shuffle_exchanges, min_broadcast_joins)
     # r12: the registry q1 slot adds Q12 (conditional-count pair over
     # the late-shipment join — orders side broadcast) and Q13 (LEFT
-    # join histogram: one join + two aggregates); bench times the
-    # unmerged 1-exchange q1 core
-    "tpch_q1": (8, 4),
+    # join histogram: one join + two aggregates); r13 adds Q16 (the
+    # distinct (part, supplier) pair shuffle + the two-phase
+    # count-distinct rollup: 3 more real shuffles, complaints/part
+    # sides broadcast); bench times the unmerged 1-exchange q1 core
+    # (tpch_q1_core below)
+    "tpch_q1": (14, 6),
     # r12: the registry q3 slot adds Q4 (EXISTS as a broadcast semi
     # join over the date-shifted lineitem probe) and Q22 (anti-join
     # under a broadcast global-average scalar) — one real shuffle per
-    # added aggregate; bench times the unmerged 1-exchange q3 core
-    "tpch_q3": (8, 8),
+    # added aggregate; r13 adds Q11 (per-part fold + the global-total
+    # scalar broadcast back) and Q15 (per-supplier revenue fold + max
+    # broadcast back, supplier join broadcast): +5 real shuffles, all
+    # scalar/dim sides broadcast; bench times the unmerged 1-exchange
+    # q3 core (tpch_q3_core below)
+    "tpch_q3": (18, 20),
     # r12: the registry q5 slot adds Q7 (two-role nation+region, both
     # roles broadcast), Q8 (conditional-fold ratio, part/supplier/
     # nation sides broadcast), Q9 (profit rollup, all three dims
@@ -183,14 +190,17 @@ PLAN_PINS = {
     "tpch_q5": (12, 44),
     # r7 rotation: q6 carries the Q14/Q17 scalar modes (their part
     # joins broadcast; each mode is one partial+final agg), q18 carries
-    # the Q10 top-20 mode (nation + dims broadcast)
-    "tpch_q6": (10, 6),
+    # the Q10 top-20 mode (nation + dims broadcast); r13 adds Q19
+    # (disjunctive-band revenue: one partial+final agg, part broadcast)
+    "tpch_q6": (12, 8),
     # r8: the registry slot adds Q2 (derived-partsupp groupBy + min
     # per part, both broadcast back) and Q21 (two pair distincts +
     # semi/anti chain + count + TakeOrdered) — every dimension/pair
-    # frame small enough MUST broadcast; bench times the unmerged
-    # 4-exchange q18+q10 core (q_tpch_q18)
-    "tpch_q18": (22, 20),
+    # frame small enough MUST broadcast; r13 adds Q20 (per-pair +
+    # per-part quantity folds + the dominant-pair broadcast semi
+    # chain: 3 more real shuffles); bench times the unmerged
+    # 4-exchange q18+q10 core (tpch_q18_core below)
+    "tpch_q18": (28, 26),
     "decontamination": (4, 2),  # eval grams MUST broadcast
     "dedup_exact": (2, 0),
     # r6: three pipelines under one mode tag — within-corpus dedup,
