@@ -2809,7 +2809,24 @@ def q_embedding_topk(spark, sf_dir):
     max/127 scales, round-half-up encode, clip to ±127, dequantize-on
     -the-fly cosine — all JVM codegen). Oracle-checked end to end:
     the oracle recomputes the scales independently from the raw
-    parquet and replays encode→dequantize→cosine in DuckDB."""
+    parquet and replays encode→dequantize→cosine in DuckDB.
+
+    r13 adds ``trained`` (N6's learned half): word vectors are
+    TRAINED in-engine on the documents corpus
+    (``operators/word_embedding.py`` — co-occurrence counts
+    distributed, dec9 decimal-fold GD shared verbatim with the twin),
+    documents are embedded by the exact-decimal relational encoder,
+    and the same brute-force cosine top-5 runs over the LEARNED
+    geometry (query docs doc_id < 5). The oracle re-fits through
+    ``fit_word_embedding_twin`` from DuckDB-computed counts
+    (bit-equal model, pinned in tests/test_word_embedding.py),
+    re-pools with an order-independent DECIMAL SUM, and replays the
+    cosine ranking."""
+    from deep_db_learning_spark.operators.word_embedding import (
+        embed_documents,
+        fit_word_embedding,
+    )
+
     db = _db(spark, sf_dir)
     emb = db.df("embeddings")
     queries = (
@@ -2820,10 +2837,28 @@ def q_embedding_topk(spark, sf_dir):
     scales = similarity.sq8_train(emb)
     enc = similarity.sq8_encode(emb, scales)
     sq8 = similarity.sq8_topk(enc, scales, queries, k=5)
-    return exact.select(
-        F.lit("exact").alias("mode"), "query_id", "vec_id", "rank", "sim"
-    ).unionByName(
-        sq8.select(F.lit("sq8").alias("mode"), "query_id", "vec_id", "rank", "sim")
+    docs = db.df("documents")
+    wem = fit_word_embedding(docs, "text")
+    demb = embed_documents(docs, wem).withColumnRenamed("doc_id", "vec_id")
+    dq = demb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    trained = similarity.brute_force_topk(demb, dq, k=5)
+    return (
+        exact.select(
+            F.lit("exact").alias("mode"), "query_id", "vec_id", "rank", "sim"
+        )
+        .unionByName(
+            sq8.select(
+                F.lit("sq8").alias("mode"), "query_id", "vec_id", "rank", "sim"
+            )
+        )
+        .unionByName(
+            trained.select(
+                F.lit("trained").alias("mode"),
+                "query_id", "vec_id", "rank", "sim",
+            )
+        )
     )
 
 
@@ -4670,6 +4705,24 @@ def _embedding_topk_oracle() -> str:
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF_DIR)
     con = duckdb.connect()
+    # r13 trained mode: re-fit the word vectors through the DuckDB
+    # twin (bit-equal to the engine fit — tests/test_word_embedding.py
+    # pins the parity) and inline them as DECIMAL(30,9) literals; the
+    # SQL below re-pools per document with an order-independent
+    # DECIMAL SUM and replays the cosine ranking
+    from deep_db_learning_spark.operators.word_embedding import (
+        fit_word_embedding_twin,
+    )
+
+    wem = fit_word_embedding_twin(
+        con, f"read_parquet('{sf}/documents.parquet')", "text"
+    )
+    wv_lit = ", ".join(
+        f"('{t}', {k}, {wem.U[t][k]})"
+        for t in wem.vocab
+        for k in range(wem.dim)
+    )
+    zero_lit = "[" + ", ".join("0.0" for _ in range(wem.dim)) + "]"
     d = con.execute(
         f"SELECT len(embedding) FROM read_parquet('{sf}/embeddings.parquet') LIMIT 1"
     ).fetchone()[0]
@@ -4723,6 +4776,38 @@ def _embedding_topk_oracle() -> str:
         SELECT 'sq8' AS mode, query_id, vec_id, CAST(rank AS INT) AS rank,
                round(sim, 6) AS sim
         FROM ranked8 WHERE rank <= 5
+        UNION ALL
+        SELECT 'trained' AS mode, query_id, vec_id, CAST(rank AS INT),
+               round(sim, 6)
+        FROM (
+          WITH wv(tok, k, w) AS (
+            SELECT tok, k, CAST(w AS DECIMAL(30,9))
+            FROM (VALUES {wv_lit}) AS t(tok, k, w)
+          ), dtoks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+          ), comp AS (
+            SELECT doc_id, k, CAST(sum(w) AS DOUBLE) AS s
+            FROM dtoks JOIN wv USING (tok)
+            GROUP BY doc_id, k
+          ), demb AS (
+            SELECT doc_id, list(s ORDER BY k) AS v FROM comp GROUP BY doc_id
+          ), dall AS (
+            SELECT d.doc_id, COALESCE(e.v, {zero_lit}) AS v
+            FROM documents d LEFT JOIN demb e USING (doc_id)
+          ), dq AS (
+            SELECT doc_id AS query_id, v AS qv FROM dall WHERE doc_id < 5
+          ), simsT AS (
+            SELECT q.query_id, e.doc_id AS vec_id,
+                   list_cosine_similarity(q.qv, e.v) AS sim
+            FROM dq q CROSS JOIN dall e
+          )
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM simsT
+        ) WHERE rank <= 5
     """
 
 

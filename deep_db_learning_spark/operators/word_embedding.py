@@ -1,0 +1,383 @@
+"""In-engine TRAINED word embeddings — the learned half of N6.
+
+The reference embeds text with GloVe vectors + bag pooling
+(``/root/reference/db_transformer/data/ctu_dataset.py:43-52`` —
+``GloveTextEmbedding`` = pretrained word vectors, sentence vector =
+pooled token vectors). The pooling half has lived in
+:func:`~.embedder.text_embedding` since r2; the LEARNED half was a
+standing gap (no torch / sentence-transformers in this container), so
+this module trains the word vectors themselves, GloVe-STYLE, with the
+engine's own deterministic machinery:
+
+1. **Corpus statistics (the data-scale stage, fully distributed)** —
+   one tokenization scan builds directed adjacent-pair co-occurrence
+   counts ``n(a→b)`` with the ``dsir._grams`` two-pass bigram trick
+   (pure codegen ``regexp_extract_all``; no per-element lambdas), one
+   ``groupBy`` folds them to exact BIGINTs. This is exactly GloVe's
+   decomposition: the model never touches the corpus again — it
+   factorizes the co-occurrence matrix (Pennington et al. 2014).
+2. **Bounded model state** — the vocabulary is the top-``vocab_size``
+   tokens by ``(count DESC, token ASC)`` and the pair matrix is
+   ``≤ V²`` rows, both collected under loud caps (the ``lm.py``
+   bounded-top-V posture: V=64 default → ≤4096 pair rows of driver
+   state, corpus-size-independent).
+3. **Descent (shared verbatim with the twin)** — full-batch GD on
+   ``Σ (uₐ·c_b − log1p(n_ab))²`` over observed pairs, in the
+   ``quality_filter`` arithmetic regime: vectors are dec9 decimals,
+   the forward dot and the gradient folds are EXACT decimal arithmetic
+   (dec9×dec9 products at scale 18, order-independent sums), the
+   residual crosses through float64 once per pair via the shared
+   shortest-repr ``_dec9`` cast, and the update is one shared float
+   expression re-quantized dec9 — so :func:`_descend` is
+   bit-reproducible from the integer counts alone, and the pytest /
+   driver-oracle twins re-fit through the SAME function from
+   DuckDB-computed counts (the ``fit_quality_filter_py`` regime).
+4. **Init** — pinned md5 draws per ``(token, component)`` (the
+   ``plans/stack.py`` pinned-init-draw rule): deterministic,
+   engine-independent, no RNG object.
+
+Scoring paths:
+
+- :func:`trained_model_fn` adapts a fit model to the
+  ``text_embedding(model_fn=)`` seam (``operators/embedder.py``) —
+  sum-pooled token vectors per document in one Arrow kernel, i.e. a
+  REAL learned encoder through the N6 seam end-to-end. Sum pooling
+  (not mean) keeps every accumulation exact-in-decimal on the
+  relational twin below; cosine downstream is scale-invariant, so
+  sum- and mean-pooled rankings are identical.
+- :func:`embed_documents` is the relational twin of the same encoder:
+  explode tokens → broadcast-join the ``(token, component, dec9)``
+  vector table → EXACT decimal per-component fold — the
+  oracle-hashable path (DuckDB replays it with the fit vectors
+  inlined as decimal literals and an order-independent DECIMAL SUM).
+
+100 TB posture: the corpus is touched by exactly two scans total (the
+count scan at fit time, the embedding scan at scoring time); model
+state is ``O(V·dim)`` decimals; nothing ranks, windows, or collects
+over documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact_agg import DECIMAL_TYPE, exact_sum
+from ..plans.train_oracle import _dec9
+
+# lr/epochs picked by measured trajectory (r13): with degree-mean
+# gradients, lr=0.15 descends 10643→200 (sf0.001) / 10464→141 (sf0.01)
+# by epoch 8 and stays bounded after; 0.05 is 4× slower, 0.3 diverges
+WE_CONFIG = {"dim": 8, "vocab_size": 64, "epochs": 8, "lr": 0.15}
+
+# loud cap on collected driver state (vocab + pair matrix); vocab_size
+# above it is a config error, not a silent truncation
+MAX_VOCAB = 256
+
+
+@dataclass
+class WEModel:
+    """Fit word vectors: ``vocab`` in code order, center vectors ``U``
+    and context vectors ``C`` (token → list of dec9 ``Decimal``), the
+    per-epoch exact squared-residual loss sums (the bit-parity pin),
+    and the observed-pair count."""
+
+    vocab: list
+    U: dict
+    C: dict
+    losses: list
+    n_pairs: int
+    dim: int
+
+
+def _init_vec(kind: str, token: str, dim: int) -> list:
+    """Pinned init draw: component k of token t is
+    ``((md5(f"we|{kind}|{t}|{k}")[:8] / 2³²) − 0.5) · 0.2`` quantized
+    dec9 — deterministic and engine-independent (no RNG object; the
+    ``stack.py`` pinned-draw rule)."""
+    out = []
+    for k in range(dim):
+        h = int(
+            hashlib.md5(f"we|{kind}|{token}|{k}".encode()).hexdigest()[:8],
+            16,
+        )
+        out.append(_dec9((h / 2**32 - 0.5) * 0.2))
+    return out
+
+
+def _descend(
+    vocab: list,
+    pair_counts: dict,
+    dim: int,
+    epochs: int,
+    lr: float,
+) -> WEModel:
+    """Full-batch GD on the co-occurrence factorization, shared
+    VERBATIM by the engine fit and every twin (the ``_lr_update``
+    rule): given identical integer counts, the fit is bit-identical.
+
+    Per epoch, per observed pair (a, b): forward ``z = Σ u_ak·c_bk``
+    exact Decimal; residual ``r = _dec9(float(z) − log1p(n_ab))``
+    (ONE float crossing, shortest-repr re-quantized); gradient folds
+    ``g_u[a][k] += r·c_bk``, ``g_c[b][k] += r·u_ak`` exact Decimal;
+    loss ``Σ r²`` exact Decimal. Updates
+    ``u' = _dec9(float(u) − lr·2·float(g)/deg(a))`` — the gradient is
+    MEAN-normalized by the word's observed-pair degree (an exact
+    integer), so the effective step is curvature-bounded no matter
+    how many pairs a hub word participates in (fixed-lr full-batch GD
+    on the raw sum diverges once V grows — measured, r13); one shared
+    float expression, re-quantized so the next epoch folds exact
+    decimals again."""
+    U = {t: _init_vec("u", t, dim) for t in vocab}
+    C = {t: _init_vec("c", t, dim) for t in vocab}
+    # targets: one shared math.log1p per pair, computed once
+    targets = {ab: math.log1p(n) for ab, n in pair_counts.items()}
+    deg_u = {t: 0 for t in vocab}
+    deg_c = {t: 0 for t in vocab}
+    for a, b in targets:
+        deg_u[a] += 1
+        deg_c[b] += 1
+    losses = []
+    for _ in range(epochs):
+        g_u = {t: [Decimal(0)] * dim for t in vocab}
+        g_c = {t: [Decimal(0)] * dim for t in vocab}
+        loss = Decimal(0)
+        for (a, b), y in sorted(targets.items()):
+            ua, cb = U[a], C[b]
+            z = Decimal(0)
+            for k in range(dim):
+                z += ua[k] * cb[k]
+            r = _dec9(float(z) - y)
+            loss += r * r
+            ga, gb = g_u[a], g_c[b]
+            for k in range(dim):
+                ga[k] += r * cb[k]
+                gb[k] += r * ua[k]
+        losses.append(loss)
+        for t in vocab:
+            ut, ct, gut, gct = U[t], C[t], g_u[t], g_c[t]
+            du, dc = max(deg_u[t], 1), max(deg_c[t], 1)
+            for k in range(dim):
+                ut[k] = _dec9(float(ut[k]) - lr * 2.0 * float(gut[k]) / du)
+                ct[k] = _dec9(float(ct[k]) - lr * 2.0 * float(gct[k]) / dc)
+    return WEModel(
+        vocab=list(vocab), U=U, C=C, losses=losses,
+        n_pairs=len(pair_counts), dim=dim,
+    )
+
+
+def _tokens_col(text_col: str):
+    """Lowercased whitespace tokens as an array column — the
+    ``dsir._grams`` spelling (one regexp_extract_all over
+    space-normalized text; DuckDB twin:
+    ``regexp_split_to_array(lower(trim(text)), '\\s+')``)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.regexp_extract_all(norm, F.lit(r"\S+"), 0)
+
+
+def _pairs_df(docs: DataFrame, text_col: str) -> DataFrame:
+    """Directed adjacent-pair frame ``(a, b)`` — one row per
+    consecutive token pair, via the two-pass non-overlapping bigram
+    trick (``dsir._grams``): pass 2 drops the leading token, so
+    between the passes every consecutive pair appears exactly once,
+    with NO higher-order per-element lambdas."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    b1 = F.regexp_extract_all(norm, F.lit(r"\S+ \S+"), 0)
+    b2 = F.regexp_extract_all(
+        F.regexp_replace(norm, r"^\S+ ", ""), F.lit(r"\S+ \S+"), 0
+    )
+    g = docs.select(
+        F.explode(F.concat(b1, b2)).alias("__bg")
+    )
+    sp = F.split(F.col("__bg"), " ", 2)
+    return g.select(sp.getItem(0).alias("a"), sp.getItem(1).alias("b"))
+
+
+def fit_word_embedding(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    dim: int = WE_CONFIG["dim"],
+    vocab_size: int = WE_CONFIG["vocab_size"],
+    epochs: int = WE_CONFIG["epochs"],
+    lr: float = WE_CONFIG["lr"],
+) -> WEModel:
+    """Fit word vectors from the corpus: ONE tokenization scan →
+    exact-integer co-occurrence counts (distributed) → bounded
+    collects (top-V vocab + ≤V² pairs, loud cap) →
+    :func:`_descend`."""
+    if vocab_size > MAX_VOCAB:
+        raise ValueError(
+            f"vocab_size={vocab_size} > MAX_VOCAB={MAX_VOCAB}: the pair "
+            "matrix is V² driver rows — raise MAX_VOCAB consciously"
+        )
+    toks = docs.select(F.explode(_tokens_col(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    vocab_rows = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = sorted(r["tok"] for r in vocab_rows)
+    pairs = (
+        _pairs_df(docs, text_col)
+        .filter(F.col("a").isin(vocab) & F.col("b").isin(vocab))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    pair_counts = {(r["a"], r["b"]): r["n"] for r in pairs}
+    return _descend(vocab, pair_counts, dim, epochs, lr)
+
+
+def fit_word_embedding_twin(
+    con,
+    docs_rel: str,
+    text_col: str = "text",
+    *,
+    dim: int = WE_CONFIG["dim"],
+    vocab_size: int = WE_CONFIG["vocab_size"],
+    epochs: int = WE_CONFIG["epochs"],
+    lr: float = WE_CONFIG["lr"],
+) -> WEModel:
+    """DuckDB twin of :func:`fit_word_embedding`: the SAME counts
+    computed by DuckDB SQL (list_zip over the 1-indexed token array =
+    directed adjacent pairs), descended through the SAME
+    :func:`_descend` — bit-equal model by construction once the
+    counts match (the cross-engine content of the pin IS the
+    counts)."""
+    toks_sql = (
+        f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    )
+    vocab = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT tok FROM (
+              SELECT tok, count(*) AS n FROM (
+                SELECT unnest({toks_sql}) AS tok FROM {docs_rel})
+              WHERE tok <> '' GROUP BY tok
+              ORDER BY n DESC, tok ASC LIMIT {int(vocab_size)})
+            """
+        ).fetchall()
+    )
+    vlit = ", ".join("'" + t.replace("'", "''") + "'" for t in vocab)
+    pair_rows = con.execute(
+        f"""
+        SELECT p[1] AS a, p[2] AS b, count(*) AS n
+        FROM (
+          SELECT unnest(list_zip(l, l[2:])) AS p
+          FROM (SELECT {toks_sql} AS l FROM {docs_rel}))
+        WHERE p[2] IS NOT NULL AND p[1] <> ''
+          AND p[1] IN ({vlit}) AND p[2] IN ({vlit})
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    pair_counts = {(a, b): n for a, b, n in pair_rows}
+    return _descend(vocab, pair_counts, dim, epochs, lr)
+
+
+def trained_model_fn(model: WEModel):
+    """Adapt a fit model to the ``text_embedding(model_fn=)`` seam
+    (``operators/embedder.py``): documents → sum-pooled CENTER
+    vectors, float64, token order (OOV tokens contribute nothing;
+    all-OOV/empty documents embed to the zero vector). The returned
+    callable is exactly the contract the GloVe encoder would satisfy
+    — a REAL learned encoder through the N6 seam."""
+    import numpy as np
+
+    vecs = {
+        t: np.array([float(x) for x in model.U[t]], dtype=np.float64)
+        for t in model.vocab
+    }
+    dim = model.dim
+
+    def encode(texts):
+        out = np.zeros((len(texts), dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            for tok in (t or "").lower().split():
+                v = vecs.get(tok)
+                if v is not None:
+                    out[i] += v
+        return out
+
+    return encode
+
+
+def word_vectors_df(spark, model: WEModel) -> DataFrame:
+    """The fit CENTER vectors as a ``(tok, k, w)`` frame with ``w``
+    dec9 ``DECIMAL`` — the broadcast side of the relational encoder
+    (``V·dim`` rows)."""
+    rows = [
+        (t, k, model.U[t][k])
+        for t in model.vocab
+        for k in range(model.dim)
+    ]
+    return spark.createDataFrame(
+        rows, f"tok string, k int, w {DECIMAL_TYPE}"
+    )
+
+
+def embed_documents(
+    docs: DataFrame,
+    model: WEModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Relational twin of the seam encoder: explode tokens →
+    broadcast-join the vector table → EXACT decimal per-component sum
+    → ``(id_col, embedding array<double>)``. Exact-in-decimal (the
+    fold is order-independent), so the DuckDB oracle reproduces every
+    component bit-for-bit from inlined decimal literals; the final
+    decimal→double cast is the single rounding, identical on both
+    engines. Documents with no in-vocab token embed to the zero
+    vector (kept — same as the seam)."""
+    spark = docs.sparkSession
+    wv = word_vectors_df(spark, model)
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens_col(text_col)).alias("tok")
+    )
+    comp = (
+        toks.join(F.broadcast(wv), "tok")
+        .groupBy(id_col, "k")
+        .agg(exact_sum_decimal(F.col("w")).alias("s"))
+    )
+    pooled = (
+        comp.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("k"), F.col("s")))
+            ).alias("__ks")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.col("__ks"), lambda x: x["s"].cast("double")
+            ).alias("embedding"),
+        )
+    )
+    # zero-vector fill for docs with no in-vocab token: left join back
+    zero = F.array(*[F.lit(0.0) for _ in range(model.dim)])
+    return (
+        docs.select(id_col)
+        .join(pooled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("embedding"), zero).alias("embedding"),
+        )
+    )
+
+
+def exact_sum_decimal(col):
+    """Exact decimal SUM of already-decimal inputs (no fold needed:
+    decimal addition is associative and Spark widens the accumulator;
+    kept as a named seam so the oracle spelling stays symmetric)."""
+    return F.sum(col)

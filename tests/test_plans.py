@@ -220,8 +220,14 @@ PLAN_PINS = {
     # bench times the unmerged 4-exchange core (q_customer_features).
     "customer_features": (8, 9),
     # r6: exact + sq8 modes — two window top-k pipelines (the sq8 scan
-    # stays UDF-free codegen; its scales come from one tiny agg job)
-    "embedding_topk": (4, 0),
+    # stays UDF-free codegen; its scales come from one tiny agg job).
+    # r13: the trained mode adds the relational learned-encoder chain
+    # (token explode + broadcast vector join + two exact-decimal
+    # groupBys + the zero-fill doc join + its own top-k window: 7 real
+    # shuffles; the V·dim vector table and the query side broadcast,
+    # but the sf0.001 plan reads stats-free locals so only the
+    # pre-existing joins show as static broadcasts)
+    "embedding_topk": (18, 4),
     "message_2hop": (4, 6),
     "attention_aggregate": (2, 4),
     "data_mixing": (6, 2),
