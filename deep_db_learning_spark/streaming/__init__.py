@@ -8,7 +8,12 @@ from .events import (
     sessionize,
     user_profile_features,
 )
-from .node_store import SnapshotStore, stream_profiles_into_store, vacuum_snapshots
+from .node_store import (
+    ConcurrentWriteError,
+    SnapshotStore,
+    stream_profiles_into_store,
+    vacuum_snapshots,
+)
 from .vector_store import stream_vectors_into_store
 from .crawl import stream_dedup_into_band_index
 from .doc_index import read_index_stats, stream_docs_into_index
@@ -25,6 +30,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "hourly_user_features",
     "read_events_stream",
+    "ConcurrentWriteError",
     "SnapshotStore",
     "stream_profiles_into_store",
     "vacuum_snapshots",

@@ -31,12 +31,38 @@ from ..functions.exact_agg import exact_sum
 from ..checkpoint import cut_lineage
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed to this store path between THIS
+    writer's commits — the single-writer contract was violated."""
+
+
 class SnapshotStore:
-    """Versioned parquet snapshots with an atomically-flipped pointer."""
+    """Versioned parquet snapshots with an atomically-flipped pointer.
+
+    **Single-writer contract (r13, VERDICT r12 task 7).** Exactly one
+    live writer per store path: the pointer flip serializes readers
+    against the writer, not writers against each other. The store
+    ENFORCES the contract optimistically — each instance remembers the
+    version it last committed or observed, and ``commit`` refuses with
+    :class:`ConcurrentWriteError` (before touching the data directory)
+    when the pointer moved underneath it, so two interleaved live
+    writers fail loudly on their next commit instead of silently
+    losing each other's merges. What this cannot catch is two FRESH
+    writers whose very first commits race the same version — closing
+    that window needs a storage-level conditional put / lock service
+    (Delta's commit protocol); on a real deployment put the writer in
+    one place (the single ``foreachBatch`` of one streaming query, the
+    shape every helper in this package uses). Crash-replay stays legal:
+    a restarted writer is a fresh instance, attaches at the current
+    pointer, and the ``last_batch_id`` cursor makes the replay
+    idempotent (the r12 torn-commit chaos test)."""
 
     def __init__(self, path: str) -> None:
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # optimistic single-writer fence: None = not yet attached
+        # (first commit attaches at whatever the pointer says)
+        self._fence: int | None = None
 
     @property
     def _pointer(self) -> str:
@@ -91,12 +117,22 @@ class SnapshotStore:
         return spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
     def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
-        v = (self.latest_version() or 0) + 1
+        cur = self.latest_version()
+        if self._fence is not None and cur != self._fence:
+            raise ConcurrentWriteError(
+                f"snapshot store {self.path}: pointer moved to "
+                f"v{cur} while this writer last committed v{self._fence} "
+                "— a second concurrent writer is active on this path. "
+                "The store is single-writer; route all commits through "
+                "one foreachBatch/process (see SnapshotStore docstring)."
+            )
+        v = (cur or 0) + 1
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v) if batch_id is None else f"{v}:{batch_id}")
         os.replace(tmp, self._pointer)  # atomic pointer+cursor flip
+        self._fence = v
         return v
 
 

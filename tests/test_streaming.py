@@ -1136,3 +1136,41 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
     # unchanged key 1 is omitted; self-diff is empty; v_to=None = latest
     assert snapshot_diff(spark, store, "user_id", v2, v2).count() == 0
     assert snapshot_diff(spark, store, "user_id", v1).count() == 3
+
+
+def test_snapshot_store_refuses_second_concurrent_writer(spark, tmp_path):
+    """Single-writer contract (r13, VERDICT r12 task 7): two live
+    writer instances interleaving commits on one store path — the
+    stale writer's next commit refuses loudly (before touching the
+    data directory) instead of silently losing the other writer's
+    merge. Crash-replay stays legal: a FRESH instance attaches at the
+    current pointer and may commit."""
+    import pytest
+
+    from deep_db_learning_spark.streaming import (
+        ConcurrentWriteError,
+        SnapshotStore,
+    )
+
+    path = str(tmp_path / "s")
+    a = SnapshotStore(path)
+    a.commit(spark.range(1).selectExpr("id AS x"))          # a -> v1
+    b = SnapshotStore(path)  # second live writer on the same path
+    b.commit(spark.range(2).selectExpr("id AS x"))          # b -> v2
+    # a's view is stale: its next commit must refuse, and must NOT
+    # have advanced the store
+    with pytest.raises(ConcurrentWriteError):
+        a.commit(spark.range(3).selectExpr("id AS x"))
+    assert a.latest_version() == 2
+    assert a.read(spark).count() == 2  # b's snapshot intact
+    # ...and symmetrically: b committing again is fine, then a again
+    # still refuses (the fence does not self-heal — the operator must
+    # restart the writer deliberately)
+    b.commit(spark.range(4).selectExpr("id AS x"))          # b -> v3
+    with pytest.raises(ConcurrentWriteError):
+        a.commit(spark.range(5).selectExpr("id AS x"))
+    # a restarted writer (fresh instance = deliberate takeover /
+    # crash replay) attaches at the pointer and commits
+    a2 = SnapshotStore(path)
+    assert a2.commit(spark.range(6).selectExpr("id AS x")) == 4
+    assert a2.read(spark).count() == 6
