@@ -20,9 +20,19 @@ from .doc_index import read_index_stats, stream_docs_into_index
 from .scd_stream import SCD2Store, scd2_store_apply, stream_changes_into_scd2
 from .stateful import stream_rolling_anomaly, stream_sessionize
 from .quality_stream import read_routed, stream_quality_route
+from .embedding_stream import (
+    cooc_delta,
+    merge_cooc,
+    refit_from_store,
+    stream_docs_into_cooc_store,
+)
 
 __all__ = [
     "read_routed",
+    "cooc_delta",
+    "merge_cooc",
+    "refit_from_store",
+    "stream_docs_into_cooc_store",
     "stream_quality_route",
     "SCD2Store",
     "scd2_store_apply",

@@ -182,3 +182,40 @@ def test_word_vectors_df_schema(spark, model):
     assert wv.columns == ["tok", "k", "w"]
     assert wv.count() == len(model.vocab) * model.dim
     assert "decimal(30,9)" in dict(wv.dtypes)["w"]
+
+
+def test_streamed_counts_refit_bit_equals_batch_fit(spark, docs, model, tmp_path):
+    """Streaming half (r13): four RANDOM-split micro-batches of the
+    corpus maintain the co-occurrence store incrementally; the refit
+    from the merged counts is BIT-EQUAL to the batch fit over the
+    whole corpus — counts are a function of the document multiset
+    alone, so batch boundaries cannot leak into the model."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.streaming.embedding_stream import (
+        refit_from_store,
+        stream_docs_into_cooc_store,
+    )
+
+    d = docs.select("doc_id", "text")
+    in_dir = str(tmp_path / "in")
+    # 4 deterministic pseudo-random batches (md5 of doc_id)
+    part = F.abs(F.hash(F.col("doc_id").cast("string"))) % 4
+    for i in range(4):
+        d.filter(part == i).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_docs_into_cooc_store(
+        stream, str(tmp_path / "cooc"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    streamed = refit_from_store(spark, str(tmp_path / "cooc"))
+    assert streamed.vocab == model.vocab
+    assert streamed.losses == model.losses
+    assert streamed.U == model.U and streamed.C == model.C
+    assert streamed.n_pairs == model.n_pairs
