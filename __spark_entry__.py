@@ -2839,7 +2839,21 @@ def q_embedding_topk(spark, sf_dir):
     sq8 = similarity.sq8_topk(enc, scales, queries, k=5)
     docs = db.df("documents")
     wem = fit_word_embedding(docs, "text")
-    demb = embed_documents(docs, wem).withColumnRenamed("doc_id", "vec_id")
+    from deep_db_learning_spark.checkpoint import cut_lineage
+
+    # materialize ONCE (r13 review): the corpus cross-join side and
+    # the broadcast query side both consume this frame — uncut, the
+    # explode+join+fold chain would run twice per action. Zero
+    # vectors (all-OOV docs, or exact decimal cancellation) are
+    # excluded SYMMETRICALLY with the oracle: Spark's 0/0 cosine is
+    # NULL while DuckDB's list_cosine_similarity returns -1.0, so a
+    # zero vector on either side of the ranking would diverge.
+    demb = cut_lineage(
+        embed_documents(docs, wem)
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(F.exists("embedding", lambda x: x != F.lit(0.0))),
+        eager=True,
+    )
     dq = demb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -4718,11 +4732,10 @@ def _embedding_topk_oracle() -> str:
         con, f"read_parquet('{sf}/documents.parquet')", "text"
     )
     wv_lit = ", ".join(
-        f"('{t}', {k}, {wem.U[t][k]})"
+        "('{}', {}, {})".format(t.replace("'", "''"), k, wem.U[t][k])
         for t in wem.vocab
         for k in range(wem.dim)
     )
-    zero_lit = "[" + ", ".join("0.0" for _ in range(wem.dim)) + "]"
     d = con.execute(
         f"SELECT len(embedding) FROM read_parquet('{sf}/embeddings.parquet') LIMIT 1"
     ).fetchone()[0]
@@ -4794,8 +4807,11 @@ def _embedding_topk_oracle() -> str:
           ), demb AS (
             SELECT doc_id, list(s ORDER BY k) AS v FROM comp GROUP BY doc_id
           ), dall AS (
-            SELECT d.doc_id, COALESCE(e.v, {zero_lit}) AS v
-            FROM documents d LEFT JOIN demb e USING (doc_id)
+            -- zero vectors excluded symmetrically with the engine
+            -- (Spark NULL vs DuckDB -1.0 cosine divergence otherwise);
+            -- all-OOV docs never reach demb (inner token join)
+            SELECT doc_id, v FROM demb
+            WHERE len(list_filter(v, x -> x <> 0)) > 0
           ), dq AS (
             SELECT doc_id AS query_id, v AS qv FROM dall WHERE doc_id < 5
           ), simsT AS (

@@ -67,7 +67,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exact_agg import DECIMAL_TYPE, exact_sum
+from ..functions.exact_agg import DECIMAL_TYPE
 from ..plans.train_oracle import _dec9
 
 # lr/epochs picked by measured trajectory (r13): with degree-mean
@@ -78,6 +78,19 @@ WE_CONFIG = {"dim": 8, "vocab_size": 64, "epochs": 8, "lr": 0.15}
 # loud cap on collected driver state (vocab + pair matrix); vocab_size
 # above it is a config error, not a silent truncation
 MAX_VOCAB = 256
+
+
+def check_vocab_size(vocab_size: int) -> int:
+    """The MAX_VOCAB gate, shared by EVERY entry point that collects
+    the pair matrix (batch fit, DuckDB twin, streaming refit) — the
+    cap guards the collect, so it must sit with the collect callers,
+    not just one of them (r13 review finding)."""
+    if vocab_size > MAX_VOCAB:
+        raise ValueError(
+            f"vocab_size={vocab_size} > MAX_VOCAB={MAX_VOCAB}: the pair "
+            "matrix is V² driver rows — raise MAX_VOCAB consciously"
+        )
+    return vocab_size
 
 
 @dataclass
@@ -171,13 +184,25 @@ def _descend(
     )
 
 
+def _norm_col(text_col: str):
+    """Space-normalized lowercased text with NO leading/trailing
+    whitespace. The outer ``trim`` runs AFTER ``\\s+ → ' '``: Spark's
+    ``trim`` strips only spaces, so a leading tab/newline would
+    otherwise survive as a leading space and break the two-pass
+    bigram trick below (pass 2's ``^\\S+ `` anchor would not fire and
+    the first pair would double-count while alternating pairs drop —
+    r13 review finding, verified divergent from the DuckDB twin)."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+
+
 def _tokens_col(text_col: str):
-    """Lowercased whitespace tokens as an array column — the
-    ``dsir._grams`` spelling (one regexp_extract_all over
-    space-normalized text; DuckDB twin:
-    ``regexp_split_to_array(lower(trim(text)), '\\s+')``)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return F.regexp_extract_all(norm, F.lit(r"\S+"), 0)
+    """Lowercased whitespace tokens as an array column (one
+    regexp_extract_all over the normalized text; DuckDB twin:
+    ``regexp_split_to_array(lower(trim(text)), '\\s+')`` with ``''``
+    filtered — token lists identical)."""
+    return F.regexp_extract_all(_norm_col(text_col), F.lit(r"\S+"), 0)
 
 
 def _pairs_df(docs: DataFrame, text_col: str) -> DataFrame:
@@ -185,8 +210,10 @@ def _pairs_df(docs: DataFrame, text_col: str) -> DataFrame:
     consecutive token pair, via the two-pass non-overlapping bigram
     trick (``dsir._grams``): pass 2 drops the leading token, so
     between the passes every consecutive pair appears exactly once,
-    with NO higher-order per-element lambdas."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    with NO higher-order per-element lambdas. Input normalization
+    (:func:`_norm_col`) guarantees no leading whitespace, which the
+    trick's ``^\\S+ `` anchor requires."""
+    norm = _norm_col(text_col)
     b1 = F.regexp_extract_all(norm, F.lit(r"\S+ \S+"), 0)
     b2 = F.regexp_extract_all(
         F.regexp_replace(norm, r"^\S+ ", ""), F.lit(r"\S+ \S+"), 0
@@ -211,11 +238,7 @@ def fit_word_embedding(
     exact-integer co-occurrence counts (distributed) → bounded
     collects (top-V vocab + ≤V² pairs, loud cap) →
     :func:`_descend`."""
-    if vocab_size > MAX_VOCAB:
-        raise ValueError(
-            f"vocab_size={vocab_size} > MAX_VOCAB={MAX_VOCAB}: the pair "
-            "matrix is V² driver rows — raise MAX_VOCAB consciously"
-        )
+    check_vocab_size(vocab_size)
     toks = docs.select(F.explode(_tokens_col(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )
@@ -254,6 +277,7 @@ def fit_word_embedding_twin(
     :func:`_descend` — bit-equal model by construction once the
     counts match (the cross-engine content of the pin IS the
     counts)."""
+    check_vocab_size(vocab_size)
     toks_sql = (
         f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
     )

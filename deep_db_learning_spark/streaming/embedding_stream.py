@@ -119,6 +119,9 @@ def counts_from_store(
     """(vocab, pair_counts) from the merged snapshot — the same
     bounded collects the batch fit performs (top-V vocab by
     ``(count DESC, token ASC)``; ≤V² pair rows)."""
+    from ..operators.word_embedding import check_vocab_size
+
+    check_vocab_size(vocab_size)
     snap = store.read(spark)
     if snap is None:
         raise ValueError(f"co-occurrence store {store.path} is empty")

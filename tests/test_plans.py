@@ -221,13 +221,14 @@ PLAN_PINS = {
     "customer_features": (8, 9),
     # r6: exact + sq8 modes — two window top-k pipelines (the sq8 scan
     # stays UDF-free codegen; its scales come from one tiny agg job).
-    # r13: the trained mode adds the relational learned-encoder chain
-    # (token explode + broadcast vector join + two exact-decimal
-    # groupBys + the zero-fill doc join + its own top-k window: 7 real
-    # shuffles; the V·dim vector table and the query side broadcast,
-    # but the sf0.001 plan reads stats-free locals so only the
-    # pre-existing joins show as static broadcasts)
-    "embedding_topk": (18, 4),
+    # r13: the trained mode's learned-encoder chain (token explode +
+    # vector join + exact-decimal folds) runs EAGERLY behind a
+    # cut_lineage (it is consumed by both the corpus and the query
+    # sides), so the STATIC plan is just the three top-k windows over
+    # scans — 3 real shuffles; the checkpoint scans are stats-free so
+    # the static joins plan SMJ and AQE broadcasts at runtime (the
+    # minhash_dedup pattern — broadcast floor 0)
+    "embedding_topk": (6, 0),
     "message_2hop": (4, 6),
     "attention_aggregate": (2, 4),
     "data_mixing": (6, 2),

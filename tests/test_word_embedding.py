@@ -160,7 +160,12 @@ def test_geometry_reflects_cooccurrence(model):
     ).fetchall()
     con.close()
     seen = {(a, b) for a, b, _ in pairs}
-    top_a, top_b, top_n = pairs[0]
+    voc = set(model.vocab)
+    # most frequent IN-VOCAB pair (the global top pair could straddle
+    # the top-V cut when >V tokens share high counts)
+    top_a, top_b, top_n = next(
+        (a, b, n) for a, b, n in pairs if a in voc and b in voc
+    )
 
     def score(a, b):
         return float(sum(x * y for x, y in zip(model.U[a], model.C[b])))
@@ -219,3 +224,28 @@ def test_streamed_counts_refit_bit_equals_batch_fit(spark, docs, model, tmp_path
     assert streamed.losses == model.losses
     assert streamed.U == model.U and streamed.C == model.C
     assert streamed.n_pairs == model.n_pairs
+
+
+def test_leading_whitespace_pairs_match_twin(spark):
+    """r13 review regression: text beginning with a TAB/newline used
+    to double-count the first pair and drop alternating ones (Spark
+    trim strips only spaces, so the two-pass bigram anchor missed) —
+    the engine fit must stay bit-equal to the DuckDB twin on such
+    corpora."""
+    import duckdb
+
+    rows = [(0, "\ta b c"), (1, "\n\n b c a b"), (2, "  a c  b  ")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = fit_word_embedding(docs, "text", dim=4, vocab_size=8, epochs=2)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows).replace("\t", "' || chr(9) || '").replace("\n", "' || chr(10) || '")
+        + ") AS t(doc_id, text)"
+    )
+    t = fit_word_embedding_twin(con, "d", "text", dim=4, vocab_size=8, epochs=2)
+    con.close()
+    assert t.vocab == m.vocab
+    assert t.losses == m.losses and t.U == m.U
+    # ground truth pair multiset: (a,b),(b,c) / (b,c),(c,a),(a,b) / (a,c),(c,b)
+    assert m.n_pairs == len({("a","b"),("b","c"),("c","a"),("a","c"),("c","b")})
