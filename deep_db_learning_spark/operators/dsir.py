@@ -112,7 +112,20 @@ def _grams(text_col: str) -> Column:
     text (pass 2 drops the leading token, so between them every
     consecutive pair appears exactly once). Gram MULTISET identical to
     the transform-lambda formulation — bucket counts don't see
-    order."""
+    order.
+
+    Known edge (r13): text beginning with a non-space whitespace char
+    (tab/newline) keeps a LEADING SPACE after normalization (``trim``
+    strips spaces only, and it runs before the collapse), so pass 2's
+    ``^\\S+ `` anchor misses and the bigram multiset double-counts the
+    first pair instead of sliding. HARMLESS for cross-engine parity:
+    :func:`doc_ngram_buckets_sql` is the identical expression tree, so
+    both engines bucket the same multiset; importance weights see a
+    marginally different gram distribution on such documents. The
+    fixed spelling (trim AFTER collapse) lives in
+    ``operators/word_embedding._norm_col`` — adopting it here would
+    change the oracle-pinned bucket counts, so it waits for a
+    deliberate rotation."""
     norm = F.regexp_replace(
         F.lower(F.trim(F.col(text_col))), r"\s+", " "
     )
