@@ -225,3 +225,20 @@ def test_curate_pretraining_data_pipeline(spark):
     # r11: the calibration read reports a finite ECE in [0,1] (on this
     # label-signal-free corpus it is large — honestly so)
     assert s["qf_ece"] is not None and 0.0 <= s["qf_ece"] <= 1.0
+
+
+def test_semantic_index_pipeline(spark):
+    """r13 example: corpus -> trained word vectors -> learned document
+    embeddings -> recall-audited IVF retrieval -> streaming refit
+    parity — the whole learned-embedding family wired end-to-end."""
+    import semantic_index as si
+
+    s = si.run(spark, "/root/testdata/sf0.001")
+    assert s["vocab"] > 0 and s["pairs"] > 0
+    # the descent really learned (50x pin, same as the unit test)
+    assert s["loss_first"] > 50 * s["loss_last"]
+    assert s["n_embedded"] > 0
+    # 3-probe IVF over 8 lists must recover most of the exact top-5
+    assert 0.2 <= s["mean_recall_at_5"] <= 1.0
+    # the streaming refit is bit-equal to the batch fit
+    assert s["streamed_refit_bit_equal"] is True
