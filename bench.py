@@ -1,12 +1,21 @@
 """Benchmark suite — BASELINE.md B1-B5 plus headline operator queries.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines (r14 emission protocol — VERDICT r13 task 1):
+  1. a provenance line {"provenance": ..., "runs", "load", "spread",
+     "waited_sec"} — per-entry [min, median, max] triples and host load,
+     for adjudicating medians against contention;
+  2. LAST, on its own line, the compact driver-parsed line
+     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+      "sf": ..., "contended": bool}.
+The r13 artifact came out `parsed: null` because the spread dict pushed
+the then-single line past the driver's tail-capture window, truncating
+it mid-object; the compact line is now guaranteed last and small.
 
 Env:
     SPARK_GRAFT_SF_DIR      data dir  (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS        local[N]  (default 32)
     SPARK_GRAFT_BENCH_RUNS  runs per entry, median reported (default 3)
+    SPARK_GRAFT_BENCH_NOWAIT  set to skip the load-guard wait (still flags)
 
 Each entry is timed SPARK_GRAFT_BENCH_RUNS times and the MEDIAN is
 reported (r8 protocol hardening: a single contended run used to carry
@@ -62,8 +71,23 @@ def main() -> None:
     # under ambient load 3-6 and burned a judge round on adjudication —
     # record the host 1/5/15-min load averages at suite start/end and
     # each entry's [min, median, max] so a contended run is visible IN
-    # the artifact, not reconstructed after the fact
+    # the artifact, not reconstructed after the fact.
+    #
+    # load guard (VERDICT r13 task 2): two rounds running, the driver
+    # bench started at 1-min load 5-8 and every "regression" dissolved
+    # under the judge's quiet re-measure. If the host is hot at suite
+    # start, wait (bounded, 30 s steps, <=5 min) for the 1-min average
+    # to drop below 2; if it never does, proceed but stamp
+    # "contended": true into the compact line so the artifact
+    # self-identifies. Quiet protocol (BASELINE.md): ALL THREE load
+    # averages < ~2, so the flag checks the full triple.
+    waited = 0.0
+    if not os.environ.get("SPARK_GRAFT_BENCH_NOWAIT"):
+        while os.getloadavg()[0] > 2.0 and waited < 300.0:
+            time.sleep(30.0)
+            waited += 30.0
     load_start = [round(x, 2) for x in os.getloadavg()]
+    contended = any(x > 2.0 for x in load_start)
 
     def timed(name: str, fn, setup=None) -> None:
         vals = []
@@ -236,6 +260,25 @@ def main() -> None:
         timed(name, lambda f=fn: f(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+    # provenance line FIRST (its own line; the driver tail-parses the
+    # LAST line, which must stay compact — r13's parsed:null lesson)
+    print(
+        json.dumps(
+            {
+                "provenance": "bench_run",
+                "runs": runs,
+                "waited_sec": waited,
+                "load": {
+                    "start": load_start,
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                },
+                "spread": spread,
+            }
+        ),
+        flush=True,
+    )
+    # tight separators: the driver's tail-capture window is 2000 bytes
+    # and this line must survive it whole
     print(
         json.dumps(
             {
@@ -244,17 +287,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # provenance: medians above are adjudicable against
-                # the per-entry [min, median, max] and the host load —
-                # read protocol in BASELINE.md (r13)
-                "runs": runs,
-                "load": {
-                    "start": load_start,
-                    "end": [round(x, 2) for x in os.getloadavg()],
-                },
-                "spread": spread,
-            }
-        )
+                "contended": contended,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     spark.stop()
 
