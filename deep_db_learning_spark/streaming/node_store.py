@@ -47,15 +47,26 @@ class SnapshotStore:
     :class:`ConcurrentWriteError` (before touching the data directory)
     when the pointer moved underneath it, so two interleaved live
     writers fail loudly on their next commit instead of silently
-    losing each other's merges. What this cannot catch is two FRESH
-    writers whose very first commits race the same version — closing
-    that window needs a storage-level conditional put / lock service
-    (Delta's commit protocol); on a real deployment put the writer in
-    one place (the single ``foreachBatch`` of one streaming query, the
-    shape every helper in this package uses). Crash-replay stays legal:
-    a restarted writer is a fresh instance, attaches at the current
-    pointer, and the ``last_batch_id`` cursor makes the replay
-    idempotent (the r12 torn-commit chaos test)."""
+    losing each other's merges.
+
+    **First-commit fence (r14, VERDICT r13 task 6).** The pointer fence
+    alone could not catch two FRESH writers racing the same version
+    (both read the same pointer, both write, last flip wins silently).
+    Commits now pass through a storage-level conditional put: before
+    writing snapshot ``v{n}`` the writer must CREATE the claim file
+    ``_claim_v{n}`` with ``O_CREAT|O_EXCL`` — the local-FS primitive
+    for compare-and-swap-from-absent (Delta's commit protocol uses the
+    same idea on the commit log object). Exactly one racer wins the
+    claim; the loser gets :class:`ConcurrentWriteError` before touching
+    the data directory. Crash-replay stays legal: a claim whose writer
+    died before flipping the pointer is detected (the claim records the
+    claimant pid; a dead pid with an unmoved pointer = torn commit) and
+    stolen atomically, so a restarted writer replays the batch as
+    before, and the ``last_batch_id`` cursor makes the replay
+    idempotent (the r12 torn-commit chaos test). The pid-liveness probe
+    scopes this fence to a single host — exactly the scope of a local
+    filesystem; a shared-FS deployment swaps this class for
+    Delta/Iceberg whose commit service does the same check globally."""
 
     def __init__(self, path: str) -> None:
         self.path = path
@@ -63,6 +74,12 @@ class SnapshotStore:
         # optimistic single-writer fence: None = not yet attached
         # (first commit attaches at whatever the pointer says)
         self._fence: int | None = None
+        # claim identity: pid for cross-process liveness, plus a
+        # per-instance token so two writer INSTANCES in one process
+        # (same pid) still fence each other
+        import uuid
+
+        self._writer_id = uuid.uuid4().hex
 
     @property
     def _pointer(self) -> str:
@@ -116,6 +133,79 @@ class SnapshotStore:
             v = version
         return spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
+    def _claim(self, v: int, cur: int | None) -> None:
+        """Conditional put of the ``_claim_v{v}`` token: succeed only if
+        no live writer holds it. Raises :class:`ConcurrentWriteError`
+        when another writer won the race for version ``v``.
+
+        Fast path: ``O_CREAT|O_EXCL`` — the local-FS conditional put;
+        exactly one racer creates the token. Contended path (token
+        already exists): serialize on an ``flock`` so two restarted
+        writers cannot both "steal" a dead claimant's torn commit —
+        under the lock, re-check the pointer and the claimant's
+        liveness, and only a provably-dead claim is taken over."""
+        claim = os.path.join(self.path, f"_claim_v{v}")
+        body = f"{os.getpid()}:{self._writer_id}"
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            import fcntl
+
+            with open(os.path.join(self.path, "_claim_lock"), "a") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    if self.latest_version() != cur:
+                        # the claimant finished: pointer moved under us
+                        raise ConcurrentWriteError(
+                            f"snapshot store {self.path}: version v{v} was "
+                            "committed by a concurrent writer while this "
+                            "writer prepared its own commit. The store is "
+                            "single-writer; route all commits through one "
+                            "foreachBatch/process."
+                        )
+                    try:
+                        with open(claim) as f:
+                            pid_s, _, wid = f.read().strip().partition(":")
+                            pid = int(pid_s or "-1")
+                    except (OSError, ValueError):
+                        pid, wid = -1, ""
+                    if wid == self._writer_id:
+                        return  # our own claim (retry of a failed write)
+                    alive = False
+                    if pid == os.getpid():
+                        # another writer INSTANCE in this live process
+                        alive = True
+                    elif pid > 0:
+                        try:
+                            os.kill(pid, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True  # exists, owned by someone else
+                    if alive:
+                        raise ConcurrentWriteError(
+                            f"snapshot store {self.path}: a live writer "
+                            f"(pid {pid}) holds the claim for v{v} — two "
+                            "writers are racing the same commit. The store "
+                            "is single-writer; route all commits through "
+                            "one foreachBatch/process (see SnapshotStore "
+                            "docstring)."
+                        )
+                    # torn commit: the claimant died before flipping the
+                    # pointer — take over the claim (safe: we hold the
+                    # steal lock, and any NEW fast-path claimant would
+                    # have failed O_EXCL on this existing file)
+                    tmp = claim + f".steal.{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        f.write(body)
+                    os.replace(tmp, claim)
+                    return
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+        with os.fdopen(fd, "w") as f:
+            f.write(body)
+
     def commit(self, df: DataFrame, batch_id: int | None = None) -> int:
         cur = self.latest_version()
         if self._fence is not None and cur != self._fence:
@@ -127,6 +217,12 @@ class SnapshotStore:
                 "one foreachBatch/process (see SnapshotStore docstring)."
             )
         v = (cur or 0) + 1
+        # conditional put BEFORE the data write: exactly one of two
+        # racing writers creates _claim_v{v}; the loser errors here
+        # without touching the data directory (claims persist until
+        # vacuum — deleting them on success would reopen the window
+        # for a stale-attached writer to re-commit the same version)
+        self._claim(v, cur)
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
@@ -171,7 +267,16 @@ def vacuum_snapshots(store: SnapshotStore, keep_last: int = 1) -> list[int]:
             doomed.append((int(m.group(1)), name))
     removed: list[int] = []
     for ver, name in sorted(doomed):
-        shutil.rmtree(os.path.join(store.path, name), ignore_errors=True)
+        full = os.path.join(store.path, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            # sidecar FILES too — e.g. the commit-claim tokens
+            # ``_claim_v{n}`` (rmtree silently no-ops on a file)
+            try:
+                os.remove(full)
+            except OSError:
+                pass
         if name == f"v{ver}":
             removed.append(ver)
     return removed

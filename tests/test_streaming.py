@@ -879,7 +879,8 @@ def test_vacuum_snapshots_retention(spark, db, tmp_path):
     removed = vacuum_snapshots(store, keep_last=2)
     assert removed == [1]
     assert sorted(os.listdir(store_dir)) == sorted(
-        ["_LATEST", "v2", "v3", "stats_v2", "stats_v3"]
+        ["_LATEST", "v2", "v3", "stats_v2", "stats_v3",
+         "_claim_v2", "_claim_v3"]
     )
     removed = vacuum_snapshots(store, keep_last=1)
     assert removed == [2]
@@ -932,7 +933,7 @@ def test_stream_maintainers_apply_retention_inline(spark, db, tmp_path):
     plain = str(tmp_path / "plain")
     run(plain, str(tmp_path / "ck2"))
 
-    assert sorted(os.listdir(kept)) == ["_LATEST", "stats_v2", "v2"]
+    assert sorted(os.listdir(kept)) == ["_LATEST", "_claim_v2", "stats_v2", "v2"]
     a = sorted(map(tuple, SnapshotStore(kept).read(spark).collect()))
     b = sorted(map(tuple, SnapshotStore(plain).read(spark).collect()))
     assert a == b
@@ -1174,3 +1175,83 @@ def test_snapshot_store_refuses_second_concurrent_writer(spark, tmp_path):
     a2 = SnapshotStore(path)
     assert a2.commit(spark.range(6).selectExpr("id AS x")) == 4
     assert a2.read(spark).count() == 6
+
+
+def test_snapshot_store_first_commit_race_one_loses(spark, tmp_path):
+    """First-commit fence (r14, VERDICT r13 task 6): two FRESH writers
+    racing their very first commit on an empty store — the O_EXCL
+    claim file is the conditional put, so exactly one wins and the
+    loser refuses loudly BEFORE touching the data directory."""
+    import os
+
+    import pytest
+
+    from deep_db_learning_spark.streaming import (
+        ConcurrentWriteError,
+        SnapshotStore,
+    )
+
+    path = str(tmp_path / "race")
+    a = SnapshotStore(path)
+    b = SnapshotStore(path)
+    # a is mid-first-commit: it has claimed v1 but not yet flipped the
+    # pointer (the widest window of the old race)
+    a._claim(1, None)
+    # b, which also observed an empty store, must lose loudly — and
+    # must not have created any data directory
+    with pytest.raises(ConcurrentWriteError):
+        b.commit(spark.range(2).selectExpr("id AS x"))
+    assert b.latest_version() is None
+    assert not os.path.isdir(os.path.join(path, "v1"))
+    # a finishes its commit: re-entering its OWN claim is legal
+    assert a.commit(spark.range(1).selectExpr("id AS x")) == 1
+    assert a.read(spark).count() == 1
+    # b attaching FRESH after the loss (restart) commits v2 normally
+    b2 = SnapshotStore(path)
+    assert b2.commit(spark.range(2).selectExpr("id AS x")) == 2
+
+
+def test_snapshot_store_steals_dead_writers_torn_claim(spark, tmp_path):
+    """A claim left by a writer that died before flipping the pointer
+    (torn first commit) must NOT brick the store: a restarted writer
+    detects the dead pid and takes the claim over, keeping crash
+    replay legal."""
+    import os
+
+    from deep_db_learning_spark.streaming import SnapshotStore
+
+    path = str(tmp_path / "torn")
+    os.makedirs(path, exist_ok=True)
+    # a torn claim from a writer whose pid no longer exists: run a
+    # real short-lived process and use its (reaped, dead) pid
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped: the pid is guaranteed dead
+    dead_pid = p.pid
+    with open(os.path.join(path, "_claim_v1"), "w") as f:
+        f.write(f"{dead_pid}:deadbeef")
+    w = SnapshotStore(path)
+    assert w.commit(spark.range(3).selectExpr("id AS x")) == 1
+    assert w.read(spark).count() == 3
+    # the stolen claim now carries the live writer's identity
+    with open(os.path.join(path, "_claim_v1")) as f:
+        assert f.read().split(":", 1)[0] == str(os.getpid())
+
+
+def test_vacuum_removes_claim_files(spark, tmp_path):
+    """Retention removes superseded claim tokens (files, not dirs)
+    along with their snapshots."""
+    import os
+
+    from deep_db_learning_spark.streaming import SnapshotStore
+    from deep_db_learning_spark.streaming.node_store import vacuum_snapshots
+
+    store = SnapshotStore(str(tmp_path / "vac"))
+    for i in range(1, 4):
+        store.commit(spark.range(i).selectExpr("id AS x"))
+    assert vacuum_snapshots(store, keep_last=1) == [1, 2]
+    left = sorted(os.listdir(store.path))
+    assert "v3" in left and "_claim_v3" in left
+    assert "v1" not in left and "v2" not in left
+    assert "_claim_v1" not in left and "_claim_v2" not in left
