@@ -114,21 +114,16 @@ def _grams(text_col: str) -> Column:
     the transform-lambda formulation — bucket counts don't see
     order.
 
-    Known edge (r13): text beginning with a non-space whitespace char
-    (tab/newline) keeps a LEADING SPACE after normalization (``trim``
-    strips spaces only, and it runs before the collapse), so pass 2's
-    ``^\\S+ `` anchor misses and the bigram multiset double-counts the
-    first pair instead of sliding. HARMLESS for cross-engine parity:
-    :func:`doc_ngram_buckets_sql` is the identical expression tree, so
-    both engines bucket the same multiset; importance weights see a
-    marginally different gram distribution on such documents. The
-    fixed spelling (trim AFTER collapse) lives in
-    ``operators/word_embedding._norm_col`` — adopting it here would
-    change the oracle-pinned bucket counts, so it waits for a
-    deliberate rotation."""
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), r"\s+", " "
-    )
+    Normalization is ``word_embedding._norm_col`` — the ONE spelling in
+    the tree (r14 rotation, VERDICT r13 task 4): ``trim`` runs AFTER
+    the ``\\s+ → ' '`` collapse, so a document starting with a
+    tab/newline cannot keep a leading space that would defeat pass 2's
+    ``^\\S+ `` anchor (the r13 edge where the first pair double-counted
+    instead of sliding). :func:`doc_ngram_buckets_sql` rotated in the
+    same commit — cross-engine parity holds on the FIXED multiset."""
+    from .word_embedding import _norm_col
+
+    norm = _norm_col(text_col)
     uni = F.regexp_extract_all(norm, F.lit(r"\S+"), 0)
     b1 = F.regexp_extract_all(norm, F.lit(r"\S+ \S+"), 0)
     b2 = F.regexp_extract_all(
@@ -172,7 +167,9 @@ def doc_ngram_buckets_sql(
     """DuckDB twin of :func:`doc_ngram_buckets` — the identical
     normalized-text regex passes (unigrams + the two offset bigram
     sweeps), identical md5-prefix bucket; gram multiset equal by the
-    same argument as the engine's."""
+    same argument as the engine's. Normalization trims AFTER the
+    whitespace collapse (the r14 rotation — matches
+    ``word_embedding._norm_col`` exactly)."""
     return f"""
         SELECT {id_col},
                ({md5_prefix_hash_sql('gram')}) % {n_buckets} AS bucket
@@ -185,7 +182,7 @@ def doc_ngram_buckets_sql(
                      regexp_replace(norm, '^\\S+ ', ''), '\\S+ \\S+')
                  ) AS grams
           FROM (SELECT {id_col},
-                       regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')
+                       trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))
                          AS norm
                 FROM {table} WHERE {text_col} IS NOT NULL)
         ), unnest(grams) AS g(gram)

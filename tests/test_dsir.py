@@ -44,6 +44,45 @@ def test_featurizer_matches_duckdb_twin(db, duck):
     assert all(0 <= b < B for _i, b in got)
 
 
+def test_gram_kernel_slides_on_leading_whitespace(spark, duck):
+    """r14 rotation pin (VERDICT r13 task 4): a document starting with
+    a tab/newline used to keep a leading space through normalization
+    (trim-before-collapse), defeating the second bigram pass's anchor —
+    the first pair double-counted and alternating pairs dropped. With
+    word_embedding._norm_col adopted in _grams AND the SQL twin, the
+    bigram multiset SLIDES: every consecutive pair exactly once,
+    identical across engines and to the space-leading spelling."""
+    rows = [
+        (1, "\ta b c d"),   # the r13 edge: tab-leading
+        (2, " a b c d"),    # space-leading (always worked)
+        (3, "a b c d"),     # clean
+        (4, "\n\na  b\tc d\n"),  # mixed internal whitespace
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(map(tuple, doc_ngram_buckets(sdf, n_buckets=B).collect()))
+    import pandas as pd
+
+    duck.register("lead_ws", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                doc_ngram_buckets_sql("lead_ws", n_buckets=B)
+            ).fetchall(),
+        )
+    )
+    duck.unregister("lead_ws")
+    assert got == want
+    # all four docs normalize to 'a b c d': 4 unigrams + 3 sliding
+    # bigrams = 7 occurrence rows each, and the per-doc bucket
+    # multisets are IDENTICAL (the double-count would break this)
+    per_doc = {}
+    for i, b in got:
+        per_doc.setdefault(i, []).append(b)
+    assert all(len(v) == 7 for v in per_doc.values())
+    assert len({tuple(sorted(v)) for v in per_doc.values()}) == 1
+
+
 def test_scores_match_duckdb_twin_bitwise(db, duck, lam):
     got = sorted(map(tuple, dsir_scores(db.df("documents"), lam).collect()))
     want = sorted(
