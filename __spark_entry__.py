@@ -2821,7 +2821,17 @@ def q_embedding_topk(spark, sf_dir):
     ``fit_word_embedding_twin`` from DuckDB-computed counts
     (bit-equal model, pinned in tests/test_word_embedding.py),
     re-pools with an order-independent DECIMAL SUM, and replays the
-    cosine ranking."""
+    cosine ranking.
+
+    r14 rotates the trained fit to ``window=2`` with GloVe's 1/d
+    distance weighting (VERDICT r13 task 3: the reference's GloVe
+    tables are window-10 with the same weighting —
+    ``/root/reference/db_transformer/data/ctu_dataset.py:43-52``):
+    distance-1 AND distance-2 co-occurrence counts feed
+    ``log1p(n₁ + n₂/2)`` targets through the shared float fold, so
+    the weighting semantics sit under the driver-oracle hash. The
+    frame-resident descent (``fit_word_embedding_frames``, lifts
+    MAX_VOCAB to 200k) is bit-equal to this fit by pytest pin."""
     from deep_db_learning_spark.operators.word_embedding import (
         embed_documents,
         fit_word_embedding,
@@ -2838,7 +2848,7 @@ def q_embedding_topk(spark, sf_dir):
     enc = similarity.sq8_encode(emb, scales)
     sq8 = similarity.sq8_topk(enc, scales, queries, k=5)
     docs = db.df("documents")
-    wem = fit_word_embedding(docs, "text")
+    wem = fit_word_embedding(docs, "text", window=2)
     from deep_db_learning_spark.checkpoint import cut_lineage
 
     # materialize ONCE (r13 review): the corpus cross-join side and
@@ -4729,7 +4739,7 @@ def _embedding_topk_oracle() -> str:
     )
 
     wem = fit_word_embedding_twin(
-        con, f"read_parquet('{sf}/documents.parquet')", "text"
+        con, f"read_parquet('{sf}/documents.parquet')", "text", window=2
     )
     wv_lit = ", ".join(
         "('{}', {}, {})".format(t.replace("'", "''"), k, wem.U[t][k])

@@ -76,8 +76,19 @@ from ..plans.train_oracle import _dec9
 WE_CONFIG = {"dim": 8, "vocab_size": 64, "epochs": 8, "lr": 0.15}
 
 # loud cap on collected driver state (vocab + pair matrix); vocab_size
-# above it is a config error, not a silent truncation
+# above it is a config error, not a silent truncation. Applies to the
+# DRIVER-resident descent only — fit_word_embedding_frames keeps the
+# pair matrix and the per-epoch gradient folds distributed and is
+# gated by FRAME_MAX_VOCAB instead (r14, VERDICT r13 task 3).
 MAX_VOCAB = 256
+
+# frame-resident fit cap: bounds the FINAL model collect (V·dim dec9
+# values — the broadcast side of every scoring path) and the vocab
+# list, NOT the descent state (which stays distributed). 200k tokens
+# × dim 8 ≈ 1.6M decimals ≈ tens of MB — the practical broadcast
+# ceiling; real corpora want 1e4–1e5 (the reference's GloVe tables
+# are 400k×300 but live in files, not broadcasts).
+FRAME_MAX_VOCAB = 200_000
 
 
 def check_vocab_size(vocab_size: int) -> int:
@@ -123,6 +134,21 @@ def _init_vec(kind: str, token: str, dim: int) -> list:
     return out
 
 
+def _pair_target(dn) -> float:
+    """Shared target arithmetic for one (a, b) pair:
+    ``y = log1p(Σ_d n_d / d)`` — GloVe's 1/distance co-occurrence
+    weighting (Pennington et al. 2014 §4: a pair ``d`` tokens apart
+    contributes ``1/d`` to ``X_ab``) folded in FIXED order (``d``
+    ascending, plain float adds) so every path — driver fit, DuckDB
+    twin, frame-resident fit — produces the identical float from the
+    identical integer counts. ``dn`` is an iterable of ``(d, n)``;
+    window-1 reduces to ``log1p(n)`` exactly (``n/1 == float(n)``)."""
+    acc = 0.0
+    for d, n in sorted(dn):
+        acc += n / d
+    return math.log1p(acc)
+
+
 def _descend(
     vocab: list,
     pair_counts: dict,
@@ -130,12 +156,28 @@ def _descend(
     epochs: int,
     lr: float,
 ) -> WEModel:
+    """Window-1 driver descent: targets ``log1p(n)`` per adjacent
+    pair (via the shared :func:`_pair_target`), then
+    :func:`_descend_targets` — the loop all paths share."""
+    targets = {
+        ab: _pair_target([(1, n)]) for ab, n in pair_counts.items()
+    }
+    return _descend_targets(vocab, targets, dim, epochs, lr)
+
+
+def _descend_targets(
+    vocab: list,
+    targets: dict,
+    dim: int,
+    epochs: int,
+    lr: float,
+) -> WEModel:
     """Full-batch GD on the co-occurrence factorization, shared
     VERBATIM by the engine fit and every twin (the ``_lr_update``
-    rule): given identical integer counts, the fit is bit-identical.
+    rule): given identical targets, the fit is bit-identical.
 
     Per epoch, per observed pair (a, b): forward ``z = Σ u_ak·c_bk``
-    exact Decimal; residual ``r = _dec9(float(z) − log1p(n_ab))``
+    exact Decimal; residual ``r = _dec9(float(z) − y)``
     (ONE float crossing, shortest-repr re-quantized); gradient folds
     ``g_u[a][k] += r·c_bk``, ``g_c[b][k] += r·u_ak`` exact Decimal;
     loss ``Σ r²`` exact Decimal. Updates
@@ -148,8 +190,6 @@ def _descend(
     decimals again."""
     U = {t: _init_vec("u", t, dim) for t in vocab}
     C = {t: _init_vec("c", t, dim) for t in vocab}
-    # targets: one shared math.log1p per pair, computed once
-    targets = {ab: math.log1p(n) for ab, n in pair_counts.items()}
     deg_u = {t: 0 for t in vocab}
     deg_c = {t: 0 for t in vocab}
     for a, b in targets:
@@ -180,7 +220,7 @@ def _descend(
                 ct[k] = _dec9(float(ct[k]) - lr * 2.0 * float(gct[k]) / dc)
     return WEModel(
         vocab=list(vocab), U=U, C=C, losses=losses,
-        n_pairs=len(pair_counts), dim=dim,
+        n_pairs=len(targets), dim=dim,
     )
 
 
@@ -225,6 +265,51 @@ def _pairs_df(docs: DataFrame, text_col: str) -> DataFrame:
     return g.select(sp.getItem(0).alias("a"), sp.getItem(1).alias("b"))
 
 
+def _pairs_d_df(
+    docs: DataFrame, text_col: str, window: int, materialize: bool = True
+) -> DataFrame:
+    """Directed pair frame ``(a, b, d)`` for every token distance
+    ``d ∈ 1..window`` — one row per ordered occurrence of tokens
+    ``i`` and ``i+d``. Pure codegen collection ops (``arrays_zip`` of
+    the token array against its own ``d``-shifted suffix — NO
+    higher-order per-element lambdas, the ``stopword_ratio`` lesson;
+    no self-join — the zip never shuffles), one union branch per
+    distance. With ``materialize`` (default) the token projection is
+    lineage-cut first, so the corpus is tokenized ONCE and the
+    ``window`` branches re-read the materialized arrays; pass
+    ``False`` for window-1 one-shot uses. ``d=1`` produces the same
+    pair multiset as :func:`_pairs_df`'s regex trick (pinned in
+    tests/test_word_embedding.py)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = docs.select(_tokens_col(text_col).alias("__t"))
+    if materialize and window > 1:
+        from ..checkpoint import cut_lineage
+
+        base = cut_lineage(base, eager=True)
+    out = None
+    for d in range(1, window + 1):
+        branch = (
+            base.withColumn(
+                "__s",
+                F.slice(
+                    "__t",
+                    F.lit(d + 1),
+                    F.greatest(F.size("__t") - d, F.lit(0)),
+                ),
+            )
+            .select(F.explode(F.arrays_zip("__t", "__s")).alias("__p"))
+            .select(
+                F.col("__p.__t").alias("a"),
+                F.col("__p.__s").alias("b"),
+                F.lit(d).alias("d"),
+            )
+            .filter(F.col("b").isNotNull())
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
 def fit_word_embedding(
     docs: DataFrame,
     text_col: str = "text",
@@ -233,11 +318,15 @@ def fit_word_embedding(
     vocab_size: int = WE_CONFIG["vocab_size"],
     epochs: int = WE_CONFIG["epochs"],
     lr: float = WE_CONFIG["lr"],
+    window: int = 1,
 ) -> WEModel:
     """Fit word vectors from the corpus: ONE tokenization scan →
     exact-integer co-occurrence counts (distributed) → bounded
-    collects (top-V vocab + ≤V² pairs, loud cap) →
-    :func:`_descend`."""
+    collects (top-V vocab + ≤V² weighted-pair rows, loud cap) →
+    :func:`_descend_targets`. ``window`` widens co-occurrence to
+    token distances ``1..window`` with GloVe's 1/d weighting
+    (:func:`_pair_target`); the default 1 is the original
+    adjacent-pair fit, bit-identical to r13."""
     check_vocab_size(vocab_size)
     toks = docs.select(F.explode(_tokens_col(text_col)).alias("tok")).filter(
         F.col("tok") != ""
@@ -250,15 +339,28 @@ def fit_word_embedding(
         .collect()
     )
     vocab = sorted(r["tok"] for r in vocab_rows)
-    pairs = (
-        _pairs_df(docs, text_col)
+    if window == 1:
+        pairs = (
+            _pairs_df(docs, text_col)
+            .filter(F.col("a").isin(vocab) & F.col("b").isin(vocab))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        pair_counts = {(r["a"], r["b"]): r["n"] for r in pairs}
+        return _descend(vocab, pair_counts, dim, epochs, lr)
+    rows = (
+        _pairs_d_df(docs, text_col, window)
         .filter(F.col("a").isin(vocab) & F.col("b").isin(vocab))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "d")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    pair_counts = {(r["a"], r["b"]): r["n"] for r in pairs}
-    return _descend(vocab, pair_counts, dim, epochs, lr)
+    by_pair: dict = {}
+    for r in rows:
+        by_pair.setdefault((r["a"], r["b"]), []).append((r["d"], r["n"]))
+    targets = {ab: _pair_target(dn) for ab, dn in by_pair.items()}
+    return _descend_targets(vocab, targets, dim, epochs, lr)
 
 
 def fit_word_embedding_twin(
@@ -270,14 +372,18 @@ def fit_word_embedding_twin(
     vocab_size: int = WE_CONFIG["vocab_size"],
     epochs: int = WE_CONFIG["epochs"],
     lr: float = WE_CONFIG["lr"],
+    window: int = 1,
 ) -> WEModel:
     """DuckDB twin of :func:`fit_word_embedding`: the SAME counts
-    computed by DuckDB SQL (list_zip over the 1-indexed token array =
-    directed adjacent pairs), descended through the SAME
-    :func:`_descend` — bit-equal model by construction once the
-    counts match (the cross-engine content of the pin IS the
-    counts)."""
+    computed by DuckDB SQL (``list_zip(l, l[d+1:])`` over the
+    1-indexed token array = directed pairs at distance ``d``),
+    targets via the SAME :func:`_pair_target`, descended through the
+    SAME :func:`_descend_targets` — bit-equal model by construction
+    once the counts match (the cross-engine content of the pin IS
+    the counts)."""
     check_vocab_size(vocab_size)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     toks_sql = (
         f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
     )
@@ -294,19 +400,245 @@ def fit_word_embedding_twin(
         ).fetchall()
     )
     vlit = ", ".join("'" + t.replace("'", "''") + "'" for t in vocab)
-    pair_rows = con.execute(
+    branches = "\nUNION ALL\n".join(
         f"""
-        SELECT p[1] AS a, p[2] AS b, count(*) AS n
+        SELECT p[1] AS a, p[2] AS b, {d} AS d
         FROM (
-          SELECT unnest(list_zip(l, l[2:])) AS p
+          SELECT unnest(list_zip(l, l[{d + 1}:])) AS p
           FROM (SELECT {toks_sql} AS l FROM {docs_rel}))
         WHERE p[2] IS NOT NULL AND p[1] <> ''
-          AND p[1] IN ({vlit}) AND p[2] IN ({vlit})
-        GROUP BY 1, 2
+        """
+        for d in range(1, window + 1)
+    )
+    rows = con.execute(
+        f"""
+        SELECT a, b, d, count(*) AS n FROM ({branches})
+        WHERE a IN ({vlit}) AND b IN ({vlit})
+        GROUP BY 1, 2, 3
         """
     ).fetchall()
-    pair_counts = {(a, b): n for a, b, n in pair_rows}
-    return _descend(vocab, pair_counts, dim, epochs, lr)
+    by_pair: dict = {}
+    for a, b, d, n in rows:
+        by_pair.setdefault((a, b), []).append((d, n))
+    targets = {ab: _pair_target(dn) for ab, dn in by_pair.items()}
+    return _descend_targets(vocab, targets, dim, epochs, lr)
+
+
+def fit_word_embedding_frames(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    dim: int = WE_CONFIG["dim"],
+    vocab_size: int = WE_CONFIG["vocab_size"],
+    epochs: int = WE_CONFIG["epochs"],
+    lr: float = WE_CONFIG["lr"],
+    window: int = 1,
+) -> WEModel:
+    """Frame-resident descent (r14, VERDICT r13 task 3): the SAME
+    trajectory as :func:`fit_word_embedding` — bit-for-bit, pinned —
+    with the V²-bounded pair matrix and every per-epoch gradient fold
+    DISTRIBUTED, lifting the driver fit's ``MAX_VOCAB`` cap to
+    :data:`FRAME_MAX_VOCAB` (the final ``O(V·dim)`` model collect,
+    the only driver state).
+
+    Layout (the ``plans/stack.py`` frame-embedding recipe):
+
+    - ``pairs (a, b, y)`` — distinct in-vocab pairs with the
+      1/d-weighted log1p target (:func:`_pair_target` in a vectorized
+      Arrow kernel), materialized ONCE;
+    - ``U``/``C`` ``(tok, vec array<dec9>)`` — one row per token,
+      initialized by the shared pinned md5 draw;
+    - per epoch: ``pairs ⨝ broadcast(U) ⨝ broadcast(C)`` (no
+      shuffle), one Arrow kernel computes the residual ``r`` (exact
+      decimal dot → the single shared float crossing → dec9) and
+      ``r²``; the epoch loss is one exact ``SUM(decimal(38,18))``;
+      gradients fold per token via ``applyInPandas`` groups (exact
+      Decimal ``Σ r·vec`` — associative, order-independent, so the
+      distributed fold is bit-equal to the driver loop); the update
+      kernel applies the shared
+      ``u' = _dec9(float(u) − lr·2·float(g)/deg)`` expression.
+
+    Per-epoch cost is V²-bounded and corpus-independent; the corpus
+    itself is touched only by the count stage (one tokenization scan,
+    re-read from a lineage cut per distance branch). Shuffles per
+    epoch: exactly two (the two gradient groupBys over distinct-pair
+    rows)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..checkpoint import cut_lineage
+
+    if vocab_size > FRAME_MAX_VOCAB:
+        raise ValueError(
+            f"vocab_size={vocab_size} > FRAME_MAX_VOCAB={FRAME_MAX_VOCAB}: "
+            "the final model collect/broadcast is V·dim values — raise "
+            "FRAME_MAX_VOCAB consciously"
+        )
+    Q18 = Decimal(1).scaleb(-18)
+    G_TYPE = "decimal(38,18)"
+
+    toks = docs.select(
+        F.explode(_tokens_col(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab_df = cut_lineage(
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok"),
+        eager=True,
+    )
+
+    counts = (
+        _pairs_d_df(docs, text_col, window)
+        .join(F.broadcast(vocab_df.select(F.col("tok").alias("a"))), "a")
+        .join(F.broadcast(vocab_df.select(F.col("tok").alias("b"))), "b")
+        .groupBy("a", "b", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def y_fn(dn):
+        return pd.Series(
+            [
+                _pair_target((e["d"], e["n"]) for e in row)
+                for row in dn
+            ]
+        )
+
+    y_udf = pandas_udf(y_fn, "double")
+    pairs = cut_lineage(
+        counts.groupBy("a", "b")
+        .agg(F.collect_list(F.struct("d", "n")).alias("dn"))
+        .select("a", "b", y_udf(F.col("dn")).alias("y")),
+        eager=True,
+    )
+    deg_u_df = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    deg_c_df = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("deg"))
+
+    def make_init(kind):
+        def init_fn(tok):
+            return pd.Series([_init_vec(kind, t, dim) for t in tok])
+
+        return pandas_udf(init_fn, f"array<{DECIMAL_TYPE}>")
+
+    U = cut_lineage(
+        vocab_df.select("tok", make_init("u")(F.col("tok")).alias("vec")),
+        eager=True,
+    )
+    C = cut_lineage(
+        vocab_df.select("tok", make_init("c")(F.col("tok")).alias("vec")),
+        eager=True,
+    )
+
+    def r_fn(uvec, cvec, y):
+        rs, rrs = [], []
+        for u, c, yy in zip(uvec, cvec, y):
+            z = Decimal(0)
+            for k in range(dim):
+                z += u[k] * c[k]
+            r = _dec9(float(z) - yy)
+            rs.append(r)
+            rrs.append((r * r).quantize(Q18))
+        return pd.DataFrame({"r": rs, "rr": rrs})
+
+    r_udf = pandas_udf(r_fn, f"struct<r:{DECIMAL_TYPE},rr:{G_TYPE}>")
+
+    def make_fold(tok_col, vec_col):
+        def fold_fn(pdf):
+            g = [Decimal(0)] * dim
+            for r, vec in zip(pdf["r"], pdf[vec_col]):
+                for k in range(dim):
+                    g[k] += r * vec[k]
+            return pd.DataFrame(
+                {
+                    "tok": [pdf[tok_col].iat[0]],
+                    "g": [[x.quantize(Q18) for x in g]],
+                }
+            )
+
+        return fold_fn
+
+    def upd_fn(vec, g, deg):
+        out = []
+        for v, gv, dg in zip(vec, g, deg):
+            dgf = int(dg)
+            out.append(
+                [
+                    _dec9(float(v[k]) - lr * 2.0 * float(gv[k]) / dgf)
+                    for k in range(dim)
+                ]
+            )
+        return pd.Series(out)
+
+    upd_udf = pandas_udf(upd_fn, f"array<{DECIMAL_TYPE}>")
+    zero_g = F.array(
+        *[F.lit(Decimal(0)).cast(G_TYPE) for _ in range(dim)]
+    )
+
+    def apply_update(side, grads, deg_df):
+        return cut_lineage(
+            side.join(grads, "tok", "left")
+            .join(deg_df.withColumnRenamed(deg_df.columns[0], "tok"), "tok", "left")
+            .select(
+                "tok",
+                upd_udf(
+                    F.col("vec"),
+                    F.coalesce(F.col("g"), zero_g),
+                    F.greatest(F.coalesce(F.col("deg"), F.lit(1)), F.lit(1)),
+                ).alias("vec"),
+            ),
+            eager=True,
+        )
+
+    losses = []
+    for _ in range(epochs):
+        joined = (
+            pairs.join(
+                F.broadcast(
+                    U.select(F.col("tok").alias("a"), F.col("vec").alias("uvec"))
+                ),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    C.select(F.col("tok").alias("b"), F.col("vec").alias("cvec"))
+                ),
+                "b",
+            )
+        )
+        r_df = cut_lineage(
+            joined.withColumn(
+                "__r", r_udf(F.col("uvec"), F.col("cvec"), F.col("y"))
+            ).select(
+                "a", "b", "uvec", "cvec",
+                F.col("__r.r").alias("r"),
+                F.col("__r.rr").alias("rr"),
+            ),
+            eager=True,
+        )
+        loss = r_df.agg(F.sum("rr").alias("s")).collect()[0]["s"]
+        losses.append(Decimal(0) if loss is None else loss)
+        g_u = r_df.select("a", "r", "cvec").groupBy("a").applyInPandas(
+            make_fold("a", "cvec"), f"tok string, g array<{G_TYPE}>"
+        )
+        g_c = r_df.select("b", "r", "uvec").groupBy("b").applyInPandas(
+            make_fold("b", "uvec"), f"tok string, g array<{G_TYPE}>"
+        )
+        U = apply_update(U, g_u, deg_u_df)
+        C = apply_update(C, g_c, deg_c_df)
+
+    n_pairs = pairs.count()
+    u_rows = U.collect()
+    c_rows = C.collect()
+    vocab = sorted(r["tok"] for r in u_rows)
+    return WEModel(
+        vocab=vocab,
+        U={r["tok"]: list(r["vec"]) for r in u_rows},
+        C={r["tok"]: list(r["vec"]) for r in c_rows},
+        losses=losses,
+        n_pairs=n_pairs,
+        dim=dim,
+    )
 
 
 def trained_model_fn(model: WEModel):

@@ -16,6 +16,7 @@ from deep_db_learning_spark.operators.word_embedding import (
     WE_CONFIG,
     embed_documents,
     fit_word_embedding,
+    fit_word_embedding_frames,
     fit_word_embedding_twin,
     trained_model_fn,
     word_vectors_df,
@@ -249,3 +250,123 @@ def test_leading_whitespace_pairs_match_twin(spark):
     assert t.losses == m.losses and t.U == m.U
     # ground truth pair multiset: (a,b),(b,c) / (b,c),(c,a),(a,b) / (a,c),(c,b)
     assert m.n_pairs == len({("a","b"),("b","c"),("c","a"),("a","c"),("c","b")})
+
+
+# ---------------------------------------------------------------------------
+# r14: frame-resident descent + window-k / 1-over-d weighting
+# (VERDICT r13 task 3)
+# ---------------------------------------------------------------------------
+
+
+def test_pairs_d_df_distance1_equals_regex_pairs(spark):
+    """The zip-shift pair extractor at d=1 produces the SAME pair
+    multiset as the two-pass regex trick — including on tab/newline-
+    leading documents (the r13 edge)."""
+    from deep_db_learning_spark.operators.word_embedding import (
+        _pairs_d_df,
+        _pairs_df,
+    )
+
+    rows = [
+        (0, "\ta b c d"),
+        (1, "x y"),
+        (2, "solo"),
+        (3, ""),
+        (4, None),
+        (5, "a  b\tc\nd a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    zip_pairs = sorted(
+        map(
+            tuple,
+            _pairs_d_df(docs, "text", 1).select("a", "b").collect(),
+        )
+    )
+    regex_pairs = sorted(map(tuple, _pairs_df(docs, "text").collect()))
+    assert zip_pairs == regex_pairs and len(zip_pairs) > 0
+
+
+def test_pairs_d_df_window3_ground_truth(spark):
+    """Distance-tagged pairs of a known sentence: token i pairs with
+    token i+d for every d in 1..window, nothing else."""
+    from deep_db_learning_spark.operators.word_embedding import _pairs_d_df
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id bigint, text string")
+    got = sorted(
+        map(tuple, _pairs_d_df(docs, "text", 3).collect())
+    )
+    want = sorted(
+        [
+            ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+            ("a", "c", 2), ("b", "d", 2),
+            ("a", "d", 3),
+        ]
+    )
+    assert got == want
+
+
+def test_frames_fit_bit_equals_driver_fit_window1(spark, docs):
+    """The frame-resident descent IS the driver descent: identical
+    vocab, per-epoch losses, and every U/C component bit-equal, at
+    the default window."""
+    sub = docs.limit(120)
+    m_drv = fit_word_embedding(sub, "text", vocab_size=24, epochs=3)
+    m_frm = fit_word_embedding_frames(sub, "text", vocab_size=24, epochs=3)
+    assert m_frm.vocab == m_drv.vocab
+    assert m_frm.losses == m_drv.losses
+    assert m_frm.U == m_drv.U and m_frm.C == m_drv.C
+    assert m_frm.n_pairs == m_drv.n_pairs
+
+
+def test_frames_fit_bit_equals_driver_fit_window3(spark, docs, duck):
+    """Window-3 with GloVe 1/d weighting: driver fit, frame fit, and
+    DuckDB twin all produce the bit-identical model (the weighted
+    targets share one float fold, d ascending)."""
+    sub = docs.where(F.col("doc_id") < 120)
+    kw = dict(vocab_size=24, epochs=3, window=3)
+    m_drv = fit_word_embedding(sub, "text", **kw)
+    m_frm = fit_word_embedding_frames(sub, "text", **kw)
+    assert m_frm.vocab == m_drv.vocab
+    assert m_frm.losses == m_drv.losses
+    assert m_frm.U == m_drv.U and m_frm.C == m_drv.C
+    twin = fit_word_embedding_twin(
+        duck,
+        "(SELECT * FROM documents WHERE doc_id < 120)",
+        "text",
+        **kw,
+    )
+    assert twin.vocab == m_drv.vocab
+    assert twin.losses == m_drv.losses
+    assert twin.U == m_drv.U and twin.C == m_drv.C
+
+
+def test_window_weighting_changes_targets(docs):
+    """1/d weighting is real: a window-3 fit differs from window-1
+    (same corpus, same vocab) — distance-2/3 pairs contribute."""
+    sub = docs.limit(120)
+    m1 = fit_word_embedding(sub, "text", vocab_size=24, epochs=2)
+    m3 = fit_word_embedding(sub, "text", vocab_size=24, epochs=2, window=3)
+    assert m1.vocab == m3.vocab  # vocab is window-independent
+    assert m1.U != m3.U  # but the fit sees more co-occurrence
+    assert m3.n_pairs >= m1.n_pairs
+
+
+def test_frame_fit_vocab_cap_is_loud():
+    from deep_db_learning_spark.operators.word_embedding import (
+        FRAME_MAX_VOCAB,
+    )
+
+    with pytest.raises(ValueError, match="FRAME_MAX_VOCAB"):
+        fit_word_embedding_frames(
+            None, "text", vocab_size=FRAME_MAX_VOCAB + 1
+        )
+
+
+def test_window_validation_is_loud(spark):
+    from deep_db_learning_spark.operators.word_embedding import _pairs_d_df
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="window"):
+        _pairs_d_df(docs, "text", 0)
+    with pytest.raises(ValueError, match="window"):
+        fit_word_embedding_twin(None, "d", "text", window=0)
