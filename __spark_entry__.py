@@ -1340,6 +1340,25 @@ def q_bfs_per_root(spark, sf_dir):
     )
 
 
+def q_bfs_per_root_modes(spark, sf_dir):
+    """The driver slot for the BFS family (r14 rotation): the
+    per-root minibatch shape (:func:`q_bfs_per_root` — bench keeps
+    timing the narrower paths so cross-round timing stays comparable)
+    plus ``global`` — the whole-frontier depth-2 BFS
+    (:func:`q_bfs_depth2`, previously bench-only; ``root_id`` is
+    NULL, counts are distinct visited rows per table)."""
+    per = q_bfs_per_root(spark, sf_dir).select(
+        F.lit("per_root").alias("mode"), "root_id", "table_name", "n_visited"
+    )
+    glob = q_bfs_depth2(spark, sf_dir).select(
+        F.lit("global").alias("mode"),
+        F.lit(None).cast("bigint").alias("root_id"),
+        "table_name",
+        "n_visited",
+    )
+    return per.unionByName(glob)
+
+
 def q_message_mean(spark, sf_dir):
     """A6/N7/N11: one mean/sum/count aggregation layer orders→customer."""
     db = _db(spark, sf_dir)
@@ -1603,7 +1622,9 @@ def q_tpch_q18_modes(spark, sf_dir):
     c_acctbal s_acctbal, revenue the min supply cost) and ``q21``
     suppliers-who-kept-orders-waiting (EXISTS + NOT EXISTS chain as
     semi + anti joins; c_name carries s_name, sum_qty the wait
-    count)."""
+    count). r14 adds ``topk`` — the deterministic per-group top-k
+    window shape (q_top_orders_per_customer, previously bench-only;
+    sum_qty carries the rank)."""
     from deep_db_learning_spark.plans import tpch_suite
 
     db = _db(spark, sf_dir)
@@ -1647,7 +1668,27 @@ def q_tpch_q18_modes(spark, sf_dir):
         F.lit(None).cast("string").alias("n_name"),
         F.lit(None).cast("double").alias("revenue"),
     )
-    return base.unionByName(q2).unionByName(q21).unionByName(q20)
+    # r14 rotation: the per-group top-k window shape
+    # (q_top_orders_per_customer, previously bench-only) — c_custkey
+    # carries o_custkey, sum_qty the in-group rank
+    topk = q_top_orders_per_customer(spark, sf_dir).select(
+        F.lit("topk").alias("mode"),
+        F.col("o_custkey").cast("long").alias("c_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("rank").cast("double").alias("sum_qty"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    return (
+        base.unionByName(q2)
+        .unionByName(q21)
+        .unionByName(q20)
+        .unionByName(topk)
+    )
 
 
 def q_lineitem_numeric_profile(spark, sf_dir):
@@ -3344,9 +3385,33 @@ def q_events_windows(spark, sf_dir):
     # streaming path reproduces the batch operator bit-for-bit on
     # driver data (the node_store convergence pattern).
     zs = anomaly_shape(_zstream_scores(spark, events), "zstream")
+    # r14 rotation: hierarchical ROLLUP over (event_type, hour)
+    # (q_events_rollup, previously bench-only) — window_start carries
+    # the hour level, step_name the event_type, user_id the
+    # grouping_id (disambiguates subtotal NULLs from data NULLs),
+    # n_events/sum_value the measures
+    ro = (
+        events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .rollup("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("hour").alias("window_start"),
+            F.col("gid").cast("long").alias("user_id"),
+            "n_events",
+            "sum_value",
+            F.lit(None).cast("double").alias("avg_value"),
+            F.lit(None).cast("long").alias("n_event_types"),
+            F.col("event_type").alias("step_name"),
+        )
+    )
     return (
         h.unionByName(s).unionByName(fu).unionByName(co)
-        .unionByName(an).unionByName(zs)
+        .unionByName(an).unionByName(zs).unionByName(ro)
     )
 
 
@@ -4050,7 +4115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_augment": q_edge_augment,
         "neighbor_sample": q_neighbor_sample,
         "node_split": q_node_split,
-        "bfs_per_root": q_bfs_per_root,
+        # r14 rotation: + the global whole-frontier BFS mode
+        "bfs_per_root": q_bfs_per_root_modes,
         # message passing / training (N families)
         "embed_customer": q_embed_customer,
         "message_mean_conv": q_message_mean_conv,
@@ -5156,20 +5222,35 @@ def oracle_sql() -> dict[str, str]:
             -- its nation (forward FK), and its orders/events (reverse
             -- FKs); tables a root never reaches produce no row
             WITH r AS (SELECT c_custkey AS root_id FROM customer WHERE c_custkey < 10)
-            SELECT root_id, 'customer' AS table_name, CAST(1 AS BIGINT) AS n_visited FROM r
+            SELECT 'per_root' AS mode, root_id, 'customer' AS table_name,
+                   CAST(1 AS BIGINT) AS n_visited FROM r
             UNION ALL
-            SELECT root_id, 'nation', count(DISTINCT n_nationkey)
+            SELECT 'per_root', root_id, 'nation', count(DISTINCT n_nationkey)
             FROM r JOIN customer ON c_custkey = root_id
                    JOIN nation ON n_nationkey = c_nationkey
             GROUP BY root_id
             UNION ALL
-            SELECT root_id, 'orders', count(DISTINCT o_orderkey)
+            SELECT 'per_root', root_id, 'orders', count(DISTINCT o_orderkey)
             FROM r JOIN orders ON o_custkey = root_id
             GROUP BY root_id
             UNION ALL
-            SELECT root_id, 'events', count(DISTINCT event_id)
+            SELECT 'per_root', root_id, 'events', count(DISTINCT event_id)
             FROM r JOIN events ON user_id = root_id
             GROUP BY root_id
+            UNION ALL
+            -- r14 global mode: one whole-frontier BFS over the same
+            -- roots — distinct visited rows per table
+            SELECT 'global', CAST(NULL AS BIGINT), t, n FROM (
+              SELECT 'customer' AS t, count(*) AS n
+              FROM customer WHERE c_custkey < 10
+              UNION ALL
+              SELECT 'nation', count(DISTINCT n_nationkey)
+              FROM nation WHERE n_nationkey IN
+                (SELECT c_nationkey FROM customer WHERE c_custkey < 10)
+              UNION ALL
+              SELECT 'orders', count(*) FROM orders WHERE o_custkey < 10
+              UNION ALL
+              SELECT 'events', count(*) FROM events WHERE user_id < 10)
         """,
         "message_2hop": f"""
             WITH li AS (
@@ -5388,6 +5469,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
                    CAST(NULL AS DOUBLE)
             FROM ({_tpch_suite_oracles['tpch_q20']})
+            UNION ALL
+            -- r14: per-group top-k window (c_custkey carries
+            -- o_custkey, sum_qty the 1-based in-group rank)
+            SELECT 'topk', o_custkey, o_orderkey,
+                   CAST(NULL AS TIMESTAMP), o_totalprice,
+                   CAST(rn AS DOUBLE), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rn
+              FROM orders)
+            WHERE rn <= 3
         """,
         "lineitem_numeric_profile": "SELECT 'stats' AS mode, column_name, "
         "CAST(NULL AS VARCHAR) AS col_b, n, mean, min, max, std, "
@@ -5896,6 +5993,22 @@ def oracle_sql() -> dict[str, str]:
                            RANGE BETWEEN 604800000000 PRECEDING
                                      AND CURRENT ROW)
             ), (VALUES ('anomaly'), ('zstream')) m(tag)
+            UNION ALL
+            -- r14 rollup mode: window_start carries the hour level,
+            -- step_name the event_type, user_id the GROUPING id
+            -- (Spark grouping_id() bit order: first rollup column is
+            -- the most significant bit — DuckDB GROUPING(a, b) uses
+            -- the same convention)
+            SELECT 'rollup', hour,
+                   CAST(GROUPING(event_type, hour) AS BIGINT),
+                   count(*), {exact_sum_sql('value')},
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   event_type
+            FROM (
+              SELECT event_type, value,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+              FROM events
+            ) GROUP BY ROLLUP(event_type, hour)
         """,
         "events_sessions": f"""
             -- determinism contract, matching sessionize(): windows order

@@ -200,7 +200,9 @@ PLAN_PINS = {
     # per-part quantity folds + the dominant-pair broadcast semi
     # chain: 3 more real shuffles); bench times the unmerged
     # 4-exchange q18+q10 core (tpch_q18_core below)
-    "tpch_q18": (28, 26),
+    # r14: +2 exchanges for the rotated-in topk mode (one window
+    # shuffle on o_custkey + the union's AQE coalesce)
+    "tpch_q18": (30, 26),
     "decontamination": (4, 2),  # eval grams MUST broadcast
     "dedup_exact": (2, 0),
     # r6: three pipelines under one mode tag — within-corpus dedup,

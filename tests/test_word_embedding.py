@@ -227,6 +227,112 @@ def test_streamed_counts_refit_bit_equals_batch_fit(spark, docs, model, tmp_path
     assert streamed.n_pairs == model.n_pairs
 
 
+def test_lsm_cooc_store_refit_bit_equals_batch_fit(spark, docs, model, tmp_path):
+    """r14 (VERDICT r13 task 7): the LSM maintenance mode —
+    delta-per-batch with compaction every K — produces counts (and so
+    a refit) BIT-EQUAL to the batch fit, mid-compaction-cycle: with 5
+    batches and compact_every=2, the final state is a compacted base
+    PLUS one live staged delta, so the merge-on-read path is
+    genuinely exercised."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.streaming.embedding_stream import (
+        _staged_deltas,
+        refit_from_store,
+        stream_docs_into_cooc_store,
+    )
+    from deep_db_learning_spark.streaming.node_store import SnapshotStore
+
+    d = docs.select("doc_id", "text")
+    in_dir = str(tmp_path / "in")
+    part = F.abs(F.hash(F.col("doc_id").cast("string"))) % 5
+    for i in range(5):
+        d.filter(part == i).coalesce(1).write.mode("append").parquet(in_dir)
+
+    store_path = str(tmp_path / "cooc_lsm")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_docs_into_cooc_store(
+        stream, store_path, str(tmp_path / "ck"), compact_every=2
+    )
+    q.awaitTermination(180)
+
+    # shape check: base was compacted (batches 0-1, 2-3) and batch 4's
+    # delta is still staged — merge-on-read must fold it in
+    store = SnapshotStore(store_path)
+    cur = store.last_batch_id()
+    live = [bid for bid, _ in _staged_deltas(store_path) if bid > cur]
+    assert cur == 3 and live == [4]
+
+    streamed = refit_from_store(spark, store_path)
+    assert streamed.vocab == model.vocab
+    assert streamed.losses == model.losses
+    assert streamed.U == model.U and streamed.C == model.C
+    assert streamed.n_pairs == model.n_pairs
+
+    # replay with a lost checkpoint: the base cursor swallows old
+    # batches and the staged delta's path-identity swallows batch 4 —
+    # counts must be unchanged (no double counting)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ck"))
+    stream2 = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q2 = stream_docs_into_cooc_store(
+        stream2, store_path, str(tmp_path / "ck2"), compact_every=2
+    )
+    q2.awaitTermination(180)
+    replayed = refit_from_store(spark, store_path)
+    assert replayed.U == model.U and replayed.losses == model.losses
+    assert os.path.isdir(os.path.join(store_path, "_deltas"))
+
+
+def test_windowed_streamed_counts_refit_matches_batch(spark, docs, tmp_path):
+    """Window-2 maintenance: distance kinds ('pair', 'pair2') stream
+    through the store and the windowed refit is bit-equal to the
+    window-2 batch fit."""
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.streaming.embedding_stream import (
+        refit_from_store,
+        stream_docs_into_cooc_store,
+    )
+
+    d = docs.select("doc_id", "text")
+    batch = fit_word_embedding(d, "text", vocab_size=24, epochs=2, window=2)
+    in_dir = str(tmp_path / "in")
+    part = F.abs(F.hash(F.col("doc_id").cast("string"))) % 3
+    for i in range(3):
+        d.filter(part == i).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_docs_into_cooc_store(
+        stream,
+        str(tmp_path / "cooc_w2"),
+        str(tmp_path / "ck"),
+        window=2,
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+    streamed = refit_from_store(
+        spark, str(tmp_path / "cooc_w2"), vocab_size=24, epochs=2, window=2
+    )
+    assert streamed.vocab == batch.vocab
+    assert streamed.losses == batch.losses
+    assert streamed.U == batch.U and streamed.C == batch.C
+
+
 def test_leading_whitespace_pairs_match_twin(spark):
     """r13 review regression: text beginning with a TAB/newline used
     to double-count the first pair and drop alternating ones (Spark
