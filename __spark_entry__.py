@@ -2874,6 +2874,7 @@ def q_embedding_topk(spark, sf_dir):
     frame-resident descent (``fit_word_embedding_frames``, lifts
     MAX_VOCAB to 200k) is bit-equal to this fit by pytest pin."""
     from deep_db_learning_spark.operators.word_embedding import (
+        _tokens_col,
         embed_documents,
         fit_word_embedding,
     )
@@ -2885,26 +2886,48 @@ def q_embedding_topk(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     exact = similarity.brute_force_topk(emb, queries, k=5)
-    scales = similarity.sq8_train(emb)
-    enc = similarity.sq8_encode(emb, scales)
-    sq8 = similarity.sq8_topk(enc, scales, queries, k=5)
     docs = db.df("documents")
-    wem = fit_word_embedding(docs, "text", window=2)
     from deep_db_learning_spark.checkpoint import cut_lineage
 
-    # materialize ONCE (r13 review): the corpus cross-join side and
-    # the broadcast query side both consume this frame — uncut, the
-    # explode+join+fold chain would run twice per action. Zero
-    # vectors (all-OOV docs, or exact decimal cancellation) are
-    # excluded SYMMETRICALLY with the oracle: Spark's 0/0 cosine is
-    # NULL while DuckDB's list_cosine_similarity returns -1.0, so a
-    # zero vector on either side of the ranking would diverge.
-    demb = cut_lineage(
-        embed_documents(docs, wem)
-        .withColumnRenamed("doc_id", "vec_id")
-        .filter(F.exists("embedding", lambda x: x != F.lit(0.0))),
-        eager=True,
-    )
+    # r14 (guide §2.6 + §1.2): the trained branch's build-time actions
+    # (tokenize cut, vocab + pair collects, encode cut) are
+    # independent of the sq8 scales aggregation — run them on a driver
+    # thread so the two pipelines' jobs overlap instead of serializing.
+    # The corpus is tokenized ONCE into a materialized (doc_id, __t)
+    # frame shared by the vocab scan, the window-2 pair branches AND
+    # the document encoder (three corpus scans + tokenizations before;
+    # token lists identical, so counts, model and embeddings are
+    # bit-equal — the oracle is unchanged).
+    def _trained_branch():
+        toks_arr = cut_lineage(
+            docs.select(F.col("doc_id"), _tokens_col("text").alias("__t")),
+            eager=True,
+        )
+        wem = fit_word_embedding(docs, "text", window=2, tokens=toks_arr)
+        # materialize ONCE (r13 review): the corpus cross-join side and
+        # the broadcast query side both consume this frame — uncut, the
+        # explode+join+fold chain would run twice per action. Zero
+        # vectors (all-OOV docs, or exact decimal cancellation) are
+        # excluded SYMMETRICALLY with the oracle: Spark's 0/0 cosine is
+        # NULL while DuckDB's list_cosine_similarity returns -1.0, so a
+        # zero vector on either side of the ranking would diverge.
+        return cut_lineage(
+            embed_documents(docs, wem, tokens=toks_arr)
+            .withColumnRenamed("doc_id", "vec_id")
+            .filter(F.exists("embedding", lambda x: x != F.lit(0.0))),
+            eager=True,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        demb_f = pool.submit(inheritable_thread_target(spark)(_trained_branch))
+        scales = similarity.sq8_train(emb)
+        demb = demb_f.result()
+    enc = similarity.sq8_encode(emb, scales)
+    sq8 = similarity.sq8_topk(enc, scales, queries, k=5)
     dq = demb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

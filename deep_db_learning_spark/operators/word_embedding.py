@@ -266,7 +266,11 @@ def _pairs_df(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _pairs_d_df(
-    docs: DataFrame, text_col: str, window: int, materialize: bool = True
+    docs: DataFrame,
+    text_col: str,
+    window: int,
+    materialize: bool = True,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Directed pair frame ``(a, b, d)`` for every token distance
     ``d ∈ 1..window`` — one row per ordered occurrence of tokens
@@ -279,14 +283,23 @@ def _pairs_d_df(
     ``window`` branches re-read the materialized arrays; pass
     ``False`` for window-1 one-shot uses. ``d=1`` produces the same
     pair multiset as :func:`_pairs_df`'s regex trick (pinned in
-    tests/test_word_embedding.py)."""
+    tests/test_word_embedding.py).
+
+    ``tokens``: an ALREADY-MATERIALIZED token-array frame with column
+    ``__t`` (r14 — one corpus tokenization shared across the vocab
+    scan, the pair branches, and the document encoder; see
+    :func:`fit_word_embedding`). When given, the internal tokenize +
+    cut is skipped entirely."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    base = docs.select(_tokens_col(text_col).alias("__t"))
-    if materialize and window > 1:
-        from ..checkpoint import cut_lineage
+    if tokens is not None:
+        base = tokens.select("__t")
+    else:
+        base = docs.select(_tokens_col(text_col).alias("__t"))
+        if materialize and window > 1:
+            from ..checkpoint import cut_lineage
 
-        base = cut_lineage(base, eager=True)
+            base = cut_lineage(base, eager=True)
     out = None
     for d in range(1, window + 1):
         branch = (
@@ -319,6 +332,7 @@ def fit_word_embedding(
     epochs: int = WE_CONFIG["epochs"],
     lr: float = WE_CONFIG["lr"],
     window: int = 1,
+    tokens: DataFrame | None = None,
 ) -> WEModel:
     """Fit word vectors from the corpus: ONE tokenization scan →
     exact-integer co-occurrence counts (distributed) → bounded
@@ -326,11 +340,24 @@ def fit_word_embedding(
     :func:`_descend_targets`. ``window`` widens co-occurrence to
     token distances ``1..window`` with GloVe's 1/d weighting
     (:func:`_pair_target`); the default 1 is the original
-    adjacent-pair fit, bit-identical to r13."""
+    adjacent-pair fit, bit-identical to r13.
+
+    ``tokens``: an ALREADY-MATERIALIZED token-array frame with column
+    ``__t`` (one row per doc), e.g. ``docs.select(_tokens_col(text))``
+    lineage-cut by the caller. The vocab scan and the pair branches
+    then read the materialized arrays instead of re-tokenizing the
+    corpus (r14 — token lists identical, so counts and the fitted
+    model are bit-equal; a caller that also embeds documents shares
+    the same frame three ways)."""
     check_vocab_size(vocab_size)
-    toks = docs.select(F.explode(_tokens_col(text_col)).alias("tok")).filter(
-        F.col("tok") != ""
-    )
+    if tokens is not None:
+        toks = tokens.select(F.explode("__t").alias("tok")).filter(
+            F.col("tok") != ""
+        )
+    else:
+        toks = docs.select(
+            F.explode(_tokens_col(text_col)).alias("tok")
+        ).filter(F.col("tok") != "")
     vocab_rows = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -339,7 +366,7 @@ def fit_word_embedding(
         .collect()
     )
     vocab = sorted(r["tok"] for r in vocab_rows)
-    if window == 1:
+    if window == 1 and tokens is None:
         pairs = (
             _pairs_df(docs, text_col)
             .filter(F.col("a").isin(vocab) & F.col("b").isin(vocab))
@@ -350,7 +377,7 @@ def fit_word_embedding(
         pair_counts = {(r["a"], r["b"]): r["n"] for r in pairs}
         return _descend(vocab, pair_counts, dim, epochs, lr)
     rows = (
-        _pairs_d_df(docs, text_col, window)
+        _pairs_d_df(docs, text_col, window, tokens=tokens)
         .filter(F.col("a").isin(vocab) & F.col("b").isin(vocab))
         .groupBy("a", "b", "d")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -687,6 +714,7 @@ def embed_documents(
     model: WEModel,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Relational twin of the seam encoder: explode tokens →
     broadcast-join the vector table → EXACT decimal per-component sum
@@ -695,12 +723,22 @@ def embed_documents(
     component bit-for-bit from inlined decimal literals; the final
     decimal→double cast is the single rounding, identical on both
     engines. Documents with no in-vocab token embed to the zero
-    vector (kept — same as the seam)."""
+    vector (kept — same as the seam).
+
+    ``tokens``: an ALREADY-MATERIALIZED ``(id_col, __t array)`` frame
+    (one row per doc) — the corpus is then never re-scanned here: the
+    token explode AND the zero-fill id set both read the materialized
+    arrays (r14, shared with :func:`fit_word_embedding`)."""
     spark = docs.sparkSession
     wv = word_vectors_df(spark, model)
-    toks = docs.select(
-        F.col(id_col), F.explode(_tokens_col(text_col)).alias("tok")
-    )
+    if tokens is not None:
+        ids = tokens.select(id_col)
+        toks = tokens.select(F.col(id_col), F.explode("__t").alias("tok"))
+    else:
+        ids = docs.select(id_col)
+        toks = docs.select(
+            F.col(id_col), F.explode(_tokens_col(text_col)).alias("tok")
+        )
     comp = (
         toks.join(F.broadcast(wv), "tok")
         .groupBy(id_col, "k")
@@ -723,7 +761,7 @@ def embed_documents(
     # zero-vector fill for docs with no in-vocab token: left join back
     zero = F.array(*[F.lit(0.0) for _ in range(model.dim)])
     return (
-        docs.select(id_col)
+        ids
         .join(pooled, id_col, "left")
         .select(
             id_col,
