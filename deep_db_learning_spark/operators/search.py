@@ -185,23 +185,31 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_frac: float | None = None,
+    df_counts: dict | None = None,
 ) -> DataFrame:
     """BM25 over a standing :func:`build_postings` index with KNOWN
     corpus stats — the query-time entry point when the index and its
     ``(n_docs, total_tokens)`` counters are maintained incrementally
     (``streaming.stream_docs_into_index``): no corpus scan runs at
-    all, only the bounded df-count collect and the scoring join."""
+    all, only the bounded df-count collect and the scoring join.
+    ``df_counts``: the per-query-term document frequencies when the
+    caller already collected them (r14 — :func:`bm25_topk` fuses them
+    into its total-tokens pass, one index job instead of two)."""
     spark = postings.sparkSession
     qterms = {qid: tokenize_query(q) for qid, q in queries}
     vocab = sorted({t for ts in qterms.values() for t in ts})
     # bounded collect: one (term, df) row per query-vocabulary term
-    dfc = {
-        r["term"]: r["df"]
-        for r in postings.filter(F.col("term").isin(vocab))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .collect()
-    }
+    dfc = (
+        df_counts
+        if df_counts is not None
+        else {
+            r["term"]: r["df"]
+            for r in postings.filter(F.col("term").isin(vocab))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+    )
     avgdl = total_tokens / n_docs if n_docs else 1.0
     if max_df_frac is not None:
         vocab = [t for t in vocab if dfc.get(t, 0) <= max_df_frac * n_docs]
@@ -244,16 +252,38 @@ def bm25_topk(
     if postings is not None:
         # the index already holds the corpus totals exactly:
         # Σtf = total tokens; only the doc count needs the (cheap,
-        # tokenization-free) base scan
+        # tokenization-free) base scan. ONE grouped pass over the
+        # index computes the global token total AND the per-query-term
+        # document frequencies together (r14 — previously two separate
+        # index jobs): grouping by "query term or NULL" partitions the
+        # rows, so Σ of the per-group tf sums is exactly the global
+        # sum, and each non-NULL group's row count is that term's df.
         n_docs = df.count()
-        total_tokens = int(
-            postings.agg(
-                F.coalesce(F.sum("tf"), F.lit(0)).alias("s")
-            ).first()["s"]
+        qvocab = sorted(
+            {t for _, q in queries for t in tokenize_query(q)}
         )
-    else:
-        postings = build_postings(df, text_col, id_col)
-        n_docs, total_tokens = corpus_token_stats(df, text_col)
+        stat_rows = (
+            postings.groupBy(
+                F.when(F.col("term").isin(qvocab), F.col("term")).alias(
+                    "__qt"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("stf"),
+            )
+            .collect()
+        )
+        total_tokens = int(sum(r["stf"] for r in stat_rows))
+        dfc = {
+            r["__qt"]: r["df"] for r in stat_rows if r["__qt"] is not None
+        }
+        return bm25_topk_from_index(
+            postings, id_col, queries, n_docs, total_tokens,
+            k=k, k1=k1, b=b, max_df_frac=max_df_frac, df_counts=dfc,
+        )
+    postings = build_postings(df, text_col, id_col)
+    n_docs, total_tokens = corpus_token_stats(df, text_col)
     return bm25_topk_from_index(
         postings, id_col, queries, n_docs, total_tokens,
         k=k, k1=k1, b=b, max_df_frac=max_df_frac,
