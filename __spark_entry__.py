@@ -3002,62 +3002,48 @@ def q_text_search(spark, sf_dir):
         search.postings_from_positional(pos, "doc_id"), eager=True
     )
 
-    # r14 (guide §2.6): with pos/postings materialized, the consumers
-    # split into two independent chains — {bm25 → snippet} on the main
-    # thread (snippet restricts to the BM25 top-k, so it must follow)
-    # and {jaccard, phrase} on ONE helper thread — overlapping their
-    # build-time jobs. One helper only: a 3-way fan-out measured SLOWER
-    # than sequential here (three concurrent 32-partition stages thrash
-    # the scheduler at bench scale), while this pairing reliably takes
-    # ~1s off the entry.
-    def _ja_ph():
-        ja = cut_lineage(
-            search.jaccard_topk(
-                docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
-                postings=postings,
-            ),
-            eager=True,
-        )
-        # phrase mode: positional index fold, ranked by occurrence
-        # count (integer → double cast, no float reduction to couple)
-        ph = search.phrase_search(
-            docs, "text", "doc_id", TEXT_SEARCH_PHRASES, postings=pos
-        ).withColumn("score", F.col("n_occurrences").cast("double"))
-        ph = cut_lineage(search._rank_topk(ph, "doc_id", 10), eager=True)
-        return ja, ph
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        ja_ph_f = pool.submit(inheritable_thread_target(spark)(_ja_ph))
-        bm = cut_lineage(
-            search.bm25_topk(
-                docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
-                postings=postings,
-            ),
-            eager=True,
-        )
-        # snippet mode: the retrieve-then-snippet composition — the
-        # BM25 top-10 rows carry their best context window's TEXT
-        # through the hash check (pairs= bounds the window argmax to
-        # k docs per query)
-        snip = cut_lineage(
-            bm.join(
-                search.best_snippet(
-                    docs, "text", "doc_id", TEXT_SEARCH_QUERIES,
-                    window=SNIPPET_W, postings=pos, pairs=bm,
-                ).select("query_id", "doc_id", "snippet"),
-                ["query_id", "doc_id"],
-            ).select("query_id", "doc_id", "rank", "score", "snippet"),
-            eager=True,
-        )
-        ja, ph = ja_ph_f.result()
+    # NOTE (r14): a driver-thread overlap of the {bm25 → snippet} and
+    # {jaccard, phrase} chains measured FASTER in isolation (~1s) but
+    # unstable inside the full bench suite (median 6.3s → 13.1s, max
+    # 18.7s — concurrent 32-partition stages under suite memory
+    # pressure); the sequential build is the reliable shape here.
+    bm = cut_lineage(
+        search.bm25_topk(
+            docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
+            postings=postings,
+        ),
+        eager=True,
+    )
+    ja = cut_lineage(
+        search.jaccard_topk(
+            docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
+            postings=postings,
+        ),
+        eager=True,
+    )
     # the topk frames are ≤ |queries|·k rows; materializing them once
     # feeds both their own mode and the fusion without re-running the
     # postings pipelines
     rr = search.rrf_fuse([bm, ja], "doc_id", k=10)
+    # phrase mode: positional index fold, ranked by occurrence count
+    # (integer → double cast, no float reduction to couple)
+    ph = search.phrase_search(
+        docs, "text", "doc_id", TEXT_SEARCH_PHRASES, postings=pos
+    ).withColumn("score", F.col("n_occurrences").cast("double"))
+    ph = search._rank_topk(ph, "doc_id", 10)
+    # snippet mode: the retrieve-then-snippet composition — the BM25
+    # top-10 rows carry their best context window's TEXT through the
+    # hash check (pairs= bounds the window argmax to k docs per query)
+    snip = cut_lineage(
+        bm.join(
+            search.best_snippet(
+                docs, "text", "doc_id", TEXT_SEARCH_QUERIES,
+                window=SNIPPET_W, postings=pos, pairs=bm,
+            ).select("query_id", "doc_id", "snippet"),
+            ["query_id", "doc_id"],
+        ).select("query_id", "doc_id", "rank", "score", "snippet"),
+        eager=True,
+    )
     nul = F.lit(None).cast("string").alias("snippet")
     return (
         bm.select(F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
