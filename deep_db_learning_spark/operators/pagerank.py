@@ -89,7 +89,7 @@ def pagerank(
     s = PR_CONFIG["scale"]
     dn, dd = PR_CONFIG["damp_num"], PR_CONFIG["damp_den"]
 
-    nodes = cut_lineage(nodes.select(F.col("node").cast("bigint").alias("node")), eager=True)
+    nodes = nodes.select(F.col("node").cast("bigint").alias("node"))
     edges = cut_lineage(
         edges.select(
             F.col("src").cast("bigint").alias("src"),
@@ -97,14 +97,6 @@ def pagerank(
         ),
         eager=True,
     )
-    n = nodes.count()  # bounded driver scalar; inlined below exactly as
-    # the oracle's (SELECT count(*) ...) — integer equality
-    if n == 0:
-        return nodes.select(
-            "node",
-            F.lit(None).cast("bigint").alias("rank_scaled"),
-            F.lit(None).cast("double").alias("rank"),
-        )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
@@ -114,8 +106,18 @@ def pagerank(
     # iteration (one join per round removed) and anti-joining for the
     # dangling mass (now a filter on the state, no join at all). The
     # integer update rule is unchanged, so the trajectory stays
-    # bit-identical to the unrolled-CTE oracle.
+    # bit-identical to the unrolled-CTE oracle. ONE materialization of
+    # the node set (with its degree attached) — the former separate
+    # nodes cut+count job now reads this frame.
     nodes_deg = cut_lineage(nodes.join(deg, "node", "left"), eager=True)
+    n = nodes_deg.count()  # bounded driver scalar; inlined below exactly
+    # as the oracle's (SELECT count(*) ...) — integer equality
+    if n == 0:
+        return nodes_deg.select(
+            "node",
+            F.lit(None).cast("bigint").alias("rank_scaled"),
+            F.lit(None).cast("double").alias("rank"),
+        )
     bcast = n <= BROADCAST_MAX_NODES
     base = ((dd - dn) * (s // n)) // dd  # python ints == SQL int ops
     ranks = nodes_deg.select(
