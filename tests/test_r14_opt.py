@@ -1,0 +1,131 @@
+"""r14 optimization parity pins.
+
+Each r14 plan change has two physical shapes (below/above a broadcast
+gate, with/without a shared token frame, fused/unfused stats). These
+pins hold the shapes to IDENTICAL results, so a future gate retune
+cannot silently change an answer.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # a small dense-ish graph with triangles and multiplicity
+    raw = [
+        (a, b)
+        for a in range(1, 30)
+        for b in range(1, 30)
+        if a != b and (a * 7 + b * 3) % 5 == 0
+    ]
+    return spark.createDataFrame(raw + raw[:10], "a bigint, b bigint")
+
+
+def test_triangle_probe_shapes_agree(spark, edges, monkeypatch):
+    from deep_db_learning_spark.operators import triangles as T
+
+    monkeypatch.setattr(T, "BROADCAST_MAX_EDGES", 10**9)
+    bcast = _rows(T.triangle_stats(edges))
+    # force the above-gate fallback: shuffled semi on the packed key
+    monkeypatch.setattr(T, "BROADCAST_MAX_EDGES", 0)
+    shuffled = _rows(T.triangle_stats(edges))
+    assert bcast == shuffled
+    assert len(bcast) > 0
+
+
+def test_kcore_broadcast_gate_agree(spark, edges, monkeypatch):
+    from deep_db_learning_spark.operators import kcore as K
+
+    monkeypatch.setattr(K, "BROADCAST_MAX_NODES", 10**9)
+    bcast = _rows(K.k_core(edges, 3))
+    monkeypatch.setattr(K, "BROADCAST_MAX_NODES", 0)
+    shuffled = _rows(K.k_core(edges, 3))
+    assert bcast == shuffled
+    assert len(bcast) > 0
+
+
+def test_pagerank_broadcast_gate_bit_equal(spark, monkeypatch):
+    from deep_db_learning_spark.operators import pagerank as P
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 7) for i in range(20)], "src bigint, dst bigint"
+    )
+    nodes = spark.range(0, 25).select(F.col("id").alias("node"))
+    monkeypatch.setattr(P, "BROADCAST_MAX_NODES", 10**9)
+    bcast = _rows(P.pagerank(edges, nodes, iters=3))
+    monkeypatch.setattr(P, "BROADCAST_MAX_NODES", 0)
+    shuffled = _rows(P.pagerank(edges, nodes, iters=3))
+    # integer trajectory: exact equality including the double render
+    assert bcast == shuffled
+
+
+def test_cooccurrence_canonical_tag_identity(spark):
+    from deep_db_learning_spark.operators import triangles as T
+
+    facts = spark.createDataFrame(
+        [(g, i) for g in range(8) for i in range(g % 5 + 2)]
+        + [(0, 1), (0, 1)],  # duplicate fact rows
+        "g bigint, i bigint",
+    )
+    edges, _hot = T.cooccurrence_edges(facts, "g", "i")
+    assert edges.__dict__.get("_ddl_canonical_form") is True
+    cut = T.canonical_cut(edges)
+    # the tag-fast-path must equal the full re-canonicalization
+    edges2, _ = T.cooccurrence_edges(facts, "g", "i")
+    full = T._canonical_und(edges2)
+    assert _rows(cut) == _rows(full)
+
+
+def test_word_embedding_shared_tokens_bit_equal(spark):
+    from deep_db_learning_spark.checkpoint import cut_lineage
+    from deep_db_learning_spark.operators import word_embedding as W
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta\tgamma  delta\nalpha"),
+            (3, "gamma gamma beta alpha delta epsilon"),
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    toks = cut_lineage(
+        docs.select("doc_id", W._tokens_col("text").alias("__t")),
+        eager=True,
+    )
+    base = W.fit_word_embedding(docs, "text", window=2)
+    shared = W.fit_word_embedding(docs, "text", window=2, tokens=toks)
+    assert base.vocab == shared.vocab
+    assert base.U == shared.U and base.C == shared.C
+    emb_base = _rows(W.embed_documents(docs, base))
+    emb_shared = _rows(W.embed_documents(docs, shared, tokens=toks))
+    assert emb_base == emb_shared
+
+
+def test_bm25_fused_stats_bit_equal(spark):
+    from deep_db_learning_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join spark engine"),
+            (2, "window agg stream hash"),
+            (3, "spark spark hash table scan"),
+            (4, "unrelated words entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = [(0, "hash join"), (1, "spark table")]
+    postings = S.build_postings(docs, "text", "doc_id")
+    fused = _rows(
+        S.bm25_topk(docs, "text", "doc_id", queries, k=3, postings=postings)
+    )
+    # the unfused reference path: no standing index passed
+    plain = _rows(S.bm25_topk(docs, "text", "doc_id", queries, k=3))
+    assert fused == plain
+    assert len(fused) > 0
