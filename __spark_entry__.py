@@ -3007,23 +3007,38 @@ def q_text_search(spark, sf_dir):
     # unstable inside the full bench suite (median 6.3s → 13.1s, max
     # 18.7s — concurrent 32-partition stages under suite memory
     # pressure); the sequential build is the reliable shape here.
-    bm = cut_lineage(
-        search.bm25_topk(
-            docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
-            postings=postings,
+    #
+    # r14 late: the bm25 and jaccard top-k frames materialize in ONE
+    # mode-tagged union cut instead of two separate cuts (each top-k's
+    # rank window runs per-branch BEFORE the union, so every (mode,
+    # query, doc, rank, score) row is bit-identical to the two-cut
+    # shape — guide §1.2, don't pay two ~1 s materialization floors
+    # for ≤ |queries|·k rows each); the cut frame IS the first two
+    # legs of the returned union and feeds RRF and the snippet pairs.
+    bm_raw = search.bm25_topk(
+        docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
+        postings=postings,
+    )
+    ja_raw = search.jaccard_topk(
+        docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
+        postings=postings,
+    )
+    ranked = cut_lineage(
+        bm_raw.select(
+            F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score"
+        ).unionByName(
+            ja_raw.select(
+                F.lit("jacc").alias("mode"), "query_id", "doc_id", "rank", "score"
+            )
         ),
         eager=True,
     )
-    ja = cut_lineage(
-        search.jaccard_topk(
-            docs, "text", "doc_id", TEXT_SEARCH_QUERIES, k=10,
-            postings=postings,
-        ),
-        eager=True,
+    bm = ranked.filter(F.col("mode") == "bm25").select(
+        "query_id", "doc_id", "rank", "score"
     )
-    # the topk frames are ≤ |queries|·k rows; materializing them once
-    # feeds both their own mode and the fusion without re-running the
-    # postings pipelines
+    ja = ranked.filter(F.col("mode") == "jacc").select(
+        "query_id", "doc_id", "rank", "score"
+    )
     rr = search.rrf_fuse([bm, ja], "doc_id", k=10)
     # phrase mode: positional index fold, ranked by occurrence count
     # (integer → double cast, no float reduction to couple)
@@ -3033,23 +3048,21 @@ def q_text_search(spark, sf_dir):
     ph = search._rank_topk(ph, "doc_id", 10)
     # snippet mode: the retrieve-then-snippet composition — the BM25
     # top-10 rows carry their best context window's TEXT through the
-    # hash check (pairs= bounds the window argmax to k docs per query)
-    snip = cut_lineage(
-        bm.join(
-            search.best_snippet(
-                docs, "text", "doc_id", TEXT_SEARCH_QUERIES,
-                window=SNIPPET_W, postings=pos, pairs=bm,
-            ).select("query_id", "doc_id", "snippet"),
-            ["query_id", "doc_id"],
-        ).select("query_id", "doc_id", "rank", "score", "snippet"),
-        eager=True,
-    )
+    # hash check (pairs= bounds the window argmax to k docs per query).
+    # r14 late: no separate eager cut — its inputs (the ranked cut, the
+    # positional index) are already materialized, so the ≤ |queries|·k
+    # join folds into the final action instead of paying its own
+    # checkpoint round-trip.
+    snip = bm.join(
+        search.best_snippet(
+            docs, "text", "doc_id", TEXT_SEARCH_QUERIES,
+            window=SNIPPET_W, postings=pos, pairs=bm,
+        ).select("query_id", "doc_id", "snippet"),
+        ["query_id", "doc_id"],
+    ).select("query_id", "doc_id", "rank", "score", "snippet")
     nul = F.lit(None).cast("string").alias("snippet")
     return (
-        bm.select(F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
-        .unionByName(
-            ja.select(F.lit("jacc").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
-        )
+        ranked.select("mode", "query_id", "doc_id", "rank", "score", nul)
         .unionByName(
             rr.select(F.lit("rrf").alias("mode"), "query_id", "doc_id", "rank", "score", nul)
         )

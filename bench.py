@@ -76,14 +76,18 @@ def main() -> None:
     # load guard (VERDICT r13 task 2): two rounds running, the driver
     # bench started at 1-min load 5-8 and every "regression" dissolved
     # under the judge's quiet re-measure. If the host is hot at suite
-    # start, wait (bounded, 30 s steps, <=5 min) for the 1-min average
-    # to drop below 2; if it never does, proceed but stamp
-    # "contended": true into the compact line so the artifact
-    # self-identifies. Quiet protocol (BASELINE.md): ALL THREE load
-    # averages < ~2, so the flag checks the full triple.
+    # start, wait (bounded, 30 s steps, <=5 min) for the 1- AND 5-min
+    # averages to drop below 2 (r14: the 1-min-only wait let a run
+    # start "quiet" while the 5-min average was still decaying from
+    # prior work and get flagged contended by its own provenance); if
+    # they never do, proceed but stamp "contended": true into the
+    # compact line so the artifact self-identifies. Quiet protocol
+    # (BASELINE.md): ALL THREE load averages < ~2, so the flag checks
+    # the full triple (the 15-min is recorded but not waited on — it
+    # decays too slowly for a bounded guard).
     waited = 0.0
     if not os.environ.get("SPARK_GRAFT_BENCH_NOWAIT"):
-        while os.getloadavg()[0] > 2.0 and waited < 300.0:
+        while any(x > 2.0 for x in os.getloadavg()[:2]) and waited < 300.0:
             time.sleep(30.0)
             waited += 30.0
     load_start = [round(x, 2) for x in os.getloadavg()]

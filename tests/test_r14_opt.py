@@ -129,3 +129,38 @@ def test_bm25_fused_stats_bit_equal(spark):
     plain = _rows(S.bm25_topk(docs, "text", "doc_id", queries, k=3))
     assert fused == plain
     assert len(fused) > 0
+
+
+def test_ranked_union_cut_matches_separate_topk(spark):
+    # r14 late: q_text_search materializes the bm25+jaccard top-k as
+    # ONE mode-tagged union cut; each branch's rank window runs BEFORE
+    # the union, so the rows must equal the two separate top-k frames.
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join spark engine"),
+            (2, "window agg stream hash"),
+            (3, "spark spark hash table scan"),
+            (4, "unrelated words entirely here"),
+            (5, "join join table window"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = [(0, "hash join"), (1, "spark table"), (2, "window agg")]
+    postings = S.build_postings(docs, "text", "doc_id")
+    bm = S.bm25_topk(docs, "text", "doc_id", queries, k=3, postings=postings)
+    ja = S.jaccard_topk(docs, "text", "doc_id", queries, k=3, postings=postings)
+    fused = (
+        bm.select(F.lit("bm25").alias("mode"), "query_id", "doc_id", "rank", "score")
+        .unionByName(
+            ja.select(F.lit("jacc").alias("mode"), "query_id", "doc_id", "rank", "score")
+        )
+    )
+    got_bm = _rows(fused.filter("mode = 'bm25'").drop("mode"))
+    got_ja = _rows(fused.filter("mode = 'jacc'").drop("mode"))
+    assert got_bm == _rows(bm)
+    assert got_ja == _rows(ja)
+    assert len(got_bm) > 0 and len(got_ja) > 0
