@@ -2139,16 +2139,33 @@ def q_minhash_dedup(spark, sf_dir):
     signed = cut_lineage(
         dedup.minhash_signature(docs, "text", 64, 9), eager=True
     )
+    # r14 late: band ONCE — the cross-corpus candidate set is exactly
+    # the odd↔even parity slice of the intra-corpus candidate pairs
+    # (identical signatures band to identical buckets, so a (new,
+    # store) pair shares a bucket iff its (min, max) pair is an intra
+    # candidate; pinned in tests/test_r14_opt.py). The incremental
+    # path's former second banding of both halves + bucket join +
+    # distinct is gone; it now verifies against this slice.
+    cand_all = cut_lineage(
+        dedup.lsh_candidate_pairs(signed, "doc_id", bands=16), eager=True
+    )
     kept = dedup.minhash_lsh_dedup(
-        docs, "text", "doc_id", threshold=0.7, signed=signed
+        docs, "text", "doc_id", threshold=0.7, signed=signed,
+        candidates=cand_all,
     )
     store = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
+    odd_a = F.col("id_a") % 2 == 1
+    cand_incr = cand_all.filter(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    ).select(
+        F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("__new_id"),
+        F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("__ref_id"),
+    )
     kept_incr = dedup.minhash_dedup_against(
         new, store, "text", "doc_id", num_perm=64, bands=16, shingle_k=9,
         threshold=0.7,
-        new_signed=signed.filter(F.col("doc_id") % 2 == 1),
-        ref_signed=signed.filter(F.col("doc_id") % 2 == 0),
+        candidates=cand_incr,
     )
     fr = temperature_fractions(
         docs, "source", alpha=0.5, target_rows=int(0.6 * docs.count())

@@ -50,7 +50,15 @@ def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     Uses a reliable ``checkpoint()`` when a checkpoint dir is set on
     the SparkContext (cluster posture), else ``localCheckpoint()``
     (local posture — fast, in-memory, non-recoverable).
+
+    Idempotent per frame OBJECT (r14): a frame this function already
+    returned is tagged and comes back as-is — re-checkpointing an
+    already-materialized, already-truncated frame only costs an extra
+    job. The tag lives on that exact DataFrame object; any derived
+    frame (filter/select/join) is a new object and cuts normally.
     """
+    if df.__dict__.get("_ddl_lineage_cut") is True:
+        return df
     sc = df.sparkSession.sparkContext
     try:
         ckpt_dir = sc.getCheckpointDir()
@@ -74,5 +82,9 @@ def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        out = df.checkpoint(eager=eager)
+        out.__dict__["_ddl_lineage_cut"] = True
+        return out
+    out = df.localCheckpoint(eager=eager)
+    out.__dict__["_ddl_lineage_cut"] = True
+    return out

@@ -484,6 +484,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 9,
     threshold: float = 0.7,
     signed: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The full scale pipeline: signature → LSH candidates → exact
     Jaccard verify → survivors. Returns rows of ``df`` whose id is NOT
@@ -494,6 +495,10 @@ def minhash_lsh_dedup(
     ``df`` (same ``num_perm``/``shingle_k``) — sign once, reuse across
     the intra-batch dedup and the store dedup
     (:func:`minhash_dedup_against`), the incremental-crawl shape.
+    ``candidates``: a precomputed :func:`lsh_candidate_pairs` frame of
+    ``signed`` (same ``bands``) — band once, reuse across consumers
+    (r14: the cross-corpus candidate set is a parity slice of this
+    same frame, see ``q_minhash_dedup``).
 
     Default ``shingle_k=9``: with char 5-grams, unrelated docs drawn
     from one vocabulary share ~0.17 Jaccard, so 4-row LSH bands pass
@@ -507,7 +512,11 @@ def minhash_lsh_dedup(
         df = df.repartition(par)
     if signed is None:
         signed = minhash_signature(df, text_col, num_perm, shingle_k)
-    cand = lsh_candidate_pairs(signed, id_col, bands=bands)
+    cand = (
+        candidates
+        if candidates is not None
+        else lsh_candidate_pairs(signed, id_col, bands=bands)
+    )
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_k, threshold, candidates=cand
     )
@@ -888,6 +897,7 @@ def minhash_dedup_against(
     new_signed: DataFrame | None = None,
     ref_signed: DataFrame | None = None,
     ref_banded: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus dedup (r5): drop rows of ``new`` that near-duplicate
     ANY ``reference`` document — the dedup-new-crawl-against-the-store
@@ -908,7 +918,15 @@ def minhash_dedup_against(
     is typically the big side: its banded projection is a narrow
     (id, band, bucket) frame, so at 100 TB it can be precomputed once
     and persisted as the store's dedup index while each incoming batch
-    computes only its own signatures."""
+    computes only its own signatures.
+
+    ``candidates``: a precomputed ``(__new_id, __ref_id)`` candidate
+    frame — skips the banding + bucket join entirely. Pass this when
+    the caller already holds a candidate set over a superset corpus
+    (e.g. the intra-corpus :func:`lsh_candidate_pairs` frame sliced to
+    cross-corpus pairs: identical signatures band to identical buckets,
+    so the slice IS the cross-corpus candidate set — pinned in
+    tests/test_r14_opt.py)."""
     from ..functions.text import char_shingles
 
     ref_id_col = ref_id_col or id_col
@@ -922,45 +940,52 @@ def minhash_dedup_against(
         new = new.repartition(par)
     if reference.rdd.getNumPartitions() < par:
         reference = reference.repartition(par)
-    if new_signed is None:
-        sig_new = minhash_signature(
-            new.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
-        )
+    if candidates is not None:
+        if set(candidates.columns) != {"__new_id", "__ref_id"}:
+            candidates = candidates.select("__new_id", "__ref_id")
+        # cut_lineage is a no-op on an already-cut frame object, so a
+        # caller holding a materialized candidate set pays nothing here
+        cands = cut_lineage(candidates, eager=True)
     else:
-        sig_new = new_signed.select(F.col(id_col), F.col("signature"))
-    b_new = _banded_buckets(sig_new, id_col, "signature", bands).withColumnRenamed(
-        "doc", "__new_id"
-    )
-    if ref_banded is not None:
-        b_ref = ref_banded.select(
-            F.col(ref_id_col).alias("__ref_id"), "band", "bucket"
-        )
-    else:
-        if ref_signed is None:
-            sig_ref = minhash_signature(
-                reference.select(
-                    F.col(ref_id_col).alias("__ref_id"), F.col(text_col)
-                ),
-                text_col,
-                num_perm,
-                shingle_k,
+        if new_signed is None:
+            sig_new = minhash_signature(
+                new.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
             )
         else:
-            sig_ref = ref_signed.select(
-                F.col(ref_id_col).alias("__ref_id"), F.col("signature")
+            sig_new = new_signed.select(F.col(id_col), F.col("signature"))
+        b_new = _banded_buckets(sig_new, id_col, "signature", bands).withColumnRenamed(
+            "doc", "__new_id"
+        )
+        if ref_banded is not None:
+            b_ref = ref_banded.select(
+                F.col(ref_id_col).alias("__ref_id"), "band", "bucket"
             )
-        b_ref = _banded_buckets(
-            sig_ref, "__ref_id", "signature", bands
-        ).withColumnRenamed("doc", "__ref_id")
-    # one cut at the fan-out point: the candidate frame feeds two
-    # semi-joins, the verify join, and (via matched) the anti-join —
-    # without it the whole signature+banding chain re-runs per consumer
-    cands = cut_lineage(
-        b_new.join(b_ref, ["band", "bucket"])
-        .select("__new_id", "__ref_id")
-        .distinct(),
-        eager=True,
-    )
+        else:
+            if ref_signed is None:
+                sig_ref = minhash_signature(
+                    reference.select(
+                        F.col(ref_id_col).alias("__ref_id"), F.col(text_col)
+                    ),
+                    text_col,
+                    num_perm,
+                    shingle_k,
+                )
+            else:
+                sig_ref = ref_signed.select(
+                    F.col(ref_id_col).alias("__ref_id"), F.col("signature")
+                )
+            b_ref = _banded_buckets(
+                sig_ref, "__ref_id", "signature", bands
+            ).withColumnRenamed("doc", "__ref_id")
+        # one cut at the fan-out point: the candidate frame feeds two
+        # semi-joins, the verify join, and (via matched) the anti-join —
+        # without it the whole signature+banding chain re-runs per consumer
+        cands = cut_lineage(
+            b_new.join(b_ref, ["band", "bucket"])
+            .select("__new_id", "__ref_id")
+            .distinct(),
+            eager=True,
+        )
     # verify only the candidates' texts: distinct-shingle Jaccard
     new_sh = new.select(
         F.col(id_col).alias("__new_id"),

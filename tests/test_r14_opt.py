@@ -164,3 +164,65 @@ def test_ranked_union_cut_matches_separate_topk(spark):
     assert got_bm == _rows(bm)
     assert got_ja == _rows(ja)
     assert len(got_bm) > 0 and len(got_ja) > 0
+
+
+def test_cross_corpus_candidates_are_parity_slice(spark):
+    # r14 late: q_minhash_dedup derives the cross-corpus (new=odd,
+    # ref=even) candidate set as a parity slice of the intra-corpus
+    # lsh_candidate_pairs frame — identical signatures band to
+    # identical buckets, so the two sets must be equal, and the
+    # dedup-against result must be identical through both paths.
+    from pyspark.sql import functions as F
+
+    from deep_db_learning_spark.operators import dedup as D
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "sphinx of black quartz judge my vow said the old teacher",
+    ]
+    rows = []
+    for i in range(24):
+        t = base[i % 3]
+        if i % 4 == 0:
+            t = t + " extra tail words"
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    signed = D.minhash_signature(docs, "text", 64, 9)
+    cand_all = D.lsh_candidate_pairs(signed, "doc_id", bands=16)
+    odd_a = F.col("id_a") % 2 == 1
+    derived = cand_all.filter(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    ).select(
+        F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("__new_id"),
+        F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("__ref_id"),
+    )
+    store = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    sig_new = signed.filter(F.col("doc_id") % 2 == 1)
+    sig_ref = signed.filter(F.col("doc_id") % 2 == 0)
+    b_new = D._banded_buckets(sig_new, "doc_id", "signature", 16).withColumnRenamed(
+        "doc", "__new_id"
+    )
+    b_ref = D._banded_buckets(
+        sig_ref.select(F.col("doc_id").alias("__ref_id"), "signature"),
+        "__ref_id",
+        "signature",
+        16,
+    ).withColumnRenamed("doc", "__ref_id")
+    direct = (
+        b_new.join(b_ref, ["band", "bucket"])
+        .select("__new_id", "__ref_id")
+        .distinct()
+    )
+    assert _rows(derived.distinct()) == _rows(direct)
+    assert len(_rows(derived)) > 0
+    kept_direct = D.minhash_dedup_against(
+        new, store, "text", "doc_id", num_perm=64, bands=16, shingle_k=9,
+        threshold=0.7, new_signed=sig_new, ref_signed=sig_ref,
+    )
+    kept_sliced = D.minhash_dedup_against(
+        new, store, "text", "doc_id", num_perm=64, bands=16, shingle_k=9,
+        threshold=0.7, candidates=derived,
+    )
+    assert _rows(kept_sliced) == _rows(kept_direct)
