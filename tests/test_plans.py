@@ -280,14 +280,22 @@ PLAN_PINS = {
     # over the appended store; the broadcast floor pins the probe and
     # drift-verdict small sides
     "ivf_append": (8, 4),
-    # r7: retrieval — the final frame unions two checkpointed topk
-    # frames (their broadcast query joins live pre-cut, pinned in
+    # r7: retrieval — the bm25/jaccard topk branches live behind an
+    # eager cut (their broadcast query joins are pinned in
     # tests/test_search.py::test_search_plan_shape), the full-outer RRF
-    # fusion (full outer cannot broadcast: SMJ + two exchanges), and
-    # the phrase mode (per-term positional joins broadcast off the
-    # checkpointed index; one more rank window): 4 real shuffles,
-    # doubled by the formatted tree+detail counting
-    "text_search": (8, 2),
+    # fusion (full outer cannot broadcast: SMJ + two exchanges) and
+    # the phrase mode's rank window contribute 4 real shuffles.
+    # r14 CONSCIOUS RE-PIN (8 → 22): the two topk cuts merged into ONE
+    # mode-tagged union cut and the snippet leg dropped its own
+    # checkpoint round-trip (OPTIMIZATION_r14.md — isolated warm
+    # median 6.08 → 4.96 s, rows bit-identical, pinned in
+    # test_r14_opt.py). best_snippet's window argmax + its
+    # (query, doc)-bounded joins — 7 more real shuffles over
+    # ≤ |queries|·k-row frames — moved OUT of a hidden build-time cut
+    # job INTO the final action, so the statically visible count rose
+    # while the executed shuffle/materialization count fell: 11 real
+    # shuffles, doubled by the formatted tree+detail counting
+    "text_search": (22, 2),
     # r7 rotation: merged mode-tagged entries — time_convert is two
     # row-local converter scans unioned (zero shuffles by design);
     # fingerprint_dedup = exact-dedup groupBy + broadcast simhash band
