@@ -44,21 +44,8 @@ from pyspark.sql import DataFrame
 _WARNED_UNCLEANED = False
 
 
-def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
-    """Materialize ``df`` and truncate its logical plan.
-
-    Uses a reliable ``checkpoint()`` when a checkpoint dir is set on
-    the SparkContext (cluster posture), else ``localCheckpoint()``
-    (local posture — fast, in-memory, non-recoverable).
-
-    Idempotent per frame OBJECT (r14): a frame this function already
-    returned is tagged and comes back as-is — re-checkpointing an
-    already-materialized, already-truncated frame only costs an extra
-    job. The tag lives on that exact DataFrame object; any derived
-    frame (filter/select/join) is a new object and cuts normally.
-    """
-    if df.__dict__.get("_ddl_lineage_cut") is True:
-        return df
+def _do_cut(df: DataFrame, *, eager: bool) -> DataFrame:
+    """The raw checkpoint call, posture-gated (no tag handling)."""
     sc = df.sparkSession.sparkContext
     try:
         ckpt_dir = sc.getCheckpointDir()
@@ -82,9 +69,50 @@ def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        out = df.checkpoint(eager=eager)
-        out.__dict__["_ddl_lineage_cut"] = True
-        return out
-    out = df.localCheckpoint(eager=eager)
-    out.__dict__["_ddl_lineage_cut"] = True
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and truncate its logical plan.
+
+    Uses a reliable ``checkpoint()`` when a checkpoint dir is set on
+    the SparkContext (cluster posture), else ``localCheckpoint()``
+    (local posture — fast, in-memory, non-recoverable).
+
+    Idempotent per frame OBJECT (r14): a frame this function already
+    returned is tagged and comes back as-is — re-checkpointing an
+    already-materialized, already-truncated frame only costs an extra
+    job. The tag lives on that exact DataFrame object; any derived
+    frame (filter/select/join) is a new object and cuts normally.
+    r15 (ADVICE r14): the tag records whether the cut was MATERIALIZED
+    (eager, or lazily cut then acted on via :func:`cut_count`), and a
+    frame cut lazily only short-circuits a lazy request — an eager
+    request on it re-checkpoints rather than silently skipping the
+    stronger materialization.
+    """
+    tag = df.__dict__.get("_ddl_lineage_cut")
+    if tag is True or (tag == "lazy" and not eager):
+        return df
+    out = _do_cut(df, eager=eager)
+    out.__dict__["_ddl_lineage_cut"] = True if eager else "lazy"
     return out
+
+
+def cut_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Cut lineage and count in ONE Spark job (r15, guide §2.1).
+
+    ``cut_lineage(eager=True)`` + ``count()`` costs two jobs per call
+    — a materialization pass and a count pass — which is the dominant
+    per-round cost of the iterative graph operators at bench scale
+    (each job re-pays the scheduler floor over node-sized data). A
+    LAZY checkpoint deferred to the ``count()`` action computes,
+    persists and counts the frame in one job: the returned frame is
+    exactly as materialized and lineage-truncated as the eager path.
+    """
+    if df.__dict__.get("_ddl_lineage_cut") is True:
+        return df, df.count()
+    out = _do_cut(df, eager=False)
+    n = out.count()  # materializes the deferred checkpoint
+    out.__dict__["_ddl_lineage_cut"] = True
+    return out, n

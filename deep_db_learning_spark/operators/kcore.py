@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import cut_lineage
+from ..checkpoint import cut_count, cut_lineage
 
 # Scale-adaptive join-strategy gate (r14, guide §3.1): the alive set
 # is node-sized (one BIGINT per surviving node, only ever shrinking),
@@ -51,11 +51,51 @@ BROADCAST_MAX_NODES = int(
     os.environ.get("DDL_GRAPH_BROADCAST_MAX_NODES", "8000000")
 )
 
+# Count-derived partitioning for the node-sized per-round state (r15,
+# guide §2.1/§2.2): the alive frame is (node, deg) BIGINT pairs — ~16
+# bytes a row — so 4M rows land a post-shuffle partition in the
+# guide's 64-256 MB band. Without the coalesce each per-round cut
+# materializes the session's full shuffle-partition count of near-
+# empty tasks (checkpoint materialization bypasses AQE's runtime
+# coalescing), and every downstream job over the state re-pays that
+# task floor — the reason kcore ran 3x FASTER on 8 cores than 32 at
+# bench scale (PERF_r14 scaling ratio 0.32). Scale-adaptive: the
+# partition count is ceil(previous alive count / this), never a
+# constant tuned to the local core count.
+NODE_ROWS_PER_PARTITION = int(
+    os.environ.get("DDL_NODE_ROWS_PER_PARTITION", "4000000")
+)
+
+# Count-derived width for the per-round EDGE scans (r15, guide
+# §2.1/§2.2): the peel re-scans the full checkpointed edge frame every
+# round (two broadcast semi joins + the degree aggregate), so its task
+# count is paid rounds× — at bench scale the frame arrives at the
+# session's shuffle width (32 near-empty tasks × 6 rounds of pure task
+# floor; measured 4.2 s → 2.1 s peel with the scan coalesced). 8M edge
+# rows ≈ 128-200 MB tungsten (two BIGINTs a row) — the guide's
+# per-task band — so the width is ceil(edge count / this), never a
+# local-core-count constant.
+EDGE_ROWS_PER_PARTITION = int(
+    os.environ.get("DDL_EDGE_ROWS_PER_PARTITION", "8000000")
+)
+
+
+def _node_parts(n: int) -> int:
+    return max(1, -(-n // NODE_ROWS_PER_PARTITION))
+
+
+def _edge_parts(m: int) -> int:
+    return max(1, -(-m // EDGE_ROWS_PER_PARTITION))
+
 
 def _induced_degrees(und: DataFrame) -> DataFrame:
+    # explode, not unionAll (r15, guide §2.4): the union form plans the
+    # edge-filter subtree TWICE (one copy per endpoint column), so each
+    # peel round scanned the edge set and ran its two semi joins twice;
+    # the explode emits both endpoints in ONE pass — same multiset of
+    # nodes, identical aggregate
     return (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -85,63 +125,88 @@ def k_core(
     from .triangles import canonical_cut
 
     und = canonical_cut(edges)
-    # materialize + count the initial alive set in BOTH modes (two
-    # node-sized jobs): the count drives the broadcast gate — alive
-    # only shrinks, so one decision holds for every round (r14)
-    alive = cut_lineage(
-        _induced_degrees(und).filter(F.col("deg") >= k).select("node"),
-        eager=True,
-    )
-    n0 = alive.count()
+    # narrow the per-round edge scan to a count-derived width (r15,
+    # guide §2.1): the count is one cheap job over the checkpointed
+    # frame, the coalesce is narrow (no shuffle), and every round's
+    # scan then launches ceil(m / EDGE_ROWS_PER_PARTITION) tasks
+    # instead of the session's shuffle width of near-empty ones
+    und = und.coalesce(_edge_parts(und.count()))
+    # materialize + count the initial alive set in ONE node-sized job
+    # (r15, cut_count): the count drives the broadcast gate — alive
+    # only shrinks, so one decision holds for every round (r14). The
+    # state KEEPS its deg column (r15): at a detected fixpoint the
+    # carried degree IS the induced core degree (see below), so
+    # convergence mode needs no final edge-set pass at all.
+    alive, n0 = cut_count(_induced_degrees(und).filter(F.col("deg") >= k))
     bcast = n0 <= BROADCAST_MAX_NODES
     rounds = 1
 
-    def side(alive, col):
-        s = alive.select(F.col("node").alias(col))
-        return F.broadcast(s) if bcast else s
-
-    def peel(alive):
-        sub = und.join(side(alive, "a"), "a", "leftsemi").join(
-            side(alive, "b"), "b", "leftsemi"
+    def filtered(alive):
+        # ONE alive-side frame probed by BOTH endpoint semi joins: the
+        # identical broadcast subtree is built once and reused
+        # (ReusedExchange) instead of shipping two per-column aliases
+        # of the same node set every round (r15, guide §2.4)
+        s = alive.select("node")
+        if bcast:
+            s = F.broadcast(s)
+        return und.join(s, F.col("a") == F.col("node"), "leftsemi").join(
+            s, F.col("b") == F.col("node"), "leftsemi"
         )
+
+    def peel(alive, n_prev):
         # cut EVERY round: the alive frame is node-sized (tiny next to
         # the edges) and each uncut round would otherwise stack two
-        # semi joins + an aggregate into one enormous static plan
-        return cut_lineage(
-            _induced_degrees(sub).filter(F.col("deg") >= k).select("node"),
-            eager=True,
+        # semi joins + an aggregate into one enormous static plan.
+        # Coalesce to a count-derived partition number first so the
+        # materialization (and every later scan of the state) is a
+        # handful of tasks, not the session's shuffle-partition count
+        # of near-empty ones (r15, guide §2.1).
+        return (
+            _induced_degrees(filtered(alive))
+            .filter(F.col("deg") >= k)
+            .coalesce(_node_parts(n_prev))
         )
 
     if iters is not None:
         for _ in range(iters - 1):
-            alive = peel(alive)
+            alive = cut_lineage(peel(alive, n0), eager=True)
         rounds = iters
-    else:
-        prev = n0
-        while True:
-            if rounds >= max_iters:
-                raise RuntimeError(
-                    f"k_core: no fixpoint within max_iters={max_iters} "
-                    f"peel rounds (alive={prev}) — raise max_iters"
-                )
-            alive = peel(alive)
-            rounds += 1
-            cur = alive.count()
-            if cur == prev:
-                # the alive set only shrinks: equal count == equal set
-                # == fixpoint (the confirming round is a no-op peel)
-                break
-            prev = cur
-    final = und.join(side(alive, "a"), "a", "leftsemi").join(
-        side(alive, "b"), "b", "leftsemi"
-    )
-    out = alive.join(
-        _induced_degrees(final).withColumnRenamed("deg", "core_degree"),
-        "node",
-        "left",
-    ).select(
-        "node", F.coalesce("core_degree", F.lit(0)).alias("core_degree")
-    )
+        # fixed mode may stop SHORT of convergence (the oracle-replay
+        # contract): the carried deg is the degree in the PREVIOUS
+        # round's subgraph, so the induced degree must be recomputed
+        # over the final surviving edge set
+        final = filtered(alive)
+        out = alive.join(
+            _induced_degrees(final).withColumnRenamed("deg", "core_degree"),
+            "node",
+            "left",
+        ).select(
+            "node", F.coalesce("core_degree", F.lit(0)).alias("core_degree")
+        )
+        return (out, rounds) if return_rounds else out
+    prev = n0
+    while True:
+        if rounds >= max_iters:
+            raise RuntimeError(
+                f"k_core: no fixpoint within max_iters={max_iters} "
+                f"peel rounds (alive={prev}) — raise max_iters"
+            )
+        # materialize + fixpoint-count in ONE job per round (r15,
+        # cut_count — formerly a checkpoint job plus a count job)
+        alive, cur = cut_count(peel(alive, prev))
+        rounds += 1
+        if cur == prev:
+            # the alive set only shrinks: equal count == equal set ==
+            # fixpoint (the confirming round is a no-op peel). At the
+            # fixpoint alive_n == alive_{n-1}, so the subgraph the
+            # carried deg was measured in (und ∩ alive_{n-1}) IS the
+            # final core subgraph (und ∩ alive_n): deg == core_degree,
+            # and every survivor has deg >= k >= 1, so the old
+            # zero-coalesce left join is unreachable here — the
+            # answer is the state frame itself, no edge pass (r15)
+            break
+        prev = cur
+    out = alive.select("node", F.col("deg").alias("core_degree"))
     return (out, rounds) if return_rounds else out
 
 

@@ -83,19 +83,45 @@ def cooccurrence_edges(
     ``hot`` lists the excluded groups wider than ``max_per_group``
     (returned as data, never silently dropped — a pathological group
     is quadratic in its width)."""
-    items = facts.select(
-        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
-    ).distinct()
+    # ONE group-keyed exchange feeds the whole pre-pair chain (r15,
+    # guide §2.4): hash partitioning on __g is a valid clustering for
+    # the (__g, __i) dedup, the per-group size aggregate AND the pair
+    # self-join, so the former three shuffles (distinct on the pair
+    # key, groupBy __g, join re-exchange on __g) collapse into this
+    # single repartition — the dedup and size aggregates run
+    # partition-local and the self-join needs only local sorts. Group
+    # width pre-dedup is bounded by the fact table's per-group row
+    # count (items, not pairs — the quadratic blowup is what the hot
+    # cap below excludes), so the partitioning skews only if the
+    # source does.
+    items = (
+        facts.select(
+            F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+        )
+        .repartition("__g")
+        .dropDuplicates(["__g", "__i"])
+    )
     sizes = items.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     hot = sizes.filter(F.col("__n") > max_per_group)
     ok = items.join(F.broadcast(hot.select("__g")), "__g", "left_anti")
     a = ok.select(F.col("__g"), F.col("__i").alias("a"))
     b = ok.select(F.col("__g"), F.col("__i").alias("b"))
+    # explicit-width final dedup (r15, guide §2.5-adjacent): the edge
+    # frame feeds CPU-bound superlinear consumers (the O(m^1.5) wedge
+    # generation, the per-round peel scans), so its partition count
+    # must track the session's compute width, not AQE's byte-targeted
+    # coalescing — the ~30 MB sf0.1 frame otherwise lands on ~10
+    # partitions and serializes every map-side stage built on it. The
+    # session shuffle-partition setting is the deployment's scale knob
+    # (make_session: 2-3x cores locally, sized per cluster), so an
+    # explicit repartition at that width stays scale-adaptive.
+    n_shuf = int(facts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         a.join(b, "__g")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
+        .repartition(n_shuf, "a", "b")
+        .dropDuplicates(["a", "b"])
     )
     # this construction IS canonical (a < b, simple, deduplicated) —
     # tag it so canonical_cut skips its re-distinct, a full redundant
@@ -170,23 +196,29 @@ def _oriented(und: DataFrame, n_edges: int | None = None) -> DataFrame:
     :data:`BROADCAST_MAX_EDGES` the node-sized degree table (≤ 2m
     nodes) is broadcast into both key-attach joins, so the edge set is
     never shuffled by the orient stage (r14, guide §3.1)."""
+    # explode, not unionAll (r15): the union form scans the edge frame
+    # twice (one copy per endpoint column); explode emits both
+    # endpoints in one pass — identical counts
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # ONE packed-key side probed by BOTH endpoint joins (r15, guide
+    # §2.4): the identical broadcast subtree is built once and reused
+    # (ReusedExchange) instead of collecting two per-column aliases of
+    # the same degree table
+    degk = deg.select(
+        "node", (F.col("deg") * F.lit(PACK) + F.col("node")).alias("k")
+    )
     if n_edges is not None and n_edges <= BROADCAST_MAX_EDGES:
-        deg = F.broadcast(deg)
-    d1 = deg.select(
-        F.col("node").alias("a"),
-        (F.col("deg") * F.lit(PACK) + F.col("a")).alias("ka"),
+        degk = F.broadcast(degk)
+    keyed = (
+        und.join(degk, F.col("a") == F.col("node"))
+        .select("a", "b", F.col("k").alias("ka"))
+        .join(degk, F.col("b") == F.col("node"))
+        .select("a", "b", "ka", F.col("k").alias("kb"))
     )
-    d2 = deg.select(
-        F.col("node").alias("b"),
-        (F.col("deg") * F.lit(PACK) + F.col("b")).alias("kb"),
-    )
-    keyed = und.join(d1, "a").join(d2, "b")
     return keyed.select(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -243,6 +275,14 @@ def _triangles_from_und(und: DataFrame) -> DataFrame:
         F.col("dst").alias("w"),
         F.col("dst_key").alias("kw"),
     )
+    # r15 (guide §3.1): under the same edge gate, broadcast one side
+    # of the wedge self-join too — the edge-sized build side replaces
+    # the two u-keyed exchanges + sorts that previously fed the
+    # O(m^1.5) wedge set, so wedge generation AND the closing probe
+    # run as one map-side chain with zero exchanges over the
+    # checkpointed oriented frame
+    if n_edges <= BROADCAST_MAX_EDGES:
+        e2 = F.broadcast(e2)
     wedges = (
         e1.join(e2, "u")
         .filter(F.col("kv") < F.col("kw"))
@@ -274,18 +314,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # re-running the whole cooccurrence pair join in the final job);
     # a canonical_cut input passes straight through (r13)
     und = canonical_cut(edges)
-    # consumed three times by the corner union — materialize
+    # materialized: the probe chain above it is expensive (r12); the
+    # corner fan-out below reads it once via explode (r15 — the former
+    # 3-way union planned the scan three times)
     tri = cut_lineage(_triangles_from_und(und), eager=True)
     per_node = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
