@@ -390,36 +390,54 @@ def phrase_search(
     :func:`build_positional_postings` frame."""
     if postings is None:
         postings = build_positional_postings(df, text_col, id_col)
-    out = None
+    # r15 restructure (guide §2.4/§3.2): the former shape ran one
+    # filter+join CHAIN per phrase over the index (n−1 equi-joins per
+    # phrase, two index scans each, unioned per phrase) — at bench
+    # scale that is most of the entry's stage-job tail. All phrases
+    # now resolve in ONE broadcast join + ONE (query, doc) groupBy: a
+    # doc matches when every phrase slot i is present (the index is
+    # term-distinct per doc, so group size == phrase length exactly
+    # then), and the match count folds IN-ROW over the collected
+    # position lists — start positions = ∩_i (positions_i − i), a
+    # bijection (start ↔ end) away from the old chain's end-position
+    # fold ∩_i (positions_i shifted forward), so the occurrence COUNT
+    # is identical (pinned against a naive scan in tests). All-codegen
+    # array HOFs, no UDF, no re-tokenization — unchanged.
+    qrows = []
     for qid, phrase in phrases:
         terms = tokenize_phrase(phrase)
-        if not terms:
-            continue
-        cur = postings.filter(F.col("term") == terms[0]).select(
-            F.col(id_col), F.col("positions").alias("__cur")
-        )
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = postings.filter(F.col("term") == t).select(
-                F.col(id_col), F.col("positions").alias(f"__p{i}")
-            )
-            cur = cur.join(nxt, id_col).select(
-                F.col(id_col),
-                F.array_intersect(
-                    F.transform("__cur", lambda x: x + 1), F.col(f"__p{i}")
-                ).alias("__cur"),
-            )
-        hits = (
-            cur.select(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                F.col(id_col),
-                F.size("__cur").cast("int").alias("n_occurrences"),
-            )
-            .filter(F.col("n_occurrences") > 0)
-        )
-        out = hits if out is None else out.unionByName(hits)
-    if out is None:
+        for i, t in enumerate(terms):
+            qrows.append((qid, i, t, len(terms)))
+    if not qrows:
         raise ValueError("phrase_search needs at least one non-empty phrase")
-    return out
+    spark = postings.sparkSession
+    qframe = spark.createDataFrame(
+        qrows, "query_id bigint, i int, term string, nt int"
+    )
+    grp = (
+        postings.join(F.broadcast(qframe), "term")
+        .groupBy("query_id", F.col(id_col))
+        .agg(
+            F.collect_list(F.struct("i", "positions")).alias("ps"),
+            F.max("nt").alias("nt"),
+        )
+        .filter(F.size("ps") == F.col("nt"))
+    )
+    starts = (
+        "aggregate("
+        "  slice(array_sort(ps), 2, nt - 1),"
+        "  element_at(array_sort(ps), 1).positions,"
+        "  (acc, s) -> array_intersect("
+        "    acc, transform(s.positions, x -> x - s.i)))"
+    )
+    return (
+        grp.select(
+            "query_id",
+            F.col(id_col),
+            F.size(F.expr(starts)).cast("int").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
 
 
 def postings_append(
@@ -577,30 +595,39 @@ def best_snippet(
             F.broadcast(pairs.select("query_id", F.col(id_col))),
             ["query_id", id_col],
         )
-    a = matches.select("query_id", F.col(id_col), F.col("pos").alias("s"))
-    b = matches.select(
-        "query_id", F.col(id_col), "term", F.col("pos").alias("p")
+    # r15 restructure (guide §2.4): the window argmax used a self-join
+    # of the match positions (one exchange for the join, one groupBy,
+    # one rank window — three shuffled stages over a ≤ queries·k·
+    # matches frame). The matches per (query, doc) are bounded (the
+    # ``pairs`` restriction caps docs at k per query; matches are
+    # query-term positions only), so the argmax folds IN-ROW instead:
+    # one groupBy collects the (pos, term) matches, a candidate window
+    # anchors at every matched position, its distinct-term count is an
+    # array HOF, and the (n_terms desc, start asc) argmax is an
+    # aggregate fold — same candidates, same count, same tie-break.
+    ms = matches.groupBy("query_id", F.col(id_col)).agg(
+        F.collect_list(F.struct("pos", "term")).alias("ms")
     )
-    windows = (
-        a.join(b, ["query_id", id_col])
-        .filter(
-            (F.col("p") >= F.col("s"))
-            & (F.col("p") <= F.col("s") + F.lit(window - 1))
-        )
-        .groupBy("query_id", id_col, "s")
-        .agg(F.count_distinct("term").alias("n_terms"))
+    cands = (
+        "transform(array_sort(ms), c -> struct("
+        "  size(array_distinct(transform("
+        f"    filter(ms, m -> m.pos >= c.pos AND m.pos <= c.pos + {int(window) - 1}),"
+        "    m -> m.term))) AS n,"
+        "  c.pos AS s))"
     )
-    w = Window.partitionBy("query_id", id_col).orderBy(
-        F.col("n_terms").desc(), F.col("s").asc()
+    best_expr = (
+        f"aggregate({cands}, struct(-1 AS n, -1 AS s),"
+        " (acc, x) -> if(x.n > acc.n OR (x.n = acc.n AND x.s < acc.s), x, acc))"
     )
-    best = (
-        windows.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(
-            "query_id", id_col,
-            F.col("s").cast("int").alias("snippet_start"),
-            F.col("n_terms").cast("int").alias("n_terms"),
-        )
+    best = ms.select(
+        "query_id",
+        id_col,
+        F.expr(best_expr).alias("__best"),
+    ).select(
+        "query_id",
+        id_col,
+        F.col("__best.s").cast("int").alias("snippet_start"),
+        F.col("__best.n").cast("int").alias("n_terms"),
     )
     toks = df.join(
         best.select(id_col).distinct(), id_col, "leftsemi"
