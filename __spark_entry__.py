@@ -2122,12 +2122,13 @@ def q_minhash_dedup(spark, sf_dir):
     at oracle-build time by independent python twins from the raw
     parquet and inlined as repr literals)."""
     from deep_db_learning_spark.operators.mixing import (
-        domain_weights,
+        domain_weights_from_stats,
         stratified_sample,
-        temperature_fractions,
+        temperature_fractions_py,
     )
 
-    from deep_db_learning_spark.checkpoint import cut_lineage
+    from deep_db_learning_spark.checkpoint import cut_lineage, mark_cut
+    from deep_db_learning_spark.functions.exact_agg import exact_sum
 
     db = _db(spark, sf_dir)
     docs = db.df("documents")
@@ -2156,24 +2157,51 @@ def q_minhash_dedup(spark, sf_dir):
     store = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     odd_a = F.col("id_a") % 2 == 1
-    cand_incr = cand_all.filter(
-        (F.col("id_a") % 2) != (F.col("id_b") % 2)
-    ).select(
-        F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("__new_id"),
-        F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("__ref_id"),
+    # mark_cut, not a fresh cut (r15, ADVICE r14): the slice is a
+    # row-local filter/projection of the MATERIALIZED cand_all, so
+    # consumers re-running it only re-scan checkpoint blocks — the
+    # eager re-checkpoint minhash_dedup_against would otherwise pay
+    # is a pure extra job
+    cand_incr = mark_cut(
+        cand_all.filter(
+            (F.col("id_a") % 2) != (F.col("id_b") % 2)
+        ).select(
+            F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("__new_id"),
+            F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("__ref_id"),
+        )
     )
     kept_incr = dedup.minhash_dedup_against(
         new, store, "text", "doc_id", num_perm=64, bands=16, shingle_k=9,
         threshold=0.7,
         candidates=cand_incr,
     )
-    fr = temperature_fractions(
-        docs, "source", alpha=0.5, target_rows=int(0.6 * docs.count())
+    # ONE per-source stats job (r15, guide §1.2) replaces three
+    # full-corpus driver jobs (docs.count(), the fractions groupBy,
+    # the domain_weights groupBy): the row counts sum to docs.count()
+    # exactly, and the decimal n_chars fold is value-identical to
+    # domain_weights' isNotNull-filtered fold (F.sum skips NULLs; the
+    # decimal sum is order-independent). The driver arithmetic runs
+    # through the SAME shared helpers, so fractions and weights are
+    # bit-identical.
+    srows = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(F.col("n_chars").cast("double")).alias("s"),
+        F.count("n_chars").alias("n_score"),
+    ).collect()
+    fr = temperature_fractions_py(
+        {r["source"]: r["n_rows"] for r in srows},
+        alpha=0.5,
+        target_rows=int(0.6 * sum(r["n_rows"] for r in srows)),
     )
     mixed = stratified_sample(docs, "source", fr, "doc_id")
-    dw = domain_weights(
-        docs.select("source", F.col("n_chars").cast("double").alias("score")),
-        "source", "score", eta=0.002, floor=0.05,
+    dw = domain_weights_from_stats(
+        spark,
+        {
+            r["source"]: (float(r["s"]), int(r["n_score"]))
+            for r in srows
+            if r["source"] is not None and r["n_score"] > 0
+        },
+        "source", eta=0.002, floor=0.05,
     )
 
     def ids(mode, frame):

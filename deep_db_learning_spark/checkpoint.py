@@ -99,6 +99,21 @@ def cut_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return out
 
 
+def mark_cut(df: DataFrame) -> DataFrame:
+    """Tag ``df`` as already lineage-cut WITHOUT checkpointing it (r15,
+    ADVICE r14 on the minhash candidate slice).
+
+    For a frame that is a TRIVIAL filter/projection of an
+    already-materialized cut: its "lineage" is a scan of checkpoint
+    blocks plus row-local expressions, so re-checkpointing it buys
+    nothing but a job, and consumers re-running the trivial tail pay
+    only the block scan. The caller asserts that triviality — tagging
+    a frame with an expensive plan pushes that cost into every
+    consumer instead."""
+    df.__dict__["_ddl_lineage_cut"] = True
+    return df
+
+
 def cut_count(df: DataFrame) -> tuple[DataFrame, int]:
     """Cut lineage and count in ONE Spark job (r15, guide §2.1).
 

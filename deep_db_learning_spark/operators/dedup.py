@@ -930,23 +930,28 @@ def minhash_dedup_against(
     from ..functions.text import char_shingles
 
     ref_id_col = ref_id_col or id_col
-    # spread single-file scans (the minhash_lsh_dedup posture) and
-    # materialize each banding ONCE: the signature kernels would
-    # otherwise re-run on every consumer of the candidate frame (the
-    # two semi-joins, the verify join, and the final anti-join) — at
-    # sf0.1 that turned one signature pass into five
-    par = new.sparkSession.sparkContext.defaultParallelism
-    if new.rdd.getNumPartitions() < par:
-        new = new.repartition(par)
-    if reference.rdd.getNumPartitions() < par:
-        reference = reference.repartition(par)
     if candidates is not None:
         if set(candidates.columns) != {"__new_id", "__ref_id"}:
             candidates = candidates.select("__new_id", "__ref_id")
-        # cut_lineage is a no-op on an already-cut frame object, so a
-        # caller holding a materialized candidate set pays nothing here
+        # cut_lineage is a no-op on an already-cut frame object
+        # (mark_cut counts — see checkpoint.py), so a caller holding a
+        # materialized candidate set pays nothing here
         cands = cut_lineage(candidates, eager=True)
     else:
+        # spread single-file scans (the minhash_lsh_dedup posture) and
+        # materialize each banding ONCE: the signature kernels would
+        # otherwise re-run on every consumer of the candidate frame
+        # (the two semi-joins, the verify join, and the final
+        # anti-join) — at sf0.1 that turned one signature pass into
+        # five. Probed only on THIS branch (r15): with precomputed
+        # candidates the heavy per-row work is gone, and under AQE the
+        # .rdd partition probe itself materializes any exchange in the
+        # input plan — a hidden job per probe.
+        par = new.sparkSession.sparkContext.defaultParallelism
+        if new.rdd.getNumPartitions() < par:
+            new = new.repartition(par)
+        if reference.rdd.getNumPartitions() < par:
+            reference = reference.repartition(par)
         if new_signed is None:
             sig_new = minhash_signature(
                 new.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k

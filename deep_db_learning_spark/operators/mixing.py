@@ -210,13 +210,28 @@ def temperature_fractions(
     corpus that achieves the temperature distribution exactly.
 
     One count job over the strata (tiny result); everything else is
-    driver arithmetic.
+    driver arithmetic (:func:`temperature_fractions_py` — callers that
+    already hold per-stratum counts skip the count job entirely).
     """
     counts = {
         r[strata_col]: r["count"]
         for r in df.groupBy(strata_col).count().collect()
-        if r[strata_col] is not None
     }
+    return temperature_fractions_py(counts, alpha, target_rows)
+
+
+def temperature_fractions_py(
+    counts: dict,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """The driver arithmetic of :func:`temperature_fractions` over
+    precomputed per-stratum counts — the fused-stats path (r15): an
+    entry that also needs per-stratum score folds computes BOTH in one
+    groupBy job and feeds the counts here, instead of paying a second
+    full-corpus aggregate. A ``None`` stratum is skipped (the same rule
+    the collect path applies)."""
+    counts = {s: int(n) for s, n in counts.items() if s is not None}
     if not counts:
         return {}
     weights = {s: float(n) ** alpha for s, n in counts.items()}
@@ -322,11 +337,30 @@ def domain_weights(
         )
         .collect()
     )
-    if not rows:
-        raise ValueError("domain_weights: empty input")
     stats = {r[domain_col]: (float(r["s"]), int(r["n"])) for r in rows}
+    return domain_weights_from_stats(
+        scored.sparkSession, stats, domain_col, eta, floor
+    )
+
+
+def domain_weights_from_stats(
+    spark,
+    stats: dict,
+    domain_col: str = "domain",
+    eta: float = 1.0,
+    floor: float = 0.0,
+) -> DataFrame:
+    """:func:`domain_weights` from precomputed per-domain folds — the
+    fused-stats path (r15). ``stats`` = {domain: (score_sum, n)} with
+    the sums produced by the same ``exact_sum`` decimal fold (``F.sum``
+    skips NULL scores, so an unfiltered groupBy's fold over non-NULL
+    domains is value-identical to the filtered one); domains with
+    ``n == 0`` must already be absent, as they are from a filtered
+    groupBy. Arithmetic and output schema are exactly
+    :func:`domain_weights`'s."""
+    if not stats:
+        raise ValueError("domain_weights: empty input")
     out = domain_weight_py(stats, eta, floor)
-    spark = scored.sparkSession
     return spark.createDataFrame(
         [
             (d, stats[d][1], out[d][0], out[d][1], out[d][2])
