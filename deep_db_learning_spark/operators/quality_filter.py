@@ -63,7 +63,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import cut_lineage
+from ..checkpoint import cut_count, cut_lineage
 from ..functions.exact_agg import DECIMAL_TYPE
 from ..plans.train_oracle import _dec9
 
@@ -280,11 +280,18 @@ def fit_quality_filter(
     spark = df.sparkSession
 
     docs = df.where(F.col(text_col).isNotNull())
+    # lazy cuts throughout the fit (r15, guide §2.1): every frame cut
+    # here has a full-scan aggregate as its first consumer, so a LAZY
+    # checkpoint deferred to that action materializes in the consumer's
+    # own job — the label guard doubles as lab's materialization, the
+    # first epoch's z-fold as feats', and each epoch's total fold as
+    # the gradient frame's. Identical blocks end up persisted; only
+    # the standalone materialization jobs disappear (3 + epochs jobs).
     lab = cut_lineage(
         docs.select(
             F.col(id_col), F.col(label_col).cast("double").alias("__y")
         ),
-        eager=True,
+        eager=False,
     )
     if sample_n is not None and sample_n <= 0:
         raise ValueError("fit_quality_filter: sample_n must be > 0")
@@ -311,15 +318,18 @@ def fit_quality_filter(
             for v in (0, 1)
         ]
         docs = parts[0].unionByName(parts[1]).drop("__qfs_key")
-        lab = cut_lineage(
+        lab, n_docs = cut_count(
             docs.select(
                 F.col(id_col), F.col(label_col).cast("double").alias("__y")
-            ),
-            eager=True,
+            )
         )
-        n_docs = lab.count()
+    # NOT coalesced (r15, probed and rejected): count-derived widths on
+    # the feature/gradient frames (the kcore §2.1 pattern, 4M rows/
+    # partition) measured 5.2 → 8.9-10.3 s warm — the per-epoch decimal
+    # folds are COMPUTE-heavy per row, so byte-sized partitions
+    # serialize them; the session width is right here.
     feats = cut_lineage(
-        doc_features(docs, text_col, id_col, n_buckets), eager=True
+        doc_features(docs, text_col, id_col, n_buckets), eager=False
     )
 
     def gl_fn(z, y):
@@ -371,7 +381,7 @@ def fit_quality_filter(
                 F.get("__gl", 0).cast("decimal(20,9)").alias("__g"),
                 F.get("__gl", 1).cast(DECIMAL_TYPE).alias("__l"),
             ),
-            eager=True,
+            eager=False,
         )
         tot = gldf.agg(
             F.sum("__l").alias("loss"), F.sum("__g").alias("g0")
