@@ -2967,8 +2967,18 @@ def q_embedding_topk(spark, sf_dir):
 
     from pyspark import inheritable_thread_target
 
+    # r15 (ADVICE r14 #3): with PYSPARK_PIN_THREAD=false,
+    # inheritable_thread_target(spark) returns the session itself (not
+    # a decorator) and calling it would raise TypeError — fall back to
+    # the bare branch function (thread-local job-group inheritance is a
+    # pinned-thread-mode concern only).
+    try:
+        _branch = inheritable_thread_target(spark)(_trained_branch)
+    except TypeError:
+        _branch = _trained_branch
+
     with ThreadPoolExecutor(max_workers=1) as pool:
-        demb_f = pool.submit(inheritable_thread_target(spark)(_trained_branch))
+        demb_f = pool.submit(_branch)
         scales = similarity.sq8_train(emb)
         demb = demb_f.result()
     enc = similarity.sq8_encode(emb, scales)

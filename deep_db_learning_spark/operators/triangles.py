@@ -52,7 +52,13 @@ from pyspark.sql import functions as F
 
 PACK = 4294967296  # 2^32 — node ids must be non-negative and below
 # this for the packed (degree, id) key to order correctly; FK-derived
-# keys in this engine are (see operators/graph.py mint_node_ids)
+# keys in this engine are (see operators/graph.py mint_node_ids).
+# r15 (ADVICE r14 #1): the PAIR keys (v·2³² + w in the wedge probe)
+# additionally need v < 2³¹ — a signed-int64 product of a ≥ 2³¹ id
+# overflows (throws under ANSI mode, wraps otherwise). mint_node_ids
+# keeps ids dense from 0, so the bound binds only past ~2.1e9 NODES;
+# guarded loudly in _triangles_from_und, piggybacked on the
+# broadcast-gate count job (no extra action).
 
 # Scale-adaptive join-strategy gate (r14, guide §3.1): when the
 # materialized edge count is at or below this, the edge-sized build
@@ -260,7 +266,21 @@ def _triangles_from_und(und: DataFrame) -> DataFrame:
     bytes of the old (v, w) two-column exchange (measured 8.7 s)."""
     from ..checkpoint import cut_lineage
 
-    n_edges = und.count()  # cheap: und is checkpointed
+    # ONE cheap job over the checkpointed input: the broadcast-gate
+    # count, plus the max node id for the pair-pack guard (r15, ADVICE
+    # r14 #1 — v·2³² + w needs v < 2³¹ or the signed-int64 product
+    # overflows: ANSI throws mid-query, non-ANSI silently wraps)
+    row = und.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.greatest("a", "b")).alias("mx"),
+    ).first()
+    n_edges = row["n"]
+    if row["mx"] is not None and row["mx"] >= PACK // 2:
+        raise ValueError(
+            f"triangles: max node id {row['mx']} >= 2^31 — the packed "
+            "pair key v*2^32 + w would overflow int64; re-mint ids "
+            "(operators/graph.mint_node_ids keeps them dense from 0)"
+        )
     # the oriented frame is consumed THREE times (both wedge sides +
     # the closing-edge probe) — materialize once or the plan recomputes
     # the degree/orient chain per consumer
