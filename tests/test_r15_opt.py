@@ -81,3 +81,36 @@ def test_mark_cut_makes_cut_lineage_a_noop(spark):
     cut = cut_lineage(derived, eager=True)
     assert cut is not derived
     assert _rows(cut) == _rows(derived)
+
+
+def test_cut_count_counts_and_materializes_in_one_call(spark):
+    from deep_db_learning_spark.checkpoint import cut_count, cut_lineage
+
+    df = spark.range(25).select(F.col("id").alias("v")).filter(F.col("v") % 2 == 0)
+    out, n = cut_count(df)
+    assert n == 13
+    assert _rows(out) == _rows(df)
+    # the returned frame is tagged as MATERIALIZED: a later eager cut
+    # must short-circuit (no second checkpoint of the same object)
+    again = cut_lineage(out, eager=True)
+    assert again is out
+    # and a second cut_count reuses the cut frame too
+    out2, n2 = cut_count(out)
+    assert out2 is out and n2 == 13
+
+
+def test_lazy_cut_does_not_satisfy_eager_request(spark):
+    # ADVICE r14: a frame cut lazily must NOT short-circuit a later
+    # eager request — the tag records the cut mode
+    from deep_db_learning_spark.checkpoint import cut_lineage
+
+    df = spark.range(8).select(F.col("id").alias("v"))
+    lazy = cut_lineage(df, eager=False)
+    assert lazy.__dict__.get("_ddl_lineage_cut") == "lazy"
+    # lazy satisfies lazy
+    assert cut_lineage(lazy, eager=False) is lazy
+    # but an eager request re-cuts (stronger materialization)
+    eager = cut_lineage(lazy, eager=True)
+    assert eager is not lazy
+    assert eager.__dict__.get("_ddl_lineage_cut") is True
+    assert _rows(eager) == _rows(df)
